@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet-backed table layer. Stands in for the reference's Cassandra
+  * keyspace (ref: data/create-timeseries.cql) — each logical table is one
+  * parquet dataset under the scale-factor directory.
+  *
+  * Scale notes: at 100 TB these would be partitioned/bucketed datasets
+  * (e.g. lineitem bucketed by l_orderkey, events partitioned by date and
+  * bucketed by user_id) so the joins/aggregations below co-locate without a
+  * shuffle. Locally the driver-generated single files are read as-is;
+  * Catalyst still gets filter pushdown + column pruning into the parquet
+  * scans, which is the same mechanism partition pruning uses at scale.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long (legacy conf) and
+    * convert to a proper TimestampType at µs precision — all downstream use
+    * is at second-or-coarser grain, so the truncation is semantics-free. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Register every table as a temp view for the `spark.sql` query path
+    * (ref: SampleJoin.scala:40-48 uses a SQL context over named tables). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else apply(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
+}

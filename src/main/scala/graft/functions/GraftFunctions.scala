@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared column-level building blocks. Everything here composes Catalyst
+  * built-ins (codegen'd, no Scala UDFs) so expressions stay inside
+  * whole-stage codegen and push down where possible.
+  */
+object GraftFunctions {
+
+  /** Fixed-point scaling: a money-like column with <= 2 decimal digits becomes
+    * an exact integer of centi-units. Distributed sums of these are exact
+    * (order-independent) integers, so statistics derived from them are
+    * bit-identical across engines, partition counts, and replays — unlike
+    * floating-point sums, whose last-ulp noise can flip a rounding boundary.
+    * DuckDB equivalent: CAST(round(x * 100) AS BIGINT).
+    */
+  def centi(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** Engine-portable rounding for division-derived doubles. Spark's round()
+    * goes through the shortest decimal string (BigDecimal HALF_UP) while
+    * DuckDB multiplies and rounds — on a boundary double (x.xxx5) they can
+    * disagree even for bit-identical inputs. floor(x*10^k + 0.5)/10^k is the
+    * same arithmetic in both engines, so identical input bits guarantee
+    * identical output. DuckDB spelling: floor(x * 1eK + 0.5) / 1eK.
+    */
+  def fround(c: Column, k: Int): Column = {
+    val p = math.pow(10, k)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
+  /** Lower-cased whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** n-token shingles of a token array, joined by single spaces.
+    * Guarded: fewer than n tokens => empty array (Spark's `sequence(1, k)`
+    * would generate a DESCENDING range for k < 1, so the guard is load-bearing).
+    */
+  def shingles(toks: Column, n: Int): Column = {
+    val idx = sequence(lit(1), size(toks) - (n - 1))
+    val mk = transform(idx, i =>
+      concat_ws(" ", (0 until n).map(k => element_at(toks, (i + lit(k)).cast("int"))): _*))
+    when(size(toks) < n, array().cast("array<string>")).otherwise(mk)
+  }
+
+  /** Cast a float vector to double for numerically stable math. */
+  def vecDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product of two double arrays — sequential left fold, which matches
+    * DuckDB's list_sum over the zipped products bit-for-bit in practice.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm of a double array. */
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Cosine similarity given precomputed norms (avoids recomputing norms in
+    * an all-pairs join — norms are computed once per row, not once per pair).
+    */
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+}

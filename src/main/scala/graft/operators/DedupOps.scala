@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.functions.GraftFunctions._
+
+/** Deduplication operators over `documents` — the core of a training-data
+  * pipeline. Four families: exact (hash groupBy), MinHash+LSH banding,
+  * SimHash fingerprints, and exact n-gram Jaccard via an inverted index.
+  *
+  * Determinism across engines: every hash is md5 (identical hex in Spark and
+  * DuckDB) and minhash takes the lexicographic MIN of hex strings, so
+  * signatures — and therefore LSH candidate sets — are bit-identical in the
+  * oracle. No engine-specific hash (murmur etc.) appears in any compared
+  * output.
+  *
+  * Scale notes: shingling is per-row (no shuffle); minhash aggregation
+  * shuffles on (doc_id, hash_idx) — high cardinality, well distributed; the
+  * LSH band join only materializes candidate pairs (the whole point of LSH:
+  * avoids the quadratic all-pairs join); the verify join fans shingle sets
+  * over candidates only. The exact-Jaccard inverted index self-join is the
+  * non-LSH fallback and is quadratic in per-shingle frequency — at 100 TB
+  * you'd cap hot shingles (stopword-like shingles) with a frequency cutoff,
+  * which is also why the LSH path is the default.
+  */
+object DedupOps {
+  private val K = 12     // minhash signature length
+  private val BANDS = 6  // 6 bands x 2 rows: P(candidate | J=0.5) ≈ 0.82
+
+  private def shingleSet(s: SparkSession, d: String, n: Int): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), n)).as("sh"))
+      .distinct()
+
+  /** Exact dedup: group by content fingerprint, keep the smallest doc_id. */
+  private val dedupExact = GraftQuery(
+    "dedup_exact",
+    "exact dedup via md5-fingerprint groupBy (keep min doc_id)",
+    (s, d) => Tables.documents(s, d)
+      .select(md5(lower(col("text"))).as("fp"), col("doc_id"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dups"))
+      .orderBy("fp"),
+    Some("""SELECT md5(lower(text)) AS fp, min(doc_id) AS keep_id, count(*) AS dups FROM documents GROUP BY 1 ORDER BY 1"""))
+
+  /** MinHash + LSH near-dup pairs, verified with exact Jaccard >= 0.5.
+    * shingle -> K md5-minhashes -> band keys -> band-join candidates ->
+    * exact verify on candidates only. */
+  private val dedupMinhash = GraftQuery(
+    "dedup_minhash",
+    "MinHash(12) + LSH(6x2) candidate pairs, exact-Jaccard verified at 0.5",
+    (s, d) => {
+      val sh = shingleSet(s, d, 3)
+      val hashed = sh.select(col("doc_id"),
+        posexplode(array((0 until K).map(i =>
+          md5(concat(lit(s"$i|"), col("sh")))): _*)))
+        .toDF("doc_id", "i", "h")
+      val sig = hashed.groupBy("doc_id", "i").agg(min("h").as("mh"))
+        .groupBy("doc_id")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+          x => x.getField("mh")).as("sig"))
+      val bands = sig.select(col("doc_id"),
+        posexplode(array((0 until BANDS).map(b =>
+          md5(concat(element_at(col("sig"), 2 * b + 1),
+            element_at(col("sig"), 2 * b + 2)))): _*)))
+        .toDF("doc_id", "band", "bh")
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      jaccardVerified(cand, sh, 0.5)
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sh AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in generate_series(1, greatest(len(toks) - 2, 0))]) AS sh FROM t), mh AS (SELECT doc_id, i, min(md5(i::VARCHAR || '|' || sh)) AS mh FROM sh, (SELECT unnest(generate_series(0, 11)) AS i) GROUP BY 1, 2), sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY 1), bands AS (SELECT doc_id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bh FROM sig, (SELECT unnest(generate_series(0, 5)) AS b)), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT c.a, c.b, count(*) AS c FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh GROUP BY 1, 2) SELECT i.a, i.b, floor(i.c * 1.0 / (x.n + y.n - i.c) * 10000.0 + 0.5) / 10000.0 AS jaccard FROM inter i JOIN sz x ON i.a = x.doc_id JOIN sz y ON i.b = y.doc_id WHERE i.c * 1.0 / (x.n + y.n - i.c) >= 0.5 ORDER BY 1, 2"""))
+
+  /** Exact n-gram Jaccard dedup via inverted-index self-join (4-grams). */
+  private val dedupNgram = GraftQuery(
+    "dedup_ngram_jaccard",
+    "exact 4-gram Jaccard >= 0.4 via inverted-index self-join",
+    (s, d) => {
+      val sh = shingleSet(s, d, 4)
+      val cand = sh.as("x").join(sh.as("y"),
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      cand
+        .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+        .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+        .withColumn("jaccard", col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
+        .filter(col("jaccard") >= 0.4)
+        .select(col("a"), col("b"), fround(col("jaccard"), 4).as("jaccard"))
+        .orderBy("a", "b")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sh AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] for i in generate_series(1, greatest(len(toks) - 3, 0))]) AS sh FROM t), inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1) SELECT i.a, i.b, floor(i.c * 1.0 / (x.n + y.n - i.c) * 10000.0 + 0.5) / 10000.0 AS jaccard FROM inter i JOIN sz x ON i.a = x.doc_id JOIN sz y ON i.b = y.doc_id WHERE i.c * 1.0 / (x.n + y.n - i.c) >= 0.4 ORDER BY 1, 2"""))
+
+  /** 16-bit SimHash fingerprint per document, built purely from md5 nibbles
+    * so Spark and DuckDB agree bit-for-bit. */
+  private def simhashDf(s: SparkSession, d: String): DataFrame = {
+    val perTok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h4", substring(md5(col("tok")), 1, 4))
+      .withColumn("j", explode(sequence(lit(0), lit(15))))
+      .withColumn("nib",
+        expr("instr('0123456789abcdef', substring(h4, CAST(floor(j/4.0) AS INT) + 1, 1)) - 1"))
+      .withColumn("contrib", expr("2 * (shiftright(nib, 3 - j % 4) & 1) - 1"))
+    perTok.groupBy("doc_id", "j").agg(sum("contrib").as("sgn"))
+      .groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN sgn > 0 THEN shiftleft(1, j) ELSE 0 END")).as("simhash"))
+  }
+
+  private val simhashOracleBase =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents), bt AS (SELECT doc_id, j, instr('0123456789abcdef', substr(md5(tok), CAST(floor(j/4.0) AS INTEGER) + 1, 1)) - 1 AS nib FROM tk, (SELECT unnest(generate_series(0, 15)) AS j)), sg AS (SELECT doc_id, j, sum(2 * ((nib >> (3 - j % 4)) & 1) - 1) AS sgn FROM bt GROUP BY 1, 2), sim AS (SELECT doc_id, CAST(sum(CASE WHEN sgn > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash FROM sg GROUP BY 1)"""
+
+  private val dedupSimhash = GraftQuery(
+    "dedup_simhash",
+    "16-bit SimHash document fingerprint (md5-nibble weighted bits)",
+    (s, d) => simhashDf(s, d).orderBy("doc_id"),
+    Some(simhashOracleBase + """ SELECT doc_id, simhash FROM sim ORDER BY doc_id"""))
+
+  private val dedupSimhashGroups = GraftQuery(
+    "dedup_simhash_groups",
+    "SimHash collision groups (candidate near-dups, keep min doc_id)",
+    (s, d) => simhashDf(s, d)
+      .groupBy("simhash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .orderBy("simhash"),
+    Some(simhashOracleBase + """ SELECT simhash, min(doc_id) AS keep_id, count(*) AS cnt FROM sim GROUP BY 1 HAVING count(*) > 1 ORDER BY 1"""))
+
+  /** Embedding-cosine near-dup: top-20 most similar pairs. The testdata has
+    * no planted >0.9 pairs, so "top pairs" (not a fixed threshold) keeps the
+    * operator's output non-degenerate at every scale factor. */
+  private val dedupEmbedding = GraftQuery(
+    "dedup_embedding_cosine",
+    "embedding near-dup: top-20 all-pairs cosine (norms precomputed)",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), vecDouble(col("embedding")).as("v"))
+        .withColumn("nrm", l2norm(col("v")))
+      val a = e.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, col("a") < col("b"))
+        .withColumn("cos", cosinePre(col("va"), col("vb"), col("na"), col("nb")))
+        .orderBy(fround(col("cos"), 6).desc, col("a"), col("b"))
+        .limit(20)
+        .select(col("a"), col("b"), fround(col("cos"), 4).as("cos"))
+        .orderBy(desc("cos"), col("a"), col("b"))
+    },
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e), p AS (SELECT a.vec_id AS a, b.vec_id AS b, list_sum([s[1]*s[2] for s in list_zip(a.v, b.v)]) / (a.nrm * b.nrm) AS cos FROM n a JOIN n b ON a.vec_id < b.vec_id) SELECT a, b, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos FROM (SELECT * FROM p ORDER BY floor(cos * 1000000.0 + 0.5) DESC, a, b LIMIT 20) ORDER BY cos DESC, a, b"""))
+
+  /** Exact-Jaccard verification of candidate pairs against shingle sets —
+    * shared by the LSH path. Joins shingles to candidates only (not all
+    * pairs), so cost is O(candidates x shingles/doc). */
+  private def jaccardVerified(cand: DataFrame, sh: DataFrame, thresh: Double): DataFrame = {
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    inter
+      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .withColumn("jaccard", col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= thresh)
+      .select(col("a"), col("b"), fround(col("jaccard"), 4).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    dedupExact, dedupMinhash, dedupNgram, dedupSimhash,
+    dedupSimhashGroups, dedupEmbedding)
+}

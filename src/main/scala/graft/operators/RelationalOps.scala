@@ -1,0 +1,348 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+
+/** Relational capability surface: the reference's join/SQL examples
+  * (SampleJoin.scala:39-50, KafkaStreamingJson.scala:64-68) plus the
+  * capability-parity extras SURVEY.md §2.3/§2.5/§2.7 calls for — semi/anti/
+  * outer/range/as-of joins, window functions, set ops, rollup/cube/grouping
+  * sets — expressed TPC-H-style over the driver testdata.
+  *
+  * Scale notes per operator are inline; the recurring themes:
+  *  - dimension sides are `broadcast()` so fact scans never shuffle for them;
+  *  - fact-fact joins shuffle on the join key once and AQE handles skew;
+  *  - global-ordering windows (moving averages over a date spine) are fine
+  *    because they run AFTER aggregation has reduced cardinality to ~days.
+  */
+object RelationalOps {
+  import graft.functions.GraftFunctions.{centi, fround}
+
+  /** Exact fixed-point revenue: price and discount have <= 2 decimals, so
+    * centi(price) * (100 - centi(discount)) is an exact integer of 1e-4
+    * units. Distributed sums of it are order-independent, making both the
+    * rounded output AND any ordering on it bit-deterministic across engines
+    * (a float sum's last ulp can flip a 0.005 rounding boundary or a top-k
+    * cut). DuckDB spelling: CAST(round(l_extendedprice*100) AS BIGINT) *
+    * (100 - CAST(round(l_discount*100) AS BIGINT)). */
+  private val revC = centi(col("l_extendedprice")) * (lit(100L) - centi(col("l_discount")))
+  private val revCSql =
+    "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+
+  /** TPC-H Q1 shape — the flagship pricing-summary scan+agg. One shuffle on
+    * two low-cardinality keys; partial aggregation does nearly all work
+    * map-side, so it scales linearly with input. */
+  private val q1 = GraftQuery(
+    "q1_pricing",
+    "A1-family wide aggregate: 4 sums, 3 avgs, count over a pushed-down date filter",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        sum(revC).as("rc"),
+        sum(revC * (lit(100L) + centi(col("l_tax")))).as("cc"),
+        avg("l_quantity").as("avg_qty"),
+        sum(centi(col("l_extendedprice"))).as("pc"),
+        sum(centi(col("l_discount"))).as("dc"),
+        count(lit(1)).as("cnt"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"), col("sum_base_price"),
+        fround(col("rc").cast("double") / 10000.0, 2).as("sum_disc_price"),
+        fround(col("cc").cast("double") / 1000000.0, 2).as("sum_charge"),
+        fround(col("avg_qty"), 4).as("avg_qty"),
+        fround(col("pc").cast("double") / col("cnt") / 100.0, 4).as("avg_price"),
+        fround(col("dc").cast("double") / col("cnt") / 100.0, 4).as("avg_disc"),
+        col("cnt"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some(s"""SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, floor(CAST(rc AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0 AS sum_disc_price, floor(CAST(cc AS DOUBLE) / 1000000.0 * 100.0 + 0.5) / 100.0 AS sum_charge, floor(avg_qty * 10000.0 + 0.5) / 10000.0 AS avg_qty, floor(CAST(pc AS DOUBLE) / cnt / 100.0 * 10000.0 + 0.5) / 10000.0 AS avg_price, floor(CAST(dc AS DOUBLE) / cnt / 100.0 * 10000.0 + 0.5) / 10000.0 AS avg_disc, cnt FROM (SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base_price, CAST(sum($revCSql) AS BIGINT) AS rc, CAST(sum($revCSql * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS cc, avg(l_quantity) AS avg_qty, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS pc, CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS dc, count(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1, 2) ORDER BY 1, 2"""))
+
+  /** TPC-H Q3 shape: filtered dim ⋈ fact ⋈ fact, then top-k by revenue.
+    * customer is broadcast; orders⋈lineitem shuffles on orderkey once. */
+  private val q3 = GraftQuery(
+    "q3_shipping",
+    "J1 multi-join + agg + TakeOrderedAndProject top-10",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1997-06-30"))
+      .join(Tables.orders(s, d).filter(col("o_orderdate") < lit("1997-06-30")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("odate"))
+      .agg(sum(revC).as("rc"))
+      .orderBy(desc("rc"), col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("odate"),
+        fround(col("rc").cast("double") / 10000.0, 2).as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey")),
+    Some(s"""SELECT l_orderkey, odate, floor(CAST(rc AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0 AS revenue FROM (SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate, sum($revCSql) AS rc FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE l_shipdate > TIMESTAMP '1997-06-30 00:00:00' AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00' AND c_mktsegment = 'BUILDING' GROUP BY 1, 2 ORDER BY rc DESC, l_orderkey LIMIT 10) ORDER BY revenue DESC, l_orderkey"""))
+
+  /** TPC-H Q5 shape: 6-table join with a region filter that prunes through
+    * the broadcast dims before any fact rows are joined. */
+  private val q5 = GraftQuery(
+    "q5_region_revenue",
+    "J1/J3 star join (2 fact, 4 dim) + per-nation revenue",
+    (s, d) => Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(fround(sum(revC).cast("double") / 10000.0, 2).as("rev"))
+      .orderBy(desc("rev"), col("n_name")),
+    Some(s"""SELECT n_name, floor(CAST(sum($revCSql) AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0 AS rev FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND r_name = 'ASIA' GROUP BY 1 ORDER BY rev DESC, n_name"""))
+
+  /** Left-semi join = EXISTS. The filter on the build side shrinks it before
+    * the join; semi joins never duplicate probe rows, so no post-dedup. */
+  private val jSemi = GraftQuery(
+    "j_semi",
+    "left_semi join (EXISTS): orders having a heavy line item",
+    (s, d) => Tables.orders(s, d)
+      .join(Tables.lineitem(s, d).filter(col("l_quantity") >= 45),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS total FROM orders WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45) GROUP BY 1 ORDER BY 1"""))
+
+  /** Left-anti join = NOT EXISTS: customers with no urgent order. */
+  private val jAnti = GraftQuery(
+    "j_anti",
+    "left_anti join (NOT EXISTS): customers with no 1-URGENT order",
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("c_mktsegment"),
+    Some("""SELECT c_mktsegment, count(*) AS cnt FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') GROUP BY 1 ORDER BY 1"""))
+
+  /** Left-outer join preserving customers with zero orders. */
+  private val jOuter = GraftQuery(
+    "j_outer",
+    "left outer join + per-key counts including empty groups",
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("spend"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, count(o_orderkey) AS n_orders, round(coalesce(sum(o_totalprice), 0), 2) AS spend FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1 ORDER BY 1"""))
+
+  /** Equi + range (band) join: quantity within ±2 of part size. The equi key
+    * carries the join; the range predicate is evaluated as a post-filter, so
+    * this stays a hash join (no nested-loop blowup). */
+  private val jRange = GraftQuery(
+    "j_range",
+    "range/band join on equi key + interval predicate",
+    (s, d) => Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)),
+        col("l_partkey") === col("p_partkey") &&
+          col("l_quantity").between(col("p_size") - 2, col("p_size") + 2))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("total"))
+      .orderBy("p_brand"),
+    Some("""SELECT p_brand, count(*) AS cnt, round(sum(l_extendedprice), 2) AS total FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity BETWEEN p_size - 2 AND p_size + 2 GROUP BY 1 ORDER BY 1"""))
+
+  /** As-of join: for each purchase, the most recent prior signup by the same
+    * user. Implemented with a single sort within user partitions (union the
+    * two event roles, carry the last signup id forward) — one shuffle on
+    * user_id, no per-row subqueries; this is the scalable pattern for as-of
+    * joins when both sides share a partition key. */
+  private val jAsof = GraftQuery(
+    "j_asof",
+    "as-of join via last_value over a merged, per-key-ordered stream",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "signup"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          when(col("event_type") === "signup", col("event_id")).as("sig_id"))
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("signup_id", last("sig_id", ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" && col("signup_id").isNotNull)
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("signup_id"))
+        .orderBy("purchase_id")
+    },
+    Some("""SELECT p.user_id, p.event_id AS purchase_id, s.event_id AS signup_id FROM (SELECT user_id, event_id FROM events WHERE event_type = 'purchase') p ASOF JOIN (SELECT user_id, event_id FROM events WHERE event_type = 'signup') s ON p.user_id = s.user_id AND s.event_id < p.event_id ORDER BY purchase_id"""))
+
+  /** Ranking window over a pre-aggregated frame. Rank keys are rounded +
+    * uniquely tie-broken so the result is deterministic across engines. */
+  private val winRank = GraftQuery(
+    "win_rank",
+    "window rank(): top-3 suppliers by revenue within each nation",
+    (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(fround(sum(revC).cast("double") / 10000.0, 2).as("rev"))
+      rev.withColumn("rnk", rank().over(
+          Window.partitionBy("s_nationkey").orderBy(desc("rev"), col("s_suppkey"))))
+        .filter(col("rnk") <= 3)
+        .orderBy("s_nationkey", "rnk", "s_suppkey")
+    },
+    Some(s"""SELECT s_nationkey, s_suppkey, rev, CAST(rnk AS INTEGER) AS rnk FROM (SELECT s_nationkey, s_suppkey, rev, rank() OVER (PARTITION BY s_nationkey ORDER BY rev DESC, s_suppkey) AS rnk FROM (SELECT s_nationkey, s_suppkey, floor(CAST(sum($revCSql) AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0 AS rev FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2)) WHERE rnk <= 3 ORDER BY s_nationkey, rnk, s_suppkey"""))
+
+  /** Moving average + day-over-day delta over the daily revenue series.
+    * The global-order window runs on ~2.5k rows post-aggregation; at 100 TB
+    * you'd partition the window by year to keep frames distributed. */
+  private val winMoving = GraftQuery(
+    "win_moving_avg",
+    "sliding frame (7-day moving avg) + lag() delta over a date series",
+    (s, d) => {
+      val daily = Tables.lineitem(s, d)
+        .groupBy(to_date(col("l_shipdate")).as("dy"))
+        .agg(round(sum("l_extendedprice"), 2).as("rev"))
+      val ord = Window.orderBy("dy")
+      val frame = ord.rowsBetween(-6, 0)
+      daily
+        .withColumn("rc", centi(col("rev")))
+        .withColumn("ma7", fround(
+          sum("rc").over(frame).cast("double") / count(lit(1)).over(frame) / 100.0, 4))
+        .withColumn("delta", round(col("rev") - lag("rev", 1).over(ord), 2))
+        .select("dy", "rev", "ma7", "delta")
+        .orderBy("dy")
+    },
+    Some("""SELECT dy, rev, floor(CAST(sum(rc) OVER w AS DOUBLE) / count(*) OVER w / 100.0 * 10000.0 + 0.5) / 10000.0 AS ma7, round(rev - lag(rev, 1) OVER (ORDER BY dy), 2) AS delta FROM (SELECT dy, rev, CAST(round(rev * 100) AS BIGINT) AS rc FROM (SELECT CAST(l_shipdate AS DATE) AS dy, round(sum(l_extendedprice), 2) AS rev FROM lineitem GROUP BY 1)) WINDOW w AS (ORDER BY dy ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY dy"""))
+
+  private val setIntersect = GraftQuery(
+    "set_intersect",
+    "INTERSECT (distinct set semantics): users who clicked AND purchased",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      ev.filter(col("event_type") === "click").select("user_id")
+        .intersect(ev.filter(col("event_type") === "purchase").select("user_id"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id FROM events WHERE event_type = 'click' INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase' ORDER BY user_id"""))
+
+  private val setExcept = GraftQuery(
+    "set_except",
+    "EXCEPT: first-week clickers who did not purchase in the first week",
+    (s, d) => {
+      val ev = Tables.events(s, d).filter(col("ts") < lit("2024-01-08"))
+      ev.filter(col("event_type") === "click").select("user_id")
+        .except(ev.filter(col("event_type") === "purchase").select("user_id"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id FROM events WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-08 00:00:00' EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08 00:00:00' ORDER BY user_id"""))
+
+  private val setUnion = GraftQuery(
+    "set_union",
+    "UNION (distinct): signup ∪ error user populations",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      ev.filter(col("event_type") === "signup").select("user_id")
+        .union(ev.filter(col("event_type") === "error").select("user_id"))
+        .distinct()
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id FROM events WHERE event_type = 'signup' UNION SELECT user_id FROM events WHERE event_type = 'error' ORDER BY user_id"""))
+
+  /** ROLLUP: hierarchical subtotals. Null group markers are coalesced to a
+    * sentinel so cross-engine null-ordering differences can't bite. */
+  private val aggRollup = GraftQuery(
+    "agg_rollup",
+    "GROUP BY ROLLUP with subtotal + grand-total rows",
+    (s, d) => Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("cnt"), col("qty"))
+      .orderBy("rf", "ls"),
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, count(*) AS cnt, round(sum(l_quantity), 2) AS qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls"""))
+
+  private val aggCube = GraftQuery(
+    "agg_cube",
+    "GROUP BY CUBE over (event_type, month)",
+    (s, d) => Tables.events(s, d)
+      .withColumn("mon", month(col("ts")))
+      .cube(col("event_type"), col("mon"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
+        coalesce(col("mon"), lit(-1)).as("mon"), col("cnt"), col("total"))
+      .orderBy("etype", "mon"),
+    Some("""SELECT coalesce(event_type, 'ALL') AS etype, coalesce(mon, -1) AS mon, count(*) AS cnt, round(sum(value), 2) AS total FROM (SELECT event_type, CAST(month(ts) AS INTEGER) AS mon, value FROM events) GROUP BY CUBE(event_type, mon) ORDER BY etype, mon"""))
+
+  /** GROUPING SETS through the spark.sql entry path (temp views), mirroring
+    * the reference's SQL-over-named-tables surface (SampleJoin.scala:40-48). */
+  private val aggGroupingSets = GraftQuery(
+    "agg_grouping_sets",
+    "SQL path: GROUPING SETS over a 3-table dim join",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT coalesce(r_name, 'ALL') AS rname, coalesce(n_name, 'ALL') AS nname, count(*) AS cnt
+               FROM customer JOIN nation ON c_nationkey = n_nationkey
+                             JOIN region ON n_regionkey = r_regionkey
+               GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+               ORDER BY rname, nname""")
+    },
+    Some("""SELECT coalesce(r_name, 'ALL') AS rname, coalesce(n_name, 'ALL') AS nname, count(*) AS cnt FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ()) ORDER BY rname, nname"""))
+
+  /** HyperLogLog++ distinct estimate next to the exact count. The sketch is
+    * the 100 TB path (mergeable, constant memory); no oracle because DuckDB's
+    * approx sketch differs — exactness is asserted in ScalaTest instead. */
+  private val aggApprox = GraftQuery(
+    "agg_approx_distinct",
+    "approx_count_distinct (HLL++) vs exact countDistinct per event_type",
+    (s, d) => Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id").as("approx_users"),
+        countDistinct("user_id").as("exact_users"))
+      .orderBy("event_type"),
+    None)
+
+  /** Semi-structured extraction (ref S13/S14/F8: JSON parsing surface).
+    * regexp_extract keeps the expression codegen'd and engine-portable. */
+  private val jsonKv = GraftQuery(
+    "json_kv_extract",
+    "F8 JSON field extraction from a string column + bucketed aggregate",
+    (s, d) => Tables.events(s, d)
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+      .groupBy((col("k") % 10).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum(centi(col("value"))).as("s"))
+      .select(col("bucket"), col("cnt"),
+        fround(col("s").cast("double") / col("cnt") / 100.0, 4).as("avg_val"))
+      .orderBy("bucket"),
+    Some("""SELECT bucket, cnt, floor(CAST(s AS DOUBLE) / cnt / 100.0 * 10000.0 + 0.5) / 10000.0 AS avg_val FROM (SELECT TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) % 10 AS bucket, count(*) AS cnt, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s FROM events GROUP BY 1) ORDER BY 1"""))
+
+  /** Date-spine generation (ref F6: the lazy day-stream generator becomes
+    * sequence + explode) left-joined to actuals so empty days appear. */
+  private val calDaily = GraftQuery(
+    "cal_daily_counts",
+    "F6 sequence/explode calendar spine + left join, zero-filled",
+    (s, d) => {
+      val ev = Tables.events(s, d).withColumn("dy", to_date(col("ts")))
+      val cal = ev.agg(min("dy").as("lo"), max("dy").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("dy"))
+      val daily = ev.groupBy("dy").agg(count(lit(1)).as("c"))
+      cal.join(daily, Seq("dy"), "left")
+        .select(col("dy"), coalesce(col("c"), lit(0L)).as("cnt"))
+        .orderBy("dy")
+    },
+    Some("""WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events), cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS dy FROM b), d AS (SELECT CAST(ts AS DATE) AS dy, count(*) AS c FROM events GROUP BY 1) SELECT cal.dy, CAST(coalesce(d.c, 0) AS BIGINT) AS cnt FROM cal LEFT JOIN d USING (dy) ORDER BY dy"""))
+
+  /** Date formatting (ref F5: "EEEE, MMMM dd, yyyy" format surface). */
+  private val strWeekday = GraftQuery(
+    "str_weekday_agg",
+    "F3/F5 date_format weekday name + aggregate",
+    (s, d) => Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "EEEE").as("weekday"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
+      .orderBy("weekday"),
+    Some("""SELECT strftime(ts, '%A') AS weekday, count(*) AS cnt, round(sum(value), 2) AS total FROM events GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[GraftQuery] = Seq(
+    q1, q3, q5, jSemi, jAnti, jOuter, jRange, jAsof,
+    winRank, winMoving, setIntersect, setExcept, setUnion,
+    aggRollup, aggCube, aggGroupingSets, aggApprox,
+    jsonKv, calDaily, strWeekday)
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.functions.GraftFunctions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  *  - brute-force cosine top-k: the exactness baseline. The (small) query
+  *    set is broadcast against the candidate scan, so the big side never
+  *    shuffles; per-pair cost is one codegen'd 64-element fold.
+  *  - sign-random-projection LSH: the scale path. Each vector gets an 8-bit
+  *    bucket code from deterministic ±1 hyperplanes; queries only scan
+  *    their own bucket (~1/256 of the data at uniform spread). Recall vs
+  *    the brute-force baseline is asserted in ScalaTest (no SQL oracle —
+  *    the bucketing is engine-internal).
+  */
+object SimilarityOps {
+
+  /** vectors with precomputed double form + L2 norm (computed once per row,
+    * not once per pair). */
+  private def normalized(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), vecDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+
+  private val knnBrute = GraftQuery(
+    "sim_knn_brute",
+    "brute-force cosine top-5 per query vector (broadcast query set)",
+    (s, d) => {
+      val e = normalized(s, d)
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val c = e.select(col("vec_id").as("n_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+        .withColumn("cos", cosinePre(col("qv"), col("cv"), col("qn"), col("cn")))
+      val w = Window.partitionBy("q_id").orderBy(fround(col("cos"), 6).desc, col("n_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("n_id"), fround(col("cos"), 4).as("cos"), col("rnk"))
+        .orderBy("q_id", "rnk")
+    },
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e), q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0), sc AS (SELECT q.q_id, c.vec_id AS n_id, list_sum([s[1]*s[2] for s in list_zip(q.qv, c.v)]) / (q.qn * c.nrm) AS cos FROM q JOIN n c ON c.vec_id <> q.q_id) SELECT q_id, n_id, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos, CAST(rnk AS INTEGER) AS rnk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY floor(cos * 1000000.0 + 0.5) DESC, n_id) AS rnk FROM sc) WHERE rnk <= 5 ORDER BY q_id, rnk"""))
+
+  /** Per-label centroid stats — the IVF coarse-quantizer building block,
+    * oracle-checked (avg vector norm per label). */
+  private val labelStats = GraftQuery(
+    "sim_label_stats",
+    "per-label vector stats (IVF coarse-quantizer building block)",
+    (s, d) => normalized(s, d)
+      .groupBy("label")
+      .agg(count(lit(1)).as("cnt"), fround(avg("nrm"), 4).as("avg_norm"))
+      .orderBy("label"),
+    Some("""SELECT label, count(*) AS cnt, floor(avg(sqrt(list_sum([CAST(x AS DOUBLE) * x for x in embedding]))) * 10000.0 + 0.5) / 10000.0 AS avg_norm FROM embeddings GROUP BY 1 ORDER BY 1"""))
+
+  /** Deterministic ±1 hyperplane weight for (plane p, dim i): parity of a
+    * md5 nibble. Engine-internal (only used by the LSH path). */
+  private def planeSign(p: Column, i: Column): Column =
+    when(expr("instr('0123456789abcdef', substring(md5(concat(p, ':', i)), 1, 1)) % 2") === 1,
+      lit(1.0)).otherwise(lit(-1.0))
+
+  /** 8-bit sign-LSH bucket code per vector. posexplode → join-free: the
+    * plane weights are computed inline per (vector, dim, plane). */
+  def lshCodes(vecs: DataFrame): DataFrame = {
+    val dims = vecs.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+    val proj = dims
+      .withColumn("p", explode(sequence(lit(0), lit(7))))
+      .withColumn("w", planeSign(col("p"), col("i")))
+      .groupBy("vec_id", "p")
+      .agg(sum(col("w") * col("x")).as("dot"))
+    proj.groupBy("vec_id")
+      .agg(sum(expr("CASE WHEN dot > 0 THEN shiftleft(1, p) ELSE 0 END")).as("code"))
+  }
+
+  /** ANN via LSH buckets: top-3 per query within its bucket. Verified by a
+    * ScalaTest recall check against sim_knn_brute, not a SQL oracle. */
+  private val knnLsh = GraftQuery(
+    "sim_knn_lsh",
+    "ANN: sign-random-projection LSH buckets + in-bucket cosine top-3",
+    (s, d) => {
+      val e = normalized(s, d)
+      val coded = e.join(lshCodes(e), Seq("vec_id"))
+      val q = coded.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("code").as("qcode"))
+      val scored = coded.join(broadcast(q),
+          col("code") === col("qcode") && col("q_id") =!= col("vec_id"))
+        .withColumn("cos", cosinePre(col("qv"), col("v"), col("qn"), col("nrm")))
+      val w = Window.partitionBy("q_id").orderBy(fround(col("cos"), 6).desc, col("vec_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          fround(col("cos"), 4).as("cos"), col("rnk"))
+        .orderBy("q_id", "rnk")
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(knnBrute, labelStats, knnLsh)
+}

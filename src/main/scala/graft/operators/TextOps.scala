@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.functions.GraftFunctions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * token counting, quality scoring, language-ID heuristic, fingerprinting,
+  * n-gram frequencies. All are single-pass, codegen'd column expressions —
+  * per-row work with no shuffle until the final (small) aggregate, so they
+  * scale embarrassingly parallel over document shards.
+  */
+object TextOps {
+  private val stopwords = Seq("the", "a", "of", "and", "in")
+
+  /** Token / char counting (whitespace tokenizer). */
+  private val tokenStats = GraftQuery(
+    "txt_token_stats",
+    "token count, char count, avg token length per document",
+    (s, d) => {
+      val t = tokens(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(t).as("n_tok"),
+        length(col("text")).as("n_char"),
+        fround(length(regexp_replace(col("text"), " ", "")).cast("double") / size(t), 4)
+          .as("avg_tok_len"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tok, CAST(length(text) AS INTEGER) AS n_char, floor(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(lower(text), ' ')) * 10000.0 + 0.5) / 10000.0 AS avg_tok_len FROM documents ORDER BY doc_id"""))
+
+  /** Heuristic quality score: stopword ratio, long-token ratio, length band.
+    * All components are exact integer ratios, so the composite double is
+    * bit-identical across engines before rounding. */
+  private val quality = GraftQuery(
+    "txt_quality",
+    "document quality scoring from length/stopword/long-token ratios",
+    (s, d) => {
+      val t = tokens(col("text"))
+      val nTok = size(t).cast("double")
+      val stopRatio = size(filter(t, x => x.isInCollection(stopwords))).cast("double") / nTok
+      val longRatio = size(filter(t, x => length(x) > lit(4))).cast("double") / nTok
+      val lenOk = when(size(t).between(20, 200), lit(1.0)).otherwise(lit(0.0))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        fround(stopRatio, 4).as("stop_ratio"),
+        fround(longRatio, 4).as("long_ratio"),
+        fround(stopRatio * 0.3 + longRatio * 0.4 + lenOk * 0.3, 4).as("quality"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id, floor(stop_ratio * 10000.0 + 0.5) / 10000.0 AS stop_ratio, floor(long_ratio * 10000.0 + 0.5) / 10000.0 AS long_ratio, floor((stop_ratio * 0.3 + long_ratio * 0.4 + len_ok * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality FROM (SELECT doc_id, CAST(len(list_filter(t, x -> x IN (${stopwords.map("'" + _ + "'").mkString(", ")}))) AS DOUBLE) / len(t) AS stop_ratio, CAST(len(list_filter(t, x -> length(x) > 4)) AS DOUBLE) / len(t) AS long_ratio, CASE WHEN len(t) BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END AS len_ok FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)) ORDER BY doc_id"""))
+
+  /** Marker-token language-ID heuristic. The synthetic corpus is English-
+    * vocabulary for every `lang` label, so the heuristic's *accuracy* is
+    * data-limited; the operator (marker scoring + argmax classification)
+    * is what's under test. */
+  private val langId = GraftQuery(
+    "txt_langid",
+    "n-gram/marker language-ID heuristic with confidence",
+    (s, d) => {
+      val t = tokens(col("text"))
+      val enHits = size(filter(t, x => x.isInCollection(Seq("the", "a", "of"))))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        enHits.as("en_hits"),
+        when(enHits >= 1, lit("en")).otherwise(lit("und")).as("predicted"),
+        col("lang").as("labeled"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('the', 'a', 'of'))) AS INTEGER) AS en_hits, CASE WHEN len(list_filter(string_split(lower(text), ' '), x -> x IN ('the', 'a', 'of'))) >= 1 THEN 'en' ELSE 'und' END AS predicted, lang AS labeled FROM documents ORDER BY doc_id"""))
+
+  /** Content fingerprint (md5 of normalized text) per doc — the building
+    * block for exact dedup (DedupOps.dedupExact groups on it). */
+  private val fingerprint = GraftQuery(
+    "txt_fingerprint",
+    "document fingerprinting: md5 over normalized text",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id"""))
+
+  /** Corpus-level n-gram frequency: top-20 token trigrams. */
+  private val topNgrams = GraftQuery(
+    "txt_top_ngrams",
+    "explode token 3-grams, count, top-20",
+    (s, d) => Tables.documents(s, d)
+      .select(explode(shingles(tokens(col("text")), 3)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("ngram"))
+      .limit(20),
+    Some("""SELECT ngram, count(*) AS cnt FROM (SELECT unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, greatest(len(t) - 2, 0))]) AS ngram FROM (SELECT string_split(lower(text), ' ') AS t FROM documents)) GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 20"""))
+
+  val all: Seq[GraftQuery] = Seq(tokenStats, quality, langId, fingerprint, topNgrams)
+}

@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
+matching oracle SQL from oracle_sql.json in DuckDB over the same testdata
+parquet tables, and compares: row count, column names, and values (sorted by
+all columns, column order normalized by name — the driver hashes after
+sorting columns by name).
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def compare(name, mine: pd.DataFrame, oracle: pd.DataFrame):
+    if sorted(mine.columns) != sorted(oracle.columns):
+        return f"FAIL cols: mine={sorted(mine.columns)} oracle={sorted(oracle.columns)}"
+    if len(mine) != len(oracle):
+        return f"FAIL rows: mine={len(mine)} oracle={len(oracle)}"
+    a, b = norm(mine), norm(oracle)
+    for c in a.columns:
+        x, y = a[c], b[c]
+        if x.dtype.kind == "f" or y.dtype.kind == "f":
+            ok = np.allclose(x.astype(float).fillna(-1e308), y.astype(float).fillna(-1e308),
+                             rtol=0, atol=1e-9)
+        else:
+            xs = x.astype(str)
+            ys = y.astype(str)
+            ok = (xs == ys).all()
+        if not ok:
+            bad = (x.astype(str) != y.astype(str))
+            i = bad[bad].index[0] if bad.any() else 0
+            return f"FAIL col {c}: row {i} mine={x.iloc[i]!r} oracle={y.iloc[i]!r} (dtypes {x.dtype}/{y.dtype})"
+    return None
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    names = sorted([os.path.basename(p) for p in glob.glob(os.path.join(out_dir, "*")) if os.path.isdir(p)])
+    for name in names:
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            results[name] = "FAIL: no output parquet"
+            continue
+        mine = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
+        if name not in oracles:
+            results[name] = f"SKIP (no oracle; rows={len(mine)})"
+            continue
+        try:
+            oracle = con.sql(oracles[name]).df()
+        except Exception as e:
+            results[name] = f"FAIL oracle error: {e}"
+            continue
+        err = compare(name, mine, oracle)
+        results[name] = err or f"OK ({len(mine)} rows)"
+    width = max(len(n) for n in results)
+    n_ok = sum(1 for v in results.values() if v.startswith("OK"))
+    n_skip = sum(1 for v in results.values() if v.startswith("SKIP"))
+    for n, v in sorted(results.items()):
+        print(f"{n:<{width}}  {v}")
+    print(f"\n{n_ok} OK, {n_skip} SKIP, {len(results) - n_ok - n_skip} FAIL of {len(results)}")
+    sys.exit(0 if n_ok + n_skip == len(results) else 1)
+
+if __name__ == "__main__":
+    main()
