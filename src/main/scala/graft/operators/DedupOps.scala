@@ -28,10 +28,16 @@ object DedupOps {
   private val K = 12     // minhash signature length
   private val BANDS = 6  // 6 bands x 2 rows: P(candidate | J=0.5) ≈ 0.82
 
-  private def shingleSet(s: SparkSession, d: String, n: Int): DataFrame =
+  /** (doc_id, shingle) with multiplicity — via the native ShingleGenerator
+    * (the HOF transform+explode formulation profiled 10x slower). */
+  private def rawShingles(s: SparkSession, d: String, n: Int): DataFrame = {
+    graft.functions.expressions.GraftExpressions.ensureRegistered(s)
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), n)).as("sh"))
-      .distinct()
+      .selectExpr("doc_id", s"graft_shingles(lower(text), $n) AS sh")
+  }
+
+  private def shingleSet(s: SparkSession, d: String, n: Int): DataFrame =
+    rawShingles(s, d, n).distinct()
 
   /** Exact dedup: group by content fingerprint, keep the smallest doc_id. */
   private val dedupExact = GraftQuery(
@@ -52,18 +58,21 @@ object DedupOps {
     "MinHash(12) + LSH(6x2) candidate pairs, exact-Jaccard verified at 0.5",
     (s, d) => {
       val sh = shingleSet(s, d, 3)
-      val hashed = sh.select(col("doc_id"),
-        posexplode(array((0 until K).map(i =>
-          md5(concat(lit(s"$i|"), col("sh")))): _*)))
-        .toDF("doc_id", "i", "h")
-      val sig = hashed.groupBy("doc_id", "i").agg(min("h").as("mh"))
-        .groupBy("doc_id")
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-          x => x.getField("mh")).as("sig"))
+      // Signatures don't need the distinct: min(md5) over a multiset equals
+      // min over the set, so hash straight off the raw generator output
+      // (saves the distinct's shuffle on this leg).
+      val rawSh = rawShingles(s, d, 3)
+      // One aggregation with K min-columns: minhash_i folds map-side
+      // (partial min per partition), so the shuffle carries one row per doc
+      // instead of one per (doc, shingle, hash_idx). ~3x faster than the
+      // posexplode + groupBy(doc, i) formulation at sf0.1.
+      val sig = rawSh.groupBy("doc_id").agg(
+        min(md5(concat(lit("0|"), col("sh")))).as("mh0"),
+        (1 until K).map(i =>
+          min(md5(concat(lit(s"$i|"), col("sh")))).as(s"mh$i")): _*)
       val bands = sig.select(col("doc_id"),
         posexplode(array((0 until BANDS).map(b =>
-          md5(concat(element_at(col("sig"), 2 * b + 1),
-            element_at(col("sig"), 2 * b + 2)))): _*)))
+          md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*)))
         .toDF("doc_id", "band", "bh")
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -96,18 +105,24 @@ object DedupOps {
     Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sh AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] for i in generate_series(1, greatest(len(toks) - 3, 0))]) AS sh FROM t), inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1) SELECT i.a, i.b, floor(i.c * 1.0 / (x.n + y.n - i.c) * 10000.0 + 0.5) / 10000.0 AS jaccard FROM inter i JOIN sz x ON i.a = x.doc_id JOIN sz y ON i.b = y.doc_id WHERE i.c * 1.0 / (x.n + y.n - i.c) >= 0.4 ORDER BY 1, 2"""))
 
   /** 16-bit SimHash fingerprint per document, built purely from md5 nibbles
-    * so Spark and DuckDB agree bit-for-bit. */
+    * so Spark and DuckDB agree bit-for-bit. One aggregation with 16
+    * constant-indexed sum columns (no 16x row explosion on the bit index —
+    * every per-bit expression has literal positions/shifts, so the whole
+    * contribution computation stays in whole-stage codegen). */
   private def simhashDf(s: SparkSession, d: String): DataFrame = {
     val perTok = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h4", substring(md5(col("tok")), 1, 4))
-      .withColumn("j", explode(sequence(lit(0), lit(15))))
-      .withColumn("nib",
-        expr("instr('0123456789abcdef', substring(h4, CAST(floor(j/4.0) AS INT) + 1, 1)) - 1"))
-      .withColumn("contrib", expr("2 * (shiftright(nib, 3 - j % 4) & 1) - 1"))
-    perTok.groupBy("doc_id", "j").agg(sum("contrib").as("sgn"))
-      .groupBy("doc_id")
-      .agg(sum(expr("CASE WHEN sgn > 0 THEN shiftleft(1, j) ELSE 0 END")).as("simhash"))
+    val sgns = (0 until 16).map { j =>
+      sum(expr(
+        s"2 * (shiftright(instr('0123456789abcdef', substring(h4, ${j / 4 + 1}, 1)) - 1, ${3 - j % 4}) & 1) - 1"))
+        .as(s"sgn$j")
+    }
+    perTok.groupBy("doc_id").agg(sgns.head, sgns.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(j =>
+          when(col(s"sgn$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   private val simhashOracleBase =
@@ -136,13 +151,14 @@ object DedupOps {
     "dedup_embedding_cosine",
     "embedding near-dup: top-20 all-pairs cosine (norms precomputed)",
     (s, d) => {
+      graft.functions.expressions.GraftExpressions.ensureRegistered(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), vecDouble(col("embedding")).as("v"))
-        .withColumn("nrm", l2norm(col("v")))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       val a = e.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
       a.join(b, col("a") < col("b"))
-        .withColumn("cos", cosinePre(col("va"), col("vb"), col("na"), col("nb")))
+        .withColumn("cos", expr("graft_dot(va, vb)") / (col("na") * col("nb")))
         .orderBy(fround(col("cos"), 6).desc, col("a"), col("b"))
         .limit(20)
         .select(col("a"), col("b"), fround(col("cos"), 4).as("cos"))
@@ -155,7 +171,7 @@ object DedupOps {
     * pairs), so cost is O(candidates x shingles/doc). */
   private def jaccardVerified(cand: DataFrame, sh: DataFrame, thresh: Double): DataFrame = {
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
+    val inter = broadcast(cand) // LSH candidates are small by construction
       .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
       .groupBy("a", "b").agg(count(lit(1)).as("c"))

@@ -20,11 +20,15 @@ import graft.functions.GraftFunctions._
 object SimilarityOps {
 
   /** vectors with precomputed double form + L2 norm (computed once per row,
-    * not once per pair). */
-  private def normalized(s: SparkSession, d: String): DataFrame =
+    * not once per pair). Uses the codegen'd graft_dot expression — the
+    * zip_with/aggregate fold allocates per evaluation, which in an all-pairs
+    * join is the entire hot path (measured 5x slower at sf0.1). */
+  private def normalized(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftExpressions.ensureRegistered(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), vecDouble(col("embedding")).as("v"))
-      .withColumn("nrm", l2norm(col("v")))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+  }
 
   private val knnBrute = GraftQuery(
     "sim_knn_brute",
@@ -35,7 +39,7 @@ object SimilarityOps {
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       val c = e.select(col("vec_id").as("n_id"), col("v").as("cv"), col("nrm").as("cn"))
       val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
-        .withColumn("cos", cosinePre(col("qv"), col("cv"), col("qn"), col("cn")))
+        .withColumn("cos", expr("graft_dot(qv, cv)") / (col("qn") * col("cn")))
       val w = Window.partitionBy("q_id").orderBy(fround(col("cos"), 6).desc, col("n_id"))
       scored.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
@@ -87,7 +91,7 @@ object SimilarityOps {
           col("nrm").as("qn"), col("code").as("qcode"))
       val scored = coded.join(broadcast(q),
           col("code") === col("qcode") && col("q_id") =!= col("vec_id"))
-        .withColumn("cos", cosinePre(col("qv"), col("v"), col("qn"), col("nrm")))
+        .withColumn("cos", expr("graft_dot(qv, v)") / (col("qn") * col("nrm")))
       val w = Window.partitionBy("q_id").orderBy(fround(col("cos"), 6).desc, col("vec_id"))
       scored.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)

@@ -84,8 +84,11 @@ object TextOps {
   private val topNgrams = GraftQuery(
     "txt_top_ngrams",
     "explode token 3-grams, count, top-20",
-    (s, d) => Tables.documents(s, d)
-      .select(explode(shingles(tokens(col("text")), 3)).as("ngram"))
+    (s, d) => {
+      graft.functions.expressions.GraftExpressions.ensureRegistered(s)
+      Tables.documents(s, d)
+        .selectExpr("graft_shingles(lower(text), 3) AS ngram")
+      }
       .groupBy("ngram")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("ngram"))
