@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.functions.GraftFunctions.fround
+
+/** Wire-format parsing, semi-structured decode, date construction, SQL-entry
+  * joins, and the materialized-rollup cascade — the reference's ingest-side
+  * and examples-module surface (SURVEY §2.1 S2/S13/S14, §2.8 F4-F7, §3.2).
+  */
+object ParsingOps {
+
+  /** S2: the CSV wire-format decode (Weather.scala:78-94 parses positional
+    * CSV into case classes; honest nulls, not the reference's tech-debt
+    * double-read — SURVEY §1.4). Round-trips events through CSV text and
+    * aggregates the PARSED columns, so the oracle (aggregating the base
+    * table directly) proves the parse was lossless. */
+  private val csvRoundtrip = GraftQuery(
+    "csv_parse_roundtrip",
+    "S2 positional CSV decode via from_csv, proven lossless by the oracle",
+    (s, d) => {
+      val lines = Tables.events(s, d).select(
+        concat_ws(",", col("event_id"), col("user_id"), col("event_type"),
+          col("value").cast("string")).as("line"))
+      val parsed = lines.select(from_csv(col("line"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id LONG, user_id LONG, event_type STRING, value DOUBLE"),
+        Map("mode" -> "PERMISSIVE")).as("r"))
+        .select(col("r.*"))
+      parsed.groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("value"), 2).as("total"),
+          max("event_id").as("max_id"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total, max(event_id) AS max_id FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** S14: typed JSON decode — from_json into a struct (the reference's
+    * json4s `extract[MonthlyCommits]` in KafkaStreamingJson2.scala:53-56). */
+  private val jsonStruct = GraftQuery(
+    "json_struct_decode",
+    "S14 from_json struct decode + aggregate on the decoded field",
+    (s, d) => Tables.events(s, d)
+      .select(col("value"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("p"))
+      .groupBy((col("p.k") % 5).as("kbucket"))
+      .agg(count(lit(1)).as("cnt"), round(max("value"), 2).as("max_val"))
+      .orderBy("kbucket"),
+    Some("""SELECT TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) % 5 AS kbucket, count(*) AS cnt, round(max(value), 2) AS max_val FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** F4/F5/F7: date construction/arithmetic — make_date, last_day,
+    * +1 month, ISO week (AggregationActor.scala:52-60's joda surface). */
+  private val dateConstruct = GraftQuery(
+    "date_construction",
+    "F4/F7 make_date, last_day, month arithmetic, ISO week per event month",
+    (s, d) => Tables.events(s, d)
+      .select(year(col("ts")).as("yr"), month(col("ts")).as("mon"))
+      .distinct()
+      .select(col("yr"), col("mon"),
+        make_date(col("yr"), col("mon"), lit(1)).as("month_start"),
+        last_day(make_date(col("yr"), col("mon"), lit(1))).as("month_end"),
+        add_months(make_date(col("yr"), col("mon"), lit(1)), 1).as("next_month"),
+        dayofmonth(last_day(make_date(col("yr"), col("mon"), lit(1)))).as("days_in_month"),
+        weekofyear(make_date(col("yr"), col("mon"), lit(1))).as("iso_week"))
+      .orderBy("yr", "mon"),
+    Some("""SELECT yr, mon, month_start, last_day(month_start) AS month_end, CAST(month_start + INTERVAL 1 MONTH AS DATE) AS next_month, CAST(day(last_day(month_start)) AS INTEGER) AS days_in_month, CAST(weekofyear(month_start) AS INTEGER) AS iso_week FROM (SELECT DISTINCT CAST(year(ts) AS INTEGER) AS yr, CAST(month(ts) AS INTEGER) AS mon, make_date(year(ts), month(ts), 1) AS month_start FROM events) ORDER BY 1, 2"""))
+
+  /** J1: multi-key equi join through the spark.sql entry path (the
+    * reference's CassandraSQLContext join, SampleJoin.scala:39-50). */
+  private val sqlMultikeyJoin = GraftQuery(
+    "sql_multikey_join",
+    "J1 SQL-entry multi-key equi self-join: same-day click+purchase pairs",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT c.user_id, CAST(c.ts AS DATE) AS dy, count(*) AS pairs
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id AND CAST(c.ts AS DATE) = CAST(p.ts AS DATE)
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        GROUP BY 1, 2 ORDER BY 1, 2""")
+    },
+    Some("""SELECT c.user_id, CAST(c.ts AS DATE) AS dy, count(*) AS pairs FROM events c JOIN events p ON c.user_id = p.user_id AND CAST(c.ts AS DATE) = CAST(p.ts AS DATE) WHERE c.event_type = 'click' AND p.event_type = 'purchase' GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** S10/S12/§3.2: the materialized-rollup cascade — persist the daily
+    * rollup, serve the monthly query from the rollup table (the reference's
+    * TemperatureActor write-back + read-back). */
+  private val mvCascade = GraftQuery(
+    "mv_rollup_cascade",
+    "S10 write-back daily rollup table, monthly aggregate served from it",
+    (s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("daily-rollup").toString
+      new graft.api.WeatherQueries(s, d).materializeDaily(out)
+      new graft.api.WeatherQueries(s, d).monthlyFromRollup(out)
+        .toDF("station_id", "yr", "mon", "hi", "lo")
+        .orderBy("station_id", "yr", "mon")
+    },
+    Some("""SELECT user_id AS station_id, yr, mon, max(high) AS hi, min(low) AS lo FROM (SELECT user_id, CAST(year(ts) AS INTEGER) AS yr, CAST(month(ts) AS INTEGER) AS mon, max(value) AS high, min(value) AS low FROM events GROUP BY user_id, yr, mon, day(ts)) GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  val all: Seq[GraftQuery] = Seq(
+    csvRoundtrip, jsonStruct, dateConstruct, sqlMultikeyJoin, mvCascade)
+}

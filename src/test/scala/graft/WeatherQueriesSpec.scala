@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.WeatherQueries
+
+/** The typed API facade — one method per reference request message. */
+class WeatherQueriesSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSpark.spark
+  private lazy val wq = new WeatherQueries(spark, GraftTestSpark.sf)
+
+  test("currentReading: newest event for the station") {
+    val r = wq.currentReading(0L)
+    assert(r.isDefined && r.get.stationId == 0L)
+    val maxId = Tables.events(spark, GraftTestSpark.sf)
+      .filter("user_id = 0")
+      .agg(org.apache.spark.sql.functions.max("event_id"))
+      .collect().head.getLong(0)
+    assert(r.get.eventId == maxId)
+  }
+
+  test("dailyStats: golden values for station 0, 2024-01-01") {
+    val d = wq.dailyStats(0L, 2024, 1, 1).get
+    assert(d.high == 143.51 && d.low == 29.61)
+    assert(math.abs(d.mean - 86.56) < 1e-9)
+    assert(math.abs(d.variance - 3243.3025) < 1e-9)
+  }
+
+  test("NoDataAvailable maps to None (station/date with no rows)") {
+    assert(wq.dailyStats(999999L, 2024, 1, 1).isEmpty)
+    assert(wq.currentReading(999999L).isEmpty)
+    assert(wq.annualSum(999999L, 2024).isEmpty)
+    assert(wq.station(999999L).isEmpty)
+  }
+
+  test("monthlyHiLow equals max/min over daily stats") {
+    val m = wq.monthlyHiLow(0L, 2024, 1).get
+    val daily = wq.dailyStatsDs(Some(0L)).collect().filter(d => d.month == 1)
+    assert(m.hi == daily.map(_.high).max && m.lo == daily.map(_.low).min)
+  }
+
+  test("topKDays: k rows, non-increasing totals") {
+    val top = wq.topKDays(5)
+    assert(top.size == 5)
+    assert(top.map(_.total).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("station lookup joins dimensions") {
+    val s = wq.station(1L).get
+    assert(s.id == 1L && s.nation.startsWith("NATION_") && s.region.nonEmpty)
+  }
+
+  test("write-back cascade: monthly served from materialized daily rollup") {
+    val out = java.nio.file.Files.createTempDirectory("rollup-test").toString
+    wq.materializeDaily(out)
+    val viaRollup = wq.monthlyFromRollup(out).collect()
+      .map(m => (m.stationId, m.year, m.month) -> (m.hi, m.lo)).toMap
+    val direct = wq.monthlyHiLow(0L, 2024, 1).get
+    assert(viaRollup((0L, 2024, 1)) == ((direct.hi, direct.lo)))
+    val expected = Tables.events(spark, GraftTestSpark.sf)
+      .selectExpr("user_id", "year(ts) y", "month(ts) m").distinct().count()
+    assert(viaRollup.size == expected)
+  }
+}
