@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.functions.GraftFunctions.{centi, fround, tokens}
+
+/** Analytic capability extras a production engine needs beyond the
+  * reference's surface (SURVEY §2.5 declares windows as parity extras; the
+  * training-data-pipeline brief adds TF-IDF-style text weighting):
+  * sessionization, lag/lead deltas, percentiles, correlation, skew-aware
+  * joins, and TF-IDF term weighting.
+  *
+  * Determinism across engines follows the repo-wide rules (GraftFunctions):
+  * every comparison-relevant sum is an exact integer (centi units or µs),
+  * every division-derived double is floor-rounded, and window orderings
+  * always carry a unique tiebreaker column.
+  */
+object AnalyticsOps {
+
+  /** Sessionization: a new session starts after a >30-min silence. The
+    * classic two-window formulation — lag to flag gaps, running sum to
+    * number sessions — keyed entirely on exact integer microseconds
+    * (unix_micros both engines) so session boundaries are bit-identical.
+    * Scale: both windows partition by user_id — ONE shuffle, reused by both
+    * window operators and the final groupBy (same key, Catalyst keeps the
+    * partitioning). No global ordering anywhere. */
+  private val winSession = GraftQuery(
+    "win_session",
+    "sessionization via lag + running-sum windows (30-min gap rule)",
+    (s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          centi(col("value")).as("vc"))
+      ev.withColumn("prev", lag("us", 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("us") - col("prev") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum("new_s").over(byUser))
+        .groupBy("user_id", "sess")
+        .agg(count(lit(1)).as("n_events"),
+          min("us").as("start_us"),
+          ((max("us") - min("us")) / lit(1000000L)).as("dur_s"),
+          sum("vc").as("vcs"))
+        .select(col("user_id"), col("sess"), col("n_events"),
+          col("start_us"), fround(col("dur_s"), 3).as("dur_s"),
+          fround(col("vcs").cast("double") / 100.0, 2).as("total_value"))
+        .orderBy("user_id", "sess")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, CAST(round(value * 100) AS BIGINT) AS vc FROM events), o AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM ev), m AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s FROM o), x AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM m) SELECT user_id, sess, count(*) AS n_events, min(us) AS start_us, floor((max(us) - min(us)) / 1000000.0 * 1000.0 + 0.5) / 1000.0 AS dur_s, floor(CAST(sum(vc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value FROM x GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Lag/lead value deltas per user's purchase sequence: the spend-trend
+    * query. Deltas are integer centi-unit differences, so their distributed
+    * sum is exact. Single shuffle on user_id shared by window + groupBy. */
+  private val winLagLead = GraftQuery(
+    "win_lag_lead",
+    "lag/lead deltas over each user's purchase sequence",
+    (s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          centi(col("value")).as("vc"))
+      p.withColumn("dc", col("vc") - lag("vc", 1).over(byUser))
+        .filter(col("dc").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_deltas"),
+          sum("dc").as("dcs"),
+          max("dc").as("max_dc"),
+          min("dc").as("min_dc"))
+        .select(col("user_id"), col("n_deltas"),
+          fround(col("dcs").cast("double") / col("n_deltas") / 100.0, 4).as("avg_delta"),
+          fround(col("max_dc").cast("double") / 100.0, 2).as("max_delta"),
+          fround(col("min_dc").cast("double") / 100.0, 2).as("min_delta"))
+        .orderBy("user_id")
+    },
+    Some("""WITH p AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, CAST(round(value * 100) AS BIGINT) AS vc FROM events WHERE event_type = 'purchase'), dl AS (SELECT user_id, vc - lag(vc) OVER (PARTITION BY user_id ORDER BY us, event_id) AS dc FROM p) SELECT user_id, count(*) AS n_deltas, floor(CAST(sum(dc) AS DOUBLE) / count(*) / 100.0 * 10000.0 + 0.5) / 10000.0 AS avg_delta, floor(CAST(max(dc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS max_delta, floor(CAST(min(dc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS min_delta FROM dl WHERE dc IS NOT NULL GROUP BY 1 ORDER BY 1"""))
+
+  /** Interpolated quartiles per event type. Both engines use the same
+    * linear-interpolation definition (Spark `percentile`, DuckDB
+    * `quantile_cont`) over centi-unit integers, so the interpolation inputs
+    * are identical integers and the arithmetic identical doubles.
+    * Scale: percentile is a sort-based agg within each group — fine at 3
+    * groups; per-key percentiles at high cardinality would switch to
+    * approx_percentile (t-digest). */
+  private val aggPercentiles = GraftQuery(
+    "agg_percentiles",
+    "exact interpolated p25/p50/p75 of value per event type",
+    (s, d) => Tables.events(s, d)
+      .select(col("event_type"), centi(col("value")).as("vc"))
+      .groupBy("event_type")
+      .agg(
+        percentile(col("vc"), lit(0.25)).as("p25c"),
+        percentile(col("vc"), lit(0.5)).as("p50c"),
+        percentile(col("vc"), lit(0.75)).as("p75c"),
+        count(lit(1)).as("cnt"))
+      .select(col("event_type"),
+        fround(col("p25c") / 100.0, 4).as("p25"),
+        fround(col("p50c") / 100.0, 4).as("p50"),
+        fround(col("p75c") / 100.0, 4).as("p75"),
+        col("cnt"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, floor(quantile_cont(vc, 0.25) / 100.0 * 10000.0 + 0.5) / 10000.0 AS p25, floor(quantile_cont(vc, 0.5) / 100.0 * 10000.0 + 0.5) / 10000.0 AS p50, floor(quantile_cont(vc, 0.75) / 100.0 * 10000.0 + 0.5) / 10000.0 AS p75, count(*) AS cnt FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events) GROUP BY 1 ORDER BY 1"""))
+
+  /** Pearson correlation + population covariance of (value, hour-of-day)
+    * per event type — computed FROM EXACT INTEGER MOMENTS (Σx, Σy, Σxy,
+    * Σx², Σy² over centi-values and hours), not the engines' float corr():
+    * integer sums are order-independent, so both engines derive the final
+    * doubles from bit-identical inputs. This is the distributed-determinism
+    * pattern for any second-moment statistic. */
+  private val aggCorr = GraftQuery(
+    "agg_corr_exact",
+    "correlation/covariance from exact integer moments per event type",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), centi(col("value")).as("x"),
+          hour(col("ts")).cast("long").as("y"))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("n"),
+          fround(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+            6).as("corr"),
+          fround(
+            (col("sxy").cast("double") / col("n") -
+              col("sx").cast("double") / col("n") * (col("sy").cast("double") / col("n"))) / 100.0,
+            4).as("covar_pop"))
+        .orderBy("event_type")
+    },
+    Some("""WITH m AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x, CAST(hour(ts) AS BIGINT) AS y FROM events) GROUP BY 1) SELECT event_type, n, floor(CAST(n*sxy - sx*sy AS DOUBLE) / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS corr, floor((CAST(sxy AS DOUBLE)/n - CAST(sx AS DOUBLE)/n * (CAST(sy AS DOUBLE)/n)) / 100.0 * 10000.0 + 0.5) / 10000.0 AS covar_pop FROM m ORDER BY 1"""))
+
+  /** Skew-aware fact⋈dim join via salting: the fact side's hot keys are
+    * spread over SALT buckets (salt = event_id % SALT, deterministic) and
+    * the dim side is exploded SALT× so every (key, salt) pair matches. The
+    * oracle is the PLAIN join — proving salting changes the plan, not the
+    * answer. At 100 TB this is the manual fallback when AQE skew-join can't
+    * kick in (e.g. the skewed side feeds a window, not a join). The exploded
+    * dim stays broadcast-sized (|dim| × SALT). */
+  private val jSkewSalted = GraftQuery(
+    "j_skew_salted",
+    "salted join (8 salts) over skewed user activity; oracle is plain join",
+    (s, d) => {
+      val SALT = 8
+      val fact = Tables.events(s, d)
+        .select(col("user_id"), centi(col("value")).as("vc"),
+          pmod(col("event_id"), lit(SALT.toLong)).as("salt"))
+      val dim = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+        .withColumn("salt", explode(array((0 until SALT).map(i => lit(i.toLong)): _*)))
+      fact.join(broadcast(dim),
+          fact("user_id") === dim("c_custkey") && fact("salt") === dim("salt"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("cnt"),
+          fround(sum("vc").cast("double") / 100.0, 2).as("total_value"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name, count(*) AS cnt, floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value FROM events JOIN customer ON user_id = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY 1 ORDER BY 1"""))
+
+  /** TF-IDF top-3 terms per document. tf and df are exact integer counts;
+    * idf = ln((N+1)/(df+1)) is the same libm call on identical inputs in
+    * both engines, so tfidf doubles are bit-identical and the per-doc
+    * ranking is deterministic (tiebreak on the term).
+    * Scale: df is a broadcast-sized term dictionary after the first agg;
+    * the per-(doc,term) tf agg shuffles once on (doc_id, tok). */
+  private val txtTfidf = GraftQuery(
+    "txt_tfidf",
+    "TF-IDF top-3 terms per document (ln((N+1)/(df+1)) weighting)",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) >= 3)
+      val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val byDoc = Window.partitionBy("doc_id")
+        .orderBy(desc("tfidf"), col("tok"))
+      tf.join(broadcast(df), "tok")
+        .withColumn("tfidf", col("tf") * log((lit(n + 1).cast("double")) / (col("df") + 1)))
+        .withColumn("rk", row_number().over(byDoc))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("tok"),
+          col("tf"), col("df"), fround(col("tfidf"), 4).as("tfidf"))
+        .orderBy("doc_id", "rk")
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents), ft AS (SELECT doc_id, tok FROM tok WHERE length(tok) >= 3), tf AS (SELECT doc_id, tok, count(*) AS tf FROM ft GROUP BY 1, 2), df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1), n AS (SELECT count(*) AS n FROM documents), w AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df, tf.tf * ln(CAST(n.n + 1 AS DOUBLE) / (df.df + 1)) AS tfidf FROM tf JOIN df USING (tok) CROSS JOIN n), r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rk FROM w) SELECT doc_id, rk, tok, tf, df, floor(tfidf * 10000.0 + 0.5) / 10000.0 AS tfidf FROM r WHERE rk <= 3 ORDER BY 1, 2"""))
+
+  val all: Seq[GraftQuery] = Seq(
+    winSession, winLagLead, aggPercentiles, aggCorr, jSkewSalted, txtTfidf)
+}
