@@ -13,7 +13,8 @@ object SparkEntry {
   /** Every implemented capability, one GraftQuery each. */
   val registry: Seq[GraftQuery] =
     WeatherOps.all ++ RelationalOps.all ++ TextOps.all ++
-      DedupOps.all ++ SimilarityOps.all ++ ParsingOps.all ++ AnalyticsOps.all
+      DedupOps.all ++ SimilarityOps.all ++ IvfAnn.all ++
+      ParsingOps.all ++ AnalyticsOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

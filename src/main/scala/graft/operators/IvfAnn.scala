@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{GraftQuery, Tables}
+import graft.functions.GraftFunctions.{fround, vecDouble}
+
+/** IVF (inverted-file) approximate nearest neighbor — the scale path for
+  * similarity search beyond sign-LSH (SimilarityOps):
+  *
+  *  1. TRAIN: k-means coarse quantizer. Assignment passes are distributed
+  *     (one scan per iteration, centroids broadcast); the k×dim centroid
+  *     model rides on the driver between iterations, exactly like a
+  *     production IVF trainer (the model is small state, the data is not).
+  *     Everything is deterministic: seed vectors are the k smallest
+  *     md5(vec_id) ranks, ties in assignment break on centroid id.
+  *  2. INDEX: every vector is assigned a centroid id — at scale this is the
+  *     partition/bucket column of the stored index (parquet partitioned by
+  *     `cid`, so a probe prunes to nprobe/k of the files).
+  *  3. SEARCH: each query probes its `nprobe` nearest centroids and scores
+  *     only vectors in those buckets — work is nprobe/k of brute force.
+  *
+  * No SQL oracle (the bucketing is engine-internal); IvfAnnSpec asserts
+  * recall against the exact brute-force baseline instead.
+  */
+object IvfAnn {
+  private val K = 16
+  private val ITERS = 3
+  private val NPROBE = 3
+
+  /** Squared L2 distance via the codegen dot product: |v|²-2v·c+|c|². */
+  private def dist2 = expr("graft_dot(v, v) - 2 * graft_dot(v, cv) + graft_dot(cv, cv)")
+
+  private def centroidsToDf(s: SparkSession, rows: Seq[(Int, Seq[Double])]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("cid", IntegerType),
+      StructField("cv", ArrayType(DoubleType))))
+    s.createDataFrame(
+      s.sparkContext.parallelize(rows.map { case (c, v) => Row(c, v) }, 1), schema)
+  }
+
+  /** Train the coarse quantizer: returns (cid, cv) — k centroids. */
+  def train(s: SparkSession, vecs: DataFrame): DataFrame = {
+    graft.functions.expressions.GraftExpressions.ensureRegistered(s)
+    // deterministic spread seed: k smallest md5-ranks
+    var cent = vecs.withColumn("r", md5(col("vec_id").cast("string")))
+      .orderBy("r").limit(K)
+      .select(col("v")).collect().toSeq
+      .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](0) }
+    for (_ <- 1 to ITERS) {
+      val assigned = assign(s, vecs, centroidsToDf(s, cent))
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s0 => s0.getField("m")).as("cv"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      // empty clusters keep their previous centroid
+      cent = cent.map { case (c, v) => c -> means.getOrElse(c, v) }
+    }
+    centroidsToDf(s, cent)
+  }
+
+  /** One distributed assignment pass: nearest centroid per vector.
+    * min(struct(d2, cid)) picks the smallest distance with a deterministic
+    * cid tiebreak — no window, one partial-aggregated shuffle on vec_id. */
+  def assign(s: SparkSession, vecs: DataFrame, centroids: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("d2", dist2)
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("best"),
+        first("v").as("v"))
+      .select(col("vec_id"), col("best.cid").as("cid"), col("v"))
+
+  /** The registered query: IVF top-3 neighbors for the standard query set
+    * (vec_id % 50 == 0), probing NPROBE buckets per query. */
+  val query: GraftQuery = GraftQuery(
+    "sim_knn_ivf",
+    s"ANN: IVF k-means($K) coarse quantizer, nprobe=$NPROBE, in-bucket cosine top-3",
+    (s, d) => {
+      graft.functions.expressions.GraftExpressions.ensureRegistered(s)
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id"), vecDouble(col("embedding")).as("v"))
+      val centroids = train(s, vecs)
+      val indexed = assign(s, vecs, centroids)
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      // probe list: NPROBE nearest centroids per query
+      val probeW = Window.partitionBy("q_id").orderBy("d2", "cid")
+      val probes = indexed.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v"), col("nrm").as("qn"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("d2", dist2)
+        .withColumn("pr", row_number().over(probeW))
+        .filter(col("pr") <= NPROBE)
+        .select(col("q_id"), col("v").as("qv"), col("qn"), col("cid"))
+      // scan only the probed buckets
+      val scored = indexed.join(broadcast(probes),
+          indexed("cid") === probes("cid") && col("q_id") =!= col("vec_id"))
+        .withColumn("cos", expr("graft_dot(qv, v)") / (col("qn") * col("nrm")))
+      val w = Window.partitionBy("q_id").orderBy(fround(col("cos"), 6).desc, col("vec_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          fround(col("cos"), 4).as("cos"), col("rnk"))
+        .orderBy("q_id", "rnk")
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(query)
+}
