@@ -28,6 +28,30 @@ object DedupOps {
   private val K = 12     // minhash signature length
   private val BANDS = 6  // 6 bands x 2 rows: P(candidate | J=0.5) ≈ 0.82
 
+  /** Broder-style minhash family: ONE strong hash per shingle (u = first 32
+    * md5 bits as an integer) + K universal-hash transforms
+    * (a_i·u + b_i) mod P. Versus K independent md5s this is ~12x less
+    * hashing — the dominant cost of the signature leg — and the shuffle
+    * carries longs, not 32-char hex strings. a_i < 2^30 and u < 2^32 keep
+    * a·u + b < 2^62: no 64-bit overflow, so Spark and DuckDB compute
+    * bit-identical values with plain BIGINT arithmetic. */
+  private val P = 4294967311L // prime > 2^32
+  private val HASH_A = Seq(733918621L, 915562283L, 476920051L, 641209741L,
+    853958837L, 302145473L, 568741787L, 994877231L,
+    187498013L, 429586111L, 760239419L, 521870869L)
+  private val HASH_B = Seq(103911539L, 882345941L, 341298077L, 772091447L,
+    215699881L, 658102763L, 490233391L, 127955273L,
+    936571181L, 581236607L, 264899741L, 709124829L)
+
+  /** u in Spark: conv() parses the leading 8 md5 hex chars.
+    * u in DuckDB: the same value via an explicit nibble polynomial (DuckDB
+    * has no hex→int conv); equality of the two spellings is enforced by the
+    * correctness gate on every run. */
+  private val uSql = (0 until 8).map { j =>
+    val w = math.pow(16, 7 - j).toLong
+    s"(instr('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) * $w"
+  }.mkString("(", " + ", ")")
+
   /** (doc_id, shingle) with multiplicity — via the native ShingleGenerator
     * (the HOF transform+explode formulation profiled 10x slower). */
   private def rawShingles(s: SparkSession, d: String, n: Int): DataFrame = {
@@ -58,21 +82,20 @@ object DedupOps {
     "MinHash(12) + LSH(6x2) candidate pairs, exact-Jaccard verified at 0.5",
     (s, d) => {
       val sh = shingleSet(s, d, 3)
-      // Signatures don't need the distinct: min(md5) over a multiset equals
-      // min over the set, so hash straight off the raw generator output
-      // (saves the distinct's shuffle on this leg).
+      // Signatures don't need the distinct: min over a multiset equals min
+      // over the set, so hash straight off the raw generator output (saves
+      // the distinct's shuffle on this leg). One aggregation with K
+      // min-columns: each minhash folds map-side (partial min per
+      // partition), so the shuffle carries one row per doc instead of one
+      // per (doc, shingle, hash_idx).
       val rawSh = rawShingles(s, d, 3)
-      // One aggregation with K min-columns: minhash_i folds map-side
-      // (partial min per partition), so the shuffle carries one row per doc
-      // instead of one per (doc, shingle, hash_idx). ~3x faster than the
-      // posexplode + groupBy(doc, i) formulation at sf0.1.
-      val sig = rawSh.groupBy("doc_id").agg(
-        min(md5(concat(lit("0|"), col("sh")))).as("mh0"),
-        (1 until K).map(i =>
-          min(md5(concat(lit(s"$i|"), col("sh")))).as(s"mh$i")): _*)
+        .withColumn("u", conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long"))
+      val mins = (0 until K).map(i =>
+        min((lit(HASH_A(i)) * col("u") + lit(HASH_B(i))) % lit(P)).as(s"mh$i"))
+      val sig = rawSh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       val bands = sig.select(col("doc_id"),
         posexplode(array((0 until BANDS).map(b =>
-          md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*)))
+          concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)))
         .toDF("doc_id", "band", "bh")
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -81,7 +104,11 @@ object DedupOps {
         .distinct()
       jaccardVerified(cand, sh, 0.5)
     },
-    Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sh AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in generate_series(1, greatest(len(toks) - 2, 0))]) AS sh FROM t), mh AS (SELECT doc_id, i, min(md5(i::VARCHAR || '|' || sh)) AS mh FROM sh, (SELECT unnest(generate_series(0, 11)) AS i) GROUP BY 1, 2), sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY 1), bands AS (SELECT doc_id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bh FROM sig, (SELECT unnest(generate_series(0, 5)) AS b)), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT c.a, c.b, count(*) AS c FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh GROUP BY 1, 2) SELECT i.a, i.b, floor(i.c * 1.0 / (x.n + y.n - i.c) * 10000.0 + 0.5) / 10000.0 AS jaccard FROM inter i JOIN sz x ON i.a = x.doc_id JOIN sz y ON i.b = y.doc_id WHERE i.c * 1.0 / (x.n + y.n - i.c) >= 0.5 ORDER BY 1, 2"""))
+    Some {
+      val abValues = (0 until K)
+        .map(i => s"(${i}, ${HASH_A(i)}, ${HASH_B(i)})").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sh AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in generate_series(1, greatest(len(toks) - 2, 0))]) AS sh FROM t), u AS (SELECT doc_id, $uSql AS u FROM (SELECT doc_id, md5(sh) AS h FROM sh)), ab AS (SELECT * FROM (VALUES $abValues) t(i, a, b)), mh AS (SELECT doc_id, i, min((a * u + b) % $P) AS mh FROM u, ab GROUP BY 1, 2), sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY 1), bands AS (SELECT doc_id, b, sig[2*b+1]::VARCHAR || '_' || sig[2*b+2]::VARCHAR AS bh FROM sig, (SELECT unnest(generate_series(0, 5)) AS b)), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT c.a, c.b, count(*) AS c FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh GROUP BY 1, 2) SELECT i.a, i.b, floor(i.c * 1.0 / (x.n + y.n - i.c) * 10000.0 + 0.5) / 10000.0 AS jaccard FROM inter i JOIN sz x ON i.a = x.doc_id JOIN sz y ON i.b = y.doc_id WHERE i.c * 1.0 / (x.n + y.n - i.c) >= 0.5 ORDER BY 1, 2"""
+    })
 
   /** Exact n-gram Jaccard dedup via inverted-index self-join (4-grams). */
   private val dedupNgram = GraftQuery(
