@@ -41,39 +41,53 @@ object IvfAnn {
       s.sparkContext.parallelize(rows.map { case (c, v) => Row(c, v) }, 1), schema)
   }
 
-  /** Train the coarse quantizer: returns (cid, cv) — k centroids. */
+  /** Train the coarse quantizer: returns (cid, cv) — k centroids. The
+    * input is cached for the duration: every iteration is one scan. */
   def train(s: SparkSession, vecs: DataFrame): DataFrame = {
     graft.functions.expressions.GraftExpressions.ensureRegistered(s)
-    // deterministic spread seed: k smallest md5-ranks
-    var cent = vecs.withColumn("r", md5(col("vec_id").cast("string")))
-      .orderBy("r").limit(K)
-      .select(col("v")).collect().toSeq
-      .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](0) }
-    for (_ <- 1 to ITERS) {
-      val assigned = assign(s, vecs, centroidsToDf(s, cent))
-      val means = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg("x").as("m"))
-        .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s0 => s0.getField("m")).as("cv"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-      // empty clusters keep their previous centroid
-      cent = cent.map { case (c, v) => c -> means.getOrElse(c, v) }
-    }
-    centroidsToDf(s, cent)
+    val v = vecs.persist()
+    try {
+      // deterministic spread seed: k smallest md5-ranks
+      var cent = v.withColumn("r", md5(col("vec_id").cast("string")))
+        .orderBy("r").limit(K)
+        .select(col("v")).collect().toSeq
+        .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](0) }
+      for (_ <- 1 to ITERS) {
+        val assigned = assign(s, v, centroidsToDf(s, cent))
+        val means = assigned
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos").agg(avg("x").as("m"))
+          .groupBy("cid")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            s0 => s0.getField("m")).as("cv"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        // empty clusters keep their previous centroid
+        cent = cent.map { case (c, v0) => c -> means.getOrElse(c, v0) }
+      }
+      centroidsToDf(s, cent)
+    } finally { v.unpersist() }
   }
 
-  /** One distributed assignment pass: nearest centroid per vector.
-    * min(struct(d2, cid)) picks the smallest distance with a deterministic
-    * cid tiebreak — no window, one partial-aggregated shuffle on vec_id. */
-  def assign(s: SparkSession, vecs: DataFrame, centroids: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(centroids))
-      .withColumn("d2", dist2)
-      .groupBy("vec_id")
-      .agg(min(struct(col("d2"), col("cid"))).as("best"),
-        first("v").as("v"))
+  /** One assignment pass: nearest centroid per vector. The k×dim model is
+    * inlined as LITERAL arrays, so assignment is a pure narrow map — k
+    * codegen'd dot products + an array_min argmin per row, NO crossJoin row
+    * blowup and NO shuffle (the earlier crossJoin+groupBy(vec_id) form
+    * shuffled every vector k times). At 100 TB this is the difference
+    * between a metadata-only pass and re-shuffling the corpus. */
+  def assign(s: SparkSession, vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.expressions.GraftExpressions.ensureRegistered(s)
+    val cent = centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    val dvv = call_function("graft_dot", col("v"), col("v"))
+    val cands = cent.map { case (cid, cv) =>
+      val cc = cv.map(x => x * x).sum
+      struct(
+        (dvv - lit(2.0) * call_function("graft_dot", col("v"), typedLit(cv)) + lit(cc)).as("d2"),
+        lit(cid).as("cid"))
+    }
+    vecs.withColumn("best", array_min(array(cands: _*)))
       .select(col("vec_id"), col("best.cid").as("cid"), col("v"))
+  }
 
   /** The registered query: IVF top-3 neighbors for the standard query set
     * (vec_id % 50 == 0), probing NPROBE buckets per query. */
