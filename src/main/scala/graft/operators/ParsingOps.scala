@@ -97,6 +97,44 @@ object ParsingOps {
     },
     Some("""SELECT user_id AS station_id, yr, mon, max(high) AS hi, min(low) AS lo FROM (SELECT user_id, CAST(year(ts) AS INTEGER) AS yr, CAST(month(ts) AS INTEGER) AS mon, max(value) AS high, min(value) AS low FROM events GROUP BY user_id, yr, mon, day(ts)) GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
 
+  /** S15: create-table-as-write (SaveAsApi.scala:26-31's
+    * saveAsCassandraTableEx — DDL + write in one step). CTAS into the
+    * session catalog, then query the created table; DROP first so the
+    * entry is rerunnable. */
+  private val sqlCtas = GraftQuery(
+    "sql_ctas",
+    "S15 CREATE TABLE AS SELECT into the catalog, read back",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("DROP TABLE IF EXISTS graft_ctas_nation_customers")
+      s.sql("""CREATE TABLE graft_ctas_nation_customers USING parquet AS
+               SELECT n_name, count(*) AS cnt, round(sum(c_acctbal), 2) AS total_bal
+               FROM customer JOIN nation ON c_nationkey = n_nationkey
+               GROUP BY n_name""")
+      s.sql("SELECT * FROM graft_ctas_nation_customers ORDER BY n_name")
+    },
+    Some("""SELECT n_name, count(*) AS cnt, round(sum(c_acctbal), 2) AS total_bal FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"""))
+
+  /** Multimodal decode plumbing as a registered capability: binary payloads
+    * → mapPartitions stub decode → per-format stats. No SQL oracle (the
+    * decode is engine-internal; MultimodalSpec value-checks it) — the
+    * driver records a rows-only check. */
+  private val mmDecode = GraftQuery(
+    "mm_decode_stats",
+    "multimodal: binary payload decode (stubbed codec) + per-format stats",
+    (s, d) => {
+      import org.apache.spark.sql.functions.{avg => favg}
+      val decoded = graft.multimodal.Multimodal.decodeImages(
+        graft.multimodal.Multimodal.mediaTable(s, d))
+      decoded.groupBy("format")
+        .agg(count(lit(1)).as("cnt"),
+          favg("width").as("avg_w"), favg("height").as("avg_h"),
+          fround(favg("mean_luma"), 4).as("avg_luma"))
+        .orderBy("format")
+    },
+    None)
+
   val all: Seq[GraftQuery] = Seq(
-    csvRoundtrip, jsonStruct, dateConstruct, sqlMultikeyJoin, mvCascade)
+    csvRoundtrip, jsonStruct, dateConstruct, sqlMultikeyJoin, mvCascade,
+    sqlCtas, mmDecode)
 }

@@ -64,4 +64,43 @@ class SessionStreamSpec extends AnyFunSuite {
     assert(spark.table("sess_out").count() == 1)
     q.stop()
   }
+
+  test("stream sessionization equals the batch win_session query (closed sessions)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sf = GraftTestSpark.sf
+
+    // batch ground truth from the registered query
+    val batch = SparkEntry.queries("win_session")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(2), r.getDouble(5))).toMap
+    // each user's final session stays open at end-of-stream
+    val lastPerUser = batch.keys.groupBy(_._1).map { case (u, ks) => u -> ks.map(_._2).max }
+
+    // stream the same events through the file source
+    val dir = java.nio.file.Files.createTempDirectory("events-sess")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val evs = spark.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir.toString)
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("value"))
+      .as[Ev]
+    val q = SessionStream.sessionize(evs)
+      .writeStream.outputMode("append").format("memory").queryName("sess_eq")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt-eq").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sess_eq").as[Session].collect()
+      .map(s => (s.user_id, s.start_us) -> (s.n_events.toLong, s.total_value)).toMap
+    val expected = batch.filter { case ((u, st), _) => lastPerUser(u) != st }
+    assert(streamed.keySet == expected.keySet)
+    expected.foreach { case (k, (n, total)) =>
+      val (sn, st) = streamed(k)
+      assert(sn == n, s"$k n_events")
+      assert(math.abs(st - total) < 0.01, s"$k total")
+    }
+  }
 }
