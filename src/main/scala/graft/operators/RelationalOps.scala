@@ -340,8 +340,26 @@ object RelationalOps {
       .orderBy("weekday"),
     Some("""SELECT strftime(ts, '%A') AS weekday, count(*) AS cnt, round(sum(value), 2) AS total FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** Co-located fact⋈fact join over bucketed tables (Layouts): both sides
+    * pre-bucketed by order key, so the join runs with NO exchange on either
+    * side — the storage-layout co-location the reference gets from shared
+    * Cassandra partition keys (SURVEY §1.4). PlanQualitySpec asserts the
+    * exchange-free plan; the oracle proves layout never changes results. */
+  private val jBucketed = GraftQuery(
+    "j_bucketed_colocated",
+    "shuffle-free join via bucketed layout (bucketBy order key both sides)",
+    (s, d) => {
+      graft.sources.Layouts.bucketedOrdersLineitem(s, d)
+      s.table("graft_orders_b")
+        .join(s.table("graft_lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS cnt, sum(l_quantity) AS sum_qty FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
-    q1, q3, q5, jSemi, jAnti, jOuter, jRange, jAsof,
+    q1, q3, q5, jSemi, jAnti, jOuter, jRange, jAsof, jBucketed,
     winRank, winMoving, setIntersect, setExcept, setUnion,
     aggRollup, aggCube, aggGroupingSets, aggApprox,
     jsonKv, calDaily, strWeekday)

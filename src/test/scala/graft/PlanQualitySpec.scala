@@ -51,4 +51,34 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan("sim_knn_brute")
     assert(p.contains("graft_dot"), p.take(3000))
   }
+
+  test("bucketed co-located join runs with no shuffle exchange on either side") {
+    graft.sources.Layouts.bucketedOrdersLineitem(spark, sf)
+    import org.apache.spark.sql.functions.col
+    // force the at-scale shape: two big sides -> sort-merge join (locally
+    // the tiny tables would auto-broadcast, which bypasses bucketed reads)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val join = spark.table("graft_orders_b")
+        .join(spark.table("graft_lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+      val p = join.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+      assert(p.contains("Bucketed: true"), p.take(3000))
+      assert(join.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("partitioned layout prunes at the directory level (PartitionFilters)") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("events-part").toString
+    graft.sources.Layouts.partitionedEvents(spark, sf, out)
+    val q = spark.read.parquet(out).filter(col("event_type") === "purchase")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("event_type"), p.take(3000))
+    // pruning is effective: scan reads only the matching partition's rows
+    val total = Tables.events(spark, sf).count()
+    val scanned = q.count()
+    assert(scanned < total && scanned > 0)
+  }
 }
