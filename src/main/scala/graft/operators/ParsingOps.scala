@@ -106,7 +106,7 @@ object ParsingOps {
     "S15 CREATE TABLE AS SELECT into the catalog, read back",
     (s, d) => {
       Tables.registerAll(s, d)
-      s.sql("DROP TABLE IF EXISTS graft_ctas_nation_customers")
+      graft.sources.Layouts.dropTableAndLocation(s, "graft_ctas_nation_customers")
       s.sql("""CREATE TABLE graft_ctas_nation_customers USING parquet AS
                SELECT n_name, count(*) AS cnt, round(sum(c_acctbal), 2) AS total_bal
                FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -27,20 +27,24 @@ object Layouts {
   /** Materialize orders+lineitem bucketed by order key into the session
     * catalog (idempotent per session). Bucket count would be sized to
     * ~128-256 MB/bucket at the target scale; 8 locally. */
+  /** DROP a managed table including a stale on-disk location: a prior JVM's
+    * in-memory catalog is gone but its warehouse files survive, and CTAS
+    * then refuses to create (LOCATION_ALREADY_EXISTS). */
+  def dropTableAndLocation(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val p = java.nio.file.Paths.get(wh, table)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   def bucketedOrdersLineitem(s: SparkSession, dir: String, buckets: Int = 8): Unit = {
     if (!s.catalog.tableExists("graft_orders_b")) {
-      // a prior JVM's in-memory catalog is gone but its warehouse files
-      // survive — clear stale locations or CTAS refuses to create
-      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      Seq("graft_orders_b", "graft_lineitem_b").foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        val p = java.nio.file.Paths.get(wh, t)
-        if (java.nio.file.Files.exists(p)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
-      }
+      Seq("graft_orders_b", "graft_lineitem_b")
+        .foreach(dropTableAndLocation(s, _))
       Tables.orders(s, dir).write
         .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
         .mode("overwrite").saveAsTable("graft_orders_b")
