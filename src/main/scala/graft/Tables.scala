@@ -42,11 +42,16 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
-  /** Register every table as a temp view for the `spark.sql` query path
-    * (ref: SampleJoin.scala:40-48 uses a SQL context over named tables). */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach { n =>
+  /** Register tables as temp views for the `spark.sql` query path
+    * (ref: SampleJoin.scala:40-48 uses a SQL context over named tables).
+    * Prefer the selective form — every registration is a parquet
+    * footer/schema read, and SQL entries rarely need all ten tables. */
+  def register(spark: SparkSession, dir: String, tables: Seq[String]): Unit =
+    tables.foreach { n =>
       val df = if (n == "events") events(spark, dir) else apply(spark, dir, n)
       df.createOrReplaceTempView(n)
     }
+
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    register(spark, dir, names)
 }

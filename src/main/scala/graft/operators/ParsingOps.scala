@@ -72,7 +72,7 @@ object ParsingOps {
     "sql_multikey_join",
     "J1 SQL-entry multi-key equi self-join: same-day click+purchase pairs",
     (s, d) => {
-      Tables.registerAll(s, d)
+      Tables.register(s, d, Seq("events"))
       s.sql("""
         SELECT c.user_id, CAST(c.ts AS DATE) AS dy, count(*) AS pairs
         FROM events c JOIN events p
@@ -105,7 +105,7 @@ object ParsingOps {
     "sql_ctas",
     "S15 CREATE TABLE AS SELECT into the catalog, read back",
     (s, d) => {
-      Tables.registerAll(s, d)
+      Tables.register(s, d, Seq("customer", "nation"))
       graft.sources.Layouts.dropTableAndLocation(s, "graft_ctas_nation_customers")
       s.sql("""CREATE TABLE graft_ctas_nation_customers USING parquet AS
                SELECT n_name, count(*) AS cnt, round(sum(c_acctbal), 2) AS total_bal

@@ -278,7 +278,7 @@ object RelationalOps {
     "agg_grouping_sets",
     "SQL path: GROUPING SETS over a 3-table dim join",
     (s, d) => {
-      Tables.registerAll(s, d)
+      Tables.register(s, d, Seq("customer", "nation", "region"))
       s.sql("""SELECT coalesce(r_name, 'ALL') AS rname, coalesce(n_name, 'ALL') AS nname, count(*) AS cnt
                FROM customer JOIN nation ON c_nationkey = n_nationkey
                              JOIN region ON n_regionkey = r_regionkey
