@@ -358,8 +358,29 @@ object RelationalOps {
     },
     Some("""SELECT o_orderpriority, count(*) AS cnt, sum(l_quantity) AS sum_qty FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1 ORDER BY 1"""))
 
+  /** TPC-H Q14 shape: conditional aggregation (CASE WHEN inside sum) over a
+    * fact⋈dim join — promo revenue share per month. The part side carries
+    * only (partkey, type-flag) into the broadcast, and the numerator/
+    * denominator come out of ONE pass (two conditional sums), not two scans.
+    * Ratio is derived from exact centi-integer sums then floor-rounded. */
+  private val q14Promo = GraftQuery(
+    "q14_promo_share",
+    "conditional aggregation: CASE WHEN promo revenue share per month",
+    (s, d) => Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_type").startsWith("PROMO").as("is_promo"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).as("yr"), month(col("l_shipdate")).as("mon"))
+      .agg(sum(when(col("is_promo"), revC).otherwise(lit(0L))).as("pc"),
+        sum(revC).as("tc"), count(lit(1)).as("cnt"))
+      .select(col("yr"), col("mon"), col("cnt"),
+        fround(col("pc").cast("double") / 10000.0, 2).as("promo_rev"),
+        fround(lit(100.0) * col("pc") / col("tc"), 4).as("promo_share_pct"))
+      .orderBy("yr", "mon"),
+    Some(s"""SELECT yr, mon, cnt, floor(CAST(pc AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0 AS promo_rev, floor(100.0 * pc / tc * 10000.0 + 0.5) / 10000.0 AS promo_share_pct FROM (SELECT CAST(year(l_shipdate) AS INTEGER) AS yr, CAST(month(l_shipdate) AS INTEGER) AS mon, CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN $revCSql ELSE 0 END) AS BIGINT) AS pc, CAST(sum($revCSql) AS BIGINT) AS tc, count(*) AS cnt FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2) ORDER BY 1, 2"""))
+
   val all: Seq[GraftQuery] = Seq(
-    q1, q3, q5, jSemi, jAnti, jOuter, jRange, jAsof, jBucketed,
+    q1, q3, q5, q14Promo, jSemi, jAnti, jOuter, jRange, jAsof, jBucketed,
     winRank, winMoving, setIntersect, setExcept, setUnion,
     aggRollup, aggCube, aggGroupingSets, aggApprox,
     jsonKv, calDaily, strWeekday)
