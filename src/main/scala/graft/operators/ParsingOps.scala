@@ -49,6 +49,26 @@ object ParsingOps {
       .orderBy("kbucket"),
     Some("""SELECT TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) % 5 AS kbucket, count(*) AS cnt, round(max(value), 2) AS max_val FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** S13: JSON source with INFERRED schema — the reference's
+    * `sqlContext.jsonRDD(rdd)` + SQL-over-inferred-columns path
+    * (KafkaStreamingJson.scala:64-68, SampleJson.scala:45-47). The schema
+    * (`k: bigint`) is discovered from the JSON text, not declared.
+    * Scale note: inference is a separate sampling pass over the input —
+    * at 100 TB you'd cap it (`samplingRatio`) or pin the schema after first
+    * discovery; here the full inference pass IS the demonstrated surface. */
+  private val jsonInferred = GraftQuery(
+    "json_inferred_schema",
+    "S13 schema-inferred JSON read + SQL aggregate over discovered fields",
+    (s, d) => {
+      import s.implicits._
+      val inferred = s.read.json(Tables.events(s, d).select("props").as[String])
+      assert(inferred.schema.fieldNames.contains("k"), "inference must discover k")
+      inferred.groupBy((col("k") % 7).as("kbucket"))
+        .agg(count(lit(1)).as("cnt"), min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("kbucket")
+    },
+    Some("""SELECT TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 7 AS kbucket, count(*) AS cnt, min(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS min_k, max(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k FROM events GROUP BY 1 ORDER BY 1"""))
+
   /** F4/F5/F7: date construction/arithmetic — make_date, last_day,
     * +1 month, ISO week (AggregationActor.scala:52-60's joda surface). */
   private val dateConstruct = GraftQuery(
@@ -135,6 +155,6 @@ object ParsingOps {
     None)
 
   val all: Seq[GraftQuery] = Seq(
-    csvRoundtrip, jsonStruct, dateConstruct, sqlMultikeyJoin, mvCascade,
-    sqlCtas, mmDecode)
+    csvRoundtrip, jsonStruct, jsonInferred, dateConstruct, sqlMultikeyJoin,
+    mvCascade, sqlCtas, mmDecode)
 }
