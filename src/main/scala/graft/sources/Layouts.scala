@@ -45,11 +45,18 @@ object Layouts {
     if (!s.catalog.tableExists("graft_orders_b")) {
       Seq("graft_orders_b", "graft_lineitem_b")
         .foreach(dropTableAndLocation(s, _))
-      Tables.orders(s, dir).write
-        .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      // The layout carries only the join/aggregate columns: a bucketed
+      // "join index", not a second full copy of the facts. (A production
+      // deployment bucketing its PRIMARY copy would keep all columns — the
+      // co-location mechanics are identical; this keeps the demo's write
+      // volume proportional to what the queries read.)
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+        .write.bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
         .mode("overwrite").saveAsTable("graft_orders_b")
-      Tables.lineitem(s, dir).write
-        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable("graft_lineitem_b")
     }
   }
