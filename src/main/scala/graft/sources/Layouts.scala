@@ -50,12 +50,19 @@ object Layouts {
       // deployment bucketing its PRIMARY copy would keep all columns — the
       // co-location mechanics are identical; this keeps the demo's write
       // volume proportional to what the queries read.)
+      // repartition by the bucket key first: task partitioning then matches
+      // bucket partitioning (same Murmur3 hash), so each task writes ONE
+      // sorted bucket file instead of numShufflePartitions × buckets files
+      // — fewer, bigger files is exactly what the 100 TB layout wants.
+      import org.apache.spark.sql.functions.col
       Tables.orders(s, dir)
         .select("o_orderkey", "o_orderpriority", "o_orderdate")
+        .repartition(buckets, col("o_orderkey"))
         .write.bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
         .mode("overwrite").saveAsTable("graft_orders_b")
       Tables.lineitem(s, dir)
         .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .repartition(buckets, col("l_orderkey"))
         .write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable("graft_lineitem_b")
     }
