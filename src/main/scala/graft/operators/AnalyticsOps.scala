@@ -216,7 +216,27 @@ object AnalyticsOps {
     },
     None)
 
+  /** Pivot: long→wide reshape, one centi-exact value column per event
+    * type. The explicit value list keeps it one pass (no extra distinct
+    * job to discover columns) — at scale you ALWAYS pass the list. Oracle:
+    * conditional-aggregation spelling, the engine-portable equivalent. */
+  private val aggPivot = GraftQuery(
+    "agg_pivot",
+    "pivot event_type to wide per-user value-sum columns",
+    (s, d) => {
+      val kinds = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), centi(col("value")).as("vc"))
+        .groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(coalesce(sum("vc"), lit(0L)))
+        .select(col("user_id") +: kinds.map(k =>
+          fround(col(k).cast("double") / 100.0, 2).as(s"${k}_total")): _*)
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, floor(CAST(sum(CASE WHEN event_type = 'click' THEN vc ELSE 0 END) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS click_total, floor(CAST(sum(CASE WHEN event_type = 'error' THEN vc ELSE 0 END) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS error_total, floor(CAST(sum(CASE WHEN event_type = 'purchase' THEN vc ELSE 0 END) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS purchase_total, floor(CAST(sum(CASE WHEN event_type = 'signup' THEN vc ELSE 0 END) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS signup_total, floor(CAST(sum(CASE WHEN event_type = 'view' THEN vc ELSE 0 END) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS view_total FROM (SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events) GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
     winSession, winLagLead, aggPercentiles, aggCorr, jSkewSalted, txtTfidf,
-    aggStatsOnepass)
+    aggStatsOnepass, aggPivot)
 }
