@@ -14,7 +14,12 @@ object Bench {
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // Shuffle width is a deployment knob: at bench scale (sf0.1, single
+      // file per table) cpus-many shuffle partitions are mostly scheduling
+      // overhead — AQE coalesces them anyway, so seed it low; a cluster
+      // deployment sets this to executors × cores as usual.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", math.max(8, cpus.toInt / 4).toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
