@@ -223,16 +223,20 @@ object RelationalOps {
     },
     Some("""SELECT user_id FROM events WHERE event_type = 'click' INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase' ORDER BY user_id"""))
 
+  /** (user, day) granularity keeps the difference non-empty at every scale
+    * factor — at sf0.001 all 15 users have done everything at least once,
+    * so a user-level EXCEPT degenerates to zero rows. */
   private val setExcept = GraftQuery(
     "set_except",
-    "EXCEPT: first-week clickers who did not purchase in the first week",
+    "EXCEPT: user-days with a click but no purchase",
     (s, d) => {
-      val ev = Tables.events(s, d).filter(col("ts") < lit("2024-01-08"))
-      ev.filter(col("event_type") === "click").select("user_id")
-        .except(ev.filter(col("event_type") === "purchase").select("user_id"))
-        .orderBy("user_id")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("dy"), col("event_type"))
+      ev.filter(col("event_type") === "click").select("user_id", "dy")
+        .except(ev.filter(col("event_type") === "purchase").select("user_id", "dy"))
+        .orderBy("user_id", "dy")
     },
-    Some("""SELECT user_id FROM events WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-08 00:00:00' EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08 00:00:00' ORDER BY user_id"""))
+    Some("""SELECT user_id, CAST(ts AS DATE) AS dy FROM events WHERE event_type = 'click' EXCEPT SELECT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'purchase' ORDER BY user_id, dy"""))
 
   private val setUnion = GraftQuery(
     "set_union",

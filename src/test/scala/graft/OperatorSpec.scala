@@ -66,10 +66,14 @@ class OperatorSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(1) == maxIds(r.getLong(0))))
   }
 
-  test("set ops: intersect subset of both sides; except disjoint from right") {
-    val inter = run("set_intersect").collect().map(_.getLong(0)).toSet
-    val exc = run("set_except").collect().map(_.getLong(0)).toSet
-    assert((inter & exc).isEmpty || exc.isEmpty) // except removed purchasers
+  test("set ops: except rows truly lack a purchase on that user-day") {
+    val purchaseDays = Tables.events(spark, sf)
+      .filter("event_type = 'purchase'")
+      .selectExpr("user_id", "CAST(ts AS DATE) AS dy").collect()
+      .map(r => (r.getLong(0), r.getDate(1))).toSet
+    val exc = run("set_except").collect().map(r => (r.getLong(0), r.getDate(1)))
+    assert(exc.nonEmpty)
+    exc.foreach(k => assert(!purchaseDays.contains(k), s"$k purchased that day"))
   }
 
   test("agg_rollup: grand total row equals table count") {
@@ -103,5 +107,15 @@ class OperatorSpec extends AnyFunSuite {
 
   test("entry: flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("no degenerate operators: every registered query returns rows at sf0.001") {
+    // catches data-dependent degeneracy (empty thresholds, over-filtering)
+    // across the whole registry in one sweep — the driver only smoke-checks
+    // `entry`, so this is the local guard.
+    val empty = SparkEntry.registry.filter { q =>
+      q.fn(spark, sf).limit(1).collect().isEmpty
+    }.map(_.name)
+    assert(empty.isEmpty, s"degenerate (0 rows): $empty")
   }
 }
