@@ -55,6 +55,20 @@ class IvfAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("stored IVF index partitioned by cid: probes prune to their buckets") {
+    // the at-scale storage shape: index written partitionBy(cid), a probe
+    // reads only its nprobe directories (PartitionFilters, not a full scan)
+    val out = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    IvfAnn.assign(spark, vecs, IvfAnn.train(spark, vecs))
+      .write.partitionBy("cid").mode("overwrite").parquet(out)
+    val probe = spark.read.parquet(out).filter(col("cid").isin(0, 3, 7))
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("cid"), p.take(3000))
+    val total = spark.read.parquet(out).count()
+    val scanned = probe.count()
+    assert(scanned > 0 && scanned < total)
+  }
+
   test("sim_knn_ivf recall@3 vs brute-force top-5 beats the random floor") {
     val brute = run("sim_knn_brute").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -69,6 +69,19 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("q14 joins the part dim by broadcast (fact side never shuffles for it)") {
+    val p = plan("q14_promo_share")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("pivot shuffles once on the group key (no Expand, map-side partials)") {
+    val p = plan("agg_pivot")
+    assert(!p.contains("Expand"), p.take(2000))
+    // partial (user,type)-sum and partial pivotfirst both run map-side;
+    // the only hash shuffle is the final user_id exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
   test("partitioned layout prunes at the directory level (PartitionFilters)") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files.createTempDirectory("events-part").toString
