@@ -236,7 +236,27 @@ object AnalyticsOps {
     },
     Some("""SELECT user_id, floor(CAST(sum(CASE WHEN event_type = 'click' THEN vc ELSE 0 END) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS click_total, floor(CAST(sum(CASE WHEN event_type = 'error' THEN vc ELSE 0 END) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS error_total, floor(CAST(sum(CASE WHEN event_type = 'purchase' THEN vc ELSE 0 END) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS purchase_total, floor(CAST(sum(CASE WHEN event_type = 'signup' THEN vc ELSE 0 END) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS signup_total, floor(CAST(sum(CASE WHEN event_type = 'view' THEN vc ELSE 0 END) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS view_total FROM (SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events) GROUP BY 1 ORDER BY 1"""))
 
+  /** Native session_window (the built-in that replaces the two-window
+    * formulation of win_session; also valid in streaming groupBy). Boundary
+    * semantics differ from win_session by one ulp of gap: session_window
+    * merges an event only if it lands STRICTLY before last+gap, so a gap of
+    * exactly 30:00.000000 starts a NEW session — the oracle splits on >=
+    * accordingly (win_session's lag formulation splits on >). */
+  private val winSessionNative = GraftQuery(
+    "win_session_native",
+    "built-in session_window(ts, 30 min) per user, session stats",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(centi(col("value"))).as("vcs"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"),
+        fround(col("vcs").cast("double") / 100.0, 2).as("total_value"))
+      .orderBy("user_id", "start_us"),
+    Some("""WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, CAST(round(value * 100) AS BIGINT) AS vc FROM events), o AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM ev), m AS (SELECT *, CASE WHEN prev IS NULL OR us - prev >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_s FROM o), x AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sess FROM m) SELECT user_id, min(us) AS start_us, max(us) + 1800 * 1000000 AS end_us, count(*) AS n_events, floor(CAST(sum(vc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value FROM x GROUP BY user_id, sess ORDER BY 1, 2"""))
+
   val all: Seq[GraftQuery] = Seq(
     winSession, winLagLead, aggPercentiles, aggCorr, jSkewSalted, txtTfidf,
-    aggStatsOnepass, aggPivot)
+    aggStatsOnepass, aggPivot, winSessionNative)
 }
