@@ -211,7 +211,35 @@ object DedupOps {
       .orderBy("a", "b")
   }
 
+  /** The embedding near-dup SCALE path: sign-LSH buckets first, cosine only
+    * within buckets — O(n²/buckets) instead of the all-pairs join above.
+    * Top-20 bucket-local pairs (same non-degeneracy rationale as the
+    * all-pairs variant). No SQL oracle (bucketing is engine-internal);
+    * DedupSimilaritySpec asserts pair soundness against directly computed
+    * cosines. */
+  private val dedupEmbeddingLsh = GraftQuery(
+    "dedup_embedding_lsh",
+    "embedding near-dup at scale: sign-LSH buckets + in-bucket cosine top-20",
+    (s, d) => {
+      graft.functions.expressions.GraftExpressions.ensureRegistered(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), vecDouble(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      val coded = e.join(SimilarityOps.lshCodes(e), Seq("vec_id"))
+      val a = coded.select(col("code"), col("vec_id").as("a"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = coded.select(col("code"), col("vec_id").as("b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("code")).filter(col("a") < col("b"))
+        .withColumn("cos", expr("graft_dot(va, vb)") / (col("na") * col("nb")))
+        .orderBy(fround(col("cos"), 6).desc, col("a"), col("b"))
+        .limit(20)
+        .select(col("a"), col("b"), fround(col("cos"), 4).as("cos"))
+        .orderBy(desc("cos"), col("a"), col("b"))
+    },
+    None)
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash,
-    dedupSimhashGroups, dedupEmbedding)
+    dedupSimhashGroups, dedupEmbedding, dedupEmbeddingLsh)
 }

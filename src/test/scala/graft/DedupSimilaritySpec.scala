@@ -65,6 +65,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("dedup_embedding_lsh: bucket-local pairs carry true cosines, subset of all-pairs top") {
+    val brute = run("dedup_embedding_cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = run("dedup_embedding_lsh").collect()
+    assert(lsh.nonEmpty && lsh.length <= 20)
+    lsh.foreach { r =>
+      val (a, b, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(a < b && c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      // where a pair also appears in the exact top-20, cosines must agree
+      brute.get((a, b)).foreach(expected => assert(c == expected, s"($a,$b)"))
+    }
+  }
+
   test("txt_token_stats matches documents.n_chars metadata") {
     val joined = run("txt_token_stats")
       .join(Tables.documents(spark, sf), Seq("doc_id"))
