@@ -83,6 +83,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_pivotfirst"), p.take(2000))
   }
 
+  test("sessionization reuses ONE user_id shuffle across both windows and the groupBy") {
+    val p = plan("win_session")
+    // lag window, running-sum window, and the session groupBy all partition
+    // by user_id — Catalyst must satisfy them with a single exchange (plus
+    // the final presentation orderBy's range exchange)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
+  test("salted skew join broadcasts the exploded dim (fact side has no join shuffle)") {
+    val p = plan("j_skew_salted")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("partitioned layout prunes at the directory level (PartitionFilters)") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files.createTempDirectory("events-part").toString
