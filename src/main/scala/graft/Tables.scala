@@ -18,8 +18,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Resolved-relation cache, keyed by (session, path): every uncached
+    * `spark.read.parquet` re-lists files and re-reads footers for schema —
+    * pure metadata overhead when dozens of queries share ten static tables.
+    * This is exactly what a table catalog provides; DataFrames are
+    * immutable plans, so sharing them is safe. */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame   = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = apply(s, d, "nation")
