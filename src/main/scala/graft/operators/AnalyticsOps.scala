@@ -256,7 +256,26 @@ object AnalyticsOps {
       .orderBy("user_id", "start_us"),
     Some("""WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, CAST(round(value * 100) AS BIGINT) AS vc FROM events), o AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM ev), m AS (SELECT *, CASE WHEN prev IS NULL OR us - prev >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_s FROM o), x AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sess FROM m) SELECT user_id, min(us) AS start_us, max(us) + 1800 * 1000000 AS end_us, count(*) AS n_events, floor(CAST(sum(vc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value FROM x GROUP BY user_id, sess ORDER BY 1, 2"""))
 
+  /** The sketch path for percentiles: approx_percentile (KLL-style,
+    * mergeable, constant memory) next to the exact values — at 100 TB the
+    * exact sort-based percentile is per-group O(n log n) and the sketch is
+    * the only option for high-cardinality keys. No SQL oracle (DuckDB's
+    * approx sketch differs); OperatorSpec bounds the rank error against
+    * the exact quartiles. */
+  private val aggApproxPercentile = GraftQuery(
+    "agg_approx_percentile",
+    "approx_percentile sketch next to exact quartiles per event type",
+    (s, d) => Tables.events(s, d)
+      .select(col("event_type"), centi(col("value")).as("vc"))
+      .groupBy("event_type")
+      .agg(
+        approx_percentile(col("vc"), lit(0.5), lit(10000)).as("p50_approx"),
+        percentile(col("vc"), lit(0.5)).as("p50_exact"),
+        count(lit(1)).as("cnt"))
+      .orderBy("event_type"),
+    None)
+
   val all: Seq[GraftQuery] = Seq(
     winSession, winLagLead, aggPercentiles, aggCorr, jSkewSalted, txtTfidf,
-    aggStatsOnepass, aggPivot, winSessionNative)
+    aggStatsOnepass, aggPivot, winSessionNative, aggApproxPercentile)
 }

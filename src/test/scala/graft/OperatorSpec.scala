@@ -109,6 +109,14 @@ class OperatorSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("agg_approx_percentile: sketch median within 2% of exact") {
+    run("agg_approx_percentile").collect().foreach { r =>
+      val (approx, exact) = (r.getLong(1).toDouble, r.getDouble(2))
+      assert(math.abs(approx - exact) <= math.max(0.02 * math.abs(exact), 2.0),
+        s"${r.getString(0)}: $approx vs $exact")
+    }
+  }
+
   test("no degenerate operators: every registered query returns rows at sf0.001") {
     // catches data-dependent degeneracy (empty thresholds, over-filtering)
     // across the whole registry in one sweep — the driver only smoke-checks

@@ -83,6 +83,11 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_pivotfirst"), p.take(2000))
   }
 
+  test("rank<=k filter inserts WindowGroupLimit (per-group top-k, not full window)") {
+    val p = plan("win_rank")
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
   test("sessionization reuses ONE user_id shuffle across both windows and the groupBy") {
     val p = plan("win_session")
     // lag window, running-sum window, and the session groupBy all partition
