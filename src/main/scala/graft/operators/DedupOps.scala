@@ -214,9 +214,9 @@ object DedupOps {
   /** The embedding near-dup SCALE path: sign-LSH buckets first, cosine only
     * within buckets — O(n²/buckets) instead of the all-pairs join above.
     * Top-20 bucket-local pairs (same non-degeneracy rationale as the
-    * all-pairs variant). No SQL oracle (bucketing is engine-internal);
-    * DedupSimilaritySpec asserts pair soundness against directly computed
-    * cosines. */
+    * all-pairs variant). The md5-derived bucketing is replayed exactly in
+    * the DuckDB oracle (as in sim_knn_lsh); DedupSimilaritySpec additionally
+    * checks pair soundness against directly computed cosines. */
   private val dedupEmbeddingLsh = GraftQuery(
     "dedup_embedding_lsh",
     "embedding near-dup at scale: sign-LSH buckets + in-bucket cosine top-20",
@@ -237,7 +237,7 @@ object DedupOps {
         .select(col("a"), col("b"), fround(col("cos"), 4).as("cos"))
         .orderBy(desc("cos"), col("a"), col("b"))
     },
-    None)
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e), proj AS (SELECT vec_id, p, list_sum([(CASE WHEN instr('0123456789abcdef', substr(md5(p::VARCHAR || ':' || (i-1)::VARCHAR), 1, 1)) % 2 = 1 THEN 1.0 ELSE -1.0 END) * v[i] for i in generate_series(1, len(v))]) AS dp FROM n, (SELECT unnest(generate_series(0, 7)) AS p)), codes AS (SELECT vec_id, CAST(sum(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS code FROM proj GROUP BY 1), c AS (SELECT n.vec_id, n.v, n.nrm, codes.code FROM n JOIN codes USING (vec_id)), p AS (SELECT x.vec_id AS a, y.vec_id AS b, list_sum([s[1]*s[2] for s in list_zip(x.v, y.v)]) / (x.nrm * y.nrm) AS cos FROM c x JOIN c y ON x.code = y.code AND x.vec_id < y.vec_id) SELECT a, b, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos FROM (SELECT * FROM p ORDER BY floor(cos * 1000000.0 + 0.5) DESC, a, b LIMIT 20) ORDER BY cos DESC, a, b"""))
 
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupSimhash,

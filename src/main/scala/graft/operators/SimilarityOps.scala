@@ -78,8 +78,11 @@ object SimilarityOps {
       .agg(sum(expr("CASE WHEN dot > 0 THEN shiftleft(1, p) ELSE 0 END")).as("code"))
   }
 
-  /** ANN via LSH buckets: top-3 per query within its bucket. Verified by a
-    * ScalaTest recall check against sim_knn_brute, not a SQL oracle. */
+  /** ANN via LSH buckets: top-3 per query within its bucket. The bucketing
+    * is md5-derived, so the DuckDB oracle replays it exactly: same ±1
+    * hyperplanes (md5-nibble parity of "p:i"), same sequential-order dot
+    * products, same bit packing — candidate sets and rankings hash-match.
+    * ScalaTest additionally checks recall vs sim_knn_brute. */
   private val knnLsh = GraftQuery(
     "sim_knn_lsh",
     "ANN: sign-random-projection LSH buckets + in-bucket cosine top-3",
@@ -99,7 +102,7 @@ object SimilarityOps {
           fround(col("cos"), 4).as("cos"), col("rnk"))
         .orderBy("q_id", "rnk")
     },
-    None)
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e), proj AS (SELECT vec_id, p, list_sum([(CASE WHEN instr('0123456789abcdef', substr(md5(p::VARCHAR || ':' || (i-1)::VARCHAR), 1, 1)) % 2 = 1 THEN 1.0 ELSE -1.0 END) * v[i] for i in generate_series(1, len(v))]) AS dp FROM n, (SELECT unnest(generate_series(0, 7)) AS p)), codes AS (SELECT vec_id, CAST(sum(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS code FROM proj GROUP BY 1), c AS (SELECT n.vec_id, n.v, n.nrm, codes.code FROM n JOIN codes USING (vec_id)), q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, code AS qcode FROM c WHERE vec_id % 50 = 0), sc AS (SELECT q.q_id, c.vec_id AS n_id, list_sum([s[1]*s[2] for s in list_zip(q.qv, c.v)]) / (q.qn * c.nrm) AS cos FROM q JOIN c ON c.code = q.qcode AND c.vec_id <> q.q_id) SELECT q_id, n_id, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos, CAST(rnk AS INTEGER) AS rnk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY floor(cos * 1000000.0 + 0.5) DESC, n_id) AS rnk FROM sc) WHERE rnk <= 3 ORDER BY q_id, rnk"""))
 
   val all: Seq[GraftQuery] = Seq(knnBrute, labelStats, knnLsh)
 }
