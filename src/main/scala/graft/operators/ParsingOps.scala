@@ -136,9 +136,13 @@ object ParsingOps {
     Some("""SELECT n_name, count(*) AS cnt, round(sum(c_acctbal), 2) AS total_bal FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"""))
 
   /** Multimodal decode plumbing as a registered capability: binary payloads
-    * → mapPartitions stub decode → per-format stats. No SQL oracle (the
-    * decode is engine-internal; MultimodalSpec value-checks it) — the
-    * driver records a rows-only check. */
+    * → mapPartitions stub decode → per-format stats. The stub decode is
+    * deterministic byte arithmetic and the corpus is pure ASCII (payload
+    * byte == code point), so the DuckDB oracle replays it exactly: widths/
+    * heights from the leading bytes, luma from the exact integer byte sum
+    * (a double sum of integers ≤ 2^53 is exact, so Spark's per-row double
+    * fold equals DuckDB's integer list_sum bit-for-bit). MultimodalSpec
+    * additionally value-checks the typed Dataset API. */
   private val mmDecode = GraftQuery(
     "mm_decode_stats",
     "multimodal: binary payload decode (stubbed codec) + per-format stats",
@@ -152,7 +156,7 @@ object ParsingOps {
           fround(favg("mean_luma"), 4).as("avg_luma"))
         .orderBy("format")
     },
-    None)
+    Some("""WITH d AS (SELECT doc_id, 'img/fake-' || source AS format, text, length(text) AS n FROM documents), b AS (SELECT format, 64 + CASE WHEN n >= 1 THEN ascii(substring(text, 1, 1)) % 128 ELSE 0 END AS w, 64 + CASE WHEN n >= 2 THEN ascii(substring(text, 2, 1)) % 128 ELSE 0 END AS h, CASE WHEN n = 0 THEN 0.0 ELSE CAST(list_sum([ascii(substring(text, i, 1)) for i in generate_series(1, n)]) AS DOUBLE) / n END AS luma FROM d) SELECT format, count(*) AS cnt, avg(w) AS avg_w, avg(h) AS avg_h, floor(avg(luma) * 10000.0 + 0.5) / 10000.0 AS avg_luma FROM b GROUP BY 1 ORDER BY 1"""))
 
   val all: Seq[GraftQuery] = Seq(
     csvRoundtrip, jsonStruct, jsonInferred, dateConstruct, sqlMultikeyJoin,
