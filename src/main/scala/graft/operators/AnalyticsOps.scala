@@ -275,7 +275,29 @@ object AnalyticsOps {
       .orderBy("event_type"),
     None)
 
+  /** Built-in argmax/argmin (max_by/min_by; the declarative A9 form next to
+    * the typed OrderedAggregators). The ordering key packs (centi value,
+    * event_id) into one exact BIGINT — vc·2³² + id stays under 2⁶² and
+    * orders by value with a unique id tie-break, so both engines pick the
+    * same row even under duplicate values. */
+  private val aggArgExtremes = GraftQuery(
+    "agg_arg_extremes",
+    "max_by/min_by: the event id carrying each type's extreme value",
+    (s, d) => {
+      val key = col("vc") * lit(4294967296L) + col("event_id")
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), centi(col("value")).as("vc"))
+        .groupBy("event_type")
+        .agg(
+          max_by(col("event_id"), key).as("max_value_event"),
+          min_by(col("event_id"), key).as("min_value_event"),
+          count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, arg_max(event_id, vc * 4294967296 + event_id) AS max_value_event, arg_min(event_id, vc * 4294967296 + event_id) AS min_value_event, count(*) AS cnt FROM (SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS vc FROM events) GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
     winSession, winLagLead, aggPercentiles, aggCorr, jSkewSalted, txtTfidf,
-    aggStatsOnepass, aggPivot, winSessionNative, aggApproxPercentile)
+    aggStatsOnepass, aggPivot, winSessionNative, aggApproxPercentile,
+    aggArgExtremes)
 }
