@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   Multiply, NamedLambdaVariable, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.functions.expressions.{DotProduct, ShingleGenerator}
 
@@ -32,12 +32,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_dot expects 2 arguments (array<double>, array<double>), got ${exprs.length}")
+        DotProduct(exprs(0), exprs(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShingleGenerator].getName, "graft_shingles"),
-      (exprs: Seq[Expression]) =>
-        ShingleGenerator(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_shingles expects 2 arguments (text, n), got ${exprs.length}")
+        require(exprs(1).foldable,
+          "graft_shingles: the shingle size n must be a constant, not a column")
+        ShingleGenerator(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+      }))
     ext.injectOptimizerRule(_ => SelfDotRewrite)
   }
 }
@@ -56,8 +65,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * unequal-length arrays the HOF form yields null where DotProduct truncates
   * — only the self case is unconditionally semantics-preserving (same
   * array, same length, null input propagates to null in both forms).
+  *
+  * Additionally the element type must be non-nullable: for a null ELEMENT
+  * the HOF form propagates null through x*y and a+e to a null result,
+  * while DotProduct's primitive loop reads the slot as 0.0 — so arrays
+  * with containsNull=true are never rewritten.
   */
 object SelfDotRewrite extends Rule[LogicalPlan] {
+  private def nonNullDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, containsNull) => !containsNull
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case ArrayAggregate(
@@ -68,7 +87,7 @@ object SelfDotRewrite extends Rule[LogicalPlan] {
             LambdaFunction(Add(ax: NamedLambdaVariable, ae: NamedLambdaVariable, _),
               Seq(acc: NamedLambdaVariable, elem: NamedLambdaVariable), _),
             LambdaFunction(fin: NamedLambdaVariable, Seq(fv: NamedLambdaVariable), _))
-          if zero == 0.0 && a.semanticEquals(b) &&
+          if zero == 0.0 && a.semanticEquals(b) && nonNullDoubleArray(a) &&
             Set(mx.exprId, my.exprId) == Set(zx.exprId, zy.exprId) &&
             Set(ax.exprId, ae.exprId) == Set(acc.exprId, elem.exprId) &&
             fin.exprId == fv.exprId =>

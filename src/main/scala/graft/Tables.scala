@@ -18,17 +18,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Resolved-relation cache, keyed by (session, path): every uncached
+  /** Resolved-relation cache, weak-keyed by session: every uncached
     * `spark.read.parquet` re-lists files and re-reads footers for schema —
-    * pure metadata overhead when dozens of queries share ten static tables.
-    * This is exactly what a table catalog provides; DataFrames are
-    * immutable plans, so sharing them is safe. */
+    * pure metadata overhead when dozens of queries share ten static
+    * testdata tables. This is exactly what a table catalog provides;
+    * DataFrames are immutable plans, so sharing them is safe. The WeakHashMap
+    * key lets a stopped session (and everything it pins) be GC'd. NOTE:
+    * cached entries pin the first file listing — correct for the immutable
+    * driver testdata this layer serves; a mutable table would need catalog
+    * invalidation, which is out of scope here. */
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) { m = scala.collection.concurrent.TrieMap.empty; cache.put(spark, m) }
+      m
+    }
+    perSession.getOrElseUpdate(s"$dir/$name.parquet",
       spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = apply(s, d, "nation")

@@ -44,8 +44,14 @@ object GraftFunctions {
     when(size(toks) < n, array().cast("array<string>")).otherwise(mk)
   }
 
-  /** Cast a float vector to double for numerically stable math. */
-  def vecDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Cast a float vector to double for numerically stable math. The
+    * coalesce makes the element type provably non-nullable (parquet list
+    * elements default to containsNull=true even when no nulls exist):
+    * vector math treats a null component as 0.0, and the non-null type is
+    * what lets SelfDotRewrite fire (it must not rewrite nullable-element
+    * arrays — see GraftExtensions). */
+  def vecDouble(v: Column): Column =
+    transform(v, x => coalesce(x.cast("double"), lit(0.0)))
 
   /** Dot product of two double arrays — sequential left fold, which matches
     * DuckDB's list_sum over the zipped products bit-for-bit in practice.

@@ -229,9 +229,13 @@ object AnalyticsOps {
         .select(col("user_id"), col("event_type"), centi(col("value")).as("vc"))
         .groupBy("user_id")
         .pivot("event_type", kinds)
-        .agg(coalesce(sum("vc"), lit(0L)))
+        .agg(sum("vc"))
+        // coalesce AFTER the pivot: PivotFirst leaves a missing (user, type)
+        // slot NULL (an inner coalesce never sees it), while the oracle's
+        // CASE WHEN sum emits 0 — without this, any user lacking one event
+        // type would hash-mismatch
         .select(col("user_id") +: kinds.map(k =>
-          fround(col(k).cast("double") / 100.0, 2).as(s"${k}_total")): _*)
+          fround(coalesce(col(k), lit(0L)).cast("double") / 100.0, 2).as(s"${k}_total")): _*)
         .orderBy("user_id")
     },
     Some("""SELECT user_id, floor(CAST(sum(CASE WHEN event_type = 'click' THEN vc ELSE 0 END) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS click_total, floor(CAST(sum(CASE WHEN event_type = 'error' THEN vc ELSE 0 END) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS error_total, floor(CAST(sum(CASE WHEN event_type = 'purchase' THEN vc ELSE 0 END) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS purchase_total, floor(CAST(sum(CASE WHEN event_type = 'signup' THEN vc ELSE 0 END) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS signup_total, floor(CAST(sum(CASE WHEN event_type = 'view' THEN vc ELSE 0 END) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS view_total FROM (SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events) GROUP BY 1 ORDER BY 1"""))

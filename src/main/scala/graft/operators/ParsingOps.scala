@@ -30,11 +30,12 @@ object ParsingOps {
         .select(col("r.*"))
       parsed.groupBy("event_type")
         .agg(count(lit(1)).as("cnt"),
-          round(sum("value"), 2).as("total"),
+          fround(sum(graft.functions.GraftFunctions.centi(col("value")))
+            .cast("double") / 100.0, 2).as("total"),
           max("event_id").as("max_id"))
         .orderBy("event_type")
     },
-    Some("""SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total, max(event_id) AS max_id FROM events GROUP BY 1 ORDER BY 1"""))
+    Some("""SELECT event_type, count(*) AS cnt, floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total, max(event_id) AS max_id FROM events GROUP BY 1 ORDER BY 1"""))
 
   /** S14: typed JSON decode — from_json into a struct (the reference's
     * json4s `extract[MonthlyCommits]` in KafkaStreamingJson2.scala:53-56). */
@@ -128,12 +129,13 @@ object ParsingOps {
       Tables.register(s, d, Seq("customer", "nation"))
       graft.sources.Layouts.dropTableAndLocation(s, "graft_ctas_nation_customers")
       s.sql("""CREATE TABLE graft_ctas_nation_customers USING parquet AS
-               SELECT n_name, count(*) AS cnt, round(sum(c_acctbal), 2) AS total_bal
+               SELECT n_name, count(*) AS cnt,
+                 floor(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_bal
                FROM customer JOIN nation ON c_nationkey = n_nationkey
                GROUP BY n_name""")
       s.sql("SELECT * FROM graft_ctas_nation_customers ORDER BY n_name")
     },
-    Some("""SELECT n_name, count(*) AS cnt, round(sum(c_acctbal), 2) AS total_bal FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"""))
+    Some("""SELECT n_name, count(*) AS cnt, floor(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_bal FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"""))
 
   /** Multimodal decode plumbing as a registered capability: binary payloads
     * → mapPartitions stub decode → per-format stats. The stub decode is

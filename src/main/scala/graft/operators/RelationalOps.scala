@@ -42,7 +42,7 @@ object RelationalOps {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        fround(sum(centi(col("l_extendedprice"))).cast("double") / 100.0, 2).as("sum_base_price"),
         sum(revC).as("rc"),
         sum(revC * (lit(100L) + centi(col("l_tax")))).as("cc"),
         avg("l_quantity").as("avg_qty"),
@@ -57,7 +57,7 @@ object RelationalOps {
         fround(col("dc").cast("double") / col("cnt") / 100.0, 4).as("avg_disc"),
         col("cnt"))
       .orderBy("l_returnflag", "l_linestatus"),
-    Some(s"""SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, floor(CAST(rc AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0 AS sum_disc_price, floor(CAST(cc AS DOUBLE) / 1000000.0 * 100.0 + 0.5) / 100.0 AS sum_charge, floor(avg_qty * 10000.0 + 0.5) / 10000.0 AS avg_qty, floor(CAST(pc AS DOUBLE) / cnt / 100.0 * 10000.0 + 0.5) / 10000.0 AS avg_price, floor(CAST(dc AS DOUBLE) / cnt / 100.0 * 10000.0 + 0.5) / 10000.0 AS avg_disc, cnt FROM (SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base_price, CAST(sum($revCSql) AS BIGINT) AS rc, CAST(sum($revCSql * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS cc, avg(l_quantity) AS avg_qty, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS pc, CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS dc, count(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1, 2) ORDER BY 1, 2"""))
+    Some(s"""SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, floor(CAST(rc AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0 AS sum_disc_price, floor(CAST(cc AS DOUBLE) / 1000000.0 * 100.0 + 0.5) / 100.0 AS sum_charge, floor(avg_qty * 10000.0 + 0.5) / 10000.0 AS avg_qty, floor(CAST(pc AS DOUBLE) / cnt / 100.0 * 10000.0 + 0.5) / 10000.0 AS avg_price, floor(CAST(dc AS DOUBLE) / cnt / 100.0 * 10000.0 + 0.5) / 10000.0 AS avg_disc, cnt FROM (SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS sum_base_price, CAST(sum($revCSql) AS BIGINT) AS rc, CAST(sum($revCSql * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS cc, avg(l_quantity) AS avg_qty, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS pc, CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS dc, count(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1, 2) ORDER BY 1, 2"""))
 
   /** TPC-H Q3 shape: filtered dim ⋈ fact ⋈ fact, then top-k by revenue.
     * customer is broadcast; orders⋈lineitem shuffles on orderkey once. */
@@ -108,9 +108,9 @@ object RelationalOps {
       .join(Tables.lineitem(s, d).filter(col("l_quantity") >= 45),
         col("o_orderkey") === col("l_orderkey"), "left_semi")
       .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+      .agg(count(lit(1)).as("cnt"), fround(sum(centi(col("o_totalprice"))).cast("double") / 100.0, 2).as("total"))
       .orderBy("o_orderpriority"),
-    Some("""SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS total FROM orders WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45) GROUP BY 1 ORDER BY 1"""))
+    Some("""SELECT o_orderpriority, count(*) AS cnt, floor(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total FROM orders WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45) GROUP BY 1 ORDER BY 1"""))
 
   /** Left-anti join = NOT EXISTS: customers with no urgent order. */
   private val jAnti = GraftQuery(
@@ -147,9 +147,9 @@ object RelationalOps {
         col("l_partkey") === col("p_partkey") &&
           col("l_quantity").between(col("p_size") - 2, col("p_size") + 2))
       .groupBy("p_brand")
-      .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("total"))
+      .agg(count(lit(1)).as("cnt"), fround(sum(centi(col("l_extendedprice"))).cast("double") / 100.0, 2).as("total"))
       .orderBy("p_brand"),
-    Some("""SELECT p_brand, count(*) AS cnt, round(sum(l_extendedprice), 2) AS total FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity BETWEEN p_size - 2 AND p_size + 2 GROUP BY 1 ORDER BY 1"""))
+    Some("""SELECT p_brand, count(*) AS cnt, floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity BETWEEN p_size - 2 AND p_size + 2 GROUP BY 1 ORDER BY 1"""))
 
   /** As-of join: for each purchase, the most recent prior signup by the same
     * user. Implemented with a single sort within user partitions (union the
@@ -199,7 +199,7 @@ object RelationalOps {
     (s, d) => {
       val daily = Tables.lineitem(s, d)
         .groupBy(to_date(col("l_shipdate")).as("dy"))
-        .agg(round(sum("l_extendedprice"), 2).as("rev"))
+        .agg(fround(sum(centi(col("l_extendedprice"))).cast("double") / 100.0, 2).as("rev"))
       val ord = Window.orderBy("dy")
       val frame = ord.rowsBetween(-6, 0)
       daily
@@ -210,7 +210,7 @@ object RelationalOps {
         .select("dy", "rev", "ma7", "delta")
         .orderBy("dy")
     },
-    Some("""SELECT dy, rev, floor(CAST(sum(rc) OVER w AS DOUBLE) / count(*) OVER w / 100.0 * 10000.0 + 0.5) / 10000.0 AS ma7, round(rev - lag(rev, 1) OVER (ORDER BY dy), 2) AS delta FROM (SELECT dy, rev, CAST(round(rev * 100) AS BIGINT) AS rc FROM (SELECT CAST(l_shipdate AS DATE) AS dy, round(sum(l_extendedprice), 2) AS rev FROM lineitem GROUP BY 1)) WINDOW w AS (ORDER BY dy ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY dy"""))
+    Some("""SELECT dy, rev, floor(CAST(sum(rc) OVER w AS DOUBLE) / count(*) OVER w / 100.0 * 10000.0 + 0.5) / 10000.0 AS ma7, round(rev - lag(rev, 1) OVER (ORDER BY dy), 2) AS delta FROM (SELECT dy, rev, CAST(round(rev * 100) AS BIGINT) AS rc FROM (SELECT CAST(l_shipdate AS DATE) AS dy, floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS rev FROM lineitem GROUP BY 1)) WINDOW w AS (ORDER BY dy ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY dy"""))
 
   private val setIntersect = GraftQuery(
     "set_intersect",
@@ -274,7 +274,7 @@ object RelationalOps {
       .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
         coalesce(col("mon"), lit(-1)).as("mon"), col("cnt"), col("total"))
       .orderBy("etype", "mon"),
-    Some("""SELECT coalesce(event_type, 'ALL') AS etype, coalesce(mon, -1) AS mon, count(*) AS cnt, round(sum(value), 2) AS total FROM (SELECT event_type, CAST(month(ts) AS INTEGER) AS mon, value FROM events) GROUP BY CUBE(event_type, mon) ORDER BY etype, mon"""))
+    Some("""SELECT coalesce(event_type, 'ALL') AS etype, coalesce(mon, -1) AS mon, count(*) AS cnt, floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total FROM (SELECT event_type, CAST(month(ts) AS INTEGER) AS mon, value FROM events) GROUP BY CUBE(event_type, mon) ORDER BY etype, mon"""))
 
   /** GROUPING SETS through the spark.sql entry path (temp views), mirroring
     * the reference's SQL-over-named-tables surface (SampleJoin.scala:40-48). */
@@ -340,9 +340,9 @@ object RelationalOps {
     "F3/F5 date_format weekday name + aggregate",
     (s, d) => Tables.events(s, d)
       .groupBy(date_format(col("ts"), "EEEE").as("weekday"))
-      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
+      .agg(count(lit(1)).as("cnt"), fround(sum(centi(col("value"))).cast("double") / 100.0, 2).as("total"))
       .orderBy("weekday"),
-    Some("""SELECT strftime(ts, '%A') AS weekday, count(*) AS cnt, round(sum(value), 2) AS total FROM events GROUP BY 1 ORDER BY 1"""))
+    Some("""SELECT strftime(ts, '%A') AS weekday, count(*) AS cnt, floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total FROM events GROUP BY 1 ORDER BY 1"""))
 
   /** Co-located fact⋈fact join over bucketed tables (Layouts): both sides
     * pre-bucketed by order key, so the join runs with NO exchange on either

@@ -80,9 +80,12 @@ object WeatherOps {
     (s, d) => Tables.events(s, d)
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), year(col("ts")).as("yr"))
-      .agg(round(sum("value"), 2).as("precip"), count(lit(1)).as("cnt"))
+      .agg(graft.functions.GraftFunctions.fround(
+          sum(graft.functions.GraftFunctions.centi(col("value"))).cast("double") / 100.0, 2)
+          .as("precip"),
+        count(lit(1)).as("cnt"))
       .orderBy("user_id", "yr"),
-    Some("""SELECT user_id, CAST(year(ts) AS INTEGER) AS yr, round(sum(value), 2) AS precip, count(*) AS cnt FROM events WHERE event_type = 'purchase' GROUP BY 1, 2 ORDER BY 1, 2"""))
+    Some("""SELECT user_id, CAST(year(ts) AS INTEGER) AS yr, floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS precip, count(*) AS cnt FROM events WHERE event_type = 'purchase' GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** Top-k daily totals (ref PrecipitationActor.scala:47-55 uses RDD.top(k);
     * Catalyst's TakeOrderedAndProject is the same per-partition-heap+merge
@@ -137,9 +140,12 @@ object WeatherOps {
     (s, d) => Tables.events(s, d)
       .join(broadcast(Tables.customer(s, d)), col("user_id") === col("c_custkey"))
       .groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
+      .agg(count(lit(1)).as("cnt"),
+        graft.functions.GraftFunctions.fround(
+          sum(graft.functions.GraftFunctions.centi(col("value"))).cast("double") / 100.0, 2)
+          .as("total"))
       .orderBy("c_mktsegment"),
-    Some("""SELECT c_mktsegment, count(*) AS cnt, round(sum(value), 2) AS total FROM events JOIN customer ON user_id = c_custkey GROUP BY 1 ORDER BY 1"""))
+    Some("""SELECT c_mktsegment, count(*) AS cnt, floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total FROM events JOIN customer ON user_id = c_custkey GROUP BY 1 ORDER BY 1"""))
 
   /** Full-scan count (ref A7: SimpleSparkJob.scala:26-31). */
   private val countRaw = GraftQuery(
@@ -168,9 +174,12 @@ object WeatherOps {
     "S8/A5 keyed running sum (counter-table emulation), batch view",
     (s, d) => Tables.events(s, d)
       .groupBy(col("user_id"), to_date(col("ts")).as("dy"))
-      .agg(round(sum("value"), 2).as("total"), count(lit(1)).as("cnt"))
+      .agg(graft.functions.GraftFunctions.fround(
+          sum(graft.functions.GraftFunctions.centi(col("value"))).cast("double") / 100.0, 2)
+          .as("total"),
+        count(lit(1)).as("cnt"))
       .orderBy("user_id", "dy"),
-    Some("""SELECT user_id, CAST(ts AS DATE) AS dy, round(sum(value), 2) AS total, count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+    Some("""SELECT user_id, CAST(ts AS DATE) AS dy, floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total, count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   val all: Seq[GraftQuery] = Seq(
     dailyStats, monthlyHiLow, annualSum, topK, latest,

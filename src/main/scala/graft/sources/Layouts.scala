@@ -42,7 +42,10 @@ object Layouts {
   }
 
   def bucketedOrdersLineitem(s: SparkSession, dir: String, buckets: Int = 8): Unit = {
-    if (!s.catalog.tableExists("graft_orders_b")) {
+    // check BOTH tables: a run interrupted between the two writes must not
+    // leave a half-created state that skips the second table forever
+    if (!s.catalog.tableExists("graft_orders_b") ||
+        !s.catalog.tableExists("graft_lineitem_b")) {
       Seq("graft_orders_b", "graft_lineitem_b")
         .foreach(dropTableAndLocation(s, _))
       // The layout carries only the join/aggregate columns: a bucketed
