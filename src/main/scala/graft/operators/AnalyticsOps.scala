@@ -49,7 +49,7 @@ object AnalyticsOps {
           fround(col("vcs").cast("double") / 100.0, 2).as("total_value"))
         .orderBy("user_id", "sess")
     },
-    Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, CAST(round(value * 100) AS BIGINT) AS vc FROM events), o AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM ev), m AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s FROM o), x AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM m) SELECT user_id, sess, count(*) AS n_events, min(us) AS start_us, floor((max(us) - min(us)) / 1000000.0 * 1000.0 + 0.5) / 1000.0 AS dur_s, floor(CAST(sum(vc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value FROM x GROUP BY 1, 2 ORDER BY 1, 2"""))
+    Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, CAST(round(value * 100) AS BIGINT) AS vc FROM events), o AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM ev), m AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s FROM o), x AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM m) SELECT user_id, sess, count(*) AS n_events, min(us) AS start_us, floor((max(us) - min(us)) / 1000000.0 * 1000.0 + 0.5) / 1000.0 AS dur_s, floor(CAST(sum(vc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value FROM x GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** Lag/lead value deltas per user's purchase sequence: the spend-trend
     * query. Deltas are integer centi-unit differences, so their distributed

@@ -128,9 +128,12 @@ object ParsingOps {
     (s, d) => {
       Tables.register(s, d, Seq("customer", "nation"))
       graft.sources.Layouts.dropTableAndLocation(s, "graft_ctas_nation_customers")
+      // CAST the stored column to DOUBLE: Spark types floor(...)/100.0 as
+      // DECIMAL (decimal literal division) while the DuckDB oracle emits
+      // DOUBLE — numerically equal but a schema/hash mismatch at the gate.
       s.sql("""CREATE TABLE graft_ctas_nation_customers USING parquet AS
                SELECT n_name, count(*) AS cnt,
-                 floor(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_bal
+                 CAST(floor(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS DOUBLE) AS total_bal
                FROM customer JOIN nation ON c_nationkey = n_nationkey
                GROUP BY n_name""")
       s.sql("SELECT * FROM graft_ctas_nation_customers ORDER BY n_name")

@@ -132,9 +132,9 @@ object RelationalOps {
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
       .groupBy("c_custkey")
       .agg(count(col("o_orderkey")).as("n_orders"),
-        round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("spend"))
+        fround(coalesce(sum(centi(col("o_totalprice"))), lit(0L)).cast("double") / 100.0, 2).as("spend"))
       .orderBy("c_custkey"),
-    Some("""SELECT c_custkey, count(o_orderkey) AS n_orders, round(coalesce(sum(o_totalprice), 0), 2) AS spend FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1 ORDER BY 1"""))
+    Some("""SELECT c_custkey, count(o_orderkey) AS n_orders, floor(CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS spend FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1 ORDER BY 1"""))
 
   /** Equi + range (band) join: quantity within ±2 of part size. The equi key
     * carries the join; the range predicate is evaluated as a post-filter, so
@@ -270,7 +270,8 @@ object RelationalOps {
     (s, d) => Tables.events(s, d)
       .withColumn("mon", month(col("ts")))
       .cube(col("event_type"), col("mon"))
-      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
+      .agg(count(lit(1)).as("cnt"),
+        fround(sum(centi(col("value"))).cast("double") / 100.0, 2).as("total"))
       .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
         coalesce(col("mon"), lit(-1)).as("mon"), col("cnt"), col("total"))
       .orderBy("etype", "mon"),

@@ -42,10 +42,13 @@ object Layouts {
   }
 
   def bucketedOrdersLineitem(s: SparkSession, dir: String, buckets: Int = 8): Unit = {
-    // check BOTH tables: a run interrupted between the two writes must not
-    // leave a half-created state that skips the second table forever
-    if (!s.catalog.tableExists("graft_orders_b") ||
-        !s.catalog.tableExists("graft_lineitem_b")) {
+    // check BOTH tables AND their source dir: a run interrupted between the
+    // two writes must not leave a half-created state that skips the second
+    // table forever, and a session that switches scale-factor dirs must not
+    // silently reuse the first dir's buckets for the second dir's queries
+    val upToDate = Seq("graft_orders_b", "graft_lineitem_b").forall(t =>
+      s.catalog.tableExists(t) && sourceDirOf(s, t).contains(dir))
+    if (!upToDate) {
       Seq("graft_orders_b", "graft_lineitem_b")
         .foreach(dropTableAndLocation(s, _))
       // The layout carries only the join/aggregate columns: a bucketed
@@ -68,8 +71,19 @@ object Layouts {
         .repartition(buckets, col("l_orderkey"))
         .write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable("graft_lineitem_b")
+      Seq("graft_orders_b", "graft_lineitem_b").foreach(t =>
+        s.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.source.dir' = '$dir')"))
     }
   }
+
+  /** The scale dir a managed layout table was built from (its
+    * `graft.source.dir` table property), if recorded. */
+  private def sourceDirOf(s: SparkSession, table: String): Option[String] =
+    try {
+      s.sql(s"SHOW TBLPROPERTIES $table ('graft.source.dir')")
+        .collect().headOption.map(_.getString(1))
+        .filter(!_.contains("does not have property"))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Materialize events partitioned by event_type under `outDir` —
     * a filter on event_type then prunes at the directory level. */
