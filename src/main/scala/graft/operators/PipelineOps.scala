@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.functions.GraftFunctions._
+
+/** Training-data pipeline operators beyond round 1's dedup/similarity/text
+  * families: deterministic corpus splitting, vector-column profiling,
+  * funnel/mode analytics, and calendar gap-fill — the everyday verbs of a
+  * large-scale data-curation pipeline, each shaped to scale:
+  *
+  *  - hash-split: a pure narrow map (md5 of the key), no shuffle at all —
+  *    the industry-standard way to carve train/val/test out of 100 TB
+  *    without a global sample or sort. Stable under corpus growth: a doc's
+  *    split never changes when other docs are added.
+  *  - vector profiling: per-row higher-order array functions (no explode —
+  *    an explode would multiply the shuffle by the vector dimension).
+  *  - funnel: ONE conditional aggregation pass over events (min-timestamp
+  *    funnel), not a self-join per stage.
+  *  - gap-fill: the grid is generated (sequence × distinct keys), the fill
+  *    is one window shuffle on the series key.
+  *
+  * Determinism: every compared value is integer-derived (md5 nibbles,
+  * centi-units, unix micros) with `fround` floor-rounding; ties always
+  * break on a unique key. See GraftFunctions.
+  */
+object PipelineOps {
+
+  /** u = first 32 bits of md5(key) as an integer — the same value DuckDB
+    * computes via an 8-term nibble polynomial (no hex→int conv there). */
+  private def md5u32(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private val uSql = (0 until 8).map { j =>
+    val w = math.pow(16, 7 - j).toLong
+    s"(instr('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) * $w"
+  }.mkString("(", " + ", ")")
+
+  /** Deterministic train/val/test split by content-independent key hash
+    * (80/10/10). The split is a property of the doc_id alone: reproducible
+    * across runs, engines, and corpus growth, with zero shuffle — the
+    * aggregation here just summarizes the three buckets for verification. */
+  private val sampHashSplit = GraftQuery(
+    "samp_hash_split",
+    "deterministic md5 train/val/test split (80/10/10) of the corpus",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("m", md5u32(col("doc_id").cast("string")) % 10)
+      .withColumn("split",
+        when(col("m") <= 7, "train").when(col("m") === 8, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("split"),
+    Some(s"""WITH u AS (SELECT doc_id, n_chars, $uSql % 10 AS m FROM (SELECT doc_id, n_chars, md5(doc_id::VARCHAR) AS h FROM documents)), sp AS (SELECT CASE WHEN m <= 7 THEN 'train' WHEN m = 8 THEN 'val' ELSE 'test' END AS split, doc_id, n_chars FROM u) SELECT split, count(*) AS n_docs, sum(n_chars) AS sum_chars, min(doc_id) AS min_id, max(doc_id) AS max_id FROM sp GROUP BY 1 ORDER BY 1"""))
+
+  /** Per-vector profile via higher-order array functions — dimension,
+    * range, mean, positive-component count — all computed inside the row
+    * (no explode: an explode would fan each row into `dim` shuffle rows).
+    * The mean is an exact integer micro-unit fold, so Spark's sequential
+    * `aggregate` equals DuckDB's list_sum bit-for-bit. */
+  private val arrHofStats = GraftQuery(
+    "arr_hof_stats",
+    "per-vector array HOF profile: dim, min/max, exact-integer mean, n_pos",
+    (s, d) => {
+      val v = vecDouble(col("embedding"))
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        size(filter(v, x => x > 0.0)).as("n_pos"),
+        fround(array_min(v), 6).as("vmin"),
+        fround(array_max(v), 6).as("vmax"),
+        fround(
+          aggregate(v, lit(0L), (acc, x) => acc + round(x * 1e6, 0).cast("long"))
+            .cast("double") / size(col("embedding")) / 1e6, 6).as("vmean"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings) SELECT vec_id, CAST(len(v) AS INTEGER) AS dim, CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_pos, floor(list_min(v) * 1e6 + 0.5) / 1e6 AS vmin, floor(list_max(v) * 1e6 + 0.5) / 1e6 AS vmax, floor(CAST(CAST(list_sum(list_transform(v, x -> CAST(round(x * 1e6) AS BIGINT))) AS BIGINT) AS DOUBLE) / len(v) / 1e6 * 1e6 + 0.5) / 1e6 AS vmean FROM e ORDER BY vec_id"""))
+
+  /** Min-timestamp conversion funnel signup → view → purchase: ONE
+    * conditional-aggregation pass computes each user's first timestamp per
+    * stage; the stage test is pure CASE logic on integer micros. At scale
+    * this is a single shuffle on user_id (map-side combined), versus the
+    * naive per-stage self-join cascade. */
+  private val evtFunnel = GraftQuery(
+    "evt_funnel",
+    "conversion funnel (signup->view->purchase) via one conditional agg pass",
+    (s, d) => {
+      val us = unix_micros(col("ts"))
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup", us)).as("s"),
+          min(when(col("event_type") === "view", us)).as("v"),
+          min(when(col("event_type") === "purchase", us)).as("p"))
+        .withColumn("stage",
+          when(col("s").isNull, 0)
+            .when(col("v").isNull || col("v") <= col("s"), 1)
+            .when(col("p").isNull || col("p") <= col("v"), 2)
+            .otherwise(3))
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_users"),
+          fround(sum(when(col("stage") === 3, col("p") - col("s")))
+            .cast("double") / 1e6, 3).as("conv_total_s"))
+        .orderBy("stage")
+    },
+    Some("""WITH f AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS s, min(CASE WHEN event_type = 'view' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS v, min(CASE WHEN event_type = 'purchase' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS p FROM events GROUP BY 1), st AS (SELECT *, CASE WHEN s IS NULL THEN 0 WHEN v IS NULL OR v <= s THEN 1 WHEN p IS NULL OR p <= v THEN 2 ELSE 3 END AS stage FROM f) SELECT stage, count(*) AS n_users, floor(CAST(sum(CASE WHEN stage = 3 THEN p - s END) AS DOUBLE) / 1e6 * 1000.0 + 0.5) / 1000.0 AS conv_total_s FROM st GROUP BY 1 ORDER BY 1"""))
+
+  /** Mode (most frequent value) per group: count then rank, ties broken
+    * lexicographically. Two keyed shuffles (user×type counts, then the
+    * per-user argmax window); the window input is already one row per
+    * (user, type) — tiny relative to the event stream. */
+  private val aggMode = GraftQuery(
+    "agg_mode",
+    "per-user modal event_type (most frequent, ties lexicographic)",
+    (s, d) => {
+      val cnt = Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("user_id").orderBy(col("n").desc, col("event_type"))
+      cnt.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+        .orderBy("user_id")
+    },
+    Some("""WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2), r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn FROM c) SELECT user_id, event_type AS mode_type, n FROM r WHERE rn = 1 ORDER BY user_id"""))
+
+  /** Calendar gap-fill + forward-fill: generate the full per-user daily
+    * grid over the corpus date span (sequence × distinct keys — generated,
+    * never shuffled), left-join the observed daily aggregate, and carry the
+    * last observation forward with an IGNORE NULLS running window. The fill
+    * is ONE window shuffle on the series key. Values are centi-ints so the
+    * filled series is bit-identical across engines. */
+  private val calGapFill = GraftQuery(
+    "cal_gap_fill",
+    "daily grid gap-fill + forward-fill (last observation carried forward)",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), to_date(col("ts")).as("day"), centi(col("value")).as("vc"))
+      val daily = ev.groupBy("user_id", "day").agg(max("vc").as("dmax"))
+      val span = Tables.events(s, d)
+        .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      val grid = ev.select("user_id").distinct()
+        .crossJoin(span)
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          fround(last("dmax", ignoreNulls = true).over(w).cast("double") / 100.0, 2)
+            .as("value_ff"),
+          col("dmax").isNull.as("was_gap"))
+        .orderBy("user_id", "day")
+    },
+    Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, CAST(round(value * 100) AS BIGINT) AS vc FROM events WHERE user_id < 20), daily AS (SELECT user_id, day, max(vc) AS dmax FROM ev GROUP BY 1, 2), span AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events), days AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span), grid AS (SELECT u.user_id, d.day FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN days d), j AS (SELECT g.user_id, g.day, daily.dmax FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.day = daily.day), f AS (SELECT user_id, day, dmax, last_value(dmax IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS ff FROM j) SELECT user_id, day, floor(CAST(ff AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS value_ff, dmax IS NULL AS was_gap FROM f ORDER BY user_id, day"""))
+
+  val all: Seq[GraftQuery] = Seq(
+    sampHashSplit, arrHofStats, evtFunnel, aggMode, calGapFill)
+}

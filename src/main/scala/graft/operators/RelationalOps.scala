@@ -384,9 +384,54 @@ object RelationalOps {
       .orderBy("yr", "mon"),
     Some(s"""SELECT yr, mon, cnt, floor(CAST(pc AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0 AS promo_rev, floor(100.0 * pc / tc * 10000.0 + 0.5) / 10000.0 AS promo_share_pct FROM (SELECT CAST(year(l_shipdate) AS INTEGER) AS yr, CAST(month(l_shipdate) AS INTEGER) AS mon, CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN $revCSql ELSE 0 END) AS BIGINT) AS pc, CAST(sum($revCSql) AS BIGINT) AS tc, count(*) AS cnt FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2) ORDER BY 1, 2"""))
 
+  /** TPC-H Q18 shape (large-volume customers): aggregate the fact FIRST,
+    * cut to the top-100 with TakeOrderedAndProject (per-partition heaps, no
+    * global sort), and only then join the 100 survivors to orders+customer —
+    * both joins broadcast the tiny side. The scalable order of operations:
+    * reduce before you join. */
+  private val q18TopQuantity = GraftQuery(
+    "q18_top_quantity",
+    "Q18 shape: top-100 orders by total quantity, joined to orders+customer",
+    (s, d) => {
+      val top = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sum(centi(col("l_quantity"))).as("qc"))
+        .orderBy(col("qc").desc, col("l_orderkey"))
+        .limit(100)
+      top.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_date"),
+          fround(centi(col("o_totalprice")).cast("double") / 100.0, 2).as("o_total"),
+          fround(col("qc").cast("double") / 100.0, 2).as("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+    },
+    Some("""WITH top AS (SELECT l_orderkey, sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qc FROM lineitem GROUP BY 1 ORDER BY qc DESC, l_orderkey LIMIT 100) SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date, floor(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS o_total, floor(CAST(qc AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_qty FROM top JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey ORDER BY total_qty DESC, o_orderkey"""))
+
+  /** Distribution windows: quartile bucket, percent_rank, cume_dist per
+    * market segment. The ordering key is (exact centi balance, custkey) —
+    * unique, so every rank function is tie-free and both engines compute
+    * the same rational rank values from the same integers. */
+  private val winNtile = GraftQuery(
+    "win_ntile",
+    "ntile/percent_rank/cume_dist over customer balances per segment",
+    (s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("balc"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          centi(col("c_acctbal")).as("balc"))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).as("quartile"),
+          fround(percent_rank().over(w), 6).as("pct_rank"),
+          fround(cume_dist().over(w), 6).as("cume"))
+        .orderBy("c_mktsegment", "c_custkey")
+    },
+    Some("""SELECT c_custkey, c_mktsegment, CAST(ntile(4) OVER w AS INTEGER) AS quartile, floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank, floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY CAST(round(c_acctbal * 100) AS BIGINT), c_custkey) ORDER BY c_mktsegment, c_custkey"""))
+
   val all: Seq[GraftQuery] = Seq(
-    q1, q3, q5, q14Promo, jSemi, jAnti, jOuter, jRange, jAsof, jBucketed,
-    winRank, winMoving, setIntersect, setExcept, setUnion,
+    q1, q3, q5, q14Promo, q18TopQuantity, jSemi, jAnti, jOuter, jRange, jAsof,
+    jBucketed, winRank, winMoving, winNtile, setIntersect, setExcept, setUnion,
     aggRollup, aggCube, aggGroupingSets, aggApprox,
     jsonKv, calDaily, strWeekday)
 }
