@@ -81,22 +81,29 @@ object DedupOps {
     "dedup_minhash",
     "MinHash(12) + LSH(6x2) candidate pairs, exact-Jaccard verified at 0.5",
     (s, d) => {
-      val sh = shingleSet(s, d, 3)
-      // Signatures don't need the distinct: min over a multiset equals min
-      // over the set, so hash straight off the raw generator output (saves
-      // the distinct's shuffle on this leg). One aggregation with K
-      // min-columns: each minhash folds map-side (partial min per
-      // partition), so the shuffle carries one row per doc instead of one
-      // per (doc, shingle, hash_idx).
-      val rawSh = rawShingles(s, d, 3)
-        .withColumn("u", conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long"))
+      // The shingle set feeds FOUR plan legs (signatures, both verify-join
+      // sides, set sizes) and the band table feeds both sides of the LSH
+      // self-join. Spark's exchange reuse does not unify self-join legs
+      // under Generate, so without materialization the scan+shingle+md5
+      // pipeline runs six times (measured). persist() is the local stand-in
+      // for what a production dedup run does at 100 TB: write the shingle
+      // table once, run every downstream leg off the materialization.
+      // (min over the cached SET equals min over the raw multiset, so
+      // signatures off the distinct output are unchanged.)
+      val sh = shingleSet(s, d, 3).persist()
+      val shU = sh.withColumn("u",
+        conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long"))
+      // One aggregation with K min-columns: each minhash folds map-side
+      // (partial min per partition), so the shuffle carries one row per doc
+      // instead of one per (doc, shingle, hash_idx).
       val mins = (0 until K).map(i =>
         min((lit(HASH_A(i)) * col("u") + lit(HASH_B(i))) % lit(P)).as(s"mh$i"))
-      val sig = rawSh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      val sig = shU.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       val bands = sig.select(col("doc_id"),
         posexplode(array((0 until BANDS).map(b =>
           concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)))
         .toDF("doc_id", "band", "bh")
+        .persist()
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -115,7 +122,8 @@ object DedupOps {
     "dedup_ngram_jaccard",
     "exact 4-gram Jaccard >= 0.4 via inverted-index self-join",
     (s, d) => {
-      val sh = shingleSet(s, d, 4)
+      // same materialize-once rationale as dedup_minhash: three legs
+      val sh = shingleSet(s, d, 4).persist()
       val cand = sh.as("x").join(sh.as("y"),
           col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -225,7 +233,7 @@ object DedupOps {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), vecDouble(col("embedding")).as("v"))
         .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-      val coded = e.join(SimilarityOps.lshCodes(e), Seq("vec_id"))
+      val coded = e.join(SimilarityOps.lshCodes(e), Seq("vec_id")).persist()
       val a = coded.select(col("code"), col("vec_id").as("a"),
         col("v").as("va"), col("nrm").as("na"))
       val b = coded.select(col("code"), col("vec_id").as("b"),

@@ -41,51 +41,86 @@ object IvfAnn {
       s.sparkContext.parallelize(rows.map { case (c, v) => Row(c, v) }, 1), schema)
   }
 
-  /** Train the coarse quantizer: returns (cid, cv) — k centroids. The
-    * input is cached for the duration: every iteration is one scan. */
+  /** Train the coarse quantizer: returns (cid, cv) — k centroids.
+    *
+    * Two scale decisions, both standard IVF-trainer practice:
+    *  1. The quantizer trains on a deterministic HASH SAMPLE of the corpus
+    *     (md5(vec_id) % 4 == 0), not the full set — at 100 TB you never
+    *     k-means the corpus, you k-means a few hundred points per centroid.
+    *     The sample is a pure pushed-down filter (no shuffle, no sort), and
+    *     hash sampling keeps it reproducible under corpus growth.
+    *  2. Each iteration is ONE map-side-combined aggregation: assignment is
+    *     a narrow map (centroids inlined as literals), and the centroid
+    *     update groups by cid with the mergeable VectorSumAgg — the shuffle
+    *     carries k×partitions vector buffers, not |corpus|×dim exploded
+    *     rows (the earlier posexplode formulation's cost).
+    *
+    * Means are floor-rounded to 1e-9 so the float merge order can never
+    * leak into the published model. */
   def train(s: SparkSession, vecs: DataFrame): DataFrame = {
     graft.functions.expressions.GraftExpressions.ensureRegistered(s)
-    val v = vecs.persist()
+    val vsum = udaf(graft.functions.VectorSumAgg)
+    val tr = vecs
+      .filter(conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 4 === 0)
+      .persist()
     try {
-      // deterministic spread seed: k smallest md5-ranks
-      var cent = v.withColumn("r", md5(col("vec_id").cast("string")))
+      // deterministic spread seed: k smallest md5-ranks within the sample
+      var cent = tr.withColumn("r", md5(col("vec_id").cast("string")))
         .orderBy("r").limit(K)
         .select(col("v")).collect().toSeq
         .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](0) }
+      def r9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
       for (_ <- 1 to ITERS) {
-        val assigned = assign(s, v, centroidsToDf(s, cent))
-        val means = assigned
-          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("cid", "pos").agg(avg("x").as("m"))
-          .groupBy("cid")
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-            s0 => s0.getField("m")).as("cv"))
-          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        val sums = assign(s, tr, centroidsToDf(s, cent))
+          .groupBy("cid").agg(vsum(col("v")).as("sv"), count(lit(1)).as("n"))
+          .collect()
+          .map(r => r.getInt(0) -> (r.getSeq[Double](1), r.getLong(2))).toMap
         // empty clusters keep their previous centroid
-        cent = cent.map { case (c, v0) => c -> means.getOrElse(c, v0) }
+        cent = cent.map { case (c, v0) =>
+          c -> sums.get(c).map { case (sv, n) => sv.map(x => r9(x / n)) }.getOrElse(v0)
+        }
       }
       centroidsToDf(s, cent)
-    } finally { v.unpersist() }
+    } finally { tr.unpersist() }
   }
 
-  /** One assignment pass: nearest centroid per vector. The k×dim model is
-    * inlined as LITERAL arrays, so assignment is a pure narrow map — k
-    * codegen'd dot products + an array_min argmin per row, NO crossJoin row
-    * blowup and NO shuffle (the earlier crossJoin+groupBy(vec_id) form
-    * shuffled every vector k times). At 100 TB this is the difference
-    * between a metadata-only pass and re-shuffling the corpus. */
+  /** One assignment pass: nearest centroid per vector, as a narrow map —
+    * NO crossJoin row blowup and NO shuffle (the earlier crossJoin+
+    * groupBy(vec_id) form shuffled every vector k times). At 100 TB this is
+    * the difference between a metadata-only pass and re-shuffling the corpus.
+    *
+    * The k×dim model travels as a broadcast ONE-ROW array-of-structs, and
+    * the argmin is an `aggregate` fold over it — so the PLAN is identical
+    * across k-means iterations (only the broadcast data changes) and
+    * whole-stage codegen compiles once instead of once per iteration
+    * (inlining centroids as literals made every iteration a fresh plan).
+    * Ties break to the smallest cid: the fold scans cids ascending and
+    * only replaces on strictly-smaller d2. */
   def assign(s: SparkSession, vecs: DataFrame, centroids: DataFrame): DataFrame = {
     graft.functions.expressions.GraftExpressions.ensureRegistered(s)
     val cent = centroids.collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    val centSchema = StructType(Seq(StructField("cents", ArrayType(StructType(Seq(
+      StructField("cid", IntegerType, nullable = false),
+      StructField("cv", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("cc", DoubleType, nullable = false)))))))
+    val centDf = s.createDataFrame(
+      s.sparkContext.parallelize(Seq(Row(
+        cent.map { case (c, v) => Row(c, v, v.map(x => x * x).sum) })), 1),
+      centSchema)
     val dvv = call_function("graft_dot", col("v"), col("v"))
-    val cands = cent.map { case (cid, cv) =>
-      val cc = cv.map(x => x * x).sum
-      struct(
-        (dvv - lit(2.0) * call_function("graft_dot", col("v"), typedLit(cv)) + lit(cc)).as("d2"),
-        lit(cid).as("cid"))
-    }
-    vecs.withColumn("best", array_min(array(cands: _*)))
+    val best = aggregate(
+      col("cents"),
+      struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cid")),
+      (acc, c) => {
+        val d2 = dvv - lit(2.0) * call_function("graft_dot", col("v"), c.getField("cv")) +
+          c.getField("cc")
+        when(d2 < acc.getField("d2"),
+          struct(d2.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
+      })
+    vecs.crossJoin(broadcast(centDf))
+      .withColumn("best", best)
       .select(col("vec_id"), col("best.cid").as("cid"), col("v"))
   }
 

@@ -88,7 +88,10 @@ object SimilarityOps {
     "ANN: sign-random-projection LSH buckets + in-bucket cosine top-3",
     (s, d) => {
       val e = normalized(s, d)
-      val coded = e.join(lshCodes(e), Seq("vec_id"))
+      // both the query side and the candidate side read the coded table:
+      // materialize it once (the stored-ANN-index analog; the code pipeline
+      // is 2 shuffles over a dims×planes explode otherwise run twice)
+      val coded = e.join(lshCodes(e), Seq("vec_id")).persist()
       val q = coded.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("nrm").as("qn"), col("code").as("qcode"))
