@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import graft.{GraftQuery, Tables}
+
+/** Correlated / scalar / lateral subquery surface, through the SQL entry
+  * path (the reference's only SQL entry is CassandraSQLContext.sql —
+  * SampleJoin.scala:39-50, KafkaStreamingJson.scala:64-66; these queries
+  * extend that entry to the subquery shapes SURVEY.md §2.3 lists as
+  * capability-parity extras).
+  *
+  * Why these matter at scale: a correlated subquery naively re-executes per
+  * outer row — at 100 TB that is quadratic death. Catalyst's decorrelation
+  * (RewriteCorrelatedScalarSubquery, RewritePredicateSubquery,
+  * DecorrelateInnerQuery) turns every one of these into a join against an
+  * aggregated-once subquery leg: EXISTS/IN → left-semi join, NOT EXISTS →
+  * left-anti join, correlated scalar agg → aggregate + equi join, LATERAL
+  * ORDER BY/LIMIT → window rank. Each query here pins one of those rewrites;
+  * the specs assert the physical plan contains the join form (no per-row
+  * re-execution survives into the plan).
+  *
+  * Determinism: every compared number follows the repo rule — exact integer
+  * (centi) sums, floor-rounding, CAST to the common type in both dialects.
+  */
+object SubqueryOps {
+
+  private def q(name: String, doc: String, tables: Seq[String], sparkSql: String,
+                duckSql: String): GraftQuery =
+    GraftQuery(name, doc,
+      (s: SparkSession, d: String) => { Tables.register(s, d, tables); s.sql(sparkSql) },
+      Some(duckSql))
+
+  private val centiQty = "CAST(round(l_quantity * 100) AS BIGINT)"
+  private val revCSql =
+    "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+
+  /** TPC-H Q4 shape (EXISTS → left-semi join). The reference has no
+    * subqueries at all; this is the parity extra exercising
+    * RewritePredicateSubquery. Lineitem has no commitdate, so "late" =
+    * shipped more than 60 days after the order date. */
+  private val existsLateShip = {
+    val sql =
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
+    q("sq_exists",
+      "Q4 shape: EXISTS correlated subquery -> left-semi join, priority counts",
+      Seq("orders", "lineitem"), sql, sql.replace("\n", " "))
+  }
+
+  /** TPC-H Q22 shape (scalar agg subquery + NOT EXISTS → left-anti join).
+    * The balance threshold is an exact-integer avg (centi sums), so the
+    * strict > comparison is the same IEEE division in both engines. */
+  private val notExistsIdle = {
+    def sql(castBig: String => String) =
+      s"""SELECT c_mktsegment, count(*) AS n_cust,
+         |  CAST(floor(CAST(${castBig("sum(CAST(round(c_acctbal * 100) AS BIGINT))")} AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS DOUBLE) AS total_bal
+         |FROM customer
+         |WHERE CAST(round(c_acctbal * 100) AS BIGINT) * 2 > (
+         |    SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT))
+         |    FROM customer WHERE c_acctbal > 0.0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = c_custkey
+         |                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin
+    q("sq_not_exists",
+      "Q22 shape: scalar-avg threshold + NOT EXISTS (no recent order) -> left-anti join",
+      Seq("customer", "orders"),
+      sql(identity),
+      sql(x => s"CAST($x AS BIGINT)").replace("\n", " "))
+  }
+
+  /** TPC-H Q17 shape (correlated scalar aggregate →
+    * RewriteCorrelatedScalarSubquery: aggregate-once + equi join). Revenue
+    * from below-half-average-quantity lineitems, per brand. The correlated
+    * avg is over exact centi integers; sums are exact, the division is one
+    * IEEE op, so the < cut is bit-identical across engines. */
+  private val scalarSmallQty = {
+    def sql(castBig: String => String) =
+      s"""SELECT p_brand,
+         |  CAST(floor(CAST(${castBig(s"sum($revCSql)")} AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0 AS DOUBLE) AS small_qty_rev,
+         |  count(*) AS n_lines
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE $centiQty * 2 < (
+         |    SELECT avg($centiQty) FROM lineitem l2
+         |    WHERE l2.l_partkey = lineitem.l_partkey)
+         |GROUP BY p_brand
+         |ORDER BY p_brand""".stripMargin
+    q("sq_scalar_corr",
+      "Q17 shape: correlated scalar avg -> aggregate+join, small-quantity revenue by brand",
+      Seq("lineitem", "part"),
+      sql(identity),
+      sql(x => s"CAST($x AS BIGINT)").replace("\n", " "))
+  }
+
+  /** TPC-H Q11 shape (uncorrelated scalar subqueries in HAVING). The cut —
+    * part revenue > 1.5x the average part's revenue — is scale-invariant
+    * (a fixed share-of-total threshold degenerates as part count grows) and
+    * compares integer revenue sums cross-multiplied: no division at all, so
+    * the threshold is exact in both engines. */
+  private val havingShare = {
+    def sql(castBig: String => String) =
+      s"""SELECT l_partkey,
+         |  CAST(floor(CAST(${castBig(s"sum($revCSql)")} AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0 AS DOUBLE) AS part_rev
+         |FROM lineitem
+         |GROUP BY l_partkey
+         |HAVING sum($revCSql) * (SELECT count(DISTINCT l_partkey) FROM lineitem) * 2
+         |     > (SELECT sum($revCSql) FROM lineitem) * 3
+         |ORDER BY part_rev DESC, l_partkey""".stripMargin
+    q("sq_having_share",
+      "Q11 shape: HAVING revenue > 1.5x avg part via scalar subqueries, integer cross-multiplied",
+      Seq("lineitem"),
+      sql(identity),
+      sql(x => s"CAST($x AS BIGINT)").replace("\n", " "))
+  }
+
+  /** IN-subquery (→ left-semi join): brands whose parts appear on high-
+    * volume order lines. */
+  private val inHighVolume = {
+    val sql =
+      """SELECT p_brand, count(*) AS n_parts
+        |FROM part
+        |WHERE p_partkey IN (
+        |  SELECT l_partkey FROM lineitem
+        |  GROUP BY l_partkey HAVING count(*) >= 3)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin
+    q("sq_in",
+      "IN aggregated subquery -> left-semi join on high-volume parts",
+      Seq("part", "lineitem"), sql, sql.replace("\n", " "))
+  }
+
+  /** LATERAL correlated subquery with ORDER BY + LIMIT — the "top-N per
+    * outer row" idiom. Catalyst decorrelates to a window rank over one
+    * shuffle of orders (no per-customer re-scan); the tie-break on
+    * o_orderkey makes top-2 unique, and the price key is exact centi. */
+  private val lateralTopk = {
+    val sql =
+      """SELECT c_custkey, o.o_orderkey,
+        |  CAST(floor(CAST(o.pc AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS DOUBLE) AS o_total
+        |FROM customer,
+        |  LATERAL (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+        |           FROM orders WHERE o_custkey = c_custkey
+        |           ORDER BY pc DESC, o_orderkey LIMIT 2) o
+        |WHERE c_custkey % 10 = 0
+        |ORDER BY c_custkey, o_total DESC, o_orderkey""".stripMargin
+    q("j_lateral_topk",
+      "LATERAL subquery with ORDER BY/LIMIT: top-2 orders per customer",
+      Seq("customer", "orders"), sql, sql.replace("\n", " "))
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    existsLateShip, notExistsIdle, scalarSmallQty, havingShare, inHighVolume,
+    lateralTopk)
+}
