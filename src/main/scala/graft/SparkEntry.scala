@@ -14,7 +14,8 @@ object SparkEntry {
   val registry: Seq[GraftQuery] =
     WeatherOps.all ++ RelationalOps.all ++ TextOps.all ++
       DedupOps.all ++ SimilarityOps.all ++ IvfAnn.all ++
-      ParsingOps.all ++ AnalyticsOps.all ++ PipelineOps.all ++ SubqueryOps.all
+      ParsingOps.all ++ AnalyticsOps.all ++ PipelineOps.all ++ SubqueryOps.all ++
+      CurationOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

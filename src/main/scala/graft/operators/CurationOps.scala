@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import graft.{GraftQuery, Tables}
+
+/** Training-data curation verbs over the documents/embeddings corpus — the
+  * operations a 100 TB pretraining pipeline runs between raw crawl and
+  * tokenizer: deterministic sampling (stratified, quota-per-source, global
+  * shuffle), text normalization, length histograms, and int8 embedding
+  * quantization. The reference has no corpus surface (its data model stops
+  * at weather readings — SURVEY.md §1.2); these extend the engine the way
+  * §2's "parity extras" do, each with a DuckDB oracle.
+  *
+  * Design rules shared by every verb here:
+  *  - Sampling/shuffle keys are md5 of the stable row id — reproducible
+  *    under corpus growth and rebalancing, never Math.random (a re-run must
+  *    select the same rows or downstream caches/evals are invalidated).
+  *  - Membership decisions are integer arithmetic on the hash (mod / hex
+  *    string order), so Spark and DuckDB agree bit-for-bit.
+  *  - Every verb is a narrow map or a single keyed shuffle — nothing here
+  *    needs a second pass over the corpus.
+  */
+object CurationOps {
+
+  private def q(name: String, doc: String, tables: Seq[String], sparkSql: String,
+                duckSql: String): GraftQuery =
+    GraftQuery(name, doc,
+      (s: SparkSession, d: String) => { Tables.register(s, d, tables); s.sql(sparkSql) },
+      Some(duckSql))
+
+  /** First 32 md5 bits of the doc id as a BIGINT. Spark: conv() on the hex
+    * prefix; DuckDB: explicit nibble polynomial (no hex->int conv) — the
+    * same lockstep pair DedupOps' minhash uses. */
+  private val uSpark =
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+  private val uDuck = {
+    val poly = (0 until 8).map { j =>
+      val w = math.pow(16, 7 - j).toLong
+      s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), ${j + 1}, 1)) - 1) * $w"
+    }.mkString("(", " + ", ")")
+    poly
+  }
+
+  /** Stratified hash sampling: per-language keep rates (majority language
+    * downsampled less aggressively than the tail), membership = hash mod
+    * rate. A pure narrow map over the corpus — the filter rides the scan,
+    * no shuffle, and the kept set is stable under any repartitioning. */
+  private val sampStratified = {
+    def sql(u: String) =
+      s"""SELECT doc_id, lang
+         |FROM (SELECT doc_id, lang, $u AS u,
+         |        CASE WHEN lang = 'en' THEN 2 ELSE 4 END AS rate
+         |      FROM documents)
+         |WHERE u % rate = 0
+         |ORDER BY doc_id""".stripMargin
+    q("samp_stratified",
+      "deterministic stratified sampling: per-lang keep rates via md5 mod",
+      Seq("documents"), sql(uSpark), sql(uDuck).replace("\n", " "))
+  }
+
+  /** Per-source quota: keep at most 5 docs per source, chosen by hash order
+    * (not arrival order — a crawler's file order is an availability
+    * artifact, hash order is a property of the data). One shuffle on
+    * source; rank is tie-free because doc_id breaks md5 collisions. */
+  private val sampQuota = {
+    val sql =
+      """SELECT doc_id, source, rk
+        |FROM (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rk
+        |      FROM documents)
+        |WHERE rk <= 5
+        |ORDER BY source, rk""".stripMargin
+    q("samp_quota",
+      "per-source quota sampling: top-5 per source in md5 order, window rank",
+      Seq("documents"), sql,
+      sql.replace("AS STRING", "AS VARCHAR").replace("\n", " "))
+  }
+
+  /** Deterministic global shuffle, prefix form: the first 200 positions of
+    * the md5-ordered permutation. orderBy+limit compiles to
+    * TakeOrderedAndProject (per-partition heaps + merge — no global sort),
+    * and the row_number then runs over 200 rows, not the corpus. The full
+    * permutation at scale is sortWithinPartitions on ranges of the same
+    * key; the prefix is what an eval-split or smoke-batch consumes. */
+  private val shufflePrefix = {
+    def sql(strTy: String) =
+      s"""SELECT row_number() OVER (ORDER BY h, doc_id) AS pos, doc_id, h
+         |FROM (SELECT doc_id, md5(CAST(doc_id AS $strTy)) AS h
+         |      FROM documents ORDER BY h, doc_id LIMIT 200)
+         |ORDER BY pos""".stripMargin
+    q("samp_shuffle_prefix",
+      "deterministic global-shuffle prefix: top-200 by md5 order with positions",
+      Seq("documents"), sql("STRING"), sql("VARCHAR").replace("\n", " "))
+  }
+
+  /** Stopword-strip normalization via array HOFs (filter over the token
+    * array — no regex, so both engines run the identical lambda). Output
+    * pins the cleaned text by fingerprint plus before/after token counts. */
+  private val txtNormalize = {
+    val sparkSql =
+      """SELECT doc_id,
+        |  md5(array_join(filter(split(lower(text), ' '),
+        |                        t -> t NOT IN ('the', 'a')), ' ')) AS clean_fp,
+        |  CAST(size(split(lower(text), ' ')) AS INT) AS n_tok,
+        |  CAST(size(filter(split(lower(text), ' '),
+        |                   t -> t NOT IN ('the', 'a'))) AS INT) AS n_tok_clean
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+    val duckSql =
+      """SELECT doc_id,
+        |  md5(array_to_string(list_filter(string_split(lower(text), ' '),
+        |                                  t -> t NOT IN ('the', 'a')), ' ')) AS clean_fp,
+        |  CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tok,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |                       t -> t NOT IN ('the', 'a'))) AS INT) AS n_tok_clean
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    q("txt_normalize",
+      "stopword-strip normalization: token-filter HOF, fingerprint + counts",
+      Seq("documents"), sparkSql, duckSql)
+  }
+
+  /** Token-length histogram per language: fixed-width 50-char buckets.
+    * Map-side combine does all the work; the shuffle carries one row per
+    * (lang, bucket). */
+  private val lengthHist = {
+    val sql =
+      """SELECT lang, CAST(floor(n_chars / 50.0) AS INT) AS bucket,
+        |  count(*) AS n_docs, min(n_chars) AS lo, max(n_chars) AS hi
+        |FROM documents
+        |GROUP BY lang, bucket
+        |ORDER BY lang, bucket""".stripMargin
+    q("txt_length_hist",
+      "length histogram: fixed-width buckets per lang, one keyed shuffle",
+      Seq("documents"), sql, sql.replace("\n", " "))
+  }
+
+  /** Symmetric int8 quantization of embeddings — the storage format an ANN
+    * serving tier actually holds. Per vector: scale = 127/max|x|, q_i =
+    * floor(x*scale + 0.5) clamped to [-127,127]. All decisions are the same
+    * double arithmetic in both engines (float32 -> double promotion is
+    * exact); the quantized sum is an exact integer and pins every q_i. */
+  private val embQuantize = {
+    // shared arithmetic, spelled per dialect: sc = 127/max|x| over the
+    // vector; q_i = clamp(floor(x*sc + 0.5)); q_sum pins every q_i exactly.
+    val sparkSql =
+      """SELECT vec_id,
+        |  CAST(floor(127.0 / array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS scale_r,
+        |  CAST(aggregate(transform(embedding,
+        |         x -> greatest(-127.0, least(127.0,
+        |                floor(CAST(x AS DOUBLE) * (127.0 / array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE))))) + 0.5)))),
+        |       0D, (acc, v) -> acc + v) AS BIGINT) AS q_sum
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin
+    val duckSql =
+      """SELECT vec_id,
+        |  CAST(floor(127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS scale_r,
+        |  CAST(list_sum(list_transform(embedding,
+        |         x -> greatest(-127.0, least(127.0,
+        |                floor(CAST(x AS DOUBLE) * (127.0 / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))) + 0.5))))) AS BIGINT) AS q_sum
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin.replace("\n", " ")
+    q("emb_quantize",
+      "int8 symmetric quantization: per-vector scale + exact quantized checksum",
+      Seq("embeddings"), sparkSql, duckSql)
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    sampStratified, sampQuota, shufflePrefix, txtNormalize, lengthHist,
+    embQuantize)
+}
