@@ -163,7 +163,33 @@ object ParsingOps {
     },
     Some("""WITH d AS (SELECT doc_id, 'img/fake-' || source AS format, text, length(text) AS n FROM documents), b AS (SELECT format, 64 + CASE WHEN n >= 1 THEN ascii(substring(text, 1, 1)) % 128 ELSE 0 END AS w, 64 + CASE WHEN n >= 2 THEN ascii(substring(text, 2, 1)) % 128 ELSE 0 END AS h, CASE WHEN n = 0 THEN 0.0 ELSE CAST(list_sum([ascii(substring(text, i, 1)) for i in generate_series(1, n)]) AS DOUBLE) / n END AS luma FROM d) SELECT format, count(*) AS cnt, avg(w) AS avg_w, avg(h) AS avg_h, floor(avg(luma) * 10000.0 + 0.5) / 10000.0 AS avg_luma FROM b GROUP BY 1 ORDER BY 1"""))
 
+  /** S7/S10 at scale: the write side of a time-partitioned table and the
+    * partition-PRUNED read-back. The rollup is written partitionBy(dy) —
+    * at 100 TB this is the layout decision that turns "scan a month" into
+    * "list ten directories": the read-back's dy <= 10 filter is resolved
+    * against the file index (PartitionFilters in the scan, asserted by
+    * PartitionPrunedSpec), so unselected days contribute zero I/O. */
+  private val partitionPruned = GraftQuery(
+    "w_partition_pruned",
+    "partitioned parquet write-back, partition-pruned daily read",
+    (s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("part-writeback").toString
+      Tables.events(s, d)
+        .withColumn("dy", dayofmonth(col("ts")).cast("int"))
+        .groupBy("dy", "user_id")
+        .agg(count(lit(1)).as("cnt"),
+          sum(graft.functions.GraftFunctions.centi(col("value"))).as("vc"))
+        .write.mode("overwrite").partitionBy("dy").parquet(out)
+      s.read.parquet(out)
+        .filter(col("dy") <= 10)
+        .groupBy("dy")
+        .agg(count(lit(1)).as("n_users"), sum("cnt").as("n_events"),
+          fround(sum("vc").cast("double") / 100.0, 2).as("total_value"))
+        .orderBy("dy")
+    },
+    Some("""SELECT dy, count(*) AS n_users, CAST(sum(cnt) AS BIGINT) AS n_events, floor(CAST(sum(vc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value FROM (SELECT CAST(day(ts) AS INTEGER) AS dy, user_id, count(*) AS cnt, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc FROM events GROUP BY 1, 2) WHERE dy <= 10 GROUP BY dy ORDER BY dy"""))
+
   val all: Seq[GraftQuery] = Seq(
     csvRoundtrip, jsonStruct, jsonInferred, dateConstruct, sqlMultikeyJoin,
-    mvCascade, sqlCtas, mmDecode)
+    mvCascade, sqlCtas, mmDecode, partitionPruned)
 }
