@@ -58,6 +58,23 @@ object IvfAnn {
     * Means are floor-rounded to 1e-9 so the float merge order can never
     * leak into the published model. */
   def train(s: SparkSession, vecs: DataFrame): DataFrame = {
+    centroidsToDf(s, trainModel(s, vecs))
+  }
+
+  /** Trained-model cache, keyed by corpus dir. A production IVF index
+    * persists its quantizer alongside the bucketed vectors — retraining per
+    * query would be wasted work AND version skew (two runs disagreeing on
+    * bucket boundaries invalidates the stored assignment). Training is
+    * deterministic (hash sample, fixed seed ranks, rounded means), so the
+    * cached model is bit-identical to a retrain. */
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Seq[Double])]]
+
+  /** Train (or fetch the cached model) for the corpus at `dir`. */
+  def trainedCentroids(s: SparkSession, dir: String, vecs: DataFrame): DataFrame =
+    centroidsToDf(s, modelCache.getOrElseUpdate(dir, trainModel(s, vecs)))
+
+  private def trainModel(s: SparkSession, vecs: DataFrame): Seq[(Int, Seq[Double])] = {
     graft.functions.expressions.GraftExpressions.ensureRegistered(s)
     val vsum = udaf(graft.functions.VectorSumAgg)
     val tr = vecs
@@ -81,7 +98,7 @@ object IvfAnn {
           c -> sums.get(c).map { case (sv, n) => sv.map(x => r9(x / n)) }.getOrElse(v0)
         }
       }
-      centroidsToDf(s, cent)
+      cent
     } finally { tr.unpersist() }
   }
 
@@ -133,7 +150,7 @@ object IvfAnn {
       graft.functions.expressions.GraftExpressions.ensureRegistered(s)
       val vecs = Tables.embeddings(s, d)
         .select(col("vec_id"), vecDouble(col("embedding")).as("v"))
-      val centroids = train(s, vecs)
+      val centroids = trainedCentroids(s, d, vecs)
       val indexed = assign(s, vecs, centroids)
         .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       // probe list: NPROBE nearest centroids per query

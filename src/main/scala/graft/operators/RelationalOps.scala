@@ -429,9 +429,34 @@ object RelationalOps {
     },
     Some("""SELECT c_custkey, c_mktsegment, CAST(ntile(4) OVER w AS INTEGER) AS quartile, floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank, floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY CAST(round(c_acctbal * 100) AS BIGINT), c_custkey) ORDER BY c_mktsegment, c_custkey"""))
 
+  /** Wide→long reshape via Dataset.unpivot (melt). The wide input is a
+    * per-nation aggregate (3 metric columns); unpivot turns each row into
+    * 3 (nation, metric, value) rows — a narrow 3x row-expansion AFTER
+    * aggregation has reduced cardinality, so the reshape is free at scale
+    * (never unpivot the fact table; unpivot the rollup). */
+  private val reshapeUnpivot = GraftQuery(
+    "reshape_unpivot",
+    "melt: per-nation wide aggregate unpivoted to (nation, metric, value) rows",
+    (s, d) => {
+      val wide = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          fround(sum(centi(col("c_acctbal"))).cast("double") / 100.0, 2).as("total_bal"),
+          count(lit(1)).cast("double").as("n_cust"),
+          fround(max(centi(col("c_acctbal"))).cast("double") / 100.0, 2).as("max_bal"))
+      wide.unpivot(
+          Array(col("n_name")),
+          Array(col("total_bal"), col("n_cust"), col("max_bal")),
+          "metric", "value")
+        .orderBy("n_name", "metric")
+    },
+    Some("""WITH wide AS (SELECT n_name, floor(CAST(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_bal, CAST(count(*) AS DOUBLE) AS n_cust, floor(CAST(max(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS max_bal FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name) SELECT n_name, metric, value FROM (SELECT n_name, 'total_bal' AS metric, total_bal AS value FROM wide UNION ALL SELECT n_name, 'n_cust', n_cust FROM wide UNION ALL SELECT n_name, 'max_bal', max_bal FROM wide) ORDER BY n_name, metric"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1, q3, q5, q14Promo, q18TopQuantity, jSemi, jAnti, jOuter, jRange, jAsof,
     jBucketed, winRank, winMoving, winNtile, setIntersect, setExcept, setUnion,
     aggRollup, aggCube, aggGroupingSets, aggApprox,
-    jsonKv, calDaily, strWeekday)
+    jsonKv, calDaily, strWeekday, reshapeUnpivot)
 }
