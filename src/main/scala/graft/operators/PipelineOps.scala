@@ -156,6 +156,54 @@ object PipelineOps {
     },
     Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, CAST(round(value * 100) AS BIGINT) AS vc FROM events WHERE user_id < 20), daily AS (SELECT user_id, day, max(vc) AS dmax FROM ev GROUP BY 1, 2), span AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events), days AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span), grid AS (SELECT u.user_id, d.day FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN days d), j AS (SELECT g.user_id, g.day, daily.dmax FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.day = daily.day), f AS (SELECT user_id, day, dmax, last_value(dmax IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS ff FROM j) SELECT user_id, day, floor(CAST(ff AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS value_ff, dmax IS NULL AS was_gap FROM f ORDER BY user_id, day"""))
 
+  /** Linear interpolation over the same daily grid — the resample mode for
+    * continuous measures (LOCF above is the mode for state-like measures).
+    * Each gap day takes v_prev + (v_next - v_prev) * elapsed/total between
+    * its bracketing observations; rows outside the observed range fall back
+    * to the nearest observation. Window-only: two passes over one keyed
+    * shuffle's output (backward-looking last + forward-looking first), no
+    * join back to the observations. The interpolation arithmetic is exact
+    * centi integers until a single double division, so both engines agree
+    * bit-for-bit. */
+  private val calInterpolate = GraftQuery(
+    "cal_interpolate",
+    "daily grid linear interpolation between bracketing observations",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), to_date(col("ts")).as("day"), centi(col("value")).as("vc"))
+      val daily = ev.groupBy("user_id", "day").agg(max("vc").as("dmax"))
+      val span = Tables.events(s, d)
+        .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      val grid = ev.select("user_id").distinct()
+        .crossJoin(span)
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val back = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsDay = when(col("dmax").isNotNull, col("day"))
+      val joined = grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"), col("dmax"),
+          last(col("dmax"), ignoreNulls = true).over(back).as("pv"),
+          last(obsDay, ignoreNulls = true).over(back).as("pd"),
+          first(col("dmax"), ignoreNulls = true).over(fwd).as("nv"),
+          first(obsDay, ignoreNulls = true).over(fwd).as("nd"))
+      joined.select(col("user_id"), col("day"),
+          fround(
+            when(col("pv").isNull, col("nv").cast("double"))
+              .when(col("nv").isNull, col("pv").cast("double"))
+              .when(col("nd") === col("pd"), col("pv").cast("double"))
+              .otherwise(col("pv").cast("double") +
+                (col("nv") - col("pv")).cast("double") *
+                  datediff(col("day"), col("pd")) /
+                  datediff(col("nd"), col("pd"))) / 100.0, 4).as("value_li"),
+          col("dmax").isNull.as("was_gap"))
+        .orderBy("user_id", "day")
+    },
+    Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, CAST(round(value * 100) AS BIGINT) AS vc FROM events WHERE user_id < 20), daily AS (SELECT user_id, day, max(vc) AS dmax FROM ev GROUP BY 1, 2), span AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events), days AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span), grid AS (SELECT u.user_id, d.day FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN days d), j AS (SELECT g.user_id, g.day, daily.dmax FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.day = daily.day), wnd AS (SELECT user_id, day, dmax, last_value(dmax IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS pv, last_value(CASE WHEN dmax IS NOT NULL THEN day END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS pd, first_value(dmax IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv, first_value(CASE WHEN dmax IS NOT NULL THEN day END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd FROM j) SELECT user_id, day, floor((CASE WHEN pv IS NULL THEN CAST(nv AS DOUBLE) WHEN nv IS NULL THEN CAST(pv AS DOUBLE) WHEN nd = pd THEN CAST(pv AS DOUBLE) ELSE CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE) * date_diff('day', pd, day) / date_diff('day', pd, nd) END) / 100.0 * 10000.0 + 0.5) / 10000.0 AS value_li, dmax IS NULL AS was_gap FROM wnd ORDER BY user_id, day"""))
+
   val all: Seq[GraftQuery] = Seq(
-    sampHashSplit, arrHofStats, evtFunnel, aggMode, calGapFill)
+    sampHashSplit, arrHofStats, evtFunnel, aggMode, calGapFill, calInterpolate)
 }

@@ -44,4 +44,13 @@ object StreamJoin {
   def dedupByKey(events: DataFrame, keyCols: Seq[String]): DataFrame =
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Stream-static enrichment: join each micro-batch against a broadcast
+    * dimension table (the reference's implicit station-metadata join,
+    * SURVEY §2.3 J3). Stateless — the static side is re-resolved per batch
+    * (so a refreshed dimension snapshot is picked up) and broadcast, so the
+    * stream side never shuffles; missing dimension rows pass through with
+    * nulls (left join) rather than silently dropping events. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
 }

@@ -63,4 +63,26 @@ class StreamJoinSpec extends AnyFunSuite {
     val ids = spark.table("dedup_out").select("event_id").collect().map(_.getLong(0)).sorted
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("stream-static enrichment broadcasts the dimension, missing keys pass through") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Timestamp)]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val enriched = StreamJoin.enrichWithDim(
+      in.toDF().toDF("event_id", "user_id", "ts"), dim, "user_id")
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt-en").toString)
+      .start()
+
+    in.addData((1L, 1L, t(0)), (2L, 2L, t(1)), (3L, 9L, t(2)))   // user 9 not in dim
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("enrich_out")
+      .select("event_id", "tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
+  }
 }
