@@ -179,6 +179,11 @@ object ParsingOps {
         .groupBy("dy", "user_id")
         .agg(count(lit(1)).as("cnt"),
           sum(graft.functions.GraftFunctions.centi(col("value"))).as("vc"))
+        // cluster rows by partition key before the partitioned write: one
+        // file per day instead of (shuffle-partitions × days) small files —
+        // at scale the small-file explosion is what kills partitioned
+        // tables (file-listing cost grows with file count, not data size)
+        .repartition(col("dy"))
         .write.mode("overwrite").partitionBy("dy").parquet(out)
       s.read.parquet(out)
         .filter(col("dy") <= 10)
