@@ -98,7 +98,12 @@ object DedupOps {
       // instead of one per (doc, shingle, hash_idx).
       val mins = (0 until K).map(i =>
         min((lit(HASH_A(i)) * col("u") + lit(HASH_B(i))) % lit(P)).as(s"mh$i"))
-      val sig = shU.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      // the set size rides the same aggregation (one groupBy produces both
+      // the signature and |set|), so the verify stage needs no second
+      // scan+shuffle over the shingle table
+      val sig = shU.groupBy("doc_id")
+        .agg(mins.head, (mins.tail :+ count(lit(1)).as("n")): _*)
+        .persist()
       val bands = sig.select(col("doc_id"),
         posexplode(array((0 until BANDS).map(b =>
           concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)))
@@ -109,7 +114,7 @@ object DedupOps {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct()
-      jaccardVerified(cand, sh, 0.5)
+      jaccardVerifiedWithSizes(cand, sh, sig.select(col("doc_id"), col("n")), 0.5)
     },
     Some {
       val abValues = (0 until K)
@@ -204,8 +209,16 @@ object DedupOps {
   /** Exact-Jaccard verification of candidate pairs against shingle sets —
     * shared by the LSH path. Joins shingles to candidates only (not all
     * pairs), so cost is O(candidates x shingles/doc). */
-  private def jaccardVerified(cand: DataFrame, sh: DataFrame, thresh: Double): DataFrame = {
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+  private def jaccardVerified(cand: DataFrame, sh: DataFrame, thresh: Double): DataFrame =
+    jaccardVerifiedWithSizes(cand, sh,
+      sh.groupBy("doc_id").agg(count(lit(1)).as("n")), thresh)
+
+  /** As above, but with the per-doc set sizes supplied by the caller — the
+    * minhash path derives them from the signature aggregation it is already
+    * running, which saves a whole extra scan+shuffle over the shingle
+    * table. */
+  private def jaccardVerifiedWithSizes(cand: DataFrame, sh: DataFrame,
+      sz: DataFrame, thresh: Double): DataFrame = {
     val inter = broadcast(cand) // LSH candidates are small by construction
       .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
