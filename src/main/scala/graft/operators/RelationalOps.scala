@@ -454,9 +454,41 @@ object RelationalOps {
     },
     Some("""WITH wide AS (SELECT n_name, floor(CAST(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_bal, CAST(count(*) AS DOUBLE) AS n_cust, floor(CAST(max(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS max_bal FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name) SELECT n_name, metric, value FROM (SELECT n_name, 'total_bal' AS metric, total_bal AS value FROM wide UNION ALL SELECT n_name, 'n_cust', n_cust FROM wide UNION ALL SELECT n_name, 'max_bal', max_bal FROM wide) ORDER BY n_name, metric"""))
 
+  /** TPC-H Q7 shape (volume shipping): a six-relation join tree with the
+    * nation dimension playing TWO roles (supplier's and customer's). Only
+    * the lineitem⋈orders edge is a fact-fact join (one shuffle on
+    * orderkey); every dimension edge — customer, supplier, and both nation
+    * aliases — broadcasts, so the deep tree adds no extra fact shuffles.
+    * Grouping by (supp_nation, cust_nation, year) keeps the output
+    * pair×year sized at every scale factor. */
+  private val q7Volume = GraftQuery(
+    "q7_nation_volume",
+    "Q7 shape: 6-relation join, nation dim in two roles, revenue by nation pair x year",
+    (s, d) => {
+      val suppNation = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val custNation = Tables.nation(s, d)
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+        .filter(col("supp_nation") < col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("int").as("yr"))
+        .agg(sum(revC).as("rc"), count(lit(1)).as("n_lines"))
+        .select(col("supp_nation"), col("cust_nation"), col("yr"),
+          fround(col("rc").cast("double") / 10000.0, 2).as("volume"),
+          col("n_lines"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    },
+    Some(s"""SELECT supp_nation, cust_nation, yr, floor(CAST(rc AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0 AS volume, n_lines FROM (SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, CAST(year(l_shipdate) AS INTEGER) AS yr, CAST(sum($revCSql) AS BIGINT) AS rc, count(*) AS n_lines FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation sn ON s_nationkey = sn.n_nationkey JOIN nation cn ON c_nationkey = cn.n_nationkey WHERE sn.n_name < cn.n_name GROUP BY 1, 2, 3) ORDER BY 1, 2, 3"""))
+
   val all: Seq[GraftQuery] = Seq(
-    q1, q3, q5, q14Promo, q18TopQuantity, jSemi, jAnti, jOuter, jRange, jAsof,
-    jBucketed, winRank, winMoving, winNtile, setIntersect, setExcept, setUnion,
-    aggRollup, aggCube, aggGroupingSets, aggApprox,
+    q1, q3, q5, q14Promo, q18TopQuantity, q7Volume, jSemi, jAnti, jOuter,
+    jRange, jAsof, jBucketed, winRank, winMoving, winNtile, setIntersect,
+    setExcept, setUnion, aggRollup, aggCube, aggGroupingSets, aggApprox,
     jsonKv, calDaily, strWeekday, reshapeUnpivot)
 }
