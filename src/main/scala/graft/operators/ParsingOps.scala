@@ -194,7 +194,26 @@ object ParsingOps {
     },
     Some("""SELECT dy, count(*) AS n_users, CAST(sum(cnt) AS BIGINT) AS n_events, floor(CAST(sum(vc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value FROM (SELECT CAST(day(ts) AS INTEGER) AS dy, user_id, count(*) AS cnt, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc FROM events GROUP BY 1, 2) WHERE dy <= 10 GROUP BY dy ORDER BY dy"""))
 
+  /** Multimodal frame-sampling plumbing as a registered capability: every
+    * 16th "frame" of each payload (byte stride in the stub codec; frame
+    * stride with a real video decoder — only the lambda body changes).
+    * The per-media rollup is exact integer math (byte sums), so the DuckDB
+    * oracle replays the stride and luma bit-for-bit. */
+  private val mmFrameSample = GraftQuery(
+    "mm_frame_sample",
+    "multimodal: stride frame sampling (stub codec) + per-media luma rollup",
+    (s, d) => {
+      val frames = graft.multimodal.Multimodal.frameSample(
+        graft.multimodal.Multimodal.mediaTable(s, d), 16)
+      frames.groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          fround(sum(col("luma")) / count(lit(1)), 4).as("avg_luma"),
+          max("frame_idx").as("last_idx"))
+        .orderBy("media_id")
+    },
+    Some("""WITH f AS (SELECT doc_id AS media_id, [ascii(substring(text, i, 1)) for i in generate_series(1, length(text), 16)] AS lumas FROM documents) SELECT media_id, CAST(len(lumas) AS BIGINT) AS n_frames, floor(CAST(list_sum(lumas) AS DOUBLE) / len(lumas) * 10000.0 + 0.5) / 10000.0 AS avg_luma, CAST(len(lumas) - 1 AS INTEGER) AS last_idx FROM f ORDER BY media_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     csvRoundtrip, jsonStruct, jsonInferred, dateConstruct, sqlMultikeyJoin,
-    mvCascade, sqlCtas, mmDecode, partitionPruned)
+    mvCascade, sqlCtas, mmDecode, partitionPruned, mmFrameSample)
 }
