@@ -67,6 +67,23 @@ object WeatherCsv {
         col("month").isNotNull && col("day").isNotNull && col("hour").isNotNull)
       .drop("_corrupt_record")
 
+  /** Parse with data-quality counters riding the SAME pass
+    * (Dataset.observe — accumulator-backed, so the audit adds zero extra
+    * scans; at 100 TB a second "count the bad rows" pass is a second read
+    * of the corpus). The Observation yields, after the first action on the
+    * returned frame: n_rows, n_corrupt (unparseable line), n_keyless
+    * (parsed but untrusted key), n_null_precip. */
+  def parseWithAudit(lines: Dataset[String]): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("weather_csv_audit")
+    val parsed = parseLines(lines).observe(obs,
+      count(lit(1)).as("n_rows"),
+      count(col("_corrupt_record")).as("n_corrupt"),
+      sum(when(col("wsid").isNull || col("year").isNull || col("month").isNull ||
+        col("day").isNull || col("hour").isNull, 1L).otherwise(0L)).as("n_keyless"),
+      sum(when(col("one_hour_precip").isNull, 1L).otherwise(0L)).as("n_null_precip"))
+    (parsed, obs)
+  }
+
   /** The reference's intended missing-precip semantics, made explicit. */
   def withPrecipDefaults(df: DataFrame): DataFrame =
     df.withColumn("one_hour_precip", coalesce(col("one_hour_precip"), lit(0.0)))

@@ -42,6 +42,17 @@ class WeatherCsvSpec extends AnyFunSuite {
     assert(badTemp.isNullAt(badTemp.fieldIndex("temperature")))
   }
 
+  test("parseWithAudit: QA counters ride the parse pass via observe") {
+    import spark.implicits._
+    val (df, obs) = WeatherCsv.parseWithAudit(fixture.toDS())
+    df.write.format("noop").mode("overwrite").save() // one action, no extra scan
+    val m = obs.get
+    assert(m("n_rows") == 6L)
+    assert(m("n_corrupt") == 2L)      // short row + bad-double row
+    assert(m("n_keyless") == 1L)      // only the short row loses its key
+    assert(m("n_null_precip") == 2L)  // missing-precip row + short row
+  }
+
   test("malformed input is captured in _corrupt_record, not dropped silently") {
     // both the short row AND the bad-field row carry their raw line
     val corrupt = parsed.filter(col("_corrupt_record").isNotNull)
