@@ -486,9 +486,37 @@ object RelationalOps {
     },
     Some(s"""SELECT supp_nation, cust_nation, yr, floor(CAST(rc AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0 AS volume, n_lines FROM (SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, CAST(year(l_shipdate) AS INTEGER) AS yr, CAST(sum($revCSql) AS BIGINT) AS rc, count(*) AS n_lines FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation sn ON s_nationkey = sn.n_nationkey JOIN nation cn ON c_nationkey = cn.n_nationkey WHERE sn.n_name < cn.n_name GROUP BY 1, 2, 3) ORDER BY 1, 2, 3"""))
 
+  /** RANGE-framed window (vs the ROWS frames elsewhere): a 7-day trailing
+    * sum where the frame is defined on the day ORDINAL, so calendar gaps
+    * shrink the frame's row count — ROWS BETWEEN 6 PRECEDING would silently
+    * reach past a gap and sum 7 observations regardless of how old. Also
+    * pins nth_value (second-ever observation, running frame). One keyed
+    * shuffle; frames evaluate within partitions. */
+  private val winRangeFrame = GraftQuery(
+    "win_range_frame",
+    "RANGE-framed 7-day trailing sum over gapped daily data + running nth_value",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("user_id") < 30)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(centi(col("value"))).as("vc"))
+        .withColumn("ord", datediff(col("day"), lit("2024-01-01").cast("date")))
+      val range7 = Window.partitionBy("user_id").orderBy("ord").rangeBetween(-6, 0)
+      val running = Window.partitionBy("user_id").orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.select(col("user_id"), col("day"),
+          fround(sum(col("vc")).over(range7).cast("double") / 100.0, 2).as("trail7"),
+          count(lit(1)).over(range7).as("n_in_frame"),
+          fround(nth_value(col("vc"), 2).over(running).cast("double") / 100.0, 2)
+            .as("second_obs"))
+        .orderBy("user_id", "day")
+    },
+    Some("""SELECT user_id, day, floor(CAST(CAST(sum(vc) OVER w7 AS BIGINT) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS trail7, count(*) OVER w7 AS n_in_frame, floor(CAST(nth_value(vc, 2) OVER wr AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS second_obs FROM (SELECT user_id, CAST(ts AS DATE) AS day, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS ord FROM events WHERE user_id < 30 GROUP BY 1, 2, 4) WINDOW w7 AS (PARTITION BY user_id ORDER BY ord RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), wr AS (PARTITION BY user_id ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY user_id, day""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     q1, q3, q5, q14Promo, q18TopQuantity, q7Volume, jSemi, jAnti, jOuter,
-    jRange, jAsof, jBucketed, winRank, winMoving, winNtile, setIntersect,
+    jRange, jAsof, jBucketed, winRank, winMoving, winNtile, winRangeFrame,
+    setIntersect,
     setExcept, setUnion, aggRollup, aggCube, aggGroupingSets, aggApprox,
     jsonKv, calDaily, strWeekday, reshapeUnpivot)
 }
