@@ -300,8 +300,33 @@ object AnalyticsOps {
     },
     Some("""SELECT event_type, arg_max(event_id, vc * 4294967296 + event_id) AS max_value_event, arg_min(event_id, vc * 4294967296 + event_id) AS min_value_event, count(*) AS cnt FROM (SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS vc FROM events) GROUP BY 1 ORDER BY 1"""))
 
+  /** Map-typed column surface: per-user event_type→count built as a real
+    * MapType (map_from_entries over the grouped counts), consumed through
+    * map HOFs (map_filter drops singleton types, element_at probes a key),
+    * then exploded back to rows for the oracle. The map stays inside one
+    * keyed aggregation + narrow maps — building maps never adds a shuffle
+    * beyond the groupBy that feeds them. */
+  private val aggMapHistogram = GraftQuery(
+    "agg_map_histogram",
+    "MapType build (map_from_entries) + map_filter/element_at + explode back",
+    (s, d) => {
+      val counts = Tables.events(s, d)
+        .filter(col("user_id") < 40)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      val maps = counts.groupBy("user_id")
+        .agg(map_from_entries(sort_array(
+          collect_list(struct(col("event_type"), col("n"))))).as("hist"))
+        .select(col("user_id"),
+          map_filter(col("hist"), (_, v) => v > 1).as("hist"),
+          coalesce(element_at(col("hist"), "click"), lit(0L)).as("clicks"))
+      maps.select(col("user_id"), col("clicks"),
+          explode(col("hist")).as(Seq("event_type", "n")))
+        .orderBy("user_id", "event_type")
+    },
+    Some("""WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events WHERE user_id < 40 GROUP BY 1, 2), cl AS (SELECT user_id, coalesce(max(CASE WHEN event_type = 'click' THEN n END), 0) AS clicks FROM c GROUP BY 1) SELECT c.user_id, cl.clicks, c.event_type, c.n FROM c JOIN cl ON c.user_id = cl.user_id WHERE c.n > 1 ORDER BY c.user_id, c.event_type"""))
+
   val all: Seq[GraftQuery] = Seq(
     winSession, winLagLead, aggPercentiles, aggCorr, jSkewSalted, txtTfidf,
     aggStatsOnepass, aggPivot, winSessionNative, aggApproxPercentile,
-    aggArgExtremes)
+    aggArgExtremes, aggMapHistogram)
 }
