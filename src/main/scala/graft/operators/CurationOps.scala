@@ -144,22 +144,28 @@ object CurationOps {
   private val embQuantize = {
     // shared arithmetic, spelled per dialect: sc = 127/max|x| over the
     // vector; q_i = clamp(floor(x*sc + 0.5)); q_sum pins every q_i exactly.
+    // the scale is hoisted into a projection: lambdas don't CSE across
+    // HOF calls, so inlining it would recompute the max-abs fold per use
     val sparkSql =
       """SELECT vec_id,
-        |  CAST(floor(127.0 / array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS scale_r,
+        |  CAST(floor(sc * 1e6 + 0.5) / 1e6 AS DOUBLE) AS scale_r,
         |  CAST(aggregate(transform(embedding,
         |         x -> greatest(-127.0, least(127.0,
-        |                floor(CAST(x AS DOUBLE) * (127.0 / array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE))))) + 0.5)))),
+        |                floor(CAST(x AS DOUBLE) * sc + 0.5)))),
         |       0D, (acc, v) -> acc + v) AS BIGINT) AS q_sum
-        |FROM embeddings
+        |FROM (SELECT vec_id, embedding,
+        |        127.0 / array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS sc
+        |      FROM embeddings)
         |ORDER BY vec_id""".stripMargin
     val duckSql =
       """SELECT vec_id,
-        |  CAST(floor(127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS scale_r,
+        |  CAST(floor(sc * 1e6 + 0.5) / 1e6 AS DOUBLE) AS scale_r,
         |  CAST(list_sum(list_transform(embedding,
         |         x -> greatest(-127.0, least(127.0,
-        |                floor(CAST(x AS DOUBLE) * (127.0 / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))) + 0.5))))) AS BIGINT) AS q_sum
-        |FROM embeddings
+        |                floor(CAST(x AS DOUBLE) * sc + 0.5))))) AS BIGINT) AS q_sum
+        |FROM (SELECT vec_id, embedding,
+        |        127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS sc
+        |      FROM embeddings)
         |ORDER BY vec_id""".stripMargin.replace("\n", " ")
     q("emb_quantize",
       "int8 symmetric quantization: per-vector scale + exact quantized checksum",
