@@ -39,6 +39,28 @@ object StreamJoin {
         col("c_ts") <= col("p_ts"))
   }
 
+  /** Left-outer variant of the interval join: every purchase is emitted,
+    * attributed when a click exists, with null click columns otherwise —
+    * the unmatched rows can only be emitted once the click-side watermark
+    * has passed the end of their join window (before that a matching click
+    * could still arrive), so "organic purchase" rows trail real time by
+    * the watermark delay. Same bounded state as the inner form. */
+  def clickToPurchaseOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+  }
+
   /** Streaming exact dedup on a key within the watermark horizon — the
     * at-least-once-source cleanup stage of an ingest pipeline. */
   def dedupByKey(events: DataFrame, keyCols: Seq[String]): DataFrame =

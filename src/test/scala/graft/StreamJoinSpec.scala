@@ -64,6 +64,39 @@ class StreamJoinSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("left-outer interval join emits unmatched purchases after the watermark passes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val toDf = (m: MemoryStream[(Long, Long, Timestamp)]) =>
+      m.toDF().toDF("event_id", "user_id", "ts")
+
+    val joined = StreamJoin.clickToPurchaseOuter(toDf(clicks), toDf(purchases))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_outer_out")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt-ssjo").toString)
+      .start()
+
+    // user 1 purchase has a click; user 2 purchase is organic (no click)
+    clicks.addData((100L, 1L, t(0)))
+    purchases.addData((200L, 1L, t(30)), (201L, 2L, t(35)))
+    q.processAllAvailable()
+    // push both watermarks far past the join windows so the unmatched
+    // purchase becomes emittable, then run the triggering batch
+    clicks.addData((101L, 9L, t(600)))
+    purchases.addData((299L, 9L, t(600)))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ssj_outer_out")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSet
+    assert(got.contains((200L, Some(100L))), got)   // attributed
+    assert(got.contains((201L, None)), got)         // organic, emitted post-watermark
+  }
+
   test("stream-static enrichment broadcasts the dimension, missing keys pass through") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
