@@ -325,8 +325,28 @@ object AnalyticsOps {
     },
     Some("""WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events WHERE user_id < 40 GROUP BY 1, 2), cl AS (SELECT user_id, coalesce(max(CASE WHEN event_type = 'click' THEN n END), 0) AS clicks FROM c GROUP BY 1) SELECT c.user_id, cl.clicks, c.event_type, c.n FROM c JOIN cl ON c.user_id = cl.user_id WHERE c.n > 1 ORDER BY c.user_id, c.event_type"""))
 
+  /** Multiple DISTINCT aggregates in one pass — Catalyst plans this via
+    * Expand (one row replica per distinct group), a genuinely different
+    * aggregation strategy from plain hash-agg: the shuffle carries
+    * |aggs|× the rows but each replica deduplicates on its own key, and
+    * the alternative (N separate queries + join) would scan the fact N
+    * times. The collect_set leg is made deterministic by sort_array before
+    * join — never compare raw collection order. */
+  private val aggMultiDistinct = GraftQuery(
+    "agg_multi_distinct",
+    "two DISTINCT aggregates + ordered collect_set in one Expand-planned pass",
+    (s, d) => Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"),
+        count(lit(1)).as("n_events"),
+        array_join(sort_array(collect_set(col("event_type"))), ",").as("types"))
+      .orderBy("day"),
+    Some("""SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS n_users, count(DISTINCT event_type) AS n_types, count(*) AS n_events, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types FROM events GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
     winSession, winLagLead, aggPercentiles, aggCorr, jSkewSalted, txtTfidf,
     aggStatsOnepass, aggPivot, winSessionNative, aggApproxPercentile,
-    aggArgExtremes, aggMapHistogram)
+    aggArgExtremes, aggMapHistogram, aggMultiDistinct)
 }
