@@ -91,4 +91,26 @@ object Layouts {
     Tables.events(s, dir).write
       .partitionBy("event_type")
       .mode("overwrite").parquet(outDir)
+
+  /** Small-file compaction — the maintenance verb every streaming-append
+    * table needs: micro-batches leave one file per trigger per partition,
+    * and file COUNT (listing, footer reads, task scheduling) eventually
+    * dominates scan cost regardless of data size. Rewrites `inDir` into
+    * `targetFiles` files at `outDir` via a round-robin repartition (no
+    * key, no skew: every output file gets ~rows/targetFiles rows).
+    * Returns (filesBefore, filesAfter). At scale this runs per partition
+    * with targetFiles sized to ~128-256 MB/file. */
+  def compact(s: SparkSession, inDir: String, outDir: String,
+      targetFiles: Int): (Int, Int) = {
+    def parquetCount(p: String): Int = {
+      val d = new java.io.File(p)
+      if (!d.exists) 0
+      else d.listFiles.count(f => f.getName.endsWith(".parquet"))
+    }
+    val before = parquetCount(inDir)
+    s.read.parquet(inDir)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(outDir)
+    (before, parquetCount(outDir))
+  }
 }
