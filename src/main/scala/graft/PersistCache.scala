@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped memo of persisted intermediate DataFrames (shingle sets,
+  * LSH-coded vector tables) — the local stand-in for the materialized
+  * artifacts a production pipeline stores next to its corpus.
+  *
+  * Why a cache instead of bare `persist()` in the query bodies: a query
+  * function builds FRESH DataFrame objects per invocation, so per-call
+  * persists accumulate new cache entries in the block manager for the
+  * session's lifetime (nothing ever unpersists them — the query's result
+  * is lazy, so the builder can't know when execution is done). Memoizing
+  * per (session, key) bounds that: repeated invocations reuse one
+  * persisted plan, which is also faster. Keys embed the corpus dir, and —
+  * like [[Tables]] — the memo assumes the corpus under a dir is immutable
+  * for the session's lifetime. The WeakHashMap lets a stopped session (and
+  * every block it pins) be GC'd. */
+object PersistCache {
+  private val cache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
+  def getOrBuild(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val perSession = cache.synchronized {
+      var m = cache.get(s)
+      if (m == null) { m = scala.collection.concurrent.TrieMap.empty; cache.put(s, m) }
+      m
+    }
+    perSession.getOrElseUpdate(key, build.persist())
+  }
+}

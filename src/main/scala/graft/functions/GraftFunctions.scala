@@ -30,6 +30,25 @@ object GraftFunctions {
     floor(c * lit(p) + lit(0.5)) / lit(p)
   }
 
+  /** u = first 32 md5 bits of a string column as a BIGINT — the repo's
+    * standard deterministic hash for sampling/splitting/minhashing.
+    * THE LOCKSTEP INVARIANT: `md5u32Sql` below must compute the identical
+    * value in DuckDB (which has no hex→int conv, so it evaluates an 8-term
+    * nibble polynomial over the hex digits). Every oracle that replays a
+    * hash decision uses the pair; keep them together and change them
+    * together. */
+  def md5u32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** DuckDB spelling of [[md5u32]] over `hexExpr`, a SQL expression that
+    * evaluates to the md5 hex string (e.g. "md5(CAST(doc_id AS VARCHAR))"
+    * or a column holding it). */
+  def md5u32Sql(hexExpr: String): String =
+    (0 until 8).map { j =>
+      val w = math.pow(16, 7 - j).toLong
+      s"(instr('0123456789abcdef', substr($hexExpr, ${j + 1}, 1)) - 1) * $w"
+    }.mkString("(", " + ", ")")
+
   /** Lower-cased whitespace tokens of a text column. */
   def tokens(text: Column): Column = split(lower(text), " ")
 

@@ -24,6 +24,11 @@ object VectorSumAgg extends Aggregator[Seq[Double], Array[Double], Seq[Double]] 
     if (a == null) b
     else if (b.isEmpty) a.toArray
     else {
+      // fail loudly on ragged input: silently truncating (or crashing with
+      // an index error) on a mixed-dimension corpus would corrupt the sum
+      // nondeterministically by partition order
+      require(a.length == b.length,
+        s"VectorSumAgg: mixed vector dimensions (${b.length} vs ${a.length})")
       var i = 0
       while (i < b.length) { b(i) += a(i); i += 1 }
       b
@@ -33,6 +38,8 @@ object VectorSumAgg extends Aggregator[Seq[Double], Array[Double], Seq[Double]] 
     if (x.isEmpty) y
     else if (y.isEmpty) x
     else {
+      require(x.length == y.length,
+        s"VectorSumAgg: mixed vector dimensions (${x.length} vs ${y.length})")
       var i = 0
       while (i < x.length) { x(i) += y(i); i += 1 }
       x

@@ -28,18 +28,12 @@ object CurationOps {
       (s: SparkSession, d: String) => { Tables.register(s, d, tables); s.sql(sparkSql) },
       Some(duckSql))
 
-  /** First 32 md5 bits of the doc id as a BIGINT. Spark: conv() on the hex
-    * prefix; DuckDB: explicit nibble polynomial (no hex->int conv) — the
-    * same lockstep pair DedupOps' minhash uses. */
+  /** First 32 md5 bits of the doc id as a BIGINT — the shared lockstep
+    * pair in GraftFunctions, spelled for the SQL entry path. */
   private val uSpark =
     "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
-  private val uDuck = {
-    val poly = (0 until 8).map { j =>
-      val w = math.pow(16, 7 - j).toLong
-      s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), ${j + 1}, 1)) - 1) * $w"
-    }.mkString("(", " + ", ")")
-    poly
-  }
+  private val uDuck =
+    graft.functions.GraftFunctions.md5u32Sql("md5(CAST(doc_id AS VARCHAR))")
 
   /** Stratified hash sampling: per-language keep rates (majority language
     * downsampled less aggressively than the tail), membership = hash mod

@@ -43,14 +43,10 @@ object DedupOps {
     215699881L, 658102763L, 490233391L, 127955273L,
     936571181L, 581236607L, 264899741L, 709124829L)
 
-  /** u in Spark: conv() parses the leading 8 md5 hex chars.
-    * u in DuckDB: the same value via an explicit nibble polynomial (DuckDB
-    * has no hex→int conv); equality of the two spellings is enforced by the
-    * correctness gate on every run. */
-  private val uSql = (0 until 8).map { j =>
-    val w = math.pow(16, 7 - j).toLong
-    s"(instr('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) * $w"
-  }.mkString("(", " + ", ")")
+  /** u in Spark / DuckDB lockstep — the shared pair in GraftFunctions
+    * (equality of the two spellings is enforced by the correctness gate on
+    * every run). */
+  private val uSql = graft.functions.GraftFunctions.md5u32Sql("h")
 
   /** (doc_id, shingle) with multiplicity — via the native ShingleGenerator
     * (the HOF transform+explode formulation profiled 10x slower). */
@@ -85,14 +81,14 @@ object DedupOps {
       // sides, set sizes) and the band table feeds both sides of the LSH
       // self-join. Spark's exchange reuse does not unify self-join legs
       // under Generate, so without materialization the scan+shingle+md5
-      // pipeline runs six times (measured). persist() is the local stand-in
-      // for what a production dedup run does at 100 TB: write the shingle
-      // table once, run every downstream leg off the materialization.
-      // (min over the cached SET equals min over the raw multiset, so
-      // signatures off the distinct output are unchanged.)
-      val sh = shingleSet(s, d, 3).persist()
+      // pipeline runs six times (measured). The PersistCache memo is the
+      // local stand-in for what a production dedup run does at 100 TB:
+      // write the shingle table once, run every downstream leg off the
+      // materialization. (min over the cached SET equals min over the raw
+      // multiset, so signatures off the distinct output are unchanged.)
+      val sh = graft.PersistCache.getOrBuild(s, s"shingles3:$d")(shingleSet(s, d, 3))
       val shU = sh.withColumn("u",
-        conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long"))
+        graft.functions.GraftFunctions.md5u32(col("sh")))
       // One aggregation with K min-columns: each minhash folds map-side
       // (partial min per partition), so the shuffle carries one row per doc
       // instead of one per (doc, shingle, hash_idx).
@@ -101,14 +97,15 @@ object DedupOps {
       // the set size rides the same aggregation (one groupBy produces both
       // the signature and |set|), so the verify stage needs no second
       // scan+shuffle over the shingle table
-      val sig = shU.groupBy("doc_id")
-        .agg(mins.head, (mins.tail :+ count(lit(1)).as("n")): _*)
-        .persist()
+      val sig = graft.PersistCache.getOrBuild(s, s"minhash-sig:$d")(
+        shU.groupBy("doc_id")
+          .agg(mins.head, (mins.tail :+ count(lit(1)).as("n")): _*))
+      // the band explode off the cached sig is narrow and cheap; only sig
+      // itself needs materialization for the self-join's two legs
       val bands = sig.select(col("doc_id"),
         posexplode(array((0 until BANDS).map(b =>
           concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)))
         .toDF("doc_id", "band", "bh")
-        .persist()
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -128,7 +125,7 @@ object DedupOps {
     "exact 4-gram Jaccard >= 0.4 via inverted-index self-join",
     (s, d) => {
       // same materialize-once rationale as dedup_minhash: three legs
-      val sh = shingleSet(s, d, 4).persist()
+      val sh = graft.PersistCache.getOrBuild(s, s"shingles4:$d")(shingleSet(s, d, 4))
       val cand = sh.as("x").join(sh.as("y"),
           col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -206,17 +203,12 @@ object DedupOps {
     },
     Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e), p AS (SELECT a.vec_id AS a, b.vec_id AS b, list_sum([s[1]*s[2] for s in list_zip(a.v, b.v)]) / (a.nrm * b.nrm) AS cos FROM n a JOIN n b ON a.vec_id < b.vec_id) SELECT a, b, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos FROM (SELECT * FROM p ORDER BY floor(cos * 1000000.0 + 0.5) DESC, a, b LIMIT 20) ORDER BY cos DESC, a, b"""))
 
-  /** Exact-Jaccard verification of candidate pairs against shingle sets —
-    * shared by the LSH path. Joins shingles to candidates only (not all
-    * pairs), so cost is O(candidates x shingles/doc). */
-  private def jaccardVerified(cand: DataFrame, sh: DataFrame, thresh: Double): DataFrame =
-    jaccardVerifiedWithSizes(cand, sh,
-      sh.groupBy("doc_id").agg(count(lit(1)).as("n")), thresh)
-
-  /** As above, but with the per-doc set sizes supplied by the caller — the
-    * minhash path derives them from the signature aggregation it is already
-    * running, which saves a whole extra scan+shuffle over the shingle
-    * table. */
+  /** Exact-Jaccard verification of candidate pairs against shingle sets.
+    * Joins shingles to candidates only (not all pairs), so cost is
+    * O(candidates x shingles/doc). The per-doc set sizes `sz` are supplied
+    * by the caller — the minhash path derives them from the signature
+    * aggregation it is already running, which saves a whole extra
+    * scan+shuffle over the shingle table. */
   private def jaccardVerifiedWithSizes(cand: DataFrame, sh: DataFrame,
       sz: DataFrame, thresh: Double): DataFrame = {
     val inter = broadcast(cand) // LSH candidates are small by construction
@@ -243,10 +235,7 @@ object DedupOps {
     "embedding near-dup at scale: sign-LSH buckets + in-bucket cosine top-20",
     (s, d) => {
       graft.functions.expressions.GraftExpressions.ensureRegistered(s)
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), vecDouble(col("embedding")).as("v"))
-        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-      val coded = e.join(SimilarityOps.lshCodes(e), Seq("vec_id")).persist()
+      val coded = SimilarityOps.codedTable(s, d)
       val a = coded.select(col("code"), col("vec_id").as("a"),
         col("v").as("va"), col("nrm").as("na"))
       val b = coded.select(col("code"), col("vec_id").as("b"),

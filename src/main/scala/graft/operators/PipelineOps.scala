@@ -27,15 +27,9 @@ import graft.functions.GraftFunctions._
   */
 object PipelineOps {
 
-  /** u = first 32 bits of md5(key) as an integer — the same value DuckDB
-    * computes via an 8-term nibble polynomial (no hex→int conv there). */
-  private def md5u32(c: org.apache.spark.sql.Column) =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  import graft.functions.GraftFunctions.{md5u32, md5u32Sql}
 
-  private val uSql = (0 until 8).map { j =>
-    val w = math.pow(16, 7 - j).toLong
-    s"(instr('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) * $w"
-  }.mkString("(", " + ", ")")
+  private val uSql = md5u32Sql("h")
 
   /** Deterministic train/val/test split by content-independent key hash
     * (80/10/10). The split is a property of the doc_id alone: reproducible
@@ -52,7 +46,7 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
         min("doc_id").as("min_id"), max("doc_id").as("max_id"))
       .orderBy("split"),
-    Some(s"""WITH u AS (SELECT doc_id, n_chars, $uSql % 10 AS m FROM (SELECT doc_id, n_chars, md5(doc_id::VARCHAR) AS h FROM documents)), sp AS (SELECT CASE WHEN m <= 7 THEN 'train' WHEN m = 8 THEN 'val' ELSE 'test' END AS split, doc_id, n_chars FROM u) SELECT split, count(*) AS n_docs, sum(n_chars) AS sum_chars, min(doc_id) AS min_id, max(doc_id) AS max_id FROM sp GROUP BY 1 ORDER BY 1"""))
+    Some(s"""WITH u AS (SELECT doc_id, n_chars, $uSql % 10 AS m FROM (SELECT doc_id, n_chars, md5(doc_id::VARCHAR) AS h FROM documents)), sp AS (SELECT CASE WHEN m <= 7 THEN 'train' WHEN m = 8 THEN 'val' ELSE 'test' END AS split, doc_id, n_chars FROM u) SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, min(doc_id) AS min_id, max(doc_id) AS max_id FROM sp GROUP BY 1 ORDER BY 1"""))
 
   /** Per-vector profile via higher-order array functions — dimension,
     * range, mean, positive-component count — all computed inside the row

@@ -78,6 +78,17 @@ object SimilarityOps {
       .agg(sum(expr("CASE WHEN dot > 0 THEN shiftleft(1, p) ELSE 0 END")).as("code"))
   }
 
+  /** Vectors + LSH bucket code, persisted once per (session, corpus) via
+    * [[graft.PersistCache]] — the stored-ANN-index analog. Both ANN queries
+    * and the embedding near-dup path read this; the code pipeline is two
+    * shuffles over a dims×planes explode, so rebuilding it per leg (or per
+    * invocation) would dominate their cost. */
+  def codedTable(s: SparkSession, d: String): DataFrame =
+    graft.PersistCache.getOrBuild(s, s"lsh-coded:$d") {
+      val e = normalized(s, d)
+      e.join(lshCodes(e), Seq("vec_id"))
+    }
+
   /** ANN via LSH buckets: top-3 per query within its bucket. The bucketing
     * is md5-derived, so the DuckDB oracle replays it exactly: same ±1
     * hyperplanes (md5-nibble parity of "p:i"), same sequential-order dot
@@ -87,11 +98,7 @@ object SimilarityOps {
     "sim_knn_lsh",
     "ANN: sign-random-projection LSH buckets + in-bucket cosine top-3",
     (s, d) => {
-      val e = normalized(s, d)
-      // both the query side and the candidate side read the coded table:
-      // materialize it once (the stored-ANN-index analog; the code pipeline
-      // is 2 shuffles over a dims×planes explode otherwise run twice)
-      val coded = e.join(lshCodes(e), Seq("vec_id")).persist()
+      val coded = codedTable(s, d)
       val q = coded.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("nrm").as("qn"), col("code").as("qcode"))
