@@ -1,7 +1,5 @@
 package graft.streaming
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -26,18 +24,12 @@ import org.apache.spark.sql.types._
   * Scale notes: the aggregation state is keyed by (user_id, day) and lives in
   * the state store (RocksDB/HDFS-backed on a cluster). Key cardinality grows
   * with time — production would add `withWatermark` so state for closed days
-  * is evicted; the sink itself is the merge point (Cassandra/Delta MERGE at
-  * scale; a keyed in-memory store locally).
+  * is evicted; the sink is a durable executor-side keyed MERGE
+  * ([[KeyedParquetSink]] — the bare-parquet shape of a Cassandra/Delta
+  * MERGE), so the counter table survives a driver restart and converges
+  * under batch replay.
   */
 object CounterStream {
-
-  /** Keyed sink standing in for the counter table: overwrite-by-key upsert.
-    * Thread-safe; shared via the driver (local-mode test double — a real
-    * deployment upserts into Cassandra/Delta from each foreachBatch task). */
-  final class KeyedStore {
-    val m: TrieMap[(Long, java.sql.Date), (Double, Long)] = TrieMap.empty
-    def snapshot: Map[(Long, java.sql.Date), (Double, Long)] = m.toMap
-  }
 
   /** The stream schema = events.parquet with ts at µs (see Tables.events). */
   val eventSchema: StructType = StructType(Seq(
@@ -49,25 +41,45 @@ object CounterStream {
     StructField("props", StringType)))
 
   /** S8/A5 counter pipeline: streaming groupBy(user, day).sum in update
-    * mode, foreachBatch upserting the full updated aggregates by key. */
-  def dailyCounter(events: DataFrame, checkpoint: String): (StreamingQuery, KeyedStore) = {
-    val store = new KeyedStore
+    * mode, foreachBatch MERGE-upserting the full updated aggregates by key
+    * into a durable parquet counter table (executor-side — no driver
+    * collect; restartable — the table outlives the query and the JVM). */
+  def dailyCounter(events: DataFrame, tableDir: String,
+      checkpoint: String): (StreamingQuery, KeyedParquetSink) = {
+    val sink = new KeyedParquetSink(tableDir, Seq("user_id", "dy"))
     val agg = events
       .groupBy(col("user_id"), to_date(col("ts")).as("dy"))
       .agg(sum("value").as("total"), count(lit(1)).as("cnt"))
     val q = agg.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // update mode emits only keys changed in this batch, each carrying
-        // the full recomputed aggregate -> overwrite-by-key is idempotent.
-        batch.collect().foreach { r =>
-          store.m.put((r.getLong(0), r.getDate(1)), (r.getDouble(2), r.getLong(3)))
-        }
-      }
+      // update mode emits only keys changed in this batch, each carrying
+      // the full recomputed aggregate -> merge-by-key is idempotent.
+      .foreachBatch { (batch: DataFrame, _: Long) => sink.upsert(batch) }
       .trigger(Trigger.AvailableNow())
       .start()
-    (q, store)
+    (q, sink)
+  }
+
+  /** A6 year-cumulative counter (the reference's `year_cumulative_precip`
+    * table, create-timeseries.cql:86-91 — present in its schema though its
+    * app never writes it): the same update-mode + durable-MERGE machinery
+    * as [[dailyCounter]] at year grain, over the same rows the batch
+    * `w_annual_precip` query aggregates (purchase events). */
+  def yearCounter(events: DataFrame, tableDir: String,
+      checkpoint: String): (StreamingQuery, KeyedParquetSink) = {
+    val sink = new KeyedParquetSink(tableDir, Seq("user_id", "yr"))
+    val q = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), year(col("ts")).as("yr"))
+      .agg(sum("value").as("total"), count(lit(1)).as("cnt"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) => sink.upsert(batch) }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    (q, sink)
   }
 
   /** S7 raw append sink: micro-batch append of parsed rows to a parquet

@@ -38,7 +38,8 @@ object StreamDemo {
     val rawOut = Files.createTempDirectory("raw-out").toString
     val q1 = CounterStream.rawAppend(stream(), rawOut,
       Files.createTempDirectory("ckpt1").toString)
-    val (q2, store) = CounterStream.dailyCounter(stream(),
+    val (q2, sink) = CounterStream.dailyCounter(stream(),
+      Files.createTempDirectory("counter-table").toString + "/daily",
       Files.createTempDirectory("ckpt2").toString)
     val q3 = CounterStream.windowedSum(stream()).writeStream
       .outputMode("append").format("memory").queryName("win")
@@ -47,10 +48,10 @@ object StreamDemo {
     q1.awaitTermination(); q2.awaitTermination(); q3.awaitTermination()
 
     println(s"[demo] raw append sink rows: ${spark.read.parquet(rawOut).count()}")
-    println(s"[demo] counter store keys:   ${store.snapshot.size}")
-    val sample = store.snapshot.toSeq.sortBy(_._1).take(3)
-    sample.foreach { case ((u, d), (t, c)) =>
-      println(f"[demo]   user=$u%-3d day=$d total=$t%.2f cnt=$c")
+    val counters = sink.read(spark)
+    println(s"[demo] counter table keys:   ${counters.count()}")
+    counters.orderBy("user_id", "dy").limit(3).collect().foreach { r =>
+      println(f"[demo]   user=${r.getLong(0)}%-3d day=${r.getDate(1)} total=${r.getDouble(2)}%.2f cnt=${r.getLong(3)}")
     }
     println(s"[demo] finalized windows:    ${spark.table("win").count()}")
     spark.stop()

@@ -1,8 +1,6 @@
 package graft.streaming
 
-import scala.collection.concurrent.TrieMap
-
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -17,37 +15,40 @@ import graft.sources.WeatherCsv
   *         (a) raw append sink — the raw_weather_data table (S7)
   *         (b) per-(wsid, y, m, d) one_hour_precip running sum in update
   *             mode — the daily_aggregate_precip COUNTER table (S8/A5),
-  *             upserted idempotently by key
-  *         (c) corrupt-line quarantine — the PERMISSIVE corrupt-record
+  *             MERGE-upserted durably and idempotently by key
+  *         (c) per-(wsid, y) running sum — the year_cumulative_precip
+  *             COUNTER table (A6, create-timeseries.cql:86-91; present in
+  *             the reference's schema though its app never writes it)
+  *         (d) corrupt-line quarantine — the PERMISSIVE corrupt-record
   *             channel; the reference had no answer for bad lines (its
   *             parser threw mid-batch, Weather.scala:93)
   *
   * Scale notes: the parse is stateless and shuffle-free; only the counter
-  * leg shuffles (keyed state, bounded by active station-days). Each sink is
-  * its own streaming query with its own checkpoint — independent recovery,
-  * exactly the fan-out the reference builds with two saveToCassandra calls.
+  * legs shuffle (keyed state, bounded by active station-days / station-
+  * years). Each sink is its own streaming query with its own checkpoint —
+  * independent recovery, exactly the fan-out the reference builds with two
+  * saveToCassandra calls. The counter tables are [[KeyedParquetSink]]s:
+  * durable across restarts and convergent under batch replay, unlike the
+  * reference's Cassandra counters which double-count replayed increments.
   */
 object WeatherIngest {
 
-  /** Counter-table test double keyed by (wsid, year, month, day) —
-    * overwrite-by-key upsert (a real deployment MERGEs into Cassandra/Delta). */
-  final class PrecipStore {
-    val m: TrieMap[(String, Int, Int, Int), (Double, Long)] = TrieMap.empty
-    def snapshot: Map[(String, Int, Int, Int), (Double, Long)] = m.toMap
-  }
-
   final case class Running(raw: StreamingQuery, quarantine: StreamingQuery,
-      counter: StreamingQuery, store: PrecipStore) {
+      counter: StreamingQuery, yearCounter: StreamingQuery,
+      dailySink: KeyedParquetSink, yearSink: KeyedParquetSink) {
     def awaitAll(): Unit = { raw.awaitTermination(); quarantine.awaitTermination();
-      counter.awaitTermination() }
+      counter.awaitTermination(); yearCounter.awaitTermination() }
   }
 
-  /** Declare all three sinks over one line source and start them. */
+  /** Declare all four sinks over one line source and start them.
+    * `tableRoot` holds the two durable counter tables
+    * (`$tableRoot/daily_precip`, `$tableRoot/year_precip`). */
   def start(
       lines: DataFrame, // streaming DataFrame with a `value: String` column
       rawOut: String,
       quarantineOut: String,
-      checkpointRoot: String): Running = {
+      checkpointRoot: String,
+      tableRoot: String): Running = {
     import lines.sparkSession.implicits._
     val parsed = WeatherCsv.parseLines(lines.as[String])
 
@@ -69,23 +70,34 @@ object WeatherIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
-    // counter leg (S8/A5): update-mode keyed sum, idempotent overwrite-by-key
-    val store = new PrecipStore
-    val cQ = WeatherCsv.withPrecipDefaults(WeatherCsv.valid(parsed))
+    val measured = WeatherCsv.withPrecipDefaults(WeatherCsv.valid(parsed))
+
+    // counter leg (S8/A5): update-mode keyed sum, durable idempotent MERGE
+    val dailySink = new KeyedParquetSink(s"$tableRoot/daily_precip",
+      Seq("wsid", "year", "month", "day"))
+    val cQ = measured
       .groupBy("wsid", "year", "month", "day")
       .agg(sum("one_hour_precip").as("precipitation"), count(lit(1)).as("cnt"))
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", s"$checkpointRoot/counter")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach { r =>
-          store.m.put((r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)),
-            (r.getDouble(4), r.getLong(5)))
-        }
-      }
+      .foreachBatch { (batch: DataFrame, _: Long) => dailySink.upsert(batch) }
       .trigger(Trigger.AvailableNow())
       .start()
 
-    Running(rawQ, qQ, cQ, store)
+    // year-cumulative leg (A6): same machinery at year grain
+    val yearSink = new KeyedParquetSink(s"$tableRoot/year_precip",
+      Seq("wsid", "year"))
+    val yQ = measured
+      .groupBy("wsid", "year")
+      .agg(sum("one_hour_precip").as("precipitation"), count(lit(1)).as("cnt"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$checkpointRoot/year_counter")
+      .foreachBatch { (batch: DataFrame, _: Long) => yearSink.upsert(batch) }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+    Running(rawQ, qQ, cQ, yQ, dailySink, yearSink)
   }
 }

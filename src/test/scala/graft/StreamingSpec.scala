@@ -1,16 +1,18 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.CounterStream
+import graft.streaming.{CounterStream, KeyedParquetSink}
 
 /** Streaming parity: the counter pipeline must equal the batch groupBy on
   * the same data (the property the reference delegates to Cassandra counter
-  * columns — KafkaStreamingActor.scala:55-64), the upsert must be
-  * idempotent under replay, and fan-out (one source, two sinks) must work.
+  * columns — KafkaStreamingActor.scala:55-64), the durable MERGE sink must
+  * be idempotent under replay AND survive a crash-restart from the
+  * checkpoint (the reference's lifecycle, NodeGuardian.scala:61-67), and
+  * fan-out (one source, two sinks) must work.
   */
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = GraftTestSpark.spark
@@ -28,24 +30,33 @@ class StreamingSpec extends AnyFunSuite {
     dir.toString
   }
 
-  private def eventStream() = {
+  private def eventStream(dir: String = streamDir) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.readStream
       .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .parquet(streamDir)
+      .parquet(dir)
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  test("streaming daily counter equals batch groupBy.sum") {
-    val (q, store) = CounterStream.dailyCounter(eventStream(), tmp("ckpt-counter"))
-    q.awaitTermination()
-    val batch = Tables.events(spark, sf)
-      .groupBy(col("user_id"), to_date(col("ts")).as("dy"))
-      .agg(sum("value").as("total"), count(lit(1)).as("cnt"))
-      .collect()
-      .map(r => (r.getLong(0), r.getDate(1)) -> (r.getDouble(2), r.getLong(3)))
+  private def batchDailyAgg() = Tables.events(spark, sf)
+    .groupBy(col("user_id"), to_date(col("ts")).as("dy"))
+    .agg(sum("value").as("total"), count(lit(1)).as("cnt"))
+    .collect()
+    .map(r => (r.getLong(0), r.getDate(1)) -> (r.getDouble(2), r.getLong(3)))
+    .toMap
+
+  private def sinkSnapshot(sink: KeyedParquetSink) =
+    sink.read(spark).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("dy")) ->
+        (r.getAs[Double]("total"), r.getAs[Long]("cnt")))
       .toMap
-    val got = store.snapshot
+
+  test("streaming daily counter equals batch groupBy.sum (durable table)") {
+    val (q, sink) = CounterStream.dailyCounter(eventStream(),
+      tmp("counter-tbl") + "/daily", tmp("ckpt-counter"))
+    q.awaitTermination()
+    val batch = batchDailyAgg()
+    val got = sinkSnapshot(sink)
     assert(got.size == batch.size)
     batch.foreach { case (k, (total, cnt)) =>
       val (gt, gc) = got(k)
@@ -53,23 +64,101 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
-  test("overwrite-by-key upsert is idempotent under batch replay") {
-    val store = new CounterStream.KeyedStore
-    val updates = Seq((1L, java.sql.Date.valueOf("2024-01-01"), 10.5, 3L),
-      (2L, java.sql.Date.valueOf("2024-01-02"), 4.0, 1L))
-    def apply(): Unit = updates.foreach { case (u, d, t, c) => store.m.put((u, d), (t, c)) }
-    apply(); val once = store.snapshot
-    apply(); val twice = store.snapshot // replayed batch (same recomputed aggregates)
-    assert(once == twice)
+  test("durable MERGE upsert is idempotent under batch replay and merges new keys") {
+    import spark.implicits._
+    val sink = new KeyedParquetSink(tmp("upsert-tbl") + "/t", Seq("k"), numBuckets = 4)
+    val b1 = Seq(("a", 10.5, 3L), ("b", 4.0, 1L)).toDF("k", "total", "cnt")
+    sink.upsert(b1)
+    sink.upsert(b1) // replayed batch (same recomputed aggregates)
+    val once = sink.read(spark).collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(once == Map("a" -> ((10.5, 3L)), "b" -> ((4.0, 1L))))
+    // next batch updates one key, adds one; untouched key must survive
+    val b2 = Seq(("b", 9.0, 2L), ("c", 1.0, 1L)).toDF("k", "total", "cnt")
+    sink.upsert(b2)
+    val after = sink.read(spark).collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(after == Map("a" -> ((10.5, 3L)), "b" -> ((9.0, 2L)), "c" -> ((1.0, 1L))))
+  }
+
+  test("crash recovery: restart from checkpoint replays the uncommitted batch, converges") {
+    // two half-files delivered across a simulated crash
+    val src = Files.createTempDirectory("crash-src")
+    def stage(name: String, filter: org.apache.spark.sql.Column): Unit = {
+      val outTmp = Files.createTempDirectory(s"stage-$name")
+      Tables.events(spark, sf).filter(filter).coalesce(1)
+        .write.mode("overwrite").parquet(outTmp.toString)
+      val part = Files.list(outTmp).filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst().get()
+      Files.copy(part, src.resolve(s"$name.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val tableDir = tmp("crash-tbl") + "/daily"
+    val ckpt = tmp("crash-ckpt")
+
+    stage("half1", col("event_id") <= 500)
+    // staged files already carry a proper TimestampType ts column
+    def stagedStream() = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(src.toString)
+
+    val (q1, sink1) = CounterStream.dailyCounter(stagedStream(), tableDir, ckpt)
+    q1.awaitTermination()
+    assert(sinkSnapshot(sink1).nonEmpty)
+
+    // simulate a crash AFTER the sink ran but BEFORE the batch committed:
+    // drop the newest commit marker so restart re-executes (replays) it
+    import scala.jdk.CollectionConverters._
+    val commits = Paths.get(ckpt, "commits")
+    val newest = Files.list(commits).iterator().asScala.toSeq
+      .filter(p => !p.getFileName.toString.startsWith("."))
+      .maxBy(_.getFileName.toString)
+    Files.delete(newest)
+    // the local ChecksumFileSystem keeps a hidden .N.crc sibling; remove it
+    // too or the replayed commit's rename collides with the stale checksum
+    Files.deleteIfExists(commits.resolve("." + newest.getFileName.toString + ".crc"))
+
+    stage("half2", col("event_id") > 500)
+    val (q2, sink2) = CounterStream.dailyCounter(stagedStream(), tableDir, ckpt)
+    q2.awaitTermination()
+
+    // replayed batch + new batch must converge to exactly the batch answer
+    val batch = batchDailyAgg()
+    val got = sinkSnapshot(sink2)
+    assert(got.size == batch.size)
+    batch.foreach { case (k, (total, cnt)) =>
+      val (gt, gc) = got(k)
+      assert(gc == cnt && math.abs(gt - total) < 1e-6, s"key $k")
+    }
+  }
+
+  test("A6 year-cumulative streaming counter equals w_annual_precip batch grouping") {
+    val (q, sink) = CounterStream.yearCounter(eventStream(),
+      tmp("year-tbl") + "/year", tmp("ckpt-year"))
+    q.awaitTermination()
+    val batch = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), year(col("ts")).as("yr"))
+      .agg(sum("value").as("total"), count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    val got = sink.read(spark).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("yr")) ->
+        (r.getAs[Double]("total"), r.getAs[Long]("cnt")))
+      .toMap
+    assert(got.size == batch.size)
+    batch.foreach { case (k, (total, cnt)) =>
+      val (gt, gc) = got(k)
+      assert(gc == cnt && math.abs(gt - total) < 1e-6, s"key $k")
+    }
   }
 
   test("fan-out: raw append sink + counter sink from the same source") {
     val outDir = tmp("raw-out")
     val q1 = CounterStream.rawAppend(eventStream(), outDir, tmp("ckpt-raw"))
-    val (q2, store) = CounterStream.dailyCounter(eventStream(), tmp("ckpt-counter2"))
+    val (q2, sink) = CounterStream.dailyCounter(eventStream(),
+      tmp("counter-tbl2") + "/daily", tmp("ckpt-counter2"))
     q1.awaitTermination(); q2.awaitTermination()
     assert(spark.read.parquet(outDir).count() == 1000L)
-    assert(store.snapshot.nonEmpty)
+    assert(sink.read(spark).count() > 0)
   }
 
   test("watermarked tumbling-window agg equals batch window agg") {

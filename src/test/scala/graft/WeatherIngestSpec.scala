@@ -2,14 +2,14 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.WeatherIngest
+import graft.streaming.{KeyedParquetSink, WeatherIngest}
 
 /** End-to-end §3.1 ingest on the real wire format: line files → parse →
-  * three sinks. Mirrors the reference's KafkaStreamingActorSpec assertions
-  * (raw count, counter table populated) but value-exact. */
+  * four sinks. Mirrors the reference's KafkaStreamingActorSpec assertions
+  * (raw count, counter table populated) but value-exact, against DURABLE
+  * counter tables (daily + A6 year-cumulative). */
 class WeatherIngestSpec extends AnyFunSuite {
   private lazy val spark = GraftTestSpark.spark
 
@@ -23,15 +23,28 @@ class WeatherIngestSpec extends AnyFunSuite {
     a ++ b :+ "garbage"
   }
 
-  test("ingest fan-out: raw append + daily counter + quarantine, value-exact") {
+  private def dailySnapshot(sink: KeyedParquetSink) =
+    sink.read(spark).collect()
+      .map(r => (r.getAs[String]("wsid"), r.getAs[Int]("year"), r.getAs[Int]("month"),
+        r.getAs[Int]("day")) -> (r.getAs[Double]("precipitation"), r.getAs[Long]("cnt")))
+      .toMap
+
+  private def yearSnapshot(sink: KeyedParquetSink) =
+    sink.read(spark).collect()
+      .map(r => (r.getAs[String]("wsid"), r.getAs[Int]("year")) ->
+        (r.getAs[Double]("precipitation"), r.getAs[Long]("cnt")))
+      .toMap
+
+  test("ingest fan-out: raw append + daily/year counters + quarantine, value-exact") {
     val src = Files.createTempDirectory("wire-src")
     Files.write(src.resolve("batch1.csv"), lines.mkString("\n").getBytes("UTF-8"))
     val rawOut = Files.createTempDirectory("wire-raw").toString
     val qOut = Files.createTempDirectory("wire-quar").toString
     val ckpt = Files.createTempDirectory("wire-ckpt").toString
+    val tables = Files.createTempDirectory("wire-tables").toString
 
     val stream = spark.readStream.format("text").load(src.toString)
-    val run = WeatherIngest.start(stream, rawOut, qOut, ckpt)
+    val run = WeatherIngest.start(stream, rawOut, qOut, ckpt, tables)
     run.awaitAll()
 
     // raw sink: 12 valid rows, schema-complete
@@ -39,39 +52,46 @@ class WeatherIngestSpec extends AnyFunSuite {
     assert(raw.count() == 12)
     assert(raw.columns.toSet == graft.sources.WeatherCsv.schema.fieldNames.toSet)
 
-    // counter sink: 4 station-days with exact sums
-    val c = run.store.snapshot
+    // daily counter table: 4 station-days with exact sums
+    val c = dailySnapshot(run.dailySink)
     assert(c.size == 4)
     assert(c(("724940:23234", 2008, 1, 1)) == ((1.5, 3L)))
     assert(c(("724940:23234", 2008, 1, 2)) == ((0.0, 3L)))
     assert(c(("725030:14732", 2008, 1, 2)) == ((0.0, 3L))) // missing precip -> 0.0
+
+    // A6 year-cumulative counter table: 2 station-years
+    val y = yearSnapshot(run.yearSink)
+    assert(y == Map(("724940:23234", 2008) -> ((1.5, 6L)),
+      ("725030:14732", 2008) -> ((0.0, 6L))))
 
     // quarantine: exactly the garbage line
     val quar = spark.read.parquet(qOut).collect().map(_.getString(0))
     assert(quar.toSeq == Seq("garbage"))
   }
 
-  test("counter resumes across restarts: second batch adds into existing keys") {
+  test("counters resume across restarts: second batch adds into existing keys") {
     val src = Files.createTempDirectory("wire-src2")
     Files.write(src.resolve("b1.csv"),
       "724940:23234,2008,01,01,00,11.7,-0.6,1023.8,50,7.2,2,0.5,0.0".getBytes)
     val rawOut = Files.createTempDirectory("wire-raw2").toString
     val qOut = Files.createTempDirectory("wire-quar2").toString
     val ckpt = Files.createTempDirectory("wire-ckpt2").toString
+    val tables = Files.createTempDirectory("wire-tables2").toString
 
     val run1 = WeatherIngest.start(
-      spark.readStream.format("text").load(src.toString), rawOut, qOut, ckpt)
+      spark.readStream.format("text").load(src.toString), rawOut, qOut, ckpt, tables)
     run1.awaitAll()
-    assert(run1.store.snapshot(("724940:23234", 2008, 1, 1)) == ((0.5, 1L)))
+    assert(dailySnapshot(run1.dailySink)(("724940:23234", 2008, 1, 1)) == ((0.5, 1L)))
 
     // new file lands; restart the pipeline from the same checkpoints —
     // streaming-agg state recovers and the sum continues, not resets
     Files.write(src.resolve("b2.csv"),
       "724940:23234,2008,01,01,01,11.9,-0.6,1023.8,50,7.2,2,0.25,0.0".getBytes)
     val run2 = WeatherIngest.start(
-      spark.readStream.format("text").load(src.toString), rawOut, qOut, ckpt)
+      spark.readStream.format("text").load(src.toString), rawOut, qOut, ckpt, tables)
     run2.awaitAll()
-    assert(run2.store.snapshot(("724940:23234", 2008, 1, 1)) == ((0.75, 2L)))
+    assert(dailySnapshot(run2.dailySink)(("724940:23234", 2008, 1, 1)) == ((0.75, 2L)))
+    assert(yearSnapshot(run2.yearSink)(("724940:23234", 2008)) == ((0.75, 2L)))
     assert(spark.read.parquet(rawOut).count() == 2)
   }
 }
