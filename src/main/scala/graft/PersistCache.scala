@@ -18,7 +18,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * every block it pins) be GC'd. */
 object PersistCache {
   private val cache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, Lazy]]()
+
+  /** One-shot lazy holder: `getOrElseUpdate`'s thunk is NOT atomic under
+    * TrieMap (two racing threads can both evaluate it), so the side effect
+    * (persist) is deferred behind a `lazy val` — putIfAbsent decides the
+    * winner first, then exactly one holder ever persists; a losing racer's
+    * holder is discarded unevaluated, registering nothing in the
+    * CacheManager. */
+  private final class Lazy(build: () => DataFrame) {
+    lazy val df: DataFrame = build().persist()
+  }
 
   def getOrBuild(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val perSession = cache.synchronized {
@@ -26,6 +36,7 @@ object PersistCache {
       if (m == null) { m = scala.collection.concurrent.TrieMap.empty; cache.put(s, m) }
       m
     }
-    perSession.getOrElseUpdate(key, build.persist())
+    val holder = new Lazy(() => build)
+    perSession.putIfAbsent(key, holder).getOrElse(holder).df
   }
 }

@@ -1,5 +1,7 @@
 package graft.api
 
+import scala.concurrent.{ExecutionContext, Future}
+
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -45,16 +47,27 @@ final class WeatherQueries(spark: SparkSession, dir: String) {
       .as[Reading].collect().headOption
 
   /** GetDailyTemperature (TemperatureActor.scala:55-60): one station-day's
-    * stats, population variance per StatCounter semantics. */
+    * stats, population variance per StatCounter semantics. The full
+    * (station, y, m, d) key is pushed into the SCAN as Column predicates —
+    * the reference pushed the same key to storage (TemperatureActor.scala:
+    * 57-58); filtering after aggregation would scan the station's entire
+    * history to answer one day. */
   def dailyStats(stationId: Long, year: Int, month: Int, day: Int): Option[DailyStats] =
-    dailyStatsDs(Some(stationId))
-      .filter(d => d.year == year && d.month == month && d.day == day)
-      .collect().headOption
+    dailyStatsPlan(stationId, year, month, day).collect().headOption
+
+  /** The one-station-day plan (exposed so tests can assert the pushed
+    * predicates on `queryExecution`). */
+  def dailyStatsPlan(stationId: Long, yr: Int, mon: Int, day: Int): Dataset[DailyStats] =
+    dailyRollup(events.filter(col("user_id") === stationId &&
+      year(col("ts")) === yr && month(col("ts")) === mon &&
+      dayofmonth(col("ts")) === day))
 
   /** Full daily rollup (optionally one station) as a typed Dataset. */
-  def dailyStatsDs(stationId: Option[Long] = None): Dataset[DailyStats] = {
+  def dailyStatsDs(stationId: Option[Long] = None): Dataset[DailyStats] =
+    dailyRollup(stationId.fold(events)(id => events.filter(col("user_id") === id)))
+
+  private def dailyRollup(base: Dataset[org.apache.spark.sql.Row]): Dataset[DailyStats] = {
     val varScaled = (col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("n")) / col("n")
-    val base = stationId.fold(events)(id => events.filter(col("user_id") === id))
     base.withColumn("iv", centi(col("value")))
       .groupBy(col("user_id").as("stationId"), year(col("ts")).as("year"),
         month(col("ts")).as("month"), dayofmonth(col("ts")).as("day"))
@@ -69,15 +82,20 @@ final class WeatherQueries(spark: SparkSession, dir: String) {
   }
 
   /** GetMonthlyTemperature (TemperatureActor.scala:65-69): hi/lo over the
-    * daily rollup — the reference's aggregation-of-aggregates cascade. */
+    * daily rollup — the reference's aggregation-of-aggregates cascade. The
+    * (station, y, m) key filters the scan, and the rollup-of-rollup is a
+    * relational `groupBy.agg` (partial aggregation map-side) — a `mapGroups`
+    * here would ship every daily row through the shuffle whole. */
   def monthlyHiLow(stationId: Long, year: Int, month: Int): Option[MonthlyHiLow] =
-    dailyStatsDs(Some(stationId))
-      .filter(d => d.year == year && d.month == month)
-      .groupByKey(d => (d.stationId, d.year, d.month))
-      .mapGroups { (k: (Long, Int, Int), ds: Iterator[DailyStats]) =>
-        val l = ds.toSeq
-        MonthlyHiLow(k._1, k._2, k._3, l.map(_.high).max, l.map(_.low).min)
-      }.collect().headOption
+    monthlyHiLowPlan(stationId, year, month).collect().headOption
+
+  /** The one-station-month plan (exposed for plan assertions in tests). */
+  def monthlyHiLowPlan(stationId: Long, yr: Int, mon: Int): Dataset[MonthlyHiLow] =
+    dailyRollup(events.filter(col("user_id") === stationId &&
+        year(col("ts")) === yr && month(col("ts")) === mon))
+      .groupBy(col("stationId"), col("year"), col("month"))
+      .agg(max("high").as("hi"), min("low").as("lo"))
+      .as[MonthlyHiLow]
 
   /** GetPrecipitation (PrecipitationActor.scala:39-44): annual total. */
   def annualSum(stationId: Long, year: Int): Option[AnnualSum] =
@@ -119,4 +137,28 @@ final class WeatherQueries(spark: SparkSession, dir: String) {
       .groupBy(col("stationId"), col("year"), col("month"))
       .agg(max("high").as("hi"), min("low").as("lo"))
       .as[MonthlyHiLow]
+
+  /** Non-blocking facade — the reference's query plane never blocked an
+    * actor on a Spark job (`collectAsync` piped to the requester,
+    * TemperatureActor.scala:59-60, syntax/FutureSyntax.scala:12-22). Each
+    * method runs the same plan on the caller's ExecutionContext and
+    * completes a Future. Spark's scheduler is thread-safe, so concurrent
+    * queries from different threads interleave (pair with FAIR scheduler
+    * pools when sharing a cluster). */
+  final class Async(implicit ec: ExecutionContext) {
+    private val sync = WeatherQueries.this
+    def currentReading(stationId: Long): Future[Option[Reading]] =
+      Future(sync.currentReading(stationId))
+    def dailyStats(stationId: Long, year: Int, month: Int, day: Int): Future[Option[DailyStats]] =
+      Future(sync.dailyStats(stationId, year, month, day))
+    def monthlyHiLow(stationId: Long, year: Int, month: Int): Future[Option[MonthlyHiLow]] =
+      Future(sync.monthlyHiLow(stationId, year, month))
+    def annualSum(stationId: Long, year: Int): Future[Option[AnnualSum]] =
+      Future(sync.annualSum(stationId, year))
+    def topKDays(k: Int): Future[Seq[StationDay]] =
+      Future(sync.topKDays(k))
+    def station(id: Long): Future[Option[Station]] =
+      Future(sync.station(id))
+  }
+  def async(implicit ec: ExecutionContext): Async = new Async
 }

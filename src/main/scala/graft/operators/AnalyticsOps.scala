@@ -169,13 +169,15 @@ object AnalyticsOps {
     * both engines, so tfidf doubles are bit-identical and the per-doc
     * ranking is deterministic (tiebreak on the term).
     * Scale: df is a broadcast-sized term dictionary after the first agg;
-    * the per-(doc,term) tf agg shuffles once on (doc_id, tok). */
+    * the per-(doc,term) tf agg shuffles once on (doc_id, tok). N rides the
+    * plan as a broadcast one-row count aggregate (cross-join), exactly like
+    * the oracle's `CROSS JOIN n` — building the DataFrame runs no job. */
   private val txtTfidf = GraftQuery(
     "txt_tfidf",
     "TF-IDF top-3 terms per document (ln((N+1)/(df+1)) weighting)",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val n = docs.count()
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .filter(length(col("tok")) >= 3)
       val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
@@ -183,7 +185,8 @@ object AnalyticsOps {
       val byDoc = Window.partitionBy("doc_id")
         .orderBy(desc("tfidf"), col("tok"))
       tf.join(broadcast(df), "tok")
-        .withColumn("tfidf", col("tf") * log((lit(n + 1).cast("double")) / (col("df") + 1)))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)))
         .withColumn("rk", row_number().over(byDoc))
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("rk"), col("tok"),

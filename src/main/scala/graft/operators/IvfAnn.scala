@@ -66,7 +66,15 @@ object IvfAnn {
     * query would be wasted work AND version skew (two runs disagreeing on
     * bucket boundaries invalidates the stored assignment). Training is
     * deterministic (hash sample, fixed seed ranks, rounded means), so the
-    * cached model is bit-identical to a retrain. */
+    * cached model is bit-identical to a retrain.
+    *
+    * Invalidation: there is none — the cache is process-global and keyed
+    * only by corpus dir, so it shares [[graft.Tables]]' documented
+    * assumption that the data under a dir is immutable for the JVM's
+    * lifetime; regenerating testdata in place silently reuses stale
+    * centroids. A production index stores the quantizer WITH the bucketed
+    * table (one versioned artifact), making staleness impossible rather
+    * than assumed away. */
   private val modelCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Seq[Double])]]
 

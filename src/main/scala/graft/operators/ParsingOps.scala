@@ -169,22 +169,35 @@ object ParsingOps {
     * "list ten directories": the read-back's dy <= 10 filter is resolved
     * against the file index (PartitionFilters in the scan, asserted by
     * PartitionPrunedSpec), so unselected days contribute zero I/O. */
+  /** One write-back per (JVM, corpus dir): without the memo every builder
+    * invocation created a fresh temp dir and rewrote the rollup — orphaned
+    * parquet dirs accumulating across bench/verify iterations. Same
+    * immutable-corpus-dir assumption as [[graft.Tables]]/[[graft.PersistCache]];
+    * the lock makes the write-once atomic across racing threads. */
+  private val writebackMemo = scala.collection.concurrent.TrieMap[String, String]()
+  private val writebackLock = new Object
+
   private val partitionPruned = GraftQuery(
     "w_partition_pruned",
     "partitioned parquet write-back, partition-pruned daily read",
     (s, d) => {
-      val out = java.nio.file.Files.createTempDirectory("part-writeback").toString
-      Tables.events(s, d)
-        .withColumn("dy", dayofmonth(col("ts")).cast("int"))
-        .groupBy("dy", "user_id")
-        .agg(count(lit(1)).as("cnt"),
-          sum(graft.functions.GraftFunctions.centi(col("value"))).as("vc"))
-        // cluster rows by partition key before the partitioned write: one
-        // file per day instead of (shuffle-partitions × days) small files —
-        // at scale the small-file explosion is what kills partitioned
-        // tables (file-listing cost grows with file count, not data size)
-        .repartition(col("dy"))
-        .write.mode("overwrite").partitionBy("dy").parquet(out)
+      val out = writebackLock.synchronized {
+        writebackMemo.getOrElseUpdate(d, {
+          val o = java.nio.file.Files.createTempDirectory("part-writeback").toString
+          Tables.events(s, d)
+            .withColumn("dy", dayofmonth(col("ts")).cast("int"))
+            .groupBy("dy", "user_id")
+            .agg(count(lit(1)).as("cnt"),
+              sum(graft.functions.GraftFunctions.centi(col("value"))).as("vc"))
+            // cluster rows by partition key before the partitioned write: one
+            // file per day instead of (shuffle-partitions × days) small files —
+            // at scale the small-file explosion is what kills partitioned
+            // tables (file-listing cost grows with file count, not data size)
+            .repartition(col("dy"))
+            .write.mode("overwrite").partitionBy("dy").parquet(o)
+          o
+        })
+      }
       s.read.parquet(out)
         .filter(col("dy") <= 10)
         .groupBy("dy")

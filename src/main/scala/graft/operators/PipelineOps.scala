@@ -71,26 +71,30 @@ object PipelineOps {
     },
     Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings) SELECT vec_id, CAST(len(v) AS INTEGER) AS dim, CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_pos, floor(list_min(v) * 1e6 + 0.5) / 1e6 AS vmin, floor(list_max(v) * 1e6 + 0.5) / 1e6 AS vmax, floor(CAST(CAST(list_sum(list_transform(v, x -> CAST(round(x * 1e6) AS BIGINT))) AS BIGINT) AS DOUBLE) / len(v) / 1e6 * 1e6 + 0.5) / 1e6 AS vmean FROM e ORDER BY vec_id"""))
 
-  /** Min-timestamp conversion funnel signup → view → purchase: ONE
-    * conditional-aggregation pass computes each user's first timestamp per
-    * stage; the stage test is pure CASE logic on integer micros. At scale
-    * this is a single shuffle on user_id (map-side combined), versus the
-    * naive per-stage self-join cascade. */
+  /** STRICT-ordering conversion funnel signup → view → purchase: each
+    * stage's timestamp is the first occurrence AFTER the previous stage
+    * (v = min view with ts > s, p = min purchase with ts > v), so a view
+    * that happened only before signup does not count as progression — the
+    * semantic skew the earlier min-per-type formulation had. The chain of
+    * three same-key windows is ONE shuffle on user_id (Catalyst stacks the
+    * Window execs on a single exchange); the final rollup rides the same
+    * partitioning. */
   private val evtFunnel = GraftQuery(
     "evt_funnel",
-    "conversion funnel (signup->view->purchase) via one conditional agg pass",
+    "strict conversion funnel (signup->view->purchase, stage-ordered firsts)",
     (s, d) => {
-      val us = unix_micros(col("ts"))
+      val w = Window.partitionBy("user_id")
       Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        .withColumn("s", min(when(col("event_type") === "signup", col("us"))).over(w))
+        .withColumn("v", min(when(col("event_type") === "view" && col("us") > col("s"), col("us"))).over(w))
+        .withColumn("p", min(when(col("event_type") === "purchase" && col("us") > col("v"), col("us"))).over(w))
         .groupBy("user_id")
-        .agg(
-          min(when(col("event_type") === "signup", us)).as("s"),
-          min(when(col("event_type") === "view", us)).as("v"),
-          min(when(col("event_type") === "purchase", us)).as("p"))
+        .agg(min("s").as("s"), min("v").as("v"), min("p").as("p"))
         .withColumn("stage",
           when(col("s").isNull, 0)
-            .when(col("v").isNull || col("v") <= col("s"), 1)
-            .when(col("p").isNull || col("p") <= col("v"), 2)
+            .when(col("v").isNull, 1)
+            .when(col("p").isNull, 2)
             .otherwise(3))
         .groupBy("stage")
         .agg(count(lit(1)).as("n_users"),
@@ -98,7 +102,7 @@ object PipelineOps {
             .cast("double") / 1e6, 3).as("conv_total_s"))
         .orderBy("stage")
     },
-    Some("""WITH f AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS s, min(CASE WHEN event_type = 'view' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS v, min(CASE WHEN event_type = 'purchase' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS p FROM events GROUP BY 1), st AS (SELECT *, CASE WHEN s IS NULL THEN 0 WHEN v IS NULL OR v <= s THEN 1 WHEN p IS NULL OR p <= v THEN 2 ELSE 3 END AS stage FROM f) SELECT stage, count(*) AS n_users, floor(CAST(sum(CASE WHEN stage = 3 THEN p - s END) AS DOUBLE) / 1e6 * 1000.0 + 0.5) / 1000.0 AS conv_total_s FROM st GROUP BY 1 ORDER BY 1"""))
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), w1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN us END) OVER (PARTITION BY user_id) AS s FROM e), w2 AS (SELECT *, min(CASE WHEN event_type = 'view' AND us > s THEN us END) OVER (PARTITION BY user_id) AS v FROM w1), w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us > v THEN us END) OVER (PARTITION BY user_id) AS p FROM w2), u AS (SELECT user_id, min(s) AS s, min(v) AS v, min(p) AS p FROM w3 GROUP BY 1), st AS (SELECT *, CASE WHEN s IS NULL THEN 0 WHEN v IS NULL THEN 1 WHEN p IS NULL THEN 2 ELSE 3 END AS stage FROM u) SELECT stage, count(*) AS n_users, floor(CAST(sum(CASE WHEN stage = 3 THEN p - s END) AS DOUBLE) / 1e6 * 1000.0 + 0.5) / 1000.0 AS conv_total_s FROM st GROUP BY 1 ORDER BY 1"""))
 
   /** Mode (most frequent value) per group: count then rank, ties broken
     * lexicographically. Two keyed shuffles (user×type counts, then the

@@ -191,16 +191,19 @@ object RelationalOps {
     Some(s"""SELECT s_nationkey, s_suppkey, rev, CAST(rnk AS INTEGER) AS rnk FROM (SELECT s_nationkey, s_suppkey, rev, rank() OVER (PARTITION BY s_nationkey ORDER BY rev DESC, s_suppkey) AS rnk FROM (SELECT s_nationkey, s_suppkey, floor(CAST(sum($revCSql) AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0 AS rev FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2)) WHERE rnk <= 3 ORDER BY s_nationkey, rnk, s_suppkey"""))
 
   /** Moving average + day-over-day delta over the daily revenue series.
-    * The global-order window runs on ~2.5k rows post-aggregation; at 100 TB
-    * you'd partition the window by year to keep frames distributed. */
+    * The window is partitioned by year so frames stay distributed (an
+    * unpartitioned `Window.orderBy` funnels the whole series through one
+    * partition — the scale-killer shape); the trade-off, identical in both
+    * engines, is that frames reset at year boundaries (the first days of a
+    * year average over <7 rows and day 1's delta is null). */
   private val winMoving = GraftQuery(
     "win_moving_avg",
-    "sliding frame (7-day moving avg) + lag() delta over a date series",
+    "sliding frame (7-day moving avg) + lag() delta over a date series, year-partitioned",
     (s, d) => {
       val daily = Tables.lineitem(s, d)
         .groupBy(to_date(col("l_shipdate")).as("dy"))
         .agg(fround(sum(centi(col("l_extendedprice"))).cast("double") / 100.0, 2).as("rev"))
-      val ord = Window.orderBy("dy")
+      val ord = Window.partitionBy(year(col("dy"))).orderBy("dy")
       val frame = ord.rowsBetween(-6, 0)
       daily
         .withColumn("rc", centi(col("rev")))
@@ -210,7 +213,7 @@ object RelationalOps {
         .select("dy", "rev", "ma7", "delta")
         .orderBy("dy")
     },
-    Some("""SELECT dy, rev, floor(CAST(sum(rc) OVER w AS DOUBLE) / count(*) OVER w / 100.0 * 10000.0 + 0.5) / 10000.0 AS ma7, round(rev - lag(rev, 1) OVER (ORDER BY dy), 2) AS delta FROM (SELECT dy, rev, CAST(round(rev * 100) AS BIGINT) AS rc FROM (SELECT CAST(l_shipdate AS DATE) AS dy, floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS rev FROM lineitem GROUP BY 1)) WINDOW w AS (ORDER BY dy ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY dy"""))
+    Some("""SELECT dy, rev, floor(CAST(sum(rc) OVER w AS DOUBLE) / count(*) OVER w / 100.0 * 10000.0 + 0.5) / 10000.0 AS ma7, round(rev - lag(rev, 1) OVER (PARTITION BY year(dy) ORDER BY dy), 2) AS delta FROM (SELECT dy, rev, CAST(round(rev * 100) AS BIGINT) AS rc FROM (SELECT CAST(l_shipdate AS DATE) AS dy, floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS rev FROM lineitem GROUP BY 1)) WINDOW w AS (PARTITION BY year(dy) ORDER BY dy ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY dy"""))
 
   private val setIntersect = GraftQuery(
     "set_intersect",

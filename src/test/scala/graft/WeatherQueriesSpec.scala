@@ -39,6 +39,38 @@ class WeatherQueriesSpec extends AnyFunSuite {
     assert(m.hi == daily.map(_.high).max && m.lo == daily.map(_.low).min)
   }
 
+  test("dailyStats pushes the full (station, y, m, d) key below the aggregate") {
+    val qe = wq.dailyStatsPlan(0L, 2024, 1, 1).queryExecution
+    // station predicate reaches the parquet scan as a pushed filter
+    val physical = qe.executedPlan.toString
+    assert(physical.contains("PushedFilters") && physical.contains("EqualTo(user_id,0)"), physical)
+    // calendar predicates sit BENEATH the aggregate (pre-agg filter), not
+    // above it — the whole-history-then-filter shape is the anti-pattern
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    val agg = qe.optimizedPlan.collect { case a: Aggregate => a }.head
+    val below = agg.collect { case f: Filter => f.condition.toString }
+    assert(below.exists(c => c.contains("year(") && c.contains("month(") &&
+      c.contains("dayofmonth(")), below.mkString("; "))
+  }
+
+  test("monthlyHiLow is a relational rollup-of-rollup: no MapGroups, key pushed") {
+    val qe = wq.monthlyHiLowPlan(0L, 2024, 1).queryExecution
+    val physical = qe.executedPlan.toString
+    assert(!physical.contains("MapGroups") && !physical.contains("DeserializeToObject"), physical)
+    assert(physical.contains("EqualTo(user_id,0)"), physical)
+  }
+
+  test("async facade returns the same answers as the blocking API") {
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val a = wq.async
+    val futures = (a.dailyStats(0L, 2024, 1, 1), a.station(1L), a.topKDays(5))
+    assert(Await.result(futures._1, 120.seconds) == wq.dailyStats(0L, 2024, 1, 1))
+    assert(Await.result(futures._2, 120.seconds) == wq.station(1L))
+    assert(Await.result(futures._3, 120.seconds) == wq.topKDays(5))
+  }
+
   test("topKDays: k rows, non-increasing totals") {
     val top = wq.topKDays(5)
     assert(top.size == 5)
