@@ -155,7 +155,35 @@ object SubqueryOps {
       Seq("customer", "orders"), sql, sql.replace("\n", " "))
   }
 
+  /** TPC-H Q2/Q20 shape: the deepest decorrelation form — a correlated
+    * MIN subquery in the WHERE of a three-way join tree (part ⋈ lineitem ⋈
+    * supplier), correlated on the OUTER side's part key. Catalyst must
+    * decorrelate the min-price leg into an aggregate-once + equi-join that
+    * composes with the surrounding join order (DecorrelateInnerQuery +
+    * RewriteCorrelatedScalarSubquery); per-outer-row re-execution here is
+    * quadratic in lineitem at 100 TB. Price compares as exact centi
+    * integers, so the = cut is engine-independent. */
+  private val minCostJoin = {
+    val priceC = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    def sql(castBig: String => String) =
+      s"""SELECT p_partkey, p_brand, s_suppkey, s_name,
+         |  CAST(floor(CAST(${castBig(priceC)} AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS DOUBLE) AS min_price
+         |FROM part
+         |JOIN lineitem ON l_partkey = p_partkey
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |WHERE p_size <= 5
+         |  AND $priceC = (
+         |    SELECT min($priceC) FROM lineitem l2
+         |    WHERE l2.l_partkey = part.p_partkey)
+         |ORDER BY p_partkey, s_suppkey""".stripMargin
+    q("sq_min_cost_join",
+      "Q2/Q20 shape: correlated min-price subquery inside a 3-way join tree -> aggregate-once + join",
+      Seq("part", "lineitem", "supplier"),
+      sql(identity),
+      sql(x => s"CAST($x AS BIGINT)").replace("\n", " "))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     existsLateShip, notExistsIdle, scalarSmallQty, havingShare, inHighVolume,
-    lateralTopk)
+    lateralTopk, minCostJoin)
 }

@@ -33,6 +33,44 @@ import graft.sources.WeatherCsv
   */
 object WeatherIngest {
 
+  /** Reader options for the production Kafka form of the line source
+    * (KafkaStreamingActor.scala:39-40: the reference subscribes one topic
+    * from a bootstrap list and treats each record value as a raw CSV line).
+    * Pure so the plumbing is unit-testable in a zero-egress environment.
+    *
+    * `failOnDataLoss=false` mirrors the reference's at-least-once stance:
+    * a compacted/expired offset should surface as a gap, not kill the
+    * query — the durable counter sinks converge under replay anyway. */
+  def kafkaOptions(
+      bootstrap: String,
+      topic: String,
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets,
+      "failOnDataLoss" -> "false") ++
+      maxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString)
+
+  /** The `format("kafka")` streaming frame behind the same parse/fan-out as
+    * [[start]]: record value → `value: String` line column, exactly what
+    * `WeatherCsv.parseLines` consumes. Requires the spark-sql-kafka
+    * connector on the classpath at runtime (absent here — zero egress — so
+    * specs assert the option plumbing and that this path reaches Spark's
+    * source resolution; the file/memory sources are the tested stand-in). */
+  def kafkaLines(
+      s: org.apache.spark.sql.SparkSession,
+      bootstrap: String,
+      topic: String,
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None): DataFrame =
+    s.readStream
+      .format("kafka")
+      .options(kafkaOptions(bootstrap, topic, startingOffsets, maxOffsetsPerTrigger))
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+
   final case class Running(raw: StreamingQuery, quarantine: StreamingQuery,
       counter: StreamingQuery, yearCounter: StreamingQuery,
       dailySink: KeyedParquetSink, yearSink: KeyedParquetSink) {

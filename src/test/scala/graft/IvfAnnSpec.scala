@@ -55,18 +55,19 @@ class IvfAnnSpec extends AnyFunSuite {
     }
   }
 
-  test("stored IVF index partitioned by cid: probes prune to their buckets") {
-    // the at-scale storage shape: index written partitionBy(cid), a probe
-    // reads only its nprobe directories (PartitionFilters, not a full scan)
-    val out = java.nio.file.Files.createTempDirectory("ivf-index").toString
-    IvfAnn.assign(spark, vecs, IvfAnn.train(spark, vecs))
-      .write.partitionBy("cid").mode("overwrite").parquet(out)
-    val probe = spark.read.parquet(out).filter(col("cid").isin(0, 3, 7))
-    val p = probe.queryExecution.executedPlan.toString
-    assert(p.contains("PartitionFilters") && p.contains("cid"), p.take(3000))
-    val total = spark.read.parquet(out).count()
-    val scanned = probe.count()
-    assert(scanned > 0 && scanned < total)
+  test("sim_knn_ivf probes the stored cid-partitioned index with PartitionFilters") {
+    // the registered query's probe scan must prune at the file index: its
+    // parquet scan of the stored index carries a non-empty PartitionFilters
+    // on cid (nprobe directories read, not a full scan / recomputed assign)
+    val p = run("sim_knn_ivf").queryExecution.executedPlan.toString
+    val pruned = """PartitionFilters: \[[^\]]*cid""".r.findFirstIn(p)
+    assert(pruned.isDefined, p.take(3000))
+    // and the stored index is a real partitioned layout on disk
+    val idx = IvfAnn.storedIndex(spark, sf, vecs)
+    val dirs = new java.io.File(idx).listFiles.filter(_.getName.startsWith("cid="))
+    assert(dirs.nonEmpty)
+    val total = spark.read.parquet(idx).count()
+    assert(total == vecs.count())
   }
 
   test("sim_knn_ivf recall@3 vs brute-force top-5 beats the random floor") {

@@ -40,6 +40,25 @@ class SubqueryOpsSpec extends AnyFunSuite {
     assert(p.contains("Join"), p.take(2000))
   }
 
+  test("correlated min inside a 3-way join tree decorrelates (no per-row re-scan)") {
+    val p = plan("sq_min_cost_join")
+    // the min-price leg must appear as an aggregate feeding a join that
+    // composes with the part⋈lineitem⋈supplier tree — at least 3 joins, an
+    // aggregate, and no surviving correlated-subquery execution node
+    assert(p.sliding("Join".length).count(_ == "Join") >= 3, p.take(3000))
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p.take(3000))
+    assert(!p.contains("CorrelatedScalarSubquery"), p.take(3000))
+  }
+
+  test("sq_min_cost_join: every returned price IS the part's min (spot check)") {
+    val rows = SparkEntry.queries("sq_min_cost_join")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val perPart = rows.groupBy(_.getLong(0))
+    perPart.foreach { case (_, rs) =>
+      assert(rs.map(_.getDouble(4)).distinct.length == 1) // one min per part
+    }
+  }
+
   test("sq_not_exists is non-degenerate and exact at sf (rows > 0)") {
     assert(SparkEntry.queries("sq_not_exists")(spark, sf).count() > 0)
   }
