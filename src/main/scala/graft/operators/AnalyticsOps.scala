@@ -348,8 +348,38 @@ object AnalyticsOps {
       .orderBy("day"),
     Some("""SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS n_users, count(DISTINCT event_type) AS n_types, count(*) AS n_events, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** Mergeable-sketch rollup — THE 100 TB distinct-count pattern: per-day
+    * HLL sketches (Apache DataSketches, via the built-in hll_sketch_agg)
+    * are built in one partial-aggregatable pass, stored sketch-sized, and
+    * MERGED (hll_union_agg) to any coarser grain without re-touching raw
+    * data — unlike exact countDistinct, whose Expand-based plan must
+    * re-shuffle the full key set per grain. The query rolls per-(type, day)
+    * sketches up to type grain and reports the merged estimate next to the
+    * single-pass direct estimate and the exact count. No SQL oracle
+    * (sketch binaries are engine-internal); OperatorSpec asserts
+    * merged == direct (same lgK ⇒ identical registers) and both within 5%
+    * of exact. */
+  private val aggHllRollup = GraftQuery(
+    "agg_hll_rollup",
+    "per-day HLL sketches merged to type grain vs direct sketch vs exact",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      val merged = daily.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("merged_users"),
+          count(lit(1)).as("n_days"))
+      val direct = Tables.events(s, d).groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+          .as("direct_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+      merged.join(direct, Seq("event_type")).orderBy("event_type")
+    },
+    None)
+
   val all: Seq[GraftQuery] = Seq(
     winSession, winLagLead, aggPercentiles, aggCorr, jSkewSalted, txtTfidf,
     aggStatsOnepass, aggPivot, winSessionNative, aggApproxPercentile,
-    aggArgExtremes, aggMapHistogram, aggMultiDistinct)
+    aggArgExtremes, aggMapHistogram, aggMultiDistinct, aggHllRollup)
 }

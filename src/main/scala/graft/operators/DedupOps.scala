@@ -119,11 +119,17 @@ object DedupOps {
       s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sh AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in generate_series(1, greatest(len(toks) - 2, 0))]) AS sh FROM t), u AS (SELECT doc_id, $uSql AS u FROM (SELECT doc_id, md5(sh) AS h FROM sh)), ab AS (SELECT * FROM (VALUES $abValues) t(i, a, b)), mh AS (SELECT doc_id, i, min((a * u + b) % $P) AS mh FROM u, ab GROUP BY 1, 2), sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY 1), bands AS (SELECT doc_id, b, sig[2*b+1]::VARCHAR || '_' || sig[2*b+2]::VARCHAR AS bh FROM sig, (SELECT unnest(generate_series(0, 5)) AS b)), cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT c.a, c.b, count(*) AS c FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh GROUP BY 1, 2) SELECT i.a, i.b, floor(i.c * 1.0 / (x.n + y.n - i.c) * 10000.0 + 0.5) / 10000.0 AS jaccard FROM inter i JOIN sz x ON i.a = x.doc_id JOIN sz y ON i.b = y.doc_id WHERE i.c * 1.0 / (x.n + y.n - i.c) >= 0.5 ORDER BY 1, 2"""
     })
 
-  /** Exact n-gram Jaccard dedup via inverted-index self-join (4-grams). */
-  private val dedupNgram = GraftQuery(
-    "dedup_ngram_jaccard",
-    "exact 4-gram Jaccard >= 0.4 via inverted-index self-join",
-    (s, d) => {
+  /** Oracle CTE chain producing the verified pair set as `p(a, b, jaccard)`
+    * — shared by the pair-listing oracle and the components oracle (which
+    * prefixes RECURSIVE and appends the label-propagation CTEs). */
+  private val ngramPairsCte =
+    """WITH RECURSIVE t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sh AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] for i in generate_series(1, greatest(len(toks) - 3, 0))]) AS sh FROM t), inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), p AS (SELECT i.a, i.b, floor(i.c * 1.0 / (x.n + y.n - i.c) * 10000.0 + 0.5) / 10000.0 AS jaccard FROM inter i JOIN sz x ON i.a = x.doc_id JOIN sz y ON i.b = y.doc_id WHERE i.c * 1.0 / (x.n + y.n - i.c) >= 0.4)"""
+
+  /** Verified 4-gram Jaccard pairs (a < b, jaccard >= 0.4) — the shared
+    * edge-set leg behind the pair-listing query and the components query,
+    * materialized once per (session, corpus). */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    graft.PersistCache.getOrBuild(s, s"jacpairs4:$d") {
       // same materialize-once rationale as dedup_minhash: three legs
       val sh = graft.PersistCache.getOrBuild(s, s"shingles4:$d")(shingleSet(s, d, 4))
       val cand = sh.as("x").join(sh.as("y"),
@@ -137,9 +143,70 @@ object DedupOps {
         .withColumn("jaccard", col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
         .filter(col("jaccard") >= 0.4)
         .select(col("a"), col("b"), fround(col("jaccard"), 4).as("jaccard"))
-        .orderBy("a", "b")
+    }
+
+  /** Exact n-gram Jaccard dedup via inverted-index self-join (4-grams). */
+  private val dedupNgram = GraftQuery(
+    "dedup_ngram_jaccard",
+    "exact 4-gram Jaccard >= 0.4 via inverted-index self-join",
+    (s, d) => jaccardPairs(s, d).orderBy("a", "b"),
+    Some(ngramPairsCte + """ SELECT a, b, jaccard FROM p ORDER BY 1, 2"""))
+
+  /** Connected components over the verified near-dup pair set — the step
+    * that turns PAIRS into a KEPT SET. Near-dup similarity is not
+    * transitive (A~B >= 0.4 and B~C >= 0.4 allow A~C < 0.4), so a real
+    * dedup pipeline groups its pair evidence into components and keeps one
+    * document per component; emitting pairs alone under-deduplicates every
+    * chain.
+    *
+    * Pregel-style iterative min-label propagation: every node repeatedly
+    * adopts the smallest label among itself and its neighbors until no
+    * label changes. Each round is ONE keyed shuffle over the EDGE set
+    * (near-dup pairs only — corpus-independent), and rounds = component
+    * diameter, which for near-dup clusters is shallow; a production run on
+    * adversarial graphs alternates large-star/small-star to force
+    * O(log n) rounds. The convergence check is a 1-row driver aggregate:
+    * labels are monotonically non-increasing, so an unchanged label SUM
+    * means a fixed point (strictly decreasing otherwise). Intermediate
+    * label tables are persisted per round and released as soon as the next
+    * round materializes — the iterative-algorithm memory discipline that
+    * keeps lineage from growing unboundedly.
+    *
+    * The oracle replays the fixed point exactly: min-reachable-label IS
+    * connected components, which DuckDB computes with a recursive CTE. */
+  private val dedupComponents = GraftQuery(
+    "dedup_components",
+    "connected components over near-dup pairs (iterative min-label propagation)",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lbl = graft.PersistCache.getOrBuild(s, s"cc-lbl:$d") {
+        val pairs = jaccardPairs(s, d)
+        val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        var cur = sym.select(col("src").as("id")).distinct()
+          .withColumn("lbl", col("id")).persist()
+        var curSum = cur.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
+        var converged = false
+        while (!converged) {
+          val next = sym.join(cur, sym("dst") === cur("id"))
+            .select(sym("src").as("id"), col("lbl"))
+            .union(cur)
+            .groupBy("id").agg(min("lbl").as("lbl"))
+            .persist()
+          val nextSum = next.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
+          cur.unpersist()
+          cur = next
+          if (nextSum == curSum) converged = true else curSum = nextSum
+        }
+        cur
+      }
+      val w = Window.partitionBy("comp")
+      lbl.select(col("id").as("doc_id"), col("lbl").as("comp"))
+        .withColumn("comp_size", count(lit(1)).over(w))
+        .orderBy("comp", "doc_id")
     },
-    Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sh AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] for i in generate_series(1, greatest(len(toks) - 3, 0))]) AS sh FROM t), inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1) SELECT i.a, i.b, floor(i.c * 1.0 / (x.n + y.n - i.c) * 10000.0 + 0.5) / 10000.0 AS jaccard FROM inter i JOIN sz x ON i.a = x.doc_id JOIN sz y ON i.b = y.doc_id WHERE i.c * 1.0 / (x.n + y.n - i.c) >= 0.4 ORDER BY 1, 2"""))
+    Some(ngramPairsCte +
+      """, e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p), nd AS (SELECT DISTINCT src AS id FROM e), cc AS (SELECT id, id AS lbl FROM nd UNION SELECT e.dst, cc.lbl FROM cc JOIN e ON e.src = cc.id), m AS (SELECT id AS doc_id, min(lbl) AS comp FROM cc GROUP BY 1) SELECT doc_id, comp, CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size FROM m ORDER BY comp, doc_id"""))
 
   /** 16-bit SimHash fingerprint per document, built purely from md5 nibbles
     * so Spark and DuckDB agree bit-for-bit. One aggregation with 16
@@ -250,6 +317,6 @@ object DedupOps {
     Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e), proj AS (SELECT vec_id, p, list_sum([(CASE WHEN instr('0123456789abcdef', substr(md5(p::VARCHAR || ':' || (i-1)::VARCHAR), 1, 1)) % 2 = 1 THEN 1.0 ELSE -1.0 END) * v[i] for i in generate_series(1, len(v))]) AS dp FROM n, (SELECT unnest(generate_series(0, 7)) AS p)), codes AS (SELECT vec_id, CAST(sum(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS code FROM proj GROUP BY 1), c AS (SELECT n.vec_id, n.v, n.nrm, codes.code FROM n JOIN codes USING (vec_id)), p AS (SELECT x.vec_id AS a, y.vec_id AS b, list_sum([s[1]*s[2] for s in list_zip(x.v, y.v)]) / (x.nrm * y.nrm) AS cos FROM c x JOIN c y ON x.code = y.code AND x.vec_id < y.vec_id) SELECT a, b, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos FROM (SELECT * FROM p ORDER BY floor(cos * 1000000.0 + 0.5) DESC, a, b LIMIT 20) ORDER BY cos DESC, a, b"""))
 
   val all: Seq[GraftQuery] = Seq(
-    dedupExact, dedupMinhash, dedupNgram, dedupSimhash,
+    dedupExact, dedupMinhash, dedupNgram, dedupComponents, dedupSimhash,
     dedupSimhashGroups, dedupEmbedding, dedupEmbeddingLsh)
 }

@@ -205,16 +205,22 @@ object IvfAnn {
         .withColumn("pr", row_number().over(probeW))
         .filter(col("pr") <= NPROBE)
         .select(col("q_id"), col("v").as("qv"), col("qn"), col("cid"))
-      // the probed bucket ids are model-sized driver state (≤ K ints): they
-      // become LITERAL partition predicates so the file index prunes before
-      // any IO — the same "small state drives the plan" rule as the trainer
-      val probedCids = probes.select("cid").distinct()
-        .collect().map(_.getInt(0)).sorted
+      // Probe selection runs ONCE as a batch-sized job — an ANN search's
+      // query batch is driver-manageable by definition (it is the request,
+      // not the corpus) — and the collected probes become broadcast
+      // literals, so the served query is a SINGLE job over the pruned index
+      // read instead of re-deriving the probe list inside the main plan.
+      // The distinct bucket ids (≤ K ints) become LITERAL partition
+      // predicates so the file index prunes before any IO.
+      val probeRows = probes.collect().toSeq
+      val probedCids = probeRows.map(_.getInt(3)).distinct.sorted
+      val probeDf = s.createDataFrame(
+        s.sparkContext.parallelize(probeRows, 1), probes.schema)
       val bucketed = s.read.parquet(idxPath)
         .filter(col("cid").isin(probedCids.map(Int.box): _*))
       // scan only the probed buckets
-      val scored = bucketed.join(broadcast(probes),
-          bucketed("cid") === probes("cid") && col("q_id") =!= col("vec_id"))
+      val scored = bucketed.join(broadcast(probeDf),
+          bucketed("cid") === probeDf("cid") && col("q_id") =!= col("vec_id"))
         .withColumn("cos", expr("graft_dot(qv, v)") / (col("qn") * col("nrm")))
       val w = Window.partitionBy("q_id").orderBy(fround(col("cos"), 6).desc, col("vec_id"))
       scored.withColumn("rnk", row_number().over(w))

@@ -95,5 +95,31 @@ object TextOps {
       .limit(20),
     Some("""SELECT ngram, count(*) AS cnt FROM (SELECT unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, greatest(len(t) - 2, 0))]) AS ngram FROM (SELECT string_split(lower(text), ' ') AS t FROM documents)) GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 20"""))
 
-  val all: Seq[GraftQuery] = Seq(tokenStats, quality, langId, fingerprint, topNgrams)
+  /** Repetition quality signal (the C4/Gopher-style "repetitive document"
+    * filter): fraction of duplicate token 2-grams and the share of the
+    * single most frequent 2-gram. Two keyed aggregations — (doc, gram)
+    * counts then per-doc rollup — both partitioned by doc_id-prefixed keys,
+    * so the op shards cleanly; no corpus-wide state. Docs with fewer than
+    * two tokens have no 2-grams and drop out in BOTH engines (no 0/0). */
+  private val repetition = GraftQuery(
+    "txt_repetition",
+    "repeated 2-gram ratio + top-gram share per document (repetition filter)",
+    (s, d) => {
+      graft.functions.expressions.GraftExpressions.ensureRegistered(s)
+      Tables.documents(s, d)
+        .selectExpr("doc_id", "graft_shingles(lower(text), 2) AS sh")
+        .groupBy("doc_id", "sh").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(sum("n").as("n_2gram"), count(lit(1)).as("n_uniq"),
+          max("n").as("top_n"))
+        .select(col("doc_id"), col("n_2gram"), col("n_uniq"),
+          fround(lit(1.0) - col("n_uniq").cast("double") / col("n_2gram"), 4)
+            .as("rep_ratio"),
+          fround(col("top_n").cast("double") / col("n_2gram"), 4).as("top_share"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH g AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, greatest(len(t) - 1, 0))]) AS sh FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)), c AS (SELECT doc_id, sh, count(*) AS n FROM g GROUP BY 1, 2), a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_2gram, CAST(count(*) AS BIGINT) AS n_uniq, max(n) AS top_n FROM c GROUP BY 1) SELECT doc_id, n_2gram, n_uniq, floor((1.0 - CAST(n_uniq AS DOUBLE) / n_2gram) * 10000.0 + 0.5) / 10000.0 AS rep_ratio, floor(CAST(top_n AS DOUBLE) / n_2gram * 10000.0 + 0.5) / 10000.0 AS top_share FROM a ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(tokenStats, quality, langId, fingerprint,
+    topNgrams, repetition)
 }

@@ -85,4 +85,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .collect()
     joined.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
+
+  test("dedup_components: fixed point equals a driver-side union-find over the pairs") {
+    val pairs = run("dedup_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val comps = run("dedup_components").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // ground truth: classic union-find over the same edges
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(x => x -> find(x)).toMap
+    assert(comps.map(_._1).toSet == truth.keySet) // nodes = pair endpoints
+    comps.foreach { case (id, comp, _) => assert(truth(id) == comp, s"doc $id") }
+    // comp label is the smallest member; comp_size counts the members
+    val byComp = comps.groupBy(_._2)
+    byComp.foreach { case (comp, ms) =>
+      assert(ms.map(_._1).min == comp)
+      ms.foreach { case (_, _, sz) => assert(sz == ms.length) }
+    }
+    // the data actually exercises transitivity: at least one chained
+    // component bigger than a single pair
+    assert(byComp.values.exists(_.length > 2), "no chained component in data")
+  }
+
+  test("txt_repetition: ratios bounded, consistent with uniq/total") {
+    val rows = run("txt_repetition").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (total, uniq) = (r.getLong(1), r.getLong(2))
+      val (rep, top) = (r.getDouble(3), r.getDouble(4))
+      assert(uniq >= 1 && uniq <= total)
+      assert(rep >= 0.0 && rep < 1.0)
+      assert(top >= 1.0 / uniq - 1e-4 && top <= 1.0)
+      // duplicate fraction and top share cohere: if every gram is unique,
+      // both collapse to their floors
+      if (uniq == total) assert(rep == 0.0)
+    }
+  }
 }

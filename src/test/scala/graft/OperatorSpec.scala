@@ -117,6 +117,19 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_hll_rollup: merged sketch == direct sketch, both near exact") {
+    run("agg_hll_rollup").collect().foreach { r =>
+      val (merged, direct, exact) =
+        (r.getLong(1), r.getLong(3), r.getLong(4))
+      // same lgK ⇒ the union of per-day sketches has identical registers to
+      // the single-pass sketch: merging loses NOTHING — the property that
+      // makes sketch rollups valid at any grain
+      assert(merged == direct, s"${r.getString(0)}: $merged vs $direct")
+      assert(math.abs(merged - exact).toDouble / exact < 0.05,
+        s"${r.getString(0)}: est $merged vs exact $exact")
+    }
+  }
+
   test("no degenerate operators: every registered query returns rows at sf0.001") {
     // catches data-dependent degeneracy (empty thresholds, over-filtering)
     // across the whole registry in one sweep — the driver only smoke-checks
