@@ -147,18 +147,45 @@ final class WeatherQueries(spark: SparkSession, dir: String) {
     * pools when sharing a cluster). */
   final class Async(implicit ec: ExecutionContext) {
     private val sync = WeatherQueries.this
+
+    /** A10 — request coalescing: identical CONCURRENT requests share one
+      * running Future (the reference's client kept a `queried` set so the
+      * same query was never issued twice, KillrWeatherClientApp.scala:
+      * 95-99). Completed entries evict themselves, so a later identical
+      * request re-executes against fresh data — this coalesces in-flight
+      * duplicates (a thundering-herd guard), it is NOT a result cache.
+      * The holder + putIfAbsent dance makes the side effect (starting the
+      * job) happen exactly once per key even under a race — same pattern
+      * as [[graft.PersistCache]]. */
+    private final class Holder[T](run: () => T, done: Holder[T] => Unit) {
+      lazy val fut: Future[T] = {
+        val f = Future(run())
+        f.onComplete(_ => done(this))
+        f
+      }
+    }
+    private val inflight =
+      scala.collection.concurrent.TrieMap.empty[Any, Holder[_]]
+    private def coalesced[T](key: Any)(run: => T): Future[T] = {
+      val h = new Holder[T](() => run, me => inflight.remove(key, me))
+      inflight.putIfAbsent(key, h).getOrElse(h)
+        .asInstanceOf[Holder[T]].fut
+    }
+
     def currentReading(stationId: Long): Future[Option[Reading]] =
-      Future(sync.currentReading(stationId))
+      coalesced(("currentReading", stationId))(sync.currentReading(stationId))
     def dailyStats(stationId: Long, year: Int, month: Int, day: Int): Future[Option[DailyStats]] =
-      Future(sync.dailyStats(stationId, year, month, day))
+      coalesced(("dailyStats", stationId, year, month, day))(
+        sync.dailyStats(stationId, year, month, day))
     def monthlyHiLow(stationId: Long, year: Int, month: Int): Future[Option[MonthlyHiLow]] =
-      Future(sync.monthlyHiLow(stationId, year, month))
+      coalesced(("monthlyHiLow", stationId, year, month))(
+        sync.monthlyHiLow(stationId, year, month))
     def annualSum(stationId: Long, year: Int): Future[Option[AnnualSum]] =
-      Future(sync.annualSum(stationId, year))
+      coalesced(("annualSum", stationId, year))(sync.annualSum(stationId, year))
     def topKDays(k: Int): Future[Seq[StationDay]] =
-      Future(sync.topKDays(k))
+      coalesced(("topKDays", k))(sync.topKDays(k))
     def station(id: Long): Future[Option[Station]] =
-      Future(sync.station(id))
+      coalesced(("station", id))(sync.station(id))
   }
   def async(implicit ec: ExecutionContext): Async = new Async
 }

@@ -183,8 +183,11 @@ object DedupOps {
         val pairs = jaccardPairs(s, d)
         val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
           .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-        var cur = sym.select(col("src").as("id")).distinct()
-          .withColumn("lbl", col("id")).persist()
+        // seed with round 1 directly: lbl₀(v) = min(v ∪ neighbors(v)) — one
+        // aggregation builds the node set AND completes the first round, so
+        // plain pair components converge on the first convergence check
+        var cur = sym.groupBy(col("src").as("id"))
+          .agg(min(least(col("src"), col("dst"))).as("lbl")).persist()
         var curSum = cur.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
         var converged = false
         while (!converged) {

@@ -71,6 +71,37 @@ class WeatherQueriesSpec extends AnyFunSuite {
     assert(Await.result(futures._3, 120.seconds) == wq.topKDays(5))
   }
 
+  test("A10: identical in-flight requests coalesce to one Future, then evict") {
+    import scala.concurrent.{Await, ExecutionContext}
+    import scala.concurrent.duration._
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val exec = Executors.newSingleThreadExecutor()
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(exec)
+    try {
+      val a = wq.async
+      // hold the single worker hostage: everything submitted next is
+      // provably still in flight when the second call arrives
+      val gate = new CountDownLatch(1)
+      exec.submit(new Runnable { def run(): Unit = gate.await() })
+      val f1 = a.topKDays(3)
+      val f2 = a.topKDays(3)
+      val other = a.topKDays(4) // different key: must NOT coalesce
+      assert(f1 eq f2)
+      assert(!(f1 eq other))
+      gate.countDown()
+      assert(Await.result(f1, 120.seconds) == wq.topKDays(3))
+      // eviction on completion: an identical request later re-executes
+      // (coalescing is a thundering-herd guard, not a result cache)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var fresh = a.topKDays(3)
+      while ((fresh eq f1) && System.nanoTime() < deadline) {
+        Thread.sleep(10); fresh = a.topKDays(3)
+      }
+      assert(!(fresh eq f1))
+      Await.result(fresh, 120.seconds)
+    } finally exec.shutdown()
+  }
+
   test("topKDays: k rows, non-increasing totals") {
     val top = wq.topKDays(5)
     assert(top.size == 5)
