@@ -177,27 +177,32 @@ object ParsingOps {
   private val writebackMemo = scala.collection.concurrent.TrieMap[String, String]()
   private val writebackLock = new Object
 
+  /** The dy-partitioned daily rollup layout for corpus `d`, written once
+    * per JVM (shared by the static-pruning and dynamic-pruning queries). */
+  def dailyRollupLayout(s: SparkSession, d: String): String =
+    writebackLock.synchronized {
+      writebackMemo.getOrElseUpdate(d, {
+        val o = java.nio.file.Files.createTempDirectory("part-writeback").toString
+        Tables.events(s, d)
+          .withColumn("dy", dayofmonth(col("ts")).cast("int"))
+          .groupBy("dy", "user_id")
+          .agg(count(lit(1)).as("cnt"),
+            sum(graft.functions.GraftFunctions.centi(col("value"))).as("vc"))
+          // cluster rows by partition key before the partitioned write: one
+          // file per day instead of (shuffle-partitions × days) small files —
+          // at scale the small-file explosion is what kills partitioned
+          // tables (file-listing cost grows with file count, not data size)
+          .repartition(col("dy"))
+          .write.mode("overwrite").partitionBy("dy").parquet(o)
+        o
+      })
+    }
+
   private val partitionPruned = GraftQuery(
     "w_partition_pruned",
     "partitioned parquet write-back, partition-pruned daily read",
     (s, d) => {
-      val out = writebackLock.synchronized {
-        writebackMemo.getOrElseUpdate(d, {
-          val o = java.nio.file.Files.createTempDirectory("part-writeback").toString
-          Tables.events(s, d)
-            .withColumn("dy", dayofmonth(col("ts")).cast("int"))
-            .groupBy("dy", "user_id")
-            .agg(count(lit(1)).as("cnt"),
-              sum(graft.functions.GraftFunctions.centi(col("value"))).as("vc"))
-            // cluster rows by partition key before the partitioned write: one
-            // file per day instead of (shuffle-partitions × days) small files —
-            // at scale the small-file explosion is what kills partitioned
-            // tables (file-listing cost grows with file count, not data size)
-            .repartition(col("dy"))
-            .write.mode("overwrite").partitionBy("dy").parquet(o)
-          o
-        })
-      }
+      val out = dailyRollupLayout(s, d)
       s.read.parquet(out)
         .filter(col("dy") <= 10)
         .groupBy("dy")
@@ -206,6 +211,34 @@ object ParsingOps {
         .orderBy("dy")
     },
     Some("""SELECT dy, count(*) AS n_users, CAST(sum(cnt) AS BIGINT) AS n_events, floor(CAST(sum(vc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value FROM (SELECT CAST(day(ts) AS INTEGER) AS dy, user_id, count(*) AS cnt, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc FROM events GROUP BY 1, 2) WHERE dy <= 10 GROUP BY dy ORDER BY dy"""))
+
+  /** Dynamic partition pruning — the runtime counterpart of the static
+    * dy <= 10 prune above, and the star-schema pattern that matters at
+    * 100 TB: "join the fact to a filtered dim" must not scan every fact
+    * partition, but the qualifying partition set (here: the top-3 purchase
+    * days) is only known once the dim runs. Catalyst injects a
+    * dynamicpruningexpression that REUSES the dim's broadcast as a
+    * partition filter on the fact scan, so only 3 of ~30 day directories
+    * are read (PartitionFilters plan-asserted in PartitionPrunedSpec).
+    * The dim's top-3 is an exact-centi total with a dy tie-break —
+    * deterministic in both engines. */
+  private val dppPrune = GraftQuery(
+    "j_dpp_prune",
+    "dynamic partition pruning: top-3 purchase-day dim prunes the dy-partitioned rollup at runtime",
+    (s, d) => {
+      val fact = s.read.parquet(dailyRollupLayout(s, d))
+      val dim = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(dayofmonth(col("ts")).cast("int").as("dy"))
+        .agg(sum(graft.functions.GraftFunctions.centi(col("value"))).as("tot"))
+        .orderBy(desc("tot"), col("dy")).limit(3)
+      fact.join(broadcast(dim), Seq("dy"))
+        .groupBy("dy")
+        .agg(count(lit(1)).as("n_users"), sum("cnt").as("n_events"),
+          fround(sum("vc").cast("double") / 100.0, 2).as("total_value"))
+        .orderBy("dy")
+    },
+    Some("""WITH r AS (SELECT CAST(day(ts) AS INTEGER) AS dy, user_id, count(*) AS cnt, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc FROM events GROUP BY 1, 2), dim AS (SELECT CAST(day(ts) AS INTEGER) AS dy, sum(CAST(round(value * 100) AS BIGINT)) AS tot FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY tot DESC, dy LIMIT 3) SELECT r.dy, count(*) AS n_users, CAST(sum(cnt) AS BIGINT) AS n_events, floor(CAST(sum(vc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value FROM r JOIN dim ON r.dy = dim.dy GROUP BY r.dy ORDER BY r.dy"""))
 
   /** Multimodal frame-sampling plumbing as a registered capability: every
     * 16th "frame" of each payload (byte stride in the stub codec; frame
@@ -228,5 +261,5 @@ object ParsingOps {
 
   val all: Seq[GraftQuery] = Seq(
     csvRoundtrip, jsonStruct, jsonInferred, dateConstruct, sqlMultikeyJoin,
-    mvCascade, sqlCtas, mmDecode, partitionPruned, mmFrameSample)
+    mvCascade, sqlCtas, mmDecode, partitionPruned, dppPrune, mmFrameSample)
 }

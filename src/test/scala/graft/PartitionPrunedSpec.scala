@@ -19,6 +19,18 @@ class PartitionPrunedSpec extends AnyFunSuite {
     assert(df.collect().map(_.getInt(0)).forall(_ <= 10))
   }
 
+  test("j_dpp_prune: runtime dim filter lands as a dynamic partition filter") {
+    val df = SparkEntry.queries("j_dpp_prune")(spark, sf)
+    val rows = df.collect() // execute so the final adaptive plan is real
+    assert(rows.length == 3) // exactly the top-3 purchase days
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"), plan.take(3000))
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("dynamicpruning"))
+      .getOrElse("")
+    assert(scanLine.contains("dy"), plan.take(3000))
+  }
+
   test("partitioned rollup equals direct aggregation over the pruned days") {
     import org.apache.spark.sql.functions._
     import graft.functions.GraftFunctions.centi
