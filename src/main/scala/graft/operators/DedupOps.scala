@@ -191,10 +191,22 @@ object DedupOps {
         var curSum = cur.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
         var converged = false
         while (!converged) {
-          val next = sym.join(cur, sym("dst") === cur("id"))
+          // one propagation round: min over self ∪ neighbors...
+          val m1 = sym.join(cur, sym("dst") === cur("id"))
             .select(sym("src").as("id"), col("lbl"))
             .union(cur)
             .groupBy("id").agg(min("lbl").as("lbl"))
+          // ...then a POINTER JUMP (path compression): also adopt the label
+          // OF the label. Effective propagation distance doubles per round,
+          // so rounds = O(log diameter) instead of O(diameter) — at scale
+          // each saved round is a saved full shuffle over the edge set.
+          // Labels are node ids, so the jump join always targets m1 itself;
+          // m1 is rebuilt on both legs of one job from cached inputs (tiny).
+          val next = m1.as("x")
+            .join(m1.select(col("id").as("jid"), col("lbl").as("jlbl")).as("y"),
+              col("x.lbl") === col("y.jid"), "left")
+            .select(col("x.id").as("id"),
+              least(col("x.lbl"), coalesce(col("jlbl"), col("x.lbl"))).as("lbl"))
             .persist()
           val nextSum = next.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
           cur.unpersist()

@@ -411,6 +411,32 @@ object RelationalOps {
     },
     Some("""WITH top AS (SELECT l_orderkey, sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qc FROM lineitem GROUP BY 1 ORDER BY qc DESC, l_orderkey LIMIT 100) SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date, floor(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS o_total, floor(CAST(qc AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_qty FROM top JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey ORDER BY total_qty DESC, o_orderkey"""))
 
+  /** TPC-H Q10 shape: revenue lost to returned items, per customer, top 20.
+    * One fact-fact shuffle (lineitem⋈orders on orderkey, both sides
+    * pre-filtered: returnflag pushed to the lineitem scan, the quarter to
+    * the orders scan); customer and nation ride broadcasts. The top-20 cut
+    * orders on the EXACT centi revenue sum with a custkey tie-break, so
+    * both engines pick identical rows, then compiles to
+    * TakeOrderedAndProject (per-partition heaps, no global sort). */
+  private val q10Returns = GraftQuery(
+    "q10_returned_rev",
+    "Q10 shape: top-20 customers by returned-item revenue in a quarter",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1996-04-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(revC).as("revc"))
+      .orderBy(col("revc").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        fround(col("revc").cast("double") / 10000.0, 2).as("rev"))
+      .orderBy(desc("rev"), col("c_custkey")),
+    Some(s"""WITH top AS (SELECT c_custkey, c_name, n_name, sum($revCSql) AS revc FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY 1, 2, 3 ORDER BY revc DESC, c_custkey LIMIT 20) SELECT c_custkey, c_name, n_name, floor(CAST(revc AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0 AS rev FROM top ORDER BY rev DESC, c_custkey"""))
+
   /** Distribution windows: quartile bucket, percent_rank, cume_dist per
     * market segment. The ordering key is (exact centi balance, custkey) —
     * unique, so every rank function is tie-free and both engines compute
@@ -517,7 +543,7 @@ object RelationalOps {
     Some("""SELECT user_id, day, floor(CAST(CAST(sum(vc) OVER w7 AS BIGINT) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS trail7, count(*) OVER w7 AS n_in_frame, floor(CAST(nth_value(vc, 2) OVER wr AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS second_obs FROM (SELECT user_id, CAST(ts AS DATE) AS day, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS ord FROM events WHERE user_id < 30 GROUP BY 1, 2, 4) WINDOW w7 AS (PARTITION BY user_id ORDER BY ord RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), wr AS (PARTITION BY user_id ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY user_id, day""".stripMargin))
 
   val all: Seq[GraftQuery] = Seq(
-    q1, q3, q5, q14Promo, q18TopQuantity, q7Volume, jSemi, jAnti, jOuter,
+    q1, q3, q5, q10Returns, q14Promo, q18TopQuantity, q7Volume, jSemi, jAnti, jOuter,
     jRange, jAsof, jBucketed, winRank, winMoving, winNtile, winRangeFrame,
     setIntersect,
     setExcept, setUnion, aggRollup, aggCube, aggGroupingSets, aggApprox,
