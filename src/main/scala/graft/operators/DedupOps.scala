@@ -174,49 +174,60 @@ object DedupOps {
     *
     * The oracle replays the fixed point exactly: min-reachable-label IS
     * connected components, which DuckDB computes with a recursive CTE. */
+  /** Library operator: connected components over an undirected edge set
+    * `(a, b)` of Long ids. Returns `(id, comp)` for every edge endpoint,
+    * where `comp` is the smallest node id reachable from `id` — the
+    * canonical representative a dedup pipeline keeps.
+    *
+    * The returned DataFrame is persisted (it is the loop's materialized
+    * fixed point); the caller owns its lifecycle.
+    *
+    * Seeding folds round 1 into the node-set aggregation
+    * (lbl₀(v) = min(v ∪ N(v))), so single-pair components converge on the
+    * first convergence check. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+    var cur = sym.groupBy(col("src").as("id"))
+      .agg(min(least(col("src"), col("dst"))).as("comp")).persist()
+    var curSum = cur.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
+    var converged = false
+    while (!converged) {
+      // one propagation round: min over self ∪ neighbors...
+      val m1 = sym.join(cur, sym("dst") === cur("id"))
+        .select(sym("src").as("id"), col("comp"))
+        .union(cur)
+        .groupBy("id").agg(min("comp").as("comp"))
+      // ...then a POINTER JUMP (path compression): also adopt the label
+      // OF the label. Effective propagation distance doubles per round,
+      // so rounds = O(log diameter) instead of O(diameter) — at scale
+      // each saved round is a saved full shuffle over the edge set.
+      // Labels are node ids, so the jump join always targets m1 itself;
+      // m1 is rebuilt on both legs of one job from cached inputs (tiny).
+      val next = m1.as("x")
+        .join(m1.select(col("id").as("jid"), col("comp").as("jcomp")).as("y"),
+          col("x.comp") === col("y.jid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.comp"), coalesce(col("jcomp"), col("x.comp"))).as("comp"))
+        .persist()
+      val nextSum = next.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
+      cur.unpersist()
+      cur = next
+      if (nextSum == curSum) converged = true else curSum = nextSum
+    }
+    cur
+  }
+
   private val dedupComponents = GraftQuery(
     "dedup_components",
     "connected components over near-dup pairs (iterative min-label propagation)",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val lbl = graft.PersistCache.getOrBuild(s, s"cc-lbl:$d") {
-        val pairs = jaccardPairs(s, d)
-        val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
-          .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-        // seed with round 1 directly: lbl₀(v) = min(v ∪ neighbors(v)) — one
-        // aggregation builds the node set AND completes the first round, so
-        // plain pair components converge on the first convergence check
-        var cur = sym.groupBy(col("src").as("id"))
-          .agg(min(least(col("src"), col("dst"))).as("lbl")).persist()
-        var curSum = cur.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
-        var converged = false
-        while (!converged) {
-          // one propagation round: min over self ∪ neighbors...
-          val m1 = sym.join(cur, sym("dst") === cur("id"))
-            .select(sym("src").as("id"), col("lbl"))
-            .union(cur)
-            .groupBy("id").agg(min("lbl").as("lbl"))
-          // ...then a POINTER JUMP (path compression): also adopt the label
-          // OF the label. Effective propagation distance doubles per round,
-          // so rounds = O(log diameter) instead of O(diameter) — at scale
-          // each saved round is a saved full shuffle over the edge set.
-          // Labels are node ids, so the jump join always targets m1 itself;
-          // m1 is rebuilt on both legs of one job from cached inputs (tiny).
-          val next = m1.as("x")
-            .join(m1.select(col("id").as("jid"), col("lbl").as("jlbl")).as("y"),
-              col("x.lbl") === col("y.jid"), "left")
-            .select(col("x.id").as("id"),
-              least(col("x.lbl"), coalesce(col("jlbl"), col("x.lbl"))).as("lbl"))
-            .persist()
-          val nextSum = next.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
-          cur.unpersist()
-          cur = next
-          if (nextSum == curSum) converged = true else curSum = nextSum
-        }
-        cur
+        connectedComponents(jaccardPairs(s, d))
       }
       val w = Window.partitionBy("comp")
-      lbl.select(col("id").as("doc_id"), col("lbl").as("comp"))
+      lbl.select(col("id").as("doc_id"), col("comp"))
         .withColumn("comp_size", count(lit(1)).over(w))
         .orderBy("comp", "doc_id")
     },

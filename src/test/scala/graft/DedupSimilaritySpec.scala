@@ -115,6 +115,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(byComp.values.exists(_.length > 2), "no chained component in data")
   }
 
+  test("connectedComponents: adversarial shapes match union-find (path/star/cliques/random)") {
+    val sp = spark
+    import sp.implicits._
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(x => x -> find(x)).toMap
+    }
+    def check(edges: Seq[(Long, Long)], tag: String): Unit = {
+      val res = graft.operators.DedupOps.connectedComponents(edges.toDF("a", "b"))
+      val got = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      res.unpersist()
+      assert(got == unionFind(edges), tag)
+    }
+    // a 17-node path is the worst case for per-hop propagation — with
+    // pointer jumping it must still converge in O(log d) rounds
+    val path = (0L until 16L).map(i => (i, i + 1))
+    val star = (1L to 10L).map(i => (0L, i))
+    val cliques = for (base <- Seq(100L, 200L); i <- 0 until 4; j <- (i + 1) until 4)
+      yield (base + i.toLong, base + j.toLong)
+    val rnd = new scala.util.Random(42)
+    val random = Seq.fill(40)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    check(path, "path")
+    check(star, "star")
+    check(cliques, "two cliques")
+    check(random, "random sparse")
+    check(path ++ star ++ cliques, "mixed")
+  }
+
   test("txt_repetition: ratios bounded, consistent with uniq/total") {
     val rows = run("txt_repetition").collect()
     assert(rows.nonEmpty)
