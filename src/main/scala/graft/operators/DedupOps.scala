@@ -125,13 +125,25 @@ object DedupOps {
   private val ngramPairsCte =
     """WITH RECURSIVE t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sh AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] for i in generate_series(1, greatest(len(toks) - 3, 0))]) AS sh FROM t), inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), p AS (SELECT i.a, i.b, floor(i.c * 1.0 / (x.n + y.n - i.c) * 10000.0 + 0.5) / 10000.0 AS jaccard FROM inter i JOIN sz x ON i.a = x.doc_id JOIN sz y ON i.b = y.doc_id WHERE i.c * 1.0 / (x.n + y.n - i.c) >= 0.4)"""
 
+  /** Recursive label-propagation CTEs appended to [[ngramPairsCte]] —
+    * produce `m(doc_id, comp)` = min reachable id per near-dup node.
+    * Shared by the components query and the keep-list query. */
+  private val componentsCtes =
+    """, e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p), nd AS (SELECT DISTINCT src AS id FROM e), cc AS (SELECT id, id AS lbl FROM nd UNION SELECT e.dst, cc.lbl FROM cc JOIN e ON e.src = cc.id), m AS (SELECT id AS doc_id, min(lbl) AS comp FROM cc GROUP BY 1)"""
+
+  /** Cached distinct 4-gram shingle set — shared with the contamination
+    * check in TextOps (same PersistCache key, so whichever query runs first
+    * materializes it for both). */
+  private[operators] def shingles4(s: SparkSession, d: String): DataFrame =
+    graft.PersistCache.getOrBuild(s, s"shingles4:$d")(shingleSet(s, d, 4))
+
   /** Verified 4-gram Jaccard pairs (a < b, jaccard >= 0.4) — the shared
     * edge-set leg behind the pair-listing query and the components query,
     * materialized once per (session, corpus). */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     graft.PersistCache.getOrBuild(s, s"jacpairs4:$d") {
       // same materialize-once rationale as dedup_minhash: three legs
-      val sh = graft.PersistCache.getOrBuild(s, s"shingles4:$d")(shingleSet(s, d, 4))
+      val sh = shingles4(s, d)
       val cand = sh.as("x").join(sh.as("y"),
           col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -231,8 +243,50 @@ object DedupOps {
         .withColumn("comp_size", count(lit(1)).over(w))
         .orderBy("comp", "doc_id")
     },
-    Some(ngramPairsCte +
-      """, e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p), nd AS (SELECT DISTINCT src AS id FROM e), cc AS (SELECT id, id AS lbl FROM nd UNION SELECT e.dst, cc.lbl FROM cc JOIN e ON e.src = cc.id), m AS (SELECT id AS doc_id, min(lbl) AS comp FROM cc GROUP BY 1) SELECT doc_id, comp, CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size FROM m ORDER BY comp, doc_id"""))
+    Some(ngramPairsCte + componentsCtes +
+      """ SELECT doc_id, comp, CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size FROM m ORDER BY comp, doc_id"""))
+
+  /** The pipeline's FINAL dedup verdict: one (keep, reason) row per
+    * document, merging the exact-duplicate signal (md5 fingerprint groups)
+    * with the near-duplicate signal (Jaccard>=0.4 connected components).
+    * Policy — the standard representative-keeping rule:
+    *   1. not the min doc_id of its fingerprint group  -> drop `exact_dup`
+    *   2. in a near-dup component and not its min id   -> drop `near_dup`
+    *   3. otherwise                                    -> `kept`
+    * (An exact duplicate with >=4 tokens is also Jaccard-1.0 near-dup of
+    * its twin, so the two signals agree on representatives; rule order
+    * just fixes which reason wins the tie.)
+    *
+    * Scale shape: fingerprint grouping is one keyed shuffle; the component
+    * label table is pair-bounded (near-dup nodes only — tiny vs the
+    * corpus), so its join back to documents broadcasts. The verdict table
+    * is what a 100 TB curation run persists and inner-joins (keep=1)
+    * against the corpus on the next pipeline stage. */
+  private val dedupKeepList = GraftQuery(
+    "dedup_keep_list",
+    "final keep/drop verdict per doc: exact-dup groups + near-dup components",
+    (s, d) => {
+      val fp = Tables.documents(s, d)
+        .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+      val exactKeep = fp.groupBy("fp").agg(min("doc_id").as("keep_id"))
+      val comp = graft.PersistCache.getOrBuild(s, s"cc-lbl:$d") {
+        connectedComponents(jaccardPairs(s, d))
+      }
+      fp.join(exactKeep, Seq("fp"))
+        .join(broadcast(comp.withColumnRenamed("id", "doc_id")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") =!= col("keep_id"), lit(0))
+            .when(col("comp").isNotNull && col("doc_id") =!= col("comp"), lit(0))
+            .otherwise(lit(1)).as("keep"),
+          when(col("doc_id") =!= col("keep_id"), lit("exact_dup"))
+            .when(col("comp").isNotNull && col("doc_id") =!= col("comp"),
+              lit("near_dup"))
+            .otherwise(lit("kept")).as("reason"))
+        .orderBy("doc_id")
+    },
+    Some(ngramPairsCte + componentsCtes +
+      """, f AS (SELECT doc_id, md5(lower(text)) AS fp FROM documents), ek AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY 1) SELECT f.doc_id, CAST(CASE WHEN f.doc_id <> ek.keep_id THEN 0 WHEN m.comp IS NOT NULL AND f.doc_id <> m.comp THEN 0 ELSE 1 END AS INTEGER) AS keep, CASE WHEN f.doc_id <> ek.keep_id THEN 'exact_dup' WHEN m.comp IS NOT NULL AND f.doc_id <> m.comp THEN 'near_dup' ELSE 'kept' END AS reason FROM f JOIN ek USING (fp) LEFT JOIN m ON m.doc_id = f.doc_id ORDER BY f.doc_id"""))
 
   /** 16-bit SimHash fingerprint per document, built purely from md5 nibbles
     * so Spark and DuckDB agree bit-for-bit. One aggregation with 16
@@ -343,6 +397,6 @@ object DedupOps {
     Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e), proj AS (SELECT vec_id, p, list_sum([(CASE WHEN instr('0123456789abcdef', substr(md5(p::VARCHAR || ':' || (i-1)::VARCHAR), 1, 1)) % 2 = 1 THEN 1.0 ELSE -1.0 END) * v[i] for i in generate_series(1, len(v))]) AS dp FROM n, (SELECT unnest(generate_series(0, 7)) AS p)), codes AS (SELECT vec_id, CAST(sum(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS code FROM proj GROUP BY 1), c AS (SELECT n.vec_id, n.v, n.nrm, codes.code FROM n JOIN codes USING (vec_id)), p AS (SELECT x.vec_id AS a, y.vec_id AS b, list_sum([s[1]*s[2] for s in list_zip(x.v, y.v)]) / (x.nrm * y.nrm) AS cos FROM c x JOIN c y ON x.code = y.code AND x.vec_id < y.vec_id) SELECT a, b, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos FROM (SELECT * FROM p ORDER BY floor(cos * 1000000.0 + 0.5) DESC, a, b LIMIT 20) ORDER BY cos DESC, a, b"""))
 
   val all: Seq[GraftQuery] = Seq(
-    dedupExact, dedupMinhash, dedupNgram, dedupComponents, dedupSimhash,
-    dedupSimhashGroups, dedupEmbedding, dedupEmbeddingLsh)
+    dedupExact, dedupMinhash, dedupNgram, dedupComponents, dedupKeepList,
+    dedupSimhash, dedupSimhashGroups, dedupEmbedding, dedupEmbeddingLsh)
 }

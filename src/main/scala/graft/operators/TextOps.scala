@@ -120,6 +120,37 @@ object TextOps {
     },
     Some("""WITH g AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, greatest(len(t) - 1, 0))]) AS sh FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)), c AS (SELECT doc_id, sh, count(*) AS n FROM g GROUP BY 1, 2), a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_2gram, CAST(count(*) AS BIGINT) AS n_uniq, max(n) AS top_n FROM c GROUP BY 1) SELECT doc_id, n_2gram, n_uniq, floor((1.0 - CAST(n_uniq AS DOUBLE) / n_2gram) * 10000.0 + 0.5) / 10000.0 AS rep_ratio, floor(CAST(top_n AS DOUBLE) / n_2gram * 10000.0 + 0.5) / 10000.0 AS top_share FROM a ORDER BY doc_id"""))
 
+  /** Benchmark decontamination — the n-gram-overlap check every serious
+    * training-data pipeline runs before shipping a corpus: flag training
+    * documents sharing n-grams with a held-out evaluation set. The split
+    * here is synthetic (`doc_id % 100 = 0` stands in for the eval
+    * benchmark); production swaps in the real benchmark table and a longer
+    * n (8-13 grams) — this corpus's tiny vocabulary makes 4-grams already
+    * selective (11 flagged pairs at sf0.01).
+    *
+    * Scale shape: eval sets are benchmark-sized (thousands of docs) while
+    * the train side is the full corpus, so the eval shingle set is
+    * broadcast and the check is one narrow pass over train shingles + a
+    * (train,eval)-keyed aggregation — the corpus never shuffles on the
+    * shingle. The shingle table is the same cached set the dedup family
+    * materializes, so decontamination rides an artifact the pipeline
+    * already paid for. */
+  private val decontaminate = GraftQuery(
+    "txt_decontaminate",
+    "flag train docs sharing 4-grams with the held-out eval split",
+    (s, d) => {
+      val sh = DedupOps.shingles4(s, d)
+      val ev = sh.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("eval_id"), col("sh"))
+      val tr = sh.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id").as("train_id"), col("sh"))
+      tr.join(broadcast(ev), Seq("sh"))
+        .groupBy("train_id", "eval_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("train_id", "eval_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sh AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] for i in generate_series(1, greatest(len(toks) - 3, 0))]) AS sh FROM t), ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 100 = 0), tr AS (SELECT doc_id AS train_id, sh FROM sh WHERE doc_id % 100 <> 0) SELECT train_id, eval_id, count(*) AS n_shared FROM tr JOIN ev USING (sh) GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[GraftQuery] = Seq(tokenStats, quality, langId, fingerprint,
-    topNgrams, repetition)
+    topNgrams, repetition, decontaminate)
 }

@@ -153,6 +153,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     check(path ++ star ++ cliques, "mixed")
   }
 
+  test("dedup_keep_list: one verdict per doc, one keeper per dup group") {
+    val verdicts = run("dedup_keep_list").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2)))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(verdicts.length == nDocs && verdicts.map(_._1).distinct.length == verdicts.length)
+    verdicts.foreach { case (_, (keep, reason)) =>
+      assert((keep == 1) == (reason == "kept"))
+      assert(Set("kept", "exact_dup", "near_dup")(reason))
+    }
+    val v = verdicts.toMap
+    // exact groups: everything but the per-group min is dropped as exact_dup
+    val nGroups = run("dedup_exact").count()
+    assert(verdicts.count(_._2._2 == "exact_dup") == nDocs - nGroups)
+    // near-dup components: the representative (comp label) is the ONLY
+    // member kept, and it is kept unless it lost the exact-dup tiebreak
+    run("dedup_components").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).foreach { case (comp, ms) =>
+        ms.foreach { case (id, _) =>
+          if (id != comp) assert(v(id)._1 == 0, s"non-rep $id kept")
+        }
+        assert(v(comp)._1 == 1 || v(comp)._2 == "exact_dup", s"rep $comp dropped")
+      }
+  }
+
+  test("txt_decontaminate: flags cross split boundaries with real overlap") {
+    val rows = run("txt_decontaminate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (train, ev, n) =>
+      assert(train % 100 != 0 && ev % 100 == 0 && n >= 1)
+    }
+  }
+
   test("txt_repetition: ratios bounded, consistent with uniq/total") {
     val rows = run("txt_repetition").collect()
     assert(rows.nonEmpty)
