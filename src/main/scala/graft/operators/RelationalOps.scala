@@ -437,6 +437,43 @@ object RelationalOps {
       .orderBy(desc("rev"), col("c_custkey")),
     Some(s"""WITH top AS (SELECT c_custkey, c_name, n_name, sum($revCSql) AS revc FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY 1, 2, 3 ORDER BY revc DESC, c_custkey LIMIT 20) SELECT c_custkey, c_name, n_name, floor(CAST(revc AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0 AS rev FROM top ORDER BY rev DESC, c_custkey"""))
 
+  /** TPC-H Q19 shape: a join whose ON/WHERE carries an OR of per-branch
+    * conjunctions spanning BOTH sides (brand+size on part, quantity on
+    * lineitem). Catalyst won't factor cross-column disjunctions, so the
+    * naive form scans both tables in full and evaluates the OR post-join.
+    * The scalable form hand-hoists the IMPLIED envelope of the disjunction
+    * — `p_brand IN (b1,b2,b3)` onto the part scan and the overall quantity
+    * range onto the lineitem scan — which is exactly what the reference
+    * pushes to storage for its compound key predicates
+    * (TemperatureActor.scala:57-58 pushes every derivable conjunct). The
+    * envelope cuts part to ~3/25 of rows pre-broadcast and prunes lineitem
+    * at the parquet scan (PushedFilters, row-group stats skip); the exact
+    * branch disjunction then runs only on envelope survivors inside the
+    * broadcast-join's generated code. */
+  private val q19Disjunctive = GraftQuery(
+    "q19_disjunctive",
+    "Q19 shape: OR-of-ANDs join predicate with hoisted envelope pushdown",
+    (s, d) => {
+      val brands = Seq("Brand#12", "Brand#23", "Brand#3")
+      val branch =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(10, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 35) &&
+          col("l_quantity").between(20, 30))
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity").between(1, 30)) // hoisted envelope: scan prunes
+        .join(broadcast(Tables.part(s, d).filter(col("p_brand").isin(brands: _*))),
+          col("l_partkey") === col("p_partkey") && branch)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"), sum(revC).as("rc"))
+        .select(col("p_brand"), col("cnt"),
+          fround(col("rc").cast("double") / 10000.0, 2).as("rev"))
+        .orderBy("p_brand")
+    },
+    Some(s"""SELECT p_brand, cnt, floor(CAST(rc AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0 AS rev FROM (SELECT p_brand, count(*) AS cnt, sum($revCSql) AS rc FROM lineitem JOIN part ON l_partkey = p_partkey WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11) OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 20) OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 35 AND l_quantity BETWEEN 20 AND 30) GROUP BY 1) ORDER BY 1"""))
+
   /** Distribution windows: quartile bucket, percent_rank, cume_dist per
     * market segment. The ordering key is (exact centi balance, custkey) —
     * unique, so every rank function is tie-free and both engines compute
@@ -543,7 +580,8 @@ object RelationalOps {
     Some("""SELECT user_id, day, floor(CAST(CAST(sum(vc) OVER w7 AS BIGINT) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS trail7, count(*) OVER w7 AS n_in_frame, floor(CAST(nth_value(vc, 2) OVER wr AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS second_obs FROM (SELECT user_id, CAST(ts AS DATE) AS day, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS ord FROM events WHERE user_id < 30 GROUP BY 1, 2, 4) WINDOW w7 AS (PARTITION BY user_id ORDER BY ord RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), wr AS (PARTITION BY user_id ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY user_id, day""".stripMargin))
 
   val all: Seq[GraftQuery] = Seq(
-    q1, q3, q5, q10Returns, q14Promo, q18TopQuantity, q7Volume, jSemi, jAnti, jOuter,
+    q1, q3, q5, q10Returns, q14Promo, q18TopQuantity, q19Disjunctive, q7Volume,
+    jSemi, jAnti, jOuter,
     jRange, jAsof, jBucketed, winRank, winMoving, winNtile, winRangeFrame,
     setIntersect,
     setExcept, setUnion, aggRollup, aggCube, aggGroupingSets, aggApprox,
