@@ -187,5 +187,12 @@ final class WeatherQueries(spark: SparkSession, dir: String) {
     def station(id: Long): Future[Option[Station]] =
       coalesced(("station", id))(sync.station(id))
   }
-  def async(implicit ec: ExecutionContext): Async = new Async
+  /** One Async per ExecutionContext, cached: the coalescing guard only
+    * works when all callers share the `inflight` map, so `wq.async` must
+    * hand two callers on the same EC the SAME instance (a fresh Async per
+    * call would silently disable coalescing). */
+  private val asyncPerEc =
+    scala.collection.concurrent.TrieMap.empty[ExecutionContext, Async]
+  def async(implicit ec: ExecutionContext): Async =
+    asyncPerEc.getOrElseUpdate(ec, new Async)
 }

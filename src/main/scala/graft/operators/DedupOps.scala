@@ -198,8 +198,12 @@ object DedupOps {
     * (lbl₀(v) = min(v ∪ N(v))), so single-pair components converge on the
     * first convergence check. */
   def connectedComponents(edges: DataFrame): DataFrame = {
+    // Persisted at loop entry: every propagation round joins against the
+    // symmetric edge set, and an unpersisted caller-supplied `edges` (the
+    // public-operator case) would re-run its full lineage once per round.
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
     var cur = sym.groupBy(col("src").as("id"))
       .agg(min(least(col("src"), col("dst"))).as("comp")).persist()
     var curSum = cur.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
@@ -227,6 +231,9 @@ object DedupOps {
       cur = next
       if (nextSum == curSum) converged = true else curSum = nextSum
     }
+    // `cur` is persisted AND materialized (the convergence check was an
+    // action), so dropping the edge cache cannot trigger recomputation.
+    sym.unpersist()
     cur
   }
 

@@ -43,6 +43,14 @@ final class HttpIngest(spoolDir: String) {
   }
   private val seq = new AtomicLong(0L)
   private val accepted = new AtomicLong(0L)
+  // Per-instance token baked into every spool filename: Spark's file source
+  // tracks seen files BY PATH, so a restarted front door regenerating
+  // `feed-0.csv` would atomically REPLACE a file the source already consumed
+  // and the new content would never be ingested. Unique names per instance
+  // make restarts append-only.
+  private val instanceTag: String =
+    java.lang.Long.toHexString(System.nanoTime()) +
+      java.lang.Integer.toHexString(System.identityHashCode(this))
   @volatile private var server: HttpServer = _
 
   /** Lines accepted since start (across all feeds). */
@@ -56,6 +64,13 @@ final class HttpIngest(spoolDir: String) {
     server.createContext("/weather/data", new HttpHandler {
       override def handle(x: HttpExchange): Unit =
         try handleFeed(x)
+        catch {
+          // A truncated/garbage gzip body or an IO hiccup mid-read must
+          // produce a clean 400, not an aborted connection with no status.
+          case e @ (_: java.io.IOException | _: IllegalArgumentException) =>
+            try respond(x, 400, s"bad request: ${e.getClass.getSimpleName}")
+            catch { case _: java.io.IOException => () } // response stream gone
+        }
         finally x.close()
     })
     server.start()
@@ -72,7 +87,8 @@ final class HttpIngest(spoolDir: String) {
       .getOrElse("feed")
     val gz = Option(x.getRequestHeaders.getFirst("Content-Encoding"))
       .exists(_.equalsIgnoreCase("gzip")) || feed.endsWith(".gz")
-    val raw = x.getRequestBody.readAllBytes()
+    val raw = readCapped(x.getRequestBody, HttpIngest.MaxEntityBytes)
+    if (raw == null) { respond(x, 413, "entity too large"); return }
     val body = new String(decode(gz, raw), StandardCharsets.UTF_8)
     val lines = body.split("\n").iterator.map(_.stripSuffix("\r"))
       .filter(_.nonEmpty).toSeq
@@ -80,9 +96,9 @@ final class HttpIngest(spoolDir: String) {
     // atomic spool handoff: hidden temp name, then rename into place
     val n = seq.getAndIncrement()
     val safeFeed = feed.replaceAll("[^A-Za-z0-9._-]", "_").stripSuffix(".gz")
-    val tmp = dir.resolve(s".inflight-$safeFeed-$n")
+    val tmp = dir.resolve(s".inflight-$safeFeed-$instanceTag-$n")
     Files.write(tmp, (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, dir.resolve(s"$safeFeed-$n.csv"),
+    Files.move(tmp, dir.resolve(s"$safeFeed-$instanceTag-$n.csv"),
       StandardCopyOption.ATOMIC_MOVE)
     accepted.addAndGet(lines.length)
     respond(x, 200, s"accepted ${lines.length}")
@@ -95,9 +111,31 @@ final class HttpIngest(spoolDir: String) {
     try in.readAllBytes() finally in.close()
   }
 
+  /** Buffer at most `cap` bytes; null signals the entity exceeded the cap
+    * (distinguishable from an empty body, which is a valid 400 case).
+    */
+  private def readCapped(in: InputStream, cap: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(8192)
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      if (out.size() > cap) return null
+      n = in.read(buf)
+    }
+    out.toByteArray
+  }
+
   private def respond(x: HttpExchange, code: Int, msg: String): Unit = {
     val b = (msg + "\n").getBytes(StandardCharsets.UTF_8)
     x.sendResponseHeaders(code, b.length)
     x.getResponseBody.write(b)
   }
+}
+
+object HttpIngest {
+  /** Entity-size ceiling (64 MiB of compressed bytes) — the front door
+    * buffers the body, so an unbounded POST is an OOM vector.
+    */
+  val MaxEntityBytes: Int = 64 * 1024 * 1024
 }
