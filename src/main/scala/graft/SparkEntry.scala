@@ -12,7 +12,7 @@ object SparkEntry {
 
   /** Every implemented capability, one GraftQuery each. */
   val registry: Seq[GraftQuery] =
-    WeatherOps.all ++ RelationalOps.all ++ TextOps.all ++
+    WeatherOps.all ++ RelationalOps.all ++ TpchOps.all ++ TextOps.all ++
       DedupOps.all ++ SimilarityOps.all ++ IvfAnn.all ++
       ParsingOps.all ++ AnalyticsOps.all ++ PipelineOps.all ++ SubqueryOps.all ++
       CurationOps.all
