@@ -50,7 +50,23 @@ object Bench {
             graft.functions.GraftFunctions.vecDouble(col("embedding")).as("v")))
     } catch { case e: Throwable => System.err.println(s"[bench] ivf setup failed: ${e.getMessage}") }
     val setupSec = (System.nanoTime() - tSetup0) / 1e9
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q1_pricing,txt_tfidf times
+    // just those queries (full precision, full map to BENCH_FULL.json).
+    // Unknown names fail loudly — a silently-empty "targeted bench" would
+    // read as a 0-second pass.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(s"[bench] unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+        spark.stop()
+        sys.exit(2)
+      }
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

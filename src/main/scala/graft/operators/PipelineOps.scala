@@ -202,6 +202,63 @@ object PipelineOps {
     },
     Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, CAST(round(value * 100) AS BIGINT) AS vc FROM events WHERE user_id < 20), daily AS (SELECT user_id, day, max(vc) AS dmax FROM ev GROUP BY 1, 2), span AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events), days AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span), grid AS (SELECT u.user_id, d.day FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN days d), j AS (SELECT g.user_id, g.day, daily.dmax FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.day = daily.day), wnd AS (SELECT user_id, day, dmax, last_value(dmax IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS pv, last_value(CASE WHEN dmax IS NOT NULL THEN day END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS pd, first_value(dmax IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv, first_value(CASE WHEN dmax IS NOT NULL THEN day END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd FROM j) SELECT user_id, day, floor((CASE WHEN pv IS NULL THEN CAST(nv AS DOUBLE) WHEN nv IS NULL THEN CAST(pv AS DOUBLE) WHEN nd = pd THEN CAST(pv AS DOUBLE) ELSE CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE) * date_diff('day', pd, day) / date_diff('day', pd, nd) END) / 100.0 * 10000.0 + 0.5) / 10000.0 AS value_li, dmax IS NULL AS was_gap FROM wnd ORDER BY user_id, day"""))
 
+  /** Sequence packing — the pretraining "concatenate-then-chunk" step
+    * that turns ragged documents into fixed-token-budget training rows.
+    * Each document's bin is the chunk its STARTING OFFSET falls in within
+    * its source shard's concatenation order (cumsum of token counts over
+    * doc_id order): pure integer window arithmetic, so both engines place
+    * every document identically. Scale shape: one shuffle on source, the
+    * running sum stays inside each shard's partition, and the per-bin
+    * rollup reuses the same key prefix — no global sort, no driver state.
+    * (A boundary-splitting packer additionally slices the straddling doc;
+    * the bin assignment — the distributed part — is identical.) */
+  private val pipePack = GraftQuery(
+    "pipe_pack_sequences",
+    "pack docs into 512-token bins per source shard (cumsum window, integer-exact)",
+    (s, d) => {
+      val budget = 512L
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("ntok"))
+        .withColumn("cum", sum("ntok").over(w))
+        .withColumn("bin", floor((col("cum") - col("ntok")) / budget).cast("long"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("sum_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("source", "bin")
+    },
+    Some("""WITH t AS (SELECT doc_id, source, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ntok FROM documents), c AS (SELECT doc_id, source, ntok, sum(ntok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) SELECT source, CAST(floor((cum - ntok) / 512.0) AS BIGINT) AS bin, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS sum_tokens, min(doc_id) AS first_doc, max(doc_id) AS last_doc FROM c GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Domain-mixture reweighting: the static sampling weight per source
+    * that equalizes token share (weight = target_share / actual_share,
+    * target = uniform). The corpus-wide totals come from an unpartitioned
+    * window over the PER-SOURCE aggregate — ~#sources rows, so the single
+    * partition is trivially safe AND the documents scan happens exactly
+    * once (a separate total aggregate cross-joined back would re-run the
+    * scan+agg lineage: the DataFrame API does not reuse subplans). Weight
+    * is an exact-integer ratio, floor-rounded identically in both
+    * engines. */
+  private val pipeMixWeights = GraftQuery(
+    "pipe_mix_weights",
+    "per-source mixture weights to equalize token share (uniform target)",
+    (s, d) => {
+      val w = Window.partitionBy()
+      Tables.documents(s, d)
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("ntok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("tok"))
+        .withColumn("total_tok", sum("tok").over(w))
+        .withColumn("n_src", count(lit(1)).over(w))
+        .select(col("source"), col("n_docs"), col("tok"),
+          fround(col("tok").cast("double") / col("total_tok"), 6).as("token_share"),
+          fround(col("total_tok").cast("double") / (col("n_src") * col("tok")), 6).as("weight"))
+        .orderBy("source")
+    },
+    Some("""WITH t AS (SELECT source, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ntok FROM documents), src AS (SELECT source, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS tok FROM t GROUP BY 1), wnd AS (SELECT source, n_docs, tok, CAST(sum(tok) OVER () AS BIGINT) AS total_tok, count(*) OVER () AS n_src FROM src) SELECT source, n_docs, tok, floor(CAST(tok AS DOUBLE) / total_tok * 1e6 + 0.5) / 1e6 AS token_share, floor(CAST(total_tok AS DOUBLE) / (n_src * tok) * 1e6 + 0.5) / 1e6 AS weight FROM wnd ORDER BY source"""))
+
   val all: Seq[GraftQuery] = Seq(
-    sampHashSplit, arrHofStats, evtFunnel, aggMode, calGapFill, calInterpolate)
+    sampHashSplit, arrHofStats, evtFunnel, aggMode, calGapFill, calInterpolate,
+    pipePack, pipeMixWeights)
 }

@@ -238,31 +238,34 @@ object TpchOps {
 
   /** Q21 (suppliers who kept orders waiting). The classic EXISTS +
     * NOT-EXISTS pair over the same order's other lines, decorrelated into
-    * two per-order aggregates: an order qualifies a late line when it has
+    * per-order aggregates: an order qualifies a late line when it has
     * >1 distinct suppliers overall but exactly 1 distinct LATE supplier
-    * (necessarily the line's own). Three shuffles on orderkey (late lines,
-    * all-supplier counts, late-supplier counts) instead of two correlated
-    * per-row probes; supplier names ride a broadcast at the end. "Late" is
-    * l_shipdate > o_orderdate + 90 (no commit/receipt dates). */
+    * (necessarily the line's own). ONE fact-fact shuffle total: after the
+    * lineitem⋈orders join hash-partitions by orderkey, the
+    * (orderkey, suppkey) groupBy AND both per-order window counts are
+    * satisfied by that same partitioning (subset clustering), so neither
+    * re-exchanges — vs the naive 3-aggregate spelling that shuffles
+    * lineitem three times. Supplier names ride a broadcast at the end.
+    * "Late" is l_shipdate > o_orderdate + 90 (no commit/receipt dates). */
   private val q21Waiting = GraftQuery(
     "q21_waiting_supp",
     "Q21 shape: EXISTS/NOT-EXISTS over sibling lines as per-order aggregates",
     (s, d) => {
-      val lates = Tables.lineitem(s, d)
+      import org.apache.spark.sql.expressions.Window
+      val lines = Tables.lineitem(s, d)
         .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
-          col("l_orderkey") === col("o_orderkey") &&
-            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-        .select("l_orderkey", "l_suppkey")
-      val allSupp = Tables.lineitem(s, d).groupBy(col("l_orderkey").as("ok_all"))
-        .agg(countDistinct("l_suppkey").as("n_supp"))
-      val lateSupp = lates.groupBy(col("l_orderkey").as("ok_late"))
-        .agg(countDistinct("l_suppkey").as("n_late"))
-      lates
-        .join(allSupp, col("l_orderkey") === col("ok_all"))
-        .join(lateSupp, col("l_orderkey") === col("ok_late"))
-        .filter(col("n_supp") > 1 && col("n_late") === 1)
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("late"))
+      val perSupp = lines.groupBy("l_orderkey", "l_suppkey")
+        .agg(sum(when(col("late"), 1L).otherwise(0L)).as("late_lines"))
+      val w = Window.partitionBy("l_orderkey")
+      perSupp
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_late", sum(when(col("late_lines") > 0, 1L).otherwise(0L)).over(w))
+        .filter(col("late_lines") > 0 && col("n_supp") > 1 && col("n_late") === 1)
         .groupBy("l_suppkey")
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum("late_lines").as("numwait"))
         .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_name"), col("numwait"))
         .orderBy(desc("numwait"), col("s_name"))

