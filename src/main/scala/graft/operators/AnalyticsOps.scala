@@ -383,8 +383,41 @@ object AnalyticsOps {
     },
     None)
 
+  /** Cohort retention: users bucketed by first-active day, retention =
+    * share of the cohort active again N days later. The classic
+    * product-analytics matrix, and a single-fact-table plan:
+    * (user, day) distinct → cohort via a min-window over the SAME user_id
+    * partitioning (no self-join back to a first-seen table — the window
+    * reuses the exchange), → one keyed aggregation on (cohort, offset).
+    * Cohort sizes come from a window over the AGGREGATED frame (cohort
+    * cardinality ≈ days, tiny), not a second scan: offset 0 is by
+    * construction every cohort's full size (the min-day user is active on
+    * the min day). Retention doubles divide exact integer counts. */
+  private val evtRetention = GraftQuery(
+    "evt_retention",
+    "cohort retention matrix: first-active-day cohorts × day offset",
+    (s, d) => {
+      val act = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val coh = act
+        .withColumn("cohort", min("day").over(Window.partitionBy("user_id")))
+        .withColumn("day_offset", datediff(col("day"), col("cohort")))
+      val ret = coh.groupBy("cohort", "day_offset")
+        .agg(count(lit(1)).as("n_active"))
+      ret.withColumn("cohort_size",
+          max(when(col("day_offset") === 0, col("n_active")))
+            .over(Window.partitionBy("cohort")))
+        .select(col("cohort"), col("day_offset"), col("n_active"),
+          col("cohort_size"),
+          fround(col("n_active").cast("double") / col("cohort_size"), 4)
+            .as("retention"))
+        .orderBy("cohort", "day_offset")
+    },
+    Some("""WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), c AS (SELECT *, min(day) OVER (PARTITION BY user_id) AS cohort FROM act), o AS (SELECT cohort, CAST(date_diff('day', cohort, day) AS INTEGER) AS day_offset, count(*) AS n_active FROM c GROUP BY 1, 2), w AS (SELECT *, max(CASE WHEN day_offset = 0 THEN n_active END) OVER (PARTITION BY cohort) AS cohort_size FROM o) SELECT cohort, day_offset, n_active, cohort_size, floor(CAST(n_active AS DOUBLE) / cohort_size * 10000.0 + 0.5) / 10000.0 AS retention FROM w ORDER BY 1, 2"""))
+
   val all: Seq[GraftQuery] = Seq(
     winSession, winLagLead, aggPercentiles, aggCorr, jSkewSalted, txtTfidf,
     aggStatsOnepass, aggPivot, winSessionNative, aggApproxPercentile,
-    aggArgExtremes, aggMapHistogram, aggMultiDistinct, aggHllRollup)
+    aggArgExtremes, aggMapHistogram, aggMultiDistinct, aggHllRollup,
+    evtRetention)
 }

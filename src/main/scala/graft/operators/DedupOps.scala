@@ -86,7 +86,7 @@ object DedupOps {
       // write the shingle table once, run every downstream leg off the
       // materialization. (min over the cached SET equals min over the raw
       // multiset, so signatures off the distinct output are unchanged.)
-      val sh = graft.PersistCache.getOrBuild(s, s"shingles3:$d")(shingleSet(s, d, 3))
+      val sh = shingles3(s, d)
       val shU = sh.withColumn("u",
         graft.functions.GraftFunctions.md5u32(col("sh")))
       // One aggregation with K min-columns: each minhash folds map-side
@@ -134,8 +134,14 @@ object DedupOps {
   /** Cached distinct 4-gram shingle set — shared with the contamination
     * check in TextOps (same PersistCache key, so whichever query runs first
     * materializes it for both). */
-  private[operators] def shingles4(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingles4(s: SparkSession, d: String): DataFrame =
     graft.PersistCache.getOrBuild(s, s"shingles4:$d")(shingleSet(s, d, 4))
+
+  /** Cached distinct 3-gram shingle set — the minhash signature input,
+    * shared with the boilerplate-span detector in TextOps (same
+    * PersistCache key as dedup_minhash's shingle leg). */
+  private[graft] def shingles3(s: SparkSession, d: String): DataFrame =
+    graft.PersistCache.getOrBuild(s, s"shingles3:$d")(shingleSet(s, d, 3))
 
   /** Verified 4-gram Jaccard pairs (a < b, jaccard >= 0.4) — the shared
     * edge-set leg behind the pair-listing query and the components query,

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 import graft.functions.GraftFunctions._
@@ -151,6 +152,88 @@ object TextOps {
     },
     Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sh AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] for i in generate_series(1, greatest(len(toks) - 3, 0))]) AS sh FROM t), ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 100 = 0), tr AS (SELECT doc_id AS train_id, sh FROM sh WHERE doc_id % 100 <> 0) SELECT train_id, eval_id, count(*) AS n_shared FROM tr JOIN ev USING (sh) GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Boilerplate-span detection (the header/footer/template filter of a
+    * web-corpus pipeline): a 3-gram span is "boilerplate" when it appears
+    * in >= 5 distinct documents; each doc reports how much of it is made of
+    * such spans. Rides the SAME cached distinct-3-gram table as
+    * dedup_minhash (PersistCache key shingles3), so the pipeline pays the
+    * shingling once for dedup + boilerplate + tfidf-style stats.
+    *
+    * Scale shape: document frequency comes from a count window over the
+    * `sh` partitioning of the one materialized shingle table — one shuffle
+    * keyed on the shingle, bounded per partition by corpus doc-frequency —
+    * then one doc_id-keyed rollup. No corpus self-join anywhere (the naive
+    * spelling joins the df table back to the shingle table: same result,
+    * twice the shuffled bytes). Docs with < 3 tokens have no 3-grams and
+    * drop out in both engines (txt_repetition precedent). */
+  private val boilerplate = GraftQuery(
+    "txt_boilerplate",
+    "per-doc boilerplate share from cross-doc repeated 3-gram spans (df >= 5)",
+    (s, d) => {
+      val sh = DedupOps.shingles3(s, d)
+      sh.withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("df") >= 5, 1L).otherwise(0L)).as("n_boiler"))
+        .select(col("doc_id"), col("n_spans"), col("n_boiler"),
+          fround(col("n_boiler").cast("double") / col("n_spans"), 4)
+            .as("boiler_share"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sh AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in generate_series(1, greatest(len(toks) - 2, 0))]) AS sh FROM t), w AS (SELECT doc_id, count(*) OVER (PARTITION BY sh) AS df FROM sh), a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, CAST(sum(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler FROM w GROUP BY 1) SELECT doc_id, n_spans, n_boiler, floor(CAST(n_boiler AS DOUBLE) / n_spans * 10000.0 + 0.5) / 10000.0 AS boiler_share FROM a ORDER BY doc_id"""))
+
+  /** Bloom filter over the eval split's 4-gram hashes, built once per
+    * corpus dir. The build is an eager (driver-coordinated) pass over the
+    * EVAL split only — inherent to the operator: a Bloom sketch is a
+    * materialized artifact shipped to executors, the same
+    * table-creation-time class as Layouts' bucketed tables and IvfAnn's
+    * stored index, and the eval split is benchmark-sized by definition.
+    * 2^17 expected items / 1% fp ≈ 150 KB — broadcast-trivial even when
+    * the eval set is millions of n-grams. */
+  private val bloomCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.util.sketch.BloomFilter]
+
+  private def evalBloom(s: SparkSession, d: String): org.apache.spark.util.sketch.BloomFilter =
+    bloomCache.getOrElseUpdate(d,
+      DedupOps.shingles4(s, d).filter(col("doc_id") % 100 === 0)
+        .select(xxhash64(col("sh")).as("h"))
+        .stat.bloomFilter("h", 1 << 17, 0.01))
+
+  /** Train-side shingles surviving the Bloom prefilter — exposed so the
+    * spec can assert the sketch actually prunes (candidates << train). */
+  private[graft] def bloomCandidates(s: SparkSession, d: String): DataFrame = {
+    val bf = s.sparkContext.broadcast(evalBloom(s, d))
+    val mightContain = udf((h: Long) => bf.value.mightContainLong(h))
+    DedupOps.shingles4(s, d).filter(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id").as("train_id"), col("sh"))
+      .filter(mightContain(xxhash64(col("sh"))))
+  }
+
+  /** Decontamination with a Bloom prefilter — the 100 TB shape of
+    * txt_decontaminate. There the eval SHINGLE SET broadcasts into a hash
+    * join against every train shingle; here the train scan is first gated
+    * by a ~150 KB Bloom sketch of eval n-gram hashes, so the join (and the
+    * shuffle feeding the overlap aggregation) sees only the ~|overlap| +
+    * fp-rate fraction of train shingles instead of all of them. False
+    * positives cannot leak into the answer: survivors still pass the exact
+    * broadcast join on the shingle itself — which is why this query shares
+    * txt_decontaminate's DuckDB oracle verbatim. The mightContain UDF gates
+    * only the prefilter branch (one long-typed call per shingle); the exact
+    * join stays codegen'd. */
+  private val decontaminateBloom = GraftQuery(
+    "txt_decontaminate_bloom",
+    "bloom-sketch-prefiltered decontamination, exact-verified (oracle = exact)",
+    (s, d) => {
+      val ev = DedupOps.shingles4(s, d).filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("eval_id"), col("sh"))
+      bloomCandidates(s, d)
+        .join(broadcast(ev), Seq("sh"))
+        .groupBy("train_id", "eval_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("train_id", "eval_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sh AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] for i in generate_series(1, greatest(len(toks) - 3, 0))]) AS sh FROM t), ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 100 = 0), tr AS (SELECT doc_id AS train_id, sh FROM sh WHERE doc_id % 100 <> 0) SELECT train_id, eval_id, count(*) AS n_shared FROM tr JOIN ev USING (sh) GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[GraftQuery] = Seq(tokenStats, quality, langId, fingerprint,
-    topNgrams, repetition, decontaminate)
+    topNgrams, repetition, decontaminate, boilerplate, decontaminateBloom)
 }
