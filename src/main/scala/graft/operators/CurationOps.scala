@@ -166,7 +166,43 @@ object CurationOps {
       Seq("embeddings"), sparkSql, duckSql)
   }
 
+  /** Quality-weighted importance sampling — the DoReMi/CCNet reweighting
+    * primitive: each document is kept with probability proportional to its
+    * quality score (floor 0.2 so no stratum is fully zeroed), decided by
+    * comparing a hash-derived uniform against the weight. Both sides of the
+    * comparison are exact IEEE doubles built from integer ratios, so Spark
+    * and DuckDB agree bit-for-bit; the kept set is reproducible under any
+    * repartitioning. A pure narrow map (filter rides the scan — no
+    * shuffle); at 100 TB this is the cheapest possible corpus pass. The
+    * quality formula is the same exact-ratio composite txt_quality scores
+    * (stopword/long-token/length-band). */
+  private val sampImportance = {
+    def sql(u: String, splitFn: String, lenFn: String, filterFn: String) =
+      s"""SELECT doc_id,
+         |       CAST(floor(w * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS w,
+         |       CAST(floor(u01 * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS u01
+         |FROM (SELECT doc_id,
+         |        0.2 + 0.8 * (stop_ratio * 0.3 + long_ratio * 0.4 + len_ok * 0.3) AS w,
+         |        CAST($u AS DOUBLE) / 4294967296.0 AS u01
+         |      FROM (SELECT doc_id,
+         |              CAST($lenFn($filterFn(t, x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE) / $lenFn(t) AS stop_ratio,
+         |              CAST($lenFn($filterFn(t, x -> length(x) > 4)) AS DOUBLE) / $lenFn(t) AS long_ratio,
+         |              CASE WHEN $lenFn(t) BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END AS len_ok
+         |            FROM (SELECT doc_id, $splitFn(lower(text), ' ') AS t FROM documents)))
+         |WHERE u01 < w
+         |ORDER BY doc_id""".stripMargin
+    val uS =
+      "CAST(conv(substring(md5(concat('imp:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    val uD = graft.functions.GraftFunctions
+      .md5u32Sql("md5('imp:' || CAST(doc_id AS VARCHAR))")
+    q("samp_importance",
+      "quality-weighted importance sampling: keep-prob = 0.2 + 0.8*quality, hash uniform",
+      Seq("documents"),
+      sql(uS, "split", "size", "filter"),
+      sql(uD, "string_split", "len", "list_filter").replace("\n", " "))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     sampStratified, sampQuota, shufflePrefix, txtNormalize, lengthHist,
-    embQuantize)
+    embQuantize, sampImportance)
 }

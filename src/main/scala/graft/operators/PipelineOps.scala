@@ -258,7 +258,38 @@ object PipelineOps {
     },
     Some("""WITH t AS (SELECT source, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ntok FROM documents), src AS (SELECT source, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS tok FROM t GROUP BY 1), wnd AS (SELECT source, n_docs, tok, CAST(sum(tok) OVER () AS BIGINT) AS total_tok, count(*) OVER () AS n_src FROM src) SELECT source, n_docs, tok, floor(CAST(tok AS DOUBLE) / total_tok * 1e6 + 0.5) / 1e6 AS token_share, floor(CAST(total_tok AS DOUBLE) / (n_src * tok) * 1e6 + 0.5) / 1e6 AS weight FROM wnd ORDER BY source"""))
 
+  /** Sliding-window document chunking — the context-window slicer every
+    * pretraining/RAG pipeline runs: 64-token chunks at stride 48 (16-token
+    * overlap so no span is ever split across a boundary without also
+    * appearing whole). Pure narrow per-row work: the chunk index explodes
+    * from an in-row `sequence` (fan-out = ntok/stride, bounded and local),
+    * the slice and fingerprint are per-row array ops — the corpus never
+    * shuffles; at 100 TB this runs at scan speed. The chunk fingerprint
+    * (md5 over the joined token slice) is what downstream chunk-level
+    * dedup/contamination joins on, and is byte-identical across engines.
+    * Chunk count per doc is fixed by integer arithmetic
+    * (1 + (ntok-1) div 48), so engines cannot disagree on the tail chunk. */
+  private val pipeChunk = GraftQuery(
+    "pipe_chunk_overlap",
+    "sliding-window chunking: 64-token chunks, stride 48, md5 chunk fingerprint",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), col("t"), size(col("t")).as("n"))
+        .filter(col("n") >= 1)
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), expr("(n - 1) div 48").cast("int"))).as("c"))
+        .select(col("doc_id"), col("c").cast("long").as("chunk_id"),
+          (col("c") * 48 + 1).cast("long").as("start_tok"),
+          slice(col("t"), col("c") * 48 + 1, lit(64)).as("ck"))
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+          size(col("ck")).as("chunk_tok"),
+          md5(array_join(col("ck"), " ")).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t, len(string_split(lower(text), ' ')) AS n FROM documents), c AS (SELECT doc_id, t, n, unnest(generate_series(0, (n - 1) // 48)) AS c FROM t WHERE n >= 1), ck AS (SELECT doc_id, CAST(c AS BIGINT) AS chunk_id, CAST(c * 48 + 1 AS BIGINT) AS start_tok, list_slice(t, c * 48 + 1, least(c * 48 + 64, n)) AS ck FROM c) SELECT doc_id, chunk_id, start_tok, CAST(len(ck) AS INTEGER) AS chunk_tok, md5(array_to_string(ck, ' ')) AS chunk_fp FROM ck ORDER BY doc_id, chunk_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     sampHashSplit, arrHofStats, evtFunnel, aggMode, calGapFill, calInterpolate,
-    pipePack, pipeMixWeights)
+    pipePack, pipeMixWeights, pipeChunk)
 }

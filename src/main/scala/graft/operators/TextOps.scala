@@ -234,6 +234,73 @@ object TextOps {
     },
     Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sh AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] for i in generate_series(1, greatest(len(toks) - 3, 0))]) AS sh FROM t), ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 100 = 0), tr AS (SELECT doc_id AS train_id, sh FROM sh WHERE doc_id % 100 <> 0) SELECT train_id, eval_id, count(*) AS n_shared FROM tr JOIN ev USING (sh) GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Vocabulary building — the tokenizer-training precursor: global token
+    * frequencies with document frequency, corpus share, and cumulative
+    * coverage of the top-K. One map-side-combined aggregation over the
+    * exploded tokens (groupBy(tok) folds to vocab size per partition before
+    * the shuffle); the corpus total is summed from the vocab table itself —
+    * never a second scan of the raw text. Top-K compiles to
+    * TakeOrderedAndProject (per-partition heaps, no global sort) and the
+    * cumulative window then runs over K rows, not the vocabulary.
+    * Reference analog: the per-key frequency rollups the aggregation plane
+    * serves (AggregationActor.scala:43-60), lifted to corpus vocabulary. */
+  private val vocabTopK = GraftQuery(
+    "txt_vocab_topk",
+    "vocabulary top-50: token freq, doc freq, corpus share, cumulative coverage",
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val vocab = tok.groupBy("tok")
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("df"))
+      // corpus token total from the (small) vocab table, not a rescan
+      val total = vocab.agg(sum("cnt").as("total"))
+      val top = vocab.orderBy(desc("cnt"), col("tok")).limit(50)
+      val w = Window.orderBy(desc("cnt"), col("tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      top.crossJoin(broadcast(total))
+        .withColumn("rk", row_number().over(Window.orderBy(desc("cnt"), col("tok"))))
+        .withColumn("share", col("cnt").cast("double") / col("total"))
+        .withColumn("cum_share", sum(col("cnt")).over(w).cast("double") / col("total"))
+        .select(col("rk"), col("tok"), col("cnt"), col("df"),
+          fround(col("share"), 6).as("share"),
+          fround(col("cum_share"), 6).as("cum_share"))
+        .orderBy("rk")
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents), v AS (SELECT tok, count(*) AS cnt, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1), t AS (SELECT sum(cnt) AS total FROM v), top AS (SELECT * FROM v ORDER BY cnt DESC, tok LIMIT 50) SELECT row_number() OVER (ORDER BY cnt DESC, tok) AS rk, tok, cnt, df, floor(CAST(cnt AS DOUBLE) / total * 1000000.0 + 0.5) / 1000000.0 AS share, floor(CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total * 1000000.0 + 0.5) / 1000000.0 AS cum_share FROM top CROSS JOIN t ORDER BY rk"""))
+
+  /** Unigram language-model scoring — the perplexity-proxy quality signal
+    * (CCNet trains a real LM; the unigram model is its exact-arithmetic
+    * skeleton): avg per-token log-probability under the corpus's own
+    * unigram distribution. Cross-engine determinism: each token's log-prob
+    * is rounded to integer MICRO-units per occurrence, and the per-doc
+    * aggregate sums BIGINTs — order-independent, unlike a double sum whose
+    * partial-aggregation order Spark does not fix. Scale shape: one vocab
+    * aggregation (map-side combined), vocab broadcast back onto the token
+    * stream, one doc-keyed aggregation — the corpus shuffles once, on
+    * doc_id. */
+  private val unigramLogprob = GraftQuery(
+    "txt_unigram_logprob",
+    "unigram-LM avg log-prob per doc (perplexity-proxy quality signal)",
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum("cnt").as("total"))
+      val scored = tok
+        .join(broadcast(vocab.crossJoin(total)), Seq("tok"))
+        .select(col("doc_id"),
+          round(log(col("cnt").cast("double") / col("total")) * 1e6, 0)
+            .cast("long").as("lp_micro"))
+      scored.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum("lp_micro").as("lp_sum"))
+        .select(col("doc_id"), col("n_tok"),
+          fround(col("lp_sum").cast("double") / (col("n_tok") * 1e6), 4)
+            .as("avg_logprob"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents), v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1), t AS (SELECT sum(cnt) AS total FROM v), sc AS (SELECT doc_id, CAST(round(ln(CAST(cnt AS DOUBLE) / total) * 1000000.0) AS BIGINT) AS lp_micro FROM tok JOIN v USING (tok) CROSS JOIN t) SELECT doc_id, count(*) AS n_tok, floor(CAST(sum(lp_micro) AS DOUBLE) / (count(*) * 1000000.0) * 10000.0 + 0.5) / 10000.0 AS avg_logprob FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(tokenStats, quality, langId, fingerprint,
-    topNgrams, repetition, decontaminate, boilerplate, decontaminateBloom)
+    topNgrams, repetition, decontaminate, boilerplate, decontaminateBloom,
+    vocabTopK, unigramLogprob)
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant checks for the round-4 additions: vocabulary building,
+  * unigram-LM scoring, importance sampling, and PageRank. Oracle equality
+  * is the driver's gate; these pin the semantic invariants a hash compare
+  * can't express (monotonicity, probability mass, determinism). */
+class GraphTextOpsSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSpark.spark
+  private val sf = GraftTestSpark.sf
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("txt_vocab_topk: shares in (0,1], cum_share monotone, full coverage when K >= |V|") {
+    val rows = run("txt_vocab_topk").collect()
+    assert(rows.nonEmpty)
+    val cums = rows.map(_.getDouble(5))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a - 1e-12 })
+    val cnts = rows.map(_.getLong(2))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => b <= a }, "counts descend")
+    // sf0.001's synthetic vocabulary is smaller than K=50, so the top-K
+    // covers the whole corpus: cumulative share must end at exactly 1.0
+    if (rows.length < 50) assert(math.abs(cums.last - 1.0) < 1e-6)
+    rows.foreach { r => assert(r.getLong(3) >= 1L && r.getDouble(4) > 0.0) }
+  }
+
+  test("txt_unigram_logprob: all avg log-probs negative; rare-token docs score lower") {
+    val rows = run("txt_unigram_logprob").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) < 0.0, s"doc ${r.getLong(0)}: logprob must be < 0")
+      assert(r.getLong(1) > 0L)
+    }
+    // corpus-level sanity: average over docs matches the corpus unigram
+    // entropy's sign and rough scale (tiny vocab => entropy < ln(|V|))
+    val nVocab = run("txt_vocab_topk").count()
+    val meanLp = rows.map(_.getDouble(2)).sum / rows.length
+    assert(meanLp >= -math.log(nVocab.toDouble) - 0.1,
+      s"mean logprob $meanLp below -ln|V| floor")
+  }
+
+  test("samp_importance: kept iff u01 < w, weights in [0.2, 1.0], deterministic") {
+    val a = run("samp_importance").collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val w = r.getDouble(1); val u = r.getDouble(2)
+      assert(u < w + 1e-9, s"doc ${r.getLong(0)} kept with u=$u >= w=$w")
+      assert(w >= 0.2 - 1e-9 && w <= 1.0 + 1e-9)
+    }
+    val b = run("samp_importance").collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq, "re-run must select identical rows")
+  }
+
+  test("graph_pagerank: ranks positive+descending, both node kinds, id encoding consistent") {
+    val rows = run("graph_pagerank").collect()
+    assert(rows.length > 0 && rows.length <= 30)
+    val fps = rows.map(_.getLong(3))
+    assert(fps.forall(_ > 0L))
+    assert(fps.zip(fps.tail).forall { case (a, b) => b <= a }, "descending rank")
+    // total mass is 1e12 picounits; no single node may exceed it
+    assert(fps.head < 1000000000000L)
+    rows.foreach { r =>
+      val id = r.getLong(0); val kind = r.getString(1); val key = r.getLong(2)
+      assert(if (id % 2 == 0) kind == "customer" && key * 2 == id
+             else kind == "supplier" && key * 2 + 1 == id)
+    }
+    assert(rows.map(_.getString(1)).toSet == Set("customer", "supplier"),
+      "trade graph must surface both customers and suppliers in the top-30")
+  }
+
+  test("graph_pagerank: suppliers aggregate more mass per node than customers (degree skew)") {
+    // suppliers are ~10x fewer than customers in the TPC-H-ish schema, so
+    // the undirected random walk concentrates on them — the supplier mean
+    // rank in the top-30 should exceed the customer mean. This pins that
+    // the rank actually reflects graph structure, not the init value.
+    val rows = run("graph_pagerank").collect()
+    val byKind = rows.groupBy(_.getString(1)).map { case (k, rs) =>
+      k -> rs.map(_.getLong(3)).sum.toDouble / rs.length }
+    for { s <- byKind.get("supplier"); c <- byKind.get("customer") }
+      assert(s > c, s"supplier mean $s should exceed customer mean $c")
+  }
+}
