@@ -68,5 +68,12 @@ object GraftExpressions {
       exprs => ShingleGenerator(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()),
       "scala_udf")
+    // per-doc DISTINCT shingles: the generator dedups row-locally, so no
+    // corpus-wide distinct() shuffle is ever needed for shingle SETS
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingle_set",
+      exprs => ShingleGenerator(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(), unique = true),
+      "scala_udf")
   }
 }

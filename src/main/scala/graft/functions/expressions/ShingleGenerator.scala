@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Callers pass already-lowercased text so case normalization stays in
   * Catalyst (`lower(text)`).
   */
-case class ShingleGenerator(child: Expression, n: Int)
+case class ShingleGenerator(child: Expression, n: Int, unique: Boolean = false)
     extends UnaryExpression with Generator with CodegenFallback {
 
   override def elementSchema: StructType = new StructType().add("sh", StringType)
@@ -40,13 +40,21 @@ case class ShingleGenerator(child: Expression, n: Int)
       val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
       if (toks.length < n) Nil
       else {
-        val out = new Array[InternalRow](toks.length - n + 1)
+        val out = new scala.collection.mutable.ArrayBuffer[InternalRow](
+          toks.length - n + 1)
+        // `unique` emits each doc's DISTINCT shingles (first-occurrence
+        // order): `generator.distinct()` downstream would be a corpus-wide
+        // shuffle on (doc_id, shingle) strings, but the set is per-document
+        // by construction — dedup belongs HERE, row-local and shuffle-free.
+        val seen = if (unique) new java.util.HashSet[String]() else null
         var i = 0
-        while (i < out.length) {
+        while (i <= toks.length - n) {
           val sb = new java.lang.StringBuilder(toks(i))
           var k = 1
           while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
-          out(i) = InternalRow(UTF8String.fromString(sb.toString))
+          val sh = sb.toString
+          if (seen == null || seen.add(sh))
+            out += InternalRow(UTF8String.fromString(sh))
           i += 1
         }
         out

@@ -48,16 +48,18 @@ object DedupOps {
     * every run). */
   private val uSql = graft.functions.GraftFunctions.md5u32Sql("h")
 
-  /** (doc_id, shingle) with multiplicity — via the native ShingleGenerator
-    * (the HOF transform+explode formulation profiled 10x slower). */
-  private def rawShingles(s: SparkSession, d: String, n: Int): DataFrame = {
+  /** (doc_id, shingle) SET rows — via the native set-emitting
+    * ShingleGenerator (the HOF transform+explode formulation profiled 10x
+    * slower). The per-doc dedup happens inside the generator, so building
+    * the shingle-set table is a pure narrow pass: `.distinct()` here would
+    * shuffle the whole (doc_id, shingle) string stream — at 100 TB the
+    * single widest exchange in the module — for a set that is per-document
+    * by construction. */
+  private def shingleSet(s: SparkSession, d: String, n: Int): DataFrame = {
     graft.functions.expressions.GraftExpressions.ensureRegistered(s)
     Tables.documents(s, d)
-      .selectExpr("doc_id", s"graft_shingles(lower(text), $n) AS sh")
+      .selectExpr("doc_id", s"graft_shingle_set(lower(text), $n) AS sh")
   }
-
-  private def shingleSet(s: SparkSession, d: String, n: Int): DataFrame =
-    rawShingles(s, d, n).distinct()
 
   /** Exact dedup: group by content fingerprint, keep the smallest doc_id. */
   private val dedupExact = GraftQuery(
@@ -379,12 +381,15 @@ object DedupOps {
     * O(candidates x shingles/doc). The per-doc set sizes `sz` are supplied
     * by the caller — the minhash path derives them from the signature
     * aggregation it is already running, which saves a whole extra
-    * scan+shuffle over the shingle table. */
+    * scan+shuffle over the shingle table. Intersections join on
+    * xxhash64(shingle), not the raw string — same 8-bytes-vs-string
+    * rationale (and collision-risk accounting) as [[jaccardPairs]]. */
   private def jaccardVerifiedWithSizes(cand: DataFrame, sh: DataFrame,
       sz: DataFrame, thresh: Double): DataFrame = {
+    val shh = sh.select(col("doc_id"), xxhash64(col("sh")).as("shh"))
     val inter = broadcast(cand) // LSH candidates are small by construction
-      .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .join(shh.select(col("doc_id").as("a"), col("shh")), Seq("a"))
+      .join(shh.select(col("doc_id").as("b"), col("shh")), Seq("b", "shh"))
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
     inter
       .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))

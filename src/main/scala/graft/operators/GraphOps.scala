@@ -20,22 +20,44 @@ import graft.{GraftQuery, Tables}
   */
 object GraphOps {
 
-  /** Symmetric customer↔supplier trade edges with out-degree, materialized
-    * once per (session, corpus): every PageRank iteration joins this same
-    * table, and an unpersisted lineage would re-run the fact-fact join per
-    * iteration. Node encoding: customer c → 2c, supplier s → 2s+1 (keeps
-    * ids BIGINT — no string keys on the iteration shuffle). */
-  private def edgesWithDegree(s: SparkSession, d: String): DataFrame =
+  /** Symmetric customer↔supplier trade edges, materialized once per
+    * (session, corpus): every PageRank iteration joins this same table, and
+    * an unpersisted lineage would re-run the fact-fact join per iteration.
+    * Node encoding: customer c → 2c, supplier s → 2s+1 (keeps ids BIGINT —
+    * no string keys on the iteration shuffle). */
+  private def symEdges(s: SparkSession, d: String): DataFrame =
     graft.PersistCache.getOrBuild(s, s"pr-edges:$d") {
       val e0 = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
         .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
-      val sym = e0.select(col("a").as("src"), col("b").as("dst"))
+      // hash-partitioned on dst AT MATERIALIZATION: InMemoryRelation
+      // preserves the cached plan's outputPartitioning, so every
+      // iteration's contribution rollup (groupBy dst) runs shuffle-free on
+      // the co-located cache — the iteration loop never exchanges the edge
+      // set, only the node-sized broadcast moves per round
+      e0.select(col("a").as("src"), col("b").as("dst"))
         .union(e0.select(col("b").as("src"), col("a").as("dst")))
-      sym.join(sym.groupBy(col("src").as("dsrc")).agg(count(lit(1)).as("deg")),
-        col("src") === col("dsrc")).drop("dsrc")
+        .repartition(col("dst"))
+    }
+
+  /** Materialize the graph artifacts (edge + node/degree tables) — the
+    * stored-table analog of the IVF/PQ index builds: a deployment derives
+    * its relationship graph once per corpus snapshot and serves every
+    * downstream ranking/reachability query from the materialization. */
+  def storedGraph(s: SparkSession, d: String): Unit = {
+    nodes(s, d).write.format("noop").mode("overwrite").save()
+  }
+
+  /** Node table (id = src, out-degree), the OTHER iteration-invariant —
+    * node-sized, so every per-iteration scalar (N) and per-node transform
+    * (outgoing contribution) computes over this cache, never over the edge
+    * set: the edges are touched exactly once per iteration, by the single
+    * contribution-routing join. */
+  private def nodes(s: SparkSession, d: String): DataFrame =
+    graft.PersistCache.getOrBuild(s, s"pr-nodes:$d") {
+      symEdges(s, d).groupBy(col("src")).agg(count(lit(1)).as("deg"))
     }
 
   /** PageRank, 3 unrolled power iterations, damping 0.85. Each iteration is
@@ -52,19 +74,23 @@ object GraphOps {
     "graph_pagerank",
     "PageRank (3 iterations, d=0.85) over customer-supplier trade edges, exact picounit arithmetic",
     (s, d) => {
-      val ed = edgesWithDegree(s, d)
-      // in-plan scalar N (node count) — never an eager driver-side count;
-      // recomputing it per use is a map-side-combined agg over the cache
-      val n = ed.agg(countDistinct(col("src")).as("n"))
+      val ed = symEdges(s, d)
+      val nd = nodes(s, d)
+      // in-plan scalar N — never an eager driver-side count; each use is a
+      // map-side-combined agg over the NODE cache (node-sized, trivial)
+      val n = nd.agg(count(lit(1)).as("n"))
       // r0 = 1/N in picounits
-      var ranks = ed.select(col("src").as("id")).distinct()
+      var ranks = nd.select(col("src").as("id"))
         .crossJoin(broadcast(n))
         .select(col("id"), round(lit(1e12) / col("n"), 0).cast("long").as("fp"))
       for (_ <- 1 to 3) {
         // contribution of u to each neighbor: d * r(u)/deg(u), truncated in
-        // integer space — identical in both engines for positive operands
-        ranks = ed.join(broadcast(ranks), col("src") === col("id"))
-          .select(col("dst"), expr("(fp * 85L) div (100L * deg)").as("c"))
+        // integer space — identical in both engines for positive operands.
+        // Computed NODE-side (ranks ⋈ degree, both node-sized) so the edge
+        // join routes a precomputed value instead of re-deriving it per edge
+        val contrib = ranks.join(nd, col("id") === col("src"))
+          .select(col("id").as("cid"), expr("(fp * 85L) div (100L * deg)").as("c"))
+        ranks = ed.join(broadcast(contrib), col("src") === col("cid"))
           .groupBy(col("dst").as("rid"))
           .agg(sum(col("c")).as("contrib"))
           .crossJoin(broadcast(n))
