@@ -109,5 +109,22 @@ object GraphOps {
     },
     Some("""WITH e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1), n AS (SELECT count(*) AS n FROM dg), r0 AS (SELECT src AS id, CAST(round(1e12 / n) AS BIGINT) AS fp FROM dg CROSS JOIN n), s1 AS (SELECT e.dst AS id, sum((r.fp * 85) // (100 * dg.deg)) AS contrib FROM e JOIN r0 r ON e.src = r.id JOIN dg ON e.src = dg.src GROUP BY 1), r1 AS (SELECT id, CAST(round(1.5e11 / n) AS BIGINT) + contrib AS fp FROM s1 CROSS JOIN n), s2 AS (SELECT e.dst AS id, sum((r.fp * 85) // (100 * dg.deg)) AS contrib FROM e JOIN r1 r ON e.src = r.id JOIN dg ON e.src = dg.src GROUP BY 1), r2 AS (SELECT id, CAST(round(1.5e11 / n) AS BIGINT) + contrib AS fp FROM s2 CROSS JOIN n), s3 AS (SELECT e.dst AS id, sum((r.fp * 85) // (100 * dg.deg)) AS contrib FROM e JOIN r2 r ON e.src = r.id JOIN dg ON e.src = dg.src GROUP BY 1), r3 AS (SELECT id, CAST(round(1.5e11 / n) AS BIGINT) + contrib AS fp FROM s3 CROSS JOIN n) SELECT id, CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind, id // 2 AS key, fp AS rank_fp FROM r3 ORDER BY fp DESC, id LIMIT 30"""))
 
-  val all: Seq[GraftQuery] = Seq(pagerank)
+  /** Degree profile of the trade graph per node kind — the sanity read any
+    * graph pipeline runs before ranking (detects disconnected/skewed
+    * builds). Runs entirely off the node-sized degree cache: one tiny
+    * aggregation, no edge pass at all. avg_deg divides exact integer sums. */
+  private val degreeStats = GraftQuery(
+    "graph_degree_stats",
+    "trade-graph degree profile per node kind (n, min/max/avg degree)",
+    (s, d) => nodes(s, d)
+      .groupBy(when(col("src") % 2 === 0, lit("customer"))
+        .otherwise(lit("supplier")).as("kind"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min("deg").as("min_deg"), max("deg").as("max_deg"),
+        graft.functions.GraftFunctions.fround(
+          sum("deg").cast("double") / count(lit(1)), 4).as("avg_deg"))
+      .orderBy("kind"),
+    Some("""WITH e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1) SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind, count(*) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg, floor(CAST(sum(deg) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_deg FROM dg GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[GraftQuery] = Seq(pagerank, degreeStats)
 }

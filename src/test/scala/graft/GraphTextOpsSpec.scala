@@ -68,6 +68,32 @@ class GraphTextOpsSpec extends AnyFunSuite {
       "trade graph must surface both customers and suppliers in the top-30")
   }
 
+  test("graph_degree_stats: both kinds, avg within [min, max], supplier degree dominates") {
+    val rows = run("graph_degree_stats").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("customer", "supplier"))
+    rows.foreach { r =>
+      val (mn, mx, avg) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(mn >= 1L && mn <= mx && avg >= mn - 1e-9 && avg <= mx + 1e-9)
+    }
+    val byKind = rows.map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(byKind("supplier") > byKind("customer"),
+      "fewer suppliers share the same edge set, so their mean degree must be higher")
+  }
+
+  test("evt_zscore_anomaly: sigma >= 0, z = 0 iff sigma = 0, z sign matches cnt vs mu") {
+    val rows = run("evt_zscore_anomaly").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cnt, mu, sg, z) = (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(sg >= 0.0)
+      if (sg == 0.0) assert(z == 0.0)
+      else {
+        if (cnt > mu + 1e-4) assert(z > -1e-9)
+        if (cnt < mu - 1e-4) assert(z < 1e-9)
+      }
+    }
+  }
+
   test("graph_pagerank: suppliers aggregate more mass per node than customers (degree skew)") {
     // suppliers are ~10x fewer than customers in the TPC-H-ish schema, so
     // the undirected random walk concentrates on them — the supplier mean
