@@ -222,7 +222,6 @@ object DedupOps {
       .persist()
     var cur = sym.groupBy(col("src").as("id"))
       .agg(min(least(col("src"), col("dst"))).as("comp")).persist()
-    var curSum = cur.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
     var converged = false
     while (!converged) {
       // one propagation round: min over self ∪ neighbors. NOT persisted,
@@ -245,10 +244,17 @@ object DedupOps {
         .select(col("x.id").as("id"),
           least(col("x.comp"), coalesce(col("jcomp"), col("x.comp"))).as("comp"))
         .persist()
-      val nextSum = next.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
+      // Convergence probe: this round's and last round's label sums in ONE
+      // action (1-row cross join) — on the first round this also
+      // materializes the seed `cur` as a subtree of `next`, so the seed
+      // never needs its own job; every round runs exactly one action.
+      // Labels are monotonically non-increasing, so an unchanged SUM means
+      // a fixed point.
+      val sums = next.agg(coalesce(sum("comp"), lit(0L)).as("ns"))
+        .crossJoin(cur.agg(coalesce(sum("comp"), lit(0L)).as("cs"))).head
       cur.unpersist()
       cur = next
-      if (nextSum == curSum) converged = true else curSum = nextSum
+      converged = sums.getLong(0) == sums.getLong(1)
     }
     // `cur` is persisted AND materialized (the convergence check was an
     // action), so dropping the edge cache cannot trigger recomputation.

@@ -101,6 +101,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("chunking and importance sampling are narrow: no shuffle except the presentation sort") {
+    // both are corpus passes that must ride the scan — any hash exchange
+    // means the operator would shuffle 100 TB it never needs to
+    for (name <- Seq("pipe_chunk_overlap", "samp_importance")) {
+      val p = plan(name)
+      assert(!"Exchange hashpartitioning".r.findFirstIn(p).isDefined,
+        s"$name: ${p.take(3000)}")
+    }
+  }
+
+  test("vocab top-K short-circuits via TakeOrderedAndProject, never a global sort") {
+    val p = plan("txt_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("pagerank iterations broadcast the node-sized contributions (edges never shuffle mid-loop)") {
+    val p = plan("graph_pagerank")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the contribution rollup rides the dst-partitioned edge cache: the
+    // only hash exchanges allowed are the ones INSIDE the cached plan
+    // (edge build) and the node-sized per-iteration aggregates
+    assert(p.contains("InMemoryTableScan"), p.take(3000))
+  }
+
   test("partitioned layout prunes at the directory level (PartitionFilters)") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files.createTempDirectory("events-part").toString
