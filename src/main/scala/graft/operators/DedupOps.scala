@@ -431,7 +431,49 @@ object DedupOps {
     },
     Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e), proj AS (SELECT vec_id, p, list_sum([(CASE WHEN instr('0123456789abcdef', substr(md5(p::VARCHAR || ':' || (i-1)::VARCHAR), 1, 1)) % 2 = 1 THEN 1.0 ELSE -1.0 END) * v[i] for i in generate_series(1, len(v))]) AS dp FROM n, (SELECT unnest(generate_series(0, 7)) AS p)), codes AS (SELECT vec_id, CAST(sum(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS code FROM proj GROUP BY 1), c AS (SELECT n.vec_id, n.v, n.nrm, codes.code FROM n JOIN codes USING (vec_id)), p AS (SELECT x.vec_id AS a, y.vec_id AS b, list_sum([s[1]*s[2] for s in list_zip(x.v, y.v)]) / (x.nrm * y.nrm) AS cos FROM c x JOIN c y ON x.code = y.code AND x.vec_id < y.vec_id) SELECT a, b, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos FROM (SELECT * FROM p ORDER BY floor(cos * 1000000.0 + 0.5) DESC, a, b LIMIT 20) ORDER BY cos DESC, a, b"""))
 
+  /** Incremental dedup — the production crawl-refresh shape: a NEW BATCH
+    * (stand-in: doc_id % 10 = 9) is checked against the existing corpus,
+    * never against itself all-pairs. Exact matches join on fingerprint;
+    * near-dups reuse the 4-gram inverted index restricted to (new, corpus)
+    * pairs. Scale shape: the new batch is crawl-increment-sized, so its
+    * fingerprint and shingle tables BROADCAST — the stored corpus is probed
+    * in place (one narrow pass + batch-keyed aggregation), nothing corpus-
+    * sized shuffles. Emits one row per new doc: its verdict against the
+    * corpus (exact_dup / near_dup / new). */
+  private val dedupIncremental = GraftQuery(
+    "dedup_incremental",
+    "incremental batch-vs-corpus dedup: broadcast new-batch probe, exact + 4-gram Jaccard",
+    (s, d) => {
+      val isNew = col("doc_id") % 10 === 9
+      val fp = Tables.documents(s, d)
+        .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+      val exact = fp.filter(!isNew).groupBy("fp").agg(min("doc_id").as("dup_of"))
+      val sh = shingles4(s, d).select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+      val newSh = sh.filter(isNew)
+      val corpusSh = sh.filter(!isNew)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = corpusSh.join(broadcast(newSh.select(col("doc_id").as("new_id"), col("shh"))), Seq("shh"))
+        .groupBy(col("new_id"), col("doc_id").as("corp_id"))
+        .agg(count(lit(1)).as("c"))
+      val near = inter
+        .join(broadcast(sz.select(col("doc_id").as("new_id"), col("n").as("nn"))), Seq("new_id"))
+        .join(sz.select(col("doc_id").as("corp_id"), col("n").as("nc")), Seq("corp_id"))
+        .filter(col("c") * lit(1.0) / (col("nn") + col("nc") - col("c")) >= 0.4)
+        .groupBy("new_id").agg(min("corp_id").as("near_of"))
+      fp.filter(isNew)
+        .join(broadcast(exact), Seq("fp"), "left")
+        .join(broadcast(near), col("doc_id") === col("new_id"), "left")
+        .select(col("doc_id"),
+          when(col("dup_of").isNotNull, lit("exact_dup"))
+            .when(col("near_of").isNotNull, lit("near_dup"))
+            .otherwise(lit("new")).as("verdict"),
+          coalesce(col("dup_of"), col("near_of")).as("matched_corpus_doc"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH f AS (SELECT doc_id, md5(lower(text)) AS fp FROM documents), ex AS (SELECT fp, min(doc_id) AS dup_of FROM f WHERE doc_id % 10 <> 9 GROUP BY 1), t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sh AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] for i in generate_series(1, greatest(len(toks) - 3, 0))]) AS sh FROM t), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT nw.doc_id AS new_id, co.doc_id AS corp_id, count(*) AS c FROM sh nw JOIN sh co ON nw.sh = co.sh AND nw.doc_id % 10 = 9 AND co.doc_id % 10 <> 9 GROUP BY 1, 2), nr AS (SELECT new_id, min(corp_id) AS near_of FROM inter JOIN sz x ON inter.new_id = x.doc_id JOIN sz y ON inter.corp_id = y.doc_id WHERE c * 1.0 / (x.n + y.n - c) >= 0.4 GROUP BY 1) SELECT f.doc_id, CASE WHEN ex.dup_of IS NOT NULL THEN 'exact_dup' WHEN nr.near_of IS NOT NULL THEN 'near_dup' ELSE 'new' END AS verdict, coalesce(ex.dup_of, nr.near_of) AS matched_corpus_doc FROM f LEFT JOIN ex USING (fp) LEFT JOIN nr ON nr.new_id = f.doc_id WHERE f.doc_id % 10 = 9 ORDER BY f.doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupComponents, dedupKeepList,
-    dedupSimhash, dedupSimhashGroups, dedupEmbedding, dedupEmbeddingLsh)
+    dedupSimhash, dedupSimhashGroups, dedupEmbedding, dedupEmbeddingLsh,
+    dedupIncremental)
 }

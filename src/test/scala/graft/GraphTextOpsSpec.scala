@@ -68,6 +68,43 @@ class GraphTextOpsSpec extends AnyFunSuite {
       "trade graph must surface both customers and suppliers in the top-30")
   }
 
+  test("pipe_filter_gate: keep iff kept, rule order is length > repetitive > low_stopword") {
+    val rows = run("pipe_filter_gate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, ttr, stop, reason, keep) =
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getString(4), r.getInt(5))
+      assert((keep == 1) == (reason == "kept"))
+      if (nTok < 20 || nTok > 200) assert(reason == "length")
+      else if (ttr < 0.4) assert(reason == "repetitive")
+      else if (stop < 0.05) assert(reason == "low_stopword")
+      else assert(reason == "kept")
+    }
+    // the gate must actually separate classes on the fixed corpus
+    assert(rows.map(_.getString(4)).toSet ==
+      Set("kept", "length", "repetitive", "low_stopword"))
+  }
+
+  test("dedup_incremental: covers exactly the new batch; matches are corpus docs; consistent with pair list") {
+    val rows = run("dedup_incremental").collect()
+    val expected = run("txt_fingerprint").collect().map(_.getLong(0)).filter(_ % 10 == 9).toSet
+    assert(rows.map(_.getLong(0)).toSet == expected, "one verdict per new-batch doc")
+    rows.foreach { r =>
+      val isNew = r.getString(1) == "new"
+      assert(r.isNullAt(2) == isNew, s"matched_corpus_doc iff dup: $r")
+      if (!isNew) assert(r.getLong(2) % 10 != 9, s"match must be a corpus doc: $r")
+    }
+    // every >= 0.4 Jaccard pair crossing the batch boundary must surface as
+    // a non-'new' verdict for its new-batch end
+    val flagged = rows.filter(_.getString(1) != "new").map(_.getLong(0)).toSet
+    run("dedup_ngram_jaccard").collect().foreach { p =>
+      val (a, b) = (p.getLong(0), p.getLong(1))
+      if (a % 10 == 9 ^ b % 10 == 9)
+        assert(flagged.contains(if (a % 10 == 9) a else b),
+          s"crossing pair ($a,$b) not flagged")
+    }
+  }
+
   test("graph_degree_stats: both kinds, avg within [min, max], supplier degree dominates") {
     val rows = run("graph_degree_stats").collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("customer", "supplier"))
