@@ -60,6 +60,40 @@ object GraphOps {
       symEdges(s, d).groupBy(col("src")).agg(count(lit(1)).as("deg"))
     }
 
+  /** Library operator: fixed-iteration PageRank (damping 0.85) over a
+    * SYMMETRIC edge set `(src, dst)` with its degree table `(src, deg)` —
+    * pass persisted frames (the iterations reference both repeatedly).
+    * Returns `(id, fp)` with ranks in exact BIGINT picounits (1e12 = total
+    * mass 1.0): per-edge contributions are integer-truncated divisions and
+    * the rollup sums BIGINTs, so the fixed point is bit-identical under any
+    * partitioning or engine — the same determinism contract as
+    * [[DedupOps.connectedComponents]]. */
+  def pageRank(sym: DataFrame, nd: DataFrame, iters: Int): DataFrame = {
+    // in-plan scalar N — never an eager driver-side count; each use is a
+    // map-side-combined agg over the NODE table (node-sized, trivial)
+    val n = nd.agg(count(lit(1)).as("n"))
+    // r0 = 1/N in picounits
+    var ranks = nd.select(col("src").as("id"))
+      .crossJoin(broadcast(n))
+      .select(col("id"), round(lit(1e12) / col("n"), 0).cast("long").as("fp"))
+    for (_ <- 1 to iters) {
+      // contribution of u to each neighbor: d * r(u)/deg(u), truncated in
+      // integer space — identical in both engines for positive operands.
+      // Computed NODE-side (ranks ⋈ degree, both node-sized) so the edge
+      // join routes a precomputed value instead of re-deriving it per edge
+      val contrib = ranks.join(nd, col("id") === col("src"))
+        .select(col("id").as("cid"), expr("(fp * 85L) div (100L * deg)").as("c"))
+      ranks = sym.join(broadcast(contrib), col("src") === col("cid"))
+        .groupBy(col("dst").as("rid"))
+        .agg(sum(col("c")).as("contrib"))
+        .crossJoin(broadcast(n))
+        .select(col("rid").as("id"),
+          (round(lit(1.5e11) / col("n"), 0).cast("long") + col("contrib"))
+            .as("fp"))
+    }
+    ranks
+  }
+
   /** PageRank, 3 unrolled power iterations, damping 0.85. Each iteration is
     * ONE keyed shuffle over the edge set (contributions grouped by dst);
     * the node-sized rank table is broadcast into the edge join — nodes are
@@ -74,31 +108,7 @@ object GraphOps {
     "graph_pagerank",
     "PageRank (3 iterations, d=0.85) over customer-supplier trade edges, exact picounit arithmetic",
     (s, d) => {
-      val ed = symEdges(s, d)
-      val nd = nodes(s, d)
-      // in-plan scalar N — never an eager driver-side count; each use is a
-      // map-side-combined agg over the NODE cache (node-sized, trivial)
-      val n = nd.agg(count(lit(1)).as("n"))
-      // r0 = 1/N in picounits
-      var ranks = nd.select(col("src").as("id"))
-        .crossJoin(broadcast(n))
-        .select(col("id"), round(lit(1e12) / col("n"), 0).cast("long").as("fp"))
-      for (_ <- 1 to 3) {
-        // contribution of u to each neighbor: d * r(u)/deg(u), truncated in
-        // integer space — identical in both engines for positive operands.
-        // Computed NODE-side (ranks ⋈ degree, both node-sized) so the edge
-        // join routes a precomputed value instead of re-deriving it per edge
-        val contrib = ranks.join(nd, col("id") === col("src"))
-          .select(col("id").as("cid"), expr("(fp * 85L) div (100L * deg)").as("c"))
-        ranks = ed.join(broadcast(contrib), col("src") === col("cid"))
-          .groupBy(col("dst").as("rid"))
-          .agg(sum(col("c")).as("contrib"))
-          .crossJoin(broadcast(n))
-          .select(col("rid").as("id"),
-            (round(lit(1.5e11) / col("n"), 0).cast("long") + col("contrib"))
-              .as("fp"))
-      }
-      ranks
+      pageRank(symEdges(s, d), nodes(s, d), iters = 3)
         .orderBy(desc("fp"), col("id"))
         .limit(30)
         .select(col("id"),

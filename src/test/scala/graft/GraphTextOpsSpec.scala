@@ -68,6 +68,57 @@ class GraphTextOpsSpec extends AnyFunSuite {
       "trade graph must surface both customers and suppliers in the top-30")
   }
 
+  test("pageRank library op matches a driver-side integer reference on random graphs") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit}
+    def reference(sym: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val deg = sym.groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
+      val n = deg.size
+      var r = deg.keys.map(_ -> Math.round(1e12 / n)).toMap
+      val base = Math.round(1.5e11 / n)
+      for (_ <- 1 to iters) {
+        r = sym.groupBy(_._2).map { case (v, es) =>
+          v -> (base + es.map { case (u, _) => (r(u) * 85L) / (100L * deg(u)) }.sum)
+        }
+      }
+      r
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val raw = Seq.fill(40)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val sym = (raw ++ raw.map(_.swap)).distinct
+      val symDf = sym.toDF("src", "dst").persist()
+      val nd = symDf.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+      val got = graft.operators.GraphOps.pageRank(symDf, nd, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      symDf.unpersist(); nd.unpersist()
+      assert(got == reference(sym, 3), s"trial $trial")
+    }
+  }
+
+  test("pipe_chunk_overlap: chunks tile every doc at stride 48 and cover the final token") {
+    val chunks = run("pipe_chunk_overlap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .groupBy(_._1)
+    val nTok = run("txt_token_stats").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(chunks.keySet == nTok.keySet.filter(nTok(_) >= 1))
+    chunks.foreach { case (doc, cs) =>
+      val n = nTok(doc)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).toSeq, "consecutive ids")
+      sorted.foreach { case (_, cid, start, ct) =>
+        assert(start == cid * 48 + 1)
+        assert(ct == math.min(64, n - start + 1), s"doc $doc chunk $cid")
+      }
+      val (_, _, lastStart, lastCt) = sorted.last
+      assert(lastStart + lastCt - 1 == n, "final token covered")
+      assert(sorted.length == 1 + (n - 1) / 48, "chunk count formula")
+    }
+  }
+
   test("pipe_filter_gate: keep iff kept, rule order is length > repetitive > low_stopword") {
     val rows = run("pipe_filter_gate").collect()
     assert(rows.nonEmpty)
