@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.DocIngest
+
+/** Streaming incremental dedup: first-writer-wins admission, cross-batch
+  * and cross-RESTART dedup from the durable registry, and no-op batch
+  * replay — the streaming twin of the batch `dedup_incremental` verdict. */
+class DocIngestSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSpark.spark
+
+  private def lines(docs: (Long, String)*): String =
+    docs.map { case (id, t) => s"$id,$t" }.mkString("\n")
+
+  private def registrySnapshot(r: graft.streaming.KeyedParquetSink) =
+    r.read(spark).collect()
+      .map(row => row.getAs[String]("fp") -> row.getAs[Long]("doc_id")).toMap
+
+  test("admission dedups in-batch, across batches, across restarts; replay is a no-op") {
+    val src = Files.createTempDirectory("doc-src")
+    val table = Files.createTempDirectory("doc-table").resolve("registry").toString
+    val ckpt = Files.createTempDirectory("doc-ckpt").toString
+
+    // batch 1: doc 3 and 5 are exact duplicates (case-insensitive), doc 1 unique
+    Files.write(src.resolve("b1.csv"),
+      lines(3L -> "the quick fox", 5L -> "THE QUICK FOX", 1L -> "other text").getBytes("UTF-8"))
+    val in1 = spark.readStream.format("text")
+      .option("path", src.toString).load()
+    val r1 = DocIngest.start(DocIngest.parseLines(in1), table, ckpt)
+    r1.awaitAll()
+    val s1 = registrySnapshot(r1.registry)
+    assert(s1.size == 2, s"two distinct fingerprints, got $s1")
+    assert(s1.values.toSet == Set(3L, 1L), "min doc_id wins in-batch")
+
+    // restart from the same checkpoint with a second file: doc 9 repeats
+    // doc 3's content (cross-restart dup), doc 7 is new
+    Files.write(src.resolve("b2.csv"),
+      lines(9L -> "the quick fox", 7L -> "brand new content").getBytes("UTF-8"))
+    val in2 = spark.readStream.format("text")
+      .option("path", src.toString).load()
+    val r2 = DocIngest.start(DocIngest.parseLines(in2), table, ckpt)
+    r2.awaitAll()
+    val s2 = registrySnapshot(r2.registry)
+    assert(s2.size == 3)
+    assert(s2.values.toSet == Set(3L, 1L, 7L),
+      s"doc 9 must lose to doc 3's earlier admission: $s2")
+
+    // forced replay of batch 1 (at-least-once redelivery): registry unchanged
+    import org.apache.spark.sql.functions._
+    val replay = spark.createDataFrame(Seq(
+        (3L, "the quick fox"), (5L, "THE QUICK FOX"), (1L, "other text")))
+      .toDF("doc_id", "text")
+      .select(md5(lower(col("text"))).as("fp"), col("doc_id"),
+        length(col("text")).as("n_chars"))
+    DocIngest.admit(r2.registry, replay)
+    assert(registrySnapshot(r2.registry) == s2, "replayed batch must be a no-op")
+
+    // equivalence with the batch dedup_exact semantics over ALL delivered docs
+    val allDocs = Seq(3L -> "the quick fox", 5L -> "THE QUICK FOX",
+      1L -> "other text", 9L -> "the quick fox", 7L -> "brand new content")
+    val expected = allDocs.groupBy(d => d._2.toLowerCase)
+      .map { case (_, ds) => ds.map(_._1).min }.toSet
+    assert(s2.values.toSet == expected, "stream registry == batch groupBy-min")
+  }
+}
