@@ -300,7 +300,36 @@ object TextOps {
     },
     Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents), v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1), t AS (SELECT sum(cnt) AS total FROM v), sc AS (SELECT doc_id, CAST(round(ln(CAST(cnt AS DOUBLE) / total) * 1000000.0) AS BIGINT) AS lp_micro FROM tok JOIN v USING (tok) CROSS JOIN t) SELECT doc_id, count(*) AS n_tok, floor(CAST(sum(lp_micro) AS DOUBLE) / (count(*) * 1000000.0) * 10000.0 + 0.5) / 10000.0 AS avg_logprob FROM sc GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** BPE-style pretokenization — the GPT-2-family pretokenizer skeleton:
+    * split into letter runs, digit runs, and punctuation runs by regex
+    * classes (the step that precedes merge-table lookup in a real BPE).
+    * Runs over `events.props` because that column has mixed
+    * letter/digit/punct content; the documents corpus is space-separated
+    * lowercase words by construction, where the BPE-ish and whitespace
+    * tokenizers coincide (txt_token_stats covers that case). Per-row regex
+    * work + one small keyed aggregation — embarrassingly parallel; all
+    * compared values are exact integer counts. Identical character-class
+    * regexes evaluate identically under Java regex and RE2. */
+  private val bpePretokenize = GraftQuery(
+    "txt_bpe_pretokenize",
+    "BPE-ish pretokenizer counts (letter/digit/punct runs) per event type",
+    (s, d) => {
+      val t = lower(col("props"))
+      Tables.events(s, d)
+        .select(col("event_type"),
+          size(regexp_extract_all(t, lit("[a-z]+|[0-9]+|[^a-z0-9 ]+"), lit(0))).as("n_tok"),
+          size(regexp_extract_all(t, lit("[a-z]+"), lit(0))).as("n_alpha"),
+          size(regexp_extract_all(t, lit("[0-9]+"), lit(0))).as("n_digit"),
+          size(regexp_extract_all(t, lit("[^a-z0-9 ]+"), lit(0))).as("n_punct"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("n_tok").as("tokens"), sum("n_alpha").as("alpha_runs"),
+          sum("n_digit").as("digit_runs"), sum("n_punct").as("punct_runs"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n_rows, CAST(sum(len(regexp_extract_all(lower(props), '[a-z]+|[0-9]+|[^a-z0-9 ]+'))) AS BIGINT) AS tokens, CAST(sum(len(regexp_extract_all(lower(props), '[a-z]+'))) AS BIGINT) AS alpha_runs, CAST(sum(len(regexp_extract_all(lower(props), '[0-9]+'))) AS BIGINT) AS digit_runs, CAST(sum(len(regexp_extract_all(lower(props), '[^a-z0-9 ]+'))) AS BIGINT) AS punct_runs FROM events GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(tokenStats, quality, langId, fingerprint,
     topNgrams, repetition, decontaminate, boilerplate, decontaminateBloom,
-    vocabTopK, unigramLogprob)
+    vocabTopK, unigramLogprob, bpePretokenize)
 }
