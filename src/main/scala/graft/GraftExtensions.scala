@@ -47,6 +47,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_shingles: the shingle size n must be a constant, not a column")
         ShingleGenerator(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
       }))
+    // the set-emitting variant must track graft_shingles on BOTH
+    // registration paths (this permanent one and the session-temp
+    // GraftExpressions.ensureRegistered), or plain-SQL clusters lose the
+    // shuffle-free shingle-set spelling
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_set"),
+      new ExpressionInfo(classOf[ShingleGenerator].getName, "graft_shingle_set"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_shingle_set expects 2 arguments (text, n), got ${exprs.length}")
+        require(exprs(1).foldable,
+          "graft_shingle_set: the shingle size n must be a constant, not a column")
+        ShingleGenerator(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue(), unique = true)
+      }))
     ext.injectOptimizerRule(_ => SelfDotRewrite)
   }
 }

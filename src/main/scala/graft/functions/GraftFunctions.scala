@@ -52,6 +52,29 @@ object GraftFunctions {
   /** Lower-cased whitespace tokens of a text column. */
   def tokens(text: Column): Column = split(lower(text), " ")
 
+  /** THE corpus stopword list — shared by the quality score (TextOps), the
+    * filter gate (PipelineOps), and importance sampling (CurationOps, via
+    * [[stopwordsSqlList]]). One definition: a curation pipeline where
+    * "stop_ratio" means different lists in different stages silently
+    * misgrades documents. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in")
+
+  /** The stopword list as a SQL IN-list literal, for oracle spellings. */
+  def stopwordsSqlList: String = stopwords.map("'" + _ + "'").mkString(", ")
+
+  /** The shared quality composite over a token array: exact integer ratios
+    * (stopword share, long-token share, length band) combined with fixed
+    * weights. Every consumer — scoring, gating, sampling — must derive
+    * from these builders so a weight/threshold change propagates. */
+  def stopRatio(t: Column): Column =
+    size(filter(t, x => x.isInCollection(stopwords))).cast("double") / size(t)
+  def longRatio(t: Column): Column =
+    size(filter(t, x => length(x) > lit(4))).cast("double") / size(t)
+  def lenOk(t: Column): Column =
+    when(size(t).between(20, 200), lit(1.0)).otherwise(lit(0.0))
+  def qualityScore(stop: Column, long: Column, lenBand: Column): Column =
+    stop * 0.3 + long * 0.4 + lenBand * 0.3
+
   /** n-token shingles of a token array, joined by single spaces.
     * Guarded: fewer than n tokens => empty array (Spark's `sequence(1, k)`
     * would generate a DESCENDING range for k < 1, so the guard is load-bearing).

@@ -431,14 +431,19 @@ object AnalyticsOps {
         .agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy("event_type").orderBy("day")
         .rowsBetween(-6, Window.currentRow)
+      // moments in DECIMAL(38,0): cnt² of a billion-events/day key would
+      // overflow LongType silently, while the DuckDB oracle promotes to
+      // HUGEINT — both engines now carry the exact integer value and cast
+      // to double only at the final (correctly-rounded) divisions
+      val dec = col("cnt").cast("decimal(38,0)")
       daily
-        .withColumn("s1", sum("cnt").over(w))
-        .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
-        .withColumn("nw", count(lit(1)).over(w))
-        .withColumn("mu", col("s1").cast("double") / col("nw"))
+        .withColumn("s1", sum(dec).over(w))
+        .withColumn("s2", sum(dec * dec).over(w))
+        .withColumn("nw", count(lit(1)).over(w).cast("decimal(38,0)"))
+        .withColumn("mu", col("s1").cast("double") / col("nw").cast("double"))
         .withColumn("sg", sqrt(
           (col("nw") * col("s2") - col("s1") * col("s1")).cast("double") /
-            (col("nw") * col("nw"))))
+            (col("nw") * col("nw")).cast("double")))
         .select(col("event_type"), col("day"), col("cnt"),
           fround(col("mu"), 4).as("mu"),
           fround(col("sg"), 4).as("sigma"),
@@ -447,7 +452,7 @@ object AnalyticsOps {
             .as("z"))
         .orderBy("event_type", "day")
     },
-    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt FROM events GROUP BY 1, 2), w AS (SELECT event_type, day, cnt, sum(cnt) OVER tw AS s1, sum(cnt * cnt) OVER tw AS s2, count(*) OVER tw AS nw FROM daily WINDOW tw AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)), m AS (SELECT event_type, day, cnt, CAST(s1 AS DOUBLE) / nw AS mu, sqrt(CAST(nw * s2 - s1 * s1 AS DOUBLE) / (nw * nw)) AS sg FROM w) SELECT event_type, day, cnt, floor(mu * 10000.0 + 0.5) / 10000.0 AS mu, floor(sg * 10000.0 + 0.5) / 10000.0 AS sigma, floor((CASE WHEN sg > 0 THEN (cnt - mu) / sg ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS z FROM m ORDER BY 1, 2"""))
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt FROM events GROUP BY 1, 2), w AS (SELECT event_type, day, cnt, sum(CAST(cnt AS HUGEINT)) OVER tw AS s1, sum(CAST(cnt AS HUGEINT) * cnt) OVER tw AS s2, count(*) OVER tw AS nw FROM daily WINDOW tw AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)), m AS (SELECT event_type, day, cnt, CAST(s1 AS DOUBLE) / nw AS mu, sqrt(CAST(nw * s2 - s1 * s1 AS DOUBLE) / CAST(nw * nw AS DOUBLE)) AS sg FROM w) SELECT event_type, day, cnt, floor(mu * 10000.0 + 0.5) / 10000.0 AS mu, floor(sg * 10000.0 + 0.5) / 10000.0 AS sigma, floor((CASE WHEN sg > 0 THEN (cnt - mu) / sg ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS z FROM m ORDER BY 1, 2"""))
 
   val all: Seq[GraftQuery] = Seq(
     winSession, winLagLead, aggPercentiles, aggCorr, jSkewSalted, txtTfidf,

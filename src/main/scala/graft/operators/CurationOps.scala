@@ -177,29 +177,41 @@ object CurationOps {
     * quality formula is the same exact-ratio composite txt_quality scores
     * (stopword/long-token/length-band). */
   private val sampImportance = {
-    def sql(u: String, splitFn: String, lenFn: String, filterFn: String) =
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions._
+    val oracle =
       s"""SELECT doc_id,
          |       CAST(floor(w * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS w,
          |       CAST(floor(u01 * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS u01
          |FROM (SELECT doc_id,
          |        0.2 + 0.8 * (stop_ratio * 0.3 + long_ratio * 0.4 + len_ok * 0.3) AS w,
-         |        CAST($u AS DOUBLE) / 4294967296.0 AS u01
+         |        CAST(${md5u32Sql("md5('imp:' || CAST(doc_id AS VARCHAR))")} AS DOUBLE) / 4294967296.0 AS u01
          |      FROM (SELECT doc_id,
-         |              CAST($lenFn($filterFn(t, x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE) / $lenFn(t) AS stop_ratio,
-         |              CAST($lenFn($filterFn(t, x -> length(x) > 4)) AS DOUBLE) / $lenFn(t) AS long_ratio,
-         |              CASE WHEN $lenFn(t) BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END AS len_ok
-         |            FROM (SELECT doc_id, $splitFn(lower(text), ' ') AS t FROM documents)))
+         |              CAST(len(list_filter(t, x -> x IN ($stopwordsSqlList))) AS DOUBLE) / len(t) AS stop_ratio,
+         |              CAST(len(list_filter(t, x -> length(x) > 4)) AS DOUBLE) / len(t) AS long_ratio,
+         |              CASE WHEN len(t) BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END AS len_ok
+         |            FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)))
          |WHERE u01 < w
-         |ORDER BY doc_id""".stripMargin
-    val uS =
-      "CAST(conv(substring(md5(concat('imp:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
-    val uD = graft.functions.GraftFunctions
-      .md5u32Sql("md5('imp:' || CAST(doc_id AS VARCHAR))")
-    q("samp_importance",
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    GraftQuery(
+      "samp_importance",
       "quality-weighted importance sampling: keep-prob = 0.2 + 0.8*quality, hash uniform",
-      Seq("documents"),
-      sql(uS, "split", "size", "filter"),
-      sql(uD, "string_split", "len", "list_filter").replace("\n", " "))
+      // Column-API body so the weight derives from THE shared quality
+      // composite (GraftFunctions.qualityScore) — the same definition
+      // txt_quality scores and pipe_filter_gate gates on
+      (s, d) => {
+        val t = tokens(col("text"))
+        val w = lit(0.2) + lit(0.8) * qualityScore(stopRatio(t), longRatio(t), lenOk(t))
+        val u01 = md5u32(concat(lit("imp:"), col("doc_id").cast("string")))
+          .cast("double") / lit(4294967296.0)
+        Tables.documents(s, d)
+          .select(col("doc_id"), w.as("w"), u01.as("u01"))
+          .filter(col("u01") < col("w"))
+          .select(col("doc_id"),
+            fround(col("w"), 6).as("w"), fround(col("u01"), 6).as("u01"))
+          .orderBy("doc_id")
+      },
+      Some(oracle))
   }
 
   val all: Seq[GraftQuery] = Seq(

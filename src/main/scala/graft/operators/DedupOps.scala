@@ -447,21 +447,30 @@ object DedupOps {
       val isNew = col("doc_id") % 10 === 9
       val fp = Tables.documents(s, d)
         .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
-      val exact = fp.filter(!isNew).groupBy("fp").agg(min("doc_id").as("dup_of"))
+      val newFp = fp.filter(isNew) // crawl-increment-sized: the ONLY broadcast unit
+      // exact probe: the corpus STREAMS past the broadcast batch
+      // fingerprints; the hit set (and everything below it) is batch-bounded
+      val exactHit = fp.filter(!isNew)
+        .join(broadcast(newFp.select(col("fp"))), Seq("fp"))
+        .groupBy("fp").agg(min("doc_id").as("dup_of"))
       val sh = shingles4(s, d).select(col("doc_id"), xxhash64(col("sh")).as("shh"))
       val newSh = sh.filter(isNew)
-      val corpusSh = sh.filter(!isNew)
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = corpusSh.join(broadcast(newSh.select(col("doc_id").as("new_id"), col("shh"))), Seq("shh"))
+      val szNew = sz.filter(isNew)
+      val inter = sh.filter(!isNew)
+        .join(broadcast(newSh.select(col("doc_id").as("new_id"), col("shh"))), Seq("shh"))
         .groupBy(col("new_id"), col("doc_id").as("corp_id"))
         .agg(count(lit(1)).as("c"))
-      val near = inter
-        .join(broadcast(sz.select(col("doc_id").as("new_id"), col("n").as("nn"))), Seq("new_id"))
-        .join(sz.select(col("doc_id").as("corp_id"), col("n").as("nc")), Seq("corp_id"))
+      // candidate pairs are batch-bounded, so THEY broadcast into the
+      // corpus-sized size table — never the reverse
+      val interNn = inter
+        .join(broadcast(szNew.select(col("doc_id").as("new_id"), col("n").as("nn"))), Seq("new_id"))
+      val near = sz.select(col("doc_id").as("corp_id"), col("n").as("nc"))
+        .join(broadcast(interNn), Seq("corp_id"))
         .filter(col("c") * lit(1.0) / (col("nn") + col("nc") - col("c")) >= 0.4)
         .groupBy("new_id").agg(min("corp_id").as("near_of"))
-      fp.filter(isNew)
-        .join(broadcast(exact), Seq("fp"), "left")
+      newFp
+        .join(broadcast(exactHit), Seq("fp"), "left")
         .join(broadcast(near), col("doc_id") === col("new_id"), "left")
         .select(col("doc_id"),
           when(col("dup_of").isNotNull, lit("exact_dup"))

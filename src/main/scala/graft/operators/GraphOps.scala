@@ -72,10 +72,13 @@ object GraphOps {
     // in-plan scalar N — never an eager driver-side count; each use is a
     // map-side-combined agg over the NODE table (node-sized, trivial)
     val n = nd.agg(count(lit(1)).as("n"))
-    // r0 = 1/N in picounits
+    // r0 = 1/N in picounits. Lockstep rounding: floor(x + 0.5) spelled
+    // identically in both engines (Spark round() can disagree with
+    // DuckDB's on boundary doubles — see GraftFunctions.fround)
     var ranks = nd.select(col("src").as("id"))
       .crossJoin(broadcast(n))
-      .select(col("id"), round(lit(1e12) / col("n"), 0).cast("long").as("fp"))
+      .select(col("id"),
+        floor(lit(1e12) / col("n") + 0.5).cast("long").as("fp"))
     for (_ <- 1 to iters) {
       // contribution of u to each neighbor: d * r(u)/deg(u), truncated in
       // integer space — identical in both engines for positive operands.
@@ -88,7 +91,7 @@ object GraphOps {
         .agg(sum(col("c")).as("contrib"))
         .crossJoin(broadcast(n))
         .select(col("rid").as("id"),
-          (round(lit(1.5e11) / col("n"), 0).cast("long") + col("contrib"))
+          (floor(lit(1.5e11) / col("n") + 0.5).cast("long") + col("contrib"))
             .as("fp"))
     }
     ranks
@@ -117,7 +120,7 @@ object GraphOps {
           expr("id div 2").as("key"),
           col("fp").as("rank_fp"))
     },
-    Some("""WITH e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1), n AS (SELECT count(*) AS n FROM dg), r0 AS (SELECT src AS id, CAST(round(1e12 / n) AS BIGINT) AS fp FROM dg CROSS JOIN n), s1 AS (SELECT e.dst AS id, sum((r.fp * 85) // (100 * dg.deg)) AS contrib FROM e JOIN r0 r ON e.src = r.id JOIN dg ON e.src = dg.src GROUP BY 1), r1 AS (SELECT id, CAST(round(1.5e11 / n) AS BIGINT) + contrib AS fp FROM s1 CROSS JOIN n), s2 AS (SELECT e.dst AS id, sum((r.fp * 85) // (100 * dg.deg)) AS contrib FROM e JOIN r1 r ON e.src = r.id JOIN dg ON e.src = dg.src GROUP BY 1), r2 AS (SELECT id, CAST(round(1.5e11 / n) AS BIGINT) + contrib AS fp FROM s2 CROSS JOIN n), s3 AS (SELECT e.dst AS id, sum((r.fp * 85) // (100 * dg.deg)) AS contrib FROM e JOIN r2 r ON e.src = r.id JOIN dg ON e.src = dg.src GROUP BY 1), r3 AS (SELECT id, CAST(round(1.5e11 / n) AS BIGINT) + contrib AS fp FROM s3 CROSS JOIN n) SELECT id, CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind, id // 2 AS key, fp AS rank_fp FROM r3 ORDER BY fp DESC, id LIMIT 30"""))
+    Some("""WITH e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1), n AS (SELECT count(*) AS n FROM dg), r0 AS (SELECT src AS id, CAST(floor(1e12 / n + 0.5) AS BIGINT) AS fp FROM dg CROSS JOIN n), s1 AS (SELECT e.dst AS id, sum((r.fp * 85) // (100 * dg.deg)) AS contrib FROM e JOIN r0 r ON e.src = r.id JOIN dg ON e.src = dg.src GROUP BY 1), r1 AS (SELECT id, CAST(floor(1.5e11 / n + 0.5) AS BIGINT) + contrib AS fp FROM s1 CROSS JOIN n), s2 AS (SELECT e.dst AS id, sum((r.fp * 85) // (100 * dg.deg)) AS contrib FROM e JOIN r1 r ON e.src = r.id JOIN dg ON e.src = dg.src GROUP BY 1), r2 AS (SELECT id, CAST(floor(1.5e11 / n + 0.5) AS BIGINT) + contrib AS fp FROM s2 CROSS JOIN n), s3 AS (SELECT e.dst AS id, sum((r.fp * 85) // (100 * dg.deg)) AS contrib FROM e JOIN r2 r ON e.src = r.id JOIN dg ON e.src = dg.src GROUP BY 1), r3 AS (SELECT id, CAST(floor(1.5e11 / n + 0.5) AS BIGINT) + contrib AS fp FROM s3 CROSS JOIN n) SELECT id, CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind, id // 2 AS key, fp AS rank_fp FROM r3 ORDER BY fp DESC, id LIMIT 30"""))
 
   /** Degree profile of the trade graph per node kind — the sanity read any
     * graph pipeline runs before ranking (detects disconnected/skewed

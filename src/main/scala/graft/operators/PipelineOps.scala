@@ -301,22 +301,22 @@ object PipelineOps {
     "pipe_filter_gate",
     "ordered quality-rule cascade: keep/drop verdict + first failing reason per doc",
     (s, d) => {
+      import graft.functions.GraftFunctions.{stopRatio => stopR}
       val t = tokens(col("text"))
       val nTok = size(t)
       val ttr = size(array_distinct(t)).cast("double") / nTok
-      val stopRatio = size(filter(t,
-        x => x.isInCollection(Seq("the", "a", "of", "and", "in")))).cast("double") / nTok
+      val stop = stopR(t) // THE shared stopword list (GraftFunctions)
       Tables.documents(s, d)
         .select(col("doc_id"), nTok.as("n_tok"),
-          fround(ttr, 4).as("ttr"), fround(stopRatio, 4).as("stop_ratio"),
+          fround(ttr, 4).as("ttr"), fround(stop, 4).as("stop_ratio"),
           when(!nTok.between(20, 200), lit("length"))
             .when(ttr < 0.4, lit("repetitive"))
-            .when(stopRatio < 0.05, lit("low_stopword"))
+            .when(stop < 0.05, lit("low_stopword"))
             .otherwise(lit("kept")).as("reason"))
         .withColumn("keep", when(col("reason") === "kept", 1).otherwise(0))
         .orderBy("doc_id")
     },
-    Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), m AS (SELECT doc_id, len(t) AS n_tok, CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr, CAST(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE) / len(t) AS stop_ratio FROM t) SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok, floor(ttr * 10000.0 + 0.5) / 10000.0 AS ttr, floor(stop_ratio * 10000.0 + 0.5) / 10000.0 AS stop_ratio, CASE WHEN n_tok NOT BETWEEN 20 AND 200 THEN 'length' WHEN ttr < 0.4 THEN 'repetitive' WHEN stop_ratio < 0.05 THEN 'low_stopword' ELSE 'kept' END AS reason, CASE WHEN n_tok BETWEEN 20 AND 200 AND ttr >= 0.4 AND stop_ratio >= 0.05 THEN 1 ELSE 0 END AS keep FROM m ORDER BY doc_id"""))
+    Some(s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), m AS (SELECT doc_id, len(t) AS n_tok, CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr, CAST(len(list_filter(t, x -> x IN (${graft.functions.GraftFunctions.stopwordsSqlList}))) AS DOUBLE) / len(t) AS stop_ratio FROM t) SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok, floor(ttr * 10000.0 + 0.5) / 10000.0 AS ttr, floor(stop_ratio * 10000.0 + 0.5) / 10000.0 AS stop_ratio, CASE WHEN n_tok NOT BETWEEN 20 AND 200 THEN 'length' WHEN ttr < 0.4 THEN 'repetitive' WHEN stop_ratio < 0.05 THEN 'low_stopword' ELSE 'kept' END AS reason, CASE WHEN n_tok BETWEEN 20 AND 200 AND ttr >= 0.4 AND stop_ratio >= 0.05 THEN 1 ELSE 0 END AS keep FROM m ORDER BY doc_id"""))
 
   val all: Seq[GraftQuery] = Seq(
     sampHashSplit, arrHofStats, evtFunnel, aggMode, calGapFill, calInterpolate,

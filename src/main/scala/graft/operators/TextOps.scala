@@ -13,7 +13,7 @@ import graft.functions.GraftFunctions._
   * scale embarrassingly parallel over document shards.
   */
 object TextOps {
-  private val stopwords = Seq("the", "a", "of", "and", "in")
+  private val stopwords = graft.functions.GraftFunctions.stopwords
 
   /** Token / char counting (whitespace tokenizer). */
   private val tokenStats = GraftQuery(
@@ -39,15 +39,12 @@ object TextOps {
     "document quality scoring from length/stopword/long-token ratios",
     (s, d) => {
       val t = tokens(col("text"))
-      val nTok = size(t).cast("double")
-      val stopRatio = size(filter(t, x => x.isInCollection(stopwords))).cast("double") / nTok
-      val longRatio = size(filter(t, x => length(x) > lit(4))).cast("double") / nTok
-      val lenOk = when(size(t).between(20, 200), lit(1.0)).otherwise(lit(0.0))
+      val (stop, long, band) = (stopRatio(t), longRatio(t), lenOk(t))
       Tables.documents(s, d).select(
         col("doc_id"),
-        fround(stopRatio, 4).as("stop_ratio"),
-        fround(longRatio, 4).as("long_ratio"),
-        fround(stopRatio * 0.3 + longRatio * 0.4 + lenOk * 0.3, 4).as("quality"))
+        fround(stop, 4).as("stop_ratio"),
+        fround(long, 4).as("long_ratio"),
+        fround(qualityScore(stop, long, band), 4).as("quality"))
         .orderBy("doc_id")
     },
     Some(s"""SELECT doc_id, floor(stop_ratio * 10000.0 + 0.5) / 10000.0 AS stop_ratio, floor(long_ratio * 10000.0 + 0.5) / 10000.0 AS long_ratio, floor((stop_ratio * 0.3 + long_ratio * 0.4 + len_ok * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality FROM (SELECT doc_id, CAST(len(list_filter(t, x -> x IN (${stopwords.map("'" + _ + "'").mkString(", ")}))) AS DOUBLE) / len(t) AS stop_ratio, CAST(len(list_filter(t, x -> length(x) > 4)) AS DOUBLE) / len(t) AS long_ratio, CASE WHEN len(t) BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END AS len_ok FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)) ORDER BY doc_id"""))
@@ -286,10 +283,14 @@ object TextOps {
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
       val total = vocab.agg(sum("cnt").as("total"))
+      // lockstep rounding (see GraftFunctions.fround): floor(x*1e6 + 0.5)
+      // spelled identically in both engines — Spark's round() goes through
+      // BigDecimal HALF_UP on the shortest decimal string and can disagree
+      // with DuckDB's round() on boundary doubles
       val scored = tok
         .join(broadcast(vocab.crossJoin(total)), Seq("tok"))
         .select(col("doc_id"),
-          round(log(col("cnt").cast("double") / col("total")) * 1e6, 0)
+          floor(log(col("cnt").cast("double") / col("total")) * 1e6 + 0.5)
             .cast("long").as("lp_micro"))
       scored.groupBy("doc_id")
         .agg(count(lit(1)).as("n_tok"), sum("lp_micro").as("lp_sum"))
@@ -298,7 +299,7 @@ object TextOps {
             .as("avg_logprob"))
         .orderBy("doc_id")
     },
-    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents), v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1), t AS (SELECT sum(cnt) AS total FROM v), sc AS (SELECT doc_id, CAST(round(ln(CAST(cnt AS DOUBLE) / total) * 1000000.0) AS BIGINT) AS lp_micro FROM tok JOIN v USING (tok) CROSS JOIN t) SELECT doc_id, count(*) AS n_tok, floor(CAST(sum(lp_micro) AS DOUBLE) / (count(*) * 1000000.0) * 10000.0 + 0.5) / 10000.0 AS avg_logprob FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents), v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1), t AS (SELECT sum(cnt) AS total FROM v), sc AS (SELECT doc_id, CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * 1000000.0 + 0.5) AS BIGINT) AS lp_micro FROM tok JOIN v USING (tok) CROSS JOIN t) SELECT doc_id, count(*) AS n_tok, floor(CAST(sum(lp_micro) AS DOUBLE) / (count(*) * 1000000.0) * 10000.0 + 0.5) / 10000.0 AS avg_logprob FROM sc GROUP BY doc_id ORDER BY doc_id"""))
 
   /** BPE-style pretokenization — the GPT-2-family pretokenizer skeleton:
     * split into letter runs, digit runs, and punctuation runs by regex

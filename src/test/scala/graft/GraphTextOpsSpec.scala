@@ -75,8 +75,9 @@ class GraphTextOpsSpec extends AnyFunSuite {
     def reference(sym: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
       val deg = sym.groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
       val n = deg.size
-      var r = deg.keys.map(_ -> Math.round(1e12 / n)).toMap
-      val base = Math.round(1.5e11 / n)
+      // same floor(x + 0.5) spelling as the operator and its oracle
+      var r = deg.keys.map(_ -> math.floor(1e12 / n + 0.5).toLong).toMap
+      val base = math.floor(1.5e11 / n + 0.5).toLong
       for (_ <- 1 to iters) {
         r = sym.groupBy(_._2).map { case (v, es) =>
           v -> (base + es.map { case (u, _) => (r(u) * 85L) / (100L * deg(u)) }.sum)
