@@ -25,6 +25,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq("a b", "b c", "c d"))
   }
 
+  test("graft_shingle_set available from plain SQL via extensions; dedups per row") {
+    val rows = spark.sql(
+      "SELECT graft_shingle_set('a b a b a', 2) AS sh").collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("a b", "b a"), "first-occurrence order, duplicates dropped")
+    // multiplicity-preserving variant keeps all 4 shingles for the same input
+    assert(spark.sql("SELECT graft_shingles('a b a b a', 2)").count() == 4)
+  }
+
   // LocalRelation data gets constant-folded end-to-end, hiding the rewrite —
   // so plan-shape assertions run over a parquet scan (embeddings table).
   private def vecs = Tables.embeddings(spark, GraftTestSpark.sf)
