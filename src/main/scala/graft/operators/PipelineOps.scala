@@ -289,6 +289,25 @@ object PipelineOps {
     },
     Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t, len(string_split(lower(text), ' ')) AS n FROM documents), c AS (SELECT doc_id, t, n, unnest(generate_series(0, (n - 1) // 48)) AS c FROM t WHERE n >= 1), ck AS (SELECT doc_id, CAST(c AS BIGINT) AS chunk_id, CAST(c * 48 + 1 AS BIGINT) AS start_tok, list_slice(t, c * 48 + 1, least(c * 48 + 64, n)) AS ck FROM c) SELECT doc_id, chunk_id, start_tok, CAST(len(ck) AS INTEGER) AS chunk_tok, md5(array_to_string(ck, ' ')) AS chunk_fp FROM ck ORDER BY doc_id, chunk_id"""))
 
+  /** The gate transform itself — a stateless narrow map over any frame
+    * with (doc_id, text), BATCH OR STREAMING (no shuffle, no state, so it
+    * rides `readStream` unchanged; DocIngestSpec proves stream ≡ batch).
+    * Shared quality definitions from GraftFunctions. */
+  def filterGate(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.functions.GraftFunctions.{stopRatio => stopR}
+    val t = tokens(col("text"))
+    val nTok = size(t)
+    val ttr = size(array_distinct(t)).cast("double") / nTok
+    val stop = stopR(t) // THE shared stopword list (GraftFunctions)
+    docs.select(col("doc_id"), nTok.as("n_tok"),
+        fround(ttr, 4).as("ttr"), fround(stop, 4).as("stop_ratio"),
+        when(!nTok.between(20, 200), lit("length"))
+          .when(ttr < 0.4, lit("repetitive"))
+          .when(stop < 0.05, lit("low_stopword"))
+          .otherwise(lit("kept")).as("reason"))
+      .withColumn("keep", when(col("reason") === "kept", 1).otherwise(0))
+  }
+
   /** The curation FILTER GATE — the ordered rule cascade (Gopher/C4-style)
     * that turns per-doc quality signals into one keep/drop verdict with the
     * first failing reason. Signals here are all IN-ROW exact ratios (token
@@ -300,22 +319,7 @@ object PipelineOps {
   private val pipeFilterGate = GraftQuery(
     "pipe_filter_gate",
     "ordered quality-rule cascade: keep/drop verdict + first failing reason per doc",
-    (s, d) => {
-      import graft.functions.GraftFunctions.{stopRatio => stopR}
-      val t = tokens(col("text"))
-      val nTok = size(t)
-      val ttr = size(array_distinct(t)).cast("double") / nTok
-      val stop = stopR(t) // THE shared stopword list (GraftFunctions)
-      Tables.documents(s, d)
-        .select(col("doc_id"), nTok.as("n_tok"),
-          fround(ttr, 4).as("ttr"), fround(stop, 4).as("stop_ratio"),
-          when(!nTok.between(20, 200), lit("length"))
-            .when(ttr < 0.4, lit("repetitive"))
-            .when(stop < 0.05, lit("low_stopword"))
-            .otherwise(lit("kept")).as("reason"))
-        .withColumn("keep", when(col("reason") === "kept", 1).otherwise(0))
-        .orderBy("doc_id")
-    },
+    (s, d) => filterGate(Tables.documents(s, d)).orderBy("doc_id"),
     Some(s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), m AS (SELECT doc_id, len(t) AS n_tok, CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr, CAST(len(list_filter(t, x -> x IN (${graft.functions.GraftFunctions.stopwordsSqlList}))) AS DOUBLE) / len(t) AS stop_ratio FROM t) SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok, floor(ttr * 10000.0 + 0.5) / 10000.0 AS ttr, floor(stop_ratio * 10000.0 + 0.5) / 10000.0 AS stop_ratio, CASE WHEN n_tok NOT BETWEEN 20 AND 200 THEN 'length' WHEN ttr < 0.4 THEN 'repetitive' WHEN stop_ratio < 0.05 THEN 'low_stopword' ELSE 'kept' END AS reason, CASE WHEN n_tok BETWEEN 20 AND 200 AND ttr >= 0.4 AND stop_ratio >= 0.05 THEN 1 ELSE 0 END AS keep FROM m ORDER BY doc_id"""))
 
   val all: Seq[GraftQuery] = Seq(

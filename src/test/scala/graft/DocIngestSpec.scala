@@ -65,4 +65,25 @@ class DocIngestSpec extends AnyFunSuite {
       .map { case (_, ds) => ds.map(_._1).min }.toSet
     assert(s2.values.toSet == expected, "stream registry == batch groupBy-min")
   }
+
+  test("filterGate is stream-transparent: gating a stream equals gating the batch") {
+    val docs = Tables.documents(spark, GraftTestSpark.sf)
+    val batch = graft.operators.PipelineOps.filterGate(docs)
+      .collect().map(_.toString).sorted
+    // same rows through readStream (stateless narrow transforms run
+    // unchanged on an unbounded frame); the file source needs a DIRECTORY,
+    // so stage the single-file table into one
+    val dir = Files.createTempDirectory("gate-stream")
+    Files.copy(java.nio.file.Paths.get(s"${GraftTestSpark.sf}/documents.parquet"),
+      dir.resolve("part-0.parquet"))
+    val streamed = spark.readStream.schema(docs.schema).parquet(dir.toString)
+    val out = graft.operators.PipelineOps.filterGate(streamed)
+    val q = out.writeStream.format("memory").queryName("gate_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("gate_stream").collect().map(_.toString).sorted
+    assert(got.toSeq == batch.toSeq)
+  }
 }
