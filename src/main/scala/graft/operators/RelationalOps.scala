@@ -579,11 +579,42 @@ object RelationalOps {
     },
     Some("""SELECT user_id, day, floor(CAST(CAST(sum(vc) OVER w7 AS BIGINT) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS trail7, count(*) OVER w7 AS n_in_frame, floor(CAST(nth_value(vc, 2) OVER wr AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS second_obs FROM (SELECT user_id, CAST(ts AS DATE) AS day, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS ord FROM events WHERE user_id < 30 GROUP BY 1, 2, 4) WINDOW w7 AS (PARTITION BY user_id ORDER BY ord RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), wr AS (PARTITION BY user_id ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY user_id, day""".stripMargin))
 
+  /** PURE non-equi join — no equality key at all, only an interval
+    * containment predicate, which forces the one join strategy the
+    * registry didn't yet exercise: BroadcastNestedLoopJoin. Sound ONLY
+    * because the build side is campaign-calendar-sized (a handful of
+    * windows); a fact-fact inequality join has no safe BNLJ form and must
+    * be rewritten (bucketize the range into equi keys — the j_range
+    * pattern). Windows overlap deliberately: an event inside two windows
+    * contributes to both, the semantics a date-bucketing equi-join would
+    * get wrong at the boundaries. */
+  private val jIntervalOverlap = GraftQuery(
+    "j_interval_overlap",
+    "pure non-equi interval join (BroadcastNestedLoopJoin, campaign windows)",
+    (s, d) => {
+      val campaigns = s.createDataFrame(Seq(
+          ("wk1_push", "2024-01-03", "2024-01-10"),
+          ("mid_month", "2024-01-08", "2024-01-18"),
+          ("closeout", "2024-01-22", "2024-01-29")))
+        .toDF("campaign", "cstart", "cend")
+        .select(col("campaign"), to_date(col("cstart")).as("cstart"),
+          to_date(col("cend")).as("cend"))
+      Tables.events(s, d)
+        .join(broadcast(campaigns),
+          to_date(col("ts")).between(col("cstart"), col("cend")))
+        .groupBy("campaign")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          fround(sum(centi(col("value"))).cast("double") / 100.0, 2).as("total_value"))
+        .orderBy("campaign")
+    },
+    Some("""SELECT campaign, count(*) AS n_events, count(DISTINCT user_id) AS n_users, floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value FROM events JOIN (VALUES ('wk1_push', DATE '2024-01-03', DATE '2024-01-10'), ('mid_month', DATE '2024-01-08', DATE '2024-01-18'), ('closeout', DATE '2024-01-22', DATE '2024-01-29')) c(campaign, cstart, cend) ON CAST(ts AS DATE) BETWEEN cstart AND cend GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1, q3, q5, q10Returns, q14Promo, q18TopQuantity, q19Disjunctive, q7Volume,
     jSemi, jAnti, jOuter,
     jRange, jAsof, jBucketed, winRank, winMoving, winNtile, winRangeFrame,
     setIntersect,
     setExcept, setUnion, aggRollup, aggCube, aggGroupingSets, aggApprox,
-    jsonKv, calDaily, strWeekday, reshapeUnpivot)
+    jsonKv, calDaily, strWeekday, reshapeUnpivot, jIntervalOverlap)
 }

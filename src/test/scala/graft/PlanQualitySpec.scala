@@ -125,6 +125,11 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), p.take(3000))
   }
 
+  test("pure non-equi interval join uses BroadcastNestedLoopJoin (calendar-sized build side)") {
+    val p = plan("j_interval_overlap")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("partitioned layout prunes at the directory level (PartitionFilters)") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files.createTempDirectory("events-part").toString
