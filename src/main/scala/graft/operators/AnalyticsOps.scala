@@ -415,6 +415,35 @@ object AnalyticsOps {
     },
     Some("""WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), c AS (SELECT *, min(day) OVER (PARTITION BY user_id) AS cohort FROM act), o AS (SELECT cohort, CAST(date_diff('day', cohort, day) AS INTEGER) AS day_offset, count(*) AS n_active FROM c GROUP BY 1, 2), w AS (SELECT *, max(CASE WHEN day_offset = 0 THEN n_active END) OVER (PARTITION BY cohort) AS cohort_size FROM o) SELECT cohort, day_offset, n_active, cohort_size, floor(CAST(n_active AS DOUBLE) / cohort_size * 10000.0 + 0.5) / 10000.0 AS retention FROM w ORDER BY 1, 2"""))
 
+  /** The z-score computation over a `(event_type, day, cnt)` daily-count
+    * frame — public so the STREAMING monitoring pipeline can run the exact
+    * same analytics over a durably-sinked streamed rollup (StreamZscoreSpec
+    * proves stream-fed ≡ batch). */
+  def zscoreOverDaily(daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-6, Window.currentRow)
+    // moments in DECIMAL(38,0): cnt² of a billion-events/day key would
+    // overflow LongType silently, while the DuckDB oracle promotes to
+    // HUGEINT — both engines now carry the exact integer value and cast
+    // to double only at the final (correctly-rounded) divisions
+    val dec = col("cnt").cast("decimal(38,0)")
+    daily
+      .withColumn("s1", sum(dec).over(w))
+      .withColumn("s2", sum(dec * dec).over(w))
+      .withColumn("nw", count(lit(1)).over(w).cast("decimal(38,0)"))
+      .withColumn("mu", col("s1").cast("double") / col("nw").cast("double"))
+      .withColumn("sg", sqrt(
+        (col("nw") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("nw") * col("nw")).cast("double")))
+      .select(col("event_type"), col("day"), col("cnt"),
+        fround(col("mu"), 4).as("mu"),
+        fround(col("sg"), 4).as("sigma"),
+        fround(when(col("sg") > 0,
+          (col("cnt") - col("mu")) / col("sg")).otherwise(lit(0.0)), 4)
+          .as("z"))
+      .orderBy("event_type", "day")
+  }
+
   /** Trailing-window z-score anomaly detection over the event stream —
     * the volume-spike monitor every ingest pipeline runs per key. The
     * moments come from INTEGER window sums (Σx, Σx², n over the trailing 7
@@ -425,33 +454,10 @@ object AnalyticsOps {
   private val evtZscore = GraftQuery(
     "evt_zscore_anomaly",
     "trailing-7-day z-score per (event_type, day) from integer-exact moments",
-    (s, d) => {
-      val daily = Tables.events(s, d)
+    (s, d) => zscoreOverDaily(
+      Tables.events(s, d)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy("event_type").orderBy("day")
-        .rowsBetween(-6, Window.currentRow)
-      // moments in DECIMAL(38,0): cnt² of a billion-events/day key would
-      // overflow LongType silently, while the DuckDB oracle promotes to
-      // HUGEINT — both engines now carry the exact integer value and cast
-      // to double only at the final (correctly-rounded) divisions
-      val dec = col("cnt").cast("decimal(38,0)")
-      daily
-        .withColumn("s1", sum(dec).over(w))
-        .withColumn("s2", sum(dec * dec).over(w))
-        .withColumn("nw", count(lit(1)).over(w).cast("decimal(38,0)"))
-        .withColumn("mu", col("s1").cast("double") / col("nw").cast("double"))
-        .withColumn("sg", sqrt(
-          (col("nw") * col("s2") - col("s1") * col("s1")).cast("double") /
-            (col("nw") * col("nw")).cast("double")))
-        .select(col("event_type"), col("day"), col("cnt"),
-          fround(col("mu"), 4).as("mu"),
-          fround(col("sg"), 4).as("sigma"),
-          fround(when(col("sg") > 0,
-            (col("cnt") - col("mu")) / col("sg")).otherwise(lit(0.0)), 4)
-            .as("z"))
-        .orderBy("event_type", "day")
-    },
+        .agg(count(lit(1)).as("cnt"))),
     Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt FROM events GROUP BY 1, 2), w AS (SELECT event_type, day, cnt, sum(CAST(cnt AS HUGEINT)) OVER tw AS s1, sum(CAST(cnt AS HUGEINT) * cnt) OVER tw AS s2, count(*) OVER tw AS nw FROM daily WINDOW tw AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)), m AS (SELECT event_type, day, cnt, CAST(s1 AS DOUBLE) / nw AS mu, sqrt(CAST(nw * s2 - s1 * s1 AS DOUBLE) / CAST(nw * nw AS DOUBLE)) AS sg FROM w) SELECT event_type, day, cnt, floor(mu * 10000.0 + 0.5) / 10000.0 AS mu, floor(sg * 10000.0 + 0.5) / 10000.0 AS sigma, floor((CASE WHEN sg > 0 THEN (cnt - mu) / sg ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS z FROM m ORDER BY 1, 2"""))
 
   val all: Seq[GraftQuery] = Seq(
