@@ -125,6 +125,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), p.take(3000))
   }
 
+  test("runtime bloom-filter injection prunes the fact side of a selective shuffle join") {
+    // the 100 TB join-pruning story: when a selective dim filter feeds a
+    // shuffle join, Catalyst builds a bloom filter from the dim keys and
+    // injects a might_contain() semi-filter into the FACT scan — rows for
+    // never-joining keys die at the scan, before the exchange. Locally the
+    // dim would broadcast (which subsumes the optimization), so force the
+    // at-scale shape the same way the bucketed-join test does.
+    import org.apache.spark.sql.functions.col
+    val saved = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = Tables.lineitem(spark, sf)
+      val ord = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+      val q = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val p = q.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        p.take(3000))
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("pure non-equi interval join uses BroadcastNestedLoopJoin (calendar-sized build side)") {
     val p = plan("j_interval_overlap")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
