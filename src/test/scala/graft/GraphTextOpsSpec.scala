@@ -68,6 +68,22 @@ class GraphTextOpsSpec extends AnyFunSuite {
       "trade graph must surface both customers and suppliers in the top-30")
   }
 
+  test("sim_knn_matryoshka: two-stage recall vs brute force clears the random-data floor") {
+    val brute = run("sim_knn_brute").collect()
+      .filter(_.getInt(3) <= 3)
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val mat = run("sim_knn_matryoshka").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(mat.keySet == brute.keySet)
+    mat.foreach { case (_, ns) => assert(ns.size == 3) }
+    val hits = brute.map { case (q, ns) => (ns & mat(q)).size }.sum
+    val total = brute.values.map(_.size).sum
+    // random vectors bound prefix-cos correlation at sqrt(32/64) ≈ 0.71;
+    // measured recall is ~73% — assert a margin below it (matryoshka-
+    // trained embeddings would sit far higher)
+    assert(hits.toDouble / total >= 0.6, s"recall $hits/$total")
+  }
+
   test("pageRank library op matches a driver-side integer reference on random graphs") {
     val sp = spark
     import sp.implicits._
