@@ -460,9 +460,37 @@ object AnalyticsOps {
         .agg(count(lit(1)).as("cnt"))),
     Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt FROM events GROUP BY 1, 2), w AS (SELECT event_type, day, cnt, sum(CAST(cnt AS HUGEINT)) OVER tw AS s1, sum(CAST(cnt AS HUGEINT) * cnt) OVER tw AS s2, count(*) OVER tw AS nw FROM daily WINDOW tw AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)), m AS (SELECT event_type, day, cnt, CAST(s1 AS DOUBLE) / nw AS mu, sqrt(CAST(nw * s2 - s1 * s1 AS DOUBLE) / CAST(nw * nw AS DOUBLE)) AS sg FROM w) SELECT event_type, day, cnt, floor(mu * 10000.0 + 0.5) / 10000.0 AS mu, floor(sg * 10000.0 + 0.5) / 10000.0 AS sigma, floor((CASE WHEN sg > 0 THEN (cnt - mu) / sg ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS z FROM m ORDER BY 1, 2"""))
 
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the behavioral-model fit (and sequence-data sanity check) next to the
+    * funnel/retention/session family: P(next = b | cur = a) from lag pairs.
+    * One user-keyed window shuffle produces the consecutive pairs, one
+    * small keyed aggregation counts them; row probabilities divide exact
+    * integer counts inside a window over the (|types|²)-row aggregate.
+    * Deterministic ordering: (ts, event_id) tie-break inside each user's
+    * sequence, spelled identically in the oracle. */
+  private val evtTransitions = GraftQuery(
+    "evt_transition_matrix",
+    "first-order Markov transitions: P(next event type | current) per pair",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+      pairs
+        .withColumn("row_total",
+          sum("cnt").over(Window.partitionBy("from_type")))
+        .select(col("from_type"), col("to_type"), col("cnt"),
+          fround(col("cnt").cast("double") / col("row_total"), 4).as("p"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""WITH seq AS (SELECT user_id, event_type, lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events), pairs AS (SELECT event_type AS from_type, next_type AS to_type, count(*) AS cnt FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2), w AS (SELECT *, sum(cnt) OVER (PARTITION BY from_type) AS row_total FROM pairs) SELECT from_type, to_type, cnt, floor(CAST(cnt AS DOUBLE) / row_total * 10000.0 + 0.5) / 10000.0 AS p FROM w ORDER BY 1, 2"""))
+
   val all: Seq[GraftQuery] = Seq(
     winSession, winLagLead, aggPercentiles, aggCorr, jSkewSalted, txtTfidf,
     aggStatsOnepass, aggPivot, winSessionNative, aggApproxPercentile,
     aggArgExtremes, aggMapHistogram, aggMultiDistinct, aggHllRollup,
-    evtRetention, evtZscore)
+    evtRetention, evtZscore, evtTransitions)
 }

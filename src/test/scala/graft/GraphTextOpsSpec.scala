@@ -68,6 +68,24 @@ class GraphTextOpsSpec extends AnyFunSuite {
       "trade graph must surface both customers and suppliers in the top-30")
   }
 
+  test("evt_transition_matrix: rows are probability distributions, counts conserve pairs") {
+    val rows = run("evt_transition_matrix").collect()
+    assert(rows.nonEmpty)
+    val byFrom = rows.groupBy(_.getString(0))
+    byFrom.foreach { case (from, rs) =>
+      val pSum = rs.map(_.getDouble(3)).sum
+      // per-row fround(4) noise is bounded by |types|/2e4
+      assert(math.abs(pSum - 1.0) < rs.length * 5e-5 + 1e-9,
+        s"$from: probabilities sum to $pSum")
+      rs.foreach(r => assert(r.getDouble(3) > 0.0 && r.getLong(2) > 0L))
+    }
+    // pair conservation: total transitions = total events - distinct users
+    // (each user's sequence of n events yields n-1 consecutive pairs)
+    val events = Tables.events(spark, sf)
+    val expected = events.count() - events.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == expected)
+  }
+
   test("sim_knn_matryoshka: two-stage recall vs brute force clears the random-data floor") {
     val brute = run("sim_knn_brute").collect()
       .filter(_.getInt(3) <= 3)
