@@ -126,21 +126,21 @@ object SimilarityOps {
     * vs brute force is ~73% (the data-limited floor — the same caveat as
     * txt_langid's accuracy; the serving mechanics are what's under test).
     * Fully oracle-replayable (slice + dot are the same math in DuckDB);
-    * SimilarityRecallSpec additionally checks shortlist recall vs brute
+    * GraphTextOpsSpec additionally checks shortlist recall vs brute
     * force. */
   private val knnMatryoshka = GraftQuery(
     "sim_knn_matryoshka",
     "two-stage ANN: 32-dim prefix shortlist-40, full-dim rerank top-3",
     (s, d) => {
       val e = normalized(s, d)
-        .withColumn("v8", slice(col("v"), 1, 32))
-        .withColumn("n8", sqrt(expr("graft_dot(v8, v8)")))
+        .withColumn("vPre", slice(col("v"), 1, 32))
+        .withColumn("nPre", sqrt(expr("graft_dot(vPre, vPre)")))
       val q8 = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("v8").as("qv8"), col("n8").as("qn8"))
-      val coarse = e.select(col("vec_id").as("n_id"), col("v8").as("cv8"), col("n8").as("cn8"))
+        .select(col("vec_id").as("q_id"), col("vPre").as("qvPre"), col("nPre").as("qnPre"))
+      val coarse = e.select(col("vec_id").as("n_id"), col("vPre").as("cvPre"), col("nPre").as("cnPre"))
         .join(broadcast(q8), col("q_id") =!= col("n_id"))
-        .withColumn("cos8", expr("graft_dot(qv8, cv8)") / (col("qn8") * col("cn8")))
-      val w8 = Window.partitionBy("q_id").orderBy(fround(col("cos8"), 6).desc, col("n_id"))
+        .withColumn("cosPre", expr("graft_dot(qvPre, cvPre)") / (col("qnPre") * col("cnPre")))
+      val w8 = Window.partitionBy("q_id").orderBy(fround(col("cosPre"), 6).desc, col("n_id"))
       val shortlist = coarse.withColumn("crk", row_number().over(w8))
         .filter(col("crk") <= 40)
         .select(col("q_id"), col("n_id"))
@@ -158,7 +158,7 @@ object SimilarityOps {
         .select(col("q_id"), col("n_id"), fround(col("cos"), 4).as("cos"), col("rnk"))
         .orderBy("q_id", "rnk")
     },
-    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm, list_slice(v, 1, 32) AS v8 FROM e), n2 AS (SELECT vec_id, v, nrm, v8, sqrt(list_sum([x*x for x in v8])) AS n8 FROM n), q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, v8 AS qv8, n8 AS qn8 FROM n2 WHERE vec_id % 50 = 0), coarse AS (SELECT q.q_id, c.vec_id AS n_id, list_sum([s[1]*s[2] for s in list_zip(q.qv8, c.v8)]) / (q.qn8 * c.n8) AS cos8 FROM q JOIN n2 c ON c.vec_id <> q.q_id), short AS (SELECT q_id, n_id FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY floor(cos8 * 1000000.0 + 0.5) DESC, n_id) AS crk FROM coarse) WHERE crk <= 40), rer AS (SELECT s.q_id, s.n_id, list_sum([p[1]*p[2] for p in list_zip(q.qv, c.v)]) / (q.qn * c.nrm) AS cos FROM short s JOIN n2 c ON c.vec_id = s.n_id JOIN q ON q.q_id = s.q_id) SELECT q_id, n_id, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos, CAST(rnk AS INTEGER) AS rnk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY floor(cos * 1000000.0 + 0.5) DESC, n_id) AS rnk FROM rer) WHERE rnk <= 3 ORDER BY q_id, rnk"""))
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm, list_slice(v, 1, 32) AS vPre FROM e), n2 AS (SELECT vec_id, v, nrm, vPre, sqrt(list_sum([x*x for x in vPre])) AS nPre FROM n), q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, vPre AS qvPre, nPre AS qnPre FROM n2 WHERE vec_id % 50 = 0), coarse AS (SELECT q.q_id, c.vec_id AS n_id, list_sum([s[1]*s[2] for s in list_zip(q.qvPre, c.vPre)]) / (q.qnPre * c.nPre) AS cosPre FROM q JOIN n2 c ON c.vec_id <> q.q_id), short AS (SELECT q_id, n_id FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY floor(cosPre * 1000000.0 + 0.5) DESC, n_id) AS crk FROM coarse) WHERE crk <= 40), rer AS (SELECT s.q_id, s.n_id, list_sum([p[1]*p[2] for p in list_zip(q.qv, c.v)]) / (q.qn * c.nrm) AS cos FROM short s JOIN n2 c ON c.vec_id = s.n_id JOIN q ON q.q_id = s.q_id) SELECT q_id, n_id, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos, CAST(rnk AS INTEGER) AS rnk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY floor(cos * 1000000.0 + 0.5) DESC, n_id) AS rnk FROM rer) WHERE rnk <= 3 ORDER BY q_id, rnk"""))
 
   val all: Seq[GraftQuery] = Seq(knnBrute, labelStats, knnLsh, knnMatryoshka)
 }

@@ -24,16 +24,8 @@ object StreamDemo {
 
     // stage the table file into a source directory (file stream sources
     // watch directories; a Kafka topic would take this place in production)
-    val srcDir = Files.createTempDirectory("stream-src")
-    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      srcDir.resolve("events.parquet"))
-    def stream() = {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.readStream
-        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-        .parquet(srcDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    }
+    val srcDir = EventStreamSource.stageToDir(s"$sfDir/events.parquet")
+    def stream() = EventStreamSource.fromDir(spark, srcDir)
 
     val rawOut = Files.createTempDirectory("raw-out").toString
     val q1 = CounterStream.rawAppend(stream(), rawOut,

@@ -73,10 +73,9 @@ class DocIngestSpec extends AnyFunSuite {
     // same rows through readStream (stateless narrow transforms run
     // unchanged on an unbounded frame); the file source needs a DIRECTORY,
     // so stage the single-file table into one
-    val dir = Files.createTempDirectory("gate-stream")
-    Files.copy(java.nio.file.Paths.get(s"${GraftTestSpark.sf}/documents.parquet"),
-      dir.resolve("part-0.parquet"))
-    val streamed = spark.readStream.schema(docs.schema).parquet(dir.toString)
+    val dir = graft.streaming.EventStreamSource
+      .stageToDir(s"${GraftTestSpark.sf}/documents.parquet", "gate-stream")
+    val streamed = spark.readStream.schema(docs.schema).parquet(dir)
     val out = graft.operators.PipelineOps.filterGate(streamed)
     val q = out.writeStream.format("memory").queryName("gate_stream")
       .outputMode("append")

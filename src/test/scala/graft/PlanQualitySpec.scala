@@ -133,11 +133,11 @@ class PlanQualitySpec extends AnyFunSuite {
     // dim would broadcast (which subsumes the optimization), so force the
     // at-scale shape the same way the bucketed-join test does.
     import org.apache.spark.sql.functions.col
-    val saved = Map(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled" ->
-        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled"),
-      "spark.sql.autoBroadcastJoinThreshold" ->
-        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
     try {
       spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -150,7 +150,10 @@ class PlanQualitySpec extends AnyFunSuite {
       val p = q.queryExecution.optimizedPlan.toString
       assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
         p.take(3000))
-    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("pure non-equi interval join uses BroadcastNestedLoopJoin (calendar-sized build side)") {

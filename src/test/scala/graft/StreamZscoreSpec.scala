@@ -22,20 +22,10 @@ class StreamZscoreSpec extends AnyFunSuite {
     val batch = SparkEntry.queries("evt_zscore_anomaly")(spark, sf)
       .collect().map(_.toString).sorted
 
-    // stage the single-file events table into a stream-source directory
-    val dir = Files.createTempDirectory("zs-src")
-    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
-      dir.resolve("part-0.parquet"))
     val table = Files.createTempDirectory("zs-table").resolve("daily").toString
     val ckpt = Files.createTempDirectory("zs-ckpt").toString
-
-    // events.parquet carries TIMESTAMP(NANOS): same legacy-conf + µs
-    // conversion Tables.events applies on the batch path
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // the one shared events stream recipe (schema + nanos handling)
+    val raw = graft.streaming.EventStreamSource.staged(spark, sf)
 
     val sink = new KeyedParquetSink(table, Seq("event_type", "day"))
     val q = raw
