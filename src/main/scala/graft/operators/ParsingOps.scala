@@ -259,7 +259,55 @@ object ParsingOps {
     },
     Some("""WITH f AS (SELECT doc_id AS media_id, [ascii(substring(text, i, 1)) for i in generate_series(1, length(text), 16)] AS lumas FROM documents) SELECT media_id, CAST(len(lumas) AS BIGINT) AS n_frames, floor(CAST(list_sum(lumas) AS DOUBLE) / len(lumas) * 10000.0 + 0.5) / 10000.0 AS avg_luma, CAST(len(lumas) - 1 AS INTEGER) AS last_idx FROM f ORDER BY media_id"""))
 
+  /** Column profiling — the data-quality sweep every ingestion runs before
+    * trusting a table (row count, null count, distinct cardinality, value
+    * range per column). ONE pass over the table produces every column's
+    * profile (a per-column loop of count queries would scan the fact N
+    * times); the wide aggregate row is then unpivoted to the long
+    * (column, metric...) shape catalogs store. Values are stringified for
+    * the uniform schema; doubles go through centi-units so both engines
+    * print identical integers (raw double→string formatting differs). */
+  private val qaProfile = GraftQuery(
+    "qa_column_profile",
+    "one-pass column profiling of orders: nulls, distincts, min/max per column",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val n = count(lit(1))
+      val agg = o.agg(
+        n.as("n"),
+        // o_orderkey
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("k_nulls"),
+        countDistinct(col("o_orderkey")).as("k_distinct"),
+        min(col("o_orderkey")).cast("string").as("k_min"),
+        max(col("o_orderkey")).cast("string").as("k_max"),
+        // o_custkey
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("c_nulls"),
+        countDistinct(col("o_custkey")).as("c_distinct"),
+        min(col("o_custkey")).cast("string").as("c_min"),
+        max(col("o_custkey")).cast("string").as("c_max"),
+        // o_totalprice (centi-exact bounds)
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("p_nulls"),
+        countDistinct(graft.functions.GraftFunctions.centi(col("o_totalprice"))).as("p_distinct"),
+        min(graft.functions.GraftFunctions.centi(col("o_totalprice"))).cast("string").as("p_min"),
+        max(graft.functions.GraftFunctions.centi(col("o_totalprice"))).cast("string").as("p_max"),
+        // o_orderpriority
+        sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("s_nulls"),
+        countDistinct(col("o_orderpriority")).as("s_distinct"),
+        min(col("o_orderpriority")).as("s_min"),
+        max(col("o_orderpriority")).as("s_max"))
+      agg.selectExpr(
+        """stack(4,
+             'o_orderkey',      n, k_nulls, k_distinct, k_min, k_max,
+             'o_custkey',       n, c_nulls, c_distinct, c_min, c_max,
+             'o_totalprice_c',  n, p_nulls, p_distinct, p_min, p_max,
+             'o_orderpriority', n, s_nulls, s_distinct, s_min, s_max)
+           AS (column, n, nulls, n_distinct, min_v, max_v)""")
+        .orderBy("column")
+    },
+    Some("""WITH a AS (SELECT count(*) AS n, sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS k_nulls, count(DISTINCT o_orderkey) AS k_distinct, CAST(min(o_orderkey) AS VARCHAR) AS k_min, CAST(max(o_orderkey) AS VARCHAR) AS k_max, sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c_nulls, count(DISTINCT o_custkey) AS c_distinct, CAST(min(o_custkey) AS VARCHAR) AS c_min, CAST(max(o_custkey) AS VARCHAR) AS c_max, sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS p_nulls, count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT)) AS p_distinct, CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR) AS p_min, CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR) AS p_max, sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS s_nulls, count(DISTINCT o_orderpriority) AS s_distinct, min(o_orderpriority) AS s_min, max(o_orderpriority) AS s_max FROM orders) SELECT * FROM (SELECT 'o_orderkey' AS "column", n, k_nulls AS nulls, k_distinct AS n_distinct, k_min AS min_v, k_max AS max_v FROM a UNION ALL SELECT 'o_custkey', n, c_nulls, c_distinct, c_min, c_max FROM a UNION ALL SELECT 'o_totalprice_c', n, p_nulls, p_distinct, p_min, p_max FROM a UNION ALL SELECT 'o_orderpriority', n, s_nulls, s_distinct, s_min, s_max FROM a) ORDER BY "column""""))
+
   val all: Seq[GraftQuery] = Seq(
     csvRoundtrip, jsonStruct, jsonInferred, dateConstruct, sqlMultikeyJoin,
-    mvCascade, sqlCtas, mmDecode, partitionPruned, dppPrune, mmFrameSample)
+    mvCascade, sqlCtas, mmDecode, partitionPruned, dppPrune, mmFrameSample,
+    qaProfile)
 }
