@@ -306,8 +306,47 @@ object ParsingOps {
     },
     Some("""WITH a AS (SELECT count(*) AS n, sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS k_nulls, count(DISTINCT o_orderkey) AS k_distinct, CAST(min(o_orderkey) AS VARCHAR) AS k_min, CAST(max(o_orderkey) AS VARCHAR) AS k_max, sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c_nulls, count(DISTINCT o_custkey) AS c_distinct, CAST(min(o_custkey) AS VARCHAR) AS c_min, CAST(max(o_custkey) AS VARCHAR) AS c_max, sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS p_nulls, count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT)) AS p_distinct, CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR) AS p_min, CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR) AS p_max, sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS s_nulls, count(DISTINCT o_orderpriority) AS s_distinct, min(o_orderpriority) AS s_min, max(o_orderpriority) AS s_max FROM orders) SELECT * FROM (SELECT 'o_orderkey' AS "column", n, k_nulls AS nulls, k_distinct AS n_distinct, k_min AS min_v, k_max AS max_v FROM a UNION ALL SELECT 'o_custkey', n, c_nulls, c_distinct, c_min, c_max FROM a UNION ALL SELECT 'o_totalprice_c', n, p_nulls, p_distinct, p_min, p_max FROM a UNION ALL SELECT 'o_orderpriority', n, s_nulls, s_distinct, s_min, s_max FROM a) ORDER BY "column""""))
 
+  /** Expectation checks — the dbt-test/assertion verb that gates a
+    * pipeline stage: each rule computes its VIOLATION count (0 = pass) in
+    * the cheapest scale shape for that rule class — uniqueness via one
+    * keyed aggregate, referential integrity via LEFT ANTI joins (never a
+    * distinct-collect), range rules as scan-riding filters. Rules run as
+    * one union of small aggregates; a 100 TB deployment runs the same plan
+    * per partition-increment instead of full-table. */
+  private val qaExpectations = GraftQuery(
+    "qa_expectations",
+    "expectation suite: uniqueness, referential integrity, range rules with violation counts",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val c = Tables.customer(s, d)
+      def rule(name: String, violations: org.apache.spark.sql.DataFrame) =
+        violations.select(lit(name).as("rule"), col("violations"))
+      val unique = rule("orderkey_unique",
+        o.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+          .agg(coalesce(sum(col("n") - 1), lit(0L)).as("violations")))
+      val refCust = rule("orders_ref_customer",
+        o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("violations")))
+      val refOrd = rule("lineitem_ref_orders",
+        li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("violations")))
+      val price = rule("totalprice_positive",
+        o.filter(col("o_totalprice") <= 0).agg(count(lit(1)).as("violations")))
+      val qty = rule("quantity_in_band",
+        li.filter(!col("l_quantity").between(1, 50))
+          .agg(count(lit(1)).as("violations")))
+      unique.unionByName(refCust).unionByName(refOrd)
+        .unionByName(price).unionByName(qty)
+        .withColumn("status", when(col("violations") === 0, lit("pass"))
+          .otherwise(lit("fail")))
+        .orderBy("rule")
+    },
+    Some("""WITH t(rule, violations) AS (SELECT 'orderkey_unique', CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1 HAVING count(*) > 1) UNION ALL SELECT 'orders_ref_customer', count(*) FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey) UNION ALL SELECT 'lineitem_ref_orders', count(*) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey) UNION ALL SELECT 'totalprice_positive', count(*) FROM orders WHERE o_totalprice <= 0 UNION ALL SELECT 'quantity_in_band', count(*) FROM lineitem WHERE l_quantity NOT BETWEEN 1 AND 50) SELECT rule, violations, CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status FROM t ORDER BY rule"""))
+
   val all: Seq[GraftQuery] = Seq(
     csvRoundtrip, jsonStruct, jsonInferred, dateConstruct, sqlMultikeyJoin,
     mvCascade, sqlCtas, mmDecode, partitionPruned, dppPrune, mmFrameSample,
-    qaProfile)
+    qaProfile, qaExpectations)
 }
