@@ -345,8 +345,43 @@ object ParsingOps {
     },
     Some("""WITH t(rule, violations) AS (SELECT 'orderkey_unique', CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1 HAVING count(*) > 1) UNION ALL SELECT 'orders_ref_customer', count(*) FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey) UNION ALL SELECT 'lineitem_ref_orders', count(*) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey) UNION ALL SELECT 'totalprice_positive', count(*) FROM orders WHERE o_totalprice <= 0 UNION ALL SELECT 'quantity_in_band', count(*) FROM lineitem WHERE l_quantity NOT BETWEEN 1 AND 50) SELECT rule, violations, CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status FROM t ORDER BY rule"""))
 
+  /** SCD type-2 dimension merge — the warehouse temporal-versioning verb:
+    * an incoming change batch closes the current version of each changed
+    * key (valid_to = effective date) and opens a new current version;
+    * unchanged keys pass through untouched. The change set here is
+    * simulated deterministically (every 7th customer moves to segment
+    * 'PROMO' effective 2024-06-01). Shape: the change batch is
+    * increment-sized so it BROADCASTS into the dimension scan; the merge is
+    * a narrow projection + union — no shuffle at all until the
+    * presentation sort. At 100 TB the dimension rewrite goes through the
+    * same keyed-bucket publish as KeyedParquetSink (only touched buckets
+    * rewritten). */
+  private val scd2Merge = GraftQuery(
+    "mv_scd2_merge",
+    "SCD type-2 merge: close changed versions, open new current rows",
+    (s, d) => {
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val changes = dim.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), lit("PROMO").as("new_segment"))
+      val merged = dim.join(broadcast(changes), Seq("c_custkey"), "left")
+      val v1 = merged.select(
+        col("c_custkey"), lit(1).as("version"), col("c_mktsegment").as("segment"),
+        lit("2024-01-01").cast("date").as("valid_from"),
+        when(col("new_segment").isNotNull, lit("2024-06-01").cast("date"))
+          .otherwise(lit("9999-12-31").cast("date")).as("valid_to"),
+        when(col("new_segment").isNotNull, lit(0)).otherwise(lit(1)).as("is_current"))
+      val v2 = merged.filter(col("new_segment").isNotNull).select(
+        col("c_custkey"), lit(2).as("version"), col("new_segment").as("segment"),
+        lit("2024-06-01").cast("date").as("valid_from"),
+        lit("9999-12-31").cast("date").as("valid_to"),
+        lit(1).as("is_current"))
+      v1.unionByName(v2).orderBy("c_custkey", "version")
+    },
+    Some("""WITH dim AS (SELECT c_custkey, c_mktsegment FROM customer), ch AS (SELECT c_custkey, 'PROMO' AS new_segment FROM dim WHERE c_custkey % 7 = 0), m AS (SELECT dim.c_custkey, dim.c_mktsegment, ch.new_segment FROM dim LEFT JOIN ch USING (c_custkey)), v1 AS (SELECT c_custkey, 1 AS version, c_mktsegment AS segment, DATE '2024-01-01' AS valid_from, CASE WHEN new_segment IS NOT NULL THEN DATE '2024-06-01' ELSE DATE '9999-12-31' END AS valid_to, CASE WHEN new_segment IS NOT NULL THEN 0 ELSE 1 END AS is_current FROM m), v2 AS (SELECT c_custkey, 2 AS version, new_segment AS segment, DATE '2024-06-01' AS valid_from, DATE '9999-12-31' AS valid_to, 1 AS is_current FROM m WHERE new_segment IS NOT NULL) SELECT * FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2) ORDER BY c_custkey, version"""))
+
   val all: Seq[GraftQuery] = Seq(
     csvRoundtrip, jsonStruct, jsonInferred, dateConstruct, sqlMultikeyJoin,
     mvCascade, sqlCtas, mmDecode, partitionPruned, dppPrune, mmFrameSample,
-    qaProfile, qaExpectations)
+    qaProfile, qaExpectations, scd2Merge)
 }

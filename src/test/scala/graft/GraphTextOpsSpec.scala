@@ -68,6 +68,28 @@ class GraphTextOpsSpec extends AnyFunSuite {
       "trade graph must surface both customers and suppliers in the top-30")
   }
 
+  test("mv_scd2_merge: exactly one current version per key, seamless validity chains") {
+    val rows = run("mv_scd2_merge").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getDate(3).toString, r.getDate(4).toString, r.getInt(5)))
+    val byKey = rows.groupBy(_._1)
+    byKey.foreach { case (k, vs) =>
+      assert(vs.count(_._6 == 1) == 1, s"key $k: exactly one current version")
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.head._4 == "2024-01-01")
+      assert(sorted.last._5 == "9999-12-31", s"key $k: open-ended current row")
+      // seamless chain: each version starts where the previous one closed
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a._5 == b._4, s"key $k: gap between versions")
+        case _ => ()
+      }
+      if (k % 7 == 0) {
+        assert(vs.length == 2 && sorted.last._3 == "PROMO")
+        assert(sorted.head._6 == 0, "closed version is not current")
+      } else assert(vs.length == 1)
+    }
+  }
+
   test("evt_transition_matrix: rows are probability distributions, counts conserve pairs") {
     val rows = run("evt_transition_matrix").collect()
     assert(rows.nonEmpty)
