@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 import graft.functions.GraftFunctions.fround
@@ -271,37 +271,26 @@ object ParsingOps {
     "qa_column_profile",
     "one-pass column profiling of orders: nulls, distincts, min/max per column",
     (s, d) => {
-      val o = Tables.orders(s, d)
-      val n = count(lit(1))
-      val agg = o.agg(
-        n.as("n"),
-        // o_orderkey
-        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("k_nulls"),
-        countDistinct(col("o_orderkey")).as("k_distinct"),
-        min(col("o_orderkey")).cast("string").as("k_min"),
-        max(col("o_orderkey")).cast("string").as("k_max"),
-        // o_custkey
-        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("c_nulls"),
-        countDistinct(col("o_custkey")).as("c_distinct"),
-        min(col("o_custkey")).cast("string").as("c_min"),
-        max(col("o_custkey")).cast("string").as("c_max"),
-        // o_totalprice (centi-exact bounds)
-        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("p_nulls"),
-        countDistinct(graft.functions.GraftFunctions.centi(col("o_totalprice"))).as("p_distinct"),
-        min(graft.functions.GraftFunctions.centi(col("o_totalprice"))).cast("string").as("p_min"),
-        max(graft.functions.GraftFunctions.centi(col("o_totalprice"))).cast("string").as("p_max"),
-        // o_orderpriority
-        sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("s_nulls"),
-        countDistinct(col("o_orderpriority")).as("s_distinct"),
-        min(col("o_orderpriority")).as("s_min"),
-        max(col("o_orderpriority")).as("s_max"))
-      agg.selectExpr(
-        """stack(4,
-             'o_orderkey',      n, k_nulls, k_distinct, k_min, k_max,
-             'o_custkey',       n, c_nulls, c_distinct, c_min, c_max,
-             'o_totalprice_c',  n, p_nulls, p_distinct, p_min, p_max,
-             'o_orderpriority', n, s_nulls, s_distinct, s_min, s_max)
-           AS (column, n, nulls, n_distinct, min_v, max_v)""")
+      // one (label, exact-value expr) row per profiled column: the agg
+      // block AND the stack unpivot are both GENERATED from this list, so
+      // adding a column cannot misalign them (doubles go through centi so
+      // both engines stringify identical integers)
+      val profiled: Seq[(String, Column)] = Seq(
+        "o_orderkey" -> col("o_orderkey"),
+        "o_custkey" -> col("o_custkey"),
+        "o_totalprice_c" -> graft.functions.GraftFunctions.centi(col("o_totalprice")),
+        "o_orderpriority" -> col("o_orderpriority"))
+      val aggs = count(lit(1)).as("n") +:
+        profiled.zipWithIndex.flatMap { case ((_, c), i) => Seq(
+          sum(when(c.isNull, 1L).otherwise(0L)).as(s"nulls_$i"),
+          countDistinct(c).as(s"distinct_$i"),
+          min(c).cast("string").as(s"min_$i"),
+          max(c).cast("string").as(s"max_$i")) }
+      val stackRows = profiled.zipWithIndex.map { case ((label, _), i) =>
+        s"'$label', n, nulls_$i, distinct_$i, min_$i, max_$i" }.mkString(", ")
+      Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${profiled.size}, $stackRows)" +
+          " AS (column, n, nulls, n_distinct, min_v, max_v)")
         .orderBy("column")
     },
     Some("""WITH a AS (SELECT count(*) AS n, sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS k_nulls, count(DISTINCT o_orderkey) AS k_distinct, CAST(min(o_orderkey) AS VARCHAR) AS k_min, CAST(max(o_orderkey) AS VARCHAR) AS k_max, sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c_nulls, count(DISTINCT o_custkey) AS c_distinct, CAST(min(o_custkey) AS VARCHAR) AS c_min, CAST(max(o_custkey) AS VARCHAR) AS c_max, sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS p_nulls, count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT)) AS p_distinct, CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR) AS p_min, CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR) AS p_max, sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS s_nulls, count(DISTINCT o_orderpriority) AS s_distinct, min(o_orderpriority) AS s_min, max(o_orderpriority) AS s_max FROM orders) SELECT * FROM (SELECT 'o_orderkey' AS "column", n, k_nulls AS nulls, k_distinct AS n_distinct, k_min AS min_v, k_max AS max_v FROM a UNION ALL SELECT 'o_custkey', n, c_nulls, c_distinct, c_min, c_max FROM a UNION ALL SELECT 'o_totalprice_c', n, p_nulls, p_distinct, p_min, p_max FROM a UNION ALL SELECT 'o_orderpriority', n, s_nulls, s_distinct, s_min, s_max FROM a) ORDER BY "column""""))
@@ -350,33 +339,43 @@ object ParsingOps {
     * key (valid_to = effective date) and opens a new current version;
     * unchanged keys pass through untouched. The change set here is
     * simulated deterministically (every 7th customer moves to segment
-    * 'PROMO' effective 2024-06-01). Shape: the change batch is
-    * increment-sized so it BROADCASTS into the dimension scan; the merge is
-    * a narrow projection + union — no shuffle at all until the
-    * presentation sort. At 100 TB the dimension rewrite goes through the
-    * same keyed-bucket publish as KeyedParquetSink (only touched buckets
-    * rewritten). */
+    * 'PROMO' effective 2024-06-01), which keeps the merge ONE narrow pass
+    * (version rows emitted per dimension row via a single explode — no
+    * shuffle until the presentation sort). A real change batch is
+    * increment-sized and joins in first — broadcast while it fits, never
+    * hard-hinted at dimension scale. At 100 TB the dimension rewrite goes
+    * through the same keyed-bucket publish as KeyedParquetSink (only
+    * touched buckets rewritten). */
   private val scd2Merge = GraftQuery(
     "mv_scd2_merge",
     "SCD type-2 merge: close changed versions, open new current rows",
     (s, d) => {
-      val dim = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_mktsegment"))
-      val changes = dim.filter(col("c_custkey") % 7 === 0)
-        .select(col("c_custkey"), lit("PROMO").as("new_segment"))
-      val merged = dim.join(broadcast(changes), Seq("c_custkey"), "left")
-      val v1 = merged.select(
-        col("c_custkey"), lit(1).as("version"), col("c_mktsegment").as("segment"),
-        lit("2024-01-01").cast("date").as("valid_from"),
-        when(col("new_segment").isNotNull, lit("2024-06-01").cast("date"))
-          .otherwise(lit("9999-12-31").cast("date")).as("valid_to"),
-        when(col("new_segment").isNotNull, lit(0)).otherwise(lit(1)).as("is_current"))
-      val v2 = merged.filter(col("new_segment").isNotNull).select(
-        col("c_custkey"), lit(2).as("version"), col("new_segment").as("segment"),
-        lit("2024-06-01").cast("date").as("valid_from"),
-        lit("9999-12-31").cast("date").as("valid_to"),
-        lit(1).as("is_current"))
-      v1.unionByName(v2).orderBy("c_custkey", "version")
+      // the change "batch" is derived in-row here (simulated), so the whole
+      // merge is ONE narrow pass: each dimension row emits its version
+      // array (1 row unchanged, 2 rows changed) through a single explode —
+      // no union of re-evaluated subplans (which would re-scan the
+      // dimension per branch) and no join at all. A real increment-sized
+      // change batch joins in first (broadcast while it fits); the
+      // emit-versions shape below is unchanged by that.
+      val changed = col("c_custkey") % 7 === 0
+      val mk = (ver: Column, seg: Column, from: String, to: Column, cur: Column) =>
+        struct(ver.as("version"), seg.as("segment"),
+          lit(from).cast("date").as("valid_from"), to.as("valid_to"),
+          cur.as("is_current"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          explode(when(changed, array(
+              mk(lit(1), col("c_mktsegment"), "2024-01-01",
+                lit("2024-06-01").cast("date"), lit(0)),
+              mk(lit(2), lit("PROMO"), "2024-06-01",
+                lit("9999-12-31").cast("date"), lit(1))))
+            .otherwise(array(
+              mk(lit(1), col("c_mktsegment"), "2024-01-01",
+                lit("9999-12-31").cast("date"), lit(1))))).as("v"))
+        .select(col("c_custkey"), col("v.version").as("version"),
+          col("v.segment").as("segment"), col("v.valid_from").as("valid_from"),
+          col("v.valid_to").as("valid_to"), col("v.is_current").as("is_current"))
+        .orderBy("c_custkey", "version")
     },
     Some("""WITH dim AS (SELECT c_custkey, c_mktsegment FROM customer), ch AS (SELECT c_custkey, 'PROMO' AS new_segment FROM dim WHERE c_custkey % 7 = 0), m AS (SELECT dim.c_custkey, dim.c_mktsegment, ch.new_segment FROM dim LEFT JOIN ch USING (c_custkey)), v1 AS (SELECT c_custkey, 1 AS version, c_mktsegment AS segment, DATE '2024-01-01' AS valid_from, CASE WHEN new_segment IS NOT NULL THEN DATE '2024-06-01' ELSE DATE '9999-12-31' END AS valid_to, CASE WHEN new_segment IS NOT NULL THEN 0 ELSE 1 END AS is_current FROM m), v2 AS (SELECT c_custkey, 2 AS version, new_segment AS segment, DATE '2024-06-01' AS valid_from, DATE '9999-12-31' AS valid_to, 1 AS is_current FROM m WHERE new_segment IS NOT NULL) SELECT * FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2) ORDER BY c_custkey, version"""))
 

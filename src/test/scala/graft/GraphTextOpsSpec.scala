@@ -3,9 +3,11 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Invariant checks for the round-4 additions: vocabulary building,
-  * unigram-LM scoring, importance sampling, and PageRank. Oracle equality
-  * is the driver's gate; these pin the semantic invariants a hash compare
-  * can't express (monotonicity, probability mass, determinism). */
+  * unigram-LM scoring, importance sampling, PageRank + degree stats, the
+  * filter gate, incremental dedup, chunking, the transition matrix,
+  * matryoshka ANN recall, and the SCD2 merge. Oracle equality is the
+  * driver's gate; these pin the semantic invariants a hash compare can't
+  * express (monotonicity, probability mass, determinism, version chains). */
 class GraphTextOpsSpec extends AnyFunSuite {
   private lazy val spark = GraftTestSpark.spark
   private val sf = GraftTestSpark.sf
