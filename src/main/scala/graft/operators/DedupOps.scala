@@ -294,29 +294,39 @@ object DedupOps {
     * corpus), so its join back to documents broadcasts. The verdict table
     * is what a 100 TB curation run persists and inner-joins (keep=1)
     * against the corpus on the next pipeline stage. */
+  /** The (doc_id, keep, reason) dedup verdict frame — shared by the
+    * registered keep-list query and the end-to-end curation funnel
+    * (PipelineOps.pipe_curation_funnel). */
+  private[graft] def keepVerdict(s: SparkSession, d: String): DataFrame = {
+    val fp = Tables.documents(s, d)
+      .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+    val exactKeep = fp.groupBy("fp").agg(min("doc_id").as("keep_id"))
+    val comp = graft.PersistCache.getOrBuild(s, s"cc-lbl:$d") {
+      connectedComponents(jaccardPairs(s, d))
+    }
+    fp.join(exactKeep, Seq("fp"))
+      .join(broadcast(comp.withColumnRenamed("id", "doc_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("keep_id"), lit(0))
+          .when(col("comp").isNotNull && col("doc_id") =!= col("comp"), lit(0))
+          .otherwise(lit(1)).as("keep"),
+        when(col("doc_id") =!= col("keep_id"), lit("exact_dup"))
+          .when(col("comp").isNotNull && col("doc_id") =!= col("comp"),
+            lit("near_dup"))
+          .otherwise(lit("kept")).as("reason"))
+  }
+
+  /** Oracle CTE bundle for [[keepVerdict]] (RECURSIVE pair + component +
+    * fingerprint CTEs ending in f/ek/m) — shared with the funnel oracle. */
+  private[graft] val keepVerdictCtes: String =
+    ngramPairsCte + componentsCtes +
+      """, f AS (SELECT doc_id, md5(lower(text)) AS fp FROM documents), ek AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY 1), kv AS (SELECT f.doc_id, CASE WHEN f.doc_id <> ek.keep_id THEN 0 WHEN m.comp IS NOT NULL AND f.doc_id <> m.comp THEN 0 ELSE 1 END AS keep FROM f JOIN ek USING (fp) LEFT JOIN m ON m.doc_id = f.doc_id)"""
+
   private val dedupKeepList = GraftQuery(
     "dedup_keep_list",
     "final keep/drop verdict per doc: exact-dup groups + near-dup components",
-    (s, d) => {
-      val fp = Tables.documents(s, d)
-        .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
-      val exactKeep = fp.groupBy("fp").agg(min("doc_id").as("keep_id"))
-      val comp = graft.PersistCache.getOrBuild(s, s"cc-lbl:$d") {
-        connectedComponents(jaccardPairs(s, d))
-      }
-      fp.join(exactKeep, Seq("fp"))
-        .join(broadcast(comp.withColumnRenamed("id", "doc_id")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(col("doc_id") =!= col("keep_id"), lit(0))
-            .when(col("comp").isNotNull && col("doc_id") =!= col("comp"), lit(0))
-            .otherwise(lit(1)).as("keep"),
-          when(col("doc_id") =!= col("keep_id"), lit("exact_dup"))
-            .when(col("comp").isNotNull && col("doc_id") =!= col("comp"),
-              lit("near_dup"))
-            .otherwise(lit("kept")).as("reason"))
-        .orderBy("doc_id")
-    },
+    (s, d) => keepVerdict(s, d).orderBy("doc_id"),
     Some(ngramPairsCte + componentsCtes +
       """, f AS (SELECT doc_id, md5(lower(text)) AS fp FROM documents), ek AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY 1) SELECT f.doc_id, CAST(CASE WHEN f.doc_id <> ek.keep_id THEN 0 WHEN m.comp IS NOT NULL AND f.doc_id <> m.comp THEN 0 ELSE 1 END AS INTEGER) AS keep, CASE WHEN f.doc_id <> ek.keep_id THEN 'exact_dup' WHEN m.comp IS NOT NULL AND f.doc_id <> m.comp THEN 'near_dup' ELSE 'kept' END AS reason FROM f JOIN ek USING (fp) LEFT JOIN m ON m.doc_id = f.doc_id ORDER BY f.doc_id"""))
 

@@ -322,7 +322,49 @@ object PipelineOps {
     (s, d) => filterGate(Tables.documents(s, d)).orderBy("doc_id"),
     Some(s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), m AS (SELECT doc_id, len(t) AS n_tok, CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr, CAST(len(list_filter(t, x -> x IN (${graft.functions.GraftFunctions.stopwordsSqlList}))) AS DOUBLE) / len(t) AS stop_ratio FROM t) SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok, floor(ttr * 10000.0 + 0.5) / 10000.0 AS ttr, floor(stop_ratio * 10000.0 + 0.5) / 10000.0 AS stop_ratio, CASE WHEN n_tok NOT BETWEEN 20 AND 200 THEN 'length' WHEN ttr < 0.4 THEN 'repetitive' WHEN stop_ratio < 0.05 THEN 'low_stopword' ELSE 'kept' END AS reason, CASE WHEN n_tok BETWEEN 20 AND 200 AND ttr >= 0.4 AND stop_ratio >= 0.05 THEN 1 ELSE 0 END AS keep FROM m ORDER BY doc_id"""))
 
+  /** The END-TO-END curation funnel — the report every corpus release
+    * ships: per source, how many documents survive each stage of
+    * dedup (exact groups + near-dup components) → quality gate (length/
+    * TTR/stopword cascade) → importance sampling, and the final token
+    * budget. The stages COMPOSE the registered operators' exact logic
+    * (keepVerdict from DedupOps, the shared gate/quality builders), so the
+    * funnel is also an integration check that the stages agree with their
+    * individually-oracled forms. Shape: the gate and sampling flags are
+    * in-row; the only joins are the dedup verdict (doc-keyed, 1:1) — one
+    * keyed shuffle + one source-keyed aggregation over flag columns. */
+  private val pipeCurationFunnel = GraftQuery(
+    "pipe_curation_funnel",
+    "per-source curation funnel: raw -> dedup -> quality gate -> sampling + token budget",
+    (s, d) => {
+      import graft.functions.GraftFunctions.{stopRatio => stopR}
+      val t = tokens(col("text"))
+      val nTok = size(t)
+      val ttr = size(array_distinct(t)).cast("double") / nTok
+      val gateKeep = nTok.between(20, 200) && ttr >= 0.4 && stopR(t) >= 0.05
+      val w = lit(0.2) + lit(0.8) *
+        qualityScore(stopR(t), longRatio(t), lenOk(t))
+      val u01 = md5u32(concat(lit("imp:"), col("doc_id").cast("string")))
+        .cast("double") / lit(4294967296.0)
+      val flags = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), nTok.cast("long").as("n_tok"),
+          gateKeep.as("gate_keep"), (u01 < w).as("samp_keep"))
+        .join(DedupOps.keepVerdict(s, d).select(col("doc_id"), col("keep")),
+          Seq("doc_id"))
+      flags.groupBy("source")
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("keep") === 1, 1L).otherwise(0L)).as("n_dedup"),
+          sum(when(col("keep") === 1 && col("gate_keep"), 1L).otherwise(0L))
+            .as("n_gate"),
+          sum(when(col("keep") === 1 && col("gate_keep") && col("samp_keep"), 1L)
+            .otherwise(0L)).as("n_final"),
+          sum(when(col("keep") === 1 && col("gate_keep") && col("samp_keep"),
+            col("n_tok")).otherwise(0L)).as("tokens_final"))
+        .orderBy("source")
+    },
+    Some(graft.operators.DedupOps.keepVerdictCtes +
+      s""", g AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tok, (len(t) BETWEEN 20 AND 200 AND CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.4 AND CAST(len(list_filter(t, x -> x IN (${graft.functions.GraftFunctions.stopwordsSqlList}))) AS DOUBLE) / len(t) >= 0.05) AS gate_keep, (CAST(${graft.functions.GraftFunctions.md5u32Sql("md5('imp:' || CAST(doc_id AS VARCHAR))")} AS DOUBLE) / 4294967296.0 < 0.2 + 0.8 * (CAST(len(list_filter(t, x -> x IN (${graft.functions.GraftFunctions.stopwordsSqlList}))) AS DOUBLE) / len(t) * 0.3 + CAST(len(list_filter(t, x -> length(x) > 4)) AS DOUBLE) / len(t) * 0.4 + (CASE WHEN len(t) BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END) * 0.3)) AS samp_keep FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents)) SELECT source, count(*) AS n_raw, CAST(sum(CASE WHEN kv.keep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup, CAST(sum(CASE WHEN kv.keep = 1 AND gate_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_gate, CAST(sum(CASE WHEN kv.keep = 1 AND gate_keep AND samp_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_final, CAST(sum(CASE WHEN kv.keep = 1 AND gate_keep AND samp_keep THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_final FROM g JOIN kv USING (doc_id) GROUP BY source ORDER BY source"""))
+
   val all: Seq[GraftQuery] = Seq(
     sampHashSplit, arrHofStats, evtFunnel, aggMode, calGapFill, calInterpolate,
-    pipePack, pipeMixWeights, pipeChunk, pipeFilterGate)
+    pipePack, pipeMixWeights, pipeChunk, pipeFilterGate, pipeCurationFunnel)
 }

@@ -70,6 +70,27 @@ class GraphTextOpsSpec extends AnyFunSuite {
       "trade graph must surface both customers and suppliers in the top-30")
   }
 
+  test("pipe_curation_funnel: totals equal composing the individually-registered stages") {
+    val funnel = run("pipe_curation_funnel").collect()
+    val keep = run("dedup_keep_list").collect()
+      .filter(_.getInt(1) == 1).map(_.getLong(0)).toSet
+    val gate = run("pipe_filter_gate").collect()
+      .filter(_.getInt(5) == 1).map(_.getLong(0)).toSet
+    val samp = run("samp_importance").collect().map(_.getLong(0)).toSet
+    val nTok = run("txt_token_stats").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val finalIds = keep & gate & samp
+    assert(funnel.map(_.getLong(2)).sum == keep.size, "n_dedup")
+    assert(funnel.map(_.getLong(3)).sum == (keep & gate).size, "n_gate")
+    assert(funnel.map(_.getLong(4)).sum == finalIds.size, "n_final")
+    assert(funnel.map(_.getLong(5)).sum == finalIds.toSeq.map(nTok).sum, "tokens_final")
+    // the funnel must actually narrow (each stage drops something at sf0.001)
+    val (raw, ded, gat, fin) = (funnel.map(_.getLong(1)).sum,
+      funnel.map(_.getLong(2)).sum, funnel.map(_.getLong(3)).sum,
+      funnel.map(_.getLong(4)).sum)
+    assert(raw > ded && ded > gat && gat > fin && fin > 0, s"$raw>$ded>$gat>$fin>0")
+  }
+
   test("mv_scd2_merge: exactly one current version per key, seamless validity chains") {
     val rows = run("mv_scd2_merge").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
