@@ -120,7 +120,7 @@ object GraphOps {
           expr("id div 2").as("key"),
           col("fp").as("rank_fp"))
     },
-    Some("""WITH e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1), n AS (SELECT count(*) AS n FROM dg), r0 AS (SELECT src AS id, CAST(floor(1e12 / n + 0.5) AS BIGINT) AS fp FROM dg CROSS JOIN n), s1 AS (SELECT e.dst AS id, sum((r.fp * 85) // (100 * dg.deg)) AS contrib FROM e JOIN r0 r ON e.src = r.id JOIN dg ON e.src = dg.src GROUP BY 1), r1 AS (SELECT id, CAST(floor(1.5e11 / n + 0.5) AS BIGINT) + contrib AS fp FROM s1 CROSS JOIN n), s2 AS (SELECT e.dst AS id, sum((r.fp * 85) // (100 * dg.deg)) AS contrib FROM e JOIN r1 r ON e.src = r.id JOIN dg ON e.src = dg.src GROUP BY 1), r2 AS (SELECT id, CAST(floor(1.5e11 / n + 0.5) AS BIGINT) + contrib AS fp FROM s2 CROSS JOIN n), s3 AS (SELECT e.dst AS id, sum((r.fp * 85) // (100 * dg.deg)) AS contrib FROM e JOIN r2 r ON e.src = r.id JOIN dg ON e.src = dg.src GROUP BY 1), r3 AS (SELECT id, CAST(floor(1.5e11 / n + 0.5) AS BIGINT) + contrib AS fp FROM s3 CROSS JOIN n) SELECT id, CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind, id // 2 AS key, fp AS rank_fp FROM r3 ORDER BY fp DESC, id LIMIT 30"""))
+    Some("""WITH e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1), n AS (SELECT count(*) AS n FROM dg), r0 AS (SELECT src AS id, CAST(floor(1e12 / n + 0.5) AS BIGINT) AS fp FROM dg CROSS JOIN n), s1 AS (SELECT e.dst AS id, CAST(sum((r.fp * 85) // (100 * dg.deg)) AS BIGINT) AS contrib FROM e JOIN r0 r ON e.src = r.id JOIN dg ON e.src = dg.src GROUP BY 1), r1 AS (SELECT id, CAST(floor(1.5e11 / n + 0.5) AS BIGINT) + contrib AS fp FROM s1 CROSS JOIN n), s2 AS (SELECT e.dst AS id, CAST(sum((r.fp * 85) // (100 * dg.deg)) AS BIGINT) AS contrib FROM e JOIN r1 r ON e.src = r.id JOIN dg ON e.src = dg.src GROUP BY 1), r2 AS (SELECT id, CAST(floor(1.5e11 / n + 0.5) AS BIGINT) + contrib AS fp FROM s2 CROSS JOIN n), s3 AS (SELECT e.dst AS id, CAST(sum((r.fp * 85) // (100 * dg.deg)) AS BIGINT) AS contrib FROM e JOIN r2 r ON e.src = r.id JOIN dg ON e.src = dg.src GROUP BY 1), r3 AS (SELECT id, CAST(floor(1.5e11 / n + 0.5) AS BIGINT) + contrib AS fp FROM s3 CROSS JOIN n) SELECT id, CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind, id // 2 AS key, fp AS rank_fp FROM r3 ORDER BY fp DESC, id LIMIT 30"""))
 
   /** Degree profile of the trade graph per node kind — the sanity read any
     * graph pipeline runs before ranking (detects disconnected/skewed

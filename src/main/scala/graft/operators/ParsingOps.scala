@@ -293,7 +293,7 @@ object ParsingOps {
           " AS (column, n, nulls, n_distinct, min_v, max_v)")
         .orderBy("column")
     },
-    Some("""WITH a AS (SELECT count(*) AS n, sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS k_nulls, count(DISTINCT o_orderkey) AS k_distinct, CAST(min(o_orderkey) AS VARCHAR) AS k_min, CAST(max(o_orderkey) AS VARCHAR) AS k_max, sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c_nulls, count(DISTINCT o_custkey) AS c_distinct, CAST(min(o_custkey) AS VARCHAR) AS c_min, CAST(max(o_custkey) AS VARCHAR) AS c_max, sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS p_nulls, count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT)) AS p_distinct, CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR) AS p_min, CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR) AS p_max, sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS s_nulls, count(DISTINCT o_orderpriority) AS s_distinct, min(o_orderpriority) AS s_min, max(o_orderpriority) AS s_max FROM orders) SELECT * FROM (SELECT 'o_orderkey' AS "column", n, k_nulls AS nulls, k_distinct AS n_distinct, k_min AS min_v, k_max AS max_v FROM a UNION ALL SELECT 'o_custkey', n, c_nulls, c_distinct, c_min, c_max FROM a UNION ALL SELECT 'o_totalprice_c', n, p_nulls, p_distinct, p_min, p_max FROM a UNION ALL SELECT 'o_orderpriority', n, s_nulls, s_distinct, s_min, s_max FROM a) ORDER BY "column""""))
+    Some("""WITH a AS (SELECT count(*) AS n, CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls, count(DISTINCT o_orderkey) AS k_distinct, CAST(min(o_orderkey) AS VARCHAR) AS k_min, CAST(max(o_orderkey) AS VARCHAR) AS k_max, CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_nulls, count(DISTINCT o_custkey) AS c_distinct, CAST(min(o_custkey) AS VARCHAR) AS c_min, CAST(max(o_custkey) AS VARCHAR) AS c_max, CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls, count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT)) AS p_distinct, CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR) AS p_min, CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR) AS p_max, CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_nulls, count(DISTINCT o_orderpriority) AS s_distinct, min(o_orderpriority) AS s_min, max(o_orderpriority) AS s_max FROM orders) SELECT * FROM (SELECT 'o_orderkey' AS "column", n, k_nulls AS nulls, k_distinct AS n_distinct, k_min AS min_v, k_max AS max_v FROM a UNION ALL SELECT 'o_custkey', n, c_nulls, c_distinct, c_min, c_max FROM a UNION ALL SELECT 'o_totalprice_c', n, p_nulls, p_distinct, p_min, p_max FROM a UNION ALL SELECT 'o_orderpriority', n, s_nulls, s_distinct, s_min, s_max FROM a) ORDER BY "column""""))
 
   /** Expectation checks — the dbt-test/assertion verb that gates a
     * pipeline stage: each rule computes its VIOLATION count (0 = pass) in

@@ -30,6 +30,13 @@ def compare(name, mine: pd.DataFrame, oracle: pd.DataFrame):
     a, b = norm(mine), norm(oracle)
     for c in a.columns:
         x, y = a[c], b[c]
+        # The driver hashes raw values, so int64 0 vs float64 0.0 is a hash
+        # FAIL even though allclose passes. DuckDB sum(BIGINT) -> HUGEINT ->
+        # pandas float64 is the classic cause (round-4 graph_pagerank /
+        # qa_column_profile regression): fail loudly on int-vs-float here.
+        if (x.dtype.kind in "iu" and y.dtype.kind == "f") or (x.dtype.kind == "f" and y.dtype.kind in "iu"):
+            return (f"FAIL col {c}: int-vs-float dtype mismatch ({x.dtype} vs {y.dtype}) — "
+                    f"driver hash WILL fail; CAST the oracle sum/expr to BIGINT")
         if x.dtype.kind == "f" or y.dtype.kind == "f":
             ok = np.allclose(x.astype(float).fillna(-1e308), y.astype(float).fillna(-1e308),
                              rtol=0, atol=1e-9)
