@@ -25,6 +25,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    QuietLogs.quietBenignWindowWarnings()
     // JVM+Spark warmup on the smallest SF so codegen/classloading cost
     // doesn't land on the first measured query.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()

@@ -62,6 +62,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleGenerator(exprs(0),
           exprs(1).eval().asInstanceOf[Number].intValue(), unique = true)
       }))
+    // cluster-wide parity with GraftExpressions.ensureRegistered: Spark's
+    // own Bloom expressions (in-plan mergeable build + codegen probe),
+    // which core never registers publicly
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"graft_bloom_agg expects 3 arguments (hash, est_items, num_bits), got ${exprs.length}")
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_might_contain expects 2 arguments (bloom, hash), got ${exprs.length}")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))
+      }))
     ext.injectOptimizerRule(_ => SelfDotRewrite)
   }
 }

@@ -14,9 +14,14 @@ object GraftFunctions {
     * (order-independent) integers, so statistics derived from them are
     * bit-identical across engines, partition counts, and replays — unlike
     * floating-point sums, whose last-ulp noise can flip a rounding boundary.
-    * DuckDB equivalent: CAST(round(x * 100) AS BIGINT).
+    * Spelled floor(x*100 + 0.5) — NOT engine round() — for the same reason
+    * as [[fround]]: Spark's round() goes through BigDecimal HALF_UP of the
+    * shortest decimal string while DuckDB's multiplies and rounds, so a
+    * boundary double (x.xx5) can scale to different integers. floor is the
+    * same IEEE arithmetic in both engines. DuckDB equivalent (keep in
+    * lockstep everywhere): CAST(floor(x * 100 + 0.5) AS BIGINT).
     */
-  def centi(c: Column): Column = round(c * 100, 0).cast("long")
+  def centi(c: Column): Column = floor(c * 100 + 0.5).cast("long")
 
   /** Engine-portable rounding for division-derived doubles. Spark's round()
     * goes through the shortest decimal string (BigDecimal HALF_UP) while

@@ -75,5 +75,21 @@ object GraftExpressions {
       exprs => ShingleGenerator(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(), unique = true),
       "scala_udf")
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its own
+    // runtime row-level filtering but does not put them in the public
+    // function registry; exposing them keeps Bloom builds IN-PLAN (a
+    // partial-aggregatable TypedImperativeAggregate — sketches merge
+    // map-side) and probes in whole-stage codegen, vs. an eager
+    // driver-coordinated stat.bloomFilter build + Scala-UDF probe.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)),
+      "scala_udf")
   }
 }

@@ -49,7 +49,7 @@ object AnalyticsOps {
           fround(col("vcs").cast("double") / 100.0, 2).as("total_value"))
         .orderBy("user_id", "sess")
     },
-    Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, CAST(round(value * 100) AS BIGINT) AS vc FROM events), o AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM ev), m AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s FROM o), x AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM m) SELECT user_id, sess, count(*) AS n_events, min(us) AS start_us, floor((max(us) - min(us)) / 1000000.0 * 1000.0 + 0.5) / 1000.0 AS dur_s, floor(CAST(sum(vc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value FROM x GROUP BY 1, 2 ORDER BY 1, 2"""))
+    Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events), o AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM ev), m AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s FROM o), x AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM m) SELECT user_id, sess, count(*) AS n_events, min(us) AS start_us, floor((max(us) - min(us)) / 1000000.0 * 1000.0 + 0.5) / 1000.0 AS dur_s, floor(CAST(sum(vc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value FROM x GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** Lag/lead value deltas per user's purchase sequence: the spend-trend
     * query. Deltas are integer centi-unit differences, so their distributed
@@ -76,7 +76,7 @@ object AnalyticsOps {
           fround(col("min_dc").cast("double") / 100.0, 2).as("min_delta"))
         .orderBy("user_id")
     },
-    Some("""WITH p AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, CAST(round(value * 100) AS BIGINT) AS vc FROM events WHERE event_type = 'purchase'), dl AS (SELECT user_id, vc - lag(vc) OVER (PARTITION BY user_id ORDER BY us, event_id) AS dc FROM p) SELECT user_id, count(*) AS n_deltas, floor(CAST(sum(dc) AS DOUBLE) / count(*) / 100.0 * 10000.0 + 0.5) / 10000.0 AS avg_delta, floor(CAST(max(dc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS max_delta, floor(CAST(min(dc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS min_delta FROM dl WHERE dc IS NOT NULL GROUP BY 1 ORDER BY 1"""))
+    Some("""WITH p AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events WHERE event_type = 'purchase'), dl AS (SELECT user_id, vc - lag(vc) OVER (PARTITION BY user_id ORDER BY us, event_id) AS dc FROM p) SELECT user_id, count(*) AS n_deltas, floor(CAST(sum(dc) AS DOUBLE) / count(*) / 100.0 * 10000.0 + 0.5) / 10000.0 AS avg_delta, floor(CAST(max(dc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS max_delta, floor(CAST(min(dc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS min_delta FROM dl WHERE dc IS NOT NULL GROUP BY 1 ORDER BY 1"""))
 
   /** Interpolated quartiles per event type. Both engines use the same
     * linear-interpolation definition (Spark `percentile`, DuckDB
@@ -102,7 +102,7 @@ object AnalyticsOps {
         fround(col("p75c") / 100.0, 4).as("p75"),
         col("cnt"))
       .orderBy("event_type"),
-    Some("""SELECT event_type, floor(quantile_cont(vc, 0.25) / 100.0 * 10000.0 + 0.5) / 10000.0 AS p25, floor(quantile_cont(vc, 0.5) / 100.0 * 10000.0 + 0.5) / 10000.0 AS p50, floor(quantile_cont(vc, 0.75) / 100.0 * 10000.0 + 0.5) / 10000.0 AS p75, count(*) AS cnt FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events) GROUP BY 1 ORDER BY 1"""))
+    Some("""SELECT event_type, floor(quantile_cont(vc, 0.25) / 100.0 * 10000.0 + 0.5) / 10000.0 AS p25, floor(quantile_cont(vc, 0.5) / 100.0 * 10000.0 + 0.5) / 10000.0 AS p50, floor(quantile_cont(vc, 0.75) / 100.0 * 10000.0 + 0.5) / 10000.0 AS p75, count(*) AS cnt FROM (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events) GROUP BY 1 ORDER BY 1"""))
 
   /** Pearson correlation + population covariance of (value, hour-of-day)
     * per event type — computed FROM EXACT INTEGER MOMENTS (Σx, Σy, Σxy,
@@ -134,7 +134,7 @@ object AnalyticsOps {
             4).as("covar_pop"))
         .orderBy("event_type")
     },
-    Some("""WITH m AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x, CAST(hour(ts) AS BIGINT) AS y FROM events) GROUP BY 1) SELECT event_type, n, floor(CAST(n*sxy - sx*sy AS DOUBLE) / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS corr, floor((CAST(sxy AS DOUBLE)/n - CAST(sx AS DOUBLE)/n * (CAST(sy AS DOUBLE)/n)) / 100.0 * 10000.0 + 0.5) / 10000.0 AS covar_pop FROM m ORDER BY 1"""))
+    Some("""WITH m AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS x, CAST(hour(ts) AS BIGINT) AS y FROM events) GROUP BY 1) SELECT event_type, n, floor(CAST(n*sxy - sx*sy AS DOUBLE) / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS corr, floor((CAST(sxy AS DOUBLE)/n - CAST(sx AS DOUBLE)/n * (CAST(sy AS DOUBLE)/n)) / 100.0 * 10000.0 + 0.5) / 10000.0 AS covar_pop FROM m ORDER BY 1"""))
 
   /** Skew-aware fact⋈dim join via salting: the fact side's hot keys are
     * spread over SALT buckets (salt = event_id % SALT, deterministic) and
@@ -162,7 +162,7 @@ object AnalyticsOps {
           fround(sum("vc").cast("double") / 100.0, 2).as("total_value"))
         .orderBy("n_name")
     },
-    Some("""SELECT n_name, count(*) AS cnt, floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value FROM events JOIN customer ON user_id = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY 1 ORDER BY 1"""))
+    Some("""SELECT n_name, count(*) AS cnt, floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value FROM events JOIN customer ON user_id = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY 1 ORDER BY 1"""))
 
   /** TF-IDF top-3 terms per document. tf and df are exact integer counts;
     * idf = ln((N+1)/(df+1)) is the same libm call on identical inputs in
@@ -246,7 +246,7 @@ object AnalyticsOps {
           fround(coalesce(col(k), lit(0L)).cast("double") / 100.0, 2).as(s"${k}_total")): _*)
         .orderBy("user_id")
     },
-    Some("""SELECT user_id, floor(CAST(sum(CASE WHEN event_type = 'click' THEN vc ELSE 0 END) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS click_total, floor(CAST(sum(CASE WHEN event_type = 'error' THEN vc ELSE 0 END) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS error_total, floor(CAST(sum(CASE WHEN event_type = 'purchase' THEN vc ELSE 0 END) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS purchase_total, floor(CAST(sum(CASE WHEN event_type = 'signup' THEN vc ELSE 0 END) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS signup_total, floor(CAST(sum(CASE WHEN event_type = 'view' THEN vc ELSE 0 END) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS view_total FROM (SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events) GROUP BY 1 ORDER BY 1"""))
+    Some("""SELECT user_id, floor(CAST(sum(CASE WHEN event_type = 'click' THEN vc ELSE 0 END) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS click_total, floor(CAST(sum(CASE WHEN event_type = 'error' THEN vc ELSE 0 END) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS error_total, floor(CAST(sum(CASE WHEN event_type = 'purchase' THEN vc ELSE 0 END) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS purchase_total, floor(CAST(sum(CASE WHEN event_type = 'signup' THEN vc ELSE 0 END) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS signup_total, floor(CAST(sum(CASE WHEN event_type = 'view' THEN vc ELSE 0 END) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS view_total FROM (SELECT user_id, event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events) GROUP BY 1 ORDER BY 1"""))
 
   /** Native session_window (the built-in that replaces the two-window
     * formulation of win_session; also valid in streaming groupBy). Boundary
@@ -266,7 +266,7 @@ object AnalyticsOps {
         col("n_events"),
         fround(col("vcs").cast("double") / 100.0, 2).as("total_value"))
       .orderBy("user_id", "start_us"),
-    Some("""WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, CAST(round(value * 100) AS BIGINT) AS vc FROM events), o AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM ev), m AS (SELECT *, CASE WHEN prev IS NULL OR us - prev >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_s FROM o), x AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sess FROM m) SELECT user_id, min(us) AS start_us, max(us) + 1800 * 1000000 AS end_us, count(*) AS n_events, floor(CAST(sum(vc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value FROM x GROUP BY user_id, sess ORDER BY 1, 2"""))
+    Some("""WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events), o AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM ev), m AS (SELECT *, CASE WHEN prev IS NULL OR us - prev >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_s FROM o), x AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM m) SELECT user_id, min(us) AS start_us, max(us) + 1800 * 1000000 AS end_us, count(*) AS n_events, floor(CAST(sum(vc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value FROM x GROUP BY user_id, sess ORDER BY 1, 2"""))
 
   /** The sketch path for percentiles: approx_percentile (KLL-style,
     * mergeable, constant memory) next to the exact values — at 100 TB the
@@ -306,7 +306,7 @@ object AnalyticsOps {
           count(lit(1)).as("cnt"))
         .orderBy("event_type")
     },
-    Some("""SELECT event_type, arg_max(event_id, vc * 4294967296 + event_id) AS max_value_event, arg_min(event_id, vc * 4294967296 + event_id) AS min_value_event, count(*) AS cnt FROM (SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS vc FROM events) GROUP BY 1 ORDER BY 1"""))
+    Some("""SELECT event_type, arg_max(event_id, vc * 4294967296 + event_id) AS max_value_event, arg_min(event_id, vc * 4294967296 + event_id) AS min_value_event, count(*) AS cnt FROM (SELECT event_type, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events) GROUP BY 1 ORDER BY 1"""))
 
   /** Map-typed column surface: per-user event_type→count built as a real
     * MapType (map_from_entries over the grouped counts), consumed through

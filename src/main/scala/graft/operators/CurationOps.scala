@@ -78,6 +78,8 @@ object CurationOps {
     * permutation at scale is sortWithinPartitions on ranges of the same
     * key; the prefix is what an eval-split or smoke-batch consumes. */
   private val shufflePrefix = {
+    // the OVER (ORDER BY ...) window is unpartitioned on purpose: it runs
+    // over the 200-row LIMIT prefix — audited benign (see QuietLogs)
     def sql(strTy: String) =
       s"""SELECT row_number() OVER (ORDER BY h, doc_id) AS pos, doc_id, h
          |FROM (SELECT doc_id, md5(CAST(doc_id AS $strTy)) AS h

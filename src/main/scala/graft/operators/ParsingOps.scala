@@ -35,7 +35,7 @@ object ParsingOps {
           max("event_id").as("max_id"))
         .orderBy("event_type")
     },
-    Some("""SELECT event_type, count(*) AS cnt, floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total, max(event_id) AS max_id FROM events GROUP BY 1 ORDER BY 1"""))
+    Some("""SELECT event_type, count(*) AS cnt, floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total, max(event_id) AS max_id FROM events GROUP BY 1 ORDER BY 1"""))
 
   /** S14: typed JSON decode — from_json into a struct (the reference's
     * json4s `extract[MonthlyCommits]` in KafkaStreamingJson2.scala:53-56). */
@@ -133,12 +133,12 @@ object ParsingOps {
       // DOUBLE — numerically equal but a schema/hash mismatch at the gate.
       s.sql("""CREATE TABLE graft_ctas_nation_customers USING parquet AS
                SELECT n_name, count(*) AS cnt,
-                 CAST(floor(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS DOUBLE) AS total_bal
+                 CAST(floor(CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS DOUBLE) AS total_bal
                FROM customer JOIN nation ON c_nationkey = n_nationkey
                GROUP BY n_name""")
       s.sql("SELECT * FROM graft_ctas_nation_customers ORDER BY n_name")
     },
-    Some("""SELECT n_name, count(*) AS cnt, floor(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_bal FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"""))
+    Some("""SELECT n_name, count(*) AS cnt, floor(CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_bal FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"""))
 
   /** Multimodal decode plumbing as a registered capability: binary payloads
     * → mapPartitions stub decode → per-format stats. The stub decode is
@@ -210,7 +210,7 @@ object ParsingOps {
           fround(sum("vc").cast("double") / 100.0, 2).as("total_value"))
         .orderBy("dy")
     },
-    Some("""SELECT dy, count(*) AS n_users, CAST(sum(cnt) AS BIGINT) AS n_events, floor(CAST(sum(vc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value FROM (SELECT CAST(day(ts) AS INTEGER) AS dy, user_id, count(*) AS cnt, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc FROM events GROUP BY 1, 2) WHERE dy <= 10 GROUP BY dy ORDER BY dy"""))
+    Some("""SELECT dy, count(*) AS n_users, CAST(sum(cnt) AS BIGINT) AS n_events, floor(CAST(sum(vc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value FROM (SELECT CAST(day(ts) AS INTEGER) AS dy, user_id, count(*) AS cnt, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS vc FROM events GROUP BY 1, 2) WHERE dy <= 10 GROUP BY dy ORDER BY dy"""))
 
   /** Dynamic partition pruning — the runtime counterpart of the static
     * dy <= 10 prune above, and the star-schema pattern that matters at
@@ -238,7 +238,7 @@ object ParsingOps {
           fround(sum("vc").cast("double") / 100.0, 2).as("total_value"))
         .orderBy("dy")
     },
-    Some("""WITH r AS (SELECT CAST(day(ts) AS INTEGER) AS dy, user_id, count(*) AS cnt, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc FROM events GROUP BY 1, 2), dim AS (SELECT CAST(day(ts) AS INTEGER) AS dy, sum(CAST(round(value * 100) AS BIGINT)) AS tot FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY tot DESC, dy LIMIT 3) SELECT r.dy, count(*) AS n_users, CAST(sum(cnt) AS BIGINT) AS n_events, floor(CAST(sum(vc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value FROM r JOIN dim ON r.dy = dim.dy GROUP BY r.dy ORDER BY r.dy"""))
+    Some("""WITH r AS (SELECT CAST(day(ts) AS INTEGER) AS dy, user_id, count(*) AS cnt, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS vc FROM events GROUP BY 1, 2), dim AS (SELECT CAST(day(ts) AS INTEGER) AS dy, sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS tot FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY tot DESC, dy LIMIT 3) SELECT r.dy, count(*) AS n_users, CAST(sum(cnt) AS BIGINT) AS n_events, floor(CAST(sum(vc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value FROM r JOIN dim ON r.dy = dim.dy GROUP BY r.dy ORDER BY r.dy"""))
 
   /** Multimodal frame-sampling plumbing as a registered capability: every
     * 16th "frame" of each payload (byte stride in the stub codec; frame
@@ -293,7 +293,46 @@ object ParsingOps {
           " AS (column, n, nulls, n_distinct, min_v, max_v)")
         .orderBy("column")
     },
-    Some("""WITH a AS (SELECT count(*) AS n, CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls, count(DISTINCT o_orderkey) AS k_distinct, CAST(min(o_orderkey) AS VARCHAR) AS k_min, CAST(max(o_orderkey) AS VARCHAR) AS k_max, CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_nulls, count(DISTINCT o_custkey) AS c_distinct, CAST(min(o_custkey) AS VARCHAR) AS c_min, CAST(max(o_custkey) AS VARCHAR) AS c_max, CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls, count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT)) AS p_distinct, CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR) AS p_min, CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR) AS p_max, CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_nulls, count(DISTINCT o_orderpriority) AS s_distinct, min(o_orderpriority) AS s_min, max(o_orderpriority) AS s_max FROM orders) SELECT * FROM (SELECT 'o_orderkey' AS "column", n, k_nulls AS nulls, k_distinct AS n_distinct, k_min AS min_v, k_max AS max_v FROM a UNION ALL SELECT 'o_custkey', n, c_nulls, c_distinct, c_min, c_max FROM a UNION ALL SELECT 'o_totalprice_c', n, p_nulls, p_distinct, p_min, p_max FROM a UNION ALL SELECT 'o_orderpriority', n, s_nulls, s_distinct, s_min, s_max FROM a) ORDER BY "column""""))
+    Some("""WITH a AS (SELECT count(*) AS n, CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls, count(DISTINCT o_orderkey) AS k_distinct, CAST(min(o_orderkey) AS VARCHAR) AS k_min, CAST(max(o_orderkey) AS VARCHAR) AS k_max, CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_nulls, count(DISTINCT o_custkey) AS c_distinct, CAST(min(o_custkey) AS VARCHAR) AS c_min, CAST(max(o_custkey) AS VARCHAR) AS c_max, CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls, count(DISTINCT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS p_distinct, CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS VARCHAR) AS p_min, CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS VARCHAR) AS p_max, CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_nulls, count(DISTINCT o_orderpriority) AS s_distinct, min(o_orderpriority) AS s_min, max(o_orderpriority) AS s_max FROM orders) SELECT * FROM (SELECT 'o_orderkey' AS "column", n, k_nulls AS nulls, k_distinct AS n_distinct, k_min AS min_v, k_max AS max_v FROM a UNION ALL SELECT 'o_custkey', n, c_nulls, c_distinct, c_min, c_max FROM a UNION ALL SELECT 'o_totalprice_c', n, p_nulls, p_distinct, p_min, p_max FROM a UNION ALL SELECT 'o_orderpriority', n, s_nulls, s_distinct, s_min, s_max FROM a) ORDER BY "column""""))
+
+  /** The scale-safe twin of [[qaProfile]]: identical shape, but distinct
+    * cardinalities come from `approx_count_distinct` (HLL++) instead of
+    * exact `countDistinct`. The exact form's three distinct aggregates in
+    * one global agg compile to an Expand that replicates the full scan ×4
+    * into the distinct shuffle — fine at test scale, a corpus-width ×4
+    * shuffle at 100 TB. The HLL form is one partial-aggregatable pass:
+    * sketches merge map-side, nothing but sketch bytes cross the wire, and
+    * the plan has no Expand. Profiling sweeps at scale run THIS one; the
+    * exact twin stays as the DuckDB-oracled correctness anchor. No SQL
+    * oracle (HLL estimates are engine-specific); QaProfileHllSpec asserts
+    * every estimate within 5% of exact and all non-distinct metrics
+    * identical to the exact twin's. */
+  private val qaProfileHll = GraftQuery(
+    "qa_column_profile_hll",
+    "scale-safe column profile: approx_count_distinct sketches, no Expand",
+    (s, d) => {
+      val profiled: Seq[(String, Column)] = Seq(
+        "o_orderkey" -> col("o_orderkey"),
+        "o_custkey" -> col("o_custkey"),
+        "o_totalprice_c" -> graft.functions.GraftFunctions.centi(col("o_totalprice")),
+        "o_orderpriority" -> col("o_orderpriority"))
+      val aggs = count(lit(1)).as("n") +:
+        profiled.zipWithIndex.flatMap { case ((_, c), i) => Seq(
+          sum(when(c.isNull, 1L).otherwise(0L)).as(s"nulls_$i"),
+          // rsd 0.03: 2x the default's register budget buys ~1% observed
+          // error (spec bound 5%), while rsd 0.01's 25x registers cost
+          // ~4x the whole query's runtime for accuracy nothing needs
+          approx_count_distinct(c, 0.03).as(s"distinct_$i"),
+          min(c).cast("string").as(s"min_$i"),
+          max(c).cast("string").as(s"max_$i")) }
+      val stackRows = profiled.zipWithIndex.map { case ((label, _), i) =>
+        s"'$label', n, nulls_$i, distinct_$i, min_$i, max_$i" }.mkString(", ")
+      Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${profiled.size}, $stackRows)" +
+          " AS (column, n, nulls, n_distinct, min_v, max_v)")
+        .orderBy("column")
+    },
+    None)
 
   /** Expectation checks — the dbt-test/assertion verb that gates a
     * pipeline stage: each rule computes its VIOLATION count (0 = pass) in
@@ -382,5 +421,5 @@ object ParsingOps {
   val all: Seq[GraftQuery] = Seq(
     csvRoundtrip, jsonStruct, jsonInferred, dateConstruct, sqlMultikeyJoin,
     mvCascade, sqlCtas, mmDecode, partitionPruned, dppPrune, mmFrameSample,
-    qaProfile, qaExpectations, scd2Merge)
+    qaProfile, qaProfileHll, qaExpectations, scd2Merge)
 }

@@ -65,11 +65,11 @@ object PipelineOps {
         fround(array_min(v), 6).as("vmin"),
         fround(array_max(v), 6).as("vmax"),
         fround(
-          aggregate(v, lit(0L), (acc, x) => acc + round(x * 1e6, 0).cast("long"))
+          aggregate(v, lit(0L), (acc, x) => acc + floor(x * 1e6 + 0.5).cast("long"))
             .cast("double") / size(col("embedding")) / 1e6, 6).as("vmean"))
         .orderBy("vec_id")
     },
-    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings) SELECT vec_id, CAST(len(v) AS INTEGER) AS dim, CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_pos, floor(list_min(v) * 1e6 + 0.5) / 1e6 AS vmin, floor(list_max(v) * 1e6 + 0.5) / 1e6 AS vmax, floor(CAST(CAST(list_sum(list_transform(v, x -> CAST(round(x * 1e6) AS BIGINT))) AS BIGINT) AS DOUBLE) / len(v) / 1e6 * 1e6 + 0.5) / 1e6 AS vmean FROM e ORDER BY vec_id"""))
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings) SELECT vec_id, CAST(len(v) AS INTEGER) AS dim, CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_pos, floor(list_min(v) * 1e6 + 0.5) / 1e6 AS vmin, floor(list_max(v) * 1e6 + 0.5) / 1e6 AS vmax, floor(CAST(CAST(list_sum(list_transform(v, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))) AS BIGINT) AS DOUBLE) / len(v) / 1e6 * 1e6 + 0.5) / 1e6 AS vmean FROM e ORDER BY vec_id"""))
 
   /** STRICT-ordering conversion funnel signup → view → purchase: each
     * stage's timestamp is the first occurrence AFTER the previous stage
@@ -229,7 +229,7 @@ object PipelineOps {
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
         .orderBy("source", "bin")
     },
-    Some("""WITH t AS (SELECT doc_id, source, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ntok FROM documents), c AS (SELECT doc_id, source, ntok, sum(ntok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) SELECT source, CAST(floor((cum - ntok) / 512.0) AS BIGINT) AS bin, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS sum_tokens, min(doc_id) AS first_doc, max(doc_id) AS last_doc FROM c GROUP BY 1, 2 ORDER BY 1, 2"""))
+    Some("""WITH t AS (SELECT doc_id, source, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ntok FROM documents), c AS (SELECT doc_id, source, ntok, CAST(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t) SELECT source, CAST(floor((cum - ntok) / 512.0) AS BIGINT) AS bin, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS sum_tokens, min(doc_id) AS first_doc, max(doc_id) AS last_doc FROM c GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** Domain-mixture reweighting: the static sampling weight per source
     * that equalizes token share (weight = target_share / actual_share,
@@ -244,6 +244,8 @@ object PipelineOps {
     "pipe_mix_weights",
     "per-source mixture weights to equalize token share (uniform target)",
     (s, d) => {
+      // unpartitioned on purpose: runs over the ~#sources-row aggregate,
+      // not the corpus — audited benign (see QuietLogs)
       val w = Window.partitionBy()
       Tables.documents(s, d)
         .select(col("source"), size(tokens(col("text"))).cast("long").as("ntok"))

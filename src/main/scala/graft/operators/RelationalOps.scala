@@ -25,11 +25,11 @@ object RelationalOps {
     * units. Distributed sums of it are order-independent, making both the
     * rounded output AND any ordering on it bit-deterministic across engines
     * (a float sum's last ulp can flip a 0.005 rounding boundary or a top-k
-    * cut). DuckDB spelling: CAST(round(l_extendedprice*100) AS BIGINT) *
-    * (100 - CAST(round(l_discount*100) AS BIGINT)). */
+    * cut). DuckDB spelling: CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+    * * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT)). */
   private val revC = centi(col("l_extendedprice")) * (lit(100L) - centi(col("l_discount")))
   private val revCSql =
-    "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
 
   /** TPC-H Q1 shape — the flagship pricing-summary scan+agg. One shuffle on
     * two low-cardinality keys; partial aggregation does nearly all work
@@ -57,7 +57,7 @@ object RelationalOps {
         fround(col("dc").cast("double") / col("cnt") / 100.0, 4).as("avg_disc"),
         col("cnt"))
       .orderBy("l_returnflag", "l_linestatus"),
-    Some(s"""SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, floor(CAST(rc AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0 AS sum_disc_price, floor(CAST(cc AS DOUBLE) / 1000000.0 * 100.0 + 0.5) / 100.0 AS sum_charge, floor(avg_qty * 10000.0 + 0.5) / 10000.0 AS avg_qty, floor(CAST(pc AS DOUBLE) / cnt / 100.0 * 10000.0 + 0.5) / 10000.0 AS avg_price, floor(CAST(dc AS DOUBLE) / cnt / 100.0 * 10000.0 + 0.5) / 10000.0 AS avg_disc, cnt FROM (SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS sum_base_price, CAST(sum($revCSql) AS BIGINT) AS rc, CAST(sum($revCSql * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS cc, avg(l_quantity) AS avg_qty, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS pc, CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS dc, count(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1, 2) ORDER BY 1, 2"""))
+    Some(s"""SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, floor(CAST(rc AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0 AS sum_disc_price, floor(CAST(cc AS DOUBLE) / 1000000.0 * 100.0 + 0.5) / 100.0 AS sum_charge, floor(avg_qty * 10000.0 + 0.5) / 10000.0 AS avg_qty, floor(CAST(pc AS DOUBLE) / cnt / 100.0 * 10000.0 + 0.5) / 10000.0 AS avg_price, floor(CAST(dc AS DOUBLE) / cnt / 100.0 * 10000.0 + 0.5) / 10000.0 AS avg_disc, cnt FROM (SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS sum_base_price, CAST(sum($revCSql) AS BIGINT) AS rc, CAST(sum($revCSql * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS cc, avg(l_quantity) AS avg_qty, CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS pc, CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS dc, count(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1, 2) ORDER BY 1, 2"""))
 
   /** TPC-H Q3 shape: filtered dim ⋈ fact ⋈ fact, then top-k by revenue.
     * customer is broadcast; orders⋈lineitem shuffles on orderkey once. */
@@ -110,7 +110,7 @@ object RelationalOps {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("cnt"), fround(sum(centi(col("o_totalprice"))).cast("double") / 100.0, 2).as("total"))
       .orderBy("o_orderpriority"),
-    Some("""SELECT o_orderpriority, count(*) AS cnt, floor(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total FROM orders WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45) GROUP BY 1 ORDER BY 1"""))
+    Some("""SELECT o_orderpriority, count(*) AS cnt, floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total FROM orders WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45) GROUP BY 1 ORDER BY 1"""))
 
   /** Left-anti join = NOT EXISTS: customers with no urgent order. */
   private val jAnti = GraftQuery(
@@ -134,7 +134,7 @@ object RelationalOps {
       .agg(count(col("o_orderkey")).as("n_orders"),
         fround(coalesce(sum(centi(col("o_totalprice"))), lit(0L)).cast("double") / 100.0, 2).as("spend"))
       .orderBy("c_custkey"),
-    Some("""SELECT c_custkey, count(o_orderkey) AS n_orders, floor(CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS spend FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1 ORDER BY 1"""))
+    Some("""SELECT c_custkey, count(o_orderkey) AS n_orders, floor(CAST(coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)), 0) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS spend FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1 ORDER BY 1"""))
 
   /** Equi + range (band) join: quantity within ±2 of part size. The equi key
     * carries the join; the range predicate is evaluated as a post-filter, so
@@ -149,7 +149,7 @@ object RelationalOps {
       .groupBy("p_brand")
       .agg(count(lit(1)).as("cnt"), fround(sum(centi(col("l_extendedprice"))).cast("double") / 100.0, 2).as("total"))
       .orderBy("p_brand"),
-    Some("""SELECT p_brand, count(*) AS cnt, floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity BETWEEN p_size - 2 AND p_size + 2 GROUP BY 1 ORDER BY 1"""))
+    Some("""SELECT p_brand, count(*) AS cnt, floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity BETWEEN p_size - 2 AND p_size + 2 GROUP BY 1 ORDER BY 1"""))
 
   /** As-of join: for each purchase, the most recent prior signup by the same
     * user. Implemented with a single sort within user partitions (union the
@@ -213,7 +213,7 @@ object RelationalOps {
         .select("dy", "rev", "ma7", "delta")
         .orderBy("dy")
     },
-    Some("""SELECT dy, rev, floor(CAST(sum(rc) OVER w AS DOUBLE) / count(*) OVER w / 100.0 * 10000.0 + 0.5) / 10000.0 AS ma7, round(rev - lag(rev, 1) OVER (PARTITION BY year(dy) ORDER BY dy), 2) AS delta FROM (SELECT dy, rev, CAST(round(rev * 100) AS BIGINT) AS rc FROM (SELECT CAST(l_shipdate AS DATE) AS dy, floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS rev FROM lineitem GROUP BY 1)) WINDOW w AS (PARTITION BY year(dy) ORDER BY dy ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY dy"""))
+    Some("""SELECT dy, rev, floor(CAST(sum(rc) OVER w AS DOUBLE) / count(*) OVER w / 100.0 * 10000.0 + 0.5) / 10000.0 AS ma7, round(rev - lag(rev, 1) OVER (PARTITION BY year(dy) ORDER BY dy), 2) AS delta FROM (SELECT dy, rev, CAST(round(rev * 100) AS BIGINT) AS rc FROM (SELECT CAST(l_shipdate AS DATE) AS dy, floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS rev FROM lineitem GROUP BY 1)) WINDOW w AS (PARTITION BY year(dy) ORDER BY dy ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY dy"""))
 
   private val setIntersect = GraftQuery(
     "set_intersect",
@@ -278,7 +278,7 @@ object RelationalOps {
       .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
         coalesce(col("mon"), lit(-1)).as("mon"), col("cnt"), col("total"))
       .orderBy("etype", "mon"),
-    Some("""SELECT coalesce(event_type, 'ALL') AS etype, coalesce(mon, -1) AS mon, count(*) AS cnt, floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total FROM (SELECT event_type, CAST(month(ts) AS INTEGER) AS mon, value FROM events) GROUP BY CUBE(event_type, mon) ORDER BY etype, mon"""))
+    Some("""SELECT coalesce(event_type, 'ALL') AS etype, coalesce(mon, -1) AS mon, count(*) AS cnt, floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total FROM (SELECT event_type, CAST(month(ts) AS INTEGER) AS mon, value FROM events) GROUP BY CUBE(event_type, mon) ORDER BY etype, mon"""))
 
   /** GROUPING SETS through the spark.sql entry path (temp views), mirroring
     * the reference's SQL-over-named-tables surface (SampleJoin.scala:40-48). */
@@ -320,7 +320,7 @@ object RelationalOps {
       .select(col("bucket"), col("cnt"),
         fround(col("s").cast("double") / col("cnt") / 100.0, 4).as("avg_val"))
       .orderBy("bucket"),
-    Some("""SELECT bucket, cnt, floor(CAST(s AS DOUBLE) / cnt / 100.0 * 10000.0 + 0.5) / 10000.0 AS avg_val FROM (SELECT TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) % 10 AS bucket, count(*) AS cnt, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s FROM events GROUP BY 1) ORDER BY 1"""))
+    Some("""SELECT bucket, cnt, floor(CAST(s AS DOUBLE) / cnt / 100.0 * 10000.0 + 0.5) / 10000.0 AS avg_val FROM (SELECT TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) % 10 AS bucket, count(*) AS cnt, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s FROM events GROUP BY 1) ORDER BY 1"""))
 
   /** Date-spine generation (ref F6: the lazy day-stream generator becomes
     * sequence + explode) left-joined to actuals so empty days appear. */
@@ -346,7 +346,7 @@ object RelationalOps {
       .groupBy(date_format(col("ts"), "EEEE").as("weekday"))
       .agg(count(lit(1)).as("cnt"), fround(sum(centi(col("value"))).cast("double") / 100.0, 2).as("total"))
       .orderBy("weekday"),
-    Some("""SELECT strftime(ts, '%A') AS weekday, count(*) AS cnt, floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total FROM events GROUP BY 1 ORDER BY 1"""))
+    Some("""SELECT strftime(ts, '%A') AS weekday, count(*) AS cnt, floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total FROM events GROUP BY 1 ORDER BY 1"""))
 
   /** Co-located fact⋈fact join over bucketed tables (Layouts): both sides
     * pre-bucketed by order key, so the join runs with NO exchange on either
@@ -409,7 +409,7 @@ object RelationalOps {
           fround(col("qc").cast("double") / 100.0, 2).as("total_qty"))
         .orderBy(col("total_qty").desc, col("o_orderkey"))
     },
-    Some("""WITH top AS (SELECT l_orderkey, sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qc FROM lineitem GROUP BY 1 ORDER BY qc DESC, l_orderkey LIMIT 100) SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date, floor(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS o_total, floor(CAST(qc AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_qty FROM top JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey ORDER BY total_qty DESC, o_orderkey"""))
+    Some("""WITH top AS (SELECT l_orderkey, sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS qc FROM lineitem GROUP BY 1 ORDER BY qc DESC, l_orderkey LIMIT 100) SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date, floor(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS o_total, floor(CAST(qc AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_qty FROM top JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey ORDER BY total_qty DESC, o_orderkey"""))
 
   /** TPC-H Q10 shape: revenue lost to returned items, per customer, top 20.
     * One fact-fact shuffle (lineitem⋈orders on orderkey, both sides
@@ -493,7 +493,7 @@ object RelationalOps {
           fround(cume_dist().over(w), 6).as("cume"))
         .orderBy("c_mktsegment", "c_custkey")
     },
-    Some("""SELECT c_custkey, c_mktsegment, CAST(ntile(4) OVER w AS INTEGER) AS quartile, floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank, floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY CAST(round(c_acctbal * 100) AS BIGINT), c_custkey) ORDER BY c_mktsegment, c_custkey"""))
+    Some("""SELECT c_custkey, c_mktsegment, CAST(ntile(4) OVER w AS INTEGER) AS quartile, floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank, floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT), c_custkey) ORDER BY c_mktsegment, c_custkey"""))
 
   /** Wide→long reshape via Dataset.unpivot (melt). The wide input is a
     * per-nation aggregate (3 metric columns); unpivot turns each row into
@@ -518,7 +518,7 @@ object RelationalOps {
           "metric", "value")
         .orderBy("n_name", "metric")
     },
-    Some("""WITH wide AS (SELECT n_name, floor(CAST(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_bal, CAST(count(*) AS DOUBLE) AS n_cust, floor(CAST(max(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS max_bal FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name) SELECT n_name, metric, value FROM (SELECT n_name, 'total_bal' AS metric, total_bal AS value FROM wide UNION ALL SELECT n_name, 'n_cust', n_cust FROM wide UNION ALL SELECT n_name, 'max_bal', max_bal FROM wide) ORDER BY n_name, metric"""))
+    Some("""WITH wide AS (SELECT n_name, floor(CAST(CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_bal, CAST(count(*) AS DOUBLE) AS n_cust, floor(CAST(max(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS max_bal FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name) SELECT n_name, metric, value FROM (SELECT n_name, 'total_bal' AS metric, total_bal AS value FROM wide UNION ALL SELECT n_name, 'n_cust', n_cust FROM wide UNION ALL SELECT n_name, 'max_bal', max_bal FROM wide) ORDER BY n_name, metric"""))
 
   /** TPC-H Q7 shape (volume shipping): a six-relation join tree with the
     * nation dimension playing TWO roles (supplier's and customer's). Only
@@ -577,7 +577,7 @@ object RelationalOps {
             .as("second_obs"))
         .orderBy("user_id", "day")
     },
-    Some("""SELECT user_id, day, floor(CAST(CAST(sum(vc) OVER w7 AS BIGINT) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS trail7, count(*) OVER w7 AS n_in_frame, floor(CAST(nth_value(vc, 2) OVER wr AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS second_obs FROM (SELECT user_id, CAST(ts AS DATE) AS day, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS ord FROM events WHERE user_id < 30 GROUP BY 1, 2, 4) WINDOW w7 AS (PARTITION BY user_id ORDER BY ord RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), wr AS (PARTITION BY user_id ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY user_id, day""".stripMargin))
+    Some("""SELECT user_id, day, floor(CAST(CAST(sum(vc) OVER w7 AS BIGINT) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS trail7, count(*) OVER w7 AS n_in_frame, floor(CAST(nth_value(vc, 2) OVER wr AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS second_obs FROM (SELECT user_id, CAST(ts AS DATE) AS day, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS vc, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS ord FROM events WHERE user_id < 30 GROUP BY 1, 2, 4) WINDOW w7 AS (PARTITION BY user_id ORDER BY ord RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), wr AS (PARTITION BY user_id ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY user_id, day""".stripMargin))
 
   /** PURE non-equi join — no equality key at all, only an interval
     * containment predicate, which forces the one join strategy the
@@ -608,7 +608,7 @@ object RelationalOps {
           fround(sum(centi(col("value"))).cast("double") / 100.0, 2).as("total_value"))
         .orderBy("campaign")
     },
-    Some("""SELECT campaign, count(*) AS n_events, count(DISTINCT user_id) AS n_users, floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value FROM events JOIN (VALUES ('wk1_push', DATE '2024-01-03', DATE '2024-01-10'), ('mid_month', DATE '2024-01-08', DATE '2024-01-18'), ('closeout', DATE '2024-01-22', DATE '2024-01-29')) c(campaign, cstart, cend) ON CAST(ts AS DATE) BETWEEN cstart AND cend GROUP BY 1 ORDER BY 1"""))
+    Some("""SELECT campaign, count(*) AS n_events, count(DISTINCT user_id) AS n_users, floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value FROM events JOIN (VALUES ('wk1_push', DATE '2024-01-03', DATE '2024-01-10'), ('mid_month', DATE '2024-01-08', DATE '2024-01-18'), ('closeout', DATE '2024-01-22', DATE '2024-01-29')) c(campaign, cstart, cend) ON CAST(ts AS DATE) BETWEEN cstart AND cend GROUP BY 1 ORDER BY 1"""))
 
   val all: Seq[GraftQuery] = Seq(
     q1, q3, q5, q10Returns, q14Promo, q18TopQuantity, q19Disjunctive, q7Volume,

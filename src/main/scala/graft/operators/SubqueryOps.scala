@@ -30,9 +30,9 @@ object SubqueryOps {
       (s: SparkSession, d: String) => { Tables.register(s, d, tables); s.sql(sparkSql) },
       Some(duckSql))
 
-  private val centiQty = "CAST(round(l_quantity * 100) AS BIGINT)"
+  private val centiQty = "CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)"
   private val revCSql =
-    "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
 
   /** TPC-H Q4 shape (EXISTS → left-semi join). The reference has no
     * subqueries at all; this is the parity extra exercising
@@ -59,10 +59,10 @@ object SubqueryOps {
   private val notExistsIdle = {
     def sql(castBig: String => String) =
       s"""SELECT c_mktsegment, count(*) AS n_cust,
-         |  CAST(floor(CAST(${castBig("sum(CAST(round(c_acctbal * 100) AS BIGINT))")} AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS DOUBLE) AS total_bal
+         |  CAST(floor(CAST(${castBig("sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))")} AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS DOUBLE) AS total_bal
          |FROM customer
-         |WHERE CAST(round(c_acctbal * 100) AS BIGINT) * 2 > (
-         |    SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT))
+         |WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * 2 > (
+         |    SELECT avg(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
          |    FROM customer WHERE c_acctbal > 0.0)
          |  AND NOT EXISTS (SELECT 1 FROM orders
          |                  WHERE o_custkey = c_custkey
@@ -145,7 +145,7 @@ object SubqueryOps {
       """SELECT c_custkey, o.o_orderkey,
         |  CAST(floor(CAST(o.pc AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS DOUBLE) AS o_total
         |FROM customer,
-        |  LATERAL (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+        |  LATERAL (SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc
         |           FROM orders WHERE o_custkey = c_custkey
         |           ORDER BY pc DESC, o_orderkey LIMIT 2) o
         |WHERE c_custkey % 10 = 0
@@ -164,7 +164,7 @@ object SubqueryOps {
     * quadratic in lineitem at 100 TB. Price compares as exact centi
     * integers, so the = cut is engine-independent. */
   private val minCostJoin = {
-    val priceC = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    val priceC = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
     def sql(castBig: String => String) =
       s"""SELECT p_partkey, p_brand, s_suppkey, s_name,
          |  CAST(floor(CAST(${castBig(priceC)} AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS DOUBLE) AS min_price

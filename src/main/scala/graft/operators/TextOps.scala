@@ -179,31 +179,37 @@ object TextOps {
     },
     Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sh AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in generate_series(1, greatest(len(toks) - 2, 0))]) AS sh FROM t), w AS (SELECT doc_id, count(*) OVER (PARTITION BY sh) AS df FROM sh), a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, CAST(sum(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler FROM w GROUP BY 1) SELECT doc_id, n_spans, n_boiler, floor(CAST(n_boiler AS DOUBLE) / n_spans * 10000.0 + 0.5) / 10000.0 AS boiler_share FROM a ORDER BY doc_id"""))
 
-  /** Bloom filter over the eval split's 4-gram hashes, built once per
-    * corpus dir. The build is an eager (driver-coordinated) pass over the
-    * EVAL split only — inherent to the operator: a Bloom sketch is a
-    * materialized artifact shipped to executors, the same
-    * table-creation-time class as Layouts' bucketed tables and IvfAnn's
-    * stored index, and the eval split is benchmark-sized by definition.
-    * 2^17 expected items / 1% fp ≈ 150 KB — broadcast-trivial even when
-    * the eval set is millions of n-grams. */
-  private val bloomCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.util.sketch.BloomFilter]
-
-  private def evalBloom(s: SparkSession, d: String): org.apache.spark.util.sketch.BloomFilter =
-    bloomCache.getOrElseUpdate(d,
-      DedupOps.shingles4(s, d).filter(col("doc_id") % 100 === 0)
-        .select(xxhash64(col("sh")).as("h"))
-        .stat.bloomFilter("h", 1 << 17, 0.01))
+  /** Bloom sketch sizing: 2^17 expected eval n-grams at 1% fp — the
+    * standard -n·ln(p)/ln(2)² bit count ≈ 1.26 Mbit ≈ 154 KB,
+    * broadcast-trivial even when the eval set is millions of n-grams. */
+  private val bloomItems: Long = 1L << 17
+  private val bloomBits: Long =
+    math.ceil(-bloomItems * math.log(0.01) / (math.log(2) * math.log(2))).toLong
 
   /** Train-side shingles surviving the Bloom prefilter — exposed so the
-    * spec can assert the sketch actually prunes (candidates << train). */
+    * spec can assert the sketch actually prunes (candidates << train).
+    *
+    * The sketch is built IN-PLAN by Spark's own BloomFilterAggregate
+    * (exposed as `graft_bloom_agg` — a partial-aggregatable
+    * TypedImperativeAggregate, so per-partition sketches merge map-side and
+    * only sketch bytes reach the driver) and probed by
+    * BloomFilterMightContain (`graft_might_contain`, whole-stage codegen)
+    * through a scalar subquery: no eager driver-coordinated build, no
+    * driver-side cache to invalidate, no Scala UDF on the probe path. */
   private[graft] def bloomCandidates(s: SparkSession, d: String): DataFrame = {
-    val bf = s.sparkContext.broadcast(evalBloom(s, d))
-    val mightContain = udf((h: Long) => bf.value.mightContainLong(h))
-    DedupOps.shingles4(s, d).filter(col("doc_id") % 100 =!= 0)
-      .select(col("doc_id").as("train_id"), col("sh"))
-      .filter(mightContain(xxhash64(col("sh"))))
+    graft.functions.expressions.GraftExpressions.ensureRegistered(s)
+    // view name is corpus-dir-keyed (HttpIngest spool-token precedent):
+    // concurrent dirs in one session must not clobber each other's view
+    val view = "graft_sh4_" +
+      java.util.UUID.nameUUIDFromBytes(d.getBytes("UTF-8")).toString.replace("-", "").take(12)
+    DedupOps.shingles4(s, d).createOrReplaceTempView(view)
+    s.sql(
+      s"""WITH bf AS (SELECT graft_bloom_agg(xxhash64(sh), CAST($bloomItems AS BIGINT), CAST($bloomBits AS BIGINT)) AS bf
+         |            FROM $view WHERE doc_id % 100 = 0)
+         |SELECT doc_id AS train_id, sh
+         |FROM $view
+         |WHERE doc_id % 100 <> 0
+         |  AND graft_might_contain((SELECT bf FROM bf), xxhash64(sh))""".stripMargin)
   }
 
   /** Decontamination with a Bloom prefilter — the 100 TB shape of
@@ -214,9 +220,9 @@ object TextOps {
     * fp-rate fraction of train shingles instead of all of them. False
     * positives cannot leak into the answer: survivors still pass the exact
     * broadcast join on the shingle itself — which is why this query shares
-    * txt_decontaminate's DuckDB oracle verbatim. The mightContain UDF gates
-    * only the prefilter branch (one long-typed call per shingle); the exact
-    * join stays codegen'd. */
+    * txt_decontaminate's DuckDB oracle verbatim. Build and probe are both
+    * native Catalyst expressions (see [[bloomCandidates]]); the whole
+    * pipeline — sketch, gate, exact join — is one plan with no UDF. */
   private val decontaminateBloom = GraftQuery(
     "txt_decontaminate_bloom",
     "bloom-sketch-prefiltered decontamination, exact-verified (oracle = exact)",
@@ -252,6 +258,8 @@ object TextOps {
       // corpus token total from the (small) vocab table, not a rescan
       val total = vocab.agg(sum("cnt").as("total"))
       val top = vocab.orderBy(desc("cnt"), col("tok")).limit(50)
+      // unpartitioned on purpose: runs over the 50-row top-K, not the
+      // vocabulary — audited benign (see QuietLogs)
       val w = Window.orderBy(desc("cnt"), col("tok"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       top.crossJoin(broadcast(total))
@@ -263,7 +271,7 @@ object TextOps {
           fround(col("cum_share"), 6).as("cum_share"))
         .orderBy("rk")
     },
-    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents), v AS (SELECT tok, count(*) AS cnt, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1), t AS (SELECT sum(cnt) AS total FROM v), top AS (SELECT * FROM v ORDER BY cnt DESC, tok LIMIT 50) SELECT row_number() OVER (ORDER BY cnt DESC, tok) AS rk, tok, cnt, df, floor(CAST(cnt AS DOUBLE) / total * 1000000.0 + 0.5) / 1000000.0 AS share, floor(CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total * 1000000.0 + 0.5) / 1000000.0 AS cum_share FROM top CROSS JOIN t ORDER BY rk"""))
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents), v AS (SELECT tok, count(*) AS cnt, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1), t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v), top AS (SELECT * FROM v ORDER BY cnt DESC, tok LIMIT 50) SELECT row_number() OVER (ORDER BY cnt DESC, tok) AS rk, tok, cnt, df, floor(CAST(cnt AS DOUBLE) / total * 1000000.0 + 0.5) / 1000000.0 AS share, floor(CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total * 1000000.0 + 0.5) / 1000000.0 AS cum_share FROM top CROSS JOIN t ORDER BY rk"""))
 
   /** Unigram language-model scoring — the perplexity-proxy quality signal
     * (CCNet trains a real LM; the unigram model is its exact-arithmetic
@@ -286,7 +294,15 @@ object TextOps {
       // lockstep rounding (see GraftFunctions.fround): floor(x*1e6 + 0.5)
       // spelled identically in both engines — Spark's round() goes through
       // BigDecimal HALF_UP on the shortest decimal string and can disagree
-      // with DuckDB's round() on boundary doubles
+      // with DuckDB's round() on boundary doubles.
+      // ACCEPTED RISK (deliberate): ln() itself is libm, not IEEE-exact —
+      // Java Math.log and DuckDB std::log could differ by 1 ulp, and a
+      // disagreeing ulp landing EXACTLY on a .5 micro-unit boundary would
+      // flip the floor. Both are correctly-rounded to well under 1 ulp and
+      // have matched on every (cnt,total) pair across all three SFs
+      // (txt_tfidf runs the same ln lockstep); a corpus that ever trips
+      // this will surface as a hash mismatch in the driver gate, and the
+      // fallback is to micro-round cnt/total BEFORE the ln on both sides.
       val scored = tok
         .join(broadcast(vocab.crossJoin(total)), Seq("tok"))
         .select(col("doc_id"),
@@ -299,7 +315,7 @@ object TextOps {
             .as("avg_logprob"))
         .orderBy("doc_id")
     },
-    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents), v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1), t AS (SELECT sum(cnt) AS total FROM v), sc AS (SELECT doc_id, CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * 1000000.0 + 0.5) AS BIGINT) AS lp_micro FROM tok JOIN v USING (tok) CROSS JOIN t) SELECT doc_id, count(*) AS n_tok, floor(CAST(sum(lp_micro) AS DOUBLE) / (count(*) * 1000000.0) * 10000.0 + 0.5) / 10000.0 AS avg_logprob FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents), v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1), t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v), sc AS (SELECT doc_id, CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * 1000000.0 + 0.5) AS BIGINT) AS lp_micro FROM tok JOIN v USING (tok) CROSS JOIN t) SELECT doc_id, count(*) AS n_tok, floor(CAST(sum(lp_micro) AS DOUBLE) / (count(*) * 1000000.0) * 10000.0 + 0.5) / 10000.0 AS avg_logprob FROM sc GROUP BY doc_id ORDER BY doc_id"""))
 
   /** BPE-style pretokenization — the GPT-2-family pretokenizer skeleton:
     * split into letter runs, digit runs, and punctuation runs by regex

@@ -31,7 +31,7 @@ object TpchOps {
 
   private val revC = centi(col("l_extendedprice")) * (lit(100L) - centi(col("l_discount")))
   private val revCSql =
-    "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
 
   /** Q4 (order priority checking). Standard form counts orders with any
     * l_commitdate < l_receiptdate line; without those columns "late" is
@@ -67,7 +67,7 @@ object TpchOps {
       .agg(sum(centi(col("l_extendedprice")) * centi(col("l_discount"))).as("rc"),
         count(lit(1)).as("n_lines"))
       .select(fround(col("rc").cast("double") / 10000.0, 2).as("revenue"), col("n_lines")),
-    Some("""SELECT floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0 AS revenue, count(*) AS n_lines FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7 AND l_quantity < 24"""))
+    Some("""SELECT floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0 AS revenue, count(*) AS n_lines FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7 AND l_quantity < 24"""))
 
   /** Q8 (national market share). p_type stands in for the 3-word TPC-H
     * type. Seven relations, ONE fact-fact shuffle (lineitem⋈orders);
@@ -125,7 +125,7 @@ object TpchOps {
           fround(col("ac").cast("double") / 10000.0, 2).as("profit"), col("n_lines"))
         .orderBy(col("nation"), desc("yr"))
     },
-    Some(s"""SELECT nation, yr, floor(CAST(ac AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0 AS profit, n_lines FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS yr, CAST(sum($revCSql - CAST(round(p_retailprice * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS ac, count(*) AS n_lines FROM lineitem JOIN part ON l_partkey = p_partkey JOIN orders ON l_orderkey = o_orderkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey WHERE p_type = 'STANDARD' GROUP BY 1, 2) ORDER BY nation, yr DESC"""))
+    Some(s"""SELECT nation, yr, floor(CAST(ac AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0 AS profit, n_lines FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS yr, CAST(sum($revCSql - CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS ac, count(*) AS n_lines FROM lineitem JOIN part ON l_partkey = p_partkey JOIN orders ON l_orderkey = o_orderkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey WHERE p_type = 'STANDARD' GROUP BY 1, 2) ORDER BY nation, yr DESC"""))
 
   /** Q12 (shipping modes / priority). No l_shipmode ⇒ the grouping key is
     * the shipping-delay bucket (half-year units of shipdate − orderdate;
@@ -234,7 +234,7 @@ object TpchOps {
         .select(fround(col("spc").cast("double") / 100.0 / 7.0, 2).as("avg_yearly"),
           col("n_small"))
     },
-    Some("""WITH bl AS (SELECT l_partkey, CAST(round(l_quantity * 100) AS BIGINT) AS qc, CAST(round(l_extendedprice * 100) AS BIGINT) AS pc FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#13'), pp AS (SELECT l_partkey AS pk, CAST(sum(qc) AS BIGINT) AS sum_qc, count(*) AS cnt FROM bl GROUP BY 1) SELECT floor(CAST(sum(pc) AS DOUBLE) / 100.0 / 7.0 * 100.0 + 0.5) / 100.0 AS avg_yearly, count(*) AS n_small FROM bl JOIN pp ON l_partkey = pk WHERE qc * 2 * cnt < sum_qc"""))
+    Some("""WITH bl AS (SELECT l_partkey, CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc, CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#13'), pp AS (SELECT l_partkey AS pk, CAST(sum(qc) AS BIGINT) AS sum_qc, count(*) AS cnt FROM bl GROUP BY 1) SELECT floor(CAST(sum(pc) AS DOUBLE) / 100.0 / 7.0 * 100.0 + 0.5) / 100.0 AS avg_yearly, count(*) AS n_small FROM bl JOIN pp ON l_partkey = pk WHERE qc * 2 * cnt < sum_qc"""))
 
   /** Q21 (suppliers who kept orders waiting). The classic EXISTS +
     * NOT-EXISTS pair over the same order's other lines, decorrelated into
@@ -301,7 +301,7 @@ object TpchOps {
           fround(sum("balc").cast("double") / 100.0, 2).as("totacctbal"))
         .orderBy("cntry")
     },
-    Some("""WITH cust AS (SELECT c_custkey, c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS balc FROM customer), t AS (SELECT CAST(sum(balc) AS BIGINT) AS sum_pos, count(*) AS n_pos FROM cust WHERE balc > 0) SELECT n_name AS cntry, count(*) AS numcust, floor(CAST(sum(balc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS totacctbal FROM cust CROSS JOIN t JOIN nation ON c_nationkey = n_nationkey WHERE balc * n_pos > sum_pos AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00') GROUP BY 1 ORDER BY 1"""))
+    Some("""WITH cust AS (SELECT c_custkey, c_nationkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS balc FROM customer), t AS (SELECT CAST(sum(balc) AS BIGINT) AS sum_pos, count(*) AS n_pos FROM cust WHERE balc > 0) SELECT n_name AS cntry, count(*) AS numcust, floor(CAST(sum(balc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS totacctbal FROM cust CROSS JOIN t JOIN nation ON c_nationkey = n_nationkey WHERE balc * n_pos > sum_pos AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00') GROUP BY 1 ORDER BY 1"""))
 
   val all: Seq[GraftQuery] = Seq(
     q4Late, q6Forecast, q8Share, q9Profit, q12Priority, q13Distribution,

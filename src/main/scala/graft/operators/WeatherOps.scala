@@ -54,7 +54,7 @@ object WeatherOps {
           graft.functions.GraftFunctions.fround(sqrt(varScaled) / 100.0, 4).as("stdev"))
         .orderBy("user_id", "yr", "mon", "dy")
     },
-    Some("""SELECT user_id, yr, mon, dy, high, low, floor(CAST(s1 AS DOUBLE) / n / 100.0 * 10000.0 + 0.5) / 10000.0 AS mean_val, floor((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n / 10000.0 * 10000.0 + 0.5) / 10000.0 AS variance, floor(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n) / 100.0 * 10000.0 + 0.5) / 10000.0 AS stdev FROM (SELECT user_id, CAST(year(ts) AS INTEGER) AS yr, CAST(month(ts) AS INTEGER) AS mon, CAST(day(ts) AS INTEGER) AS dy, round(max(value), 2) AS high, round(min(value), 2) AS low, count(*) AS n, CAST(sum(iv) AS BIGINT) AS s1, CAST(sum(iv * iv) AS BIGINT) AS s2 FROM (SELECT *, CAST(round(value * 100) AS BIGINT) AS iv FROM events) GROUP BY 1, 2, 3, 4) ORDER BY 1, 2, 3, 4"""))
+    Some("""SELECT user_id, yr, mon, dy, high, low, floor(CAST(s1 AS DOUBLE) / n / 100.0 * 10000.0 + 0.5) / 10000.0 AS mean_val, floor((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n / 10000.0 * 10000.0 + 0.5) / 10000.0 AS variance, floor(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n) / 100.0 * 10000.0 + 0.5) / 10000.0 AS stdev FROM (SELECT user_id, CAST(year(ts) AS INTEGER) AS yr, CAST(month(ts) AS INTEGER) AS mon, CAST(day(ts) AS INTEGER) AS dy, round(max(value), 2) AS high, round(min(value), 2) AS low, count(*) AS n, CAST(sum(iv) AS BIGINT) AS s1, CAST(sum(iv * iv) AS BIGINT) AS s2 FROM (SELECT *, CAST(floor(value * 100 + 0.5) AS BIGINT) AS iv FROM events) GROUP BY 1, 2, 3, 4) ORDER BY 1, 2, 3, 4"""))
 
   /** Monthly hi/low — an aggregation of the daily aggregates (the reference
     * reads back its own daily write-backs: TemperatureActor.scala:65-69). */
@@ -85,7 +85,7 @@ object WeatherOps {
           .as("precip"),
         count(lit(1)).as("cnt"))
       .orderBy("user_id", "yr"),
-    Some("""SELECT user_id, CAST(year(ts) AS INTEGER) AS yr, floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS precip, count(*) AS cnt FROM events WHERE event_type = 'purchase' GROUP BY 1, 2 ORDER BY 1, 2"""))
+    Some("""SELECT user_id, CAST(year(ts) AS INTEGER) AS yr, floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS precip, count(*) AS cnt FROM events WHERE event_type = 'purchase' GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** Top-k daily totals (ref PrecipitationActor.scala:47-55 uses RDD.top(k);
     * Catalyst's TakeOrderedAndProject is the same per-partition-heap+merge
@@ -102,7 +102,7 @@ object WeatherOps {
       .select(col("user_id"), col("dy"),
         round(col("p").cast("double") / 100.0, 2).as("precip"))
       .orderBy(desc("precip"), col("user_id"), col("dy")),
-    Some("""SELECT user_id, dy, round(CAST(p AS DOUBLE) / 100.0, 2) AS precip FROM (SELECT user_id, CAST(ts AS DATE) AS dy, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS p FROM events WHERE event_type = 'purchase' GROUP BY 1, 2 ORDER BY p DESC, user_id, dy LIMIT 10) ORDER BY precip DESC, user_id, dy"""))
+    Some("""SELECT user_id, dy, round(CAST(p AS DOUBLE) / 100.0, 2) AS precip FROM (SELECT user_id, CAST(ts AS DATE) AS dy, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS p FROM events WHERE event_type = 'purchase' GROUP BY 1, 2 ORDER BY p DESC, user_id, dy LIMIT 10) ORDER BY precip DESC, user_id, dy"""))
 
   /** Latest reading per station (ref WeatherStationActor.scala:43-48 relies
     * on Cassandra DESC clustering; here the ordering is explicit — SURVEY §1.4).
@@ -145,7 +145,7 @@ object WeatherOps {
           sum(graft.functions.GraftFunctions.centi(col("value"))).cast("double") / 100.0, 2)
           .as("total"))
       .orderBy("c_mktsegment"),
-    Some("""SELECT c_mktsegment, count(*) AS cnt, floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total FROM events JOIN customer ON user_id = c_custkey GROUP BY 1 ORDER BY 1"""))
+    Some("""SELECT c_mktsegment, count(*) AS cnt, floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total FROM events JOIN customer ON user_id = c_custkey GROUP BY 1 ORDER BY 1"""))
 
   /** Full-scan count (ref A7: SimpleSparkJob.scala:26-31). */
   private val countRaw = GraftQuery(
@@ -179,7 +179,7 @@ object WeatherOps {
           .as("total"),
         count(lit(1)).as("cnt"))
       .orderBy("user_id", "dy"),
-    Some("""SELECT user_id, CAST(ts AS DATE) AS dy, floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total, count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+    Some("""SELECT user_id, CAST(ts AS DATE) AS dy, floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total, count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   val all: Seq[GraftQuery] = Seq(
     dailyStats, monthlyHiLow, annualSum, topK, latest,

@@ -130,6 +130,30 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("qa_column_profile_hll: estimates within 5% of exact twin, other metrics identical") {
+    def byCol(name: String) = run(name).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = byCol("qa_column_profile")
+    val hll = byCol("qa_column_profile_hll")
+    assert(exact.keySet == hll.keySet)
+    exact.foreach { case (c, e) =>
+      val h = hll(c)
+      assert(h.getLong(1) == e.getLong(1) && h.getLong(2) == e.getLong(2) &&
+        h.getString(4) == e.getString(4) && h.getString(5) == e.getString(5),
+        s"$c: non-distinct metrics must be identical to the exact twin")
+      val (est, ex) = (h.getLong(3).toDouble, e.getLong(3).toDouble)
+      assert(math.abs(est - ex) / ex <= 0.05, s"$c: est $est vs exact $ex")
+    }
+    // the point of the twin: the plan must be a plain partial-aggregatable
+    // pass, with no Expand replicating the scan into the distinct shuffle
+    val plan = SparkEntry.queries("qa_column_profile_hll")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "HLL profile plan must not contain Expand")
+    assert(SparkEntry.queries("qa_column_profile")(spark, sf)
+      .queryExecution.executedPlan.toString.contains("Expand"),
+      "exact twin is the Expand form this one exists to avoid")
+  }
+
   test("no degenerate operators: every registered query returns rows at sf0.001") {
     // catches data-dependent degeneracy (empty thresholds, over-filtering)
     // across the whole registry in one sweep — the driver only smoke-checks

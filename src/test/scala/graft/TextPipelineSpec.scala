@@ -27,6 +27,17 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(exact == bloom)
   }
 
+  test("bloom build and probe are native expressions: no UDF anywhere in the plan") {
+    val df = SparkEntry.queries("txt_decontaminate_bloom")(spark, sf)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("ScalaUDF") && !df.queryExecution.analyzed.toString.contains("ScalaUDF"),
+      "bloom path must not fall back to a Scala UDF")
+    assert(physical.contains("might_contain"),
+      "probe must be the native BloomFilterMightContain predicate")
+    assert(physical.contains("bloom_filter_agg") || physical.contains("BloomFilterAggregate"),
+      "sketch must be built in-plan by BloomFilterAggregate")
+  }
+
   test("txt_boilerplate: shares in [0,1], boiler spans never exceed spans") {
     val rows = run("txt_boilerplate").collect()
     assert(rows.nonEmpty)

@@ -28,6 +28,7 @@ def compare(name, mine: pd.DataFrame, oracle: pd.DataFrame):
     if len(mine) != len(oracle):
         return f"FAIL rows: mine={len(mine)} oracle={len(oracle)}"
     a, b = norm(mine), norm(oracle)
+    notes = []
     for c in a.columns:
         x, y = a[c], b[c]
         # The driver hashes raw values, so int64 0 vs float64 0.0 is a hash
@@ -36,7 +37,16 @@ def compare(name, mine: pd.DataFrame, oracle: pd.DataFrame):
         # qa_column_profile regression): fail loudly on int-vs-float here.
         if (x.dtype.kind in "iu" and y.dtype.kind == "f") or (x.dtype.kind == "f" and y.dtype.kind in "iu"):
             return (f"FAIL col {c}: int-vs-float dtype mismatch ({x.dtype} vs {y.dtype}) — "
-                    f"driver hash WILL fail; CAST the oracle sum/expr to BIGINT")
+                    f"driver hash WILL fail; align dtypes: CAST whichever side "
+                    f"widened (usually the DuckDB sum) to BIGINT, or emit a "
+                    f"double on the engine side")
+        # Same-kind width mismatches (int32 vs int64, float32 vs float64)
+        # have never produced a driver hash failure (python ints/floats of
+        # equal value hash identically regardless of storage width), but
+        # surface them so a future width-sensitive driver change is
+        # diagnosable from this log rather than invisible.
+        if x.dtype.kind in "iuf" and y.dtype.kind in "iuf" and x.dtype != y.dtype:
+            notes.append(f"{c}:{x.dtype}/{y.dtype}")
         if x.dtype.kind == "f" or y.dtype.kind == "f":
             ok = np.allclose(x.astype(float).fillna(-1e308), y.astype(float).fillna(-1e308),
                              rtol=0, atol=1e-9)
@@ -48,6 +58,8 @@ def compare(name, mine: pd.DataFrame, oracle: pd.DataFrame):
             bad = (x.astype(str) != y.astype(str))
             i = bad[bad].index[0] if bad.any() else 0
             return f"FAIL col {c}: row {i} mine={x.iloc[i]!r} oracle={y.iloc[i]!r} (dtypes {x.dtype}/{y.dtype})"
+    if notes:
+        compare.last_notes = "; width differs " + ", ".join(notes)
     return None
 
 def main():
@@ -72,8 +84,9 @@ def main():
         except Exception as e:
             results[name] = f"FAIL oracle error: {e}"
             continue
+        compare.last_notes = ""
         err = compare(name, mine, oracle)
-        results[name] = err or f"OK ({len(mine)} rows)"
+        results[name] = err or f"OK ({len(mine)} rows{compare.last_notes})"
     width = max(len(n) for n in results)
     n_ok = sum(1 for v in results.values() if v.startswith("OK"))
     n_skip = sum(1 for v in results.values() if v.startswith("SKIP"))
