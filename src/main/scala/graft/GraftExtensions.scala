@@ -86,6 +86,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_might_contain expects 2 arguments (bloom, hash), got ${exprs.length}")
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_freq_sketch"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.MisraGries].getName, "graft_freq_sketch"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"graft_freq_sketch expects 3 arguments (token, k, top), got ${exprs.length}")
+        require(exprs(1).foldable && exprs(2).foldable,
+          "graft_freq_sketch: k and top must be constants, not columns")
+        graft.functions.expressions.MisraGries(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].intValue())
+      }))
     ext.injectOptimizerRule(_ => SelfDotRewrite)
   }
 }

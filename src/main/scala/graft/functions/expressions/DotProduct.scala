@@ -91,5 +91,13 @@ object GraftExpressions {
       exprs => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs(0), exprs(1)),
       "scala_udf")
+    // mergeable Misra-Gries heavy hitters (k counters per partition, not
+    // vocabulary-sized shuffles) — see MisraGries.scala
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_freq_sketch",
+      exprs => MisraGries(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()),
+      "scala_udf")
   }
 }

@@ -273,6 +273,50 @@ object TextOps {
     },
     Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents), v AS (SELECT tok, count(*) AS cnt, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1), t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v), top AS (SELECT * FROM v ORDER BY cnt DESC, tok LIMIT 50) SELECT row_number() OVER (ORDER BY cnt DESC, tok) AS rk, tok, cnt, df, floor(CAST(cnt AS DOUBLE) / total * 1000000.0 + 0.5) / 1000000.0 AS share, floor(CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total * 1000000.0 + 0.5) / 1000000.0 AS cum_share FROM top CROSS JOIN t ORDER BY rk"""))
 
+  /** The sketch twin of [[vocabTopK]] — mergeable Misra-Gries heavy
+    * hitters as a native TypedImperativeAggregate (see
+    * functions/expressions/MisraGries.scala). Exact vocabulary counting
+    * shuffles every distinct token to its reduce partition; the sketch
+    * moves exactly k counters per partition whatever the vocabulary size,
+    * the same partial-agg shape as `agg_hll_rollup`'s HLL sketches. k=16
+    * (< the corpus's 31-token vocabulary) so the eviction/merge machinery
+    * actually runs at test scale; production sizes k in the thousands.
+    * This synthetic corpus is near-uniform, so every count sits BELOW the
+    * n/(k+1) presence threshold — the heavy-hitter guarantee is
+    * data-limited here (txt_langid precedent: the operator is what's
+    * under test); FreqSketchSpec proves the guarantee on a skewed input.
+    * No SQL oracle (survivor identity below the threshold is
+    * merge-order-dependent); the spec asserts the universal MG bounds
+    * est <= true <= est + max_undercount and max_undercount <= n/(k+1)
+    * against exact counts.
+    *
+    * Bench note: at this toy 31-token vocabulary wall clock is a wash
+    * (0.3-1.7s depending on scan-cache warmth; the object-aggregate
+    * update is interpreted where exact counting is a codegen'd hash
+    * aggregate, but the exact path pays a vocabulary-wide shuffle). The
+    * sketch's structural win is SHUFFLE BYTES: k counters per partition
+    * vs one row per distinct token, which is what matters when the
+    * vocabulary (n-grams, URLs, ids) is billions-cardinality and the
+    * exact shuffle IS the bottleneck — same trade Spark's own hll/approx
+    * sketches make. */
+  private val vocabSketch = GraftQuery(
+    "txt_vocab_sketch",
+    "mergeable Misra-Gries heavy-hitter vocabulary (k=16) with undercount certificate",
+    (s, d) => {
+      graft.functions.expressions.GraftExpressions.ensureRegistered(s)
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .selectExpr("graft_freq_sketch(tok, 16, 10) AS items")
+        .select(posexplode(col("items")).as(Seq("pos", "it")))
+        .select((col("pos") + 1).cast("int").as("rk"),
+          col("it.token").as("token"),
+          col("it.est_cnt").as("est_cnt"),
+          col("it.max_undercount").as("max_undercount"),
+          col("it.n_tokens").as("n_tokens"))
+        .orderBy("rk")
+    },
+    None)
+
   /** Unigram language-model scoring — the perplexity-proxy quality signal
     * (CCNet trains a real LM; the unigram model is its exact-arithmetic
     * skeleton): avg per-token log-probability under the corpus's own
@@ -348,5 +392,5 @@ object TextOps {
 
   val all: Seq[GraftQuery] = Seq(tokenStats, quality, langId, fingerprint,
     topNgrams, repetition, decontaminate, boilerplate, decontaminateBloom,
-    vocabTopK, unigramLogprob, bpePretokenize)
+    vocabTopK, vocabSketch, unigramLogprob, bpePretokenize)
 }
