@@ -20,6 +20,11 @@ package graft
   * keys, restoring the empty spec (and the warning). So the sites keep
   * their design comments and the entry points downgrade ONLY this one
   * logger — every other WARN still reaches the bench/test tail.
+  *
+  * The detection the warning used to provide is NOT lost: PlanQualitySpec
+  * ("no NEW unpartitioned windows") walks every registered query's
+  * physical plan and fails by name on any unpartitioned WindowExec outside
+  * the three-site allowlist — a stronger guard than a log line.
   */
 object QuietLogs {
   def quietBenignWindowWarnings(): Unit =

@@ -81,23 +81,39 @@ object GraftExpressions {
     // partial-aggregatable TypedImperativeAggregate — sketches merge
     // map-side) and probes in whole-stage codegen, vs. an eager
     // driver-coordinated stat.bloomFilter build + Scala-UDF probe.
+    // same argument validation as the GraftExtensions path — the two
+    // registration modes must fail identically for the same bad SQL
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_agg",
-      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
-        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
+      exprs => {
+        require(exprs.length == 3,
+          s"graft_bloom_agg expects 3 arguments (hash, est_items, num_bits), got ${exprs.length}")
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+      },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_might_contain",
-      exprs => org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(exprs(0), exprs(1)),
+      exprs => {
+        require(exprs.length == 2,
+          s"graft_might_contain expects 2 arguments (bloom, hash), got ${exprs.length}")
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs(0), exprs(1))
+      },
       "scala_udf")
     // mergeable Misra-Gries heavy hitters (k counters per partition, not
     // vocabulary-sized shuffles) — see MisraGries.scala
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_freq_sketch",
-      exprs => MisraGries(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue()),
+      exprs => {
+        require(exprs.length == 3,
+          s"graft_freq_sketch expects 3 arguments (token, k, top), got ${exprs.length}")
+        require(exprs(1).foldable && exprs(2).foldable,
+          "graft_freq_sketch: k and top must be constants, not columns")
+        MisraGries(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].intValue())
+      },
       "scala_udf")
   }
 }

@@ -114,12 +114,19 @@ case class MisraGries(
     new GenericArrayData(rows.toArray[Any])
   }
 
+  // length-prefixed UTF-8, NOT writeUTF/readUTF: modified-UTF-8 caps a
+  // string at 65535 encoded bytes, and a whitespace-free >=64 KiB token
+  // (base64 blob, minified JS, long URL — routine junk in web corpora)
+  // would throw UTFDataFormatException mid-shuffle
   override def serialize(b: MGState): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(b.k); out.writeLong(b.decr); out.writeLong(b.n)
     out.writeInt(b.counts.size)
-    b.counts.foreach { case (t, c) => out.writeUTF(t); out.writeLong(c) }
+    b.counts.foreach { case (t, c) =>
+      val bs = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(bs.length); out.write(bs); out.writeLong(c)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -128,7 +135,13 @@ case class MisraGries(
     val st = new MGState(in.readInt())
     st.decr = in.readLong(); st.n = in.readLong()
     var m = in.readInt()
-    while (m > 0) { st.counts.update(in.readUTF(), in.readLong()); m -= 1 }
+    while (m > 0) {
+      val bs = new Array[Byte](in.readInt())
+      in.readFully(bs)
+      st.counts.update(new String(bs, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      m -= 1
+    }
     st
   }
 

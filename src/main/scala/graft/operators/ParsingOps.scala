@@ -46,9 +46,9 @@ object ParsingOps {
       .select(col("value"),
         from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("p"))
       .groupBy((col("p.k") % 5).as("kbucket"))
-      .agg(count(lit(1)).as("cnt"), round(max("value"), 2).as("max_val"))
+      .agg(count(lit(1)).as("cnt"), fround(max("value"), 2).as("max_val"))
       .orderBy("kbucket"),
-    Some("""SELECT TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) % 5 AS kbucket, count(*) AS cnt, round(max(value), 2) AS max_val FROM events GROUP BY 1 ORDER BY 1"""))
+    Some("""SELECT TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) % 5 AS kbucket, count(*) AS cnt, floor(max(value) * 100.0 + 0.5) / 100.0 AS max_val FROM events GROUP BY 1 ORDER BY 1"""))
 
   /** S13: JSON source with INFERRED schema — the reference's
     * `sqlContext.jsonRDD(rdd)` + SQL-over-inferred-columns path

@@ -41,7 +41,7 @@ object RelationalOps {
       .filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
+        fround(sum("l_quantity"), 2).as("sum_qty"),
         fround(sum(centi(col("l_extendedprice"))).cast("double") / 100.0, 2).as("sum_base_price"),
         sum(revC).as("rc"),
         sum(revC * (lit(100L) + centi(col("l_tax")))).as("cc"),
@@ -57,7 +57,7 @@ object RelationalOps {
         fround(col("dc").cast("double") / col("cnt") / 100.0, 4).as("avg_disc"),
         col("cnt"))
       .orderBy("l_returnflag", "l_linestatus"),
-    Some(s"""SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, floor(CAST(rc AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0 AS sum_disc_price, floor(CAST(cc AS DOUBLE) / 1000000.0 * 100.0 + 0.5) / 100.0 AS sum_charge, floor(avg_qty * 10000.0 + 0.5) / 10000.0 AS avg_qty, floor(CAST(pc AS DOUBLE) / cnt / 100.0 * 10000.0 + 0.5) / 10000.0 AS avg_price, floor(CAST(dc AS DOUBLE) / cnt / 100.0 * 10000.0 + 0.5) / 10000.0 AS avg_disc, cnt FROM (SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS sum_base_price, CAST(sum($revCSql) AS BIGINT) AS rc, CAST(sum($revCSql * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS cc, avg(l_quantity) AS avg_qty, CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS pc, CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS dc, count(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1, 2) ORDER BY 1, 2"""))
+    Some(s"""SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, floor(CAST(rc AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0 AS sum_disc_price, floor(CAST(cc AS DOUBLE) / 1000000.0 * 100.0 + 0.5) / 100.0 AS sum_charge, floor(avg_qty * 10000.0 + 0.5) / 10000.0 AS avg_qty, floor(CAST(pc AS DOUBLE) / cnt / 100.0 * 10000.0 + 0.5) / 10000.0 AS avg_price, floor(CAST(dc AS DOUBLE) / cnt / 100.0 * 10000.0 + 0.5) / 10000.0 AS avg_disc, cnt FROM (SELECT l_returnflag, l_linestatus, floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty, floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS sum_base_price, CAST(sum($revCSql) AS BIGINT) AS rc, CAST(sum($revCSql * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))) AS BIGINT) AS cc, avg(l_quantity) AS avg_qty, CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS pc, CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS dc, count(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1, 2) ORDER BY 1, 2"""))
 
   /** TPC-H Q3 shape: filtered dim ⋈ fact ⋈ fact, then top-k by revenue.
     * customer is broadcast; orders⋈lineitem shuffles on orderkey once. */
@@ -209,11 +209,11 @@ object RelationalOps {
         .withColumn("rc", centi(col("rev")))
         .withColumn("ma7", fround(
           sum("rc").over(frame).cast("double") / count(lit(1)).over(frame) / 100.0, 4))
-        .withColumn("delta", round(col("rev") - lag("rev", 1).over(ord), 2))
+        .withColumn("delta", fround(col("rev") - lag("rev", 1).over(ord), 2))
         .select("dy", "rev", "ma7", "delta")
         .orderBy("dy")
     },
-    Some("""SELECT dy, rev, floor(CAST(sum(rc) OVER w AS DOUBLE) / count(*) OVER w / 100.0 * 10000.0 + 0.5) / 10000.0 AS ma7, round(rev - lag(rev, 1) OVER (PARTITION BY year(dy) ORDER BY dy), 2) AS delta FROM (SELECT dy, rev, CAST(round(rev * 100) AS BIGINT) AS rc FROM (SELECT CAST(l_shipdate AS DATE) AS dy, floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS rev FROM lineitem GROUP BY 1)) WINDOW w AS (PARTITION BY year(dy) ORDER BY dy ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY dy"""))
+    Some("""SELECT dy, rev, floor(CAST(sum(rc) OVER w AS DOUBLE) / count(*) OVER w / 100.0 * 10000.0 + 0.5) / 10000.0 AS ma7, floor((rev - lag(rev, 1) OVER (PARTITION BY year(dy) ORDER BY dy)) * 100.0 + 0.5) / 100.0 AS delta FROM (SELECT dy, rev, CAST(floor(rev * 100 + 0.5) AS BIGINT) AS rc FROM (SELECT CAST(l_shipdate AS DATE) AS dy, floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS rev FROM lineitem GROUP BY 1)) WINDOW w AS (PARTITION BY year(dy) ORDER BY dy ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY dy"""))
 
   private val setIntersect = GraftQuery(
     "set_intersect",
@@ -260,12 +260,12 @@ object RelationalOps {
     "GROUP BY ROLLUP with subtotal + grand-total rows",
     (s, d) => Tables.lineitem(s, d)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("qty"))
+      .agg(count(lit(1)).as("cnt"), fround(sum("l_quantity"), 2).as("qty"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
         coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
         col("cnt"), col("qty"))
       .orderBy("rf", "ls"),
-    Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, count(*) AS cnt, round(sum(l_quantity), 2) AS qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls"""))
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, count(*) AS cnt, floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls"""))
 
   private val aggCube = GraftQuery(
     "agg_cube",

@@ -203,13 +203,17 @@ object TextOps {
     val view = "graft_sh4_" +
       java.util.UUID.nameUUIDFromBytes(d.getBytes("UTF-8")).toString.replace("-", "").take(12)
     DedupOps.shingles4(s, d).createOrReplaceTempView(view)
-    s.sql(
+    val df = s.sql(
       s"""WITH bf AS (SELECT graft_bloom_agg(xxhash64(sh), CAST($bloomItems AS BIGINT), CAST($bloomBits AS BIGINT)) AS bf
          |            FROM $view WHERE doc_id % 100 = 0)
          |SELECT doc_id AS train_id, sh
          |FROM $view
          |WHERE doc_id % 100 <> 0
          |  AND graft_might_contain((SELECT bf FROM bf), xxhash64(sh))""".stripMargin)
+    // sql() resolves the view into the plan eagerly, so the view can be
+    // dropped immediately — a query builder must not leak catalog entries
+    s.catalog.dropTempView(view)
+    df
   }
 
   /** Decontamination with a Bloom prefilter — the 100 TB shape of

@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
+import graft.functions.GraftFunctions.fround
 
 /** Reference-parity query surface (killrweather's on-demand query API),
   * mapped onto the driver testdata: `events` plays `raw_weather_data`
@@ -42,8 +43,8 @@ object WeatherOps {
         .groupBy(col("user_id"), year(col("ts")).as("yr"),
           month(col("ts")).as("mon"), dayofmonth(col("ts")).as("dy"))
         .agg(
-          round(max("value"), 2).as("high"),
-          round(min("value"), 2).as("low"),
+          fround(max("value"), 2).as("high"),
+          fround(min("value"), 2).as("low"),
           count(lit(1)).as("n"),
           sum("iv").as("s1"),
           sum(col("iv") * col("iv")).as("s2"))
@@ -54,7 +55,7 @@ object WeatherOps {
           graft.functions.GraftFunctions.fround(sqrt(varScaled) / 100.0, 4).as("stdev"))
         .orderBy("user_id", "yr", "mon", "dy")
     },
-    Some("""SELECT user_id, yr, mon, dy, high, low, floor(CAST(s1 AS DOUBLE) / n / 100.0 * 10000.0 + 0.5) / 10000.0 AS mean_val, floor((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n / 10000.0 * 10000.0 + 0.5) / 10000.0 AS variance, floor(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n) / 100.0 * 10000.0 + 0.5) / 10000.0 AS stdev FROM (SELECT user_id, CAST(year(ts) AS INTEGER) AS yr, CAST(month(ts) AS INTEGER) AS mon, CAST(day(ts) AS INTEGER) AS dy, round(max(value), 2) AS high, round(min(value), 2) AS low, count(*) AS n, CAST(sum(iv) AS BIGINT) AS s1, CAST(sum(iv * iv) AS BIGINT) AS s2 FROM (SELECT *, CAST(floor(value * 100 + 0.5) AS BIGINT) AS iv FROM events) GROUP BY 1, 2, 3, 4) ORDER BY 1, 2, 3, 4"""))
+    Some("""SELECT user_id, yr, mon, dy, high, low, floor(CAST(s1 AS DOUBLE) / n / 100.0 * 10000.0 + 0.5) / 10000.0 AS mean_val, floor((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n / 10000.0 * 10000.0 + 0.5) / 10000.0 AS variance, floor(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n) / 100.0 * 10000.0 + 0.5) / 10000.0 AS stdev FROM (SELECT user_id, CAST(year(ts) AS INTEGER) AS yr, CAST(month(ts) AS INTEGER) AS mon, CAST(day(ts) AS INTEGER) AS dy, floor(max(value) * 100.0 + 0.5) / 100.0 AS high, floor(min(value) * 100.0 + 0.5) / 100.0 AS low, count(*) AS n, CAST(sum(iv) AS BIGINT) AS s1, CAST(sum(iv * iv) AS BIGINT) AS s2 FROM (SELECT *, CAST(floor(value * 100 + 0.5) AS BIGINT) AS iv FROM events) GROUP BY 1, 2, 3, 4) ORDER BY 1, 2, 3, 4"""))
 
   /** Monthly hi/low — an aggregation of the daily aggregates (the reference
     * reads back its own daily write-backs: TemperatureActor.scala:65-69). */
@@ -65,12 +66,12 @@ object WeatherOps {
       val daily = Tables.events(s, d)
         .groupBy(col("user_id"), year(col("ts")).as("yr"),
           month(col("ts")).as("mon"), dayofmonth(col("ts")).as("dy"))
-        .agg(round(max("value"), 2).as("high"), round(min("value"), 2).as("low"))
+        .agg(fround(max("value"), 2).as("high"), fround(min("value"), 2).as("low"))
       daily.groupBy("user_id", "yr", "mon")
         .agg(max("high").as("hi"), min("low").as("lo"))
         .orderBy("user_id", "yr", "mon")
     },
-    Some("""SELECT user_id, yr, mon, max(high) AS hi, min(low) AS lo FROM (SELECT user_id, CAST(year(ts) AS INTEGER) AS yr, CAST(month(ts) AS INTEGER) AS mon, CAST(day(ts) AS INTEGER) AS dy, round(max(value), 2) AS high, round(min(value), 2) AS low FROM events GROUP BY 1, 2, 3, 4) GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+    Some("""SELECT user_id, yr, mon, max(high) AS hi, min(low) AS lo FROM (SELECT user_id, CAST(year(ts) AS INTEGER) AS yr, CAST(month(ts) AS INTEGER) AS mon, CAST(day(ts) AS INTEGER) AS dy, floor(max(value) * 100.0 + 0.5) / 100.0 AS high, floor(min(value) * 100.0 + 0.5) / 100.0 AS low FROM events GROUP BY 1, 2, 3, 4) GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
 
   /** Annual sum per station (ref PrecipitationActor.scala:39-44; 'purchase'
     * events stand in for precipitation readings). */
@@ -100,9 +101,9 @@ object WeatherOps {
       .orderBy(desc("p"), col("user_id"), col("dy"))
       .limit(10)
       .select(col("user_id"), col("dy"),
-        round(col("p").cast("double") / 100.0, 2).as("precip"))
+        fround(col("p").cast("double") / 100.0, 2).as("precip"))
       .orderBy(desc("precip"), col("user_id"), col("dy")),
-    Some("""SELECT user_id, dy, round(CAST(p AS DOUBLE) / 100.0, 2) AS precip FROM (SELECT user_id, CAST(ts AS DATE) AS dy, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS p FROM events WHERE event_type = 'purchase' GROUP BY 1, 2 ORDER BY p DESC, user_id, dy LIMIT 10) ORDER BY precip DESC, user_id, dy"""))
+    Some("""SELECT user_id, dy, floor(CAST(p AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS precip FROM (SELECT user_id, CAST(ts AS DATE) AS dy, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS p FROM events WHERE event_type = 'purchase' GROUP BY 1, 2 ORDER BY p DESC, user_id, dy LIMIT 10) ORDER BY precip DESC, user_id, dy"""))
 
   /** Latest reading per station (ref WeatherStationActor.scala:43-48 relies
     * on Cassandra DESC clustering; here the ordering is explicit — SURVEY §1.4).

@@ -161,6 +161,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("no NEW unpartitioned windows: registry-wide allowlist of single-partition window plans") {
+    // QuietLogs silences WindowExec's no-partition warning for the three
+    // audited-benign sites, so THIS assertion is the guard that used to be
+    // the log line: a corpus-wide unpartitioned window added anywhere in
+    // the registry (the classic scale-killer: every row funnels through
+    // one task) fails here by name instead of scrolling past in a log.
+    val allowed = Set(
+      "txt_vocab_topk",      // windows over the 50-row top-K
+      "pipe_mix_weights",    // window over the ~#sources-row aggregate
+      "samp_shuffle_prefix") // row_number over the 200-row LIMIT prefix
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val unpartitioned =
+        try q.fn(spark, sf).queryExecution.executedPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+              if w.partitionSpec.isEmpty => w
+        }.nonEmpty
+        catch { case _: Throwable => false } // plan-build failures caught elsewhere
+      if (unpartitioned && !allowed.contains(q.name)) Some(q.name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned window in: $offenders — partition it or audit + allowlist it")
+  }
+
   test("partitioned layout prunes at the directory level (PartitionFilters)") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files.createTempDirectory("events-part").toString
