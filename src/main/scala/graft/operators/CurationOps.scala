@@ -216,7 +216,42 @@ object CurationOps {
       Some(oracle))
   }
 
+  /** Weighted reservoir sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES): each row gets key ln(u)/w for a hash-derived uniform u and
+    * weight w; the k largest keys are a weighted sample without
+    * replacement — the exact shape a pretraining mixer uses to draw a
+    * fixed-token budget where longer documents should be proportionally
+    * likelier. Scale shape: the key is a narrow map over the scan and the
+    * top-k is TakeOrderedAndProject (per-partition heaps + driver merge of
+    * k-sized lists — no global sort, no shuffle of the corpus). The
+    * hash-derived u makes the draw reproducible under repartitioning:
+    * a re-run selects the same rows, so downstream caches stay valid.
+    * ln() determinism across engines carries the same accepted 1-ulp risk
+    * documented at txt_unigram_logprob (precedent: txt_tfidf). */
+  private val sampWeightedReservoir = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions._
+    GraftQuery(
+      "samp_weighted_reservoir",
+      "weighted reservoir (A-ES): key = ln(u)/w, top-100 keys, no global sort",
+      (s, d) => {
+        // u in (0,1): +0.5 keeps u strictly positive (md5u32 can be 0, and
+        // ln(0) = -inf would tie every zero-hash row at the bottom)
+        val u01 = (md5u32(concat(lit("res:"), col("doc_id").cast("string")))
+          .cast("double") + lit(0.5)) / lit(4294967296.0)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars").as("w"),
+            (log(u01) / col("n_chars")).as("k"))
+          .orderBy(desc("k"), col("doc_id"))
+          .limit(100)
+          .select(col("doc_id"), col("w"),
+            fround(col("k") * lit(1000000.0), 4).as("key_micro"))
+          .orderBy(desc("key_micro"), col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, w, floor(k * 1000000.0 * 10000.0 + 0.5) / 10000.0 AS key_micro FROM (SELECT doc_id, n_chars AS w, ln((CAST(${md5u32Sql("md5('res:' || CAST(doc_id AS VARCHAR))")} AS DOUBLE) + 0.5) / 4294967296.0) / n_chars AS k FROM documents ORDER BY k DESC, doc_id LIMIT 100) ORDER BY key_micro DESC, doc_id"""))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     sampStratified, sampQuota, shufflePrefix, txtNormalize, lengthHist,
-    embQuantize, sampImportance)
+    embQuantize, sampImportance, sampWeightedReservoir)
 }

@@ -491,8 +491,76 @@ object DedupOps {
     },
     Some("""WITH f AS (SELECT doc_id, md5(lower(text)) AS fp FROM documents), ex AS (SELECT fp, min(doc_id) AS dup_of FROM f WHERE doc_id % 10 <> 9 GROUP BY 1), t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sh AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] for i in generate_series(1, greatest(len(toks) - 3, 0))]) AS sh FROM t), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT nw.doc_id AS new_id, co.doc_id AS corp_id, count(*) AS c FROM sh nw JOIN sh co ON nw.sh = co.sh AND nw.doc_id % 10 = 9 AND co.doc_id % 10 <> 9 GROUP BY 1, 2), nr AS (SELECT new_id, min(corp_id) AS near_of FROM inter JOIN sz x ON inter.new_id = x.doc_id JOIN sz y ON inter.corp_id = y.doc_id WHERE c * 1.0 / (x.n + y.n - c) >= 0.4 GROUP BY 1) SELECT f.doc_id, CASE WHEN ex.dup_of IS NOT NULL THEN 'exact_dup' WHEN nr.near_of IS NOT NULL THEN 'near_dup' ELSE 'new' END AS verdict, coalesce(ex.dup_of, nr.near_of) AS matched_corpus_doc FROM f LEFT JOIN ex USING (fp) LEFT JOIN nr ON nr.new_id = f.doc_id WHERE f.doc_id % 10 = 9 ORDER BY f.doc_id"""))
 
+  /** Asymmetric shingle CONTAINMENT — the sub-document duplicate detector
+    * that Jaccard structurally misses: a document embedded verbatim inside
+    * a larger wrapper (boilerplate shell, quote-heavy aggregator page) has
+    * containment |A∩B|/min(|A|,|B|) ≈ 1 while Jaccard |A∩B|/|A∪B| is
+    * diluted by the wrapper's extra content, so a Jaccard-thresholded
+    * pipeline keeps both copies. Production curation stacks run both
+    * metrics off the SAME inverted index; this leg shares the cached
+    * shingles4 table with the Jaccard/decontamination legs (one
+    * materialization, N metrics). Same scale shape as [[jaccardPairs]]:
+    * inverted-index self-join keyed on xxhash64(shingle) — 8-byte longs on
+    * the widest exchange, candidates only, never all-pairs. */
+  private val dedupContainment = GraftQuery(
+    "dedup_containment",
+    "asymmetric shingle containment >= 0.6: sub-document dup detection",
+    (s, d) => {
+      val sh = shingles4(s, d).select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+      val inter = sh.as("x").join(sh.as("y"),
+          col("x.shh") === col("y.shh") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      inter
+        .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+        .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+        .withColumn("containment",
+          col("c") * lit(1.0) / least(col("na"), col("nb")))
+        .filter(col("containment") >= 0.6)
+        .select(col("a"), col("b"), fround(col("containment"), 4).as("containment"))
+        .orderBy("a", "b")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sh AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] for i in generate_series(1, greatest(len(toks) - 3, 0))]) AS sh FROM t), inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1) SELECT i.a, i.b, floor(i.c * 1.0 / least(x.n, y.n) * 10000.0 + 0.5) / 10000.0 AS containment FROM inter i JOIN sz x ON i.a = x.doc_id JOIN sz y ON i.b = y.doc_id WHERE i.c * 1.0 / least(x.n, y.n) >= 0.6 ORDER BY 1, 2"""))
+
+  /** Triangle census of the near-dup graph — the transitivity audit behind
+    * the collapse-whole-components decision (dedup_keep_list): near-dup
+    * similarity is not transitive, so component-collapse over-merges when
+    * components are long CHAINS (low clustering) and is safe when they are
+    * near-CLIQUES (high clustering). The global clustering coefficient
+    * 3·triangles/wedges is the one number that grades it.
+    *
+    * Scale shape: the input is the verified pair set (near-dup-sized,
+    * corpus-independent), edges already in canonical a<b order, so the
+    * standard ordered-edge enumeration counts each triangle exactly once:
+    * e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a<b<c — keyed shuffles on node ids
+    * only. Wedges Σ C(deg,2) is one aggregation over the symmetric
+    * adjacency; all counts are BIGINT (order-independent sums). */
+  private val graphTriangles = GraftQuery(
+    "graph_triangles",
+    "near-dup graph triangle census + global clustering coefficient",
+    (s, d) => {
+      val p = jaccardPairs(s, d).select(col("a"), col("b"))
+      val tri = p.as("e1")
+        .join(p.as("e2"), col("e2.a") === col("e1.b"))
+        .join(p.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val deg = p.select(col("a").as("id")).union(p.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("(deg * (deg - 1)) DIV 2")).as("n_wedges"))
+      val nEdges = p.agg(count(lit(1)).as("n_edges"))
+      nodeStats.crossJoin(nEdges).crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+          col("n_wedges"),
+          fround(col("n_triangles") * lit(3.0) /
+            greatest(col("n_wedges"), lit(1L)), 4).as("gcc"))
+    },
+    Some(ngramPairsCte + """, e AS (SELECT a, b FROM p), tri AS (SELECT count(*) AS n_triangles FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), deg AS (SELECT id, count(*) AS deg FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1), st AS (SELECT count(*) AS n_nodes, CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges FROM deg), ne AS (SELECT count(*) AS n_edges FROM e) SELECT n_nodes, n_edges, n_triangles, n_wedges, floor(n_triangles * 3.0 / greatest(n_wedges, 1) * 10000.0 + 0.5) / 10000.0 AS gcc FROM st, ne, tri"""))
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupComponents, dedupKeepList,
     dedupSimhash, dedupSimhashGroups, dedupEmbedding, dedupEmbeddingLsh,
-    dedupIncremental)
+    dedupIncremental, dedupContainment, graphTriangles)
 }

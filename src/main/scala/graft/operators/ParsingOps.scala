@@ -418,8 +418,52 @@ object ParsingOps {
     },
     Some("""WITH dim AS (SELECT c_custkey, c_mktsegment FROM customer), ch AS (SELECT c_custkey, 'PROMO' AS new_segment FROM dim WHERE c_custkey % 7 = 0), m AS (SELECT dim.c_custkey, dim.c_mktsegment, ch.new_segment FROM dim LEFT JOIN ch USING (c_custkey)), v1 AS (SELECT c_custkey, 1 AS version, c_mktsegment AS segment, DATE '2024-01-01' AS valid_from, CASE WHEN new_segment IS NOT NULL THEN DATE '2024-06-01' ELSE DATE '9999-12-31' END AS valid_to, CASE WHEN new_segment IS NOT NULL THEN 0 ELSE 1 END AS is_current FROM m), v2 AS (SELECT c_custkey, 2 AS version, new_segment AS segment, DATE '2024-06-01' AS valid_from, DATE '9999-12-31' AS valid_to, 1 AS is_current FROM m WHERE new_segment IS NOT NULL) SELECT * FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2) ORDER BY c_custkey, version"""))
 
+  /** Stored base MV for [[mvIncrementalAgg]]: the per-customer rollup of
+    * every order BEFORE the 1997-01-01 watermark, materialized once per
+    * (session, corpus) — the analog of the IVF/graph stored artifacts (a
+    * deployment refreshes against yesterday's MV, it does not rebuild it). */
+  private[graft] def baseOrderMv(s: SparkSession, d: String) =
+    graft.PersistCache.getOrBuild(s, s"base-order-mv:$d") {
+      import graft.functions.GraftFunctions.centi
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1997-01-01"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), sum(centi(col("o_totalprice"))).as("sc"),
+          max(centi(col("o_totalprice"))).as("mx"))
+    }
+
+  /** Incremental aggregate maintenance (IVM) — the refresh shape that makes
+    * a 100 TB rollup sustainable: the per-customer order aggregate is kept
+    * as a stored MV; a refresh aggregates ONLY the incoming delta batch and
+    * merges the two states (count+count, sum+sum, max+max — every metric
+    * here is decomposable, which is WHY these metrics and not, say, exact
+    * median). The base table is never rescanned: refresh cost is
+    * O(delta + |MV|) regardless of history size. Stand-in split: orders
+    * before 1997-01-01 are the stored base (bench-setup materialized),
+    * the rest is the delta. The oracle recomputes the rollup from scratch
+    * over ALL orders — equality of merged-vs-recomputed IS the IVM
+    * correctness proof. */
+  private val mvIncrementalAgg = GraftQuery(
+    "mv_incremental_agg",
+    "incremental MV refresh: delta-only aggregation merged with stored state",
+    (s, d) => {
+      import graft.functions.GraftFunctions.centi
+      val delta = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), sum(centi(col("o_totalprice"))).as("sc"),
+          max(centi(col("o_totalprice"))).as("mx"))
+      baseOrderMv(s, d).unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(sum("n").as("n_orders"),
+          fround(sum("sc").cast("double") / 100.0, 2).as("total_price"),
+          fround(max("mx").cast("double") / 100.0, 2).as("max_price"))
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey, count(*) AS n_orders, floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_price, floor(CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS max_price FROM orders GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
     csvRoundtrip, jsonStruct, jsonInferred, dateConstruct, sqlMultikeyJoin,
     mvCascade, sqlCtas, mmDecode, partitionPruned, dppPrune, mmFrameSample,
-    qaProfile, qaProfileHll, qaExpectations, scd2Merge)
+    qaProfile, qaProfileHll, qaExpectations, scd2Merge, mvIncrementalAgg)
 }

@@ -610,11 +610,35 @@ object RelationalOps {
     },
     Some("""SELECT campaign, count(*) AS n_events, count(DISTINCT user_id) AS n_users, floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value FROM events JOIN (VALUES ('wk1_push', DATE '2024-01-03', DATE '2024-01-10'), ('mid_month', DATE '2024-01-08', DATE '2024-01-18'), ('closeout', DATE '2024-01-22', DATE '2024-01-29')) c(campaign, cstart, cend) ON CAST(ts AS DATE) BETWEEN cstart AND cend GROUP BY 1 ORDER BY 1"""))
 
+  /** Distribution-position windows: percent_rank (relative rank in
+    * [0,1]) and cume_dist (fraction of peers ≤ this row) — the two
+    * normalized ranking forms the §2.5 window family didn't yet pin.
+    * Both are exact integer ratios ((rank-1)/(n-1), rows_le/n) evaluated
+    * as one IEEE division in each engine, so no cross-engine float-sum
+    * risk; the ORDER BY includes o_orderkey so rank is tie-free and the
+    * ratios are fully determined. One keyed shuffle on the partition key;
+    * frames evaluate within partitions. */
+  private val winPercentRank = GraftQuery(
+    "win_percent_rank",
+    "percent_rank + cume_dist per order priority (exact integer ratios)",
+    (s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 100)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          percent_rank().over(w).as("prr"), cume_dist().over(w).as("cdr"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          fround(col("prr"), 6).as("pr"), fround(col("cdr"), 6).as("cd"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority, floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pr, floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cd FROM orders WHERE o_custkey < 100 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderpriority, o_orderkey"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1, q3, q5, q10Returns, q14Promo, q18TopQuantity, q19Disjunctive, q7Volume,
     jSemi, jAnti, jOuter,
     jRange, jAsof, jBucketed, winRank, winMoving, winNtile, winRangeFrame,
-    setIntersect,
+    winPercentRank, setIntersect,
     setExcept, setUnion, aggRollup, aggCube, aggGroupingSets, aggApprox,
     jsonKv, calDaily, strWeekday, reshapeUnpivot, jIntervalOverlap)
 }

@@ -154,6 +154,92 @@ class OperatorSpec extends AnyFunSuite {
       "exact twin is the Expand form this one exists to avoid")
   }
 
+  test("dedup_containment: containment >= jaccard on shared pairs, bounded by 1") {
+    val cont = run("dedup_containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont.nonEmpty)
+    assert(cont.values.forall(c => c >= 0.6 && c <= 1.0 + 1e-9))
+    // containment |A∩B|/min(|A|,|B|) dominates jaccard |A∩B|/|A∪B| for the
+    // SAME pair — every Jaccard-detected pair that clears the containment
+    // threshold must score at least its jaccard value
+    val jac = run("dedup_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val shared = jac.keySet.intersect(cont.keySet)
+    assert(shared.nonEmpty, "expected overlap between jaccard and containment pairs")
+    shared.foreach { k =>
+      assert(cont(k) >= jac(k) - 1e-9, s"pair $k: containment ${cont(k)} < jaccard ${jac(k)}")
+    }
+  }
+
+  test("graph_triangles: census matches a brute-force count of the pair set") {
+    val r = run("graph_triangles").collect().head
+    val (nodes, edges, tris, wedges, gcc) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    // brute-force replay over the (small, near-dup-sized) edge list
+    val pairs = run("dedup_ngram_jaccard").collect()
+      .map(rr => (rr.getLong(0), rr.getLong(1))).toSet
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    assert(nodes == adj.size && edges == pairs.size)
+    val bruteTris = pairs.toSeq.map { case (a, b) =>
+      adj(a).intersect(adj(b)).count(c => c > b)
+    }.sum
+    assert(tris == bruteTris, s"triangles $tris vs brute $bruteTris")
+    val bruteWedges = adj.values.map(n => n.size.toLong * (n.size - 1) / 2).sum
+    assert(wedges == bruteWedges)
+    assert(gcc >= 0.0 && gcc <= 1.0 + 1e-9)
+  }
+
+  test("mv_incremental_agg: merged MV state equals a from-scratch recompute") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.{centi, fround}
+    val merged = run("mv_incremental_agg").collect()
+    val direct = Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        fround(sum(centi(col("o_totalprice"))).cast("double") / 100.0, 2).as("total_price"),
+        fround(max(centi(col("o_totalprice"))).cast("double") / 100.0, 2).as("max_price"))
+      .orderBy("o_custkey").collect()
+    assert(merged.length == direct.length && merged.nonEmpty)
+    merged.zip(direct).foreach { case (m, d) =>
+      assert(m == d, s"IVM merge diverged from recompute: $m vs $d")
+    }
+  }
+
+  test("samp_weighted_reservoir: selection replays exactly and biases toward weight") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.md5u32
+    val sel = run("samp_weighted_reservoir").collect()
+    assert(sel.length == 100 && sel.map(_.getLong(0)).distinct.length == 100)
+    // replay A-ES keys over the full corpus and confirm the query picked
+    // exactly the top-100
+    val keys = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"),
+        (log((md5u32(concat(lit("res:"), col("doc_id").cast("string")))
+          .cast("double") + lit(0.5)) / lit(4294967296.0)) / col("n_chars")).as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = keys.sortBy(t => (-t._3, t._1)).take(100).map(_._1).toSet
+    assert(sel.map(_.getLong(0)).toSet == expect)
+    // A-ES draws ∝ weight: the selected docs' mean length must exceed the
+    // corpus mean (the whole point of weighting by n_chars)
+    val meanSel = sel.map(_.getLong(1)).sum.toDouble / sel.length
+    val meanAll = keys.map(_._2).sum.toDouble / keys.length
+    assert(meanSel > meanAll, s"selected mean $meanSel not above corpus mean $meanAll")
+  }
+
+  test("win_percent_rank: ratios are in [0,1]; cume_dist tops out at 1 per partition") {
+    val rows = run("win_percent_rank").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0 &&
+        r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+    rows.groupBy(_.getString(1)).foreach { case (p, g) =>
+      assert(g.map(_.getDouble(3)).max == 1.0, s"partition $p: max cume_dist != 1")
+      assert(g.map(_.getDouble(2)).min == 0.0, s"partition $p: min percent_rank != 0")
+    }
+  }
+
   test("no degenerate operators: every registered query returns rows at sf0.001") {
     // catches data-dependent degeneracy (empty thresholds, over-filtering)
     // across the whole registry in one sweep — the driver only smoke-checks
