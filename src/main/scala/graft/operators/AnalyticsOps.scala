@@ -488,9 +488,49 @@ object AnalyticsOps {
     },
     Some("""WITH seq AS (SELECT user_id, event_type, lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events), pairs AS (SELECT event_type AS from_type, next_type AS to_type, count(*) AS cnt FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2), w AS (SELECT *, sum(cnt) OVER (PARTITION BY from_type) AS row_total FROM pairs) SELECT from_type, to_type, cnt, floor(CAST(cnt AS DOUBLE) / row_total * 10000.0 + 0.5) / 10000.0 AS p FROM w ORDER BY 1, 2"""))
 
+  /** Winsorized robust mean per event type — the outlier-resistant
+    * aggregate a metrics pipeline uses where a single corrupt reading
+    * would drag a plain mean: values below the p05 / above the p95 order
+    * statistic are clamped to it before averaging. Percentiles are DISCRETE
+    * order statistics over integer centi-units (rank k = ⌈q·n⌉ within each
+    * type's sorted sequence), so there is no interpolation arithmetic to
+    * disagree cross-engine, and the clipped sum decomposes into integers:
+    * (k_lo−1)·p05 + Σ mid-ranks + (n−k_hi)·p95. One partitioned window
+    * sort + one keyed aggregation; partitions = event types, so at corpus
+    * scale a production run swaps the exact ranks for approx-quantile
+    * boundaries (agg_approx_percentile is that machinery) — the clipping
+    * algebra is unchanged. */
+  private val qaWinsorize = GraftQuery(
+    "qa_winsorize",
+    "winsorized mean per event type: exact p05/p95 order-statistic clipping",
+    (s, d) => {
+      val w = Window.partitionBy("event_type").orderBy(col("iv"), col("event_id"))
+      val ranked = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), centi(col("value")).as("iv"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .withColumn("k_lo", ceil(col("n") * lit(0.05)))
+        .withColumn("k_hi", ceil(col("n") * lit(0.95)))
+      ranked.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          max(col("k_lo")).as("klo"), max(col("k_hi")).as("khi"),
+          max(when(col("rn") <= col("k_lo"), col("iv"))).as("p05c"),
+          max(when(col("rn") <= col("k_hi"), col("iv"))).as("p95c"),
+          sum(when(col("rn") >= col("k_lo") && col("rn") <= col("k_hi"),
+            col("iv")).otherwise(lit(0L))).as("mid"))
+        .select(col("event_type"), col("n"),
+          fround(col("p05c").cast("double") / 100.0, 2).as("p05"),
+          fround(col("p95c").cast("double") / 100.0, 2).as("p95"),
+          fround(((col("klo") - 1) * col("p05c") + col("mid") +
+              (col("n") - col("khi")) * col("p95c")).cast("double")
+            / col("n") / 100.0, 4).as("wins_mean"))
+        .orderBy("event_type")
+    },
+    Some("""WITH r AS (SELECT event_type, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS iv, row_number() OVER (PARTITION BY event_type ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT), event_id) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM events), k AS (SELECT *, CAST(ceil(n * CAST(0.05 AS DOUBLE)) AS BIGINT) AS k_lo, CAST(ceil(n * CAST(0.95 AS DOUBLE)) AS BIGINT) AS k_hi FROM r), g AS (SELECT event_type, count(*) AS n, max(k_lo) AS klo, max(k_hi) AS khi, max(CASE WHEN rn <= k_lo THEN iv END) AS p05c, max(CASE WHEN rn <= k_hi THEN iv END) AS p95c, CAST(sum(CASE WHEN rn >= k_lo AND rn <= k_hi THEN iv ELSE 0 END) AS BIGINT) AS mid FROM k GROUP BY 1) SELECT event_type, n, floor(CAST(p05c AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS p05, floor(CAST(p95c AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS p95, floor(CAST((klo - 1) * p05c + mid + (n - khi) * p95c AS DOUBLE) / n / 100.0 * 10000.0 + 0.5) / 10000.0 AS wins_mean FROM g ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
     winSession, winLagLead, aggPercentiles, aggCorr, jSkewSalted, txtTfidf,
     aggStatsOnepass, aggPivot, winSessionNative, aggApproxPercentile,
     aggArgExtremes, aggMapHistogram, aggMultiDistinct, aggHllRollup,
-    evtRetention, evtZscore, evtTransitions)
+    evtRetention, evtZscore, evtTransitions, qaWinsorize)
 }

@@ -462,8 +462,61 @@ object ParsingOps {
     },
     Some("""SELECT o_custkey, count(*) AS n_orders, floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_price, floor(CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS max_price FROM orders GROUP BY 1 ORDER BY 1"""))
 
+  /** Order-independent table checksums — the anti-entropy primitive for
+    * verifying two replicas / two snapshots / an engine migration hold the
+    * same data WITHOUT shipping rows: per table, XOR-fold a hash of each
+    * row's canonical string. XOR is commutative+associative, so the fold
+    * is partition-mergeable with no ordering or shuffle requirement (one
+    * narrow scan + a 1-row combine per table) and any single-row
+    * difference flips the checksum. Two independent 32-bit md5 words give
+    * a 64-bit effective check (a production run widens to 128 the same
+    * way). Doubles never enter the canonical string (their decimal
+    * rendering is engine-specific) — numeric content rides as centi
+    * BIGINTs. This query IS the engine-vs-oracle membership proof the
+    * hash-compare gate approximates row-by-row. */
+  private val qaTableChecksum = GraftQuery(
+    "qa_table_checksum",
+    "anti-entropy XOR row-hash checksums per table (order-independent)",
+    (s, d) => {
+      import graft.functions.GraftFunctions.centi
+      def word(c: Column, from: Int) =
+        conv(substring(md5(c), from, 8), 16, 10).cast("long")
+      def legDf(name: String, t: org.apache.spark.sql.DataFrame, canon: Column) =
+        t.select(word(canon, 1).as("hi"), word(canon, 9).as("lo"))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(hi)").as("xor_hi"), expr("bit_xor(lo)").as("xor_lo"))
+          .select(lit(name).as("table_name"), col("n_rows"),
+            col("xor_hi"), col("xor_lo"))
+      legDf("customer", Tables.customer(s, d),
+          concat_ws("|", col("c_custkey"), col("c_mktsegment")))
+        .unionByName(legDf("documents", Tables.documents(s, d),
+          concat_ws("|", col("doc_id"), col("lang"))))
+        .unionByName(legDf("lineitem", Tables.lineitem(s, d),
+          concat_ws("|", col("l_orderkey"), col("l_suppkey"),
+            centi(col("l_quantity")))))
+        .unionByName(legDf("orders", Tables.orders(s, d),
+          concat_ws("|", col("o_orderkey"), col("o_orderstatus"))))
+        .orderBy("table_name")
+    },
+    Some {
+      import graft.functions.GraftFunctions.md5u32Sql
+      def leg(name: String, table: String, canon: String) = {
+        val hi = md5u32Sql(s"md5($canon)")
+        val lo = md5u32Sql(s"substr(md5($canon), 9, 8)")
+        s"SELECT '$name' AS table_name, count(*) AS n_rows, bit_xor($hi) AS xor_hi, bit_xor($lo) AS xor_lo FROM $table"
+      }
+      Seq(
+        leg("customer", "customer", "concat_ws('|', c_custkey, c_mktsegment)"),
+        leg("documents", "documents", "concat_ws('|', doc_id, lang)"),
+        leg("lineitem", "lineitem",
+          "concat_ws('|', l_orderkey, l_suppkey, CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))"),
+        leg("orders", "orders", "concat_ws('|', o_orderkey, o_orderstatus)"))
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY table_name")
+    })
+
   val all: Seq[GraftQuery] = Seq(
     csvRoundtrip, jsonStruct, jsonInferred, dateConstruct, sqlMultikeyJoin,
     mvCascade, sqlCtas, mmDecode, partitionPruned, dppPrune, mmFrameSample,
-    qaProfile, qaProfileHll, qaExpectations, scd2Merge, mvIncrementalAgg)
+    qaProfile, qaProfileHll, qaExpectations, scd2Merge, mvIncrementalAgg,
+    qaTableChecksum)
 }

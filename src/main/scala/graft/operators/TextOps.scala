@@ -394,7 +394,36 @@ object TextOps {
     },
     Some("""SELECT event_type, count(*) AS n_rows, CAST(sum(len(regexp_extract_all(lower(props), '[a-z]+|[0-9]+|[^a-z0-9 ]+'))) AS BIGINT) AS tokens, CAST(sum(len(regexp_extract_all(lower(props), '[a-z]+'))) AS BIGINT) AS alpha_runs, CAST(sum(len(regexp_extract_all(lower(props), '[0-9]+'))) AS BIGINT) AS digit_runs, CAST(sum(len(regexp_extract_all(lower(props), '[^a-z0-9 ]+'))) AS BIGINT) AS punct_runs FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** Per-document NOVELTY — the share of a doc's 4-gram shingles that
+    * appear in no other document. The dedup diagnostic that separates
+    * "this doc is boilerplate recombination" (novelty ≈ 0, every shingle
+    * shared) from "genuinely new text" (novelty ≈ 1) — the doc-level twin
+    * of the pair-level Jaccard/containment metrics, and a standard keep-
+    * priority signal when collapsing components (keep the most novel
+    * member, not the smallest id). Shares the cached shingles4 table with
+    * the Jaccard/containment/decontamination legs. Scale shape: one
+    * shingle-keyed document-frequency aggregation + one join back — two
+    * keyed shuffles over the shingle table, keyed on xxhash64 longs;
+    * at corpus scale the frequency side compacts to a counting sketch
+    * (the Misra-Gries/Bloom machinery) with the same join-back shape. */
+  private val txtNovelty = GraftQuery(
+    "txt_novelty",
+    "per-doc novelty: share of 4-gram shingles unique to the doc corpus-wide",
+    (s, d) => {
+      val sh = DedupOps.shingles4(s, d)
+        .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+      val df = sh.groupBy("shh").agg(count(lit(1)).as("dfreq"))
+      sh.join(df, Seq("shh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("dfreq") === 1, lit(1L)).otherwise(lit(0L))).as("n_uniq"))
+        .select(col("doc_id"), col("n_sh"), col("n_uniq"),
+          fround(col("n_uniq").cast("double") / col("n_sh"), 4).as("novelty"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sh AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] for i in generate_series(1, greatest(len(toks) - 3, 0))]) AS sh FROM t), df AS (SELECT sh, count(*) AS dfreq FROM sh GROUP BY 1) SELECT s.doc_id, count(*) AS n_sh, CAST(sum(CASE WHEN df.dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uniq, floor(CAST(sum(CASE WHEN df.dfreq = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS novelty FROM sh s JOIN df USING (sh) GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(tokenStats, quality, langId, fingerprint,
     topNgrams, repetition, decontaminate, boilerplate, decontaminateBloom,
-    vocabTopK, vocabSketch, unigramLogprob, bpePretokenize)
+    vocabTopK, vocabSketch, unigramLogprob, bpePretokenize, txtNovelty)
 }

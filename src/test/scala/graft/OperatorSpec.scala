@@ -240,6 +240,61 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("qa_winsorize: clipped mean sits inside [p05, p95], bounds ordered") {
+    val rows = run("qa_winsorize").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p05, p95, wm) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p05 <= p95, s"${r.getString(0)}: p05 $p05 > p95 $p95")
+      assert(wm >= p05 - 1e-9 && wm <= p95 + 1e-9,
+        s"${r.getString(0)}: winsorized mean $wm outside [$p05, $p95]")
+    }
+  }
+
+  test("txt_novelty: exact-duplicate docs have zero novelty") {
+    val nov = run("txt_novelty").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(nov.nonEmpty && nov.values.forall(v => v >= 0.0 && v <= 1.0))
+    // a doc FULLY CONTAINED in another (containment = 1.0) shares every
+    // shingle with its container, so none of its shingles is corpus-unique
+    // — the smaller-set side of each such pair must score exactly 0
+    val nSh = run("txt_novelty").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val contained = run("dedup_containment").collect()
+      .filter(_.getDouble(2) == 1.0)
+      .map(r => if (nSh(r.getLong(0)) <= nSh(r.getLong(1))) r.getLong(0)
+                else r.getLong(1))
+    assert(contained.nonEmpty, "testdata should contain containment-1.0 pairs")
+    contained.foreach { id =>
+      assert(nov(id) == 0.0, s"fully-contained doc $id has novelty ${nov(id)}")
+    }
+  }
+
+  test("qa_table_checksum: partition-order invariant and single-row sensitive") {
+    import org.apache.spark.sql.functions._
+    val out = run("qa_table_checksum").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == Set("customer", "documents", "lineitem", "orders"))
+    // replay the customer leg under a hostile repartitioning: XOR folding
+    // must be bit-identical regardless of partition count or row order
+    def word(c: org.apache.spark.sql.Column, from: Int) =
+      conv(substring(md5(c), from, 8), 16, 10).cast("long")
+    val canon = concat_ws("|", col("c_custkey"), col("c_mktsegment"))
+    val replay = Tables.customer(spark, sf).repartition(7).sortWithinPartitions(desc("c_name"))
+      .select(word(canon, 1).as("hi"), word(canon, 9).as("lo"))
+      .agg(count(lit(1)), expr("bit_xor(hi)"), expr("bit_xor(lo)"))
+      .collect().head
+    assert((replay.getLong(0), replay.getLong(1), replay.getLong(2)) == out("customer"))
+    // ...and flipping a single row's content must change the checksum
+    val tampered = Tables.customer(spark, sf)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") === 1, lit("TAMPERED")).otherwise(col("c_mktsegment")))
+    val tam = tampered
+      .select(word(canon, 1).as("hi"), word(canon, 9).as("lo"))
+      .agg(expr("bit_xor(hi)"), expr("bit_xor(lo)")).collect().head
+    assert((tam.getLong(0), tam.getLong(1)) != (out("customer")._2, out("customer")._3))
+  }
+
   test("no degenerate operators: every registered query returns rows at sf0.001") {
     // catches data-dependent degeneracy (empty thresholds, over-filtering)
     // across the whole registry in one sweep — the driver only smoke-checks
