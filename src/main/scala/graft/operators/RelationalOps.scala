@@ -634,11 +634,43 @@ object RelationalOps {
     },
     Some("""SELECT o_orderkey, o_orderpriority, floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pr, floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cd FROM orders WHERE o_custkey < 100 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderpriority, o_orderkey"""))
 
+  /** Fuzzy (edit-distance) self-join over the part-name dictionary — the
+    * entity-resolution / typo-clustering primitive. The scale discipline
+    * is candidate-generation-then-verify, same as the dedup family: an
+    * all-pairs levenshtein over a dictionary is O(n²·L²), so pairs are
+    * BLOCKED on a cheap equality key first (here the head noun — the
+    * token a typo is least likely to corrupt) plus a length-band prune
+    * (|len(a)−len(b)| ≤ 2 is a necessary condition for distance ≤ 2,
+    * and costs one comparison vs the DP's L²); only within-block
+    * survivors pay the levenshtein DP, which runs in whole-stage codegen
+    * in Spark and is the same textbook DP in DuckDB — integer-exact, no
+    * rounding concerns. A production blocker stacks several keys
+    * (phonetic, q-gram) the same shape. */
+  private val jFuzzyMatch = GraftQuery(
+    "j_fuzzy_match",
+    "fuzzy dictionary self-join: noun-blocked candidates, levenshtein <= 2 verify",
+    (s, d) => {
+      val names = Tables.part(s, d).select(col("p_name")).distinct()
+        .select(col("p_name"),
+          element_at(split(col("p_name"), " "), -1).as("blk"),
+          length(col("p_name")).as("len"))
+      names.as("x").join(names.as("y"),
+          col("x.blk") === col("y.blk") &&
+            col("x.p_name") < col("y.p_name") &&
+            abs(col("x.len") - col("y.len")) <= 2)
+        .withColumn("dist", levenshtein(col("x.p_name"), col("y.p_name")))
+        .filter(col("dist") <= 2)
+        .select(col("x.p_name").as("a"), col("y.p_name").as("b"), col("dist"))
+        .orderBy("a", "b")
+    },
+    Some("""WITH n AS (SELECT DISTINCT p_name FROM part), k AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk, length(p_name) AS len FROM n) SELECT x.p_name AS a, y.p_name AS b, CAST(levenshtein(x.p_name, y.p_name) AS INTEGER) AS dist FROM k x JOIN k y ON x.blk = y.blk AND x.p_name < y.p_name AND abs(x.len - y.len) <= 2 WHERE levenshtein(x.p_name, y.p_name) <= 2 ORDER BY 1, 2"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1, q3, q5, q10Returns, q14Promo, q18TopQuantity, q19Disjunctive, q7Volume,
     jSemi, jAnti, jOuter,
     jRange, jAsof, jBucketed, winRank, winMoving, winNtile, winRangeFrame,
     winPercentRank, setIntersect,
     setExcept, setUnion, aggRollup, aggCube, aggGroupingSets, aggApprox,
-    jsonKv, calDaily, strWeekday, reshapeUnpivot, jIntervalOverlap)
+    jsonKv, calDaily, strWeekday, reshapeUnpivot, jIntervalOverlap,
+    jFuzzyMatch)
 }

@@ -160,5 +160,34 @@ object SimilarityOps {
     },
     Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm, list_slice(v, 1, 32) AS vPre FROM e), n2 AS (SELECT vec_id, v, nrm, vPre, sqrt(list_sum([x*x for x in vPre])) AS nPre FROM n), q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, vPre AS qvPre, nPre AS qnPre FROM n2 WHERE vec_id % 50 = 0), coarse AS (SELECT q.q_id, c.vec_id AS n_id, list_sum([s[1]*s[2] for s in list_zip(q.qvPre, c.vPre)]) / (q.qnPre * c.nPre) AS cosPre FROM q JOIN n2 c ON c.vec_id <> q.q_id), short AS (SELECT q_id, n_id FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY floor(cosPre * 1000000.0 + 0.5) DESC, n_id) AS crk FROM coarse) WHERE crk <= 40), rer AS (SELECT s.q_id, s.n_id, list_sum([p[1]*p[2] for p in list_zip(q.qv, c.v)]) / (q.qn * c.nrm) AS cos FROM short s JOIN n2 c ON c.vec_id = s.n_id JOIN q ON q.q_id = s.q_id) SELECT q_id, n_id, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos, CAST(rnk AS INTEGER) AS rnk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY floor(cos * 1000000.0 + 0.5) DESC, n_id) AS rnk FROM rer) WHERE rnk <= 3 ORDER BY q_id, rnk"""))
 
-  val all: Seq[GraftQuery] = Seq(knnBrute, labelStats, knnLsh, knnMatryoshka)
+  /** Per-label embedding CENTROIDS — the class-prototype table behind
+    * semantic dedup (SemDeDup clusters then prunes within clusters),
+    * label-drift monitoring, and nearest-centroid classification. Each
+    * float rides as an exact micro-unit BIGINT, so the per-(label, dim)
+    * sum is order-independent and the mean an exact rational — never a
+    * float sum whose merge order Spark leaves unfixed.
+    *
+    * Scale shape: posexplode to (label, dim, micro) then ONE keyed
+    * aggregation with map-side partial sums — the shuffle carries
+    * |labels|·dims rows, not the corpus. That tall-skinny explode is the
+    * honest distributed form for element-wise array reduction: a
+    * vector-valued aggregation buffer (à la the IVF trainer's
+    * TypedImperativeAggregate) saves the explode but shuffles the same
+    * bytes; the explode keeps whole-stage codegen. */
+  private val embCentroids = GraftQuery(
+    "emb_centroids",
+    "per-label embedding centroids: element-wise micro-exact means",
+    (s, d) => Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+        floor(col("x").cast("double") * 1000000.0 + 0.5).cast("long").as("micro"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum("micro").as("sm"))
+      .select(col("label"), col("dim"), col("n"),
+        fround(col("sm").cast("double") / col("n") / 1000000.0, 6).as("mean_v"))
+      .orderBy("label", "dim"),
+    Some("""SELECT label, dim, count(*) AS n, floor(CAST(sum(CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS mean_v FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim) GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  val all: Seq[GraftQuery] = Seq(knnBrute, labelStats, knnLsh, knnMatryoshka,
+    embCentroids)
 }

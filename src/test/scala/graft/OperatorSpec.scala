@@ -295,6 +295,59 @@ class OperatorSpec extends AnyFunSuite {
     assert((tam.getLong(0), tam.getLong(1)) != (out("customer")._2, out("customer")._3))
   }
 
+  test("emb_centroids: full label x dim grid, counts consistent, means replayed") {
+    import org.apache.spark.sql.functions._
+    val rows = run("emb_centroids").collect()
+    val labels = Tables.embeddings(spark, sf).groupBy("label").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.length == labels.size * 64, "expected |labels| x 64 grid")
+    rows.foreach { r =>
+      assert(r.getLong(2) == labels(r.getInt(0)), "n must equal the label's vector count")
+    }
+    // replay one cell exactly: label with the smallest id, dim 1
+    val l0 = labels.keySet.min
+    val direct = Tables.embeddings(spark, sf).filter(col("label") === l0)
+      .select(floor(element_at(col("embedding"), 1).cast("double") * 1000000.0 + 0.5)
+        .cast("long").as("m"))
+      .agg(sum("m"), count(lit(1))).collect().head
+    val expect = math.floor(direct.getLong(0).toDouble / direct.getLong(1) / 1000000.0
+      * 1000000.0 + 0.5) / 1000000.0
+    val got = rows.find(r => r.getInt(0) == l0 && r.getLong(1) == 1L).get.getDouble(3)
+    assert(got == expect, s"centroid cell mismatch: $got vs $expect")
+  }
+
+  test("j_fuzzy_match: pairs verified by a reference DP, blocked set is complete") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val t = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(a.length)
+    }
+    val got = run("j_fuzzy_match").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case ((a, b), d) =>
+      assert(d == lev(a, b), s"($a, $b): reported $d, DP says ${lev(a, b)}")
+      assert(a.split(" ").last == b.split(" ").last, "pair must share its block key")
+    }
+    // completeness WITHIN the blocking scheme: brute-force every same-noun
+    // name pair and confirm the query found exactly the distance<=2 ones
+    val names = Tables.part(spark, sf).select("p_name").distinct()
+      .collect().map(_.getString(0))
+    val brute = (for {
+      a <- names; b <- names
+      if a < b && a.split(" ").last == b.split(" ").last && lev(a, b) <= 2
+    } yield (a, b)).toSet
+    assert(got.keySet == brute, s"missing: ${brute -- got.keySet}, extra: ${got.keySet -- brute}")
+  }
+
   test("no degenerate operators: every registered query returns rows at sf0.001") {
     // catches data-dependent degeneracy (empty thresholds, over-filtering)
     // across the whole registry in one sweep — the driver only smoke-checks
