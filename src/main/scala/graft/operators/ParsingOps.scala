@@ -514,9 +514,49 @@ object ParsingOps {
         .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY table_name")
     })
 
+  /** Referential-integrity audit — the FK orphan sweep a warehouse runs
+    * after every load: for each declared FK edge, count child rows whose
+    * key has no parent. Each leg is a LEFT ANTI join: dimension parents
+    * (customer, part, supplier) broadcast, so those legs are narrow scans;
+    * the fact-fact leg (lineitem→orders) shuffles both sides on the join
+    * key once — the honest shape at any scale. All-zero orphan counts are
+    * the PASS state (and what this data should produce); the operator's
+    * value is the guarantee, spelled as a query. */
+  private val qaRefIntegrity = GraftQuery(
+    "qa_ref_integrity",
+    "FK orphan audit: anti-join counts per declared edge",
+    (s, d) => {
+      def leg(edge: String, child: org.apache.spark.sql.DataFrame, fk: String,
+              parent: org.apache.spark.sql.DataFrame, pk: String) =
+        child.select(col(fk)).join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(edge).as("fk_edge"), col("n_orphans"))
+          .crossJoin(child.agg(count(lit(1)).as("n_rows")))
+          .select(col("fk_edge"), col("n_rows"), col("n_orphans"))
+      leg("lineitem.l_orderkey->orders", Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey")
+        .unionByName(leg("lineitem.l_partkey->part", Tables.lineitem(s, d),
+          "l_partkey", Tables.part(s, d), "p_partkey"))
+        .unionByName(leg("lineitem.l_suppkey->supplier", Tables.lineitem(s, d),
+          "l_suppkey", Tables.supplier(s, d), "s_suppkey"))
+        .unionByName(leg("orders.o_custkey->customer", Tables.orders(s, d),
+          "o_custkey", Tables.customer(s, d), "c_custkey"))
+        .orderBy("fk_edge")
+    },
+    Some {
+      def leg(edge: String, child: String, fk: String, parent: String, pk: String) =
+        s"SELECT '$edge' AS fk_edge, (SELECT count(*) FROM $child) AS n_rows, (SELECT count(*) FROM $child c WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)) AS n_orphans"
+      Seq(
+        leg("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        leg("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        leg("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        leg("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"))
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY fk_edge")
+    })
+
   val all: Seq[GraftQuery] = Seq(
     csvRoundtrip, jsonStruct, jsonInferred, dateConstruct, sqlMultikeyJoin,
     mvCascade, sqlCtas, mmDecode, partitionPruned, dppPrune, mmFrameSample,
     qaProfile, qaProfileHll, qaExpectations, scd2Merge, mvIncrementalAgg,
-    qaTableChecksum)
+    qaTableChecksum, qaRefIntegrity)
 }

@@ -366,7 +366,38 @@ object PipelineOps {
     Some(graft.operators.DedupOps.keepVerdictCtes +
       s""", g AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tok, (len(t) BETWEEN 20 AND 200 AND CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.4 AND CAST(len(list_filter(t, x -> x IN (${graft.functions.GraftFunctions.stopwordsSqlList}))) AS DOUBLE) / len(t) >= 0.05) AS gate_keep, (CAST(${graft.functions.GraftFunctions.md5u32Sql("md5('imp:' || CAST(doc_id AS VARCHAR))")} AS DOUBLE) / 4294967296.0 < 0.2 + 0.8 * (CAST(len(list_filter(t, x -> x IN (${graft.functions.GraftFunctions.stopwordsSqlList}))) AS DOUBLE) / len(t) * 0.3 + CAST(len(list_filter(t, x -> length(x) > 4)) AS DOUBLE) / len(t) * 0.4 + (CASE WHEN len(t) BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END) * 0.3)) AS samp_keep FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents)) SELECT source, count(*) AS n_raw, CAST(sum(CASE WHEN kv.keep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup, CAST(sum(CASE WHEN kv.keep = 1 AND gate_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_gate, CAST(sum(CASE WHEN kv.keep = 1 AND gate_keep AND samp_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_final, CAST(sum(CASE WHEN kv.keep = 1 AND gate_keep AND samp_keep THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_final FROM g JOIN kv USING (doc_id) GROUP BY source ORDER BY source"""))
 
+  /** Greedy token-budget fill per source — the selection step after the
+    * mixture weights are decided: each source gets a token budget (here
+    * 60% of its own total, integer arithmetic so both engines agree
+    * exactly) and is filled greedily in priority order (longest-first,
+    * doc_id tie-break) until the next doc would overflow the budget.
+    * Scale shape: both the running sum and the per-source total come from
+    * windows over the SAME source-keyed partitioning — one shuffle, two
+    * window passes, no corpus-wide sort; the priority order is per-source,
+    * never global. */
+  private val pipeTokenBudget = GraftQuery(
+    "pipe_token_budget",
+    "greedy per-source token-budget fill: longest-first until 60% of tokens",
+    (s, d) => {
+      val part = Window.partitionBy("source")
+      val w = part.orderBy(desc("n_chars"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          size(tokens(col("text"))).cast("long").as("ntok"))
+        .withColumn("cum", sum("ntok").over(w))
+        .withColumn("budget", expr("(sum(ntok) OVER (PARTITION BY source) * 6) DIV 10"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("total_tok"),
+          max("budget").as("budget_tok"),
+          sum(when(col("cum") <= col("budget"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("cum") <= col("budget"), col("ntok")).otherwise(0L)).as("tok_kept"))
+        .orderBy("source")
+    },
+    Some("""WITH t AS (SELECT doc_id, source, n_chars, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ntok FROM documents), c AS (SELECT source, ntok, CAST(sum(ntok) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, CAST((sum(ntok) OVER (PARTITION BY source) * 6) // 10 AS BIGINT) AS budget FROM t) SELECT source, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS total_tok, max(budget) AS budget_tok, CAST(sum(CASE WHEN cum <= budget THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, CAST(sum(CASE WHEN cum <= budget THEN ntok ELSE 0 END) AS BIGINT) AS tok_kept FROM c GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
     sampHashSplit, arrHofStats, evtFunnel, aggMode, calGapFill, calInterpolate,
-    pipePack, pipeMixWeights, pipeChunk, pipeFilterGate, pipeCurationFunnel)
+    pipePack, pipeMixWeights, pipeChunk, pipeFilterGate, pipeCurationFunnel,
+    pipeTokenBudget)
 }

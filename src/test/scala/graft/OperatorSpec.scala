@@ -348,6 +348,48 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.keySet == brute, s"missing: ${brute -- got.keySet}, extra: ${got.keySet -- brute}")
   }
 
+  test("pipe_token_budget: greedy fill replayed exactly, kept tokens within budget") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.tokens
+    val got = run("pipe_token_budget").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ntok"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val ordered = rows.sortBy(t => (-t._2, t._3)).map(_._4)
+      val total = ordered.sum
+      val budget = total * 6 / 10
+      val cum = ordered.scanLeft(0L)(_ + _).tail
+      val kept = cum.count(_ <= budget)
+      val (nDocs, totalTok, budgetTok, nKept, tokKept) = got(src)
+      assert(nDocs == rows.length && totalTok == total && budgetTok == budget)
+      assert(nKept == kept && tokKept == cum.take(kept).lastOption.getOrElse(0L),
+        s"$src: greedy replay diverged")
+      assert(tokKept <= budgetTok)
+    }
+  }
+
+  test("qa_ref_integrity: clean corpus audits to zero orphans; a bogus FK is caught") {
+    import org.apache.spark.sql.functions._
+    val rows = run("qa_ref_integrity").collect()
+    assert(rows.length == 4)
+    rows.foreach(r => assert(r.getLong(2) == 0L,
+      s"${r.getString(0)}: expected 0 orphans, got ${r.getLong(2)}"))
+    // sensitivity: inject one orphan child row and confirm the same
+    // anti-join counts it
+    val tampered = Tables.orders(spark, sf).select(col("o_custkey"))
+      .unionByName(spark.range(1).select(lit(-999L).as("o_custkey")))
+    val orphans = tampered
+      .join(Tables.customer(spark, sf).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .count()
+    assert(orphans == 1L)
+  }
+
   test("no degenerate operators: every registered query returns rows at sf0.001") {
     // catches data-dependent degeneracy (empty thresholds, over-filtering)
     // across the whole registry in one sweep — the driver only smoke-checks
