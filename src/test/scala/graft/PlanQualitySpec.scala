@@ -161,6 +161,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("weighted reservoir compiles to TakeOrderedAndProject (no global sort of the corpus)") {
+    val p = plan("samp_weighted_reservoir")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("emb_centroids aggregates map-side before the (label, dim)-keyed shuffle") {
+    val p = plan("emb_centroids")
+    assert(p.contains("partial_sum"), p.take(2500))
+  }
+
+  test("fuzzy join is equi-keyed on the block, never a cartesian/BNLJ") {
+    val p = plan("j_fuzzy_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2500))
+  }
+
+  test("incremental MV refresh serves the base from cache and pushes the delta filter") {
+    val p = plan("mv_incremental_agg")
+    assert(p.contains("InMemoryTableScan"), p.take(2500))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p.take(2500))
+  }
+
+  test("table checksum legs prune to the canonical-string columns") {
+    val p = plan("qa_table_checksum")
+    val custLeg = p.linesIterator.find(l =>
+      l.contains("ReadSchema") && l.contains("customer.parquet")).get
+    assert(custLeg.contains("c_custkey") && custLeg.contains("c_mktsegment") &&
+      !custLeg.contains("c_name") && !custLeg.contains("c_acctbal"), custLeg)
+  }
+
   test("no NEW unpartitioned windows: registry-wide allowlist of single-partition window plans") {
     // QuietLogs silences WindowExec's no-partition warning for the three
     // audited-benign sites, so THIS assertion is the guard that used to be
