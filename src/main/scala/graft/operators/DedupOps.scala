@@ -124,8 +124,22 @@ object DedupOps {
   /** Oracle CTE chain producing the verified pair set as `p(a, b, jaccard)`
     * — shared by the pair-listing oracle and the components oracle (which
     * prefixes RECURSIVE and appends the label-propagation CTEs). */
+  /** The documents → distinct 4-gram shingle table as DuckDB CTEs
+    * `t, sh` — the single source for every 4-gram oracle (Jaccard chain,
+    * containment, novelty). A change to the shingle scheme edits THIS
+    * string, nowhere else. */
+  private[graft] val shingleCte4 =
+    """t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sh AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] for i in generate_series(1, greatest(len(toks) - 3, 0))]) AS sh FROM t)"""
+
+  /** Pre-threshold pair machinery as DuckDB CTEs `inter, sz` — shared by
+    * the Jaccard and containment oracles (the metrics differ only in
+    * denominator and threshold). */
+  private val pairCountCtes =
+    """, inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)"""
+
   private val ngramPairsCte =
-    """WITH RECURSIVE t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sh AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] for i in generate_series(1, greatest(len(toks) - 3, 0))]) AS sh FROM t), inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), p AS (SELECT i.a, i.b, floor(i.c * 1.0 / (x.n + y.n - i.c) * 10000.0 + 0.5) / 10000.0 AS jaccard FROM inter i JOIN sz x ON i.a = x.doc_id JOIN sz y ON i.b = y.doc_id WHERE i.c * 1.0 / (x.n + y.n - i.c) >= 0.4)"""
+    "WITH RECURSIVE " + shingleCte4 + pairCountCtes +
+      """, p AS (SELECT i.a, i.b, floor(i.c * 1.0 / (x.n + y.n - i.c) * 10000.0 + 0.5) / 10000.0 AS jaccard FROM inter i JOIN sz x ON i.a = x.doc_id JOIN sz y ON i.b = y.doc_id WHERE i.c * 1.0 / (x.n + y.n - i.c) >= 0.4)"""
 
   /** Recursive label-propagation CTEs appended to [[ngramPairsCte]] —
     * produce `m(doc_id, comp)` = min reachable id per near-dup node.
@@ -160,11 +174,7 @@ object DedupOps {
       // shingle pair — negligible next to the sampling error already
       // accepted in the MinHash variant).
       val sh = shingles4(s, d).select(col("doc_id"), xxhash64(col("sh")).as("shh"))
-      val cand = sh.as("x").join(sh.as("y"),
-          col("x.shh") === col("y.shh") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("c"))
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val (cand, sz) = pairCounts(sh)
       cand
         .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
         .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
@@ -172,6 +182,19 @@ object DedupOps {
         .filter(col("jaccard") >= 0.4)
         .select(col("a"), col("b"), fround(col("jaccard"), 4).as("jaccard"))
     }
+
+  /** Inverted-index pair machinery shared by the Jaccard and containment
+    * metrics: all-shared-shingle pair counts `(a, b, c)` and per-doc set
+    * sizes `(doc_id, n)` over an xxhash64-keyed shingle table — the Spark
+    * twin of [[pairCountCtes]]. */
+  private def pairCounts(sh: DataFrame): (DataFrame, DataFrame) = {
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.shh") === col("y.shh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    (inter, sz)
+  }
 
   /** Exact n-gram Jaccard dedup via inverted-index self-join (4-grams). */
   private val dedupNgram = GraftQuery(
@@ -507,11 +530,7 @@ object DedupOps {
     "asymmetric shingle containment >= 0.6: sub-document dup detection",
     (s, d) => {
       val sh = shingles4(s, d).select(col("doc_id"), xxhash64(col("sh")).as("shh"))
-      val inter = sh.as("x").join(sh.as("y"),
-          col("x.shh") === col("y.shh") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("c"))
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val (inter, sz) = pairCounts(sh)
       inter
         .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
         .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
@@ -521,7 +540,8 @@ object DedupOps {
         .select(col("a"), col("b"), fround(col("containment"), 4).as("containment"))
         .orderBy("a", "b")
     },
-    Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sh AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] for i in generate_series(1, greatest(len(toks) - 3, 0))]) AS sh FROM t), inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1) SELECT i.a, i.b, floor(i.c * 1.0 / least(x.n, y.n) * 10000.0 + 0.5) / 10000.0 AS containment FROM inter i JOIN sz x ON i.a = x.doc_id JOIN sz y ON i.b = y.doc_id WHERE i.c * 1.0 / least(x.n, y.n) >= 0.6 ORDER BY 1, 2"""))
+    Some("WITH " + shingleCte4 + pairCountCtes +
+      """ SELECT i.a, i.b, floor(i.c * 1.0 / least(x.n, y.n) * 10000.0 + 0.5) / 10000.0 AS containment FROM inter i JOIN sz x ON i.a = x.doc_id JOIN sz y ON i.b = y.doc_id WHERE i.c * 1.0 / least(x.n, y.n) >= 0.6 ORDER BY 1, 2"""))
 
   /** Triangle census of the near-dup graph — the transitivity audit behind
     * the collapse-whole-components decision (dedup_keep_list): near-dup

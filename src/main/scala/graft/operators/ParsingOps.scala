@@ -467,12 +467,17 @@ object ParsingOps {
     * same data WITHOUT shipping rows: per table, XOR-fold a hash of each
     * row's canonical string. XOR is commutative+associative, so the fold
     * is partition-mergeable with no ordering or shuffle requirement (one
-    * narrow scan + a 1-row combine per table) and any single-row
-    * difference flips the checksum. Two independent 32-bit md5 words give
-    * a 64-bit effective check (a production run widens to 128 the same
-    * way). Doubles never enter the canonical string (their decimal
-    * rendering is engine-specific) — numeric content rides as centi
-    * BIGINTs. This query IS the engine-vs-oracle membership proof the
+    * narrow scan + a 1-row combine per table) and any ODD number of
+    * changed rows flips the checksum. The XOR fold's known blind spots are
+    * accepted and bounded: an even multiplicity of IDENTICAL changes
+    * cancels (countered in practice by including a unique key column in
+    * every canonical string, as all four legs here do), and concat_ws
+    * would canonicalize NULL and absent identically, so only non-null
+    * separator-free key/code columns belong in the string. Two independent
+    * 32-bit md5 words give a 64-bit effective check (a production run
+    * widens to 128 the same way). Doubles never enter the canonical string
+    * (their decimal rendering is engine-specific) — numeric content rides
+    * as centi BIGINTs. This query IS the engine-vs-oracle membership proof the
     * hash-compare gate approximates row-by-row. */
   private val qaTableChecksum = GraftQuery(
     "qa_table_checksum",
@@ -526,22 +531,41 @@ object ParsingOps {
     "qa_ref_integrity",
     "FK orphan audit: anti-join counts per declared edge",
     (s, d) => {
-      def leg(edge: String, child: org.apache.spark.sql.DataFrame, fk: String,
-              parent: org.apache.spark.sql.DataFrame, pk: String) =
-        child.select(col(fk)).join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
-          .agg(count(lit(1)).as("n_orphans"))
-          .select(lit(edge).as("fk_edge"), col("n_orphans"))
-          .crossJoin(child.agg(count(lit(1)).as("n_rows")))
-          .select(col("fk_edge"), col("n_rows"), col("n_orphans"))
-      leg("lineitem.l_orderkey->orders", Tables.lineitem(s, d), "l_orderkey",
-          Tables.orders(s, d), "o_orderkey")
-        .unionByName(leg("lineitem.l_partkey->part", Tables.lineitem(s, d),
-          "l_partkey", Tables.part(s, d), "p_partkey"))
-        .unionByName(leg("lineitem.l_suppkey->supplier", Tables.lineitem(s, d),
-          "l_suppkey", Tables.supplier(s, d), "s_suppkey"))
-        .unionByName(leg("orders.o_custkey->customer", Tables.orders(s, d),
-          "o_custkey", Tables.customer(s, d), "c_custkey"))
-        .orderBy("fk_edge")
+      // ONE scan per child table: every FK edge of a child audits in the
+      // same pass (left join per parent, count null parents — equivalent
+      // to the anti-join count because parents are PK-unique, so the left
+      // join never multiplies child rows). The naive per-edge shape costs
+      // 2 scans x edges; this is 1 scan x children — at 100 TB the child
+      // scan IS the cost and lineitem carries three edges.
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "left")
+        .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("orph_ord"),
+          sum(when(col("p_partkey").isNull, 1L).otherwise(0L)).as("orph_part"),
+          sum(when(col("s_suppkey").isNull, 1L).otherwise(0L)).as("orph_supp"))
+      val ord = Tables.orders(s, d).select(col("o_custkey"))
+        .join(broadcast(Tables.customer(s, d).select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("orph_cust"))
+      val liEdges = li.select(explode(array(
+          struct(lit("lineitem.l_orderkey->orders").as("fk_edge"),
+            col("n_rows"), col("orph_ord").as("n_orphans")),
+          struct(lit("lineitem.l_partkey->part").as("fk_edge"),
+            col("n_rows"), col("orph_part").as("n_orphans")),
+          struct(lit("lineitem.l_suppkey->supplier").as("fk_edge"),
+            col("n_rows"), col("orph_supp").as("n_orphans")))).as("e"))
+        .select(col("e.fk_edge").as("fk_edge"), col("e.n_rows").as("n_rows"),
+          col("e.n_orphans").as("n_orphans"))
+      val ordEdge = ord.select(lit("orders.o_custkey->customer").as("fk_edge"),
+        col("n_rows"), col("orph_cust").as("n_orphans"))
+      liEdges.unionByName(ordEdge).orderBy("fk_edge")
     },
     Some {
       def leg(edge: String, child: String, fk: String, parent: String, pk: String) =

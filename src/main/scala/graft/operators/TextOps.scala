@@ -15,6 +15,9 @@ import graft.functions.GraftFunctions._
 object TextOps {
   private val stopwords = graft.functions.GraftFunctions.stopwords
 
+  /** Per-invocation suffix for [[bloomCandidates]]' temp view names. */
+  private val bloomViewNonce = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Token / char counting (whitespace tokenizer). */
   private val tokenStats = GraftQuery(
     "txt_token_stats",
@@ -198,10 +201,14 @@ object TextOps {
     * driver-side cache to invalidate, no Scala UDF on the probe path. */
   private[graft] def bloomCandidates(s: SparkSession, d: String): DataFrame = {
     graft.functions.expressions.GraftExpressions.ensureRegistered(s)
-    // view name is corpus-dir-keyed (HttpIngest spool-token precedent):
-    // concurrent dirs in one session must not clobber each other's view
+    // view name is corpus-dir-keyed (HttpIngest spool-token precedent)
+    // PLUS a per-invocation nonce: with a dir-only name, two concurrent
+    // same-corpus builders could interleave A's dropTempView between B's
+    // create and B's sql() — TABLE_OR_VIEW_NOT_FOUND on a correct program.
+    // The nonce makes every create/drop pair private to its invocation.
     val view = "graft_sh4_" +
-      java.util.UUID.nameUUIDFromBytes(d.getBytes("UTF-8")).toString.replace("-", "").take(12)
+      java.util.UUID.nameUUIDFromBytes(d.getBytes("UTF-8")).toString.replace("-", "").take(12) +
+      "_" + bloomViewNonce.incrementAndGet()
     DedupOps.shingles4(s, d).createOrReplaceTempView(view)
     val df = s.sql(
       s"""WITH bf AS (SELECT graft_bloom_agg(xxhash64(sh), CAST($bloomItems AS BIGINT), CAST($bloomBits AS BIGINT)) AS bf
@@ -421,7 +428,8 @@ object TextOps {
           fround(col("n_uniq").cast("double") / col("n_sh"), 4).as("novelty"))
         .orderBy("doc_id")
     },
-    Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sh AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] for i in generate_series(1, greatest(len(toks) - 3, 0))]) AS sh FROM t), df AS (SELECT sh, count(*) AS dfreq FROM sh GROUP BY 1) SELECT s.doc_id, count(*) AS n_sh, CAST(sum(CASE WHEN df.dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uniq, floor(CAST(sum(CASE WHEN df.dfreq = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS novelty FROM sh s JOIN df USING (sh) GROUP BY 1 ORDER BY 1"""))
+    Some("WITH " + DedupOps.shingleCte4 +
+      """, df AS (SELECT sh, count(*) AS dfreq FROM sh GROUP BY 1) SELECT s.doc_id, count(*) AS n_sh, CAST(sum(CASE WHEN df.dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uniq, floor(CAST(sum(CASE WHEN df.dfreq = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS novelty FROM sh s JOIN df USING (sh) GROUP BY 1 ORDER BY 1"""))
 
   val all: Seq[GraftQuery] = Seq(tokenStats, quality, langId, fingerprint,
     topNgrams, repetition, decontaminate, boilerplate, decontaminateBloom,

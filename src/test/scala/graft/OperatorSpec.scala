@@ -251,22 +251,24 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
-  test("txt_novelty: exact-duplicate docs have zero novelty") {
-    val nov = run("txt_novelty").collect()
-      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+  test("txt_novelty: fully-contained docs have (near-)zero novelty") {
+    val novRows = run("txt_novelty").collect()
+    val nov = novRows.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val nSh = novRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(nov.nonEmpty && nov.values.forall(v => v >= 0.0 && v <= 1.0))
-    // a doc FULLY CONTAINED in another (containment = 1.0) shares every
-    // shingle with its container, so none of its shingles is corpus-unique
-    // — the smaller-set side of each such pair must score exactly 0
-    val nSh = run("txt_novelty").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a doc FULLY CONTAINED in another shares every shingle with its
+    // container, so none of its shingles is corpus-unique. The containment
+    // column is fround(·, 4), so a displayed 1.0 only guarantees true
+    // containment >= 0.99995 — up to 0.005% of the smaller side's shingles
+    // may be unshared (and possibly unique). Bound novelty accordingly
+    // instead of demanding exactly 0 (which would fail on correct data).
     val contained = run("dedup_containment").collect()
       .filter(_.getDouble(2) == 1.0)
       .map(r => if (nSh(r.getLong(0)) <= nSh(r.getLong(1))) r.getLong(0)
                 else r.getLong(1))
     assert(contained.nonEmpty, "testdata should contain containment-1.0 pairs")
     contained.foreach { id =>
-      assert(nov(id) == 0.0, s"fully-contained doc $id has novelty ${nov(id)}")
+      assert(nov(id) <= 0.00005 + 1e-4, s"contained doc $id has novelty ${nov(id)}")
     }
   }
 
