@@ -251,7 +251,38 @@ object CurationOps {
       Some(s"""SELECT doc_id, w, floor(k * 1000000.0 * 10000.0 + 0.5) / 10000.0 AS key_micro FROM (SELECT doc_id, n_chars AS w, ln((CAST(${md5u32Sql("md5('res:' || CAST(doc_id AS VARCHAR))")} AS DOUBLE) + 0.5) / 4294967296.0) / n_chars AS k FROM documents ORDER BY k DESC, doc_id LIMIT 100) ORDER BY key_micro DESC, doc_id"""))
   }
 
+  /** Class-balanced downsampling: every label keeps exactly
+    * min(class sizes) rows, selected by md5 hash order — the classifier-
+    * training rebalance (majority classes downsampled to the minority
+    * size) with the repo's reproducibility discipline: hash order is a
+    * property of the data, so the kept set survives repartitioning and
+    * corpus file reordering. One label-keyed window shuffle for the ranks;
+    * the minority size is a |labels|-row aggregate broadcast into the
+    * filter. Deterministic tie-break via vec_id on md5 collisions. */
+  private val sampBalancedClasses = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions._
+    GraftQuery(
+      "samp_balanced_classes",
+      "downsample every label to the minority class size via md5 hash order",
+      (s, d) => {
+        val ranked = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            md5u32(concat(lit("bal:"), col("vec_id").cast("string"))).as("u"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("label")
+              .orderBy(col("u"), col("vec_id"))))
+        val m = ranked.groupBy("label").agg(count(lit(1)).as("n"))
+          .agg(min("n").as("m"))
+        ranked.crossJoin(broadcast(m))
+          .filter(col("rn") <= col("m"))
+          .select(col("label"), col("vec_id"))
+          .orderBy("label", "vec_id")
+      },
+      Some(s"""WITH r AS (SELECT vec_id, label, row_number() OVER (PARTITION BY label ORDER BY ${md5u32Sql("md5('bal:' || CAST(vec_id AS VARCHAR))")}, vec_id) AS rn FROM embeddings), m AS (SELECT min(n) AS m FROM (SELECT label, count(*) AS n FROM r GROUP BY 1)) SELECT label, vec_id FROM r, m WHERE rn <= m ORDER BY 1, 2"""))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     sampStratified, sampQuota, shufflePrefix, txtNormalize, lengthHist,
-    embQuantize, sampImportance, sampWeightedReservoir)
+    embQuantize, sampImportance, sampWeightedReservoir, sampBalancedClasses)
 }

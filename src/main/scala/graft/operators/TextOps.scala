@@ -431,7 +431,50 @@ object TextOps {
     Some("WITH " + DedupOps.shingleCte4 +
       """, df AS (SELECT sh, count(*) AS dfreq FROM sh GROUP BY 1) SELECT s.doc_id, count(*) AS n_sh, CAST(sum(CASE WHEN df.dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uniq, floor(CAST(sum(CASE WHEN df.dfreq = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS novelty FROM sh s JOIN df USING (sh) GROUP BY 1 ORDER BY 1"""))
 
+  /** CCNet-style perplexity bucketing: rank each language's documents by
+    * unigram-LM avg log-prob and split into head/middle/tail terciles —
+    * the canonical "keep the head, sample the middle, drop the tail"
+    * curation signal. Rank boundaries are integer arithmetic
+    * (k1 = ⌈n/3⌉ = (n+2) DIV 3 — positive DIV and // agree), the ordering
+    * key is the per-doc exact rational lp_sum/n_tok evaluated as one IEEE
+    * division (identical both engines), and the per-bucket mean is
+    * TOKEN-WEIGHTED from integer sums (Σlp_micro / Σn_tok) — a mean of
+    * per-doc doubles would be a cross-row float sum with unfixed merge
+    * order. One lang-partitioned window over the per-doc score table. */
+  private val pplBuckets = GraftQuery(
+    "txt_ppl_buckets",
+    "CCNet head/middle/tail perplexity terciles per language",
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum("cnt").as("total"))
+      val perDoc = tok
+        .join(broadcast(vocab.crossJoin(total)), Seq("tok"))
+        .select(col("doc_id"), col("lang"),
+          floor(log(col("cnt").cast("double") / col("total")) * 1e6 + 0.5)
+            .cast("long").as("lp_micro"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_tok"), sum("lp_micro").as("lp_sum"))
+        .withColumn("avg_lp", col("lp_sum").cast("double") / col("n_tok"))
+      val w = Window.partitionBy("lang").orderBy(desc("avg_lp"), col("doc_id"))
+      perDoc
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+        .withColumn("bucket",
+          when(col("rn") <= expr("(n + 2) DIV 3"), lit("head"))
+            .when(col("rn") <= expr("(2 * n + 2) DIV 3"), lit("middle"))
+            .otherwise(lit("tail")))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          fround(sum("lp_sum").cast("double") / (sum("n_tok") * lit(1e6)), 4)
+            .as("mean_logprob"))
+        .orderBy("lang", "bucket")
+    },
+    Some("""WITH tok AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok FROM documents), v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1), t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v), pd AS (SELECT doc_id, lang, count(*) AS n_tok, CAST(sum(CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS lp_sum FROM tok JOIN v USING (tok) CROSS JOIN t GROUP BY 1, 2), r AS (SELECT *, CAST(lp_sum AS DOUBLE) / n_tok AS avg_lp FROM pd), w AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY avg_lp DESC, doc_id) AS rn, count(*) OVER (PARTITION BY lang) AS n FROM r) SELECT lang, CASE WHEN rn <= (n + 2) // 3 THEN 'head' WHEN rn <= (2 * n + 2) // 3 THEN 'middle' ELSE 'tail' END AS bucket, count(*) AS n_docs, floor(CAST(sum(lp_sum) AS DOUBLE) / (sum(n_tok) * 1000000.0) * 10000.0 + 0.5) / 10000.0 AS mean_logprob FROM w GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[GraftQuery] = Seq(tokenStats, quality, langId, fingerprint,
     topNgrams, repetition, decontaminate, boilerplate, decontaminateBloom,
-    vocabTopK, vocabSketch, unigramLogprob, bpePretokenize, txtNovelty)
+    vocabTopK, vocabSketch, unigramLogprob, bpePretokenize, txtNovelty,
+    pplBuckets)
 }

@@ -392,6 +392,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(orphans == 1L)
   }
 
+  test("txt_ppl_buckets: terciles partition each language, head outranks tail") {
+    import org.apache.spark.sql.functions._
+    val rows = run("txt_ppl_buckets").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val perLang = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, n) =>
+      val h = rows((lang, "head")); val m = rows((lang, "middle")); val t = rows((lang, "tail"))
+      assert(h._1 + m._1 + t._1 == n, s"$lang: buckets must partition the language")
+      assert(h._1 == (n + 2) / 3, s"$lang: head tercile size")
+      assert(h._2 >= m._2 && m._2 >= t._2,
+        s"$lang: bucket means must be ordered head >= middle >= tail")
+    }
+  }
+
+  test("samp_balanced_classes: every label keeps exactly the minority size") {
+    val kept = run("samp_balanced_classes").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val origSizes = Tables.embeddings(spark, sf).groupBy("label").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val minSize = origSizes.values.min
+    val keptSizes = kept.groupBy(_._1).map { case (l, v) => l -> v.size.toLong }
+    assert(keptSizes.keySet == origSizes.keySet, "every label must survive")
+    keptSizes.foreach { case (l, n) =>
+      assert(n == minSize, s"label $l kept $n, expected minority size $minSize")
+    }
+    // kept rows must be actual members of their label
+    val membership = Tables.embeddings(spark, sf).select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    kept.foreach { case (l, id) => assert(membership(id) == l) }
+  }
+
   test("no degenerate operators: every registered query returns rows at sf0.001") {
     // catches data-dependent degeneracy (empty thresholds, over-filtering)
     // across the whole registry in one sweep — the driver only smoke-checks
