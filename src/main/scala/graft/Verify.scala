@@ -6,8 +6,13 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
-    // optional 3rd arg: comma-separated query names for targeted re-checks
-    val only = args.drop(2).headOption.map(_.split(',').toSet)
+    // optional trailing args: query names for targeted re-checks — accept
+    // space- AND comma-separated (taking only the 3rd arg would silently
+    // skip later space-separated names, reading as a pass for queries that
+    // never ran)
+    val only = if (args.length > 2)
+      Some(args.drop(2).flatMap(_.split(',')).filter(_.nonEmpty).toSet)
+    else None
     // Fail loudly on a misspelled name — a silent no-op "targeted re-check"
     // that writes nothing would read as a pass.
     only.foreach { names =>

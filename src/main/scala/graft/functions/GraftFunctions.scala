@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Shared column-level building blocks. Everything here composes Catalyst
@@ -53,6 +53,24 @@ object GraftFunctions {
       val w = math.pow(16, 7 - j).toLong
       s"(instr('0123456789abcdef', substr($hexExpr, ${j + 1}, 1)) - 1) * $w"
     }.mkString("(", " + ", ")")
+
+  /** One 32-bit word of md5(c) as a BIGINT, starting at 1-based hex digit
+    * `from` (1 = high word, 9 = low word) — the row-hash halves of the
+    * qa_table_checksum anti-entropy primitive. */
+  def md5Word(c: Column, from: Int): Column =
+    conv(substring(md5(c), from, 8), 16, 10).cast("long")
+
+  /** Order-independent XOR-fold checksum of a frame under the given
+    * canonical row string: one row (n_rows, xor_hi, xor_lo). XOR is
+    * commutative + associative, so partial folds over ANY partitioning or
+    * micro-batching merge to the same triple (StreamChecksumSpec proves the
+    * stream merge against THIS definition). qa_table_checksum builds its
+    * per-table legs on this; spec and production share it so the
+    * streamability proof stays attached to the shipped primitive. */
+  def xorChecksum(df: DataFrame, canon: Column): DataFrame =
+    df.select(md5Word(canon, 1).as("hi"), md5Word(canon, 9).as("lo"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(hi)").as("xor_hi"), expr("bit_xor(lo)").as("xor_lo"))
 
   /** Lower-cased whitespace tokens of a text column. */
   def tokens(text: Column): Column = split(lower(text), " ")

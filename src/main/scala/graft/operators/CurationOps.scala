@@ -17,8 +17,9 @@ import graft.{GraftQuery, Tables}
   *    select the same rows or downstream caches/evals are invalidated).
   *  - Membership decisions are integer arithmetic on the hash (mod / hex
   *    string order), so Spark and DuckDB agree bit-for-bit.
-  *  - Every verb is a narrow map or a single keyed shuffle — nothing here
-  *    needs a second pass over the corpus.
+  *  - Every verb is a narrow map or a single keyed shuffle over the corpus,
+  *    with ONE exception: samp_balanced_classes also re-scans the table for
+  *    the minority class size (noted on the verb — size the I/O as 2x).
   */
 object CurationOps {
 
@@ -258,7 +259,11 @@ object CurationOps {
     * property of the data, so the kept set survives repartitioning and
     * corpus file reordering. One label-keyed window shuffle for the ranks;
     * the minority size is a |labels|-row aggregate broadcast into the
-    * filter. Deterministic tie-break via vec_id on md5 collisions. */
+    * filter — computed by a SECOND scan of the table (the exception to this
+    * file's one-pass rule: the ranked frame is not cached, so Spark reads
+    * the source twice; at corpus scale persist the ranked frame or take
+    * class sizes from table stats to pay the scan once). Deterministic
+    * tie-break via vec_id on md5 collisions. */
   private val sampBalancedClasses = {
     import org.apache.spark.sql.functions._
     import graft.functions.GraftFunctions._

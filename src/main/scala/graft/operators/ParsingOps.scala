@@ -483,13 +483,9 @@ object ParsingOps {
     "qa_table_checksum",
     "anti-entropy XOR row-hash checksums per table (order-independent)",
     (s, d) => {
-      import graft.functions.GraftFunctions.centi
-      def word(c: Column, from: Int) =
-        conv(substring(md5(c), from, 8), 16, 10).cast("long")
+      import graft.functions.GraftFunctions.{centi, xorChecksum}
       def legDf(name: String, t: org.apache.spark.sql.DataFrame, canon: Column) =
-        t.select(word(canon, 1).as("hi"), word(canon, 9).as("lo"))
-          .agg(count(lit(1)).as("n_rows"),
-            expr("bit_xor(hi)").as("xor_hi"), expr("bit_xor(lo)").as("xor_lo"))
+        xorChecksum(t, canon)
           .select(lit(name).as("table_name"), col("n_rows"),
             col("xor_hi"), col("xor_lo"))
       legDf("customer", Tables.customer(s, d),

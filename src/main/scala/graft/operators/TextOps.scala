@@ -338,39 +338,57 @@ object TextOps {
     * aggregation (map-side combined), vocab broadcast back onto the token
     * stream, one doc-keyed aggregation — the corpus shuffles once, on
     * doc_id. */
+  /** THE shared unigram-LM scoring pipeline (txt_unigram_logprob +
+    * txt_ppl_buckets — one implementation, so a determinism fix lands in
+    * one place): per doc, (n_tok, lp_sum) where lp_sum is the BIGINT sum of
+    * per-token micro-unit log-probs under the corpus's own unigram
+    * distribution. `extra` columns (e.g. lang) are carried through the
+    * grouping. Lockstep rounding (see GraftFunctions.fround):
+    * floor(x*1e6 + 0.5) spelled identically in both engines — Spark's
+    * round() goes through BigDecimal HALF_UP on the shortest decimal
+    * string and can disagree with DuckDB's round() on boundary doubles.
+    * ACCEPTED RISK (deliberate): ln() itself is libm, not IEEE-exact —
+    * Java Math.log and DuckDB std::log could differ by 1 ulp, and a
+    * disagreeing ulp landing EXACTLY on a .5 micro-unit boundary would
+    * flip the floor. Both are correctly-rounded to well under 1 ulp and
+    * have matched on every (cnt,total) pair across all three SFs
+    * (txt_tfidf runs the same ln lockstep); a corpus that ever trips
+    * this will surface as a hash mismatch in the driver gate, and the
+    * fallback is to micro-round cnt/total BEFORE the ln on both sides —
+    * applied HERE and in [[lpPerDocCtes]], nowhere else. */
+  private def lpPerDoc(s: SparkSession, d: String, extra: Seq[String]) = {
+    val keep = col("doc_id") +: extra.map(col)
+    val tok = Tables.documents(s, d)
+      .select(keep :+ explode(tokens(col("text"))).as("tok"): _*)
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").as("total"))
+    tok.join(broadcast(vocab.crossJoin(total)), Seq("tok"))
+      .select(keep :+
+        floor(log(col("cnt").cast("double") / col("total")) * 1e6 + 0.5)
+          .cast("long").as("lp_micro"): _*)
+      .groupBy("doc_id", extra: _*)
+      .agg(count(lit(1)).as("n_tok"), sum("lp_micro").as("lp_sum"))
+  }
+
+  /** Oracle twin of [[lpPerDoc]] — CTEs ending in
+    * pd(doc_id[, extra], n_tok, lp_sum). `extra` is "" or ", lang" etc.;
+    * keep the two in lockstep (same micro-rounding, same ln risk note). */
+  private def lpPerDocCtes(extra: String): String =
+    s"tok AS (SELECT doc_id$extra, unnest(string_split(lower(text), ' ')) AS tok FROM documents), " +
+      "v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1), " +
+      "t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v), " +
+      s"pd AS (SELECT doc_id$extra, count(*) AS n_tok, CAST(sum(CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS lp_sum FROM tok JOIN v USING (tok) CROSS JOIN t GROUP BY doc_id$extra)"
+
   private val unigramLogprob = GraftQuery(
     "txt_unigram_logprob",
     "unigram-LM avg log-prob per doc (perplexity-proxy quality signal)",
-    (s, d) => {
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      val total = vocab.agg(sum("cnt").as("total"))
-      // lockstep rounding (see GraftFunctions.fround): floor(x*1e6 + 0.5)
-      // spelled identically in both engines — Spark's round() goes through
-      // BigDecimal HALF_UP on the shortest decimal string and can disagree
-      // with DuckDB's round() on boundary doubles.
-      // ACCEPTED RISK (deliberate): ln() itself is libm, not IEEE-exact —
-      // Java Math.log and DuckDB std::log could differ by 1 ulp, and a
-      // disagreeing ulp landing EXACTLY on a .5 micro-unit boundary would
-      // flip the floor. Both are correctly-rounded to well under 1 ulp and
-      // have matched on every (cnt,total) pair across all three SFs
-      // (txt_tfidf runs the same ln lockstep); a corpus that ever trips
-      // this will surface as a hash mismatch in the driver gate, and the
-      // fallback is to micro-round cnt/total BEFORE the ln on both sides.
-      val scored = tok
-        .join(broadcast(vocab.crossJoin(total)), Seq("tok"))
-        .select(col("doc_id"),
-          floor(log(col("cnt").cast("double") / col("total")) * 1e6 + 0.5)
-            .cast("long").as("lp_micro"))
-      scored.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"), sum("lp_micro").as("lp_sum"))
-        .select(col("doc_id"), col("n_tok"),
-          fround(col("lp_sum").cast("double") / (col("n_tok") * 1e6), 4)
-            .as("avg_logprob"))
-        .orderBy("doc_id")
-    },
-    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents), v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1), t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v), sc AS (SELECT doc_id, CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * 1000000.0 + 0.5) AS BIGINT) AS lp_micro FROM tok JOIN v USING (tok) CROSS JOIN t) SELECT doc_id, count(*) AS n_tok, floor(CAST(sum(lp_micro) AS DOUBLE) / (count(*) * 1000000.0) * 10000.0 + 0.5) / 10000.0 AS avg_logprob FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+    (s, d) => lpPerDoc(s, d, Nil)
+      .select(col("doc_id"), col("n_tok"),
+        fround(col("lp_sum").cast("double") / (col("n_tok") * 1e6), 4)
+          .as("avg_logprob"))
+      .orderBy("doc_id"),
+    Some("WITH " + lpPerDocCtes("") +
+      " SELECT doc_id, n_tok, floor(CAST(lp_sum AS DOUBLE) / (n_tok * 1000000.0) * 10000.0 + 0.5) / 10000.0 AS avg_logprob FROM pd ORDER BY doc_id"))
 
   /** BPE-style pretokenization — the GPT-2-family pretokenizer skeleton:
     * split into letter runs, digit runs, and punctuation runs by regex
@@ -445,17 +463,7 @@ object TextOps {
     "txt_ppl_buckets",
     "CCNet head/middle/tail perplexity terciles per language",
     (s, d) => {
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
-      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      val total = vocab.agg(sum("cnt").as("total"))
-      val perDoc = tok
-        .join(broadcast(vocab.crossJoin(total)), Seq("tok"))
-        .select(col("doc_id"), col("lang"),
-          floor(log(col("cnt").cast("double") / col("total")) * 1e6 + 0.5)
-            .cast("long").as("lp_micro"))
-        .groupBy("doc_id", "lang")
-        .agg(count(lit(1)).as("n_tok"), sum("lp_micro").as("lp_sum"))
+      val perDoc = lpPerDoc(s, d, Seq("lang"))
         .withColumn("avg_lp", col("lp_sum").cast("double") / col("n_tok"))
       val w = Window.partitionBy("lang").orderBy(desc("avg_lp"), col("doc_id"))
       perDoc
@@ -471,7 +479,8 @@ object TextOps {
             .as("mean_logprob"))
         .orderBy("lang", "bucket")
     },
-    Some("""WITH tok AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok FROM documents), v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1), t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v), pd AS (SELECT doc_id, lang, count(*) AS n_tok, CAST(sum(CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS lp_sum FROM tok JOIN v USING (tok) CROSS JOIN t GROUP BY 1, 2), r AS (SELECT *, CAST(lp_sum AS DOUBLE) / n_tok AS avg_lp FROM pd), w AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY avg_lp DESC, doc_id) AS rn, count(*) OVER (PARTITION BY lang) AS n FROM r) SELECT lang, CASE WHEN rn <= (n + 2) // 3 THEN 'head' WHEN rn <= (2 * n + 2) // 3 THEN 'middle' ELSE 'tail' END AS bucket, count(*) AS n_docs, floor(CAST(sum(lp_sum) AS DOUBLE) / (sum(n_tok) * 1000000.0) * 10000.0 + 0.5) / 10000.0 AS mean_logprob FROM w GROUP BY 1, 2 ORDER BY 1, 2"""))
+    Some("WITH " + lpPerDocCtes(", lang") +
+      """, r AS (SELECT *, CAST(lp_sum AS DOUBLE) / n_tok AS avg_lp FROM pd), w AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY avg_lp DESC, doc_id) AS rn, count(*) OVER (PARTITION BY lang) AS n FROM r) SELECT lang, CASE WHEN rn <= (n + 2) // 3 THEN 'head' WHEN rn <= (2 * n + 2) // 3 THEN 'middle' ELSE 'tail' END AS bucket, count(*) AS n_docs, floor(CAST(sum(lp_sum) AS DOUBLE) / (sum(n_tok) * 1000000.0) * 10000.0 + 0.5) / 10000.0 AS mean_logprob FROM w GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   val all: Seq[GraftQuery] = Seq(tokenStats, quality, langId, fingerprint,
     topNgrams, repetition, decontaminate, boilerplate, decontaminateBloom,

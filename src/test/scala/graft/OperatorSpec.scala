@@ -399,7 +399,11 @@ class OperatorSpec extends AnyFunSuite {
     val perLang = Tables.documents(spark, sf).groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     perLang.foreach { case (lang, n) =>
-      val h = rows((lang, "head")); val m = rows((lang, "middle")); val t = rows((lang, "tail"))
+      // n=1 yields only a head row, n=2 head+middle — guard so a sparse
+      // language fails with a diagnostic, not a bare NoSuchElementException
+      def bucket(b: String) = rows.getOrElse((lang, b),
+        fail(s"$lang (n=$n docs): missing '$b' tercile row"))
+      val h = bucket("head"); val m = bucket("middle"); val t = bucket("tail")
       assert(h._1 + m._1 + t._1 == n, s"$lang: buckets must partition the language")
       assert(h._1 == (n + 2) / 3, s"$lang: head tercile size")
       assert(h._2 >= m._2 && m._2 >= t._2,

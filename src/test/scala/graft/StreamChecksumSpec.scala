@@ -20,11 +20,12 @@ class StreamChecksumSpec extends AnyFunSuite {
   private val sf = GraftTestSpark.sf
 
   private def canon = concat_ws("|", col("event_id"), col("event_type"))
-  private def word(c: org.apache.spark.sql.Column, from: Int) =
-    conv(substring(md5(c), from, 8), 16, 10).cast("long")
+  // the PRODUCTION fold (GraftFunctions.xorChecksum, the primitive behind
+  // qa_table_checksum) — not a spec-local copy, so any future change to the
+  // checksum definition keeps this streamability proof attached to it
   private def fold(df: DataFrame) =
-    df.select(word(canon, 1).as("hi"), word(canon, 9).as("lo"))
-      .agg(expr("bit_xor(hi)"), expr("bit_xor(lo)"), count(lit(1)))
+    graft.functions.GraftFunctions.xorChecksum(df, canon)
+      .select(col("xor_hi"), col("xor_lo"), col("n_rows"))
       .collect().head
 
   test("streamed per-batch XOR partials merge to the batch checksum") {
