@@ -328,22 +328,18 @@ object TextOps {
     },
     None)
 
-  /** Unigram language-model scoring — the perplexity-proxy quality signal
-    * (CCNet trains a real LM; the unigram model is its exact-arithmetic
-    * skeleton): avg per-token log-probability under the corpus's own
-    * unigram distribution. Cross-engine determinism: each token's log-prob
-    * is rounded to integer MICRO-units per occurrence, and the per-doc
-    * aggregate sums BIGINTs — order-independent, unlike a double sum whose
-    * partial-aggregation order Spark does not fix. Scale shape: one vocab
-    * aggregation (map-side combined), vocab broadcast back onto the token
-    * stream, one doc-keyed aggregation — the corpus shuffles once, on
-    * doc_id. */
   /** THE shared unigram-LM scoring pipeline (txt_unigram_logprob +
     * txt_ppl_buckets — one implementation, so a determinism fix lands in
-    * one place): per doc, (n_tok, lp_sum) where lp_sum is the BIGINT sum of
-    * per-token micro-unit log-probs under the corpus's own unigram
-    * distribution. `extra` columns (e.g. lang) are carried through the
-    * grouping. Lockstep rounding (see GraftFunctions.fround):
+    * one place). The perplexity-proxy quality signal: CCNet trains a real
+    * LM; the unigram model is its exact-arithmetic skeleton. Per doc,
+    * (n_tok, lp_sum) where lp_sum is the BIGINT sum of per-token
+    * micro-unit log-probs under the corpus's own unigram distribution —
+    * order-independent, unlike a double sum whose partial-aggregation
+    * order Spark does not fix. `extra` columns (e.g. lang) are carried
+    * through the grouping. Scale shape: one vocab aggregation (map-side
+    * combined), vocab broadcast back onto the token stream, one doc-keyed
+    * aggregation — the corpus shuffles once, on doc_id.
+    * Lockstep rounding (see GraftFunctions.fround):
     * floor(x*1e6 + 0.5) spelled identically in both engines — Spark's
     * round() goes through BigDecimal HALF_UP on the shortest decimal
     * string and can disagree with DuckDB's round() on boundary doubles.
