@@ -301,6 +301,40 @@ object DedupOps {
     Some(ngramPairsCte + componentsCtes +
       """ SELECT doc_id, comp, CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size FROM m ORDER BY comp, doc_id"""))
 
+  /** Component COLLAPSE with a quality-aware representative: per near-dup
+    * component keep the LONGEST member (max n_chars, ties to the smaller
+    * doc_id) — the C4/RefinedWeb keep rule, complementing the min-id rule
+    * the keep-list uses (min-id is replay-stable under content edits;
+    * keep-longest preserves the most training text). One row per component:
+    * the kept doc plus chars kept vs total — the collapse report a
+    * curation run logs before dropping the other members.
+    *
+    * Scale shape: the component label table is pair-bounded (near-dup
+    * nodes only — tiny vs the corpus), so it BROADCASTS into the documents
+    * join and the corpus never shuffles; the rank window partitions by
+    * component over that pruned member set only. */
+  private val dedupKeepLongest = GraftQuery(
+    "dedup_keep_longest",
+    "collapse each near-dup component keeping its longest member",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lbl = graft.PersistCache.getOrBuild(s, s"cc-lbl:$d") {
+        connectedComponents(jaccardPairs(s, d))
+      }
+      val members = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        .join(broadcast(lbl.withColumnRenamed("id", "doc_id")), Seq("doc_id"))
+      val w = Window.partitionBy("comp").orderBy(desc("n_chars"), col("doc_id"))
+      members.withColumn("rk", row_number().over(w))
+        .groupBy("comp")
+        .agg(count(lit(1)).as("n_members"),
+          sum("n_chars").as("total_chars"),
+          max(when(col("rk") === 1, col("doc_id"))).as("keep_doc"),
+          max(when(col("rk") === 1, col("n_chars"))).as("keep_chars"))
+        .orderBy("comp")
+    },
+    Some(ngramPairsCte + componentsCtes +
+      """, mem AS (SELECT m.doc_id, m.comp, d.n_chars FROM m JOIN documents d USING (doc_id)), rk AS (SELECT *, row_number() OVER (PARTITION BY comp ORDER BY n_chars DESC, doc_id) AS rk FROM mem) SELECT comp, count(*) AS n_members, CAST(sum(n_chars) AS BIGINT) AS total_chars, max(CASE WHEN rk = 1 THEN doc_id END) AS keep_doc, max(CASE WHEN rk = 1 THEN n_chars END) AS keep_chars FROM rk GROUP BY 1 ORDER BY 1"""))
+
   /** The pipeline's FINAL dedup verdict: one (keep, reason) row per
     * document, merging the exact-duplicate signal (md5 fingerprint groups)
     * with the near-duplicate signal (Jaccard>=0.4 connected components).
@@ -581,6 +615,6 @@ object DedupOps {
 
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupComponents, dedupKeepList,
-    dedupSimhash, dedupSimhashGroups, dedupEmbedding, dedupEmbeddingLsh,
-    dedupIncremental, dedupContainment, graphTriangles)
+    dedupKeepLongest, dedupSimhash, dedupSimhashGroups, dedupEmbedding,
+    dedupEmbeddingLsh, dedupIncremental, dedupContainment, graphTriangles)
 }

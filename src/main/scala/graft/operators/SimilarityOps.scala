@@ -174,13 +174,24 @@ object SimilarityOps {
     * vector-valued aggregation buffer (à la the IVF trainer's
     * TypedImperativeAggregate) saves the explode but shuffles the same
     * bytes; the explode keeps whole-stage codegen. */
+  /** (vec_id, label, dim, micro) — every vector element as an exact
+    * micro-unit BIGINT (1-based dim). The element-wise determinism base
+    * shared by the centroid, dimension-profile, and nearest-centroid
+    * queries: integer micros make every downstream sum order-independent.
+    * Unused columns are pruned by Catalyst, so a consumer that drops
+    * vec_id pays nothing for it. */
+  private def microDims(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("label"),
+        (col("pos") + 1).cast("long").as("dim"),
+        floor(col("x").cast("double") * 1000000.0 + 0.5).cast("long").as("micro"))
+
   private val embCentroids = GraftQuery(
     "emb_centroids",
     "per-label embedding centroids: element-wise micro-exact means",
-    (s, d) => Tables.embeddings(s, d)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
-        floor(col("x").cast("double") * 1000000.0 + 0.5).cast("long").as("micro"))
+    (s, d) => microDims(s, d)
       .groupBy("label", "dim")
       .agg(count(lit(1)).as("n"), sum("micro").as("sm"))
       .select(col("label"), col("dim"), col("n"),
@@ -188,6 +199,77 @@ object SimilarityOps {
       .orderBy("label", "dim"),
     Some("""SELECT label, dim, count(*) AS n, floor(CAST(sum(CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS mean_v FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim) GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Per-DIMENSION corpus profile — the dead/collapsed-dimension detector.
+    * An embedding-pipeline failure mode: a dimension that is ~always zero
+    * or near-constant carries no signal and wastes index bytes (matryoshka
+    * truncation and PQ sub-spaces both assume healthy dims). Moments are
+    * integer-exact: sums of micros and squared micros (the evt_zscore
+    * discipline), so mean/variance are rationals evaluated with ONE fixed
+    * double-op sequence in both engines. Scale shape: posexplode + one
+    * keyed aggregation on 64 dims with map-side combine — the shuffle
+    * carries dims x partial rows, not the corpus. Sum of micro² stays under
+    * 2^63 up to ~10^6 rows/dim at |x| <= 2; past that promote sm2 to a
+    * two-long 128-bit sum the way DuckDB widens to HUGEINT. */
+  private val embDimProfile = GraftQuery(
+    "emb_dim_profile",
+    "per-dimension profile: near-zero share + integer-exact mean/variance",
+    (s, d) => microDims(s, d)
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("micro")) <= 1000L, lit(1L)).otherwise(lit(0L)))
+          .as("n_near_zero"),
+        min("micro").as("min_micro"), max("micro").as("max_micro"),
+        sum("micro").as("sm"), sum(col("micro") * col("micro")).as("sm2"))
+      .select(col("dim"), col("n"), col("n_near_zero"),
+        col("min_micro"), col("max_micro"),
+        fround(col("sm").cast("double") / col("n") / 1e6, 6).as("mean_v"),
+        fround((col("sm2").cast("double") / col("n") -
+          (col("sm").cast("double") / col("n")) *
+            (col("sm").cast("double") / col("n"))) / 1e12, 6).as("var_v"))
+      .orderBy("dim"),
+    Some("""WITH mic AS (SELECT dim, CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS micro FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim)) SELECT dim, count(*) AS n, CAST(sum(CASE WHEN abs(micro) <= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_zero, min(micro) AS min_micro, max(micro) AS max_micro, floor(CAST(sum(micro) AS DOUBLE) / count(*) / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS mean_v, floor((CAST(sum(micro * micro) AS DOUBLE) / count(*) - (CAST(sum(micro) AS DOUBLE) / count(*)) * (CAST(sum(micro) AS DOUBLE) / count(*))) / 1000000000000.0 * 1000000.0 + 0.5) / 1000000.0 AS var_v FROM mic GROUP BY 1 ORDER BY 1"""))
+
+  /** Nearest-centroid ASSIGNMENT + label purity — the classification step
+    * of semantic dedup (SemDeDup: cluster, then prune within clusters) and
+    * the k-means assignment kernel, as a confusion matrix: how often does a
+    * vector of label L sit closest to the centroid of label A? Centroids
+    * are QUANTIZED to integer micro units before the distance pass, so each
+    * (vector, centroid) squared distance is a BIGINT sum and the argmin
+    * never compares engine-ordered float sums — exact, hash-stable
+    * assignment (ties break to the smaller centroid label).
+    *
+    * Scale shape: the centroid table (|labels| x dims rows) is a stored
+    * artifact (PersistCache, built in one corpus pass like the IVF
+    * codebook) and BROADCASTS into the assignment join; the per-element
+    * term stream feeds one map-side-combined aggregation keyed on
+    * (vec, centroid), then a |corpus| x |labels| argmin window partitioned
+    * by vec_id. That is the honest distributed shape of k-means assign. */
+  private val embAssignPurity = GraftQuery(
+    "emb_assign_purity",
+    "nearest-centroid assignment confusion: label purity under exact argmin",
+    (s, d) => {
+      val mic = microDims(s, d)
+      val cents = graft.PersistCache.getOrBuild(s, s"label-cents-q:$d") {
+        mic.groupBy(col("label").as("c_label"), col("dim"))
+          .agg(floor(sum("micro").cast("double") / count(lit(1)) + 0.5)
+            .cast("long").as("c_micro"))
+      }
+      val dist = mic.join(broadcast(cents), Seq("dim"))
+        .groupBy("vec_id", "label", "c_label")
+        .agg(sum((col("micro") - col("c_micro")) *
+          (col("micro") - col("c_micro"))).as("d2"))
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("c_label"))
+      dist.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy("label", "c_label")
+        .agg(count(lit(1)).as("n"))
+        .select(col("label"), col("c_label").as("assigned"), col("n"),
+          fround(col("n").cast("double") /
+            sum("n").over(Window.partitionBy("label")), 4).as("share"))
+        .orderBy("label", "assigned")
+    },
+    Some("""WITH mic AS (SELECT vec_id, label, dim, CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS micro FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim)), c AS (SELECT label AS c_label, dim, CAST(floor(CAST(sum(micro) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c_micro FROM mic GROUP BY 1, 2), d AS (SELECT m.vec_id, m.label, c.c_label, sum((m.micro - c.c_micro) * (m.micro - c.c_micro)) AS d2 FROM mic m JOIN c USING (dim) GROUP BY 1, 2, 3), a AS (SELECT vec_id, label, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk FROM d) SELECT label, c_label AS assigned, count(*) AS n, floor(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY label) * 10000.0 + 0.5) / 10000.0 AS share FROM a WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[GraftQuery] = Seq(knnBrute, labelStats, knnLsh, knnMatryoshka,
-    embCentroids)
+    embCentroids, embDimProfile, embAssignPurity)
 }

@@ -428,6 +428,77 @@ class OperatorSpec extends AnyFunSuite {
     kept.foreach { case (l, id) => assert(membership(id) == l) }
   }
 
+  test("dedup_keep_longest: representative is the longest member of each component") {
+    val comps = run("dedup_components").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))               // (doc_id, comp)
+    val chars = Tables.documents(spark, sf).select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byComp = comps.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val rows = run("dedup_keep_longest").collect()
+    assert(rows.length == byComp.size, "one row per component")
+    rows.foreach { r =>
+      val (comp, nm, total, keep, kc) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val members = byComp(comp)
+      assert(members.length.toLong == nm, s"comp $comp: member count")
+      assert(total == members.map(chars).sum, s"comp $comp: total chars")
+      val best = members.sortBy(id => (-chars(id), id)).head
+      assert(keep == best && kc == chars(best),
+        s"comp $comp: expected representative $best (${chars(best)} chars), got $keep ($kc)")
+    }
+  }
+
+  test("emb_dim_profile: full dim grid, moments replayed on one dimension") {
+    val rows = run("emb_dim_profile").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 64L), "one row per dim, ordered")
+    val nVec = Tables.embeddings(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == nVec, s"dim ${r.getLong(0)}: n must equal corpus size")
+      assert(r.getDouble(6) >= 0.0, s"dim ${r.getLong(0)}: variance must be >= 0")
+      assert(r.getLong(3) <= r.getLong(4), s"dim ${r.getLong(0)}: min <= max")
+    }
+    // replay dim 1 from raw vectors with the same micro arithmetic
+    val micros = Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(r => math.floor(r.getSeq[Float](0).head.toDouble * 1e6 + 0.5).toLong)
+    val d1 = rows.head
+    assert(d1.getLong(2) == micros.count(m => math.abs(m) <= 1000L), "near-zero count")
+    assert(d1.getLong(3) == micros.min && d1.getLong(4) == micros.max)
+    val mean = micros.sum.toDouble / micros.length / 1e6
+    assert(d1.getDouble(5) == math.floor(mean * 1e6 + 0.5) / 1e6, "dim-1 mean replays")
+  }
+
+  test("emb_assign_purity: confusion matrix replays a brute-force exact argmin") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "label", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray))
+    val cents = vecs.groupBy(_._2).view.mapValues { vs =>
+      val dims = vs.head._3.length
+      Array.tabulate(dims) { i =>
+        math.floor(vs.map(_._3(i)).sum.toDouble / vs.length + 0.5).toLong
+      }
+    }.toMap
+    val expected = vecs
+      .map { case (_, label, m) =>
+        val assigned = cents.toSeq
+          .map { case (cl, c) =>
+            (m.indices.map(i => (m(i) - c(i)) * (m(i) - c(i))).sum, cl)
+          }
+          .minBy(identity)._2                     // min d2, ties to smaller label
+        (label, assigned)
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val out = run("emb_assign_purity").collect()
+    val got = out.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == expected, "confusion cells must match the brute-force replay")
+    assert(out.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0),
+      "shares in [0,1]")
+    got.groupBy(_._1._1).foreach { case (label, cells) =>
+      assert(cells.values.sum == vecs.count(_._2 == label),
+        s"label $label: cells partition the label")
+    }
+  }
+
   test("no degenerate operators: every registered query returns rows at sf0.001") {
     // catches data-dependent degeneracy (empty thresholds, over-filtering)
     // across the whole registry in one sweep — the driver only smoke-checks

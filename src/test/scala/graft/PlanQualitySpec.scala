@@ -191,6 +191,22 @@ class PlanQualitySpec extends AnyFunSuite {
       !custLeg.contains("c_name") && !custLeg.contains("c_acctbal"), custLeg)
   }
 
+  test("keep-longest broadcasts the pair-bounded component labels (corpus never shuffles for the join)") {
+    val p = plan("dedup_keep_longest")
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+  }
+
+  test("emb_dim_profile aggregates map-side before the 64-group dim shuffle") {
+    val p = plan("emb_dim_profile")
+    assert(p.contains("partial_sum"), p.take(2500))
+  }
+
+  test("nearest-centroid assignment broadcasts the centroid table and combines terms map-side") {
+    val p = plan("emb_assign_purity")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("partial_sum"), p.take(3000))
+  }
+
   test("no NEW unpartitioned windows: registry-wide allowlist of single-partition window plans") {
     // QuietLogs silences WindowExec's no-partition warning for the three
     // audited-benign sites, so THIS assertion is the guard that used to be
