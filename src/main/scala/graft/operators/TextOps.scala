@@ -478,8 +478,43 @@ object TextOps {
     Some("WITH " + lpPerDocCtes(", lang") +
       """, r AS (SELECT *, CAST(lp_sum AS DOUBLE) / n_tok AS avg_lp FROM pd), w AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY avg_lp DESC, doc_id) AS rn, count(*) OVER (PARTITION BY lang) AS n FROM r) SELECT lang, CASE WHEN rn <= (n + 2) // 3 THEN 'head' WHEN rn <= (2 * n + 2) // 3 THEN 'middle' ELSE 'tail' END AS bucket, count(*) AS n_docs, floor(CAST(sum(lp_sum) AS DOUBLE) / (sum(n_tok) * 1000000.0) * 10000.0 + 0.5) / 10000.0 AS mean_logprob FROM w GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Per-document character-distribution Shannon entropy — the gibberish /
+    * degenerate-text detector (keyboard mash, repeated fill, base64 blobs
+    * all sit far from natural-language ~4.1 bits/char; a standard cheap
+    * quality gate next to the stopword and repetition signals). Exact
+    * arithmetic: H = -(1/n)·Σ cnt·ln(cnt/n) where the per-distinct-char
+    * log rides as an integer micro-unit (the [[lpPerDoc]] ln discipline),
+    * so the per-doc sum is a BIGINT and the only float ops are one final
+    * division per doc, identical in both engines.
+    * Scale shape: per-row char histogram explode (bounded by alphabet
+    * size per doc, not text length, after the (doc, char) combine), ONE
+    * doc-keyed shuffle reused by the window and the final aggregate. */
+  private val charEntropy = GraftQuery(
+    "txt_char_entropy",
+    "per-doc char-distribution Shannon entropy (gibberish detector)",
+    (s, d) => {
+      val cnts = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("ch"))
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("doc_id")
+      cnts
+        .withColumn("n", sum("cnt").over(w))
+        .withColumn("nd", count(lit(1)).over(w))
+        .groupBy("doc_id")
+        .agg(max("n").as("n_chars"), max("nd").as("n_distinct"),
+          sum(col("cnt") *
+            floor(log(col("cnt").cast("double") / col("n")) * 1e6 + 0.5)
+              .cast("long")).as("s_micro"))
+        .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+          fround(-col("s_micro").cast("double") / (col("n_chars") * 1e6), 4)
+            .as("entropy"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch FROM documents), c AS (SELECT doc_id, ch, count(*) AS cnt FROM ch GROUP BY 1, 2), t AS (SELECT doc_id, cnt, CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n, count(*) OVER (PARTITION BY doc_id) AS nd FROM c) SELECT doc_id, max(n) AS n_chars, max(nd) AS n_distinct, floor(-CAST(sum(cnt * CAST(floor(ln(CAST(cnt AS DOUBLE) / n) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / (max(n) * 1000000.0) * 10000.0 + 0.5) / 10000.0 AS entropy FROM t GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(tokenStats, quality, langId, fingerprint,
     topNgrams, repetition, decontaminate, boilerplate, decontaminateBloom,
     vocabTopK, vocabSketch, unigramLogprob, bpePretokenize, txtNovelty,
-    pplBuckets)
+    pplBuckets, charEntropy)
 }

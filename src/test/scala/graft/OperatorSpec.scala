@@ -499,6 +499,25 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("txt_char_entropy: bounded by ln(alphabet) and replays exactly on raw text") {
+    val rows = run("txt_char_entropy").collect()
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size, "one row per document")
+    rows.foreach { r =>
+      val (id, n, nd, h) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(h >= 0.0 && h <= math.log(nd.toDouble) + 1e-4,
+        s"doc $id: H=$h outside [0, ln($nd)]")
+      // replay with the query's exact arithmetic (micro-unit ln, floor round)
+      val cnts = texts(id).groupBy(identity).view.mapValues(_.length.toLong)
+      assert(n == cnts.values.sum && nd == cnts.size.toLong, s"doc $id: counts")
+      val sMicro = cnts.values
+        .map(c => c * math.floor(math.log(c.toDouble / n) * 1e6 + 0.5).toLong).sum
+      val expected = math.floor(-sMicro.toDouble / (n * 1e6) * 1e4 + 0.5) / 1e4
+      assert(h == expected, s"doc $id: entropy $h != replayed $expected")
+    }
+  }
+
   test("no degenerate operators: every registered query returns rows at sf0.001") {
     // catches data-dependent degeneracy (empty thresholds, over-filtering)
     // across the whole registry in one sweep — the driver only smoke-checks
