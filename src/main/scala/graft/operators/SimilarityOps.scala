@@ -188,12 +188,20 @@ object SimilarityOps {
         (col("pos") + 1).cast("long").as("dim"),
         floor(col("x").cast("double") * 1000000.0 + 0.5).cast("long").as("micro"))
 
+  /** (label, dim, n, sm) — the per-(label, dim) micro-sum base BOTH
+    * centroid views derive from: emb_centroids reports the exact rational
+    * mean, emb_assign_purity quantizes the same rational to an integer
+    * micro. One aggregation definition, so the two centroid notions can
+    * never drift apart (e.g. a future degenerate-vector filter lands in
+    * both or neither). */
+  private def labelDimSums(s: SparkSession, d: String): DataFrame =
+    microDims(s, d).groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum("micro").as("sm"))
+
   private val embCentroids = GraftQuery(
     "emb_centroids",
     "per-label embedding centroids: element-wise micro-exact means",
-    (s, d) => microDims(s, d)
-      .groupBy("label", "dim")
-      .agg(count(lit(1)).as("n"), sum("micro").as("sm"))
+    (s, d) => labelDimSums(s, d)
       .select(col("label"), col("dim"), col("n"),
         fround(col("sm").cast("double") / col("n") / 1000000.0, 6).as("mean_v"))
       .orderBy("label", "dim"),
@@ -207,9 +215,12 @@ object SimilarityOps {
     * discipline), so mean/variance are rationals evaluated with ONE fixed
     * double-op sequence in both engines. Scale shape: posexplode + one
     * keyed aggregation on 64 dims with map-side combine — the shuffle
-    * carries dims x partial rows, not the corpus. Sum of micro² stays under
-    * 2^63 up to ~10^6 rows/dim at |x| <= 2; past that promote sm2 to a
-    * two-long 128-bit sum the way DuckDB widens to HUGEINT. */
+    * carries dims x partial rows, not the corpus. The squared-micro sum
+    * rides as DECIMAL(38,0) — exact 128-bit integer arithmetic, the twin
+    * of DuckDB's HUGEINT widening — because a LONG sum would silently
+    * wrap past ~2·10^6 rows/dim at |x| <= 2 (non-ANSI Spark wraps, it
+    * does not error); both engines then convert the exact integer to
+    * double with the same correct rounding. */
   private val embDimProfile = GraftQuery(
     "emb_dim_profile",
     "per-dimension profile: near-zero share + integer-exact mean/variance",
@@ -219,7 +230,8 @@ object SimilarityOps {
         sum(when(abs(col("micro")) <= 1000L, lit(1L)).otherwise(lit(0L)))
           .as("n_near_zero"),
         min("micro").as("min_micro"), max("micro").as("max_micro"),
-        sum("micro").as("sm"), sum(col("micro") * col("micro")).as("sm2"))
+        sum("micro").as("sm"),
+        sum((col("micro") * col("micro")).cast("decimal(38,0)")).as("sm2"))
       .select(col("dim"), col("n"), col("n_near_zero"),
         col("min_micro"), col("max_micro"),
         fround(col("sm").cast("double") / col("n") / 1e6, 6).as("mean_v"),
@@ -250,9 +262,10 @@ object SimilarityOps {
     (s, d) => {
       val mic = microDims(s, d)
       val cents = graft.PersistCache.getOrBuild(s, s"label-cents-q:$d") {
-        mic.groupBy(col("label").as("c_label"), col("dim"))
-          .agg(floor(sum("micro").cast("double") / count(lit(1)) + 0.5)
-            .cast("long").as("c_micro"))
+        labelDimSums(s, d)
+          .select(col("label").as("c_label"), col("dim"),
+            floor(col("sm").cast("double") / col("n") + 0.5)
+              .cast("long").as("c_micro"))
       }
       val dist = mic.join(broadcast(cents), Seq("dim"))
         .groupBy("vec_id", "label", "c_label")

@@ -488,14 +488,21 @@ object TextOps {
     * division per doc, identical in both engines.
     * Scale shape: per-row char histogram explode (bounded by alphabet
     * size per doc, not text length, after the (doc, char) combine), ONE
-    * doc-keyed shuffle reused by the window and the final aggregate. */
+    * doc-keyed shuffle reused by the window and the final aggregate.
+    * The char pattern is [\s\S] — NOT '.' — because Java regex '.'
+    * excludes CR, NEL and the U+2028/U+2029 separators while RE2's
+    * excludes only LF, a
+    * cross-engine divergence on any CRLF corpus; the union class matches
+    * every code point identically in both engines. A document whose text
+    * is empty produces no row in BOTH engines (explode and unnest agree
+    * on empty histograms) — entropy of nothing is undefined, not 0. */
   private val charEntropy = GraftQuery(
     "txt_char_entropy",
     "per-doc char-distribution Shannon entropy (gibberish detector)",
     (s, d) => {
       val cnts = Tables.documents(s, d)
         .select(col("doc_id"),
-          explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("ch"))
+          explode(regexp_extract_all(col("text"), lit("[\\s\\S]"), lit(0))).as("ch"))
         .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy("doc_id")
       cnts
@@ -511,7 +518,7 @@ object TextOps {
             .as("entropy"))
         .orderBy("doc_id")
     },
-    Some("""WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch FROM documents), c AS (SELECT doc_id, ch, count(*) AS cnt FROM ch GROUP BY 1, 2), t AS (SELECT doc_id, cnt, CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n, count(*) OVER (PARTITION BY doc_id) AS nd FROM c) SELECT doc_id, max(n) AS n_chars, max(nd) AS n_distinct, floor(-CAST(sum(cnt * CAST(floor(ln(CAST(cnt AS DOUBLE) / n) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / (max(n) * 1000000.0) * 10000.0 + 0.5) / 10000.0 AS entropy FROM t GROUP BY 1 ORDER BY 1"""))
+    Some("""WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch FROM documents), c AS (SELECT doc_id, ch, count(*) AS cnt FROM ch GROUP BY 1, 2), t AS (SELECT doc_id, cnt, CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n, count(*) OVER (PARTITION BY doc_id) AS nd FROM c) SELECT doc_id, max(n) AS n_chars, max(nd) AS n_distinct, floor(-CAST(sum(cnt * CAST(floor(ln(CAST(cnt AS DOUBLE) / n) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / (max(n) * 1000000.0) * 10000.0 + 0.5) / 10000.0 AS entropy FROM t GROUP BY 1 ORDER BY 1"""))
 
   val all: Seq[GraftQuery] = Seq(tokenStats, quality, langId, fingerprint,
     topNgrams, repetition, decontaminate, boilerplate, decontaminateBloom,

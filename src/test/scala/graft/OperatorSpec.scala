@@ -503,13 +503,17 @@ class OperatorSpec extends AnyFunSuite {
     val rows = run("txt_char_entropy").collect()
     val texts = Tables.documents(spark, sf).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(rows.length == texts.size, "one row per document")
+    // empty docs yield no histogram, hence no row (in both engines)
+    assert(rows.length == texts.count(_._2.nonEmpty), "one row per non-empty doc")
     rows.foreach { r =>
       val (id, n, nd, h) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
       assert(h >= 0.0 && h <= math.log(nd.toDouble) + 1e-4,
         s"doc $id: H=$h outside [0, ln($nd)]")
-      // replay with the query's exact arithmetic (micro-unit ln, floor round)
-      val cnts = texts(id).groupBy(identity).view.mapValues(_.length.toLong)
+      // replay with the query's exact arithmetic (micro-unit ln, floor
+      // round) over CODE POINTS — the regex matches per code point, so a
+      // UTF-16 char-based replay would split astral chars into surrogates
+      val cnts = texts(id).codePoints().toArray.toSeq
+        .groupBy(identity).view.mapValues(_.length.toLong)
       assert(n == cnts.values.sum && nd == cnts.size.toLong, s"doc $id: counts")
       val sMicro = cnts.values
         .map(c => c * math.floor(math.log(c.toDouble / n) * 1e6 + 0.5).toLong).sum
