@@ -375,10 +375,11 @@ object DedupOps {
   }
 
   /** Oracle CTE bundle for [[keepVerdict]] (RECURSIVE pair + component +
-    * fingerprint CTEs ending in f/ek/m) — shared with the funnel oracle. */
+    * fingerprint CTEs ending in f/ek/m, kv carrying keep + reason) —
+    * shared with the funnel and audit-trail oracles. */
   private[graft] val keepVerdictCtes: String =
     ngramPairsCte + componentsCtes +
-      """, f AS (SELECT doc_id, md5(lower(text)) AS fp FROM documents), ek AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY 1), kv AS (SELECT f.doc_id, CASE WHEN f.doc_id <> ek.keep_id THEN 0 WHEN m.comp IS NOT NULL AND f.doc_id <> m.comp THEN 0 ELSE 1 END AS keep FROM f JOIN ek USING (fp) LEFT JOIN m ON m.doc_id = f.doc_id)"""
+      """, f AS (SELECT doc_id, md5(lower(text)) AS fp FROM documents), ek AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY 1), kv AS (SELECT f.doc_id, CASE WHEN f.doc_id <> ek.keep_id THEN 0 WHEN m.comp IS NOT NULL AND f.doc_id <> m.comp THEN 0 ELSE 1 END AS keep, CASE WHEN f.doc_id <> ek.keep_id THEN 'exact_dup' WHEN m.comp IS NOT NULL AND f.doc_id <> m.comp THEN 'near_dup' ELSE 'kept' END AS reason FROM f JOIN ek USING (fp) LEFT JOIN m ON m.doc_id = f.doc_id)"""
 
   private val dedupKeepList = GraftQuery(
     "dedup_keep_list",

@@ -396,8 +396,52 @@ object PipelineOps {
     },
     Some("""WITH t AS (SELECT doc_id, source, n_chars, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ntok FROM documents), c AS (SELECT source, ntok, CAST(sum(ntok) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, CAST((sum(ntok) OVER (PARTITION BY source) * 6) // 10 AS BIGINT) AS budget FROM t) SELECT source, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS total_tok, max(budget) AS budget_tok, CAST(sum(CASE WHEN cum <= budget THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, CAST(sum(CASE WHEN cum <= budget THEN ntok ELSE 0 END) AS BIGINT) AS tok_kept FROM c GROUP BY 1 ORDER BY 1"""))
 
+  /** Per-document PROVENANCE — the row-level expansion of the curation
+    * funnel: for every document, the stage that drops it first
+    * (dedup: exact_dup/near_dup → gate: length/repetitive/low_stopword →
+    * sampling: sampled_out → kept) plus each stage's own signal, so
+    * "why did my doc disappear" is a point lookup on this table instead of
+    * a pipeline re-run. Composes the SAME builders as the individually
+    * oracled stages (DedupOps.keepVerdict, the gate cascade, the
+    * importance-sampling replay), which also makes it a per-row
+    * integration check that the stages agree with their oracled forms —
+    * AuditTrailSpec folds this table back into the funnel's per-source
+    * counts. Shape: in-row signals + ONE doc-keyed 1:1 join against the
+    * dedup verdict — the funnel's single keyed shuffle, emitted per doc. */
+  private val pipeAuditTrail = GraftQuery(
+    "pipe_audit_trail",
+    "per-doc provenance: first-dropping stage + every stage's signal",
+    (s, d) => {
+      import graft.functions.GraftFunctions.{stopRatio => stopR}
+      val t = tokens(col("text"))
+      val nTok = size(t)
+      val ttr = size(array_distinct(t)).cast("double") / nTok
+      val stop = stopR(t)
+      val gateReason = when(!nTok.between(20, 200), lit("length"))
+        .when(ttr < 0.4, lit("repetitive"))
+        .when(stop < 0.05, lit("low_stopword"))
+        .otherwise(lit("kept"))
+      val w = lit(0.2) + lit(0.8) * qualityScore(stopR(t), longRatio(t), lenOk(t))
+      val u01 = md5u32(concat(lit("imp:"), col("doc_id").cast("string")))
+        .cast("double") / lit(4294967296.0)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), nTok.cast("long").as("n_tok"),
+          gateReason.as("gate_reason"), (u01 < w).cast("int").as("samp_keep"))
+        .join(graft.operators.DedupOps.keepVerdict(s, d)
+          .select(col("doc_id"), col("reason").as("dedup_reason")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          col("dedup_reason"), col("gate_reason"), col("samp_keep"),
+          when(col("dedup_reason") =!= "kept", col("dedup_reason"))
+            .when(col("gate_reason") =!= "kept", col("gate_reason"))
+            .when(col("samp_keep") === 0, lit("sampled_out"))
+            .otherwise(lit("kept")).as("verdict"))
+        .orderBy("doc_id")
+    },
+    Some(graft.operators.DedupOps.keepVerdictCtes +
+      s""", g AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tok, CASE WHEN len(t) NOT BETWEEN 20 AND 200 THEN 'length' WHEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t) < 0.4 THEN 'repetitive' WHEN CAST(len(list_filter(t, x -> x IN (${graft.functions.GraftFunctions.stopwordsSqlList}))) AS DOUBLE) / len(t) < 0.05 THEN 'low_stopword' ELSE 'kept' END AS gate_reason, CASE WHEN CAST(${graft.functions.GraftFunctions.md5u32Sql("md5('imp:' || CAST(doc_id AS VARCHAR))")} AS DOUBLE) / 4294967296.0 < 0.2 + 0.8 * (CAST(len(list_filter(t, x -> x IN (${graft.functions.GraftFunctions.stopwordsSqlList}))) AS DOUBLE) / len(t) * 0.3 + CAST(len(list_filter(t, x -> length(x) > 4)) AS DOUBLE) / len(t) * 0.4 + (CASE WHEN len(t) BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END) * 0.3) THEN 1 ELSE 0 END AS samp_keep FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents)) SELECT g.doc_id, g.source, g.n_tok, kv.reason AS dedup_reason, g.gate_reason, g.samp_keep, CASE WHEN kv.reason <> 'kept' THEN kv.reason WHEN g.gate_reason <> 'kept' THEN g.gate_reason WHEN g.samp_keep = 0 THEN 'sampled_out' ELSE 'kept' END AS verdict FROM g JOIN kv USING (doc_id) ORDER BY g.doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     sampHashSplit, arrHofStats, evtFunnel, aggMode, calGapFill, calInterpolate,
     pipePack, pipeMixWeights, pipeChunk, pipeFilterGate, pipeCurationFunnel,
-    pipeTokenBudget)
+    pipeTokenBudget, pipeAuditTrail)
 }

@@ -522,6 +522,33 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("pipe_audit_trail: per-doc trail folds back to the funnel's per-source counts") {
+    val trail = run("pipe_audit_trail").collect()
+      .map(r => (r.getString(1), r.getString(3), r.getString(4),
+        r.getInt(5), r.getString(6), r.getLong(2)))
+    // verdict must be the FIRST non-kept stage in dedup -> gate -> sampling order
+    trail.foreach { case (_, ded, gate, samp, verdict, _) =>
+      val expected =
+        if (ded != "kept") ded
+        else if (gate != "kept") gate
+        else if (samp == 0) "sampled_out"
+        else "kept"
+      assert(verdict == expected, s"cascade order: ($ded, $gate, $samp) -> $verdict")
+    }
+    // fold the row-level trail into the funnel's aggregate and compare
+    val funnel = run("pipe_curation_funnel").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    trail.groupBy(_._1).foreach { case (src, rows) =>
+      val dedupKept = rows.filter(_._2 == "kept")
+      val gateKept = dedupKept.filter(_._3 == "kept")
+      val finalKept = gateKept.filter(_._4 == 1)
+      val folded = (rows.length.toLong, dedupKept.length.toLong,
+        gateKept.length.toLong, finalKept.length.toLong, finalKept.map(_._6).sum)
+      assert(folded == funnel(src), s"$src: trail fold $folded != funnel ${funnel(src)}")
+    }
+  }
+
   test("no degenerate operators: every registered query returns rows at sf0.001") {
     // catches data-dependent degeneracy (empty thresholds, over-filtering)
     // across the whole registry in one sweep — the driver only smoke-checks
