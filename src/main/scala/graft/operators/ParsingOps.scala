@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 import graft.functions.GraftFunctions.fround
@@ -574,9 +574,58 @@ object ParsingOps {
         .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY fk_edge")
     })
 
+  /** One (table, key) leg of [[qaKeySkew]]: group sizes, then two tiny
+    * passes over the key-count table. The count subplan appears twice
+    * (stats + hot-key filter) with an identical canonical form, so
+    * Catalyst reuses its shuffle (ReusedExchange — plan-asserted in the
+    * spec): the fact is scanned and shuffled ONCE, everything after runs
+    * over |keys| rows. The hot-key test multiplies instead of dividing
+    * (sz * n_keys > 2 * n_rows) so it stays in exact BIGINTs. */
+  private def skewProfile(df: DataFrame, tbl: String, keyCol: String): DataFrame = {
+    val g = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("sz"))
+    val stats = g.agg(sum("sz").as("n_rows"), count(lit(1)).as("n_keys"),
+      max("sz").as("max_sz"))
+    val hot = g.crossJoin(broadcast(stats))
+      .filter(col("sz") * col("n_keys") > lit(2L) * col("n_rows"))
+      .agg(count(lit(1)).as("n_hot"))
+    stats.crossJoin(hot)
+      .select(lit(tbl).as("tbl"), lit(keyCol).as("key_col"),
+        col("n_rows"), col("n_keys"), col("max_sz"),
+        expr("(max_sz * 1000000L) DIV n_rows").as("top_ppm"),
+        fround(col("n_rows").cast("double") / col("n_keys"), 4).as("avg_sz"),
+        col("n_hot"))
+  }
+
+  private def skewSql(tbl: String, keyCol: String): String = {
+    val g = s"SELECT count(*) AS sz FROM $tbl GROUP BY $keyCol"
+    s"SELECT '$tbl' AS tbl, '$keyCol' AS key_col, s.n_rows, s.n_keys, s.max_sz, (s.max_sz * 1000000) // s.n_rows AS top_ppm, floor(CAST(s.n_rows AS DOUBLE) / s.n_keys * 10000.0 + 0.5) / 10000.0 AS avg_sz, h.n_hot FROM (SELECT CAST(sum(sz) AS BIGINT) AS n_rows, count(*) AS n_keys, max(sz) AS max_sz FROM ($g)) s CROSS JOIN (SELECT count(*) AS n_hot FROM ($g) g CROSS JOIN (SELECT CAST(sum(sz) AS BIGINT) AS n_rows, count(*) AS n_keys FROM ($g)) s2 WHERE g.sz * s2.n_keys > 2 * s2.n_rows) h"
+  }
+
+  /** JOIN-KEY SKEW PROFILE — the diagnostic that decides the shuffle
+    * strategy BEFORE a 100 TB join runs: per (table, key), total rows,
+    * distinct keys, the largest group, its corpus share in exact ppm
+    * (integer division — never a float ratio), the exact-rational mean
+    * group size, and how many keys exceed 2x the mean (the salting
+    * candidates — AQE's skew-join split and manual salting both want
+    * exactly this list). Profiles the three join keys the engine's own
+    * query plane hits hardest: lineitem.l_orderkey (the fact-fact edge),
+    * orders.o_custkey (Q13's distribution), events.user_id (the
+    * sessionization key). */
+  private val qaKeySkew = GraftQuery(
+    "qa_key_skew",
+    "per join-key group-size skew profile: max/top-share/hot-key counts",
+    (s, d) => skewProfile(Tables.lineitem(s, d), "lineitem", "l_orderkey")
+      .unionByName(skewProfile(Tables.orders(s, d), "orders", "o_custkey"))
+      .unionByName(skewProfile(Tables.events(s, d), "events", "user_id"))
+      .orderBy("tbl"),
+    Some(Seq(("lineitem", "l_orderkey"), ("orders", "o_custkey"),
+        ("events", "user_id"))
+      .map { case (t, k) => skewSql(t, k) }
+      .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY tbl")))
+
   val all: Seq[GraftQuery] = Seq(
     csvRoundtrip, jsonStruct, jsonInferred, dateConstruct, sqlMultikeyJoin,
     mvCascade, sqlCtas, mmDecode, partitionPruned, dppPrune, mmFrameSample,
     qaProfile, qaProfileHll, qaExpectations, scd2Merge, mvIncrementalAgg,
-    qaTableChecksum, qaRefIntegrity)
+    qaTableChecksum, qaRefIntegrity, qaKeySkew)
 }

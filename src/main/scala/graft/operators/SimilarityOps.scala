@@ -256,24 +256,40 @@ object SimilarityOps {
     * term stream feeds one map-side-combined aggregation keyed on
     * (vec, centroid), then a |corpus| x |labels| argmin window partitioned
     * by vec_id. That is the honest distributed shape of k-means assign. */
+  /** (vec_id, label, c_label) with rk = 1 — the exact nearest-centroid
+    * ASSIGNMENT shared by emb_assign_purity (which folds it into a
+    * confusion matrix) and dedup_semantic (which uses it as the cluster
+    * key). One definition of "nearest", so the eval and the prune can
+    * never disagree about which bucket a vector is in. Centroids are
+    * micro-quantized BIGINTs (see the purity doc below), so the argmin is
+    * an exact integer compare; ties break to the smaller centroid label. */
+  private def assignments(s: SparkSession, d: String): DataFrame = {
+    val mic = microDims(s, d)
+    val cents = graft.PersistCache.getOrBuild(s, s"label-cents-q:$d") {
+      labelDimSums(s, d)
+        .select(col("label").as("c_label"), col("dim"),
+          floor(col("sm").cast("double") / col("n") + 0.5)
+            .cast("long").as("c_micro"))
+    }
+    val dist = mic.join(broadcast(cents), Seq("dim"))
+      .groupBy("vec_id", "label", "c_label")
+      .agg(sum((col("micro") - col("c_micro")) *
+        (col("micro") - col("c_micro"))).as("d2"))
+    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("c_label"))
+    dist.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+  }
+
+  /** Oracle CTE bundle for [[assignments]] (mic/c/d ending in `a`; rows
+    * with rk = 1 are the assignment) — shared by the emb_assign_purity
+    * and dedup_semantic oracles, mirroring the shared Spark builder. */
+  private val assignCtes: String =
+    """WITH mic AS (SELECT vec_id, label, dim, CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS micro FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim)), c AS (SELECT label AS c_label, dim, CAST(floor(CAST(sum(micro) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c_micro FROM mic GROUP BY 1, 2), d AS (SELECT m.vec_id, m.label, c.c_label, sum((m.micro - c.c_micro) * (m.micro - c.c_micro)) AS d2 FROM mic m JOIN c USING (dim) GROUP BY 1, 2, 3), a AS (SELECT vec_id, label, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk FROM d)"""
+
   private val embAssignPurity = GraftQuery(
     "emb_assign_purity",
     "nearest-centroid assignment confusion: label purity under exact argmin",
     (s, d) => {
-      val mic = microDims(s, d)
-      val cents = graft.PersistCache.getOrBuild(s, s"label-cents-q:$d") {
-        labelDimSums(s, d)
-          .select(col("label").as("c_label"), col("dim"),
-            floor(col("sm").cast("double") / col("n") + 0.5)
-              .cast("long").as("c_micro"))
-      }
-      val dist = mic.join(broadcast(cents), Seq("dim"))
-        .groupBy("vec_id", "label", "c_label")
-        .agg(sum((col("micro") - col("c_micro")) *
-          (col("micro") - col("c_micro"))).as("d2"))
-      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("c_label"))
-      dist.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
+      assignments(s, d)
         .groupBy("label", "c_label")
         .agg(count(lit(1)).as("n"))
         .select(col("label"), col("c_label").as("assigned"), col("n"),
@@ -281,8 +297,55 @@ object SimilarityOps {
             sum("n").over(Window.partitionBy("label")), 4).as("share"))
         .orderBy("label", "assigned")
     },
-    Some("""WITH mic AS (SELECT vec_id, label, dim, CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS micro FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim)), c AS (SELECT label AS c_label, dim, CAST(floor(CAST(sum(micro) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c_micro FROM mic GROUP BY 1, 2), d AS (SELECT m.vec_id, m.label, c.c_label, sum((m.micro - c.c_micro) * (m.micro - c.c_micro)) AS d2 FROM mic m JOIN c USING (dim) GROUP BY 1, 2, 3), a AS (SELECT vec_id, label, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk FROM d) SELECT label, c_label AS assigned, count(*) AS n, floor(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY label) * 10000.0 + 0.5) / 10000.0 AS share FROM a WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2"""))
+    Some(assignCtes + """ SELECT label, c_label AS assigned, count(*) AS n, floor(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY label) * 10000.0 + 0.5) / 10000.0 AS share FROM a WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** SEMANTIC DEDUP (the SemDeDup recipe): bucket by nearest centroid,
+    * then prune WITHIN buckets only — a vector is dropped when its cosine
+    * to any lower-id vector in the same bucket clears the threshold, and
+    * `dup_of` names the smallest such survivor-side id (greedy keep-first,
+    * the paper's rule with doc order as the priority). Registered here
+    * rather than in DedupOps because it composes this module's shared
+    * assignment base ([[assignments]]) — the same exact-argmin cluster
+    * step emb_assign_purity evaluates.
+    *
+    * THE SCALE SHAPE IS THE POINT: pairwise cosine runs per bucket — an
+    * equi-join keyed on the cluster id — never all-pairs across the
+    * corpus. At 100 TB the quantizer would be the stored IVF codebook
+    * (thousands of centroids, IvfAnn-style) instead of the |labels|
+    * prototypes used here, bounding each bucket to corpus/k vectors; the
+    * plan is identical, only k grows. The cosine itself is per-row HOF
+    * double math (deterministic), compared on floor-rounded integer
+    * micros so a boundary ulp can't flip a verdict between engines. */
+  private val dedupSemantic = GraftQuery(
+    "dedup_semantic",
+    "SemDeDup: nearest-centroid buckets, within-bucket cosine prune (keep lowest id)",
+    (s, d) => {
+      graft.functions.expressions.GraftExpressions.ensureRegistered(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), vecDouble(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+        .join(assignments(s, d).select(col("vec_id"),
+          col("c_label").as("cluster")), Seq("vec_id"))
+      val a = e.select(col("cluster"), col("vec_id").as("a"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("cluster"), col("vec_id").as("b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      val dup = a.join(b, Seq("cluster"))
+        .filter(col("a") < col("b"))
+        .withColumn("cos_micro",
+          floor(expr("graft_dot(va, vb)") / (col("na") * col("nb")) *
+            1000000.0 + 0.5).cast("long"))
+        .filter(col("cos_micro") >= 280000L)
+        .groupBy(col("b").as("vec_id"))
+        .agg(min("a").as("dup_of"))
+      e.select(col("vec_id"), col("cluster"))
+        .join(dup, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"), col("dup_of"),
+          when(col("dup_of").isNull, lit(1)).otherwise(lit(0)).as("keep"))
+        .orderBy("vec_id")
+    },
+    Some(assignCtes + """, asg AS (SELECT vec_id, c_label AS cluster FROM a WHERE rk = 1), e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e), p AS (SELECT x.vec_id AS a, y.vec_id AS b, CAST(floor(list_sum([s[1]*s[2] for s in list_zip(na.v, nb.v)]) / (na.nrm * nb.nrm) * 1000000.0 + 0.5) AS BIGINT) AS cos_micro FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id JOIN n na ON na.vec_id = x.vec_id JOIN n nb ON nb.vec_id = y.vec_id), dup AS (SELECT b AS vec_id, min(a) AS dup_of FROM p WHERE cos_micro >= 280000 GROUP BY 1) SELECT asg.vec_id, asg.cluster, dup.dup_of, CASE WHEN dup.dup_of IS NULL THEN 1 ELSE 0 END AS keep FROM asg LEFT JOIN dup USING (vec_id) ORDER BY vec_id"""))
 
   val all: Seq[GraftQuery] = Seq(knnBrute, labelStats, knnLsh, knnMatryoshka,
-    embCentroids, embDimProfile, embAssignPurity)
+    embCentroids, embDimProfile, embAssignPurity, dedupSemantic)
 }

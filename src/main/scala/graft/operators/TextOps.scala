@@ -520,8 +520,72 @@ object TextOps {
     },
     Some("""WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch FROM documents), c AS (SELECT doc_id, ch, count(*) AS cnt FROM ch GROUP BY 1, 2), t AS (SELECT doc_id, cnt, CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n, count(*) OVER (PARTITION BY doc_id) AS nd FROM c) SELECT doc_id, max(n) AS n_chars, max(nd) AS n_distinct, floor(-CAST(sum(cnt * CAST(floor(ln(CAST(cnt AS DOUBLE) / n) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / (max(n) * 1000000.0) * 10000.0 + 0.5) / 10000.0 AS entropy FROM t GROUP BY 1 ORDER BY 1"""))
 
+  /** Language-ID CONFUSION MATRIX — the classifier-evaluation rollup over
+    * [[langId]]'s heuristic: declared label vs predicted language, counts
+    * and per-declared-label share. The eval step every curation pipeline
+    * runs before trusting a cheap classifier at corpus scale (precision
+    * per declared class falls straight out of this table). Same stopword
+    * predictor expression as txt_langid — one definition of "predicted"
+    * per engine, asserted equal by the langid spec's own oracle — so the
+    * matrix can never drift from the per-doc table it summarizes.
+    *
+    * Scale shape: per-row predict (codegen'd, no shuffle) into ONE
+    * map-side-combined aggregation on (labeled, predicted) — at most
+    * |langs|² rows move; the share window then runs over that tiny
+    * matrix, not the corpus. */
+  private val langIdConfusion = GraftQuery(
+    "txt_langid_confusion",
+    "declared-vs-predicted language confusion matrix with per-label share",
+    (s, d) => {
+      val t = tokens(col("text"))
+      val enHits = size(filter(t, x => x.isInCollection(Seq("the", "a", "of"))))
+      Tables.documents(s, d)
+        .select(col("lang").as("labeled"),
+          when(enHits >= 1, lit("en")).otherwise(lit("und")).as("predicted"))
+        .groupBy("labeled", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .select(col("labeled"), col("predicted"), col("n"),
+          fround(col("n").cast("double") /
+            sum("n").over(Window.partitionBy("labeled")), 4).as("share"))
+        .orderBy("labeled", "predicted")
+    },
+    Some("""SELECT lang AS labeled, CASE WHEN len(list_filter(string_split(lower(text), ' '), x -> x IN ('the', 'a', 'of'))) >= 1 THEN 'en' ELSE 'und' END AS predicted, count(*) AS n, floor(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY lang) * 10000.0 + 0.5) / 10000.0 AS share FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** OOV RATE against a BUILT vocabulary — the tokenizer-coverage gate: a
+    * corpus whose out-of-vocabulary share is high against the tokenizer's
+    * vocab wastes sequence length on byte-fallback tokens. Vocabulary =
+    * top-16 tokens by corpus frequency (deterministic cnt-then-token
+    * tie-break; 16 < this corpus's ~31-token vocabulary, so the OOV tail
+    * is real); per-source OOV share reported in exact integer ppm.
+    *
+    * Scale shape: the vocab build is a map-side-combined token count
+    * feeding TakeOrderedAndProject (per-partition heaps, no global sort);
+    * the K-row vocab then BROADCASTS into the probe join, so the probe is
+    * a per-row hash lookup with no shuffle — the corpus shuffles once,
+    * keyed on source, already combined to one row per (source) partial.
+    * The ppm is (n_oov * 1e6) DIV n_tok — integer division on BIGINTs,
+    * never a float ratio whose last ulp could differ. */
+  private val oovRate = GraftQuery(
+    "txt_oov_rate",
+    "per-source out-of-vocabulary token share vs top-16 corpus vocabulary",
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("tok")).limit(16)
+        .select(col("tok"), lit(1).as("in_vocab"))
+      tok.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("source"), col("n_tok"), col("n_oov"),
+          expr("(n_oov * 1000000L) DIV n_tok").as("oov_ppm"))
+        .orderBy("source")
+    },
+    Some("""WITH tok AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents), v AS (SELECT tok FROM (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 16)), j AS (SELECT t.source, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov FROM tok t LEFT JOIN v ON v.tok = t.tok) SELECT source, count(*) AS n_tok, CAST(sum(oov) AS BIGINT) AS n_oov, (CAST(sum(oov) AS BIGINT) * 1000000) // count(*) AS oov_ppm FROM j GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(tokenStats, quality, langId, fingerprint,
     topNgrams, repetition, decontaminate, boilerplate, decontaminateBloom,
     vocabTopK, vocabSketch, unigramLogprob, bpePretokenize, txtNovelty,
-    pplBuckets, charEntropy)
+    pplBuckets, charEntropy, langIdConfusion, oovRate)
 }

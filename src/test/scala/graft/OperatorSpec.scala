@@ -549,6 +549,88 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_semantic: brute-force replay of bucket assignment + greedy prune") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    // micro-quantized per-label centroids, exact integer arithmetic
+    val micro = vecs.map { case (id, l, v) =>
+      (id, l, v.map(x => math.floor(x * 1e6 + 0.5).toLong))
+    }
+    val cents = micro.groupBy(_._2).map { case (l, g) =>
+      val dims = g.map(_._3)
+      l -> Array.tabulate(dims(0).length)(i =>
+        math.floor(dims.map(_(i)).sum.toDouble / dims.length + 0.5).toLong)
+    }
+    val cluster = micro.map { case (id, _, m) =>
+      id -> cents.toSeq.map { case (l, c) =>
+        (m.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, l)
+      }.min._2
+    }.toMap
+    val norm = vecs.map { case (id, _, v) =>
+      id -> (v, math.sqrt(v.map(x => x * x).sum))
+    }.toMap
+    val ids = vecs.map(_._1).sorted
+    val expected = ids.map { b =>
+      val dupOf = ids.filter(a => a < b && cluster(a) == cluster(b)).find { a =>
+        val (va, na) = norm(a); val (vb, nb) = norm(b)
+        val cos = va.zip(vb).map { case (x, y) => x * y }.sum / (na * nb)
+        math.floor(cos * 1e6 + 0.5).toLong >= 280000L
+      }
+      (b, cluster(b), dupOf, dupOf.isEmpty)
+    }
+    val got = run("dedup_semantic").collect().map(r =>
+      (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getInt(3) == 1))
+    assert(got.toSeq == expected.toSeq)
+    val dropped = got.count(!_._4)
+    assert(dropped > 0 && dropped < got.length, s"degenerate: $dropped dropped")
+  }
+
+  test("txt_oov_rate: brute-force vocab build + per-source oov replay") {
+    val toks = Tables.documents(spark, sf).select("source", "text").collect()
+      .flatMap(r => r.getString(1).toLowerCase.split(" ", -1)
+        .map(t => (r.getString(0), t)))
+    val vocab = toks.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(16).map(_._1).toSet
+    val expected = toks.groupBy(_._1).map { case (src, g) =>
+      val oov = g.count(t => !vocab(t._2)).toLong
+      src -> (g.length.toLong, oov, oov * 1000000L / g.length)
+    }
+    val got = run("txt_oov_rate").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._2 > 0L), "no OOV anywhere: vocab cutoff degenerate")
+  }
+
+  test("txt_langid_confusion: folds the per-doc langid table exactly") {
+    val perDoc = run("txt_langid").collect()
+      .map(r => (r.getString(3), r.getString(2)))          // (labeled, predicted)
+    val counts = perDoc.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val labelTotals = perDoc.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val got = run("txt_langid_confusion").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap == counts)
+    got.foreach { case (l, _, n, share) =>
+      val exp = math.floor(n.toDouble / labelTotals(l) * 1e4 + 0.5) / 1e4
+      assert(share == exp, s"($l): share $share != $exp")
+    }
+  }
+
+  test("qa_key_skew: brute-force replay of the events.user_id leg") {
+    val uids = Tables.events(spark, sf).select("user_id").collect()
+      .map(_.getLong(0))
+    val g = uids.groupBy(identity).map(_._2.length.toLong).toSeq
+    val (nRows, nKeys, maxSz) = (uids.length.toLong, g.size.toLong, g.max)
+    val r = run("qa_key_skew").filter("tbl = 'events'").collect().head
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((nRows, nKeys, maxSz)))
+    assert(r.getLong(5) == maxSz * 1000000L / nRows)       // top_ppm
+    assert(r.getDouble(6) ==
+      math.floor(nRows.toDouble / nKeys * 1e4 + 0.5) / 1e4) // avg_sz
+    assert(r.getLong(7) == g.count(sz => sz * nKeys > 2L * nRows).toLong)
+  }
+
   test("no degenerate operators: every registered query returns rows at sf0.001") {
     // catches data-dependent degeneracy (empty thresholds, over-filtering)
     // across the whole registry in one sweep — the driver only smoke-checks

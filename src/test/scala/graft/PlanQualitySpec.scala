@@ -47,6 +47,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(2000))
   }
 
+  test("qa_key_skew reuses the key-count shuffle (each fact scanned once)") {
+    // the key-count subplan feeds both the stats agg and the hot-key
+    // filter; identical canonical form -> AQE reuses its exchange. The
+    // reuse only materializes in the FINAL adaptive plan, so execute first.
+    val df = SparkEntry.queries("qa_key_skew")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"), p.take(3000))
+  }
+
+  test("dedup_semantic: pairwise join is keyed on cluster, never all-pairs") {
+    val p = plan("dedup_semantic")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))   // centroids broadcast
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
   test("custom expressions participate in codegen (graft_dot in knn plan)") {
     val p = plan("sim_knn_brute")
     assert(p.contains("graft_dot"), p.take(3000))
