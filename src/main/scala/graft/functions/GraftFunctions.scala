@@ -98,6 +98,21 @@ object GraftFunctions {
   def qualityScore(stop: Column, long: Column, lenBand: Column): Column =
     stop * 0.3 + long * 0.4 + lenBand * 0.3
 
+  /** Importance-sampling keep decision (keep-prob = 0.2 + 0.8 * quality,
+    * md5-derived uniform) — ONE Column-side definition shared by
+    * samp_importance, the curation funnel, and the audit trail, so the
+    * mixing weights can't drift between the sampler and its reports.
+    * [[impKeepSql]] is the equivalent inline DuckDB predicate over a doc
+    * row exposing `doc_id` and a token-list column `t`. */
+  def impWeight(t: Column): Column =
+    lit(0.2) + lit(0.8) * qualityScore(stopRatio(t), longRatio(t), lenOk(t))
+  def impU01(docId: Column): Column =
+    md5u32(concat(lit("imp:"), docId.cast("string")))
+      .cast("double") / lit(4294967296.0)
+  def impKeep(t: Column, docId: Column): Column = impU01(docId) < impWeight(t)
+  def impKeepSql: String =
+    s"CAST(${md5u32Sql("md5('imp:' || CAST(doc_id AS VARCHAR))")} AS DOUBLE) / 4294967296.0 < 0.2 + 0.8 * (CAST(len(list_filter(t, x -> x IN ($stopwordsSqlList))) AS DOUBLE) / len(t) * 0.3 + CAST(len(list_filter(t, x -> length(x) > 4)) AS DOUBLE) / len(t) * 0.4 + (CASE WHEN len(t) BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END) * 0.3)"
+
   /** n-token shingles of a token array, joined by single spaces.
     * Guarded: fewer than n tokens => empty array (Spark's `sequence(1, k)`
     * would generate a DESCENDING range for k < 1, so the guard is load-bearing).

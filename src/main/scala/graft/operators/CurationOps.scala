@@ -204,11 +204,9 @@ object CurationOps {
       // txt_quality scores and pipe_filter_gate gates on
       (s, d) => {
         val t = tokens(col("text"))
-        val w = lit(0.2) + lit(0.8) * qualityScore(stopRatio(t), longRatio(t), lenOk(t))
-        val u01 = md5u32(concat(lit("imp:"), col("doc_id").cast("string")))
-          .cast("double") / lit(4294967296.0)
         Tables.documents(s, d)
-          .select(col("doc_id"), w.as("w"), u01.as("u01"))
+          .select(col("doc_id"), impWeight(t).as("w"),
+            impU01(col("doc_id")).as("u01"))
           .filter(col("u01") < col("w"))
           .select(col("doc_id"),
             fround(col("w"), 6).as("w"), fround(col("u01"), 6).as("u01"))

@@ -585,12 +585,21 @@ object ParsingOps {
     val g = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("sz"))
     val stats = g.agg(sum("sz").as("n_rows"), count(lit(1)).as("n_keys"),
       max("sz").as("max_sz"))
+    // exact 128-bit compare: sz * n_keys can pass 2^63 at plausible scale
+    // (1e9-row key x 1e10 keys); LONG would wrap SILENTLY (non-ANSI) and
+    // drop the hottest keys from the list. DECIMAL(38,0) is the exact
+    // wide-integer twin of the oracle's HUGEINT (the emb_dim_profile sm2
+    // discipline).
     val hot = g.crossJoin(broadcast(stats))
-      .filter(col("sz") * col("n_keys") > lit(2L) * col("n_rows"))
+      .filter(col("sz").cast("decimal(38,0)") * col("n_keys") >
+        col("n_rows").cast("decimal(38,0)") * lit(2L))
       .agg(count(lit(1)).as("n_hot"))
     stats.crossJoin(hot)
       .select(lit(tbl).as("tbl"), lit(keyCol).as("key_col"),
         col("n_rows"), col("n_keys"), col("max_sz"),
+        // BIGINT is exact here while max_sz < 9.2e12 — a single join key
+        // with nine trillion rows is beyond any real table; the hot-key
+        // compare above is the one that overflows at plausible scale.
         expr("(max_sz * 1000000L) DIV n_rows").as("top_ppm"),
         fround(col("n_rows").cast("double") / col("n_keys"), 4).as("avg_sz"),
         col("n_hot"))
@@ -598,7 +607,7 @@ object ParsingOps {
 
   private def skewSql(tbl: String, keyCol: String): String = {
     val g = s"SELECT count(*) AS sz FROM $tbl GROUP BY $keyCol"
-    s"SELECT '$tbl' AS tbl, '$keyCol' AS key_col, s.n_rows, s.n_keys, s.max_sz, (s.max_sz * 1000000) // s.n_rows AS top_ppm, floor(CAST(s.n_rows AS DOUBLE) / s.n_keys * 10000.0 + 0.5) / 10000.0 AS avg_sz, h.n_hot FROM (SELECT CAST(sum(sz) AS BIGINT) AS n_rows, count(*) AS n_keys, max(sz) AS max_sz FROM ($g)) s CROSS JOIN (SELECT count(*) AS n_hot FROM ($g) g CROSS JOIN (SELECT CAST(sum(sz) AS BIGINT) AS n_rows, count(*) AS n_keys FROM ($g)) s2 WHERE g.sz * s2.n_keys > 2 * s2.n_rows) h"
+    s"SELECT '$tbl' AS tbl, '$keyCol' AS key_col, s.n_rows, s.n_keys, s.max_sz, (s.max_sz * 1000000) // s.n_rows AS top_ppm, floor(CAST(s.n_rows AS DOUBLE) / s.n_keys * 10000.0 + 0.5) / 10000.0 AS avg_sz, h.n_hot FROM (SELECT CAST(sum(sz) AS BIGINT) AS n_rows, count(*) AS n_keys, max(sz) AS max_sz FROM ($g)) s CROSS JOIN (SELECT count(*) AS n_hot FROM ($g) g CROSS JOIN (SELECT CAST(sum(sz) AS BIGINT) AS n_rows, count(*) AS n_keys FROM ($g)) s2 WHERE CAST(g.sz AS HUGEINT) * s2.n_keys > 2 * CAST(s2.n_rows AS HUGEINT)) h"
   }
 
   /** JOIN-KEY SKEW PROFILE — the diagnostic that decides the shuffle

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
@@ -295,6 +296,17 @@ object PipelineOps {
     * with (doc_id, text), BATCH OR STREAMING (no shuffle, no state, so it
     * rides `readStream` unchanged; DocIngestSpec proves stream ≡ batch).
     * Shared quality definitions from GraftFunctions. */
+  /** The gate CASCADE itself — first failing rule wins (rule order is part
+    * of the contract) — as one Column/SQL definition pair shared by
+    * [[filterGate]] and the audit trail, so the thresholds live once. */
+  private[operators] def gateReason(nTok: Column, ttr: Column, stop: Column): Column =
+    when(!nTok.between(20, 200), lit("length"))
+      .when(ttr < 0.4, lit("repetitive"))
+      .when(stop < 0.05, lit("low_stopword"))
+      .otherwise(lit("kept"))
+  private[operators] def gateReasonSql(nTok: String, ttr: String, stop: String): String =
+    s"CASE WHEN $nTok NOT BETWEEN 20 AND 200 THEN 'length' WHEN $ttr < 0.4 THEN 'repetitive' WHEN $stop < 0.05 THEN 'low_stopword' ELSE 'kept' END"
+
   def filterGate(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import graft.functions.GraftFunctions.{stopRatio => stopR}
     val t = tokens(col("text"))
@@ -303,10 +315,7 @@ object PipelineOps {
     val stop = stopR(t) // THE shared stopword list (GraftFunctions)
     docs.select(col("doc_id"), nTok.as("n_tok"),
         fround(ttr, 4).as("ttr"), fround(stop, 4).as("stop_ratio"),
-        when(!nTok.between(20, 200), lit("length"))
-          .when(ttr < 0.4, lit("repetitive"))
-          .when(stop < 0.05, lit("low_stopword"))
-          .otherwise(lit("kept")).as("reason"))
+        gateReason(nTok, ttr, stop).as("reason"))
       .withColumn("keep", when(col("reason") === "kept", 1).otherwise(0))
   }
 
@@ -322,7 +331,7 @@ object PipelineOps {
     "pipe_filter_gate",
     "ordered quality-rule cascade: keep/drop verdict + first failing reason per doc",
     (s, d) => filterGate(Tables.documents(s, d)).orderBy("doc_id"),
-    Some(s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), m AS (SELECT doc_id, len(t) AS n_tok, CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr, CAST(len(list_filter(t, x -> x IN (${graft.functions.GraftFunctions.stopwordsSqlList}))) AS DOUBLE) / len(t) AS stop_ratio FROM t) SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok, floor(ttr * 10000.0 + 0.5) / 10000.0 AS ttr, floor(stop_ratio * 10000.0 + 0.5) / 10000.0 AS stop_ratio, CASE WHEN n_tok NOT BETWEEN 20 AND 200 THEN 'length' WHEN ttr < 0.4 THEN 'repetitive' WHEN stop_ratio < 0.05 THEN 'low_stopword' ELSE 'kept' END AS reason, CASE WHEN n_tok BETWEEN 20 AND 200 AND ttr >= 0.4 AND stop_ratio >= 0.05 THEN 1 ELSE 0 END AS keep FROM m ORDER BY doc_id"""))
+    Some(s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), m AS (SELECT doc_id, len(t) AS n_tok, CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr, CAST(len(list_filter(t, x -> x IN (${graft.functions.GraftFunctions.stopwordsSqlList}))) AS DOUBLE) / len(t) AS stop_ratio FROM t) SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok, floor(ttr * 10000.0 + 0.5) / 10000.0 AS ttr, floor(stop_ratio * 10000.0 + 0.5) / 10000.0 AS stop_ratio, ${gateReasonSql("n_tok", "ttr", "stop_ratio")} AS reason, CASE WHEN n_tok BETWEEN 20 AND 200 AND ttr >= 0.4 AND stop_ratio >= 0.05 THEN 1 ELSE 0 END AS keep FROM m ORDER BY doc_id"""))
 
   /** The END-TO-END curation funnel — the report every corpus release
     * ships: per source, how many documents survive each stage of
@@ -343,13 +352,10 @@ object PipelineOps {
       val nTok = size(t)
       val ttr = size(array_distinct(t)).cast("double") / nTok
       val gateKeep = nTok.between(20, 200) && ttr >= 0.4 && stopR(t) >= 0.05
-      val w = lit(0.2) + lit(0.8) *
-        qualityScore(stopR(t), longRatio(t), lenOk(t))
-      val u01 = md5u32(concat(lit("imp:"), col("doc_id").cast("string")))
-        .cast("double") / lit(4294967296.0)
       val flags = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), nTok.cast("long").as("n_tok"),
-          gateKeep.as("gate_keep"), (u01 < w).as("samp_keep"))
+          gateKeep.as("gate_keep"),
+          impKeep(t, col("doc_id")).as("samp_keep"))
         .join(DedupOps.keepVerdict(s, d).select(col("doc_id"), col("keep")),
           Seq("doc_id"))
       flags.groupBy("source")
@@ -416,17 +422,10 @@ object PipelineOps {
       val t = tokens(col("text"))
       val nTok = size(t)
       val ttr = size(array_distinct(t)).cast("double") / nTok
-      val stop = stopR(t)
-      val gateReason = when(!nTok.between(20, 200), lit("length"))
-        .when(ttr < 0.4, lit("repetitive"))
-        .when(stop < 0.05, lit("low_stopword"))
-        .otherwise(lit("kept"))
-      val w = lit(0.2) + lit(0.8) * qualityScore(stopR(t), longRatio(t), lenOk(t))
-      val u01 = md5u32(concat(lit("imp:"), col("doc_id").cast("string")))
-        .cast("double") / lit(4294967296.0)
       Tables.documents(s, d)
         .select(col("doc_id"), col("source"), nTok.cast("long").as("n_tok"),
-          gateReason.as("gate_reason"), (u01 < w).cast("int").as("samp_keep"))
+          gateReason(nTok, ttr, stopR(t)).as("gate_reason"),
+          impKeep(t, col("doc_id")).cast("int").as("samp_keep"))
         .join(graft.operators.DedupOps.keepVerdict(s, d)
           .select(col("doc_id"), col("reason").as("dedup_reason")), Seq("doc_id"))
         .select(col("doc_id"), col("source"), col("n_tok"),
@@ -438,7 +437,7 @@ object PipelineOps {
         .orderBy("doc_id")
     },
     Some(graft.operators.DedupOps.keepVerdictCtes +
-      s""", g AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tok, CASE WHEN len(t) NOT BETWEEN 20 AND 200 THEN 'length' WHEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t) < 0.4 THEN 'repetitive' WHEN CAST(len(list_filter(t, x -> x IN (${graft.functions.GraftFunctions.stopwordsSqlList}))) AS DOUBLE) / len(t) < 0.05 THEN 'low_stopword' ELSE 'kept' END AS gate_reason, CASE WHEN CAST(${graft.functions.GraftFunctions.md5u32Sql("md5('imp:' || CAST(doc_id AS VARCHAR))")} AS DOUBLE) / 4294967296.0 < 0.2 + 0.8 * (CAST(len(list_filter(t, x -> x IN (${graft.functions.GraftFunctions.stopwordsSqlList}))) AS DOUBLE) / len(t) * 0.3 + CAST(len(list_filter(t, x -> length(x) > 4)) AS DOUBLE) / len(t) * 0.4 + (CASE WHEN len(t) BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END) * 0.3) THEN 1 ELSE 0 END AS samp_keep FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents)) SELECT g.doc_id, g.source, g.n_tok, kv.reason AS dedup_reason, g.gate_reason, g.samp_keep, CASE WHEN kv.reason <> 'kept' THEN kv.reason WHEN g.gate_reason <> 'kept' THEN g.gate_reason WHEN g.samp_keep = 0 THEN 'sampled_out' ELSE 'kept' END AS verdict FROM g JOIN kv USING (doc_id) ORDER BY g.doc_id"""))
+      s""", g AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tok, ${gateReasonSql("len(t)", "CAST(len(list_distinct(t)) AS DOUBLE) / len(t)", s"CAST(len(list_filter(t, x -> x IN (${graft.functions.GraftFunctions.stopwordsSqlList}))) AS DOUBLE) / len(t)")} AS gate_reason, CASE WHEN ${graft.functions.GraftFunctions.impKeepSql} THEN 1 ELSE 0 END AS samp_keep FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents)) SELECT g.doc_id, g.source, g.n_tok, kv.reason AS dedup_reason, g.gate_reason, g.samp_keep, CASE WHEN kv.reason <> 'kept' THEN kv.reason WHEN g.gate_reason <> 'kept' THEN g.gate_reason WHEN g.samp_keep = 0 THEN 'sampled_out' ELSE 'kept' END AS verdict FROM g JOIN kv USING (doc_id) ORDER BY g.doc_id"""))
 
   val all: Seq[GraftQuery] = Seq(
     sampHashSplit, arrHofStats, evtFunnel, aggMode, calGapFill, calInterpolate,

@@ -300,10 +300,17 @@ object SimilarityOps {
     Some(assignCtes + """ SELECT label, c_label AS assigned, count(*) AS n, floor(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY label) * 10000.0 + 0.5) / 10000.0 AS share FROM a WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** SEMANTIC DEDUP (the SemDeDup recipe): bucket by nearest centroid,
-    * then prune WITHIN buckets only — a vector is dropped when its cosine
-    * to any lower-id vector in the same bucket clears the threshold, and
-    * `dup_of` names the smallest such survivor-side id (greedy keep-first,
-    * the paper's rule with doc order as the priority). Registered here
+    * then prune WITHIN buckets only — a vector is DROPPED when its cosine
+    * to ANY lower-id vector in the same bucket clears the threshold;
+    * `dup_of` names the smallest such lower id — its anchor, which may
+    * itself be dropped when a near-dup chain runs through the bucket
+    * (A~B, B~C, A!~C drops both B and C). This one-pass anchor rule is
+    * the order-parallel form of SemDeDup's sequential greedy keep-first:
+    * identical whenever in-bucket similarity is transitive at the
+    * threshold (tight clusters, the paper's regime), strictly more
+    * aggressive on chains — and collapsing a chain to ONE surviving
+    * representative is exactly the union-find step dedup_components /
+    * dedup_keep_longest already provide downstream. Registered here
     * rather than in DedupOps because it composes this module's shared
     * assignment base ([[assignments]]) — the same exact-argmin cluster
     * step emb_assign_purity evaluates.
@@ -320,12 +327,15 @@ object SimilarityOps {
     "dedup_semantic",
     "SemDeDup: nearest-centroid buckets, within-bucket cosine prune (keep lowest id)",
     (s, d) => {
-      graft.functions.expressions.GraftExpressions.ensureRegistered(s)
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), vecDouble(col("embedding")).as("v"))
-        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-        .join(assignments(s, d).select(col("vec_id"),
-          col("c_label").as("cluster")), Seq("vec_id"))
+      // the assignment table is the SemDeDup stored artifact (built once
+      // per corpus, like the label-centroid table it derives from); the
+      // memo also keeps the window/argmin from re-executing per consumer
+      val asg = graft.PersistCache.getOrBuild(s, s"sem-asg:$d") {
+        assignments(s, d).select(col("vec_id"), col("c_label").as("cluster"))
+      }
+      val e = normalized(s, d)
+        .select(col("vec_id"), col("v"), col("nrm"))
+        .join(asg, Seq("vec_id"))
       val a = e.select(col("cluster"), col("vec_id").as("a"),
         col("v").as("va"), col("nrm").as("na"))
       val b = e.select(col("cluster"), col("vec_id").as("b"),
@@ -338,8 +348,7 @@ object SimilarityOps {
         .filter(col("cos_micro") >= 280000L)
         .groupBy(col("b").as("vec_id"))
         .agg(min("a").as("dup_of"))
-      e.select(col("vec_id"), col("cluster"))
-        .join(dup, Seq("vec_id"), "left")
+      asg.join(dup, Seq("vec_id"), "left")
         .select(col("vec_id"), col("cluster"), col("dup_of"),
           when(col("dup_of").isNull, lit(1)).otherwise(lit(0)).as("keep"))
         .orderBy("vec_id")

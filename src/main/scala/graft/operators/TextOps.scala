@@ -18,6 +18,20 @@ object TextOps {
   /** Per-invocation suffix for [[bloomCandidates]]' temp view names. */
   private val bloomViewNonce = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** ONE definition of the language predictor per engine — shared by
+    * txt_langid (the per-doc table) and txt_langid_confusion (its rollup),
+    * so the matrix can never summarize a different classifier than the
+    * table it claims to fold. */
+  private val langEnHits =
+    size(filter(tokens(col("text")),
+      x => x.isInCollection(Seq("the", "a", "of"))))
+  private val langPredicted =
+    when(langEnHits >= 1, lit("en")).otherwise(lit("und"))
+  private val langEnHitsSql =
+    """list_filter(string_split(lower(text), ' '), x -> x IN ('the', 'a', 'of'))"""
+  private val langPredictedSql =
+    s"""CASE WHEN len($langEnHitsSql) >= 1 THEN 'en' ELSE 'und' END"""
+
   /** Token / char counting (whitespace tokenizer). */
   private val tokenStats = GraftQuery(
     "txt_token_stats",
@@ -60,16 +74,14 @@ object TextOps {
     "txt_langid",
     "n-gram/marker language-ID heuristic with confidence",
     (s, d) => {
-      val t = tokens(col("text"))
-      val enHits = size(filter(t, x => x.isInCollection(Seq("the", "a", "of"))))
       Tables.documents(s, d).select(
         col("doc_id"),
-        enHits.as("en_hits"),
-        when(enHits >= 1, lit("en")).otherwise(lit("und")).as("predicted"),
+        langEnHits.as("en_hits"),
+        langPredicted.as("predicted"),
         col("lang").as("labeled"))
         .orderBy("doc_id")
     },
-    Some("""SELECT doc_id, CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ('the', 'a', 'of'))) AS INTEGER) AS en_hits, CASE WHEN len(list_filter(string_split(lower(text), ' '), x -> x IN ('the', 'a', 'of'))) >= 1 THEN 'en' ELSE 'und' END AS predicted, lang AS labeled FROM documents ORDER BY doc_id"""))
+    Some(s"""SELECT doc_id, CAST(len($langEnHitsSql) AS INTEGER) AS en_hits, $langPredictedSql AS predicted, lang AS labeled FROM documents ORDER BY doc_id"""))
 
   /** Content fingerprint (md5 of normalized text) per doc — the building
     * block for exact dedup (DedupOps.dedupExact groups on it). */
@@ -537,11 +549,8 @@ object TextOps {
     "txt_langid_confusion",
     "declared-vs-predicted language confusion matrix with per-label share",
     (s, d) => {
-      val t = tokens(col("text"))
-      val enHits = size(filter(t, x => x.isInCollection(Seq("the", "a", "of"))))
       Tables.documents(s, d)
-        .select(col("lang").as("labeled"),
-          when(enHits >= 1, lit("en")).otherwise(lit("und")).as("predicted"))
+        .select(col("lang").as("labeled"), langPredicted.as("predicted"))
         .groupBy("labeled", "predicted")
         .agg(count(lit(1)).as("n"))
         .select(col("labeled"), col("predicted"), col("n"),
@@ -549,7 +558,7 @@ object TextOps {
             sum("n").over(Window.partitionBy("labeled")), 4).as("share"))
         .orderBy("labeled", "predicted")
     },
-    Some("""SELECT lang AS labeled, CASE WHEN len(list_filter(string_split(lower(text), ' '), x -> x IN ('the', 'a', 'of'))) >= 1 THEN 'en' ELSE 'und' END AS predicted, count(*) AS n, floor(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY lang) * 10000.0 + 0.5) / 10000.0 AS share FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""))
+    Some(s"""SELECT lang AS labeled, $langPredictedSql AS predicted, count(*) AS n, floor(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY lang) * 10000.0 + 0.5) / 10000.0 AS share FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** OOV RATE against a BUILT vocabulary — the tokenizer-coverage gate: a
     * corpus whose out-of-vocabulary share is high against the tokenizer's
