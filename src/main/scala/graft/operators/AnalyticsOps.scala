@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
-import graft.functions.GraftFunctions.{centi, fround, tokens}
+import graft.functions.GraftFunctions.{centi, fround, md5u32, md5u32Sql, tokens}
 
 /** Analytic capability extras a production engine needs beyond the
   * reference's surface (SURVEY §2.5 declares windows as parity extras; the
@@ -528,9 +528,54 @@ object AnalyticsOps {
     },
     Some("""WITH r AS (SELECT event_type, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS iv, row_number() OVER (PARTITION BY event_type ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT), event_id) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM events), k AS (SELECT *, CAST(ceil(n * CAST(0.05 AS DOUBLE)) AS BIGINT) AS k_lo, CAST(ceil(n * CAST(0.95 AS DOUBLE)) AS BIGINT) AS k_hi FROM r), g AS (SELECT event_type, count(*) AS n, max(k_lo) AS klo, max(k_hi) AS khi, max(CASE WHEN rn <= k_lo THEN iv END) AS p05c, max(CASE WHEN rn <= k_hi THEN iv END) AS p95c, CAST(sum(CASE WHEN rn >= k_lo AND rn <= k_hi THEN iv ELSE 0 END) AS BIGINT) AS mid FROM k GROUP BY 1) SELECT event_type, n, floor(CAST(p05c AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS p05, floor(CAST(p95c AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS p95, floor(CAST((klo - 1) * p05c + mid + (n - khi) * p95c AS DOUBLE) / n / 100.0 * 10000.0 + 0.5) / 10000.0 AS wins_mean FROM g ORDER BY 1"""))
 
+  /** PSI DRIFT MONITOR — the population-stability index between the
+    * md5-hash-split corpus halves (train = buckets 0..7 of samp_hash_split's
+    * EXACT split spelling, holdout = the rest), over the n_chars/50 length
+    * buckets txt_length_hist uses. The stand-in for the real deployment
+    * question — "does this week's crawl still look like the training
+    * distribution?" — where the two halves would be two snapshots. PSI =
+    * Σ (p−q)·ln(p/q) with Laplace smoothing ((c+1)/(n+B), B = bucket
+    * count), so a bucket present in only one half contributes a finite
+    * term instead of ±∞. Determinism: counts are exact integers, p and q
+    * exact rationals evaluated in ONE fixed double-op sequence, each term
+    * floor-rounded to an integer 1e-8 unit and summed as BIGINT — the
+    * cross-row sum is integer, only the per-row ln rides libm (the
+    * txt_tfidf precedent). Scale shape: one map-side-combined aggregation
+    * to |sources|×|buckets| cells, windows and the PSI fold run over that
+    * tiny cell table, never the corpus. */
+  private val qaPsiDrift = GraftQuery(
+    "qa_psi_drift",
+    "PSI distribution drift between md5-split corpus halves, per source",
+    (s, d) => {
+      val cells = Tables.documents(s, d)
+        .select(col("source"),
+          (md5u32(col("doc_id").cast("string")) % 10 <= 7).as("is_train"),
+          floor(col("n_chars") / 50.0).cast("int").as("bucket"))
+        .groupBy("source", "bucket")
+        .agg(sum(when(col("is_train"), 1L).otherwise(0L)).as("c_tr"),
+          sum(when(!col("is_train"), 1L).otherwise(0L)).as("c_ho"))
+      val w = Window.partitionBy("source")
+      val sm = cells
+        .withColumn("n_b", count(lit(1)).over(w))
+        .withColumn("n_tr", sum("c_tr").over(w))
+        .withColumn("n_ho", sum("c_ho").over(w))
+      val p = (col("c_tr") + 1).cast("double") / (col("n_tr") + col("n_b"))
+      val q = (col("c_ho") + 1).cast("double") / (col("n_ho") + col("n_b"))
+      sm.withColumn("term_micro",
+          floor((p - q) * log(p / q) * 1e8 + 0.5).cast("long"))
+        .groupBy("source")
+        .agg(max("n_b").as("n_buckets"), max("n_tr").as("n_train"),
+          max("n_ho").as("n_holdout"), sum("term_micro").as("s_micro"))
+        .select(col("source"), col("n_buckets"), col("n_train"),
+          col("n_holdout"),
+          fround(col("s_micro").cast("double") / 1e8, 6).as("psi"))
+        .orderBy("source")
+    },
+    Some(s"""WITH u AS (SELECT source, (${md5u32Sql("md5(CAST(doc_id AS VARCHAR))")} % 10 <= 7) AS is_train, CAST(floor(n_chars / 50.0) AS INTEGER) AS bucket FROM documents), cells AS (SELECT source, bucket, CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS c_tr, CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT) AS c_ho FROM u GROUP BY 1, 2), w AS (SELECT *, count(*) OVER sw AS n_b, CAST(sum(c_tr) OVER sw AS BIGINT) AS n_tr, CAST(sum(c_ho) OVER sw AS BIGINT) AS n_ho FROM cells WINDOW sw AS (PARTITION BY source)), t AS (SELECT source, n_b, n_tr, n_ho, CAST(floor((CAST(c_tr + 1 AS DOUBLE) / (n_tr + n_b) - CAST(c_ho + 1 AS DOUBLE) / (n_ho + n_b)) * ln((CAST(c_tr + 1 AS DOUBLE) / (n_tr + n_b)) / (CAST(c_ho + 1 AS DOUBLE) / (n_ho + n_b))) * 1e8 + 0.5) AS BIGINT) AS term_micro FROM w) SELECT source, max(n_b) AS n_buckets, max(n_tr) AS n_train, max(n_ho) AS n_holdout, floor(CAST(sum(term_micro) AS DOUBLE) / 1e8 * 1e6 + 0.5) / 1e6 AS psi FROM t GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
     winSession, winLagLead, aggPercentiles, aggCorr, jSkewSalted, txtTfidf,
     aggStatsOnepass, aggPivot, winSessionNative, aggApproxPercentile,
     aggArgExtremes, aggMapHistogram, aggMultiDistinct, aggHllRollup,
-    evtRetention, evtZscore, evtTransitions, qaWinsorize)
+    evtRetention, evtZscore, evtTransitions, qaWinsorize, qaPsiDrift)
 }

@@ -263,15 +263,20 @@ object SimilarityOps {
     * never disagree about which bucket a vector is in. Centroids are
     * micro-quantized BIGINTs (see the purity doc below), so the argmin is
     * an exact integer compare; ties break to the smaller centroid label. */
-  private def assignments(s: SparkSession, d: String): DataFrame = {
-    val mic = microDims(s, d)
-    val cents = graft.PersistCache.getOrBuild(s, s"label-cents-q:$d") {
+  /** The micro-QUANTIZED centroid table (c_label, dim, c_micro) — a stored
+    * artifact (one corpus pass, PersistCache-memoized) shared by the
+    * assignment pipeline and the prototypicality ranking. */
+  private def quantCentroids(s: SparkSession, d: String): DataFrame =
+    graft.PersistCache.getOrBuild(s, s"label-cents-q:$d") {
       labelDimSums(s, d)
         .select(col("label").as("c_label"), col("dim"),
           floor(col("sm").cast("double") / col("n") + 0.5)
             .cast("long").as("c_micro"))
     }
-    val dist = mic.join(broadcast(cents), Seq("dim"))
+
+  private def assignments(s: SparkSession, d: String): DataFrame = {
+    val mic = microDims(s, d)
+    val dist = mic.join(broadcast(quantCentroids(s, d)), Seq("dim"))
       .groupBy("vec_id", "label", "c_label")
       .agg(sum((col("micro") - col("c_micro")) *
         (col("micro") - col("c_micro"))).as("d2"))
@@ -355,6 +360,37 @@ object SimilarityOps {
     },
     Some(assignCtes + """, asg AS (SELECT vec_id, c_label AS cluster FROM a WHERE rk = 1), e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e), p AS (SELECT x.vec_id AS a, y.vec_id AS b, CAST(floor(list_sum([s[1]*s[2] for s in list_zip(na.v, nb.v)]) / (na.nrm * nb.nrm) * 1000000.0 + 0.5) AS BIGINT) AS cos_micro FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id JOIN n na ON na.vec_id = x.vec_id JOIN n nb ON nb.vec_id = y.vec_id), dup AS (SELECT b AS vec_id, min(a) AS dup_of FROM p WHERE cos_micro >= 280000 GROUP BY 1) SELECT asg.vec_id, asg.cluster, dup.dup_of, CASE WHEN dup.dup_of IS NULL THEN 1 ELSE 0 END AS keep FROM asg LEFT JOIN dup USING (vec_id) ORDER BY vec_id"""))
 
+  /** PROTOTYPICALITY ranking — the D4/SemDeDup "prune the un-prototypical
+    * tail" step: each vector's exact squared distance to its OWN label
+    * centroid (micro-quantized, so d2 is a BIGINT — no float-sum ordering
+    * anywhere), ranked farthest-first; the top-20 are the outlier/
+    * mislabel/junk candidates a curation pass reviews or drops. Scale
+    * shape: centroids BROADCAST into a per-element term stream feeding one
+    * map-side-combined aggregation keyed on vec; the global rank compiles
+    * to TakeOrderedAndProject (per-partition heaps) and the row_number
+    * then runs over the 20-row prefix, not the corpus (the
+    * samp_shuffle_prefix discipline). */
+  private val embPrototypicality = GraftQuery(
+    "emb_prototypicality",
+    "top-20 outliers by exact micro-distance to own-label centroid",
+    (s, d) => {
+      val dist = microDims(s, d)
+        .join(broadcast(quantCentroids(s, d).withColumnRenamed("dim", "c_dim")),
+          col("label") === col("c_label") && col("dim") === col("c_dim"))
+        .groupBy("vec_id", "label")
+        .agg(sum((col("micro") - col("c_micro")) *
+          (col("micro") - col("c_micro"))).as("d2"))
+      // unpartitioned window on purpose: runs over the 20-row top-K
+      // prefix, not the corpus — audited benign (see QuietLogs)
+      val w = Window.orderBy(col("d2").desc, col("vec_id"))
+      dist.orderBy(col("d2").desc, col("vec_id")).limit(20)
+        .withColumn("rk", row_number().over(w))
+        .select(col("rk"), col("vec_id"), col("label"), col("d2"))
+        .orderBy("rk")
+    },
+    Some(assignCtes + """ SELECT CAST(rk AS INTEGER) AS rk, vec_id, label, CAST(d2 AS BIGINT) AS d2 FROM (SELECT row_number() OVER (ORDER BY d2 DESC, vec_id) AS rk, vec_id, label, d2 FROM d WHERE label = c_label) WHERE rk <= 20 ORDER BY rk"""))
+
   val all: Seq[GraftQuery] = Seq(knnBrute, labelStats, knnLsh, knnMatryoshka,
-    embCentroids, embDimProfile, embAssignPurity, dedupSemantic)
+    embCentroids, embDimProfile, embAssignPurity, dedupSemantic,
+    embPrototypicality)
 }

@@ -631,6 +631,52 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.getLong(7) == g.count(sz => sz * nKeys > 2L * nRows).toLong)
   }
 
+  test("emb_prototypicality: brute-force replay of own-centroid distances") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)))
+    val cents = vecs.groupBy(_._2).map { case (l, g) =>
+      l -> Array.tabulate(g.head._3.length)(i =>
+        math.floor(g.map(_._3(i)).sum.toDouble / g.length + 0.5).toLong)
+    }
+    val expected = vecs.map { case (id, l, m) =>
+      (id, l, m.zip(cents(l)).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy { case (id, _, d2) => (-d2, id) }.take(20).zipWithIndex
+      .map { case ((id, l, d2), i) => (i + 1, id, l, d2) }
+    val got = run("emb_prototypicality").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("qa_psi_drift: brute-force replay of the Laplace-smoothed PSI fold") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map { r =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(r.getLong(0).toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (r.getString(1), java.lang.Long.parseLong(hex.substring(0, 8), 16) % 10 <= 7,
+          math.floor(r.getLong(2) / 50.0).toInt)
+      }
+    val expected = docs.groupBy(_._1).map { case (src, g) =>
+      val cells = g.groupBy(_._3).toSeq.map { case (_, c) =>
+        (c.count(_._2).toLong, c.count(!_._2).toLong)
+      }
+      val (nB, nTr, nHo) = (cells.size.toLong, cells.map(_._1).sum, cells.map(_._2).sum)
+      val sMicro = cells.map { case (cTr, cHo) =>
+        val p = (cTr + 1).toDouble / (nTr + nB)
+        val q = (cHo + 1).toDouble / (nHo + nB)
+        math.floor((p - q) * math.log(p / q) * 1e8 + 0.5).toLong
+      }.sum
+      src -> (nB, nTr, nHo, math.floor(sMicro.toDouble / 1e8 * 1e6 + 0.5) / 1e6)
+    }
+    val got = run("qa_psi_drift").collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._4 > 0.0), "all-zero PSI: split degenerate")
+  }
+
   test("no degenerate operators: every registered query returns rows at sf0.001") {
     // catches data-dependent degeneracy (empty thresholds, over-filtering)
     // across the whole registry in one sweep — the driver only smoke-checks

@@ -64,6 +64,12 @@ class PlanQualitySpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("emb_prototypicality: broadcast centroids + top-k heaps, no global sort") {
+    val p = plan("emb_prototypicality")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
   test("custom expressions participate in codegen (graft_dot in knn plan)") {
     val p = plan("sim_knn_brute")
     assert(p.contains("graft_dot"), p.take(3000))
