@@ -137,14 +137,14 @@ object DedupOps {
   private val pairCountCtes =
     """, inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)"""
 
-  private val ngramPairsCte =
+  private[graft] val ngramPairsCte =
     "WITH RECURSIVE " + shingleCte4 + pairCountCtes +
       """, p AS (SELECT i.a, i.b, floor(i.c * 1.0 / (x.n + y.n - i.c) * 10000.0 + 0.5) / 10000.0 AS jaccard FROM inter i JOIN sz x ON i.a = x.doc_id JOIN sz y ON i.b = y.doc_id WHERE i.c * 1.0 / (x.n + y.n - i.c) >= 0.4)"""
 
   /** Recursive label-propagation CTEs appended to [[ngramPairsCte]] —
     * produce `m(doc_id, comp)` = min reachable id per near-dup node.
     * Shared by the components query and the keep-list query. */
-  private val componentsCtes =
+  private[graft] val componentsCtes =
     """, e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p), nd AS (SELECT DISTINCT src AS id FROM e), cc AS (SELECT id, id AS lbl FROM nd UNION SELECT e.dst, cc.lbl FROM cc JOIN e ON e.src = cc.id), m AS (SELECT id AS doc_id, min(lbl) AS comp FROM cc GROUP BY 1)"""
 
   /** Cached distinct 4-gram shingle set — shared with the contamination
@@ -285,14 +285,22 @@ object DedupOps {
     cur
   }
 
+  /** Near-dup component labels `(id, comp)` for this corpus — the
+    * materialized fixed point of [[connectedComponents]] over the verified
+    * Jaccard pairs, PersistCache-memoized so the components query, the
+    * keep rules, and the leakage-safe splitter all share ONE propagation
+    * run per (session, corpus). */
+  private[graft] def componentLabels(s: SparkSession, d: String): DataFrame =
+    graft.PersistCache.getOrBuild(s, s"cc-lbl:$d") {
+      connectedComponents(jaccardPairs(s, d))
+    }
+
   private val dedupComponents = GraftQuery(
     "dedup_components",
     "connected components over near-dup pairs (iterative min-label propagation)",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val lbl = graft.PersistCache.getOrBuild(s, s"cc-lbl:$d") {
-        connectedComponents(jaccardPairs(s, d))
-      }
+      val lbl = componentLabels(s, d)
       val w = Window.partitionBy("comp")
       lbl.select(col("id").as("doc_id"), col("comp"))
         .withColumn("comp_size", count(lit(1)).over(w))
@@ -318,9 +326,7 @@ object DedupOps {
     "collapse each near-dup component keeping its longest member",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val lbl = graft.PersistCache.getOrBuild(s, s"cc-lbl:$d") {
-        connectedComponents(jaccardPairs(s, d))
-      }
+      val lbl = componentLabels(s, d)
       val members = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
         .join(broadcast(lbl.withColumnRenamed("id", "doc_id")), Seq("doc_id"))
       val w = Window.partitionBy("comp").orderBy(desc("n_chars"), col("doc_id"))
@@ -358,9 +364,7 @@ object DedupOps {
     val fp = Tables.documents(s, d)
       .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
     val exactKeep = fp.groupBy("fp").agg(min("doc_id").as("keep_id"))
-    val comp = graft.PersistCache.getOrBuild(s, s"cc-lbl:$d") {
-      connectedComponents(jaccardPairs(s, d))
-    }
+    val comp = componentLabels(s, d)
     fp.join(exactKeep, Seq("fp"))
       .join(broadcast(comp.withColumnRenamed("id", "doc_id")),
         Seq("doc_id"), "left")

@@ -49,6 +49,43 @@ object PipelineOps {
       .orderBy("split"),
     Some(s"""WITH u AS (SELECT doc_id, n_chars, $uSql % 10 AS m FROM (SELECT doc_id, n_chars, md5(doc_id::VARCHAR) AS h FROM documents)), sp AS (SELECT CASE WHEN m <= 7 THEN 'train' WHEN m = 8 THEN 'val' ELSE 'test' END AS split, doc_id, n_chars FROM u) SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, min(doc_id) AS min_id, max(doc_id) AS max_id FROM sp GROUP BY 1 ORDER BY 1"""))
 
+  /** LEAKAGE-SAFE split — the fix for the eval-contamination failure mode
+    * a plain per-doc hash split has: near-duplicate documents land on
+    * BOTH sides of a train/test boundary, so the test set silently
+    * contains paraphrases of training docs. Here the split unit is the
+    * near-dup COMPONENT (DedupOps' verified-Jaccard connected components):
+    * grp = component label when the doc is in one, else its own doc_id,
+    * and the md5 split decision hashes grp — every member of a component
+    * shares a side by construction. Output is the per-split audit summary
+    * (docs, distinct groups, chars, how many docs were cluster-bound).
+    *
+    * Scale shape: the component label table is pair-bounded (near-dup
+    * nodes only), so it BROADCASTS into the corpus scan; the split is then
+    * a narrow map exactly like samp_hash_split, and the summary is one
+    * map-side-combined aggregation. The single countDistinct is over grp
+    * within 3 split groups — a two-stage partial distinct, no Expand. */
+  private val sampClusterSplit = GraftQuery(
+    "samp_cluster_split",
+    "leakage-safe 80/10/10 split: near-dup components stay on one side",
+    (s, d) => {
+      val lbl = DedupOps.componentLabels(s, d).withColumnRenamed("id", "doc_id")
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        .join(broadcast(lbl), Seq("doc_id"), "left")
+        .withColumn("grp", coalesce(col("comp"), col("doc_id")))
+        .withColumn("m", md5u32(col("grp").cast("string")) % 10)
+        .withColumn("split",
+          when(col("m") <= 7, "train").when(col("m") === 8, "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("grp").as("n_groups"),
+          sum("n_chars").as("sum_chars"),
+          sum(when(col("comp").isNotNull, 1L).otherwise(0L)).as("n_clustered"))
+        .orderBy("split")
+    },
+    Some(DedupOps.ngramPairsCte + DedupOps.componentsCtes +
+      s""", g AS (SELECT d.doc_id, d.n_chars, m.comp, coalesce(m.comp, d.doc_id) AS grp FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id), sp AS (SELECT comp, n_chars, grp, ${md5u32Sql("md5(CAST(grp AS VARCHAR))")} % 10 AS md FROM g) SELECT CASE WHEN md <= 7 THEN 'train' WHEN md = 8 THEN 'val' ELSE 'test' END AS split, count(*) AS n_docs, CAST(count(DISTINCT grp) AS BIGINT) AS n_groups, CAST(sum(n_chars) AS BIGINT) AS sum_chars, CAST(sum(CASE WHEN comp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered FROM sp GROUP BY 1 ORDER BY 1"""))
+
   /** Per-vector profile via higher-order array functions — dimension,
     * range, mean, positive-component count — all computed inside the row
     * (no explode: an explode would fan each row into `dim` shuffle rows).
@@ -440,7 +477,7 @@ object PipelineOps {
       s""", g AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tok, ${gateReasonSql("len(t)", "CAST(len(list_distinct(t)) AS DOUBLE) / len(t)", s"CAST(len(list_filter(t, x -> x IN (${graft.functions.GraftFunctions.stopwordsSqlList}))) AS DOUBLE) / len(t)")} AS gate_reason, CASE WHEN ${graft.functions.GraftFunctions.impKeepSql} THEN 1 ELSE 0 END AS samp_keep FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents)) SELECT g.doc_id, g.source, g.n_tok, kv.reason AS dedup_reason, g.gate_reason, g.samp_keep, CASE WHEN kv.reason <> 'kept' THEN kv.reason WHEN g.gate_reason <> 'kept' THEN g.gate_reason WHEN g.samp_keep = 0 THEN 'sampled_out' ELSE 'kept' END AS verdict FROM g JOIN kv USING (doc_id) ORDER BY g.doc_id"""))
 
   val all: Seq[GraftQuery] = Seq(
-    sampHashSplit, arrHofStats, evtFunnel, aggMode, calGapFill, calInterpolate,
-    pipePack, pipeMixWeights, pipeChunk, pipeFilterGate, pipeCurationFunnel,
-    pipeTokenBudget, pipeAuditTrail)
+    sampHashSplit, sampClusterSplit, arrHofStats, evtFunnel, aggMode,
+    calGapFill, calInterpolate, pipePack, pipeMixWeights, pipeChunk,
+    pipeFilterGate, pipeCurationFunnel, pipeTokenBudget, pipeAuditTrail)
 }

@@ -30,22 +30,29 @@ object SimilarityOps {
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
   }
 
+  /** Brute-force cosine top-k rows `(q_id, n_id, cos, rnk)` for the probe
+    * set `vec_id % probeMod == 0` — the shared exactness leg behind the
+    * kNN baseline and the hubness diagnostic. The probe side is
+    * model-sized and BROADCAST, so the corpus scan never shuffles; ties
+    * break on (micro-rounded cos desc, n_id). */
+  private def bruteTopK(s: SparkSession, d: String,
+      probeMod: Int, k: Int): DataFrame = {
+    val e = normalized(s, d)
+    val q = e.filter(col("vec_id") % probeMod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("n_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos", expr("graft_dot(qv, cv)") / (col("qn") * col("cn")))
+    val w = Window.partitionBy("q_id").orderBy(fround(col("cos"), 6).desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   private val knnBrute = GraftQuery(
     "sim_knn_brute",
     "brute-force cosine top-5 per query vector (broadcast query set)",
-    (s, d) => {
-      val e = normalized(s, d)
-      val q = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val c = e.select(col("vec_id").as("n_id"), col("v").as("cv"), col("nrm").as("cn"))
-      val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
-        .withColumn("cos", expr("graft_dot(qv, cv)") / (col("qn") * col("cn")))
-      val w = Window.partitionBy("q_id").orderBy(fround(col("cos"), 6).desc, col("n_id"))
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("q_id"), col("n_id"), fround(col("cos"), 4).as("cos"), col("rnk"))
-        .orderBy("q_id", "rnk")
-    },
+    (s, d) => bruteTopK(s, d, 50, 5)
+      .select(col("q_id"), col("n_id"), fround(col("cos"), 4).as("cos"), col("rnk"))
+      .orderBy("q_id", "rnk"),
     Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e), q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0), sc AS (SELECT q.q_id, c.vec_id AS n_id, list_sum([s[1]*s[2] for s in list_zip(q.qv, c.v)]) / (q.qn * c.nrm) AS cos FROM q JOIN n c ON c.vec_id <> q.q_id) SELECT q_id, n_id, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos, CAST(rnk AS INTEGER) AS rnk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY floor(cos * 1000000.0 + 0.5) DESC, n_id) AS rnk FROM sc) WHERE rnk <= 5 ORDER BY q_id, rnk"""))
 
   /** Per-label centroid stats — the IVF coarse-quantizer building block,
@@ -390,7 +397,36 @@ object SimilarityOps {
     },
     Some(assignCtes + """ SELECT CAST(rk AS INTEGER) AS rk, vec_id, label, CAST(d2 AS BIGINT) AS d2 FROM (SELECT row_number() OVER (ORDER BY d2 DESC, vec_id) AS rk, vec_id, label, d2 FROM d WHERE label = c_label) WHERE rk <= 20 ORDER BY rk"""))
 
+  /** HUBNESS profile — the classic high-dimensional ANN pathology check
+    * (Radovanović et al., JMLR 2010): a few "hub" vectors appear in
+    * nearly every query's top-k while much of the corpus is never
+    * retrieved, which skews retrieval-augmented sampling and poisons
+    * near-dup thresholds. Over a deterministic 1-in-10 probe sample we
+    * build exact cosine top-5 lists, then histogram each corpus vector's
+    * reverse-kNN in-degree (0 = never retrieved). A healthy index shows a
+    * binomial-looking hump; a heavy tail plus a fat zero-bucket is the
+    * hubness signature.
+    *
+    * Scale shape: the probe set is sampled and BROADCAST (the same brute
+    * leg as sim_knn_brute — at 100 TB the probes would scan LSH/IVF
+    * candidates instead, same downstream shape); the in-degree aggregation
+    * is map-side-combined on n_id and the histogram runs over the tiny
+    * degree table, never the corpus. */
+  private val simHubness = GraftQuery(
+    "sim_hubness",
+    "reverse-kNN in-degree histogram over a 1-in-10 probe sample",
+    (s, d) => {
+      val deg = bruteTopK(s, d, 10, 5)
+        .groupBy("n_id").agg(count(lit(1)).as("in_deg"))
+      val hist = deg.groupBy("in_deg").agg(count(lit(1)).as("n_vecs"))
+      val zero = Tables.embeddings(s, d).agg(count(lit(1)).as("tot"))
+        .crossJoin(deg.agg(count(lit(1)).as("ret")))
+        .select(lit(0L).as("in_deg"), (col("tot") - col("ret")).as("n_vecs"))
+      hist.unionByName(zero).orderBy("in_deg")
+    },
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e), q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 10 = 0), sc AS (SELECT q.q_id, c.vec_id AS n_id, list_sum([s[1]*s[2] for s in list_zip(q.qv, c.v)]) / (q.qn * c.nrm) AS cos FROM q JOIN n c ON c.vec_id <> q.q_id), tk AS (SELECT n_id FROM (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY floor(cos * 1000000.0 + 0.5) DESC, n_id) AS rnk FROM sc) WHERE rnk <= 5), deg AS (SELECT n_id, count(*) AS in_deg FROM tk GROUP BY 1), hist AS (SELECT in_deg, count(*) AS n_vecs FROM deg GROUP BY 1) SELECT * FROM hist UNION ALL SELECT CAST(0 AS BIGINT) AS in_deg, (SELECT count(*) FROM embeddings) - (SELECT count(*) FROM deg) AS n_vecs ORDER BY in_deg"""))
+
   val all: Seq[GraftQuery] = Seq(knnBrute, labelStats, knnLsh, knnMatryoshka,
     embCentroids, embDimProfile, embAssignPurity, dedupSemantic,
-    embPrototypicality)
+    embPrototypicality, simHubness)
 }

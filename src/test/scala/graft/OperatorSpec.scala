@@ -677,6 +677,68 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.values.exists(_._4 > 0.0), "all-zero PSI: split degenerate")
   }
 
+  test("samp_cluster_split: no component straddles a split boundary") {
+    import org.apache.spark.sql.functions._
+    // the structural property the operator exists for: replay the split
+    // decision per doc from the components output and check every near-dup
+    // component lands wholly on one side
+    val comp = run("dedup_components").select("doc_id", "comp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def md(grp: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(grp.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 10
+    }
+    def splitOf(m: Long) = if (m <= 7) "train" else if (m == 8) "val" else "test"
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val assigned = docs.map { case (id, nc) =>
+      val grp = comp.getOrElse(id, id)
+      (splitOf(md(grp)), grp, nc, comp.contains(id))
+    }
+    // zero leakage: all members of a component share the split
+    assert(assigned.groupBy(_._2).forall(_._2.map(_._1).distinct.size == 1))
+    val expected = assigned.groupBy(_._1).map { case (sp, g) =>
+      sp -> (g.length.toLong, g.map(_._2).distinct.length.toLong,
+        g.map(_._3).sum, g.count(_._4).toLong)
+    }
+    val got = run("samp_cluster_split").collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected)
+    assert(got.values.map(_._4).sum > 0, "no clustered docs: split degenerate")
+  }
+
+  test("sim_hubness: in-degree mass accounting and brute replay") {
+    val hist = run("sim_hubness").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val nProbes = vecs.count(_._1 % 10 == 0)
+    // mass accounting: every probe contributes exactly 5 retrievals, and
+    // the histogram (including the 0 bucket) partitions the corpus
+    assert(hist.map { case (d, n) => d * n }.sum == 5L * nProbes)
+    assert(hist.values.sum == vecs.length.toLong)
+    // brute replay of the reverse-kNN degrees
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val vm = vecs.toMap
+    val deg = new scala.collection.mutable.HashMap[Long, Long]()
+    vecs.filter(_._1 % 10 == 0).foreach { case (qid, qv) =>
+      vecs.filter(_._1 != qid).map { case (cid, cv) =>
+        (math.floor(dot(qv, cv) / (nrm(qid) * nrm(cid)) * 1e6 + 0.5), cid)
+      }.sortBy { case (c, id) => (-c, id) }.take(5)
+        .foreach { case (_, id) => deg(id) = deg.getOrElse(id, 0L) + 1L }
+    }
+    val expected = deg.values.groupBy(identity).map { case (d, g) => d -> g.size.toLong }
+      .toMap + (0L -> (vecs.length - deg.size).toLong)
+    assert(hist == expected.filter { case (d, n) => n > 0 || d == 0 })
+  }
+
   test("no degenerate operators: every registered query returns rows at sf0.001") {
     // catches data-dependent degeneracy (empty thresholds, over-filtering)
     // across the whole registry in one sweep — the driver only smoke-checks

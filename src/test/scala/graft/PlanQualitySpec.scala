@@ -70,6 +70,11 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
 
+  test("samp_cluster_split: labels broadcast, corpus never shuffles pre-agg") {
+    val p = plan("samp_cluster_split")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("custom expressions participate in codegen (graft_dot in knn plan)") {
     val p = plan("sim_knn_brute")
     assert(p.contains("graft_dot"), p.take(3000))
