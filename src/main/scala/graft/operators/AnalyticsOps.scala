@@ -573,9 +573,61 @@ object AnalyticsOps {
     },
     Some(s"""WITH u AS (SELECT source, (${md5u32Sql("md5(CAST(doc_id AS VARCHAR))")} % 10 <= 7) AS is_train, CAST(floor(n_chars / 50.0) AS INTEGER) AS bucket FROM documents), cells AS (SELECT source, bucket, CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS c_tr, CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT) AS c_ho FROM u GROUP BY 1, 2), w AS (SELECT *, count(*) OVER sw AS n_b, CAST(sum(c_tr) OVER sw AS BIGINT) AS n_tr, CAST(sum(c_ho) OVER sw AS BIGINT) AS n_ho FROM cells WINDOW sw AS (PARTITION BY source)), t AS (SELECT source, n_b, n_tr, n_ho, CAST(floor((CAST(c_tr + 1 AS DOUBLE) / (n_tr + n_b) - CAST(c_ho + 1 AS DOUBLE) / (n_ho + n_b)) * ln((CAST(c_tr + 1 AS DOUBLE) / (n_tr + n_b)) / (CAST(c_ho + 1 AS DOUBLE) / (n_ho + n_b))) * 1e8 + 0.5) AS BIGINT) AS term_micro FROM w) SELECT source, max(n_b) AS n_buckets, max(n_tr) AS n_train, max(n_ho) AS n_holdout, floor(CAST(sum(term_micro) AS DOUBLE) / 1e8 * 1e6 + 0.5) / 1e6 AS psi FROM t GROUP BY 1 ORDER BY 1"""))
 
+  /** TWO-SAMPLE KOLMOGOROV-SMIRNOV drift — the continuous complement to
+    * [[qaPsiDrift]]'s binned PSI: D = max |F_A(x) - F_B(x)| between the
+    * `value` distributions of the month's first and second half. ECDFs are
+    * evaluated on deci-unit bins (floor(value*10) — D on bin edges is the
+    * standard big-data ECDF discretization), and the max runs as an exact
+    * INTEGER comparison: |ca*n_b - cb*n_a| avoids the float ratios whose
+    * last-ulp could flip the argmax between engines. (That product caps
+    * the exact form at ~3e9 rows/side in 64-bit; past that a drift monitor
+    * runs on a deterministic hash sample — samp_hash_split — as real ones
+    * do anyway.)
+    *
+    * Scale shape: one map-side-combined aggregation keyed on bucket (bin
+    * count is bounded by the VALUE RANGE, not the corpus), then the
+    * cumulative max folds over the collected bin array in a single bounded
+    * row — no global window over corpus-sized input anywhere (and no
+    * unpartitioned WindowExec: the fold is an `aggregate` HOF). `at_bucket`
+    * is the lowest bin achieving the max (strict-> fold keeps the first),
+    * i.e. where the distributions diverge most — the first thing a drift
+    * triage looks at. */
+  private val qaKsDrift = GraftQuery(
+    "qa_ks_drift",
+    "two-sample KS statistic (binned ECDF, exact integer argmax) between month halves",
+    (s, d) => {
+      val binned = Tables.events(s, d)
+        .select(floor(col("value") * 10).cast("long").as("bucket"),
+          (dayofmonth(col("ts")) <= 15).as("is_a"))
+        .groupBy("bucket")
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("a"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("b"))
+      binned
+        .agg(sum("a").as("n_a"), sum("b").as("n_b"),
+          count(lit(1)).as("n_bins"),
+          sort_array(collect_list(struct(col("bucket"), col("a"), col("b"))))
+            .as("cells"))
+        .selectExpr("n_a", "n_b", "n_bins",
+          """aggregate(cells,
+            |  named_struct('ca', 0L, 'cb', 0L, 'best', -1L, 'at', -1L),
+            |  (acc, x) -> named_struct(
+            |    'ca', acc.ca + x.a,
+            |    'cb', acc.cb + x.b,
+            |    'best', CASE WHEN abs((acc.ca + x.a) * n_b - (acc.cb + x.b) * n_a) > acc.best
+            |            THEN abs((acc.ca + x.a) * n_b - (acc.cb + x.b) * n_a) ELSE acc.best END,
+            |    'at', CASE WHEN abs((acc.ca + x.a) * n_b - (acc.cb + x.b) * n_a) > acc.best
+            |          THEN x.bucket ELSE acc.at END)) AS st""".stripMargin)
+        .select(col("n_a"), col("n_b"), col("n_bins"),
+          fround(col("st.best").cast("double") / (col("n_a") * col("n_b")), 6)
+            .as("ks"),
+          col("st.at").as("at_bucket"))
+    },
+    Some("""WITH e AS (SELECT CAST(floor(value * 10) AS BIGINT) AS bucket, (day(ts) <= 15) AS is_a FROM events), c AS (SELECT bucket, CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS a, CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS b FROM e GROUP BY 1), t AS (SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b, count(*) AS n_bins FROM c), w AS (SELECT bucket, CAST(sum(a) OVER (ORDER BY bucket) AS BIGINT) AS ca, CAST(sum(b) OVER (ORDER BY bucket) AS BIGINT) AS cb FROM c), dnum AS (SELECT bucket, abs(ca * t.n_b - cb * t.n_a) AS num FROM w, t) SELECT t.n_a, t.n_b, t.n_bins, floor(CAST(best.best AS DOUBLE) / (t.n_a * t.n_b) * 1000000.0 + 0.5) / 1000000.0 AS ks, at.at_bucket FROM t, (SELECT max(num) AS best FROM dnum) best, (SELECT min(bucket) AS at_bucket FROM dnum WHERE num = (SELECT max(num) FROM dnum)) at"""))
+
   val all: Seq[GraftQuery] = Seq(
     winSession, winLagLead, aggPercentiles, aggCorr, jSkewSalted, txtTfidf,
     aggStatsOnepass, aggPivot, winSessionNative, aggApproxPercentile,
     aggArgExtremes, aggMapHistogram, aggMultiDistinct, aggHllRollup,
-    evtRetention, evtZscore, evtTransitions, qaWinsorize, qaPsiDrift)
+    evtRetention, evtZscore, evtTransitions, qaWinsorize, qaPsiDrift,
+    qaKsDrift)
 }

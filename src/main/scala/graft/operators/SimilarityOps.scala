@@ -426,7 +426,40 @@ object SimilarityOps {
     },
     Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e), q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 10 = 0), sc AS (SELECT q.q_id, c.vec_id AS n_id, list_sum([s[1]*s[2] for s in list_zip(q.qv, c.v)]) / (q.qn * c.nrm) AS cos FROM q JOIN n c ON c.vec_id <> q.q_id), tk AS (SELECT n_id FROM (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY floor(cos * 1000000.0 + 0.5) DESC, n_id) AS rnk FROM sc) WHERE rnk <= 5), deg AS (SELECT n_id, count(*) AS in_deg FROM tk GROUP BY 1), hist AS (SELECT in_deg, count(*) AS n_vecs FROM deg GROUP BY 1) SELECT * FROM hist UNION ALL SELECT CAST(0 AS BIGINT) AS in_deg, (SELECT count(*) FROM embeddings) - (SELECT count(*) FROM deg) AS n_vecs ORDER BY in_deg"""))
 
+  /** HARD-NEGATIVE mining — the contrastive-training data-prep step: for
+    * each anchor, the most-similar vectors carrying a DIFFERENT label are
+    * exactly the negatives a triplet/InfoNCE loss learns most from
+    * (random negatives are trivially separable). Top-3 cross-label
+    * neighbors per probe anchor, exact cosine.
+    *
+    * Scale shape: identical to [[knnBrute]] — the anchor set is sampled,
+    * model-sized, and BROADCAST, so the corpus scan never shuffles; the
+    * label inequality rides the broadcast-join condition, pruning pairs
+    * before the dot product. At 100 TB the anchor side stays broadcast
+    * and the corpus side would first pass the LSH/IVF candidate gate
+    * (sim_knn_lsh / sim_knn_ivf), same downstream shape. */
+  private val hardNegatives = GraftQuery(
+    "sim_hard_negatives",
+    "contrastive hard-negative mining: top-3 cross-label cosine per anchor",
+    (s, d) => {
+      val e = normalized(s, d)
+      val q = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val c = e.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+        col("v").as("cv"), col("nrm").as("cn"))
+      val scored = c.join(broadcast(q), col("q_label") =!= col("n_label"))
+        .withColumn("cos", expr("graft_dot(qv, cv)") / (col("qn") * col("cn")))
+      val w = Window.partitionBy("q_id")
+        .orderBy(fround(col("cos"), 6).desc, col("n_id"))
+      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+          fround(col("cos"), 4).as("cos"), col("rnk"))
+        .orderBy("q_id", "rnk")
+    },
+    Some("""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, label, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e), q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn FROM n WHERE vec_id % 25 = 0), sc AS (SELECT q.q_id, q.q_label, c.vec_id AS n_id, c.label AS n_label, list_sum([s[1]*s[2] for s in list_zip(q.qv, c.v)]) / (q.qn * c.nrm) AS cos FROM q JOIN n c ON c.label <> q.q_label) SELECT q_id, q_label, n_id, n_label, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos, CAST(rnk AS INTEGER) AS rnk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY floor(cos * 1000000.0 + 0.5) DESC, n_id) AS rnk FROM sc) WHERE rnk <= 3 ORDER BY q_id, rnk"""))
+
   val all: Seq[GraftQuery] = Seq(knnBrute, labelStats, knnLsh, knnMatryoshka,
     embCentroids, embDimProfile, embAssignPurity, dedupSemantic,
-    embPrototypicality, simHubness)
+    embPrototypicality, simHubness, hardNegatives)
 }

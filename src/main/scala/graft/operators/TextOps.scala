@@ -593,8 +593,44 @@ object TextOps {
     },
     Some("""WITH tok AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents), v AS (SELECT tok FROM (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 16)), j AS (SELECT t.source, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov FROM tok t LEFT JOIN v ON v.tok = t.tok) SELECT source, count(*) AS n_tok, CAST(sum(oov) AS BIGINT) AS n_oov, (CAST(sum(oov) AS BIGINT) * 1000000) // count(*) AS oov_ppm FROM j GROUP BY 1 ORDER BY 1"""))
 
+  /** BPE MERGE-PAIR COUNTING — one iteration of byte-pair-encoding
+    * tokenizer TRAINING (txt_bpe_pretokenize is the inference-side
+    * pretokenizer; this is the training side's inner loop): count every
+    * adjacent symbol pair across the corpus, weighted by word frequency —
+    * the argmax pair is the next merge rule. Symbols here are the initial
+    * character alphabet, i.e. the first iteration, which is the expensive
+    * one (later iterations run over the same word-frequency table).
+    *
+    * Scale shape: the ONLY corpus-sized stage is the word count, which
+    * map-side-combines to vocabulary size before its one shuffle; the
+    * pair explode and both downstream aggregates run over the VOCABULARY
+    * (millions of rows at 100 TB, not trillions), exactly why real BPE
+    * trainers (SentencePiece, HF tokenizers) precompute the word-frequency
+    * table first. Top-20 by pair frequency with a total tie-break
+    * (cnt desc, pair), so the LIMIT is deterministic without a global
+    * row_number window. */
+  private val bpePairs = GraftQuery(
+    "txt_bpe_pairs",
+    "BPE training step: corpus-weighted adjacent char-pair counts, top-20",
+    (s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .filter(length(col("tok")) >= 2)
+      vocab
+        .select(col("tok"), col("cnt"),
+          explode(sequence(lit(1), length(col("tok")) - 1)).as("i"))
+        .select(col("tok").substr(col("i"), lit(2)).as("pair"), col("tok"),
+          col("cnt"))
+        .groupBy("pair")
+        .agg(sum("cnt").as("pair_cnt"), countDistinct("tok").as("n_types"))
+        .orderBy(desc("pair_cnt"), col("pair"))
+        .limit(20)
+    },
+    Some("""WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents), v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1), p AS (SELECT substring(tok, i, 2) AS pair, tok, cnt FROM (SELECT tok, cnt, unnest(generate_series(1, length(tok) - 1)) AS i FROM v WHERE length(tok) >= 2)) SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_cnt, count(DISTINCT tok) AS n_types FROM p GROUP BY 1 ORDER BY pair_cnt DESC, pair LIMIT 20"""))
+
   val all: Seq[GraftQuery] = Seq(tokenStats, quality, langId, fingerprint,
     topNgrams, repetition, decontaminate, boilerplate, decontaminateBloom,
     vocabTopK, vocabSketch, unigramLogprob, bpePretokenize, txtNovelty,
-    pplBuckets, charEntropy, langIdConfusion, oovRate)
+    pplBuckets, charEntropy, langIdConfusion, oovRate, bpePairs)
 }

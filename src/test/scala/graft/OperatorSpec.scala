@@ -739,6 +739,75 @@ class OperatorSpec extends AnyFunSuite {
     assert(hist == expected.filter { case (d, n) => n > 0 || d == 0 })
   }
 
+  test("txt_bpe_pairs: brute-force replay of corpus-weighted pair counts") {
+    val texts = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0))
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(_.toLowerCase.split(" ", -1).foreach(t =>
+      freq(t) = freq.getOrElse(t, 0L) + 1L))
+    val pairs = scala.collection.mutable.Map.empty[String, (Long, Set[String])]
+    freq.foreach { case (tok, cnt) =>
+      if (tok.length >= 2) (0 until tok.length - 1).foreach { i =>
+        val p = tok.substring(i, i + 2)
+        val (c, ts) = pairs.getOrElse(p, (0L, Set.empty[String]))
+        pairs(p) = (c + cnt, ts + tok)
+      }
+    }
+    val expected = pairs.toSeq
+      .map { case (p, (c, ts)) => (p, c, ts.size.toLong) }
+      .sortBy { case (p, c, _) => (-c, p) }.take(20)
+    val got = run("txt_bpe_pairs").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("sim_hard_negatives: brute-force replay of cross-label top-3") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val nrm = vecs.map { case (id, _, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val expected = vecs.filter(_._1 % 25 == 0).sortBy(_._1).flatMap {
+      case (qid, qlab, qv) =>
+        vecs.filter(_._2 != qlab).map { case (cid, clab, cv) =>
+          val cos = dot(qv, cv) / (nrm(qid) * nrm(cid))
+          (math.floor(cos * 1e6 + 0.5).toLong, cid, clab, cos)
+        }.sortBy { case (key, id, _, _) => (-key, id) }.take(3).zipWithIndex
+          .map { case ((_, cid, clab, cos), i) =>
+            (qid, qlab, cid, clab, math.floor(cos * 1e4 + 0.5) / 1e4, i + 1) }
+    }
+    val got = run("sim_hard_negatives").collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4), r.getInt(5)))
+    assert(got.toSeq == expected.toSeq)
+    assert(expected.forall { case (_, ql, _, nl, _, _) => ql != nl })
+  }
+
+  test("qa_ks_drift: brute-force replay of the integer-argmax ECDF fold") {
+    val evs = Tables.events(spark, sf).select("ts", "value").collect().map { r =>
+      val day = r.getTimestamp(0).toInstant
+        .atZone(java.time.ZoneOffset.UTC).getDayOfMonth
+      (math.floor(r.getDouble(1) * 10).toLong, day <= 15)
+    }
+    val cells = evs.groupBy(_._1).toSeq.map { case (b, g) =>
+      (b, g.count(_._2).toLong, g.count(!_._2).toLong)
+    }.sortBy(_._1)
+    val nA = cells.map(_._2).sum; val nB = cells.map(_._3).sum
+    var (ca, cb, best, at) = (0L, 0L, -1L, -1L)
+    cells.foreach { case (b, a, bb) =>
+      ca += a; cb += bb
+      val num = math.abs(ca * nB - cb * nA)
+      if (num > best) { best = num; at = b }
+    }
+    val r = run("qa_ks_drift").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((nA, nB, cells.size.toLong)))
+    assert(r.getDouble(3) == math.floor(best.toDouble / (nA * nB) * 1e6 + 0.5) / 1e6)
+    assert(r.getLong(4) == at)
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) < 1.0)
+  }
+
   test("no degenerate operators: every registered query returns rows at sf0.001") {
     // catches data-dependent degeneracy (empty thresholds, over-filtering)
     // across the whole registry in one sweep — the driver only smoke-checks
