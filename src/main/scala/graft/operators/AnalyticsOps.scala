@@ -624,10 +624,47 @@ object AnalyticsOps {
     },
     Some("""WITH e AS (SELECT CAST(floor(value * 10) AS BIGINT) AS bucket, (day(ts) <= 15) AS is_a FROM events), c AS (SELECT bucket, CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS a, CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS b FROM e GROUP BY 1), t AS (SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b, count(*) AS n_bins FROM c), w AS (SELECT bucket, CAST(sum(a) OVER (ORDER BY bucket) AS BIGINT) AS ca, CAST(sum(b) OVER (ORDER BY bucket) AS BIGINT) AS cb FROM c), dnum AS (SELECT bucket, abs(ca * t.n_b - cb * t.n_a) AS num FROM w, t) SELECT t.n_a, t.n_b, t.n_bins, floor(CAST(best.best AS DOUBLE) / (t.n_a * t.n_b) * 1000000.0 + 0.5) / 1000000.0 AS ks, at.at_bucket FROM t, (SELECT max(num) AS best FROM dnum) best, (SELECT min(bucket) AS at_bucket FROM dnum WHERE num = (SELECT max(num) FROM dnum)) at"""))
 
+  /** DYADIC EWMA — per-user exponentially-weighted moving average of
+    * event value, the smoother a monitoring/feature pipeline runs per
+    * entity. The usual recursive form (s_t = a*x_t + (1-a)*s_{t-1}) is a
+    * float recurrence whose rounding depends on history length, so two
+    * engines (or a replay) can disagree in the last ulp. This one is
+    * EXACT: decay a = 1/2 over a trailing 16-event window, values in
+    * centi-units, so the weighted numerator sum v_i * 2^(i-1) and the
+    * normalizer 2^L - 1 are both BIGINTs; the only float ops are two
+    * correctly-rounded divisions performed in the SAME order in both
+    * engines. (Bounding the window is what real EWMA features do anyway —
+    * 2^-16 has decayed to noise — and is also what keeps the integer
+    * numerator < 2^40.)
+    *
+    * Scale shape: one window shuffle keyed on user_id (the same partition
+    * a per-entity feature store would already have), ROWS-frame
+    * collect_list is 16 elements max, and the weighted fold is a codegen'd
+    * zip_with/aggregate HOF — no UDF, no second shuffle. */
+  private val evtEwma = GraftQuery(
+    "evt_ewma",
+    "per-user dyadic EWMA (alpha=1/2, trailing 16 events, exact integer weights)",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-15, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), centi(col("value")).as("v"))
+        .withColumn("lst", collect_list("v").over(w))
+        .selectExpr("user_id", "event_id",
+          """aggregate(zip_with(lst, sequence(1, size(lst)),
+            |  (x, i) -> x * shiftleft(CAST(1 AS BIGINT), i - 1)),
+            |  CAST(0 AS BIGINT), (a, x) -> a + x) AS num""".stripMargin,
+          "shiftleft(CAST(1 AS BIGINT), size(lst)) - 1 AS den")
+        .select(col("user_id"), col("event_id"),
+          fround(col("num").cast("double") / col("den") / 100.0, 4).as("ewma"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH v AS (SELECT user_id, event_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events), l AS (SELECT user_id, event_id, list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS lst FROM v), f AS (SELECT user_id, event_id, list_sum(list_transform(list_zip(lst, generate_series(1, len(lst))), s -> s[1] * CAST(pow(2, s[2] - 1) AS BIGINT))) AS num, CAST(pow(2, len(lst)) AS BIGINT) - 1 AS den FROM l) SELECT user_id, event_id, floor(CAST(num AS DOUBLE) / den / 100.0 * 10000.0 + 0.5) / 10000.0 AS ewma FROM f ORDER BY 1, 2"""))
+
   val all: Seq[GraftQuery] = Seq(
     winSession, winLagLead, aggPercentiles, aggCorr, jSkewSalted, txtTfidf,
     aggStatsOnepass, aggPivot, winSessionNative, aggApproxPercentile,
     aggArgExtremes, aggMapHistogram, aggMultiDistinct, aggHllRollup,
     evtRetention, evtZscore, evtTransitions, qaWinsorize, qaPsiDrift,
-    qaKsDrift)
+    qaKsDrift, evtEwma)
 }

@@ -285,7 +285,43 @@ object CurationOps {
       Some(s"""WITH r AS (SELECT vec_id, label, row_number() OVER (PARTITION BY label ORDER BY ${md5u32Sql("md5('bal:' || CAST(vec_id AS VARCHAR))")}, vec_id) AS rn FROM embeddings), m AS (SELECT min(n) AS m FROM (SELECT label, count(*) AS n FROM r GROUP BY 1)) SELECT label, vec_id FROM r, m WHERE rn <= m ORDER BY 1, 2"""))
   }
 
+  /** TEMPERATURE-SCALED mixture weights — the multilingual-pretraining
+    * sampling rule (mBERT/XLM-R style): language k's sampling share is
+    * c_k^alpha / sum_j c_j^alpha, here with alpha = 1/2 so the power is
+    * sqrt — chosen deliberately: IEEE-754 requires sqrt to be correctly
+    * rounded, so Java and C produce the SAME double bit-for-bit, unlike
+    * pow(x, 0.7). The sqrt is then floor-rounded to integer micro-units
+    * BEFORE summing, so the normalizer is an exact integer sum
+    * (order-independent) and the shares/quotas are deterministic across
+    * engines and partitionings. Quota = per-10000 allocation by integer
+    * division (largest-remainder correction left to the caller, as real
+    * samplers do).
+    *
+    * Scale shape: one map-side-combined count per language (|langs| rows),
+    * then a 1-row normalizer broadcast back — the corpus is scanned once,
+    * nothing corpus-sized shuffles. */
+  private val sampTemperature = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.fround
+    GraftQuery(
+      "samp_temperature",
+      "temperature-scaled (alpha=1/2) language mixture weights and per-10k quotas",
+      (s, d) => {
+        val byLang = Tables.documents(s, d)
+          .groupBy("lang").agg(count(lit(1)).as("n"))
+          .withColumn("s_micro", floor(sqrt(col("n")) * 1e6 + 0.5).cast("long"))
+        val tot = byLang.agg(sum("s_micro").as("tot"))
+        byLang.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n"),
+            fround(col("s_micro").cast("double") / col("tot"), 6).as("share"),
+            expr("(s_micro * 10000) div tot").as("quota_10k"))
+          .orderBy("lang")
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS n, CAST(floor(sqrt(count(*)) * 1000000.0 + 0.5) AS BIGINT) AS s_micro FROM documents GROUP BY 1), t AS (SELECT CAST(sum(s_micro) AS BIGINT) AS tot FROM c) SELECT lang, n, floor(CAST(s_micro AS DOUBLE) / tot * 1000000.0 + 0.5) / 1000000.0 AS share, (s_micro * 10000) // tot AS quota_10k FROM c, t ORDER BY 1"""))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     sampStratified, sampQuota, shufflePrefix, txtNormalize, lengthHist,
-    embQuantize, sampImportance, sampWeightedReservoir, sampBalancedClasses)
+    embQuantize, sampImportance, sampWeightedReservoir, sampBalancedClasses,
+    sampTemperature)
 }

@@ -665,6 +665,44 @@ object RelationalOps {
     },
     Some("""WITH n AS (SELECT DISTINCT p_name FROM part), k AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk, length(p_name) AS len FROM n) SELECT x.p_name AS a, y.p_name AS b, CAST(levenshtein(x.p_name, y.p_name) AS INTEGER) AS dist FROM k x JOIN k y ON x.blk = y.blk AND x.p_name < y.p_name AND abs(x.len - y.len) <= 2 WHERE levenshtein(x.p_name, y.p_name) <= 2 ORDER BY 1, 2"""))
 
+  /** 2-D SKYLINE (Pareto frontier): parts not dominated on (price asc,
+    * size desc) — p dominates q iff p is <= on price, >= on size, and
+    * strictly better on at least one. The textbook NOT EXISTS anti-join is
+    * O(n²); this runs in two bounded steps instead:
+    *  1. reduce to ONE row per distinct price level (groupBy price_c, max
+    *     size) — cardinality is bounded by the PRICE RANGE in centi-units,
+    *     not the corpus, so the fact table pays one map-side-combined
+    *     keyed shuffle;
+    *  2. the frontier condition over price levels is a running max with a
+    *     RANGE frame (strictly-cheaper levels: UNBOUNDED PRECEDING .. 1
+    *     PRECEDING on the integer price): a level survives iff its max
+    *     size strictly exceeds every cheaper level's. The window sorts
+    *     only the level table.
+    * Rows are recovered by a BROADCAST semi-join of the frontier pairs —
+    * equal (price, size) duplicates are all kept, matching strict
+    * dominance (neither dominates its twin). Price is exact centi-units
+    * ([[centi]]), so the RANGE frame and all comparisons are integer
+    * arithmetic in both engines. */
+  private val relSkyline = GraftQuery(
+    "rel_skyline",
+    "2-D Pareto frontier (min price, max size): price-level reduce + range-frame running max",
+    (s, d) => {
+      val p = Tables.part(s, d).select(col("p_partkey"),
+        centi(col("p_retailprice")).as("price_c"), col("p_size"))
+      val lvl = p.groupBy("price_c").agg(max("p_size").as("mx"))
+      val cheaper = Window.orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val frontier = lvl
+        .withColumn("m_strict", max("mx").over(cheaper))
+        .filter(col("m_strict").isNull || col("mx") > col("m_strict"))
+        .select(col("price_c").as("f_price"), col("mx").as("f_size"))
+      p.join(broadcast(frontier),
+          col("price_c") === col("f_price") && col("p_size") === col("f_size"))
+        .select(col("p_partkey"), col("price_c"), col("p_size"))
+        .orderBy("price_c", "p_partkey")
+    },
+    Some("""WITH p AS (SELECT p_partkey, CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c, p_size FROM part), lvl AS (SELECT price_c, max(p_size) AS mx FROM p GROUP BY 1), f AS (SELECT price_c, mx, max(mx) OVER (ORDER BY price_c RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_strict FROM lvl) SELECT p.p_partkey, p.price_c, p.p_size FROM p JOIN f ON p.price_c = f.price_c AND p.p_size = f.mx WHERE f.m_strict IS NULL OR f.mx > f.m_strict ORDER BY 2, 1"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1, q3, q5, q10Returns, q14Promo, q18TopQuantity, q19Disjunctive, q7Volume,
     jSemi, jAnti, jOuter,
@@ -672,5 +710,5 @@ object RelationalOps {
     winPercentRank, setIntersect,
     setExcept, setUnion, aggRollup, aggCube, aggGroupingSets, aggApprox,
     jsonKv, calDaily, strWeekday, reshapeUnpivot, jIntervalOverlap,
-    jFuzzyMatch)
+    jFuzzyMatch, relSkyline)
 }

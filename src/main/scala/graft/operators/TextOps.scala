@@ -629,8 +629,95 @@ object TextOps {
     },
     Some("""WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents), v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1), p AS (SELECT substring(tok, i, 2) AS pair, tok, cnt FROM (SELECT tok, cnt, unnest(generate_series(1, length(tok) - 1)) AS i FROM v WHERE length(tok) >= 2)) SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_cnt, count(DISTINCT tok) AS n_types FROM p GROUP BY 1 ORDER BY pair_cnt DESC, pair LIMIT 20"""))
 
+  /** COHEN'S KAPPA over the [[langIdConfusion]] matrix — chance-corrected
+    * agreement between the declared and predicted language, the standard
+    * scalar for "is this classifier better than the label marginals".
+    * Computed in EXACT integer arithmetic: with N docs, diag agreements,
+    * and row/column marginals r_k/c_k, kappa = (N*diag - sum r_k c_k) /
+    * (N² - sum r_k c_k) — numerator and denominator are exact BIGINTs, so
+    * the only float op is one final division (N² fits 64-bit to ~3e9 docs;
+    * past that compute the two products in DECIMAL(38,0), same plan).
+    * Shares the langPredicted definition with txt_langid/_confusion, so
+    * all three surfaces describe the same classifier by construction.
+    *
+    * Scale shape: one map-side-combined (labeled, predicted) count — at
+    * most |langs|² cells — then marginal sums and one broadcast of two
+    * 1-row frames. The corpus is scanned once, nothing corpus-sized
+    * shuffles. */
+  private val langIdKappa = GraftQuery(
+    "txt_langid_kappa",
+    "Cohen's kappa of declared-vs-predicted language (exact integer po/pe)",
+    (s, d) => {
+      val cells = Tables.documents(s, d)
+        .select(col("lang").as("labeled"), langPredicted.as("predicted"))
+        .groupBy("labeled", "predicted").agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum("n").as("n_docs"),
+        sum(when(col("labeled") === col("predicted"), col("n")).otherwise(0L))
+          .as("diag"))
+      val pe = cells.groupBy("labeled").agg(sum("n").as("r"))
+        .join(cells.groupBy("predicted").agg(sum("n").as("c")),
+          col("labeled") === col("predicted"))
+        .agg(coalesce(sum(col("r") * col("c")), lit(0L)).as("pe_num"))
+      tot.crossJoin(broadcast(pe))
+        .select(col("n_docs"), col("diag"),
+          fround(col("diag").cast("double") / col("n_docs"), 6).as("po"),
+          fround(col("pe_num").cast("double") /
+            (col("n_docs") * col("n_docs")), 6).as("pe"),
+          fround((col("n_docs") * col("diag") - col("pe_num")).cast("double") /
+            (col("n_docs") * col("n_docs") - col("pe_num")), 6).as("kappa"))
+    },
+    Some(s"""WITH cells AS (SELECT lang AS labeled, $langPredictedSql AS predicted, count(*) AS n FROM documents GROUP BY 1, 2), t AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs, CAST(sum(CASE WHEN labeled = predicted THEN n ELSE 0 END) AS BIGINT) AS diag FROM cells), r AS (SELECT labeled, CAST(sum(n) AS BIGINT) AS r FROM cells GROUP BY 1), c AS (SELECT predicted, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY 1), p AS (SELECT CAST(coalesce(sum(r.r * c.c), 0) AS BIGINT) AS pe_num FROM r JOIN c ON r.labeled = c.predicted) SELECT t.n_docs, t.diag, floor(CAST(t.diag AS DOUBLE) / t.n_docs * 1000000.0 + 0.5) / 1000000.0 AS po, floor(CAST(p.pe_num AS DOUBLE) / (t.n_docs * t.n_docs) * 1000000.0 + 0.5) / 1000000.0 AS pe, floor(CAST(t.n_docs * t.diag - p.pe_num AS DOUBLE) / (t.n_docs * t.n_docs - p.pe_num) * 1000000.0 + 0.5) / 1000000.0 AS kappa FROM t, p"""))
+
+  /** CONTENT-DEFINED CHUNKING — the dedup-friendly document splitter: a
+    * chunk boundary falls AFTER any 8-char window whose hash ≡ 0 (mod 64),
+    * so boundaries are a property of the CONTENT, not of byte offsets —
+    * insert one char near the front and every downstream chunk of a
+    * fixed-width splitter shifts (all fingerprints change), while CDC
+    * boundaries resynchronize at the next matching window. Expected chunk
+    * length = the modulus (64 chars). Same rolling idea as rsync/LBFS/
+    * restic gear hashing; the window hash here is the repo's lockstep
+    * md5u32 so DuckDB replays boundary decisions bit-for-bit. Reported
+    * per doc: chunk count, max and mean chunk length — the stats a
+    * chunk-store capacity plan needs.
+    *
+    * Scale shape: the position explode is NARROW (generated and consumed
+    * inside one codegen stage, no shuffle) and the boundary filter keeps
+    * ~1/64 of positions BEFORE the only keyed shuffle (the per-doc
+    * window/aggregate), so what shuffles is boundary-sized, not
+    * character-sized. Docs shorter than the 8-char window contribute no
+    * positions at all (also dodges Spark's descending sequence(1, n<1)). */
+  private val cdcChunks = GraftQuery(
+    "txt_cdc_chunks",
+    "content-defined chunking: md5 window-hash boundaries (mod 64), per-doc chunk stats",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("len"))
+      val cuts = docs.filter(col("len") >= 8)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1L), col("len") - 7)).as("i"))
+        .filter(md5u32(col("text").substr(col("i").cast("int"), lit(8))) % 64 === 0)
+        .select(col("doc_id"), (col("i") + 7).as("cut"))
+      val w = Window.partitionBy("doc_id").orderBy("cut")
+      val perDoc = cuts
+        .withColumn("gap", col("cut") - coalesce(lag("cut", 1).over(w), lit(0L)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_cuts"), max("gap").as("max_gap"),
+          max("cut").as("max_cut"))
+      docs.join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("len"),
+          (coalesce(col("n_cuts"), lit(0L)) +
+            when(col("len") > coalesce(col("max_cut"), lit(0L)), 1L).otherwise(0L))
+            .as("n_chunks"),
+          greatest(coalesce(col("max_gap"), lit(0L)),
+            col("len") - coalesce(col("max_cut"), lit(0L))).as("max_chunk"))
+        .withColumn("avg_chunk", fround(col("len").cast("double") / col("n_chunks"), 4))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents), pos AS (SELECT doc_id, text, unnest(generate_series(1, len - 7)) AS i FROM d WHERE len >= 8), cuts AS (SELECT doc_id, i + 7 AS cut FROM pos WHERE ${md5u32Sql("md5(substr(text, CAST(i AS INTEGER), 8))")} % 64 = 0), g AS (SELECT doc_id, cut, cut - coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) AS gap FROM cuts), pd AS (SELECT doc_id, count(*) AS n_cuts, max(gap) AS max_gap, max(cut) AS max_cut FROM g GROUP BY 1) SELECT d.doc_id, d.len, CAST(coalesce(pd.n_cuts, 0) + (CASE WHEN d.len > coalesce(pd.max_cut, 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_chunks, CAST(greatest(coalesce(pd.max_gap, 0), d.len - coalesce(pd.max_cut, 0)) AS BIGINT) AS max_chunk, floor(CAST(d.len AS DOUBLE) / (coalesce(pd.n_cuts, 0) + CASE WHEN d.len > coalesce(pd.max_cut, 0) THEN 1 ELSE 0 END) * 10000.0 + 0.5) / 10000.0 AS avg_chunk FROM d LEFT JOIN pd USING (doc_id) ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(tokenStats, quality, langId, fingerprint,
     topNgrams, repetition, decontaminate, boilerplate, decontaminateBloom,
     vocabTopK, vocabSketch, unigramLogprob, bpePretokenize, txtNovelty,
-    pplBuckets, charEntropy, langIdConfusion, oovRate, bpePairs)
+    pplBuckets, charEntropy, langIdConfusion, oovRate, bpePairs,
+    langIdKappa, cdcChunks)
 }

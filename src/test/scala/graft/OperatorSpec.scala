@@ -808,6 +808,108 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.getDouble(3) > 0.0 && r.getDouble(3) < 1.0)
   }
 
+  test("rel_skyline: naive dominance replay") {
+    val parts = Tables.part(spark, sf)
+      .select("p_partkey", "p_retailprice", "p_size").collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong,
+        r.getInt(2)))
+    val frontier = parts.filter { case (_, pc, sz) =>
+      !parts.exists { case (_, pc2, sz2) =>
+        pc2 <= pc && sz2 >= sz && (pc2 < pc || sz2 > sz) }
+    }.sortBy(p => (p._2, p._1))
+    val got = run("rel_skyline").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == frontier.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("samp_temperature: sqrt micro-unit replay; quotas under-allocate by < |langs|") {
+    val counts = Tables.documents(spark, sf).groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val micro = counts.map { case (l, n) =>
+      (l, n, math.floor(math.sqrt(n.toDouble) * 1e6 + 0.5).toLong) }
+    val tot = micro.map(_._3).sum
+    val expected = micro.map { case (l, n, s) =>
+      (l, n, math.floor(s.toDouble / tot * 1e6 + 0.5) / 1e6, s * 10000 / tot) }
+    val got = run("samp_temperature").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == expected.toSeq)
+    val qsum = got.map(_._4).sum  // floor division loses < 1 unit per lang
+    assert(qsum > 10000 - got.length && qsum <= 10000)
+  }
+
+  test("txt_langid_kappa: exact integer replay from the confusion cells") {
+    val stops = Set("the", "a", "of")
+    val docs = Tables.documents(spark, sf).select("lang", "text").collect()
+      .map { r =>
+        val pred = if (r.getString(1).toLowerCase.split(" ", -1).exists(stops))
+          "en" else "und"
+        (r.getString(0), pred)
+      }
+    val n = docs.length.toLong
+    val diag = docs.count { case (l, p) => l == p }.toLong
+    val rows = docs.groupBy(_._1).map { case (k, g) => k -> g.length.toLong }
+    val cols = docs.groupBy(_._2).map { case (k, g) => k -> g.length.toLong }
+    val peNum = rows.keySet.intersect(cols.keySet).toSeq
+      .map(k => rows(k) * cols(k)).sum
+    val r = run("txt_langid_kappa").collect().head
+    assert(r.getLong(0) == n && r.getLong(1) == diag)
+    assert(r.getDouble(2) ==
+      math.floor(diag.toDouble / n * 1e6 + 0.5) / 1e6)
+    assert(r.getDouble(4) ==
+      math.floor((n * diag - peNum).toDouble / (n * n - peNum) * 1e6 + 0.5) / 1e6)
+    // chance correction must bite: kappa strictly below raw agreement po
+    assert(r.getDouble(4) < r.getDouble(2))
+  }
+
+  test("txt_cdc_chunks: per-doc boundary replay and chunk invariants") {
+    def u32(sx: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.sortBy(_._1).map { case (id, text) =>
+      val len = text.length.toLong
+      val cuts = (1 to text.length - 7)
+        .filter(i => u32(text.substring(i - 1, i + 7)) % 64 == 0).map(_ + 7L)
+      val gaps = cuts.zip(0L +: cuts.dropRight(1)).map { case (c, p) => c - p }
+      val tail = len - cuts.lastOption.getOrElse(0L)
+      val nChunks = (cuts.size + (if (tail > 0) 1 else 0)).toLong
+      val maxChunk = math.max(gaps.maxOption.getOrElse(0L), tail)
+      (id, len, nChunks, maxChunk,
+        math.floor(len.toDouble / nChunks * 1e4 + 0.5) / 1e4)
+    }
+    val got = run("txt_cdc_chunks").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == expected.toSeq)
+    assert(got.exists(_._3 > 1))  // boundaries actually fire on this corpus
+  }
+
+  test("evt_ewma: dyadic fold replay over trailing-16 windows") {
+    val evs = Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong))
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (uid, g) =>
+      val sorted = g.sortWith { (a, b) =>
+        val c = a._3.compareTo(b._3); c < 0 || (c == 0 && a._2 < b._2) }
+      sorted.indices.map { i =>
+        val win = sorted.slice(math.max(0, i - 15), i + 1).map(_._4)
+        val num = win.zipWithIndex.map { case (v, j) => v << j }.sum
+        val den = (1L << win.length) - 1
+        ((uid, sorted(i)._2),
+          math.floor(num.toDouble / den / 100.0 * 1e4 + 0.5) / 1e4)
+      }
+    }.toMap
+    val got = run("evt_ewma").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(got.length == expected.size)
+    assert(got.forall { case (k, v) => expected(k) == v })
+  }
+
   test("no degenerate operators: every registered query returns rows at sf0.001") {
     // catches data-dependent degeneracy (empty thresholds, over-filtering)
     // across the whole registry in one sweep — the driver only smoke-checks
