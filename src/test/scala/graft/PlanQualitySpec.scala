@@ -244,7 +244,10 @@ class PlanQualitySpec extends AnyFunSuite {
     val allowed = Set(
       "txt_vocab_topk",      // windows over the 50-row top-K
       "pipe_mix_weights",    // window over the ~#sources-row aggregate
-      "samp_shuffle_prefix") // row_number over the 200-row LIMIT prefix
+      "samp_shuffle_prefix", // row_number over the 200-row LIMIT prefix
+      "rel_skyline")         // running max over the price-LEVEL table —
+                             // bounded by the centi-price value range
+                             // (groupBy reduced), not the part corpus
     val offenders = SparkEntry.registry.flatMap { q =>
       val unpartitioned =
         try q.fn(spark, sf).queryExecution.executedPlan.collect {
@@ -258,6 +261,17 @@ class PlanQualitySpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty,
       s"unpartitioned window in: $offenders — partition it or audit + allowlist it")
+  }
+
+  test("skyline recovers rows via a broadcast join of the frontier pairs") {
+    val p = plan("rel_skyline")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("ewma fold stays in codegen'd HOFs: no ScalaUDF, window partitioned by user") {
+    val p = plan("evt_ewma")
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+    assert(p.contains("zip_with") && p.contains("aggregate("), p.take(2000))
   }
 
   test("partitioned layout prunes at the directory level (PartitionFilters)") {
