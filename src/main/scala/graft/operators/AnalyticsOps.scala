@@ -661,10 +661,67 @@ object AnalyticsOps {
     },
     Some("""WITH v AS (SELECT user_id, event_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events), l AS (SELECT user_id, event_id, list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS lst FROM v), f AS (SELECT user_id, event_id, list_sum(list_transform(list_zip(lst, generate_series(1, len(lst))), s -> s[1] * CAST(pow(2, s[2] - 1) AS BIGINT))) AS num, CAST(pow(2, len(lst)) AS BIGINT) - 1 AS den FROM l) SELECT user_id, event_id, floor(CAST(num AS DOUBLE) / den / 100.0 * 10000.0 + 0.5) / 10000.0 AS ewma FROM f ORDER BY 1, 2"""))
 
+  /** Run-length encoding of event sequences: collapse consecutive repeats
+    * of the same event_type per user into runs, then histogram run lengths
+    * per type — the burst-detection / repeated-action profile (and the
+    * sequence-compression stat an RLE-aware encoder would ask for). Runs
+    * are numbered with the lag-change + running-sum idiom; the order
+    * carries (ts, event_id) so ties are pinned and run boundaries are
+    * bit-deterministic. Scale: both windows and the first groupBy key on
+    * user_id — ONE keyed shuffle — and the run table (≤ input rows)
+    * reduces before the tiny (type, len) histogram shuffle. */
+  private val evtRunLengths = GraftQuery(
+    "evt_run_lengths",
+    "run-length encoding of per-user event-type sequences, length histogram",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val prev = lag("event_type", 1).over(w)
+      Tables.events(s, d)
+        .withColumn("chg", when(prev.isNull || col("event_type") =!= prev, 1L).otherwise(0L))
+        .withColumn("run_id", sum("chg").over(w))
+        .groupBy(col("user_id"), col("run_id"), col("event_type"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("event_type"), col("len"))
+        .agg(count(lit(1)).as("n_runs"))
+        .orderBy("event_type", "len")
+    },
+    Some("""WITH m AS (SELECT user_id, ts, event_id, event_type, CASE WHEN lag(event_type) OVER w IS NULL OR event_type <> lag(event_type) OVER w THEN 1 ELSE 0 END AS chg FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), r AS (SELECT user_id, event_type, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id FROM m), g AS (SELECT user_id, run_id, event_type, CAST(count(*) AS BIGINT) AS len FROM r GROUP BY 1, 2, 3) SELECT event_type, len, CAST(count(*) AS BIGINT) AS n_runs FROM g GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Trailing-5 rolling MEDIAN per user — the robust (outlier-immune)
+    * complement to win_moving_avg. Spark has no exact percentile window
+    * function, so the frame is materialized as a sorted 5-element array
+    * (collect_list over ROWS 4 PRECEDING) and the median read off by
+    * index; to stay integer-exact across engines the output is TWICE the
+    * median in centi units (odd frame: 2·mid; even frame: the two middle
+    * values' sum — exactly what DuckDB's interpolating median() doubles
+    * to). Scale: the window partitions by user_id (one keyed shuffle) and
+    * the per-row state is a bounded 5-element array — O(1) memory per row
+    * regardless of corpus size. */
+  private val winRollingMedian = GraftQuery(
+    "win_rolling_median",
+    "trailing-5 exact rolling median (2x, centi units) per user",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), centi(col("value")).as("vc"))
+        .withColumn("arr", sort_array(collect_list("vc").over(w)))
+        .withColumn("n", size(col("arr")))
+        .select(col("user_id"), col("event_id"),
+          when(col("n") % 2 === 1,
+            element_at(col("arr"), ((col("n") + 1) / 2).cast("int")) * 2)
+            .otherwise(
+              element_at(col("arr"), (col("n") / 2).cast("int")) +
+                element_at(col("arr"), (col("n") / 2 + 1).cast("int")))
+            .as("med2c"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH v AS (SELECT user_id, event_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events) SELECT user_id, event_id, CAST(floor(2 * median(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) + 0.5) AS BIGINT) AS med2c FROM v ORDER BY 1, 2"""))
+
   val all: Seq[GraftQuery] = Seq(
     winSession, winLagLead, aggPercentiles, aggCorr, jSkewSalted, txtTfidf,
     aggStatsOnepass, aggPivot, winSessionNative, aggApproxPercentile,
     aggArgExtremes, aggMapHistogram, aggMultiDistinct, aggHllRollup,
     evtRetention, evtZscore, evtTransitions, qaWinsorize, qaPsiDrift,
-    qaKsDrift, evtEwma)
+    qaKsDrift, evtEwma, evtRunLengths, winRollingMedian)
 }

@@ -320,8 +320,31 @@ object CurationOps {
       Some("""WITH c AS (SELECT lang, count(*) AS n, CAST(floor(sqrt(count(*)) * 1000000.0 + 0.5) AS BIGINT) AS s_micro FROM documents GROUP BY 1), t AS (SELECT CAST(sum(s_micro) AS BIGINT) AS tot FROM c) SELECT lang, n, floor(CAST(s_micro AS DOUBLE) / tot * 1000000.0 + 0.5) / 1000000.0 AS share, (s_micro * 10000) // tot AS quota_10k FROM c, t ORDER BY 1"""))
   }
 
+  /** Largest-remainder (Hamilton) apportionment of a fixed sample budget
+    * across sources: base = floor(K·nᵢ/N) slots each, then the leftover
+    * slots go to the largest fractional remainders — the EXACT
+    * proportional allocation (Σalloc = K always, no float rounding drift),
+    * which is how a curation run turns target mixture shares into integer
+    * per-source quotas (samp_temperature's quota step is the α-scaled
+    * cousin; this is the exact α=1 base case). All arithmetic is integer
+    * div/mod; the ranking window runs over source-cardinality rows. */
+  private val sampLargestRemainder = {
+    def sql(idiv: String) =
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+         |b AS (SELECT source, n, (n * 1000) $idiv total AS base, (n * 1000) % total AS rem FROM c, t),
+         |l AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover FROM b),
+         |r AS (SELECT source, n, base, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b)
+         |SELECT source, n AS n_docs,
+         |  CAST(base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS BIGINT) AS alloc
+         |FROM r, l ORDER BY source""".stripMargin
+    q("samp_largest_remainder",
+      "exact largest-remainder apportionment of 1000 sample slots by source",
+      Seq("documents"), sql("div"), sql("//").replace("\n", " "))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     sampStratified, sampQuota, shufflePrefix, txtNormalize, lengthHist,
     embQuantize, sampImportance, sampWeightedReservoir, sampBalancedClasses,
-    sampTemperature)
+    sampTemperature, sampLargestRemainder)
 }

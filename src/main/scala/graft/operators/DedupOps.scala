@@ -618,8 +618,26 @@ object DedupOps {
     },
     Some(ngramPairsCte + """, e AS (SELECT a, b FROM p), tri AS (SELECT count(*) AS n_triangles FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), deg AS (SELECT id, count(*) AS deg FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1), st AS (SELECT count(*) AS n_nodes, CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges FROM deg), ne AS (SELECT count(*) AS n_edges FROM e) SELECT n_nodes, n_edges, n_triangles, n_wedges, floor(n_triangles * 3.0 / greatest(n_wedges, 1) * 10000.0 + 0.5) / 10000.0 AS gcc FROM st, ne, tri"""))
 
+  /** Component-SIZE distribution — the duplication-profile summary a
+    * curation report leads with (how much of the corpus sits in 2-dup
+    * pairs vs mega-clusters decides the dedup strategy: pair-dominated
+    * corpora keep-first cheaply, heavy-tail cluster sizes demand the
+    * keep-longest collapse). Reuses the cached component labels; both
+    * rollups run over the pair-bounded near-dup node set, so cost is
+    * negligible next to the pair generation the cache already paid. */
+  private val dedupClusterSizes = GraftQuery(
+    "dedup_cluster_sizes",
+    "near-dup component size histogram from the shared component labels",
+    (s, d) => componentLabels(s, d)
+      .groupBy("comp").agg(count(lit(1)).as("comp_size"))
+      .groupBy("comp_size").agg(count(lit(1)).as("n_components"))
+      .orderBy("comp_size"),
+    Some(ngramPairsCte + componentsCtes +
+      """, cs AS (SELECT comp, CAST(count(*) AS BIGINT) AS comp_size FROM m GROUP BY 1) SELECT comp_size, CAST(count(*) AS BIGINT) AS n_components FROM cs GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupComponents, dedupKeepList,
     dedupKeepLongest, dedupSimhash, dedupSimhashGroups, dedupEmbedding,
-    dedupEmbeddingLsh, dedupIncremental, dedupContainment, graphTriangles)
+    dedupEmbeddingLsh, dedupIncremental, dedupContainment, graphTriangles,
+    dedupClusterSizes)
 }

@@ -139,5 +139,60 @@ object GraphOps {
       .orderBy("kind"),
     Some("""WITH e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1) SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind, count(*) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg, floor(CAST(sum(deg) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_deg FROM dg GROUP BY 1 ORDER BY 1"""))
 
-  val all: Seq[GraftQuery] = Seq(pagerank, degreeStats)
+  /** 2-hop ego-network profile over the trade graph: for a SEED set of
+    * customer nodes, how many distinct suppliers (1 hop) and distinct
+    * co-purchasing customers (2 hops) are reachable — the neighborhood
+    * features a graph-ML pipeline extracts per node. The seed predicate
+    * pushes into the cached edge scan, so the quadratic 2-hop expansion
+    * only ever runs on seed ego-networks, never corpus-wide (at 100 TB
+    * the seed set is the unit of work — shard seeds, not edges). The two
+    * countDistincts expand the seed-bounded pair stream ×2 (not the
+    * corpus — cf. the qa_column_profile discussion); dst2 ≠ src is the
+    * only exclusion needed because the graph is bipartite (2 hops from a
+    * customer always lands on customers, never on a direct neighbor). */
+  private val twoHop = GraftQuery(
+    "graph_two_hop",
+    "distinct 1-hop/2-hop neighborhood sizes for seed customers",
+    (s, d) => {
+      val e = symEdges(s, d)
+      e.filter(col("src") % 2 === 0 && col("src") < 200)
+        .select(col("src"), col("dst").as("mid"))
+        .join(e.select(col("src").as("mid"), col("dst").as("dst2")), Seq("mid"))
+        .filter(col("dst2") =!= col("src"))
+        .groupBy("src")
+        .agg(countDistinct("mid").as("n_one_hop"),
+          countDistinct("dst2").as("n_two_hop"))
+        .select(expr("src div 2").as("custkey"), col("n_one_hop"), col("n_two_hop"))
+        .orderBy("custkey")
+    },
+    Some("""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b FROM lineitem JOIN orders ON l_orderkey = o_orderkey), sym AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b AS src, a AS dst FROM e0), sd AS (SELECT src, dst AS mid FROM sym WHERE src % 2 = 0 AND src < 200), t AS (SELECT sd.src, sd.mid, e2.dst AS dst2 FROM sd JOIN sym e2 ON sd.mid = e2.src WHERE e2.dst <> sd.src) SELECT src // 2 AS custkey, CAST(count(DISTINCT mid) AS BIGINT) AS n_one_hop, CAST(count(DISTINCT dst2) AS BIGINT) AS n_two_hop FROM t GROUP BY 1 ORDER BY 1"""))
+
+  /** Bipartite PROJECTION: supplier–supplier co-occurrence weights (how
+    * many distinct parts two suppliers both ship) — the item-item /
+    * co-purchase graph construction used for recommendations and
+    * entity-linking blocking. The projection is quadratic in per-part
+    * supplier degree, so hot parts (degree > 50) are EXCLUDED by an
+    * explicit frequency cutoff before the self-join — the same
+    * hot-key-cutoff mitigation the n-gram inverted index documents;
+    * production tunes the cutoff to bound pairs/part. The degree filter
+    * is a part-cardinality table and broadcasts into the pair join. */
+  private val bipartiteProj = GraftQuery(
+    "graph_bipartite_proj",
+    "supplier co-occurrence projection with hot-part cutoff, top-30 pairs",
+    (s, d) => {
+      val sp = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val cool = sp.groupBy("pk").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") <= 50).select("pk")
+      val a = sp.select(col("sk").as("s1"), col("pk"))
+      val b = sp.select(col("sk").as("s2"), col("pk"))
+      a.join(broadcast(cool), Seq("pk")).join(b, Seq("pk"))
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("shared_parts"))
+        .orderBy(desc("shared_parts"), col("s1"), col("s2"))
+        .limit(30)
+    },
+    Some("""WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem), cool AS (SELECT pk FROM (SELECT pk, count(*) AS nd FROM sp GROUP BY 1) WHERE nd <= 50), pr AS (SELECT a.sk AS s1, b.sk AS s2 FROM sp a JOIN cool USING (pk) JOIN sp b USING (pk) WHERE a.sk < b.sk) SELECT s1, s2, CAST(count(*) AS BIGINT) AS shared_parts FROM pr GROUP BY 1, 2 ORDER BY 3 DESC, 1, 2 LIMIT 30"""))
+
+  val all: Seq[GraftQuery] = Seq(pagerank, degreeStats, twoHop, bipartiteProj)
 }

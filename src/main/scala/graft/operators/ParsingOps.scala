@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
-import graft.functions.GraftFunctions.fround
+import graft.functions.GraftFunctions.{centi, fround}
 
 /** Wire-format parsing, semi-structured decode, date construction, SQL-entry
   * joins, and the materialized-rollup cascade — the reference's ingest-side
@@ -632,9 +632,149 @@ object ParsingOps {
       .map { case (t, k) => skewSql(t, k) }
       .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY tbl")))
 
+  /** CDC log compaction: latest-writer-wins per key with DELETE
+    * tombstones — the lakehouse merge-on-read compaction kernel (Delta/
+    * Iceberg/Hudi snapshot reads all do exactly this). The events stream
+    * is read as a change log on user_id ('error' rows are tombstones,
+    * everything else an upsert carrying value); the compacted snapshot is
+    * the newest row per key by (ts, event_id), DROPPED if that newest row
+    * is a tombstone. The change count per key rides the same partition
+    * window, so one keyed shuffle serves ranking, counting, and the
+    * filter. Scale: at 100 TB the log is date-partitioned and compaction
+    * runs per partition; the per-key window state is one row (rank-1
+    * short-circuit), and AQE handles hot keys. */
+  private val mvCompactCdc = GraftQuery(
+    "mv_compact_cdc",
+    "CDC compaction: latest-per-key snapshot with delete tombstones",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+      val wOrd = w.orderBy(desc("ts"), desc("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          centi(col("value")).as("vc"),
+          (col("event_type") === "error").cast("int").as("is_del"))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n_changes", count(lit(1)).over(w))
+        .filter(col("rn") === 1 && col("is_del") === 0)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("vc").as("last_value_c"), col("n_changes"))
+        .orderBy("user_id")
+    },
+    Some("""WITH log AS (SELECT user_id, ts, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc, CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del FROM events), r AS (SELECT user_id, event_id, vc, is_del, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn, CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_changes FROM log) SELECT user_id, event_id AS last_event_id, vc AS last_value_c, n_changes FROM r WHERE rn = 1 AND is_del = 0 ORDER BY user_id"""))
+
+  /** Exact pairwise COVARIANCE matrix over the lineitem numerics — the
+    * feature-correlation profile a modeling pipeline computes before
+    * training. Everything is one single-pass global aggregate (map-side
+    * combined: 4 linear + 10 product sums), so the corpus is scanned ONCE
+    * with no shuffle beyond the 1-row combine. Exactness: inputs are ≤2dp,
+    * so centi-int products are exact longs (≤ ~1e14) and their sums are
+    * kept exact in decimal(38,0) (DuckDB: HUGEINT — both lossless), and
+    * cov = (n·Σxy − Σx·Σy)/n² is formed from exact integers with ONE
+    * int→double conversion and an identical division sequence in both
+    * engines, so the rounded output is bit-stable. The 4×4 matrix is
+    * reshaped to rows with stack() — no extra pass. */
+  private val qaCovMatrix = GraftQuery(
+    "qa_cov_matrix",
+    "exact single-pass pairwise covariance matrix of lineitem numerics",
+    (s, d) => {
+      val cols = Seq(
+        "q" -> centi(col("l_quantity")), "p" -> centi(col("l_extendedprice")),
+        "d" -> centi(col("l_discount")), "t" -> centi(col("l_tax")))
+      val pairs = for {
+        (i, (nx, _)) <- cols.zipWithIndex.map(_.swap)
+        (ny, _) <- cols.drop(i)
+      } yield (nx, ny)
+      val base = Tables.lineitem(s, d).select(
+        cols.map { case (n, c) => c.as(n) }: _*)
+      val sums = base.agg(
+        count(lit(1)).as("n"),
+        (cols.map { case (n, _) => sum(col(n)).as(s"s_$n") } ++
+          pairs.map { case (x, y) =>
+            sum((col(x) * col(y)).cast("decimal(38,0)")).as(s"s_${x}_$y") }): _*)
+      val covExprs = pairs.flatMap { case (x, y) =>
+        Seq(lit(x), lit(y),
+          fround((col("n").cast("decimal(38,0)") * col(s"s_${x}_$y") -
+              col(s"s_$x").cast("decimal(38,0)") * col(s"s_$y"))
+            .cast("double") / (col("n") * col("n")).cast("double") / 10000.0,
+            4))
+      }
+      sums.select(stack((lit(pairs.size) +: covExprs): _*).as(Seq("cx", "cy", "cov")))
+        .orderBy("cx", "cy")
+    },
+    Some {
+      val defs = Seq(
+        "q" -> "CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)",
+        "p" -> "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
+        "d" -> "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)",
+        "t" -> "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)")
+      val pairs = for {
+        (i, (nx, _)) <- defs.zipWithIndex.map(_.swap); (ny, _) <- defs.drop(i)
+      } yield (nx, ny)
+      val proj = defs.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+      val aggs = (defs.map { case (n, _) => s"sum($n) AS s_$n" } ++
+        pairs.map { case (x, y) => s"sum($x * $y) AS s_${x}_$y" }).mkString(", ")
+      val rows = pairs.map { case (x, y) =>
+        s"SELECT '$x' AS cx, '$y' AS cy, floor(CAST(n * s_${x}_$y - s_$x * s_$y AS DOUBLE) / CAST(n * n AS DOUBLE) / 10000.0 * 10000.0 + 0.5) / 10000.0 AS cov FROM s"
+      }.mkString(" UNION ALL ")
+      s"WITH b AS (SELECT $proj FROM lineitem), s AS (SELECT count(*) AS n, $aggs FROM b) SELECT * FROM ($rows) ORDER BY cx, cy"
+    })
+
+  /** Gini impurity of the language mix per source — label-diversity QA for
+    * a multilingual corpus (a source collapsing to one language, or
+    * splintering into noise, both show up here). gini = 1 − Σ(cᵢ/n)² is a
+    * RATIONAL in the counts, so it's emitted as exact integer ppm via
+    * (n²−Σcᵢ²)·10⁶ div n² — floor division agrees across engines on
+    * positives, no float anywhere. Scale: groupBy (source, lang) is one
+    * map-side-combined shuffle to label-cardinality rows; the per-source
+    * fold is negligible. */
+  private val qaLabelGini = GraftQuery(
+    "qa_label_gini",
+    "per-source language-mix Gini impurity in exact integer ppm",
+    (s, d) => Tables.documents(s, d)
+      .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_docs"), count(lit(1)).as("n_langs"),
+        sum(col("c") * col("c")).as("s2"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        expr("((n_docs * n_docs - s2) * 1000000) div (n_docs * n_docs)").as("gini_ppm"))
+      .orderBy("source"),
+    Some("""WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2), g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs, CAST(count(*) AS BIGINT) AS n_langs, CAST(sum(c * c) AS BIGINT) AS s2 FROM c GROUP BY 1) SELECT source, n_docs, n_langs, ((n_docs * n_docs - s2) * 1000000) // (n_docs * n_docs) AS gini_ppm FROM g ORDER BY source"""))
+
+  /** Exact equi-depth histogram boundaries for o_totalprice at
+    * whole-dollar granularity — the optimizer/QA statistic behind range
+    * pruning and skew detection. Exact deciles over a corpus need a total
+    * order, so the corpus is first REDUCED to dollar price levels
+    * (cardinality bounded by the price RANGE, not the row count — the
+    * same level-reduce rel_skyline uses); the cumulative count runs over
+    * those levels only, and the k-th boundary is the first level whose
+    * cumulative count reaches ceil(k·n/10) — all integer arithmetic. The
+    * 9-row decile spine broadcasts into the level table. At 100 TB the
+    * same shape holds wherever the value domain is bounded; an unbounded
+    * domain falls back to approx_percentile (the repo's t-digest twin). */
+  private val qaEquidepthHist = GraftQuery(
+    "qa_equidepth_hist",
+    "exact equi-depth decile boundaries over dollar price levels",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lvl = Tables.orders(s, d)
+        .select(floor(col("o_totalprice")).cast("long").as("lvl"))
+        .groupBy("lvl").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(
+          Window.orderBy("lvl").rowsBetween(Window.unboundedPreceding, 0)))
+      val n = Tables.orders(s, d).count()
+      val spine = s.range(1, 10).select(col("id").as("k"),
+        ((col("id") * n + 9) / 10).cast("long").as("thr"))
+      lvl.join(broadcast(spine), col("cum") >= col("thr"))
+        .groupBy("k").agg(min("lvl").as("boundary_dollars"))
+        .orderBy("k")
+    },
+    Some("""WITH lvl AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS lvl, count(*) AS cnt FROM orders GROUP BY 1), c AS (SELECT lvl, sum(cnt) OVER (ORDER BY lvl ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM lvl), t AS (SELECT count(*) AS n FROM orders), s AS (SELECT k, (k * n + 9) // 10 AS thr FROM generate_series(1, 9) g(k), t) SELECT CAST(k AS BIGINT) AS k, CAST(min(lvl) AS BIGINT) AS boundary_dollars FROM c JOIN s ON cum >= thr GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
     csvRoundtrip, jsonStruct, jsonInferred, dateConstruct, sqlMultikeyJoin,
     mvCascade, sqlCtas, mmDecode, partitionPruned, dppPrune, mmFrameSample,
     qaProfile, qaProfileHll, qaExpectations, scd2Merge, mvIncrementalAgg,
-    qaTableChecksum, qaRefIntegrity, qaKeySkew)
+    qaTableChecksum, qaRefIntegrity, qaKeySkew, mvCompactCdc, qaCovMatrix,
+    qaLabelGini, qaEquidepthHist)
 }

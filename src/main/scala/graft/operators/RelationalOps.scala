@@ -703,6 +703,43 @@ object RelationalOps {
     },
     Some("""WITH p AS (SELECT p_partkey, CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c, p_size FROM part), lvl AS (SELECT price_c, max(p_size) AS mx FROM p GROUP BY 1), f AS (SELECT price_c, mx, max(mx) OVER (ORDER BY price_c RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_strict FROM lvl) SELECT p.p_partkey, p.price_c, p.p_size FROM p JOIN f ON p.price_c = f.price_c AND p.p_size = f.mx WHERE f.m_strict IS NULL OR f.mx > f.m_strict ORDER BY 2, 1"""))
 
+  /** Gaps-and-islands: merge overlapping per-customer coverage intervals
+    * (each order covers [orderdate, orderdate+10d]) into maximal islands,
+    * then report islands / covered days per customer — the interval-merge
+    * primitive behind SLA coverage, sensor uptime, and contract overlap
+    * analysis. The classic O(n²) self-join is avoided: one window pass
+    * computes the running max of interval ends over strictly-earlier rows
+    * (ROWS .. 1 PRECEDING); a row starts a new island iff its start
+    * exceeds that max, and a running sum of those breaks numbers the
+    * islands. All arithmetic is exact integer day offsets, and the window
+    * order carries (sd, ed) so equal-start rows are interchangeable —
+    * island boundaries are order-stable either way.
+    *
+    * Scale shape: everything partitions by o_custkey — ONE keyed shuffle
+    * reused by both windows and both groupBys (Catalyst keeps the
+    * partitioning); no global sort, no self-join. */
+  private val relIntervalMerge = GraftQuery(
+    "rel_interval_merge",
+    "gaps-and-islands interval merge: per-customer order-coverage islands",
+    (s, d) => {
+      val iv = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          datediff(to_date(col("o_orderdate")), lit("1990-01-01")).as("sd"))
+        .withColumn("ed", col("sd") + 10)
+      val wOrd = Window.partitionBy("o_custkey").orderBy(col("sd"), col("ed"))
+      iv.withColumn("pmax", max("ed").over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("brk", when(col("pmax").isNull || col("sd") > col("pmax"), 1L).otherwise(0L))
+        .withColumn("isl", sum("brk").over(wOrd))
+        .groupBy(col("o_custkey"), col("isl"))
+        .agg(min("sd").as("i_start"), max("ed").as("i_end"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("i_end") - col("i_start")).cast("long").as("covered_days"),
+          max(col("i_end") - col("i_start")).cast("long").as("longest_days"))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH iv AS (SELECT o_custkey, date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS sd, date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) + 10 AS ed FROM orders), m AS (SELECT o_custkey, sd, ed, max(ed) OVER (PARTITION BY o_custkey ORDER BY sd, ed ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM iv), b AS (SELECT o_custkey, sd, ed, CASE WHEN pmax IS NULL OR sd > pmax THEN 1 ELSE 0 END AS brk FROM m), g AS (SELECT o_custkey, sd, ed, sum(brk) OVER (PARTITION BY o_custkey ORDER BY sd, ed ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM b), i AS (SELECT o_custkey, isl, min(sd) AS i_start, max(ed) AS i_end FROM g GROUP BY 1, 2) SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_islands, CAST(sum(i_end - i_start) AS BIGINT) AS covered_days, CAST(max(i_end - i_start) AS BIGINT) AS longest_days FROM i GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1, q3, q5, q10Returns, q14Promo, q18TopQuantity, q19Disjunctive, q7Volume,
     jSemi, jAnti, jOuter,
@@ -710,5 +747,5 @@ object RelationalOps {
     winPercentRank, setIntersect,
     setExcept, setUnion, aggRollup, aggCube, aggGroupingSets, aggApprox,
     jsonKv, calDaily, strWeekday, reshapeUnpivot, jIntervalOverlap,
-    jFuzzyMatch, relSkyline)
+    jFuzzyMatch, relSkyline, relIntervalMerge)
 }

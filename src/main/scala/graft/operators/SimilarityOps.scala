@@ -459,7 +459,76 @@ object SimilarityOps {
     },
     Some("""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, label, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e), q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn FROM n WHERE vec_id % 25 = 0), sc AS (SELECT q.q_id, q.q_label, c.vec_id AS n_id, c.label AS n_label, list_sum([s[1]*s[2] for s in list_zip(q.qv, c.v)]) / (q.qn * c.nrm) AS cos FROM q JOIN n c ON c.label <> q.q_label) SELECT q_id, q_label, n_id, n_label, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos, CAST(rnk AS INTEGER) AS rnk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY floor(cos * 1000000.0 + 0.5) DESC, n_id) AS rnk FROM sc) WHERE rnk <= 3 ORDER BY q_id, rnk"""))
 
+  /** ONE full Lloyd (k-means) iteration, end to end and exact: reassign
+    * every vector to its nearest micro-quantized centroid (the shared
+    * [[assignments]] kernel), recompute per-cluster means over the new
+    * membership, and report the L1 centroid drift — the convergence
+    * metric a k-means training loop logs per round. Everything stays in
+    * integer micro units: the argmin is an exact BIGINT compare and the
+    * new means re-quantize with the same floor(sum/n + 0.5) rule the
+    * stored centroids used, so drift is bit-deterministic.
+    *
+    * Scale shape: the centroid table broadcasts (model-sized), the
+    * reassignment is one map-side-combined agg keyed (vec, centroid),
+    * and the mean recompute is one more keyed agg on (cluster, dim) —
+    * exactly the two shuffles a distributed Lloyd round costs. A full
+    * training loop is this query iterated with the new centroids written
+    * back (the IVF index build in IvfAnn runs that loop). */
+  private val embKmeansStep = GraftQuery(
+    "emb_kmeans_step",
+    "one exact Lloyd iteration: reassign, recompute means, L1 drift",
+    (s, d) => {
+      val asg = assignments(s, d).select(col("vec_id"), col("c_label"))
+      val nm = microDims(s, d).join(asg, Seq("vec_id"))
+        .groupBy(col("c_label"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum("micro").as("sm"))
+        .select(col("c_label"), col("dim"), col("n"),
+          floor(col("sm").cast("double") / col("n") + 0.5)
+            .cast("long").as("new_micro"))
+      nm.join(broadcast(quantCentroids(s, d)), Seq("c_label", "dim"))
+        .groupBy("c_label")
+        .agg(max("n").as("n_assigned"),
+          sum(abs(col("new_micro") - col("c_micro"))).as("drift_l1_micro"))
+        .orderBy("c_label")
+    },
+    Some(assignCtes + """, asg AS (SELECT vec_id, c_label FROM a WHERE rk = 1), nm AS (SELECT c_label, dim, CAST(count(*) AS BIGINT) AS n, CAST(floor(CAST(sum(micro) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS new_micro FROM mic JOIN asg USING (vec_id) GROUP BY 1, 2) SELECT c_label, max(n) AS n_assigned, CAST(sum(abs(new_micro - c_micro)) AS BIGINT) AS drift_l1_micro FROM nm JOIN c USING (c_label, dim) GROUP BY 1 ORDER BY 1"""))
+
+  /** Cosine CALIBRATION histogram: the similarity distribution over a
+    * deterministic sample of disjoint vector pairs — how a pipeline picks
+    * its near-dup / semantic-dedup thresholds (the knee of this histogram
+    * is the threshold argument to dedup_embedding_* and dedup_semantic).
+    * Pairing is reproducible without any corpus assumption: take the 200
+    * md5-first vectors (TakeOrderedAndProject — bounded), pair rank 2k
+    * with 2k+1. The row_number window is global but runs POST-LIMIT over
+    * exactly 200 rows (the audited benign pattern — see CurationOps'
+    * shuffle-prefix note); cosines round to micro before binning so the
+    * bin edges are decided on the rounded value in both engines. */
+  private val embSimHistogram = GraftQuery(
+    "emb_sim_histogram",
+    "cosine calibration histogram over md5-paired sample vectors",
+    (s, d) => {
+      graft.functions.expressions.GraftExpressions.ensureRegistered(s)
+      val samp = Tables.embeddings(s, d)
+        .select(col("vec_id"), vecDouble(col("embedding")).as("v"),
+          md5u32(concat(lit("hist:"), col("vec_id").cast("string"))).as("h"))
+        .orderBy(col("h"), col("vec_id")).limit(200)
+      val ranked = samp
+        .withColumn("rn", row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1)
+        .select(col("v"), expr("rn div 2").as("pid"), (col("rn") % 2).as("side"))
+      val a = ranked.filter(col("side") === 0).select(col("pid"), col("v").as("va"))
+      val b = ranked.filter(col("side") === 1).select(col("pid"), col("v").as("vb"))
+      a.join(b, Seq("pid"))
+        .withColumn("cos_r", fround(expr("graft_dot(va, vb)") /
+          (sqrt(expr("graft_dot(va, va)")) * sqrt(expr("graft_dot(vb, vb)"))), 6))
+        .withColumn("bin", least(floor((col("cos_r") + 1) * 10).cast("long"), lit(19L)))
+        .groupBy("bin").agg(count(lit(1)).as("n_pairs"),
+          fround(min("cos_r"), 6).as("min_cos"), fround(max("cos_r"), 6).as("max_cos"))
+        .orderBy("bin")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, ${md5u32Sql("md5('hist:' || CAST(vec_id AS VARCHAR))")} AS h FROM embeddings), smp AS (SELECT * FROM e ORDER BY h, vec_id LIMIT 200), r AS (SELECT v, row_number() OVER (ORDER BY h, vec_id) - 1 AS rn FROM smp), p AS (SELECT a.v AS va, b.v AS vb FROM (SELECT v, rn // 2 AS pid FROM r WHERE rn % 2 = 0) a JOIN (SELECT v, rn // 2 AS pid FROM r WHERE rn % 2 = 1) b USING (pid)), cz AS (SELECT floor(list_sum([s[1]*s[2] for s in list_zip(va, vb)]) / (sqrt(list_sum([x*x for x in va])) * sqrt(list_sum([x*x for x in vb]))) * 1000000.0 + 0.5) / 1000000.0 AS cos_r FROM p) SELECT least(CAST(floor((cos_r + 1) * 10) AS BIGINT), 19) AS bin, CAST(count(*) AS BIGINT) AS n_pairs, floor(min(cos_r) * 1000000.0 + 0.5) / 1000000.0 AS min_cos, floor(max(cos_r) * 1000000.0 + 0.5) / 1000000.0 AS max_cos FROM cz GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(knnBrute, labelStats, knnLsh, knnMatryoshka,
     embCentroids, embDimProfile, embAssignPurity, dedupSemantic,
-    embPrototypicality, simHubness, hardNegatives)
+    embPrototypicality, simHubness, hardNegatives, embKmeansStep,
+    embSimHistogram)
 }

@@ -715,9 +715,68 @@ object TextOps {
     },
     Some(s"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents), pos AS (SELECT doc_id, text, unnest(generate_series(1, len - 7)) AS i FROM d WHERE len >= 8), cuts AS (SELECT doc_id, i + 7 AS cut FROM pos WHERE ${md5u32Sql("md5(substr(text, CAST(i AS INTEGER), 8))")} % 64 = 0), g AS (SELECT doc_id, cut, cut - coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) AS gap FROM cuts), pd AS (SELECT doc_id, count(*) AS n_cuts, max(gap) AS max_gap, max(cut) AS max_cut FROM g GROUP BY 1) SELECT d.doc_id, d.len, CAST(coalesce(pd.n_cuts, 0) + (CASE WHEN d.len > coalesce(pd.max_cut, 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_chunks, CAST(greatest(coalesce(pd.max_gap, 0), d.len - coalesce(pd.max_cut, 0)) AS BIGINT) AS max_chunk, floor(CAST(d.len AS DOUBLE) / (coalesce(pd.n_cuts, 0) + CASE WHEN d.len > coalesce(pd.max_cut, 0) THEN 1 ELSE 0 END) * 10000.0 + 0.5) / 10000.0 AS avg_chunk FROM d LEFT JOIN pd USING (doc_id) ORDER BY 1"""))
 
+  /** Windowed word CO-OCCURRENCE counts (positions ≤ 2 apart, unordered
+    * pair key) — the association-mining kernel under PMI scoring, phrase
+    * detection, and word-vector pretraining (the skip-gram pair stream IS
+    * this query before negative sampling). Pair generation is pure array
+    * HOFs over the token array — zip_with of the array against its own
+    * 1-shift and 2-shift, NO posexplode self-join — so it rides the scan
+    * as a narrow map; the only shuffle is the map-side-combined pair
+    * count, and top-40 is TakeOrderedAndProject. At 100 TB the same plan
+    * holds with a vocabulary-sized combine state (pairs of a bounded
+    * vocab), the classic word-count shape. */
+  private val cooccurrence = GraftQuery(
+    "txt_cooccurrence",
+    "unordered word co-occurrence (distance <= 2) counts, top-40 pairs",
+    (s, d) => Tables.documents(s, d)
+      .select(split(lower(col("text")), " ").as("t"))
+      .select(explode(concat(
+        expr("zip_with(slice(t, 1, greatest(size(t) - 1, 0)), slice(t, 2, greatest(size(t) - 1, 0)), (a, b) -> CASE WHEN a <= b THEN concat(a, ' ', b) ELSE concat(b, ' ', a) END)"),
+        expr("zip_with(slice(t, 1, greatest(size(t) - 2, 0)), slice(t, 3, greatest(size(t) - 2, 0)), (a, b) -> CASE WHEN a <= b THEN concat(a, ' ', b) ELSE concat(b, ' ', a) END)")))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("pair")).limit(40),
+    Some("""WITH t AS (SELECT string_split(lower(text), ' ') AS toks FROM documents), p AS (SELECT unnest([CASE WHEN toks[i] <= toks[i+1] THEN toks[i] || ' ' || toks[i+1] ELSE toks[i+1] || ' ' || toks[i] END for i in generate_series(1, greatest(len(toks) - 1, 0))]) AS pair FROM t UNION ALL SELECT unnest([CASE WHEN toks[i] <= toks[i+2] THEN toks[i] || ' ' || toks[i+2] ELSE toks[i+2] || ' ' || toks[i] END for i in generate_series(1, greatest(len(toks) - 2, 0))]) AS pair FROM t) SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 40"""))
+
+  /** Cross-SPLIT contamination report: after the deterministic 80/10/10
+    * md5 hash split (samp_hash_split's rule), how many 4-gram shingles
+    * leak from train into val/test, and how many docs on each side are
+    * involved — the split-integrity audit that must be zero-ish before an
+    * eval number is trustworthy (txt_decontaminate checks against an
+    * EXTERNAL benchmark; this checks the pipeline's OWN split). Unlike
+    * the benchmark case the eval side is 20% of the corpus — NOT
+    * broadcastable — so the overlap is a shingle-keyed shuffle join of
+    * the two sides of the one cached shingle table; the three
+    * countDistincts expand only the matched-pair stream (leakage pairs),
+    * which a healthy split keeps tiny. */
+  private val splitContamination = GraftQuery(
+    "qa_split_contamination",
+    "train-vs-val/test 4-gram leakage audit over the md5 hash split",
+    (s, d) => {
+      val u = md5u32(col("doc_id").cast("string"))
+      val sp = Tables.documents(s, d).select(col("doc_id"),
+        when(u % 10 < 8, "train").when(u % 10 === 8, "val").otherwise("test")
+          .as("split"))
+      val shs = DedupOps.shingles4(s, d).join(sp, Seq("doc_id"))
+      val tr = shs.filter(col("split") === "train")
+        .select(col("doc_id").as("train_id"), col("sh"))
+      val ev = shs.filter(col("split") =!= "train")
+        .select(col("doc_id").as("eval_id"), col("split"), col("sh"))
+      tr.join(ev, Seq("sh"))
+        .groupBy("split")
+        .agg(countDistinct("sh").as("n_shared_shingles"),
+          countDistinct("eval_id").as("n_eval_docs_hit"),
+          countDistinct("train_id").as("n_train_docs_hit"))
+        .orderBy("split")
+    },
+    Some {
+      val uD = md5u32Sql("md5(CAST(doc_id AS VARCHAR))")
+      s"""WITH ${DedupOps.shingleCte4}, sp AS (SELECT doc_id, CASE WHEN $uD % 10 < 8 THEN 'train' WHEN $uD % 10 = 8 THEN 'val' ELSE 'test' END AS split FROM documents), shs AS (SELECT sh.doc_id, sh.sh, sp.split FROM sh JOIN sp USING (doc_id)), tr AS (SELECT doc_id AS train_id, sh FROM shs WHERE split = 'train'), ev AS (SELECT doc_id AS eval_id, split, sh FROM shs WHERE split <> 'train') SELECT split, CAST(count(DISTINCT sh) AS BIGINT) AS n_shared_shingles, CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs_hit, CAST(count(DISTINCT train_id) AS BIGINT) AS n_train_docs_hit FROM tr JOIN ev USING (sh) GROUP BY 1 ORDER BY 1"""
+    })
+
   val all: Seq[GraftQuery] = Seq(tokenStats, quality, langId, fingerprint,
     topNgrams, repetition, decontaminate, boilerplate, decontaminateBloom,
     vocabTopK, vocabSketch, unigramLogprob, bpePretokenize, txtNovelty,
     pplBuckets, charEntropy, langIdConfusion, oovRate, bpePairs,
-    langIdKappa, cdcChunks)
+    langIdKappa, cdcChunks, cooccurrence, splitContamination)
 }
