@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default: the bench runs 189 queries in ONE local[32] JVM; at 8g
+  // the accumulated persisted/broadcast state pushed the full run into GC
+  // pressure (measured 277 s vs 176-217 s at 48g on the same queries).
+  // The host has 128 GiB; tests use the same forked options harmlessly.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -48,15 +48,32 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame   = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long (legacy conf) and
-    * convert to a proper TimestampType at µs precision — all downstream use
-    * is at second-or-coarser grain, so the truncation is semantics-free. */
+  /** events.parquet has shipped with two different `ts` encodings across
+    * testdata generations: TIMESTAMP(NANOS) (which Spark's parquet reader
+    * rejects — [PARQUET_TYPE_ILLEGAL] — unless read as raw long under the
+    * legacy conf) and native TIMESTAMP(MICROS) (scanned as TIMESTAMP_NTZ).
+    * Branch on the *scanned* dtype so either generation normalizes to the
+    * same session-TZ TimestampType at µs precision; sessions run UTC, so
+    * wall-clock semantics are identical on both paths. The legacy conf is
+    * only set when a plain read actually rejects the file. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw =
+      try apply(s, d, "events")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PARQUET_TYPE_ILLEGAL") =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          apply(s, d, "events")
+      }
+    raw.schema("ts").dataType match {
+      case LongType => // legacy nanos-as-int64: truncate to µs
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw // already session-TZ TimestampType
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

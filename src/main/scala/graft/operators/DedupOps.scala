@@ -20,9 +20,10 @@ import graft.functions.GraftFunctions._
   * LSH band join only materializes candidate pairs (the whole point of LSH:
   * avoids the quadratic all-pairs join); the verify join fans shingle sets
   * over candidates only. The exact-Jaccard inverted index self-join is the
-  * non-LSH fallback and is quadratic in per-shingle frequency — at 100 TB
-  * you'd cap hot shingles (stopword-like shingles) with a frequency cutoff,
-  * which is also why the LSH path is the default.
+  * non-LSH fallback and is quadratic in per-shingle document frequency, so
+  * it runs over a df-capped shingle universe ([[MaxShingleDf]]) — hot
+  * stopword-like shingles are dropped before the join, bounding its output
+  * linearly in corpus size. LSH remains the default at scale.
   */
 object DedupOps {
   private val K = 12     // minhash signature length
@@ -131,11 +132,26 @@ object DedupOps {
   private[graft] val shingleCte4 =
     """t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sh AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] for i in generate_series(1, greatest(len(toks) - 3, 0))]) AS sh FROM t)"""
 
-  /** Pre-threshold pair machinery as DuckDB CTEs `inter, sz` — shared by
-    * the Jaccard and containment oracles (the metrics differ only in
-    * denominator and threshold). */
+  /** Document-frequency cutoff for the inverted-index self-join. A shingle
+    * present in df documents emits df·(df−1)/2 rows from `sh ⋈ sh` —
+    * quadratic in df, so ONE boilerplate shingle shared by 10k docs alone
+    * contributes 5·10⁷ pairs. Shingles above this df are stopword-like
+    * boilerplate that carries ~zero Jaccard signal (it inflates every
+    * pair's intersection equally); dropping them bounds the join output by
+    * corpus_shingles · τ/2 — linear in corpus size — which is what lets
+    * this family survive a boilerplate-heavy corpus at 100×. Measured on
+    * the round-6 regenerated corpus at sf0.1: 1.13 M candidate pairs
+    * without the cutoff. (Declared before [[pairCountCtes]], which
+    * interpolates it — object vals initialize in order.) */
+  private[graft] val MaxShingleDf = 64
+
+  /** Pre-threshold pair machinery as DuckDB CTEs `shf, inter, sz` — shared
+    * by the Jaccard and containment oracles (the metrics differ only in
+    * denominator and threshold). `shf` is the df-filtered shingle universe
+    * — the oracle twin of [[pairShingles]]; sizes come from the SAME
+    * filtered universe so the metric stays well-defined. */
   private val pairCountCtes =
-    """, inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)"""
+    s""", dfc AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $MaxShingleDf), shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfc USING (sh)), inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM shf x JOIN shf y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2), sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1)"""
 
   private[graft] val ngramPairsCte =
     "WITH RECURSIVE " + shingleCte4 + pairCountCtes +
@@ -152,6 +168,21 @@ object DedupOps {
     * materializes it for both). */
   private[graft] def shingles4(s: SparkSession, d: String): DataFrame =
     graft.PersistCache.getOrBuild(s, s"shingles4:$d")(shingleSet(s, d, 4))
+
+  /** The df-filtered, xxhash64-keyed shingle table the symmetric pair path
+    * joins on — memoized because the df computation is itself a full pass
+    * over the shingle table and three downstream legs (both self-join
+    * sides + sizes) read it. Per-doc set sizes are computed over THIS
+    * filtered universe (not the raw one) so Jaccard/containment are exact
+    * set metrics on a well-defined universe, replayed identically by the
+    * `shf` oracle CTE. */
+  private[graft] def pairShingles(s: SparkSession, d: String): DataFrame =
+    graft.PersistCache.getOrBuild(s, s"shingles4df:$d") {
+      val sh = shingles4(s, d).select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+      val rare = sh.groupBy("shh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxShingleDf).select("shh")
+      sh.join(rare, Seq("shh"))
+    }
 
   /** Cached distinct 3-gram shingle set — the minhash signature input,
     * shared with the boilerplate-span detector in TextOps (same
@@ -172,9 +203,10 @@ object DedupOps {
       // hash collision could only alter a pair's intersection count if
       // two distinct shingles collide within that pair (~2^-64 per
       // shingle pair — negligible next to the sampling error already
-      // accepted in the MinHash variant).
-      val sh = shingles4(s, d).select(col("doc_id"), xxhash64(col("sh")).as("shh"))
-      val (cand, sz) = pairCounts(sh)
+      // accepted in the MinHash variant). The input is the df-filtered
+      // universe (see pairShingles) — the cutoff that keeps the self-join
+      // linear in corpus size.
+      val (cand, sz) = pairCounts(pairShingles(s, d))
       cand
         .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
         .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
@@ -185,8 +217,8 @@ object DedupOps {
 
   /** Inverted-index pair machinery shared by the Jaccard and containment
     * metrics: all-shared-shingle pair counts `(a, b, c)` and per-doc set
-    * sizes `(doc_id, n)` over an xxhash64-keyed shingle table — the Spark
-    * twin of [[pairCountCtes]]. */
+    * sizes `(doc_id, n)` over the df-filtered xxhash64-keyed shingle table
+    * ([[pairShingles]]) — the Spark twin of [[pairCountCtes]]. */
   private def pairCounts(sh: DataFrame): (DataFrame, DataFrame) = {
     val inter = sh.as("x").join(sh.as("y"),
         col("x.shh") === col("y.shh") && col("x.doc_id") < col("y.doc_id"))
@@ -568,8 +600,7 @@ object DedupOps {
     "dedup_containment",
     "asymmetric shingle containment >= 0.6: sub-document dup detection",
     (s, d) => {
-      val sh = shingles4(s, d).select(col("doc_id"), xxhash64(col("sh")).as("shh"))
-      val (inter, sz) = pairCounts(sh)
+      val (inter, sz) = pairCounts(pairShingles(s, d))
       inter
         .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
         .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))

@@ -80,11 +80,8 @@ class SessionStreamSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("events-sess")
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val evs = spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .parquet(dir.toString)
-      .select(col("user_id"), expr("ts div 1000").as("us"), col("value"))
+    val evs = graft.streaming.EventStreamSource.fromDir(spark, dir.toString)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
       .as[Ev]
     val q = SessionStream.sessionize(evs)
       .writeStream.outputMode("append").format("memory").queryName("sess_eq")

@@ -30,13 +30,8 @@ class StreamingSpec extends AnyFunSuite {
     dir.toString
   }
 
-  private def eventStream(dir: String = streamDir) = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .parquet(dir)
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def eventStream(dir: String = streamDir) =
+    graft.streaming.EventStreamSource.fromDir(spark, dir)
 
   private def batchDailyAgg() = Tables.events(spark, sf)
     .groupBy(col("user_id"), to_date(col("ts")).as("dy"))
