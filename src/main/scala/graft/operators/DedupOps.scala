@@ -557,7 +557,11 @@ object DedupOps {
       val exactHit = fp.filter(!isNew)
         .join(broadcast(newFp.select(col("fp"))), Seq("fp"))
         .groupBy("fp").agg(min("doc_id").as("dup_of"))
-      val sh = shingles4(s, d).select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+      // the df-filtered universe (pairShingles): a boilerplate shingle hot
+      // in BOTH the batch and the corpus would emit df_new × df_corpus
+      // probe rows — the same quadratic-in-df blowup as the symmetric
+      // self-join, capped the same way (oracle mirrors via dfc/shf CTEs)
+      val sh = pairShingles(s, d)
       val newSh = sh.filter(isNew)
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val szNew = sz.filter(isNew)
@@ -583,7 +587,7 @@ object DedupOps {
           coalesce(col("dup_of"), col("near_of")).as("matched_corpus_doc"))
         .orderBy("doc_id")
     },
-    Some("""WITH f AS (SELECT doc_id, md5(lower(text)) AS fp FROM documents), ex AS (SELECT fp, min(doc_id) AS dup_of FROM f WHERE doc_id % 10 <> 9 GROUP BY 1), t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sh AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] for i in generate_series(1, greatest(len(toks) - 3, 0))]) AS sh FROM t), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT nw.doc_id AS new_id, co.doc_id AS corp_id, count(*) AS c FROM sh nw JOIN sh co ON nw.sh = co.sh AND nw.doc_id % 10 = 9 AND co.doc_id % 10 <> 9 GROUP BY 1, 2), nr AS (SELECT new_id, min(corp_id) AS near_of FROM inter JOIN sz x ON inter.new_id = x.doc_id JOIN sz y ON inter.corp_id = y.doc_id WHERE c * 1.0 / (x.n + y.n - c) >= 0.4 GROUP BY 1) SELECT f.doc_id, CASE WHEN ex.dup_of IS NOT NULL THEN 'exact_dup' WHEN nr.near_of IS NOT NULL THEN 'near_dup' ELSE 'new' END AS verdict, coalesce(ex.dup_of, nr.near_of) AS matched_corpus_doc FROM f LEFT JOIN ex USING (fp) LEFT JOIN nr ON nr.new_id = f.doc_id WHERE f.doc_id % 10 = 9 ORDER BY f.doc_id"""))
+    Some(s"""WITH f AS (SELECT doc_id, md5(lower(text)) AS fp FROM documents), ex AS (SELECT fp, min(doc_id) AS dup_of FROM f WHERE doc_id % 10 <> 9 GROUP BY 1), t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sh AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] for i in generate_series(1, greatest(len(toks) - 3, 0))]) AS sh FROM t), dfc AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $MaxShingleDf), shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfc USING (sh)), sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1), inter AS (SELECT nw.doc_id AS new_id, co.doc_id AS corp_id, count(*) AS c FROM shf nw JOIN shf co ON nw.sh = co.sh AND nw.doc_id % 10 = 9 AND co.doc_id % 10 <> 9 GROUP BY 1, 2), nr AS (SELECT new_id, min(corp_id) AS near_of FROM inter JOIN sz x ON inter.new_id = x.doc_id JOIN sz y ON inter.corp_id = y.doc_id WHERE c * 1.0 / (x.n + y.n - c) >= 0.4 GROUP BY 1) SELECT f.doc_id, CASE WHEN ex.dup_of IS NOT NULL THEN 'exact_dup' WHEN nr.near_of IS NOT NULL THEN 'near_dup' ELSE 'new' END AS verdict, coalesce(ex.dup_of, nr.near_of) AS matched_corpus_doc FROM f LEFT JOIN ex USING (fp) LEFT JOIN nr ON nr.new_id = f.doc_id WHERE f.doc_id % 10 = 9 ORDER BY f.doc_id"""))
 
   /** Asymmetric shingle CONTAINMENT — the sub-document duplicate detector
     * that Jaccard structurally misses: a document embedded verbatim inside

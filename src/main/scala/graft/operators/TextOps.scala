@@ -743,12 +743,19 @@ object TextOps {
     * leak from train into val/test, and how many docs on each side are
     * involved — the split-integrity audit that must be zero-ish before an
     * eval number is trustworthy (txt_decontaminate checks against an
-    * EXTERNAL benchmark; this checks the pipeline's OWN split). Unlike
-    * the benchmark case the eval side is 20% of the corpus — NOT
-    * broadcastable — so the overlap is a shingle-keyed shuffle join of
-    * the two sides of the one cached shingle table; the three
-    * countDistincts expand only the matched-pair stream (leakage pairs),
-    * which a healthy split keeps tiny. */
+    * EXTERNAL benchmark; this checks the pipeline's OWN split).
+    *
+    * Scale shape: a direct train ⋈ eval join on the shingle key emits
+    * Σ_sh df_train(sh)·df_eval(sh) rows — quadratic in hot-shingle
+    * document frequency, the same blowup the dedup pair path caps with
+    * MaxShingleDf, but a CUTOFF would be wrong here (ubiquitous shingles
+    * are exactly what a leakage audit must still count). Instead the doc
+    * stream never meets a doc stream: one shingle-keyed aggregation folds
+    * the split memberships into per-shingle presence flags (output =
+    * distinct shingles), and each side then joins against that
+    * UNIQUELY-KEYED flag table — every (doc, shingle) row matches at most
+    * one flag row, so both joins are bounded by the shingle-table size.
+    * Linear end-to-end, hot shingles included. */
   private val splitContamination = GraftQuery(
     "qa_split_contamination",
     "train-vs-val/test 4-gram leakage audit over the md5 hash split",
@@ -758,16 +765,32 @@ object TextOps {
         when(u % 10 < 8, "train").when(u % 10 === 8, "val").otherwise("test")
           .as("split"))
       val shs = DedupOps.shingles4(s, d).join(sp, Seq("doc_id"))
-      val tr = shs.filter(col("split") === "train")
-        .select(col("doc_id").as("train_id"), col("sh"))
-      val ev = shs.filter(col("split") =!= "train")
-        .select(col("doc_id").as("eval_id"), col("split"), col("sh"))
-      tr.join(ev, Seq("sh"))
+      // per-shingle split-presence flags: unique by sh, so joining a doc
+      // stream against it can never expand that stream
+      val shared = shs.groupBy("sh").agg(
+          max(when(col("split") === "train", 1).otherwise(0)).as("in_tr"),
+          max(when(col("split") === "val", 1).otherwise(0)).as("in_val"),
+          max(when(col("split") === "test", 1).otherwise(0)).as("in_test"))
+        .filter(col("in_tr") === 1 &&
+          (col("in_val") === 1 || col("in_test") === 1))
+      val evHits = shs.filter(col("split") =!= "train")
+        .join(shared, Seq("sh"))
+        .filter((col("split") === "val" && col("in_val") === 1) ||
+          (col("split") === "test" && col("in_test") === 1))
         .groupBy("split")
         .agg(countDistinct("sh").as("n_shared_shingles"),
-          countDistinct("eval_id").as("n_eval_docs_hit"),
-          countDistinct("train_id").as("n_train_docs_hit"))
-        .orderBy("split")
+          countDistinct("doc_id").as("n_eval_docs_hit"))
+      // a train shingle shared with BOTH eval splits credits the train doc
+      // to both rows, like the pair join did
+      val trHits = shs.filter(col("split") === "train")
+        .join(shared, Seq("sh"))
+        .select(col("doc_id"), explode(array(
+          when(col("in_val") === 1, lit("val")),
+          when(col("in_test") === 1, lit("test")))).as("split"))
+        .filter(col("split").isNotNull)
+        .groupBy("split")
+        .agg(countDistinct("doc_id").as("n_train_docs_hit"))
+      evHits.join(trHits, Seq("split")).orderBy("split")
     },
     Some {
       val uD = md5u32Sql("md5(CAST(doc_id AS VARCHAR))")
