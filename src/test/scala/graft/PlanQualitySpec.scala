@@ -235,6 +235,39 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), p.take(3000))
   }
 
+  test("split contamination joins doc streams only against the per-shingle flag aggregate") {
+    // The pair-stream shape (train-shingles ⋈ eval-shingles on sh) emits
+    // Σ df_train·df_eval rows per shingle — quadratic in hot-shingle df.
+    // The linear shape joins each doc stream against the UNIQUELY-KEYED
+    // per-shingle flag aggregate, so every shingle-keyed join must have an
+    // Aggregate on (at least) one side. AQE wraps the tree in a leaf-like
+    // adaptive node that hides children from collect, so plan without it.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = SparkEntry.queries("qa_split_contamination")(spark, sf)
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.joins._
+      def onSh(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+        keys.exists(_.references.exists(_.name == "sh"))
+      val shJoins = exec.collect {
+        case j: SortMergeJoinExec if onSh(j.leftKeys) => j: org.apache.spark.sql.execution.SparkPlan
+        case j: ShuffledHashJoinExec if onSh(j.leftKeys) => j
+        case j: BroadcastHashJoinExec if onSh(j.leftKeys) => j
+      }
+      assert(shJoins.size == 2, s"expected the two flag joins, got ${shJoins.size}")
+      def hasAgg(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.exists {
+          case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+          case _ => false
+        }
+      shJoins.foreach { j =>
+        assert(hasAgg(j.children(0)) || hasAgg(j.children(1)),
+          s"shingle-keyed join without an aggregate side (pair-stream shape):\n${j.toString.take(800)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("no NEW unpartitioned windows: registry-wide allowlist of single-partition window plans") {
     // QuietLogs silences WindowExec's no-partition warning for the three
     // audited-benign sites, so THIS assertion is the guard that used to be
