@@ -99,6 +99,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           exprs(1).eval().asInstanceOf[Number].intValue(),
           exprs(2).eval().asInstanceOf[Number].intValue())
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bitmap_distinct"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.BitmapDistinct].getName,
+        "graft_bitmap_distinct"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_bitmap_distinct expects 2 arguments (id, maxId), got ${exprs.length}")
+        require(exprs(1).foldable,
+          "graft_bitmap_distinct: maxId must be a constant, not a column")
+        graft.functions.expressions.BitmapDistinct(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].longValue())
+      }))
     ext.injectOptimizerRule(_ => SelfDotRewrite)
   }
 }

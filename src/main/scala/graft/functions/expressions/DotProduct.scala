@@ -115,5 +115,17 @@ object GraftExpressions {
           exprs(2).eval().asInstanceOf[Number].intValue())
       },
       "scala_udf")
+    // exact mergeable bitmap distinct over bounded ids — see BitmapDistinct.scala
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bitmap_distinct",
+      exprs => {
+        require(exprs.length == 2,
+          s"graft_bitmap_distinct expects 2 arguments (id, maxId), got ${exprs.length}")
+        require(exprs(1).foldable,
+          "graft_bitmap_distinct: maxId must be a constant, not a column")
+        BitmapDistinct(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].longValue())
+      },
+      "scala_udf")
   }
 }

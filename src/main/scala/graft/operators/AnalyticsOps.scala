@@ -250,10 +250,14 @@ object AnalyticsOps {
 
   /** Native session_window (the built-in that replaces the two-window
     * formulation of win_session; also valid in streaming groupBy). Boundary
-    * semantics differ from win_session by one ulp of gap: session_window
-    * merges an event only if it lands STRICTLY before last+gap, so a gap of
-    * exactly 30:00.000000 starts a NEW session — the oracle splits on >=
-    * accordingly (win_session's lag formulation splits on >). */
+    * semantics, pinned by Round7OpsSpec's microsecond probes: an arrival at
+    * EXACTLY last+gap still merges (touching windows merge; the split needs
+    * a strictly larger gap) — the same `>` membership rule as win_session's
+    * lag formulation, so the two forms agree on membership everywhere and
+    * differ only in the reported session end (last+gap vs max(ts)). An
+    * earlier revision documented the boundary as exclusive and split the
+    * oracle on >=; that was wrong and latent (µs-resolution data never hits
+    * an exact-gap pair). */
   private val winSessionNative = GraftQuery(
     "win_session_native",
     "built-in session_window(ts, 30 min) per user, session stats",
@@ -266,7 +270,7 @@ object AnalyticsOps {
         col("n_events"),
         fround(col("vcs").cast("double") / 100.0, 2).as("total_value"))
       .orderBy("user_id", "start_us"),
-    Some("""WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events), o AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM ev), m AS (SELECT *, CASE WHEN prev IS NULL OR us - prev >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_s FROM o), x AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM m) SELECT user_id, min(us) AS start_us, max(us) + 1800 * 1000000 AS end_us, count(*) AS n_events, floor(CAST(sum(vc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value FROM x GROUP BY user_id, sess ORDER BY 1, 2"""))
+    Some("""WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events), o AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM ev), m AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s FROM o), x AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM m) SELECT user_id, min(us) AS start_us, max(us) + 1800 * 1000000 AS end_us, count(*) AS n_events, floor(CAST(sum(vc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value FROM x GROUP BY user_id, sess ORDER BY 1, 2"""))
 
   /** The sketch path for percentiles: approx_percentile (KLL-style,
     * mergeable, constant memory) next to the exact values — at 100 TB the
@@ -718,10 +722,98 @@ object AnalyticsOps {
     },
     Some("""WITH v AS (SELECT user_id, event_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events) SELECT user_id, event_id, CAST(floor(2 * median(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) + 0.5) AS BIGINT) AS med2c FROM v ORDER BY 1, 2"""))
 
+  /** Benford first-digit audit of order totals — the classic synthetic-or-
+    * tampered-numeric-data detector (a data-quality gate for ingested
+    * numeric feeds). The first significant digit is read off the exact
+    * centi-integer's decimal string (no float log10 in the grouping path);
+    * expected shares are the canonical log10(1+1/d) values pinned as ppm
+    * literals identical in both engines. Scale: one map-side-combined
+    * 9-group aggregation; the total for shares is a 9-row window. */
+  private val qaBenford = GraftQuery(
+    "qa_benford",
+    "Benford's-law first-digit distribution of o_totalprice, deviation in ppm",
+    (s, d) => {
+      val expPpm = when(col("digit") === 1, 301030L)
+        .when(col("digit") === 2, 176091L).when(col("digit") === 3, 124939L)
+        .when(col("digit") === 4, 96910L).when(col("digit") === 5, 79181L)
+        .when(col("digit") === 6, 66947L).when(col("digit") === 7, 57992L)
+        .when(col("digit") === 8, 51153L).otherwise(45757L)
+      val g = Tables.orders(s, d)
+        .select(substring(centi(col("o_totalprice")).cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy()
+      g.withColumn("tot", sum("n").over(w))
+        .select(col("digit"), col("n"),
+          floor(col("n").cast("double") * 1000000.0 / col("tot") + 0.5)
+            .cast("long").as("share_ppm"),
+          expPpm.as("exp_ppm"))
+        .withColumn("dev_ppm", col("share_ppm") - col("exp_ppm"))
+        .orderBy("digit")
+    },
+    Some("""WITH dg AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM orders), g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY 1), t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g), e AS (SELECT g.digit, g.n, CAST(floor(CAST(g.n AS DOUBLE) * 1000000.0 / t.tot + 0.5) AS BIGINT) AS share_ppm, CAST(CASE g.digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END AS BIGINT) AS exp_ppm FROM g, t) SELECT digit, n, share_ppm, exp_ppm, share_ppm - exp_ppm AS dev_ppm FROM e ORDER BY digit"""))
+
+  /** Median/MAD robust outlier count per event type — the outlier gate that
+    * survives the heavy tails that break z-scores (complement to
+    * qa_winsorize's trimmed means and evt_zscore's rolling z). All medians
+    * ride the repo's 2x-integer trick (2·median of BIGINTs is itself an
+    * exact integer under linear interpolation), so the outlier comparison
+    * `2·dev2 > 4.4478·mad2x` multiplies exact integers by the same double
+    * literal in both engines — bit-identical verdicts. Scale: three
+    * passes over the 5-group fact (exact per-group medians are sort-based;
+    * high-cardinality keys would switch to approx_percentile), each join
+    * a 5-row broadcast. */
+  private val qaOutlierMad = GraftQuery(
+    "qa_outlier_mad",
+    "median/MAD robust outlier counts per event type (3-sigma-equivalent rule)",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), centi(col("value")).as("vc"))
+      val med = ev.groupBy("event_type")
+        .agg(floor(percentile(col("vc"), lit(0.5)) * 2 + 0.5).cast("long").as("med2c"))
+      val dv = ev.join(broadcast(med), "event_type")
+        .withColumn("dev2", abs(col("vc") * 2 - col("med2c")))
+      val mad = dv.groupBy("event_type")
+        .agg(floor(percentile(col("dev2"), lit(0.5)) * 2 + 0.5).cast("long").as("mad2x"))
+      dv.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          max("med2c").as("m2"), max("mad2x").as("m4"),
+          sum(when(col("dev2").cast("double") * 2 > lit(4.4478) * col("mad2x"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .select(col("event_type"), col("n"),
+          fround(col("m2").cast("double") / 200.0, 3).as("med"),
+          fround(col("m4").cast("double") / 400.0, 3).as("mad"),
+          col("n_outliers"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events), m AS (SELECT event_type, CAST(floor(2 * median(vc) + 0.5) AS BIGINT) AS med2c FROM ev GROUP BY 1), dv AS (SELECT ev.event_type, vc, abs(2 * vc - med2c) AS dev2, med2c FROM ev JOIN m USING (event_type)), md AS (SELECT event_type, CAST(floor(2 * median(dev2) + 0.5) AS BIGINT) AS mad2x FROM dv GROUP BY 1) SELECT dv.event_type, count(*) AS n, floor(CAST(max(dv.med2c) AS DOUBLE) / 200.0 * 1000.0 + 0.5) / 1000.0 AS med, floor(CAST(max(md.mad2x) AS DOUBLE) / 400.0 * 1000.0 + 0.5) / 1000.0 AS mad, CAST(sum(CASE WHEN CAST(dev2 AS DOUBLE) * 2 > 4.4478 * mad2x THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers FROM dv JOIN md USING (event_type) GROUP BY 1 ORDER BY 1"""))
+
+  /** Exact distinct users per event type via the mergeable BITMAP aggregate
+    * (functions/expressions/BitmapDistinct.scala) — one pass, map-side
+    * combined, partials at most maxId/8 bytes. The scale contrast:
+    * count(DISTINCT) re-shuffles the corpus keyed on (group, id) via
+    * Expand; approx_count_distinct (agg_hll_rollup) is one-pass but
+    * estimates; dictionary-encoded bounded ids deserve one-pass AND exact.
+    * The oracle is plain COUNT(DISTINCT) — exactness is the whole claim. */
+  private val aggBitmapDistinct = GraftQuery(
+    "agg_bitmap_distinct",
+    "exact one-pass distinct users per event type via mergeable bitmap agg",
+    (s, d) => {
+      graft.functions.expressions.GraftExpressions.ensureRegistered(s)
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(expr("graft_bitmap_distinct(user_id, 4194304)").as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, count(*) AS n_events FROM events GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
     winSession, winLagLead, aggPercentiles, aggCorr, jSkewSalted, txtTfidf,
     aggStatsOnepass, aggPivot, winSessionNative, aggApproxPercentile,
     aggArgExtremes, aggMapHistogram, aggMultiDistinct, aggHllRollup,
     evtRetention, evtZscore, evtTransitions, qaWinsorize, qaPsiDrift,
-    qaKsDrift, evtEwma, evtRunLengths, winRollingMedian)
+    qaKsDrift, evtEwma, evtRunLengths, winRollingMedian, qaBenford,
+    qaOutlierMad, aggBitmapDistinct)
 }

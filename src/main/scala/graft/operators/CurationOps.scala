@@ -343,8 +343,45 @@ object CurationOps {
       Seq("documents"), sql("div"), sql("//").replace("\n", " "))
   }
 
+  /** Systematic (every k-th) sampling in md5 order — the stride design that
+    * guarantees exactly ceil(n/k) rows and even coverage of the hash range
+    * (plain mod-k sampling only hits the rate in expectation). The global
+    * rank over (u, doc_id) is derived WITHOUT a single-partition window:
+    * rows bucket by the hash's high byte (value-based, so the mapping is
+    * data- and partitioning-independent), rank within buckets, and add the
+    * broadcast cumulative bucket offsets — the distributed global-index
+    * pattern. Scale: one keyed shuffle on bucket; the offset dim is 256
+    * rows; widen the bucket width (u >> 20 → 4096 buckets) for more
+    * parallelism at larger corpora. */
+  private val sampSystematic = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.{md5u32, md5u32Sql}
+    GraftQuery(
+      "samp_systematic",
+      "every-10th stride sample in md5 order via bucketed global ranking",
+      (s: SparkSession, d: String) => {
+        val h = Tables.documents(s, d)
+          .select(col("doc_id"), md5u32(col("doc_id").cast("string")).as("u"))
+          .withColumn("bkt", shiftright(col("u"), 24))
+        val offs = h.groupBy("bkt").count()
+          .withColumn("off", coalesce(sum("count").over(
+            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .select("bkt", "off")
+        val wb = Window.partitionBy("bkt").orderBy("u", "doc_id")
+        h.withColumn("rp", row_number().over(wb).cast("long"))
+          .join(broadcast(offs), "bkt")
+          .withColumn("rn", col("rp") + col("off"))
+          .filter((col("rn") - 1) % 10 === 0)
+          .select(col("rn"), col("doc_id"))
+          .orderBy("rn")
+      },
+      Some(s"""WITH h AS (SELECT doc_id, ${md5u32Sql("md5(CAST(doc_id AS VARCHAR))")} AS u FROM documents), r AS (SELECT doc_id, row_number() OVER (ORDER BY u, doc_id) AS rn FROM h) SELECT rn, doc_id FROM r WHERE (rn - 1) % 10 = 0 ORDER BY rn"""))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     sampStratified, sampQuota, shufflePrefix, txtNormalize, lengthHist,
     embQuantize, sampImportance, sampWeightedReservoir, sampBalancedClasses,
-    sampTemperature, sampLargestRemainder)
+    sampTemperature, sampLargestRemainder, sampSystematic)
 }

@@ -167,32 +167,75 @@ object GraphOps {
     },
     Some("""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b FROM lineitem JOIN orders ON l_orderkey = o_orderkey), sym AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b AS src, a AS dst FROM e0), sd AS (SELECT src, dst AS mid FROM sym WHERE src % 2 = 0 AND src < 200), t AS (SELECT sd.src, sd.mid, e2.dst AS dst2 FROM sd JOIN sym e2 ON sd.mid = e2.src WHERE e2.dst <> sd.src) SELECT src // 2 AS custkey, CAST(count(DISTINCT mid) AS BIGINT) AS n_one_hop, CAST(count(DISTINCT dst2) AS BIGINT) AS n_two_hop FROM t GROUP BY 1 ORDER BY 1"""))
 
+  /** The hot-part-PRUNED supplier↔part bipartite incidence (sk, pk):
+    * parts shipped by more than 50 suppliers are excluded BEFORE any pair
+    * expansion — the same hot-key-cutoff mitigation the n-gram inverted
+    * index documents; production tunes the cutoff to bound pairs/part. */
+  private def prunedIncidence(s: SparkSession, d: String): DataFrame = {
+    val sp = Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+    val cool = sp.groupBy("pk").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") <= 50).select("pk")
+    sp.join(broadcast(cool), Seq("pk"))
+  }
+
+  /** Supplier co-occurrence pair weights (s1 < s2, shared_parts) — the
+    * bipartite-projection edge table, PersistCache-materialized once per
+    * (session, corpus): the projection join is THE quadratic cost of this
+    * family, and both the top-pairs read and the neighbor-Jaccard ranking
+    * serve from the same stored artifact (a deployment builds its
+    * co-purchase graph once per corpus snapshot — Bench reports the build
+    * under setup_sec like the IVF/PQ/trade-graph artifacts). */
+  private[graft] def coocPairs(s: SparkSession, d: String): DataFrame =
+    graft.PersistCache.getOrBuild(s, s"cooc-pairs:$d") {
+      val spc = prunedIncidence(s, d)
+      spc.select(col("sk").as("s1"), col("pk"))
+        .join(spc.select(col("sk").as("s2"), col("pk")), Seq("pk"))
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("shared_parts"))
+    }
+
   /** Bipartite PROJECTION: supplier–supplier co-occurrence weights (how
     * many distinct parts two suppliers both ship) — the item-item /
     * co-purchase graph construction used for recommendations and
-    * entity-linking blocking. The projection is quadratic in per-part
-    * supplier degree, so hot parts (degree > 50) are EXCLUDED by an
-    * explicit frequency cutoff before the self-join — the same
-    * hot-key-cutoff mitigation the n-gram inverted index documents;
-    * production tunes the cutoff to bound pairs/part. The degree filter
-    * is a part-cardinality table and broadcasts into the pair join. */
+    * entity-linking blocking. Serves the top-30 read from the shared
+    * [[coocPairs]] materialization. */
   private val bipartiteProj = GraftQuery(
     "graph_bipartite_proj",
     "supplier co-occurrence projection with hot-part cutoff, top-30 pairs",
-    (s, d) => {
-      val sp = Tables.lineitem(s, d)
-        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
-      val cool = sp.groupBy("pk").agg(count(lit(1)).as("nd"))
-        .filter(col("nd") <= 50).select("pk")
-      val a = sp.select(col("sk").as("s1"), col("pk"))
-      val b = sp.select(col("sk").as("s2"), col("pk"))
-      a.join(broadcast(cool), Seq("pk")).join(b, Seq("pk"))
-        .filter(col("s1") < col("s2"))
-        .groupBy("s1", "s2").agg(count(lit(1)).as("shared_parts"))
-        .orderBy(desc("shared_parts"), col("s1"), col("s2"))
-        .limit(30)
-    },
+    (s, d) => coocPairs(s, d)
+      .orderBy(desc("shared_parts"), col("s1"), col("s2"))
+      .limit(30),
     Some("""WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem), cool AS (SELECT pk FROM (SELECT pk, count(*) AS nd FROM sp GROUP BY 1) WHERE nd <= 50), pr AS (SELECT a.sk AS s1, b.sk AS s2 FROM sp a JOIN cool USING (pk) JOIN sp b USING (pk) WHERE a.sk < b.sk) SELECT s1, s2, CAST(count(*) AS BIGINT) AS shared_parts FROM pr GROUP BY 1, 2 ORDER BY 3 DESC, 1, 2 LIMIT 30"""))
 
-  val all: Seq[GraftQuery] = Seq(pagerank, degreeStats, twoHop, bipartiteProj)
+  /** Neighbor-set Jaccard similarity between suppliers — the graph-side
+    * node-similarity primitive (link prediction, entity blocking). Defined
+    * over the hot-part-PRUNED bipartite graph end to end: the cutoff
+    * bounds the pair join (same mitigation as bipartiteProj) AND the
+    * degrees, so the score is the exact Jaccard of the pruned graph rather
+    * than an approximation of the raw one. Ranking key is the integer
+    * micro-Jaccard (floor(1e6·|∩|/|∪| + 0.5)) so the top-20 order never
+    * depends on engine float division. Scale: candidate pairs come from
+    * the shared [[coocPairs]] materialization (never an all-pairs join);
+    * the degree dim broadcasts twice. */
+  private val neighborJaccard = GraftQuery(
+    "graph_neighbor_jaccard",
+    "supplier neighbor-set Jaccard over the pruned bipartite graph, top-20",
+    (s, d) => {
+      val deg = prunedIncidence(s, d).groupBy("sk").agg(count(lit(1)).as("deg"))
+      coocPairs(s, d)
+        .join(broadcast(deg.select(col("sk").as("s1"), col("deg").as("d1"))), Seq("s1"))
+        .join(broadcast(deg.select(col("sk").as("s2"), col("deg").as("d2"))), Seq("s2"))
+        .withColumn("union_parts", col("d1") + col("d2") - col("shared_parts"))
+        .withColumn("jacc_micro",
+          floor(col("shared_parts").cast("double") * 1000000.0 / col("union_parts") + 0.5)
+            .cast("long"))
+        .select("s1", "s2", "shared_parts", "union_parts", "jacc_micro")
+        .orderBy(desc("jacc_micro"), col("s1"), col("s2"))
+        .limit(20)
+    },
+    Some("""WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem), cool AS (SELECT pk FROM (SELECT pk, count(*) AS nd FROM sp GROUP BY 1) WHERE nd <= 50), spc AS (SELECT sk, sp.pk FROM sp JOIN cool USING (pk)), dg AS (SELECT sk, CAST(count(*) AS BIGINT) AS deg FROM spc GROUP BY 1), pr AS (SELECT a.sk AS s1, b.sk AS s2, CAST(count(*) AS BIGINT) AS shared_parts FROM spc a JOIN spc b USING (pk) WHERE a.sk < b.sk GROUP BY 1, 2) SELECT s1, s2, shared_parts, d1.deg + d2.deg - shared_parts AS union_parts, CAST(floor(CAST(shared_parts AS DOUBLE) * 1000000.0 / (d1.deg + d2.deg - shared_parts) + 0.5) AS BIGINT) AS jacc_micro FROM pr JOIN dg d1 ON d1.sk = pr.s1 JOIN dg d2 ON d2.sk = pr.s2 ORDER BY jacc_micro DESC, s1, s2 LIMIT 20"""))
+
+  val all: Seq[GraftQuery] = Seq(pagerank, degreeStats, twoHop, bipartiteProj,
+    neighborJaccard)
 }

@@ -740,6 +740,121 @@ object RelationalOps {
     },
     Some("""WITH iv AS (SELECT o_custkey, date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS sd, date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) + 10 AS ed FROM orders), m AS (SELECT o_custkey, sd, ed, max(ed) OVER (PARTITION BY o_custkey ORDER BY sd, ed ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM iv), b AS (SELECT o_custkey, sd, ed, CASE WHEN pmax IS NULL OR sd > pmax THEN 1 ELSE 0 END AS brk FROM m), g AS (SELECT o_custkey, sd, ed, sum(brk) OVER (PARTITION BY o_custkey ORDER BY sd, ed ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM b), i AS (SELECT o_custkey, isl, min(sd) AS i_start, max(ed) AS i_end FROM g GROUP BY 1, 2) SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_islands, CAST(sum(i_end - i_start) AS BIGINT) AS covered_days, CAST(max(i_end - i_start) AS BIGINT) AS longest_days FROM i GROUP BY 1 ORDER BY 1"""))
 
+  /** NEAREST-tolerance as-of join — the bidirectional variant of j_asof
+    * (sensor fusion / log correlation: match each purchase to the error
+    * event closest in time, either direction, within ±6 h — sized to the
+    * corpus's ~2-events/user/day density so the tolerance actually binds). Same
+    * merged-stream shape as j_asof: one user_id-keyed shuffle carries BOTH
+    * directions as two frames of one window ordering (carry-last before,
+    * carry-first after), so "nearest" never needs a range self-join. Ties
+    * (equidistant prev/next) break to the earlier event in both engines. */
+  private val jAsofNearest = GraftQuery(
+    "j_asof_nearest",
+    "nearest-in-time as-of join (±6 h tolerance) via two-frame carry",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "error"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"),
+          when(col("event_type") === "error", unix_micros(col("ts"))).as("err_us"),
+          when(col("event_type") === "error", col("event_id")).as("err_id"))
+      val ord = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+      val after = ord.rowsBetween(1, Window.unboundedFollowing)
+      val tol = 21600L * 1000000L
+      ev
+        .withColumn("p_us", last("err_us", ignoreNulls = true).over(before))
+        .withColumn("p_id", last("err_id", ignoreNulls = true).over(before))
+        .withColumn("n_us", first("err_us", ignoreNulls = true).over(after))
+        .withColumn("n_id", first("err_id", ignoreNulls = true).over(after))
+        .filter(col("event_type") === "purchase")
+        .withColumn("use_prev",
+          col("p_us").isNotNull &&
+            (col("n_us").isNull || (col("us") - col("p_us")) <= (col("n_us") - col("us"))))
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          when(col("use_prev"), col("p_id")).otherwise(col("n_id")).as("err_id"),
+          (when(col("use_prev"), col("p_us")).otherwise(col("n_us")) - col("us"))
+            .as("delta_us"))
+        .filter(col("err_id").isNotNull && abs(col("delta_us")) <= tol)
+        .orderBy("purchase_id")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, CASE WHEN event_type = 'error' THEN epoch_us(CAST(ts AS TIMESTAMP)) END AS err_us, CASE WHEN event_type = 'error' THEN event_id END AS err_id FROM events WHERE event_type IN ('purchase', 'error')), w AS (SELECT *, last_value(err_us IGNORE NULLS) OVER wb AS p_us, last_value(err_id IGNORE NULLS) OVER wb AS p_id, first_value(err_us IGNORE NULLS) OVER wa AS n_us, first_value(err_id IGNORE NULLS) OVER wa AS n_id FROM ev WINDOW wb AS (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), wa AS (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)), p AS (SELECT *, (p_us IS NOT NULL AND (n_us IS NULL OR (us - p_us) <= (n_us - us))) AS use_prev FROM w WHERE event_type = 'purchase') SELECT user_id, event_id AS purchase_id, CASE WHEN use_prev THEN p_id ELSE n_id END AS err_id, (CASE WHEN use_prev THEN p_us ELSE n_us END) - us AS delta_us FROM p WHERE (CASE WHEN use_prev THEN p_id ELSE n_id END) IS NOT NULL AND abs((CASE WHEN use_prev THEN p_us ELSE n_us END) - us) <= 21600000000 ORDER BY purchase_id"""))
+
+  /** cume_dist — the empirical-CDF window form (the remaining ranking
+    * built-in next to rank/ntile/percent_rank): P(X <= x) of the centi
+    * value within each event type. Tie-safe by construction (cume_dist
+    * depends only on the value multiset, never on tie order), so no
+    * tiebreaker column is needed; the DISTINCT collapse reuses the same
+    * (event_type, vc) shuffle key. */
+  private val winCumeDist = GraftQuery(
+    "win_cume_dist",
+    "cume_dist empirical CDF of value per event type (distinct steps)",
+    (s, d) => Tables.events(s, d)
+      .select(col("event_type"), centi(col("value")).as("vc"))
+      .withColumn("cd", fround(cume_dist().over(
+        Window.partitionBy("event_type").orderBy("vc")), 6))
+      .distinct()
+      .orderBy("event_type", "vc"),
+    Some("""SELECT DISTINCT event_type, vc, floor(cume_dist() OVER (PARTITION BY event_type ORDER BY vc) * 1000000.0 + 0.5) / 1000000.0 AS cd FROM (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events) ORDER BY 1, 2"""))
+
+  /** SWEEP-LINE session-concurrency histogram: how much wall-clock time the
+    * system spends at each level of concurrent (overlapping) user sessions
+    * — the scale-correct replacement for the O(n²) interval-overlap
+    * self-join (every interval becomes a +1/-1 boundary point; a running
+    * sum over boundary time IS the concurrency step function). The global
+    * running sum is DECOMPOSED by UTC day — per-day in-partition running
+    * sums plus a broadcast day-prefix offset table (the same bucketed
+    * global-index pattern as samp_systematic) — and synthetic zero-delta
+    * points at every day's start/end close the step intervals inside each
+    * partition, so no window in the plan is unpartitioned over the
+    * boundary stream. Per-level DURATION sums are invariant to the
+    * day-splitting (a step crossing midnight contributes its exact µs to
+    * the same level either side), which is why the oracle can use the
+    * straightforward global formulation; idle (concurrency-0) spans are
+    * excluded — they'd otherwise differ by the artificial day-range
+    * padding. */
+  private val relSweepConcurrency = GraftQuery(
+    "rel_sweep_concurrency",
+    "duration-weighted concurrent-session histogram via day-bucketed sweep line",
+    (s, d) => {
+      val usDay = 86400000000L
+      val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val sess = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("prev", lag("us", 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("us") - col("prev") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum("new_s").over(byUser))
+        .groupBy("user_id", "sess")
+        .agg(min("us").as("st"), max("us").as("en"))
+      val pts = sess.select(col("st").as("ts"), lit(1L).as("dlt"))
+        .union(sess.select((col("en") + 1).as("ts"), lit(-1L).as("dlt")))
+        .groupBy("ts").agg(sum("dlt").as("dlt"))
+        .withColumn("day", expr(s"ts div $usDay"))
+      val days = pts.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val syn = days.select(col("day"), (col("day") * usDay).as("ts"), lit(0L).as("dlt"))
+        .union(days.select(col("day"), ((col("day") + 1) * usDay).as("ts"), lit(0L).as("dlt")))
+      val allPts = pts.select("day", "ts", "dlt").union(syn)
+      val dayPrefix = allPts.groupBy("day").agg(sum("dlt").as("dtot"))
+        .withColumn("dp", coalesce(sum("dtot").over(
+          Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("day", "dp")
+      val wDay = Window.partitionBy("day").orderBy("ts", "dlt")
+      allPts
+        .withColumn("rs", sum("dlt").over(
+          wDay.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("nxt", lead("ts", 1).over(wDay))
+        .join(broadcast(dayPrefix), "day")
+        .withColumn("concurrent", col("dp") + col("rs"))
+        .filter(col("nxt").isNotNull && col("nxt") > col("ts") && col("concurrent") >= 1)
+        .groupBy("concurrent")
+        .agg(sum(col("nxt") - col("ts")).as("total_us"))
+        .orderBy("concurrent")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), o AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM ev), m AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s FROM o), x AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM m), sess_iv AS (SELECT user_id, sess, min(us) AS st, max(us) AS en FROM x GROUP BY 1, 2), pts AS (SELECT st AS ts, 1 AS dlt FROM sess_iv UNION ALL SELECT en + 1, -1 FROM sess_iv), agg AS (SELECT ts, CAST(sum(dlt) AS BIGINT) AS dlt FROM pts GROUP BY 1), run AS (SELECT ts, sum(dlt) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS c, lead(ts) OVER (ORDER BY ts) AS nxt FROM agg) SELECT CAST(c AS BIGINT) AS concurrent, CAST(sum(nxt - ts) AS BIGINT) AS total_us FROM run WHERE nxt IS NOT NULL AND nxt > ts AND c >= 1 GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1, q3, q5, q10Returns, q14Promo, q18TopQuantity, q19Disjunctive, q7Volume,
     jSemi, jAnti, jOuter,
@@ -747,5 +862,6 @@ object RelationalOps {
     winPercentRank, setIntersect,
     setExcept, setUnion, aggRollup, aggCube, aggGroupingSets, aggApprox,
     jsonKv, calDaily, strWeekday, reshapeUnpivot, jIntervalOverlap,
-    jFuzzyMatch, relSkyline, relIntervalMerge)
+    jFuzzyMatch, relSkyline, relIntervalMerge, jAsofNearest, winCumeDist,
+    relSweepConcurrency)
 }

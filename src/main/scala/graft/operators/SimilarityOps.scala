@@ -527,8 +527,62 @@ object SimilarityOps {
     },
     Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, ${md5u32Sql("md5('hist:' || CAST(vec_id AS VARCHAR))")} AS h FROM embeddings), smp AS (SELECT * FROM e ORDER BY h, vec_id LIMIT 200), r AS (SELECT v, row_number() OVER (ORDER BY h, vec_id) - 1 AS rn FROM smp), p AS (SELECT a.v AS va, b.v AS vb FROM (SELECT v, rn // 2 AS pid FROM r WHERE rn % 2 = 0) a JOIN (SELECT v, rn // 2 AS pid FROM r WHERE rn % 2 = 1) b USING (pid)), cz AS (SELECT floor(list_sum([s[1]*s[2] for s in list_zip(va, vb)]) / (sqrt(list_sum([x*x for x in va])) * sqrt(list_sum([x*x for x in vb]))) * 1000000.0 + 0.5) / 1000000.0 AS cos_r FROM p) SELECT least(CAST(floor((cos_r + 1) * 10) AS BIGINT), 19) AS bin, CAST(count(*) AS BIGINT) AS n_pairs, floor(min(cos_r) * 1000000.0 + 0.5) / 1000000.0 AS min_cos, floor(max(cos_r) * 1000000.0 + 0.5) / 1000000.0 AS max_cos FROM cz GROUP BY 1 ORDER BY 1"""))
 
+  /** Quantized embedding arrays (vec_id, xm: array<long> of micro units) —
+    * the one-time corpus artifact the power iteration re-scans per round. */
+  private def microArrays(s: SparkSession, d: String) =
+    graft.PersistCache.getOrBuild(s, s"pca-arr:$d") {
+      Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1e6 + 0.5).cast("long")).as("xm"))
+    }
+
+  /** Dominant principal direction of the embedding matrix by POWER
+    * ITERATION — the engine-native linear-algebra loop (PCA whitening,
+    * spectral quality checks) without ever materializing the d×d Gram
+    * matrix: each round computes X·(Xᵀv) as two streaming passes — a
+    * per-row dot `s = x·v` (v is a 64-long literal array, zip_with/
+    * aggregate HOFs inside codegen, no join) and a 64-group rollup
+    * `y_dim = Σ x_dim·s` (decimal sums: |x·s| ~ 1.5e21 overflows int64).
+    * Normalization is MAX-norm in exact integer space (the max-|y| element
+    * maps to ±1e6), computed on the driver over the 64 collected y's —
+    * model-sized, like the IVF codebook — so every iterate is bit-identical
+    * in both engines: no float sqrt, no L2 norm, no last-ulp drift. 3
+    * rounds = 3 corpus passes over the cached quantized arrays. */
+  private val embPcaPower = GraftQuery(
+    "emb_pca_power",
+    "dominant PCA direction via 3 integer-exact power iterations (max-norm)",
+    (s, d) => {
+      val arr = microArrays(s, d)
+      var v: Array[BigInt] = Array.fill(64)(BigInt(125000)) // 1/8 in micro
+      for (_ <- 1 to 3) {
+        val vlit = array(v.map(b => lit(b.toLong)): _*)
+        val y = arr
+          .withColumn("sr", aggregate(
+            zip_with(col("xm"), vlit, (a, b) => a * b), lit(0L), (acc, e) => acc + e))
+          .select(col("sr"), posexplode(col("xm")).as(Seq("pos", "x")))
+          .groupBy((col("pos") + 1).as("dim"))
+          .agg(sum(col("x").cast("decimal(8,0)") * col("sr").cast("decimal(16,0)"))
+            .as("y"))
+          .collect()
+        val yv: Map[Int, BigInt] =
+          y.map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger)).toMap
+        val my = yv.values.map(_.abs).max
+        // round-half-up on |y|, sign re-applied: positive operands only, so
+        // BigInt truncating division == floor in both engines
+        v = (1 to 64).map { dm =>
+          val yd = yv(dm)
+          (if (yd < 0) BigInt(-1) else BigInt(1)) *
+            ((2 * yd.abs * 1000000 + my) / (2 * my))
+        }.toArray
+      }
+      import s.implicits._
+      v.zipWithIndex.map { case (b, i) => (i + 1, b.toLong) }.toSeq
+        .toDF("dim", "loading_micro").orderBy("dim")
+    },
+    Some("""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim), mic AS (SELECT vec_id, dim, CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x FROM embeddings, dims), v0 AS (SELECT dim, CAST(125000 AS HUGEINT) AS v FROM dims), s1 AS (SELECT vec_id, sum(CAST(x AS HUGEINT) * v) AS s FROM mic JOIN v0 USING (dim) GROUP BY 1), y1 AS (SELECT dim, sum(CAST(x AS HUGEINT) * s) AS y FROM mic JOIN s1 USING (vec_id) GROUP BY 1), m1 AS (SELECT max(abs(y)) AS my FROM y1), v1 AS (SELECT dim, (CASE WHEN y < 0 THEN -1 ELSE 1 END) * ((2 * abs(y) * 1000000 + my) // (2 * my)) AS v FROM y1, m1), s2 AS (SELECT vec_id, sum(CAST(x AS HUGEINT) * v) AS s FROM mic JOIN v1 USING (dim) GROUP BY 1), y2 AS (SELECT dim, sum(CAST(x AS HUGEINT) * s) AS y FROM mic JOIN s2 USING (vec_id) GROUP BY 1), m2 AS (SELECT max(abs(y)) AS my FROM y2), v2 AS (SELECT dim, (CASE WHEN y < 0 THEN -1 ELSE 1 END) * ((2 * abs(y) * 1000000 + my) // (2 * my)) AS v FROM y2, m2), s3 AS (SELECT vec_id, sum(CAST(x AS HUGEINT) * v) AS s FROM mic JOIN v2 USING (dim) GROUP BY 1), y3 AS (SELECT dim, sum(CAST(x AS HUGEINT) * s) AS y FROM mic JOIN s3 USING (vec_id) GROUP BY 1), m3 AS (SELECT max(abs(y)) AS my FROM y3), v3 AS (SELECT dim, (CASE WHEN y < 0 THEN -1 ELSE 1 END) * ((2 * abs(y) * 1000000 + my) // (2 * my)) AS v FROM y3, m3) SELECT CAST(dim AS INTEGER) AS dim, CAST(v AS BIGINT) AS loading_micro FROM v3 ORDER BY dim"""))
+
   val all: Seq[GraftQuery] = Seq(knnBrute, labelStats, knnLsh, knnMatryoshka,
     embCentroids, embDimProfile, embAssignPurity, dedupSemantic,
     embPrototypicality, simHubness, hardNegatives, embKmeansStep,
-    embSimHistogram)
+    embSimHistogram, embPcaPower)
 }

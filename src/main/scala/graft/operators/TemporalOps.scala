@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.functions.GraftFunctions.{centi, fround}
+
+/** Temporal/event-history operators beyond the reference's rollups (the
+  * reference's surface stops at per-key daily/monthly/annual aggregates —
+  * ref: killrweather-app/src/main/scala/com/datastax/killrweather/
+  * TemperatureActor.scala:61-75): rolling distinct-user reach, marketing
+  * attribution, ordered first/last extraction, and snapshot diffing — the
+  * queries an events table actually serves in production.
+  *
+  * Determinism follows the repo-wide rules: value sums in exact centi
+  * integers, orderings carry unique tiebreakers, doubles only appear
+  * fround-ed at the output edge.
+  */
+object TemporalOps {
+
+  /** 7-day rolling distinct users (weekly active users per day), computed
+    * WITHOUT a distinct-over-range window: each (day, user) pair is
+    * exploded to the ≤7 report days it can contribute to, then one
+    * distinct + one count per day. Scale: two keyed shuffles, both linear
+    * in |day×user| (bounded by 7× the daily-active table, NOT by raw
+    * events); the alternative — countDistinct over a range self-join —
+    * rescans the fact per window day. The tiny observed-days dim
+    * broadcast-prunes phantom leading days. */
+  private val rollingDau = GraftQuery(
+    "evt_rolling_dau",
+    "per-day DAU + trailing-7-day rolling distinct users",
+    (s, d) => {
+      val du = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val days = du.select("day").distinct()
+      val contrib = du
+        .select(col("user_id"), col("day"), explode(sequence(lit(0), lit(6))).as("off"))
+        .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
+        .distinct()
+      val dau7 = contrib.join(broadcast(days), "day")
+        .groupBy("day").agg(count(lit(1)).as("dau7"))
+      val dau1 = du.groupBy("day").agg(count(lit(1)).as("dau"))
+      dau1.join(dau7, "day").orderBy("day")
+    },
+    Some("""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), days AS (SELECT DISTINCT day FROM du), contrib AS (SELECT DISTINCT du.day + CAST(o AS INTEGER) AS day, du.user_id FROM du, (SELECT unnest(generate_series(0, 6)) AS o)), d7 AS (SELECT c.day, count(*) AS dau7 FROM contrib c JOIN days USING (day) GROUP BY 1), d1 AS (SELECT day, count(*) AS dau FROM du GROUP BY 1) SELECT day, dau, dau7 FROM d1 JOIN d7 USING (day) ORDER BY day"""))
+
+  /** Last-touch attribution: each purchase is credited to the most recent
+    * PRIOR event of any other type by the same user ('direct' when there is
+    * none). The carry-forward is `last(..., ignoreNulls)` over an
+    * UNBOUNDED PRECEDING .. 1 PRECEDING frame — running state per user, no
+    * self-join. Scale: one shuffle on user_id shared by the window and
+    * nothing else; the final channel rollup is 5 groups. */
+  private val attribution = GraftQuery(
+    "evt_attribution",
+    "last-touch purchase attribution to the preceding event type",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"), centi(col("value")).as("vc"))
+        .withColumn("src",
+          when(col("event_type") =!= "purchase", col("event_type")))
+        .withColumn("channel",
+          coalesce(last("src", ignoreNulls = true).over(w), lit("direct")))
+        .filter(col("event_type") === "purchase")
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"), sum("vc").as("vcs"))
+        .select(col("channel"), col("n_purchases"),
+          fround(col("vcs").cast("double") / 100.0, 2).as("total_value"))
+        .orderBy("channel")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events), m AS (SELECT *, CASE WHEN event_type <> 'purchase' THEN event_type END AS src FROM ev), a AS (SELECT *, coalesce(last_value(src IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'direct') AS channel FROM m) SELECT channel, count(*) AS n_purchases, floor(CAST(sum(vc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value FROM a WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"""))
+
+  /** first_value / nth_value / last_value over a full-partition frame — the
+    * three frame-extraction forms win_lag_lead doesn't cover (ref parity:
+    * the reference's "latest reading" is LIMIT 1 per key —
+    * killrweather-core TimeSeries queries — this is the windowed
+    * generalization that gets first AND last in one pass). One row per
+    * user: first/second/last event type plus the partition count. Scale:
+    * one shuffle on user_id; the distinct collapses the per-row window
+    * output without a second shuffle (same key). */
+  private val firstLast = GraftQuery(
+    "win_first_last",
+    "first/second/last event type per user via full-frame window extraction",
+    (s, d) => {
+      val full = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"))
+        .withColumn("first_type", first("event_type").over(full))
+        .withColumn("second_type", nth_value(col("event_type"), 2).over(full))
+        .withColumn("last_type", last("event_type").over(full))
+        .withColumn("n_events", count(lit(1)).over(full))
+        .select("user_id", "first_type", "second_type", "last_type", "n_events")
+        .distinct()
+        .orderBy("user_id")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events) SELECT DISTINCT user_id, first_value(event_type) OVER w AS first_type, nth_value(event_type, 2) OVER w AS second_type, last_value(event_type) OVER w AS last_type, count(*) OVER w AS n_events FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY user_id"""))
+
+  /** Snapshot diff: the per-user rollup MV materialized at two cutoffs,
+    * keyed-diffed into added / changed / unchanged — the audit that
+    * validates an incremental MV refresh against a full rebuild (the
+    * checking complement to mv_incremental_agg). Events are append-only so
+    * 'removed' cannot occur; a mutable source would full-outer-join
+    * instead of left. Scale: both snapshots aggregate map-side before the
+    * single user_id-keyed join — the diff never touches raw-event-sized
+    * data twice. */
+  private val snapshotDiff = GraftQuery(
+    "mv_snapshot_diff",
+    "keyed diff of the per-user rollup at two time cutoffs",
+    (s, d) => {
+      def snap(cut: String) = Tables.events(s, d)
+        .filter(col("ts") < lit(cut).cast("timestamp"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(centi(col("value"))).as("vcs"))
+      val a = snap("2024-01-20 00:00:00")
+      val b = snap("2024-01-30 00:00:00")
+      b.as("b").join(a.as("a"), Seq("user_id"), "left_outer")
+        .select(col("user_id"),
+          when(col("a.n").isNull, lit("added"))
+            .when(col("a.n") === col("b.n") && col("a.vcs") === col("b.vcs"),
+              lit("unchanged"))
+            .otherwise(lit("changed")).as("status"),
+          coalesce(col("a.n"), lit(0L)).as("old_n"),
+          col("b.n").as("new_n"),
+          fround((col("b.vcs") - coalesce(col("a.vcs"), lit(0L))).cast("double") / 100.0, 2)
+            .as("delta_value"))
+        .orderBy("user_id")
+    },
+    Some("""WITH a AS (SELECT user_id, count(*) AS n, sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS vcs FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00' GROUP BY 1), b AS (SELECT user_id, count(*) AS n, sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS vcs FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-30 00:00:00' GROUP BY 1) SELECT b.user_id, CASE WHEN a.n IS NULL THEN 'added' WHEN a.n = b.n AND a.vcs = b.vcs THEN 'unchanged' ELSE 'changed' END AS status, coalesce(a.n, 0) AS old_n, b.n AS new_n, floor(CAST(b.vcs - coalesce(a.vcs, 0) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS delta_value FROM b LEFT JOIN a USING (user_id) ORDER BY user_id"""))
+
+  val all: Seq[GraftQuery] = Seq(rollingDau, attribution, firstLast, snapshotDiff)
+}

@@ -797,9 +797,78 @@ object TextOps {
       s"""WITH ${DedupOps.shingleCte4}, sp AS (SELECT doc_id, CASE WHEN $uD % 10 < 8 THEN 'train' WHEN $uD % 10 = 8 THEN 'val' ELSE 'test' END AS split FROM documents), shs AS (SELECT sh.doc_id, sh.sh, sp.split FROM sh JOIN sp USING (doc_id)), tr AS (SELECT doc_id AS train_id, sh FROM shs WHERE split = 'train'), ev AS (SELECT doc_id AS eval_id, split, sh FROM shs WHERE split <> 'train') SELECT split, CAST(count(DISTINCT sh) AS BIGINT) AS n_shared_shingles, CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs_hit, CAST(count(DISTINCT train_id) AS BIGINT) AS n_train_docs_hit FROM tr JOIN ev USING (sh) GROUP BY 1 ORDER BY 1"""
     })
 
+  /** Zipf-law fit over the top-100 vocabulary: OLS of ln(count) on
+    * ln(rank) — slope ≈ -1 on natural text, and deviation is a corpus-
+    * health signal (synthetic/templated text flattens it, OCR noise
+    * steepens the tail). Determinism: ln values are micro-quantized to
+    * BIGINTs per rank BEFORE summation, so the OLS moments (Σx, Σy, Σxy,
+    * Σx², Σy²) are exact integers and the final slope/intercept/r² divide
+    * bit-identical operands in both engines (the only float risk left is a
+    * ln() landing on an exact .5 µ-boundary — probability ~1e-10).
+    * Scale: the fit runs over the 100-row top-K (post-limit, audited
+    * benign); only the vocabulary count touches corpus-sized data. */
+  private val zipfFit = GraftQuery(
+    "txt_zipf_fit",
+    "Zipf slope: OLS of ln(count) on ln(rank) over the top-100 vocabulary",
+    (s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val top = vocab.orderBy(desc("cnt"), col("tok")).limit(100)
+      val ranked = top
+        .withColumn("rk", row_number().over(Window.orderBy(desc("cnt"), col("tok"))))
+        .select(
+          floor(log(col("rk").cast("double")) * 1e6 + 0.5).cast("long").as("x"),
+          floor(log(col("cnt").cast("double")) * 1e6 + 0.5).cast("long").as("y"))
+      ranked.agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("n"),
+          fround((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+          fround((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") * col("sx"))
+            .cast("double") / col("n") / 1e6, 6).as("intercept_ln"),
+          fround((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") *
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+            .as("r2"))
+    },
+    Some("""WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents), v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1), top AS (SELECT * FROM v ORDER BY cnt DESC, tok LIMIT 100), rkd AS (SELECT CAST(floor(ln(CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x, CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y FROM top), m AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy FROM rkd) SELECT n, floor(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS slope, floor((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) * sx) / n / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS intercept_ln, floor(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE) / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS r2 FROM m"""))
+
+  /** Feature hashing (the "hashing trick"): project each document's bag of
+    * words into a fixed 256-bucket count vector via md5-mod bucketing — the
+    * vocabulary-free featurization that never builds (or shuffles) a term
+    * dictionary, which is what makes it THE text-featurizer shape at
+    * 100 TB: one explode + one (doc, bucket) map-side-combined aggregation,
+    * no vocabulary table, no broadcast, memory O(buckets) per doc
+    * regardless of corpus vocabulary. Reported per doc: nonzero buckets,
+    * exact squared L2 norm, and the heaviest bucket (collision pressure =
+    * nnz vs token count; sq_norm spikes flag repetitive docs). Bucket ids
+    * ride the repo's md5u32 lockstep hash. */
+  private val featureHashing = GraftQuery(
+    "txt_feature_hashing",
+    "hashing-trick 256-bucket doc vectors: nnz, exact sq-norm, top bucket",
+    (s, d) => {
+      val bkt = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), pmod(md5u32(col("tok")), lit(256L)).as("bkt"))
+        .groupBy("doc_id", "bkt").agg(count(lit(1)).as("c"))
+      bkt.groupBy("doc_id")
+        .agg(count(lit(1)).as("nnz"),
+          sum(col("c") * col("c")).as("sq_norm"),
+          max("c").as("max_bucket_count"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents), b AS (SELECT doc_id, ${graft.functions.GraftFunctions.md5u32Sql("md5(tok)")} % 256 AS bkt FROM tok), g AS (SELECT doc_id, bkt, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2) SELECT doc_id, count(*) AS nnz, CAST(sum(c * c) AS BIGINT) AS sq_norm, max(c) AS max_bucket_count FROM g GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(tokenStats, quality, langId, fingerprint,
     topNgrams, repetition, decontaminate, boilerplate, decontaminateBloom,
     vocabTopK, vocabSketch, unigramLogprob, bpePretokenize, txtNovelty,
     pplBuckets, charEntropy, langIdConfusion, oovRate, bpePairs,
-    langIdKappa, cdcChunks, cooccurrence, splitContamination)
+    langIdKappa, cdcChunks, cooccurrence, splitContamination, zipfFit,
+    featureHashing)
 }

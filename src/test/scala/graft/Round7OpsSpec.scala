@@ -1,0 +1,298 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Invariant + independent-reimplementation checks for the round-7
+  * operators, plus the pinned session_window boundary semantics the
+  * win_session_native doc claims. */
+class Round7OpsSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSpark.spark
+  private val sf = GraftTestSpark.sf
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  // ---- session_window boundary semantics (pins AnalyticsOps's one-ulp doc) --
+
+  test("session_window boundary: an exact-gap arrival MERGES (inclusive), gap+1us splits — same rule as the lag/> formulation") {
+    import spark.implicits._
+    def ts(deltaUs: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1704067200L + deltaUs / 1000000L,
+        (deltaUs % 1000000L) * 1000L))
+    def sessions(deltaUs: Long): Int =
+      Seq((1L, ts(0L)), (1L, ts(deltaUs))).toDF("user_id", "ts")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .count().collect().length
+    def laggedSessions(deltaUs: Long): Long =
+      Seq((1L, ts(0L)), (1L, ts(deltaUs))).toDF("user_id", "ts")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev", lag("us", 1).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("us")))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("us") - col("prev") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .agg(sum("new_s")).collect().head.getLong(0)
+    // the boundary triple, native built-in
+    assert(sessions(1799999999L) == 1, "gap-1us merges")
+    assert(sessions(1800000000L) == 1,
+      "session_window merges an arrival at EXACTLY last+gap (touching windows merge)")
+    assert(sessions(1800000001L) == 2, "gap+1us splits")
+    // the lag/> two-window formulation agrees at every boundary point —
+    // the two formulations are equivalent on session MEMBERSHIP (they
+    // differ only in reported end: last+gap vs max(ts))
+    assert(laggedSessions(1799999999L) == 1L)
+    assert(laggedSessions(1800000000L) == 1L)
+    assert(laggedSessions(1800000001L) == 2L)
+  }
+
+  // ---- bitmap distinct ------------------------------------------------------
+
+  test("graft_bitmap_distinct equals countDistinct across any partitioning and skips nulls") {
+    import spark.implicits._
+    graft.functions.expressions.GraftExpressions.ensureRegistered(spark)
+    val ids = Seq[Option[Long]](Some(3L), Some(7L), Some(3L), None, Some(0L),
+      Some(1024L), Some(7L), Some(65536L), None, Some(3L))
+    val df = ids.toDF("id").repartition(7) // force multi-partition merge
+    val got = df.selectExpr("graft_bitmap_distinct(id, 1048576) AS n")
+      .collect().head.getLong(0)
+    val want = df.agg(countDistinct("id")).collect().head.getLong(0)
+    assert(got == want && got == 5L)
+  }
+
+  test("graft_bitmap_distinct rejects out-of-range ids loudly (silent drop would corrupt the exact count)") {
+    import spark.implicits._
+    graft.functions.expressions.GraftExpressions.ensureRegistered(spark)
+    val bad = Seq(5L, -1L).toDF("id")
+    val e = intercept[Exception] {
+      bad.selectExpr("graft_bitmap_distinct(id, 100)").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("agg_bitmap_distinct matches the Expand-based countDistinct per group") {
+    val got = run("agg_bitmap_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, sf).groupBy("event_type")
+      .agg(countDistinct("user_id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  // ---- systematic sampling --------------------------------------------------
+
+  test("samp_systematic: exact ceil(n/10) rows at stride 10, ranks 1,11,21,…, ids match driver-side md5 order") {
+    val rows = run("samp_systematic").collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.length == ((n + 9) / 10).toInt)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to n by 10L).toSeq)
+    // independent reimplementation: collect ids, md5-order in the driver
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u32(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val ids = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    val expect = ids.map(i => (u32(i.toString), i)).sorted.map(_._2)
+      .zipWithIndex.collect { case (id, ix) if ix % 10 == 0 => id }
+    assert(rows.map(_.getLong(1)).toSeq == expect.toSeq)
+  }
+
+  // ---- PCA power iteration --------------------------------------------------
+
+  test("emb_pca_power matches an independent driver-side BigInt power iteration") {
+    val got = run("emb_pca_power").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val vecs = Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(x =>
+        BigInt(math.floor(x.toDouble * 1e6 + 0.5).toLong)))
+    var v = Array.fill(64)(BigInt(125000))
+    for (_ <- 1 to 3) {
+      val y = Array.fill(64)(BigInt(0))
+      vecs.foreach { x =>
+        val s = (0 until 64).map(i => x(i) * v(i)).sum
+        (0 until 64).foreach(i => y(i) += x(i) * s)
+      }
+      val my = y.map(_.abs).max
+      v = y.map(yd =>
+        (if (yd < 0) BigInt(-1) else BigInt(1)) * ((2 * yd.abs * 1000000 + my) / (2 * my)))
+    }
+    assert((1 to 64).forall(dm => got(dm) == v(dm - 1).toLong))
+    assert(v.map(_.abs).max == BigInt(1000000), "max-norm: the dominant dim maps to ±1e6")
+  }
+
+  // ---- rolling DAU ----------------------------------------------------------
+
+  test("evt_rolling_dau: dau7 bounds — >= same-day dau, <= 7-day dau sum, first day equal") {
+    val rows = run("evt_rolling_dau").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+      .sortBy(_._1.toEpochDay)
+    assert(rows.nonEmpty)
+    val byDay = rows.map(r => r._1.toEpochDay -> r._2).toMap
+    rows.foreach { case (day, dau, dau7) =>
+      assert(dau7 >= dau, s"$day: rolling below same-day")
+      val windowSum = (0L to 6L).flatMap(k => byDay.get(day.toEpochDay - k)).sum
+      assert(dau7 <= windowSum, s"$day: rolling exceeds sum of dailies")
+    }
+    assert(rows.head._2 == rows.head._3, "first observed day: window has one day")
+  }
+
+  // ---- attribution ----------------------------------------------------------
+
+  test("evt_attribution: conserves purchases; channels are event types or 'direct'") {
+    val rows = run("evt_attribution").collect()
+    val totalPurch = rows.map(_.getLong(1)).sum
+    val want = Tables.events(spark, sf).filter(col("event_type") === "purchase").count()
+    assert(totalPurch == want)
+    val valid = Set("click", "error", "signup", "view", "direct")
+    assert(rows.map(_.getString(0)).forall(valid.contains))
+  }
+
+  // ---- first/last window ----------------------------------------------------
+
+  test("win_first_last: one row per user, n_events conserves the event count") {
+    val rows = run("win_first_last").collect()
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    assert(rows.map(_.getLong(4)).sum == Tables.events(spark, sf).count())
+  }
+
+  // ---- benford --------------------------------------------------------------
+
+  test("qa_benford: 9 digits, expected ppm sums to exactly 1e6, observed within rounding") {
+    val rows = run("qa_benford").collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9))
+    assert(rows.map(_.getLong(3)).sum == 1000000L)
+    val shareSum = rows.map(_.getLong(2)).sum
+    assert(math.abs(shareSum - 1000000L) <= 9, s"share ppm sum $shareSum")
+  }
+
+  // ---- MAD outliers ---------------------------------------------------------
+
+  test("qa_outlier_mad: per-type outliers bounded and med/mad positive") {
+    val rows = run("qa_outlier_mad").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 0 && r.getLong(4) < r.getLong(1),
+        "outliers are a strict minority")
+      assert(r.getDouble(2) > 0 && r.getDouble(3) >= 0)
+    }
+  }
+
+  // ---- snapshot diff --------------------------------------------------------
+
+  test("mv_snapshot_diff: append-only source — counts never shrink, statuses consistent") {
+    val rows = run("mv_snapshot_diff").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (status, oldN, newN) = (r.getString(1), r.getLong(2), r.getLong(3))
+      assert(newN >= oldN)
+      status match {
+        case "added"     => assert(oldN == 0L)
+        case "unchanged" => assert(oldN == newN)
+        case "changed"   => assert(newN > oldN)
+        case other       => fail(s"unknown status $other")
+      }
+    }
+  }
+
+  // ---- nearest as-of join ---------------------------------------------------
+
+  test("j_asof_nearest matches a driver-side brute-force nearest-error search") {
+    val got = run("j_asof_nearest").collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val errsByUser = ev.filter(_._4 == "error").groupBy(_._1)
+    val tol = 21600L * 1000000L
+    val want = ev.filter(_._4 == "purchase").flatMap { case (u, pid, us, _) =>
+      val cands = errsByUser.getOrElse(u, Array.empty)
+        .map { case (_, eid, eus, _) => (eid, eus - us) }
+        .filter(c => math.abs(c._2) <= tol)
+      if (cands.isEmpty) None
+      else {
+        // nearest; equidistant ties to the earlier (negative delta) side
+        val best = cands.minBy(c => (math.abs(c._2), c._2))
+        Some(pid -> best)
+      }
+    }.toMap
+    assert(got == want)
+  }
+
+  // ---- cume_dist ------------------------------------------------------------
+
+  test("win_cume_dist: cd in (0,1], monotone per event type, ends at 1") {
+    val rows = run("win_cume_dist").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.head._3 > 0 && sorted.last._3 == 1.0)
+      assert(sorted.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
+    }
+  }
+
+  // ---- zipf fit -------------------------------------------------------------
+
+  test("txt_zipf_fit: negative slope, r2 in [0,1], n=100") {
+    val r = run("txt_zipf_fit").collect().head
+    assert(r.getLong(0) == 100L)
+    assert(r.getDouble(1) < 0, "Zipf slope must be negative")
+    assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1)
+  }
+
+  // ---- sweep-line concurrency -----------------------------------------------
+
+  test("rel_sweep_concurrency conserves total session-time: sum(level * dur) = sum(session lengths)") {
+    val rows = run("rel_sweep_concurrency").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.forall(_._1 >= 1))
+    val weighted = rows.map { case (c, us) => c * us }.sum
+    // independent: session intervals from the same gap rule, summed directly
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    val sessLen = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag("us", 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("us") - col("prev") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum("new_s").over(byUser))
+      .groupBy("user_id", "sess")
+      .agg((max("us") - min("us") + 1).as("len"))
+      .agg(sum("len")).collect().head.getLong(0)
+    assert(weighted == sessLen,
+      s"level-weighted duration $weighted != total session time $sessLen")
+  }
+
+  // ---- feature hashing ------------------------------------------------------
+
+  test("txt_feature_hashing: nnz <= 256, counts conserve tokens, norm bounds hold") {
+    val rows = run("txt_feature_hashing").collect()
+    val tokCounts = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == tokCounts.size)
+    rows.foreach { r =>
+      val (id, nnz, sq, mx) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val n = tokCounts(id)
+      assert(nnz >= 1 && nnz <= math.min(256L, n))
+      assert(mx * mx <= sq && sq <= n * n)
+      // sq_norm >= n (sum of c^2 >= sum of c when c >= 1)
+      assert(sq >= n)
+    }
+  }
+
+  // ---- neighbor jaccard -----------------------------------------------------
+
+  test("graph_neighbor_jaccard: scores in (0, 1e6], union >= shared, canonical pair order") {
+    val rows = run("graph_neighbor_jaccard").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(3) >= r.getLong(2))
+      assert(r.getLong(4) > 0 && r.getLong(4) <= 1000000L)
+    }
+    val scores = rows.map(_.getLong(4)).toSeq
+    assert(scores == scores.sorted.reverse, "ranked by jacc_micro desc")
+  }
+}
