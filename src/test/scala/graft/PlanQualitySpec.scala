@@ -14,6 +14,29 @@ class PlanQualitySpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** All window nodes in a physical plan, INCLUDING inside AQE subtrees —
+    * a plain `.collect` stops at AdaptiveSparkPlanExec (its inputPlan is
+    * not a child), which silently blinded typed plan assertions once AQE
+    * became the default wrapper. */
+  private def windowNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] =
+    p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        windowNodes(a.inputPlan)
+      case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+      case g: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+        Seq.empty // group-limit nodes carry their own spec; covered below
+    }.flatten
+
+  /** Same AQE-aware traversal for the group-limit variant. */
+  private def windowLimitNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.window.WindowGroupLimitExec] =
+    p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        windowLimitNodes(a.inputPlan)
+      case g: org.apache.spark.sql.execution.window.WindowGroupLimitExec => Seq(g)
+    }.flatten
+
   test("filter pushdown reaches the parquet scan (q1 date filter)") {
     val p = plan("q1_pricing")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
@@ -278,17 +301,29 @@ class PlanQualitySpec extends AnyFunSuite {
       "txt_vocab_topk",      // windows over the 50-row top-K
       "pipe_mix_weights",    // window over the ~#sources-row aggregate
       "samp_shuffle_prefix", // row_number over the 200-row LIMIT prefix
-      "rel_skyline")         // running max over the price-LEVEL table —
+      "rel_skyline",         // running max over the price-LEVEL table —
                              // bounded by the centi-price value range
                              // (groupBy reduced), not the part corpus
+      "emb_sim_histogram",   // row_number over the 200-row md5 sample
+      "txt_zipf_fit",        // ln-rank fit over the 100-row top-K
+      "qa_benford",          // share-of-total over the 9-digit histogram
+      "samp_systematic",     // cumulative offsets over the 256-bucket dim
+      "rel_sweep_concurrency", // day-prefix offsets over the ~30-day dim
+      "pipe_pack_sequences", // bin offsets over the packed-bin aggregate
+      "samp_temperature",    // quota walk over the ~#langs-row aggregate
+      "txt_langid_kappa",    // po/pe fold over the 5x5 confusion matrix
+      "evt_transition_matrix", // row-share over the 25-cell matrix
+      "qa_equidepth_hist",   // bin edges over the 9-quantile row set
+      "txt_ppl_buckets",     // tercile cuts over the 15-row bucket table
+      "samp_largest_remainder", // remainder ranking over the source dim
+      "emb_prototypicality") // row_number over the 20-row top-K prefix
     val offenders = SparkEntry.registry.flatMap { q =>
       val unpartitioned =
-        try q.fn(spark, sf).queryExecution.executedPlan.collect {
-          case w: org.apache.spark.sql.execution.window.WindowExec
-              if w.partitionSpec.isEmpty => w
-          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
-              if w.partitionSpec.isEmpty => w
-        }.nonEmpty
+        try {
+          val exec = q.fn(spark, sf).queryExecution.executedPlan
+          windowNodes(exec).exists(_.partitionSpec.isEmpty) ||
+            windowLimitNodes(exec).exists(_.partitionSpec.isEmpty)
+        }
         catch { case _: Throwable => false } // plan-build failures caught elsewhere
       if (unpartitioned && !allowed.contains(q.name)) Some(q.name) else None
     }
@@ -318,5 +353,62 @@ class PlanQualitySpec extends AnyFunSuite {
     val total = Tables.events(spark, sf).count()
     val scanned = q.count()
     assert(scanned < total && scanned > 0)
+  }
+
+  test("bitmap distinct plans one pass: no Expand, partial+final typed agg") {
+    val p = plan("agg_bitmap_distinct")
+    assert(!p.contains("Expand"),
+      s"bitmap distinct must not plan the count-distinct Expand:\n${p.take(2000)}")
+    assert(p.contains("graft_bitmap_distinct"), p.take(2000))
+    // contrast: the built-in count(DISTINCT) on the same shape DOES Expand
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val builtin = Tables.events(spark, sf).groupBy("event_type")
+      .agg(countDistinct(col("user_id")))
+      .queryExecution.executedPlan.toString
+    assert(builtin.contains("Expand") || builtin.contains("partial_count(distinct"),
+      builtin.take(2000))
+  }
+
+  test("feature hashing never builds a vocabulary: aggregates only, no join in the plan") {
+    val p = plan("txt_feature_hashing")
+    assert(!p.contains("Join"),
+      s"hashing-trick featurization must not join a term dictionary:\n${p.take(2000)}")
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("nearest as-of join plans ZERO joins (two frames of one window ordering)") {
+    val p = plan("j_asof_nearest")
+    assert(!p.contains("Join"),
+      s"nearest as-of must ride window frames, not a range self-join:\n${p.take(2000)}")
+    assert(p.contains("Window"), p.take(2000))
+  }
+
+  test("neighbor jaccard serves pairs from the shared co-occurrence cache and broadcasts degrees") {
+    val p = plan("graph_neighbor_jaccard")
+    assert(p.contains("InMemoryTableScan"),
+      s"pair weights must come from the materialized projection:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("sweep-line concurrency: corpus-side windows are partitioned (by user or day), prefix dim broadcasts") {
+    val df = SparkEntry.queries("rel_sweep_concurrency")(spark, sf)
+    val exec = df.queryExecution.executedPlan
+    // every WindowExec over more than the ~30-row day dim must carry a
+    // partition spec; the one unpartitioned window is the day-prefix
+    // cumulative sum, which rides a broadcast join back into the stream
+    val p = exec.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    val windows = windowNodes(exec)
+    assert(windows.count(_.partitionSpec.nonEmpty) >= 2,
+      s"expected user- and day-partitioned windows:\n${p.take(2000)}")
+  }
+
+  test("systematic sampling: per-bucket ranking windows are partitioned; only the 256-row offset dim is not") {
+    val df = SparkEntry.queries("samp_systematic")(spark, sf)
+    val exec = df.queryExecution.executedPlan
+    assert(windowNodes(exec).exists(_.partitionSpec.nonEmpty),
+      "the corpus-side row_number must partition by bucket")
+    assert(exec.toString.contains("BroadcastHashJoin"))
   }
 }
