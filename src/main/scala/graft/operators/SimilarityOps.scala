@@ -548,10 +548,22 @@ object SimilarityOps {
     * model-sized, like the IVF codebook — so every iterate is bit-identical
     * in both engines: no float sqrt, no L2 norm, no last-ulp drift. 3
     * rounds = 3 corpus passes over the cached quantized arrays. */
-  private val embPcaPower = GraftQuery(
-    "emb_pca_power",
-    "dominant PCA direction via 3 integer-exact power iterations (max-norm)",
-    (s, d) => {
+  /** Session-keyed memo of the 3-iteration power direction — the
+    * driver-side twin of PersistCache for the model-sized eigenvector
+    * artifact shared by emb_pca_power (which reports it) and emb_pca_var
+    * (which projects against it). */
+  private val pcaDirCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, Array[BigInt]]]()
+
+  /** Dominant direction after 3 max-norm power iterations, micro-int
+    * components (see emb_pca_power's doc for the arithmetic contract). */
+  private[graft] def powerDirection(s: SparkSession, d: String): Array[BigInt] = {
+    val perSession = pcaDirCache.synchronized {
+      var m = pcaDirCache.get(s)
+      if (m == null) { m = scala.collection.concurrent.TrieMap.empty; pcaDirCache.put(s, m) }
+      m
+    }
+    perSession.getOrElseUpdate(d, {
       val arr = microArrays(s, d)
       var v: Array[BigInt] = Array.fill(64)(BigInt(125000)) // 1/8 in micro
       for (_ <- 1 to 3) {
@@ -575,14 +587,104 @@ object SimilarityOps {
             ((2 * yd.abs * 1000000 + my) / (2 * my))
         }.toArray
       }
+      v
+    })
+  }
+
+  /** The unrolled 3-iteration CTE chain ending at v3 (dim, v) — shared by
+    * the emb_pca_power and emb_pca_var oracles so the two can never
+    * disagree about which direction was computed. */
+  private val pcaCtes = """WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim), mic AS (SELECT vec_id, dim, CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x FROM embeddings, dims), v0 AS (SELECT dim, CAST(125000 AS HUGEINT) AS v FROM dims), s1 AS (SELECT vec_id, sum(CAST(x AS HUGEINT) * v) AS s FROM mic JOIN v0 USING (dim) GROUP BY 1), y1 AS (SELECT dim, sum(CAST(x AS HUGEINT) * s) AS y FROM mic JOIN s1 USING (vec_id) GROUP BY 1), m1 AS (SELECT max(abs(y)) AS my FROM y1), v1 AS (SELECT dim, (CASE WHEN y < 0 THEN -1 ELSE 1 END) * ((2 * abs(y) * 1000000 + my) // (2 * my)) AS v FROM y1, m1), s2 AS (SELECT vec_id, sum(CAST(x AS HUGEINT) * v) AS s FROM mic JOIN v1 USING (dim) GROUP BY 1), y2 AS (SELECT dim, sum(CAST(x AS HUGEINT) * s) AS y FROM mic JOIN s2 USING (vec_id) GROUP BY 1), m2 AS (SELECT max(abs(y)) AS my FROM y2), v2 AS (SELECT dim, (CASE WHEN y < 0 THEN -1 ELSE 1 END) * ((2 * abs(y) * 1000000 + my) // (2 * my)) AS v FROM y2, m2), s3 AS (SELECT vec_id, sum(CAST(x AS HUGEINT) * v) AS s FROM mic JOIN v2 USING (dim) GROUP BY 1), y3 AS (SELECT dim, sum(CAST(x AS HUGEINT) * s) AS y FROM mic JOIN s3 USING (vec_id) GROUP BY 1), m3 AS (SELECT max(abs(y)) AS my FROM y3), v3 AS (SELECT dim, (CASE WHEN y < 0 THEN -1 ELSE 1 END) * ((2 * abs(y) * 1000000 + my) // (2 * my)) AS v FROM y3, m3)"""
+
+  private val embPcaPower = GraftQuery(
+    "emb_pca_power",
+    "dominant PCA direction via 3 integer-exact power iterations (max-norm)",
+    (s, d) => {
       import s.implicits._
-      v.zipWithIndex.map { case (b, i) => (i + 1, b.toLong) }.toSeq
+      powerDirection(s, d).zipWithIndex
+        .map { case (b, i) => (i + 1, b.toLong) }.toSeq
         .toDF("dim", "loading_micro").orderBy("dim")
     },
-    Some("""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim), mic AS (SELECT vec_id, dim, CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x FROM embeddings, dims), v0 AS (SELECT dim, CAST(125000 AS HUGEINT) AS v FROM dims), s1 AS (SELECT vec_id, sum(CAST(x AS HUGEINT) * v) AS s FROM mic JOIN v0 USING (dim) GROUP BY 1), y1 AS (SELECT dim, sum(CAST(x AS HUGEINT) * s) AS y FROM mic JOIN s1 USING (vec_id) GROUP BY 1), m1 AS (SELECT max(abs(y)) AS my FROM y1), v1 AS (SELECT dim, (CASE WHEN y < 0 THEN -1 ELSE 1 END) * ((2 * abs(y) * 1000000 + my) // (2 * my)) AS v FROM y1, m1), s2 AS (SELECT vec_id, sum(CAST(x AS HUGEINT) * v) AS s FROM mic JOIN v1 USING (dim) GROUP BY 1), y2 AS (SELECT dim, sum(CAST(x AS HUGEINT) * s) AS y FROM mic JOIN s2 USING (vec_id) GROUP BY 1), m2 AS (SELECT max(abs(y)) AS my FROM y2), v2 AS (SELECT dim, (CASE WHEN y < 0 THEN -1 ELSE 1 END) * ((2 * abs(y) * 1000000 + my) // (2 * my)) AS v FROM y2, m2), s3 AS (SELECT vec_id, sum(CAST(x AS HUGEINT) * v) AS s FROM mic JOIN v2 USING (dim) GROUP BY 1), y3 AS (SELECT dim, sum(CAST(x AS HUGEINT) * s) AS y FROM mic JOIN s3 USING (vec_id) GROUP BY 1), m3 AS (SELECT max(abs(y)) AS my FROM y3), v3 AS (SELECT dim, (CASE WHEN y < 0 THEN -1 ELSE 1 END) * ((2 * abs(y) * 1000000 + my) // (2 * my)) AS v FROM y3, m3) SELECT CAST(dim AS INTEGER) AS dim, CAST(v AS BIGINT) AS loading_micro FROM v3 ORDER BY dim"""))
+    Some(pcaCtes + """ SELECT CAST(dim AS INTEGER) AS dim, CAST(v AS BIGINT) AS loading_micro FROM v3 ORDER BY dim"""))
+
+  /** Variance explained by the dominant direction — the Rayleigh-quotient
+    * read that turns the power iteration into a decision (is one axis
+    * carrying the embedding space? anisotropy check before whitening /
+    * dimension pruning): Σ(x·v)² / (|v|²·Σ|x|²) over the micro-quantized
+    * integers, one corpus pass with decimal sums (s² ~ 9e28 overflows
+    * int64), final division on exactly-convertible operands. */
+  private val embPcaVar = GraftQuery(
+    "emb_pca_var",
+    "variance explained by the power-iteration direction (exact Rayleigh share)",
+    (s, d) => {
+      val v = powerDirection(s, d)
+      val vn2 = v.map(b => b * b).sum // |v|^2, exact
+      val vlit = array(v.map(b => lit(b.toLong)): _*)
+      microArrays(s, d)
+        .withColumn("sr", aggregate(
+          zip_with(col("xm"), vlit, (a, b) => a * b), lit(0L), (acc, e) => acc + e))
+        .withColumn("xx", aggregate(
+          zip_with(col("xm"), col("xm"), (a, b) => a * b), lit(0L), (acc, e) => acc + e))
+        .agg(count(lit(1)).as("n"),
+          sum(col("sr").cast("decimal(18,0)") * col("sr").cast("decimal(18,0)"))
+            .as("ss"),
+          sum(col("xx").cast("decimal(20,0)")).as("sxx"))
+        .select(col("n"),
+          fround(col("ss").cast("double") /
+            (lit(vn2.toDouble) * col("sxx").cast("double")), 6)
+            .as("var_explained"))
+    },
+    Some(pcaCtes + """, sv AS (SELECT m.vec_id, sum(CAST(m.x AS HUGEINT) * v3.v) AS s FROM mic m JOIN v3 USING (dim) GROUP BY 1), num AS (SELECT sum(s * s) AS ss FROM sv), vn AS (SELECT sum(v * v) AS v2 FROM v3), den AS (SELECT sum(CAST(x AS HUGEINT) * x) AS sxx FROM mic) SELECT (SELECT count(*) FROM embeddings) AS n, floor(CAST(ss AS DOUBLE) / (CAST(v2 AS DOUBLE) * CAST(sxx AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS var_explained FROM num, vn, den"""))
+
+  /** k-means++ (farthest-point flavor) SEED SELECTION — the init kernel
+    * k-means/IVF/SemDeDup quality hinges on: seed 1 is the md5-min vector
+    * (deterministic "random" pick, same hash family as every sampling
+    * decision in the repo), each next seed is the argmax of the running
+    * min-distance-to-chosen — 2 distributed passes per seed (distance
+    * update + TakeOrdered argmax), seeds broadcast as literals, distances
+    * exact integer micro² so argmax ties break identically everywhere.
+    * (True D²-weighted sampling replaces argmax with hash-weighted
+    * proportional choice; farthest-point is its deterministic skeleton and
+    * the same plan shape.) Reports per seed the corpus inertia (Σ min-d²)
+    * after adding it — the elbow-curve read. */
+  private val embKmeansppSeed = GraftQuery(
+    "emb_kmeanspp_seed",
+    "deterministic k-means++ seeding: 3 farthest-point seeds + inertia curve",
+    (s, d) => {
+      val arr = microArrays(s, d)
+      def distTo(vec: Array[Long]) = {
+        val vlit = array(vec.map(lit(_)): _*)
+        aggregate(zip_with(col("xm"), vlit, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, e) => acc + e)
+      }
+      def vecOf(id: Long): Array[Long] = arr.filter(col("vec_id") === id)
+        .select("xm").collect().head.getSeq[Long](0).toArray
+      val seed1 = arr
+        .select(col("vec_id"),
+          md5u32(concat(lit("seed:"), col("vec_id").cast("string"))).as("h"))
+        .orderBy("h", "vec_id").limit(1).collect().head.getLong(0)
+      var cur = arr.withColumn("dmin", distTo(vecOf(seed1)))
+      val picks = scala.collection.mutable.ArrayBuffer((1, seed1, inertia(cur)))
+      for (rk <- 2 to 3) {
+        val next = cur.orderBy(desc("dmin"), col("vec_id")).limit(1)
+          .collect().head.getLong(0)
+        cur = cur.withColumn("dmin", least(col("dmin"), distTo(vecOf(next))))
+        picks += ((rk, next, inertia(cur)))
+      }
+      import s.implicits._
+      picks.toSeq.toDF("rk", "vec_id", "inertia").orderBy("rk")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xm FROM embeddings), h AS (SELECT vec_id, ${md5u32Sql("md5('seed:' || CAST(vec_id AS VARCHAR))")} AS h FROM e), sd1 AS (SELECT vec_id FROM h ORDER BY h, vec_id LIMIT 1), w1 AS (SELECT xm FROM e JOIN sd1 USING (vec_id)), d1 AS (SELECT e.vec_id, list_sum([(p[1]-p[2])*(p[1]-p[2]) for p in list_zip(e.xm, w1.xm)]) AS dmin FROM e, w1), i1 AS (SELECT CAST(sum(CAST(dmin AS HUGEINT)) AS BIGINT) AS inertia FROM d1), sd2 AS (SELECT vec_id FROM d1 ORDER BY dmin DESC, vec_id LIMIT 1), w2 AS (SELECT xm FROM e JOIN sd2 USING (vec_id)), d2 AS (SELECT d1.vec_id, least(d1.dmin, list_sum([(p[1]-p[2])*(p[1]-p[2]) for p in list_zip(e.xm, w2.xm)])) AS dmin FROM d1 JOIN e USING (vec_id), w2), i2 AS (SELECT CAST(sum(CAST(dmin AS HUGEINT)) AS BIGINT) AS inertia FROM d2), sd3 AS (SELECT vec_id FROM d2 ORDER BY dmin DESC, vec_id LIMIT 1), w3 AS (SELECT xm FROM e JOIN sd3 USING (vec_id)), d3 AS (SELECT d2.vec_id, least(d2.dmin, list_sum([(p[1]-p[2])*(p[1]-p[2]) for p in list_zip(e.xm, w3.xm)])) AS dmin FROM d2 JOIN e USING (vec_id), w3), i3 AS (SELECT CAST(sum(CAST(dmin AS HUGEINT)) AS BIGINT) AS inertia FROM d3) SELECT 1 AS rk, sd1.vec_id, i1.inertia FROM sd1, i1 UNION ALL SELECT 2, sd2.vec_id, i2.inertia FROM sd2, i2 UNION ALL SELECT 3, sd3.vec_id, i3.inertia FROM sd3, i3 ORDER BY rk"""))
+
+  /** Exact corpus inertia (Σ running min-d², micro² units) of a distance
+    * frame — collected per seeding round; decimal sum so a 100 TB corpus
+    * cannot overflow the fold. */
+  private def inertia(cur: DataFrame): Long =
+    cur.agg(sum(col("dmin").cast("decimal(28,0)")).as("i"))
+      .collect().head.getDecimal(0).longValueExact()
 
   val all: Seq[GraftQuery] = Seq(knnBrute, labelStats, knnLsh, knnMatryoshka,
     embCentroids, embDimProfile, embAssignPurity, dedupSemantic,
     embPrototypicality, simHubness, hardNegatives, embKmeansStep,
-    embSimHistogram, embPcaPower)
+    embSimHistogram, embPcaPower, embPcaVar, embKmeansppSeed)
 }

@@ -119,6 +119,41 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(v.map(_.abs).max == BigInt(1000000), "max-norm: the dominant dim maps to ±1e6")
   }
 
+  test("emb_pca_var: dominant-direction share is within [1/64, 1]") {
+    val ve = run("emb_pca_var").collect().head.getDouble(1)
+    assert(ve >= 1.0 / 64 && ve <= 1.0,
+      s"a dominant direction must carry at least the average per-axis share, got $ve")
+  }
+
+  test("emb_kmeanspp_seed matches a driver-side farthest-point replay; inertia strictly decreases") {
+    val got = run("emb_kmeanspp_seed").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(got.map(_._2).distinct.length == 3, "seeds must be distinct")
+    assert(got(0)._3 > got(1)._3 && got(1)._3 > got(2)._3, "inertia must strictly decrease")
+    // independent replay
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u32(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(x =>
+        math.floor(x.toDouble * 1e6 + 0.5).toLong))
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      (0 until 64).map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val byId = vecs.toMap
+    val seed1 = vecs.map { case (id, _) => (u32(s"seed:$id"), id) }.min._2
+    var dmin = vecs.map { case (id, v) => id -> d2(v, byId(seed1)) }.toMap
+    val replay = scala.collection.mutable.ArrayBuffer((1, seed1, dmin.values.map(BigInt(_)).sum))
+    for (rk <- 2 to 3) {
+      val next = dmin.toSeq.map { case (id, dm) => (-dm, id) }.min._2
+      dmin = dmin.map { case (id, dm) => id -> math.min(dm, d2(byId(id), byId(next))) }
+      replay += ((rk, next, dmin.values.map(BigInt(_)).sum))
+    }
+    assert(got.map(t => (t._1, t._2, BigInt(t._3))).toSeq == replay.toSeq)
+  }
+
   // ---- rolling DAU ----------------------------------------------------------
 
   test("evt_rolling_dau: dau7 bounds — >= same-day dau, <= 7-day dau sum, first day equal") {
@@ -193,6 +228,33 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- streaming bitmap distinct --------------------------------------------
+
+  test("graft_bitmap_distinct works as streaming state: per-type distinct users equal the batch answer") {
+    // the bitmap's serialize/merge IS the streaming state contract — a
+    // TypedImperativeAggregate in a streaming groupBy stores the serialized
+    // buffer in the state store and merges partials per micro-batch
+    graft.functions.expressions.GraftExpressions.ensureRegistered(spark)
+    val dir = java.nio.file.Files.createTempDirectory("bitmap-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val src = graft.streaming.EventStreamSource.fromDir(spark, dir.toString)
+    val agg = src.groupBy("event_type")
+      .agg(expr("graft_bitmap_distinct(user_id, 1048576)").as("n_users"))
+    val q = agg.writeStream.format("memory").queryName("bitmap_dau")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("bitmap_dau").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, sf).groupBy("event_type")
+      .agg(countDistinct("user_id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   // ---- nearest as-of join ---------------------------------------------------
 
   test("j_asof_nearest matches a driver-side brute-force nearest-error search") {
@@ -233,9 +295,12 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- zipf fit -------------------------------------------------------------
 
-  test("txt_zipf_fit: negative slope, r2 in [0,1], n=100") {
+  test("txt_zipf_fit: negative slope, r2 in [0,1], n = min(vocab, 100)") {
     val r = run("txt_zipf_fit").collect().head
-    assert(r.getLong(0) == 100L)
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("t"))
+      .agg(countDistinct("t")).collect().head.getLong(0)
+    assert(r.getLong(0) == math.min(vocab, 100L))
     assert(r.getDouble(1) < 0, "Zipf slope must be negative")
     assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1)
   }
