@@ -70,6 +70,25 @@ object Multimodal {
     }
   }
 
+  /** RESIZE stub — nearest-neighbor downsample of the payload to a fixed
+    * side×side sample grid (position k reads byte floor(k·len/n), the 1-D
+    * stand-in for a 2-D resampler; a real deployment swaps the body for
+    * the image library's resize). Integer byte sums keep the output
+    * hash-stable. Upsampling (len < n) duplicates positions, exactly like
+    * nearest-neighbor. */
+  def resizeThumb(media: Dataset[Media], side: Int = 8): DataFrame = {
+    import media.sparkSession.implicits._
+    val n = side * side
+    media.map { m =>
+      val len = m.payload.length
+      if (len == 0) (m.media_id, n.toLong, 0L, 0L, 0L)
+      else {
+        val s = (0 until n).map(k => (m.payload((k.toLong * len / n).toInt) & 0xff).toLong)
+        (m.media_id, n.toLong, s.sum, s.min, s.max)
+      }
+    }.toDF("media_id", "n_samples", "sample_sum", "sample_min", "sample_max")
+  }
+
   /** Feature extraction to a fixed-width embedding (byte histogram — the
     * stub for a vision-model embedding; schema matches `embeddings`). */
   def featurize(media: Dataset[Media], dim: Int = 16): DataFrame = {

@@ -771,10 +771,25 @@ object ParsingOps {
     },
     Some("""WITH lvl AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS lvl, count(*) AS cnt FROM orders GROUP BY 1), c AS (SELECT lvl, sum(cnt) OVER (ORDER BY lvl ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM lvl), t AS (SELECT count(*) AS n FROM orders), s AS (SELECT k, (k * n + 9) // 10 AS thr FROM generate_series(1, 9) g(k), t) SELECT CAST(k AS BIGINT) AS k, CAST(min(lvl) AS BIGINT) AS boundary_dollars FROM c JOIN s ON cum >= thr GROUP BY 1 ORDER BY 1"""))
 
+  /** Multimodal RESIZE plumbing (the remaining verb of the decode /
+    * feature-extract / resize / frame-sample quartet): nearest-neighbor
+    * downsample of each payload to an 8×8 sample grid via the stub
+    * resampler (Multimodal.resizeThumb — a real deployment swaps the
+    * codec body only; the Spark-side schema, typed map, and integer-exact
+    * sample stats are the real plumbing under test). Narrow per-row map,
+    * no shuffle. */
+  private val mmResize = GraftQuery(
+    "mm_resize_grid",
+    "multimodal: 8x8 nearest-neighbor resize (stub resampler), sample stats",
+    (s, d) => graft.multimodal.Multimodal.resizeThumb(
+        graft.multimodal.Multimodal.mediaTable(s, d))
+      .orderBy("media_id"),
+    Some("""WITH d AS (SELECT doc_id AS media_id, text, length(text) AS len FROM documents), smp AS (SELECT media_id, CAST(ascii(substring(text, CAST((k * len) // 64 AS INTEGER) + 1, 1)) AS BIGINT) AS v FROM d, (SELECT unnest(generate_series(0, 63)) AS k)) SELECT media_id, CAST(count(*) AS BIGINT) AS n_samples, CAST(sum(v) AS BIGINT) AS sample_sum, min(v) AS sample_min, max(v) AS sample_max FROM smp GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
     csvRoundtrip, jsonStruct, jsonInferred, dateConstruct, sqlMultikeyJoin,
     mvCascade, sqlCtas, mmDecode, partitionPruned, dppPrune, mmFrameSample,
     qaProfile, qaProfileHll, qaExpectations, scd2Merge, mvIncrementalAgg,
     qaTableChecksum, qaRefIntegrity, qaKeySkew, mvCompactCdc, qaCovMatrix,
-    qaLabelGini, qaEquidepthHist)
+    qaLabelGini, qaEquidepthHist, mmResize)
 }

@@ -865,10 +865,50 @@ object TextOps {
     },
     Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents), b AS (SELECT doc_id, ${graft.functions.GraftFunctions.md5u32Sql("md5(tok)")} % 256 AS bkt FROM tok), g AS (SELECT doc_id, bkt, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2) SELECT doc_id, count(*) AS nnz, CAST(sum(c * c) AS BIGINT) AS sq_norm, max(c) AS max_bucket_count FROM g GROUP BY 1 ORDER BY 1"""))
 
+  /** BPE MERGE APPLICATION — the other half of the tokenizer-training
+    * loop next to txt_bpe_pairs (count → pick top pair → MERGE → recount):
+    * the winning pair is selected in-plan (1-row broadcast, count-desc
+    * with pair tiebreak), applied to the word vocabulary with left-to-right
+    * non-overlapping replacement (SQL replace()'s semantics ARE BPE's
+    * greedy merge order — "aaa" under merge "aa" becomes [aa, a]), the
+    * merged symbol written as '~' (absent from the alpha-only corpus),
+    * and adjacent pairs recounted over the merged sequences. Scale: the
+    * whole step runs on the WORD-FREQUENCY table — vocabulary-sized, not
+    * corpus-sized — which is exactly why BPE training is feasible at
+    * 100 TB: only the initial word count touches the corpus. */
+  private val bpeMergeStep = GraftQuery(
+    "txt_bpe_merge_step",
+    "BPE loop: apply the top merge to the vocab, recount pairs, new top-10",
+    (s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .filter(length(col("tok")) >= 2)
+      val pairs = vocab
+        .select(col("cnt"),
+          explode(sequence(lit(1), length(col("tok")) - 1)).as("i"), col("tok"))
+        .select(col("tok").substr(col("i"), lit(2)).as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum("cnt").as("pc"))
+      val top = pairs.orderBy(desc("pc"), col("pair")).limit(1)
+        .select(col("pair").as("top_pair"))
+      vocab.crossJoin(broadcast(top))
+        .select(col("top_pair"),
+          expr("replace(tok, top_pair, '~')").as("mtok"), col("cnt"))
+        .filter(length(col("mtok")) >= 2)
+        .select(col("top_pair"), col("cnt"),
+          explode(sequence(lit(1), length(col("mtok")) - 1)).as("i"), col("mtok"))
+        .select(col("top_pair"), col("mtok").substr(col("i"), lit(2)).as("pair"),
+          col("cnt"))
+        .groupBy("top_pair", "pair").agg(sum("cnt").as("pair_cnt"))
+        .orderBy(desc("pair_cnt"), col("pair"))
+        .limit(10)
+    },
+    Some("""WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents), v AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1), v2 AS (SELECT * FROM v WHERE length(tok) >= 2), pr AS (SELECT substring(tok, i, 2) AS pair, cnt FROM (SELECT tok, cnt, unnest(generate_series(1, length(tok) - 1)) AS i FROM v2)), pc AS (SELECT pair, sum(cnt) AS pc FROM pr GROUP BY 1), top AS (SELECT pair AS top_pair FROM pc ORDER BY pc DESC, pair LIMIT 1), m AS (SELECT top_pair, replace(tok, top_pair, '~') AS mtok, cnt FROM v2, top), np AS (SELECT top_pair, substring(mtok, i, 2) AS pair, cnt FROM (SELECT top_pair, mtok, cnt, unnest(generate_series(1, length(mtok) - 1)) AS i FROM m WHERE length(mtok) >= 2)) SELECT top_pair, pair, CAST(sum(cnt) AS BIGINT) AS pair_cnt FROM np GROUP BY 1, 2 ORDER BY pair_cnt DESC, pair LIMIT 10"""))
+
   val all: Seq[GraftQuery] = Seq(tokenStats, quality, langId, fingerprint,
     topNgrams, repetition, decontaminate, boilerplate, decontaminateBloom,
     vocabTopK, vocabSketch, unigramLogprob, bpePretokenize, txtNovelty,
     pplBuckets, charEntropy, langIdConfusion, oovRate, bpePairs,
     langIdKappa, cdcChunks, cooccurrence, splitContamination, zipfFit,
-    featureHashing)
+    featureHashing, bpeMergeStep)
 }

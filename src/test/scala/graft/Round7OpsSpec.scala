@@ -347,6 +347,53 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- multimodal resize ----------------------------------------------------
+
+  test("mm_resize_grid: 64 samples per doc, byte-range stats, driver replay of one doc") {
+    val rows = run("mm_resize_grid").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, sum, mn, mx) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n == 64L)
+      assert(mn >= 0 && mx <= 255 && mn <= mx)
+      assert(sum >= 64 * mn && sum <= 64 * mx)
+    }
+    // replay the strided sampling for the first doc
+    val doc = Tables.documents(spark, sf).orderBy("doc_id")
+      .select("doc_id", "text").collect().head
+    val bytes = doc.getString(1).getBytes("UTF-8")
+    val samples = (0 until 64).map(k => (bytes((k.toLong * bytes.length / 64).toInt) & 0xff).toLong)
+    val got = rows.find(_.getLong(0) == doc.getLong(0)).get
+    assert(got.getLong(2) == samples.sum && got.getLong(3) == samples.min &&
+      got.getLong(4) == samples.max)
+  }
+
+  // ---- BPE merge step -------------------------------------------------------
+
+  test("txt_bpe_merge_step applies the argmax pair and matches a driver-side replay") {
+    val rows = run("txt_bpe_merge_step").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val appliedPair = rows.head._1
+    assert(rows.forall(_._1 == appliedPair))
+    // replay: word-frequency table -> top pair -> java replace (same
+    // left-to-right non-overlap semantics as SQL replace) -> recount
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).filter(_._1.length >= 2)
+    def pairCounts(words: Seq[(String, Long)]): Map[String, Long] =
+      words.flatMap { case (w, c) =>
+        (0 until w.length - 1).map(i => w.substring(i, i + 2) -> c)
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    val top = pairCounts(vocab.toSeq).toSeq.minBy { case (p, c) => (-c, p) }._1
+    assert(top == appliedPair)
+    val merged = vocab.toSeq.map { case (w, c) => w.replace(top, "~") -> c }
+      .filter(_._1.length >= 2)
+    val want = pairCounts(merged).toSeq.sortBy { case (p, c) => (-c, p) }.take(10)
+    assert(rows.map(r => (r._2, r._3)).toSeq == want)
+  }
+
   // ---- neighbor jaccard -----------------------------------------------------
 
   test("graph_neighbor_jaccard: scores in (0, 1e6], union >= shared, canonical pair order") {
