@@ -193,9 +193,14 @@ object DedupOps {
   /** Verified 4-gram Jaccard pairs (a < b, jaccard >= 0.4) — the shared
     * edge-set leg behind the pair-listing query and the components query,
     * materialized once per (session, corpus). */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
-    graft.PersistCache.getOrBuild(s, s"jacpairs4:$d") {
-      // same materialize-once rationale as dedup_minhash: three legs.
+  /** ALL candidate pairs with their Jaccard (raw + 4dp-rounded), no
+    * threshold applied — the stored scoring table the 0.4-family
+    * ([[jaccardPairs]]) and the threshold-sensitivity curve both read.
+    * Candidates are bounded by the df cutoff, not by any threshold, so
+    * lowering a threshold later never requires re-joining shingles. */
+  private def scoredPairs(s: SparkSession, d: String): DataFrame =
+    graft.PersistCache.getOrBuild(s, s"jacscored:$d") {
+      // materialize-once rationale as dedup_minhash: several legs.
       // The inverted-index self-join keys on xxhash64(shingle), not the
       // raw ~30-char 4-gram string: the shuffle moves 8-byte longs
       // instead of strings (~4x fewer bytes on the widest exchange in
@@ -210,9 +215,16 @@ object DedupOps {
       cand
         .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
         .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
-        .withColumn("jaccard", col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
-        .filter(col("jaccard") >= 0.4)
-        .select(col("a"), col("b"), fround(col("jaccard"), 4).as("jaccard"))
+        .withColumn("jr", col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
+        .select(col("a"), col("b"), col("jr"), fround(col("jr"), 4).as("jaccard"))
+    }
+
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    graft.PersistCache.getOrBuild(s, s"jacpairs4:$d") {
+      // threshold on the RAW ratio (the oracle's p CTE does the same);
+      // the rounded column is only for reporting
+      scoredPairs(s, d).filter(col("jr") >= 0.4)
+        .select(col("a"), col("b"), col("jaccard"))
     }
 
   /** Inverted-index pair machinery shared by the Jaccard and containment
@@ -670,9 +682,37 @@ object DedupOps {
     Some(ngramPairsCte + componentsCtes +
       """, cs AS (SELECT comp, CAST(count(*) AS BIGINT) AS comp_size FROM m GROUP BY 1) SELECT comp_size, CAST(count(*) AS BIGINT) AS n_components FROM cs GROUP BY 1 ORDER BY 1"""))
 
+  /** Threshold SENSITIVITY curve — pairs and affected docs at every
+    * candidate Jaccard cutoff from 0.2 to 0.9: the knob-tuning read a
+    * curation team does before committing to a dedup threshold (too low
+    * over-merges topical near-misses, too high leaves boilerplate dups).
+    * Runs entirely off the stored [[scoredPairs]] table — candidates are
+    * df-cutoff-bounded, never threshold-bounded, so the whole curve costs
+    * one scan of the scored pairs, no shingle re-join per threshold.
+    * Thresholds compare on the 4dp-ROUNDED score in both engines. */
+  private val dedupThresholdCurve = GraftQuery(
+    "dedup_threshold_curve",
+    "near-dup pair/doc counts at each Jaccard cutoff 0.2..0.9",
+    (s, d) => {
+      import s.implicits._
+      val th = (2 to 9).map(_ * 10).toDF("t")
+      val ft = scoredPairs(s, d).crossJoin(broadcast(th))
+        .filter(col("jaccard") >= col("t") / 100.0)
+      val pc = ft.groupBy("t").agg(count(lit(1)).as("n_pairs"))
+      val dc = ft.select(col("t"), explode(array(col("a"), col("b"))).as("doc"))
+        .groupBy("t").agg(countDistinct("doc").as("n_docs"))
+      th.join(pc, Seq("t"), "left_outer").join(dc, Seq("t"), "left_outer")
+        .select(col("t").as("threshold_pct"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        .orderBy("threshold_pct")
+    },
+    Some("WITH " + shingleCte4 + pairCountCtes +
+      """, p0 AS (SELECT i.a, i.b, floor(i.c * 1.0 / (x.n + y.n - i.c) * 10000.0 + 0.5) / 10000.0 AS jaccard FROM inter i JOIN sz x ON i.a = x.doc_id JOIN sz y ON i.b = y.doc_id), th AS (SELECT unnest([20, 30, 40, 50, 60, 70, 80, 90]) AS t), ft AS (SELECT t, a, b FROM p0, th WHERE jaccard >= t / 100.0), pc AS (SELECT t, CAST(count(*) AS BIGINT) AS n_pairs FROM ft GROUP BY 1), dc AS (SELECT t, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs FROM (SELECT t, a AS doc FROM ft UNION ALL SELECT t, b FROM ft) GROUP BY 1) SELECT CAST(th.t AS INTEGER) AS threshold_pct, coalesce(pc.n_pairs, 0) AS n_pairs, coalesce(dc.n_docs, 0) AS n_docs FROM th LEFT JOIN pc ON pc.t = th.t LEFT JOIN dc ON dc.t = th.t ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupComponents, dedupKeepList,
     dedupKeepLongest, dedupSimhash, dedupSimhashGroups, dedupEmbedding,
     dedupEmbeddingLsh, dedupIncremental, dedupContainment, graphTriangles,
-    dedupClusterSizes)
+    dedupClusterSizes, dedupThresholdCurve)
 }

@@ -85,4 +85,45 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: bitmap distinct equals the set cardinality under any grouping/partitioning") {
+    import spark.implicits._
+    graft.functions.expressions.GraftExpressions.ensureRegistered(spark)
+    val genBatch: Gen[List[(String, Long)]] = Gen.listOfN(300, for {
+      g <- Gen.oneOf("x", "y", "z")
+      id <- Gen.chooseNum(0L, 5000L)
+    } yield (g, id))
+    samples(genBatch, 5, seed = 7L).zipWithIndex.foreach { case (batch, i) =>
+      val df = batch.toDF("g", "id").repartition(1 + i % 5)
+      val got = df.groupBy("g")
+        .agg(expr("graft_bitmap_distinct(id, 1048576)").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = batch.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet.size.toLong }
+      assert(got == want, s"batch $i")
+    }
+  }
+
+  test("property: sweep-line level-weighted duration equals total interval length for random intervals") {
+    import spark.implicits._
+    // the conservation law the rel_sweep_concurrency spec pins on real
+    // data, replayed on arbitrary interval sets: sum(level * duration)
+    // over the step function == sum of (inclusive) interval lengths
+    val genIvs: Gen[List[(Long, Long)]] = Gen.listOfN(40, for {
+      s <- Gen.chooseNum(0L, 1000000L)
+      len <- Gen.chooseNum(0L, 50000L)
+    } yield (s, s + len))
+    samples(genIvs, 5, seed = 11L).foreach { ivs =>
+      val pts = ivs.flatMap { case (st, en) => Seq((st, 1L), (en + 1, -1L)) }
+        .toDF("ts", "dlt").groupBy("ts").agg(sum("dlt").as("dlt"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("ts")
+      val steps = pts
+        .withColumn("c", sum("dlt").over(w.rowsBetween(Long.MinValue, 0)))
+        .withColumn("nxt", lead("ts", 1).over(w))
+        .filter(col("nxt").isNotNull && col("c") >= 1)
+        .select((col("c") * (col("nxt") - col("ts"))).as("wdur"))
+        .agg(sum("wdur")).collect().head.getLong(0)
+      val total = ivs.map { case (s, e) => e - s + 1 }.sum
+      assert(steps == total, s"ivs=$ivs")
+    }
+  }
 }
