@@ -112,6 +112,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.expressions.BitmapDistinct(exprs(0),
           exprs(1).eval().asInstanceOf[Number].longValue())
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bitmap_agg"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.BitmapDistinct].getName,
+        "graft_bitmap_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_bitmap_agg expects 2 arguments (id, maxId), got ${exprs.length}")
+        require(exprs(1).foldable,
+          "graft_bitmap_agg: maxId must be a constant, not a column")
+        graft.functions.expressions.BitmapDistinct(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].longValue(), emitBitmap = true)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bitmap_and_count"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.BitmapAndCount].getName,
+        "graft_bitmap_and_count"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_bitmap_and_count expects 2 arguments (bitmap, bitmap), got ${exprs.length}")
+        graft.functions.expressions.BitmapAndCount(exprs(0), exprs(1))
+      }))
     ext.injectOptimizerRule(_ => SelfDotRewrite)
   }
 }

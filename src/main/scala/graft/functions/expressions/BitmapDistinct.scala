@@ -30,13 +30,15 @@ import org.apache.spark.sql.types._
 case class BitmapDistinct(
     child: Expression,
     maxId: Long,
+    emitBitmap: Boolean = false,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.BitSet] with UnaryLike[Expression] {
 
-  override def prettyName: String = "graft_bitmap_distinct"
+  override def prettyName: String =
+    if (emitBitmap) "graft_bitmap_agg" else "graft_bitmap_distinct"
   override def nullable: Boolean = false
-  override def dataType: DataType = LongType
+  override def dataType: DataType = if (emitBitmap) BinaryType else LongType
 
   override def checkInputDataTypes(): TypeCheckResult =
     if ((child.dataType == LongType || child.dataType == IntegerType) &&
@@ -64,7 +66,8 @@ case class BitmapDistinct(
     b.or(o); b
   }
 
-  override def eval(b: java.util.BitSet): Any = b.cardinality().toLong
+  override def eval(b: java.util.BitSet): Any =
+    if (emitBitmap) b.toByteArray else b.cardinality().toLong
 
   override def serialize(b: java.util.BitSet): Array[Byte] = b.toByteArray
 
@@ -77,4 +80,37 @@ case class BitmapDistinct(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): BitmapDistinct =
     copy(child = newChild)
+}
+
+/** |A ∩ B| of two serialized bitmaps (the eval output of graft_bitmap_agg)
+  * — the exact audience-overlap primitive: segment bitmaps are built in
+  * one corpus pass each, and every pairwise (or k-way, by folding)
+  * intersection is then a byte-sized driver/exchange-free operation on
+  * the aggregated rows. Interpreted eval (CodegenFallback) is fine here:
+  * the expression runs on segment-count-sized data, never per corpus row.
+  * SQL: graft_bitmap_and_count(b1, b2). */
+case class BitmapAndCount(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def prettyName: String = "graft_bitmap_and_count"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_bitmap_and_count expects (binary, binary), got " +
+          s"(${left.dataType}, ${right.dataType})")
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = java.util.BitSet.valueOf(l.asInstanceOf[Array[Byte]])
+    a.and(java.util.BitSet.valueOf(r.asInstanceOf[Array[Byte]]))
+    a.cardinality().toLong
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitmapAndCount =
+    copy(left = newLeft, right = newRight)
 }

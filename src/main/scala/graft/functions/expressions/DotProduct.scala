@@ -127,5 +127,25 @@ object GraftExpressions {
           exprs(1).eval().asInstanceOf[Number].longValue())
       },
       "scala_udf")
+    // bitmap-emitting twin + intersection count — see BitmapDistinct.scala
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bitmap_agg",
+      exprs => {
+        require(exprs.length == 2,
+          s"graft_bitmap_agg expects 2 arguments (id, maxId), got ${exprs.length}")
+        require(exprs(1).foldable,
+          "graft_bitmap_agg: maxId must be a constant, not a column")
+        BitmapDistinct(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].longValue(), emitBitmap = true)
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bitmap_and_count",
+      exprs => {
+        require(exprs.length == 2,
+          s"graft_bitmap_and_count expects 2 arguments (bitmap, bitmap), got ${exprs.length}")
+        BitmapAndCount(exprs(0), exprs(1))
+      },
+      "scala_udf")
   }
 }

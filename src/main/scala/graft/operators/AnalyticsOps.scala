@@ -815,5 +815,33 @@ object AnalyticsOps {
     aggArgExtremes, aggMapHistogram, aggMultiDistinct, aggHllRollup,
     evtRetention, evtZscore, evtTransitions, qaWinsorize, qaPsiDrift,
     qaKsDrift, evtEwma, evtRunLengths, winRollingMedian, qaBenford,
-    qaOutlierMad, aggBitmapDistinct)
+    qaOutlierMad, aggBitmapDistinct, aggBitmapOverlap)
+
+  /** Exact AUDIENCE OVERLAP matrix across event-type segments via bitmap
+    * intersection: each segment's user bitmap is built in the same single
+    * corpus pass as agg_bitmap_distinct (graft_bitmap_agg emits the
+    * serialized bitmap instead of its cardinality), then every pairwise
+    * |A ∩ B| is a bitwise AND on the 5 aggregated rows — the "how many
+    * users did both X and Y" primitive that otherwise costs a
+    * distinct-pair self-join of the corpus per segment pair. Scale: one
+    * corpus pass total; the pair matrix is segments², corpus-free. */
+  private lazy val aggBitmapOverlap = GraftQuery(
+    "agg_bitmap_overlap",
+    "exact audience overlap across event-type segments via bitmap AND",
+    (s, d) => {
+      graft.functions.expressions.GraftExpressions.ensureRegistered(s)
+      val segs = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(expr("graft_bitmap_agg(user_id, 4194304)").as("bm"),
+          expr("graft_bitmap_distinct(user_id, 4194304)").as("n"))
+      val a = segs.select(col("event_type").as("t1"), col("bm").as("b1"),
+        col("n").as("n1"))
+      val b = segs.select(col("event_type").as("t2"), col("bm").as("b2"),
+        col("n").as("n2"))
+      a.join(b, col("t1") < col("t2"))
+        .select(col("t1"), col("t2"), col("n1"), col("n2"),
+          expr("graft_bitmap_and_count(b1, b2)").as("n_overlap"))
+        .orderBy("t1", "t2")
+    },
+    Some("""WITH s AS (SELECT DISTINCT event_type, user_id FROM events), c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1), ov AS (SELECT a.event_type AS t1, b.event_type AS t2, CAST(count(*) AS BIGINT) AS n_overlap FROM s a JOIN s b ON a.user_id = b.user_id AND a.event_type < b.event_type GROUP BY 1, 2) SELECT t1, t2, c1.n AS n1, c2.n AS n2, ov.n_overlap FROM ov JOIN c c1 ON c1.event_type = ov.t1 JOIN c c2 ON c2.event_type = ov.t2 ORDER BY 1, 2"""))
 }

@@ -791,5 +791,39 @@ object ParsingOps {
     mvCascade, sqlCtas, mmDecode, partitionPruned, dppPrune, mmFrameSample,
     qaProfile, qaProfileHll, qaExpectations, scd2Merge, mvIncrementalAgg,
     qaTableChecksum, qaRefIntegrity, qaKeySkew, mvCompactCdc, qaCovMatrix,
-    qaLabelGini, qaEquidepthHist, mmResize)
+    qaLabelGini, qaEquidepthHist, mmResize, scd2Asof)
+
+  /** Time-travel READ over the SCD2 dimension — "the dimension as of
+    * 2024-07-01": for each key, exactly the one version whose
+    * [valid_from, valid_to) window contains the cutoff. The validity
+    * filter rides the same narrow emit-versions pass as mv_scd2_merge
+    * (no join); on a stored SCD2 table this is a filter the parquet scan
+    * absorbs, which is the entire point of range-versioned dimensions —
+    * temporal reads cost a scan, not a reconstruction. After the June
+    * change, every %7 key must read PROMO at version 2. */
+  private lazy val scd2Asof = GraftQuery(
+    "mv_scd2_asof",
+    "as-of read of the SCD2 dimension (state at 2024-07-01)",
+    (s, d) => {
+      val cut = lit("2024-07-01").cast("date")
+      val changed = col("c_custkey") % 7 === 0
+      val mk = (ver: Column, seg: Column, from: String, to: Column) =>
+        struct(ver.as("version"), seg.as("segment"),
+          lit(from).cast("date").as("valid_from"), to.as("valid_to"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          explode(when(changed, array(
+              mk(lit(1), col("c_mktsegment"), "2024-01-01",
+                lit("2024-06-01").cast("date")),
+              mk(lit(2), lit("PROMO"), "2024-06-01",
+                lit("9999-12-31").cast("date"))))
+            .otherwise(array(
+              mk(lit(1), col("c_mktsegment"), "2024-01-01",
+                lit("9999-12-31").cast("date"))))).as("v"))
+        .filter(col("v.valid_from") <= cut && cut < col("v.valid_to"))
+        .select(col("c_custkey"), col("v.version").as("version"),
+          col("v.segment").as("segment"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH dim AS (SELECT c_custkey, c_mktsegment FROM customer), ch AS (SELECT c_custkey, 'PROMO' AS new_segment FROM dim WHERE c_custkey % 7 = 0), m AS (SELECT dim.c_custkey, dim.c_mktsegment, ch.new_segment FROM dim LEFT JOIN ch USING (c_custkey)), v AS (SELECT c_custkey, 1 AS version, c_mktsegment AS segment, DATE '2024-01-01' AS valid_from, CASE WHEN new_segment IS NOT NULL THEN DATE '2024-06-01' ELSE DATE '9999-12-31' END AS valid_to FROM m UNION ALL SELECT c_custkey, 2, new_segment, DATE '2024-06-01', DATE '9999-12-31' FROM m WHERE new_segment IS NOT NULL) SELECT c_custkey, version, segment FROM v WHERE valid_from <= DATE '2024-07-01' AND DATE '2024-07-01' < valid_to ORDER BY c_custkey"""))
 }

@@ -228,6 +228,34 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_bitmap_overlap: bitmap AND equals driver-side set intersection per segment pair") {
+    val got = run("agg_bitmap_overlap").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val segs = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    val types = segs.keys.toSeq.sorted
+    for (i <- types.indices; j <- i + 1 until types.length) {
+      val (t1, t2) = (types(i), types(j))
+      val (n1, n2, ov) = got((t1, t2))
+      assert(n1 == segs(t1).size && n2 == segs(t2).size)
+      assert(ov == segs(t1).intersect(segs(t2)).size, s"($t1,$t2)")
+    }
+  }
+
+  test("mv_scd2_asof: one row per key; version 2 iff key changed (%7), PROMO segment") {
+    val rows = run("mv_scd2_asof").collect()
+    val nKeys = Tables.customer(spark, sf).count()
+    assert(rows.length == nKeys)
+    rows.foreach { r =>
+      val (k, ver, seg) = (r.getLong(0), r.getInt(1), r.getString(2))
+      if (k % 7 == 0) assert(ver == 2 && seg == "PROMO", s"key $k")
+      else assert(ver == 1 && seg != "PROMO", s"key $k")
+    }
+  }
+
   // ---- streaming bitmap distinct --------------------------------------------
 
   test("graft_bitmap_distinct works as streaming state: per-type distinct users equal the batch answer") {
