@@ -4,16 +4,17 @@ package graft
   * test session).
   *
   * WindowExec warns "No Partition Defined for Window operation" on every
-  * run of an unpartitioned window. The repo has exactly three such
-  * windows, each audited benign because the window input is already
-  * reduced to a bounded handful of rows before the window runs:
-  *
-  *  - txt_vocab_topk (TextOps): cumulative coverage over the top-50 rows
-  *    of a TakeOrderedAndProject — 50 rows, one partition by construction;
-  *  - pipe_mix_weights (PipelineOps): corpus totals over the per-source
-  *    aggregate — ~#sources rows;
-  *  - samp_shuffle_prefix (CurationOps): row_number over a 200-row
-  *    ORDER BY/LIMIT prefix.
+  * run of an unpartitioned window. The repo's unpartitioned windows are
+  * each audited benign because the window input is already reduced to a
+  * bounded handful of rows before the window runs — top-K prefixes
+  * (txt_vocab_topk's 50, samp_shuffle_prefix's 200, txt_zipf_fit's 100,
+  * emb_prototypicality's 20, emb_sim_histogram's 200), tiny aggregate
+  * dims (pipe_mix_weights' sources, qa_benford's 9 digits,
+  * samp_systematic's 256 buckets, rel_sweep_concurrency's ~30 days,
+  * samp_temperature / samp_largest_remainder / txt_langid_kappa /
+  * evt_transition_matrix / qa_equidepth_hist / txt_ppl_buckets /
+  * pipe_pack_sequences over matrix- or bucket-sized frames). The
+  * authoritative, enforced list lives in PlanQualitySpec's allowlist.
   *
   * A partitionBy(lit(...)) rewrite cannot silence it: Spark 4's
   * EliminateWindowPartitions optimizer rule strips foldable partition

@@ -863,5 +863,51 @@ object RelationalOps {
     setExcept, setUnion, aggRollup, aggCube, aggGroupingSets, aggApprox,
     jsonKv, calDaily, strWeekday, reshapeUnpivot, jIntervalOverlap,
     jFuzzyMatch, relSkyline, relIntervalMerge, jAsofNearest, winCumeDist,
-    relSweepConcurrency)
+    relSweepConcurrency, calTumbling, winTimeRange)
+
+  /** TIME-interval range frame: per user, the trailing-24-hour event count
+    * and exact centi spend at every event — the time-based sliding window
+    * (win_moving_avg slides over ROWS, win_range_frame over a numeric
+    * range; this one frames by event-TIME, the form ops dashboards and
+    * rate limiters actually need). The frame rides RANGE BETWEEN over
+    * exact integer microseconds, so boundary inclusion is integer
+    * comparison in both engines. One user-keyed shuffle; per-row state is
+    * the frame buffer, bounded by a user's 24-hour burst. */
+  private lazy val winTimeRange = GraftQuery(
+    "win_time_range",
+    "trailing-24h per-user event count + spend via a time-range frame",
+    (s, d) => {
+      val dayUs = 86400L * 1000000L
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-dayUs, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          centi(col("value")).as("vc"))
+        .withColumn("n_24h", count(lit(1)).over(w))
+        .withColumn("v_24h", sum("vc").over(w))
+        .select(col("user_id"), col("event_id"), col("n_24h"),
+          fround(col("v_24h").cast("double") / 100.0, 2).as("spend_24h"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events) SELECT user_id, event_id, count(*) OVER w AS n_24h, floor(CAST(sum(vc) OVER w AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS spend_24h FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) ORDER BY user_id, event_id"""))
+
+  /** Tumbling-window aggregation via the native window() TVF — the batch
+    * face of the same grouping the streaming pipelines use (one groupBy
+    * key derivation, valid unchanged under readStream): 6-hour buckets of
+    * event count + exact centi sum. The TVF's bucket arithmetic is
+    * floor(us / width) epoch-aligned, which is exactly what the oracle
+    * replays — pinning that the convenient built-in and the portable
+    * integer formulation agree. One map-side-combined keyed shuffle. */
+  private lazy val calTumbling = GraftQuery(
+    "cal_tumbling_6h",
+    "native window() TVF: 6-hour tumbling event rollup (epoch-aligned)",
+    (s, d) => Tables.events(s, d)
+      .groupBy(window(col("ts"), "6 hours").as("w"))
+      .agg(count(lit(1)).as("cnt"), sum(centi(col("value"))).as("vcs"))
+      .select(unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("cnt"),
+        fround(col("vcs").cast("double") / 100.0, 2).as("total_value"))
+      .orderBy("start_us"),
+    Some("""WITH ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events), b AS (SELECT (us // 21600000000) * 21600000000 AS start_us, vc FROM ev) SELECT start_us, start_us + 21600000000 AS end_us, count(*) AS cnt, floor(CAST(sum(vc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value FROM b GROUP BY 1 ORDER BY 1"""))
 }
