@@ -910,5 +910,44 @@ object TextOps {
     vocabTopK, vocabSketch, unigramLogprob, bpePretokenize, txtNovelty,
     pplBuckets, charEntropy, langIdConfusion, oovRate, bpePairs,
     langIdKappa, cdcChunks, cooccurrence, splitContamination, zipfFit,
-    featureHashing, bpeMergeStep)
+    featureHashing, bpeMergeStep, bigramLogprob)
+
+  /** Add-1-smoothed BIGRAM-LM conditional log-prob per doc — the next
+    * model class up from txt_unigram_logprob (context-conditioned token
+    * probabilities: p(w2|w1) = (c(w1w2)+1)/(c(w1·)+V)), the stronger
+    * perplexity-proxy quality signal. Per-bigram ln rides as an integer
+    * micro-unit (same accepted 1-ulp ln note as the unigram), so per-doc
+    * sums are exact BIGINTs. Scale shape: the probe stream joins the
+    * bigram-count table on its OWN key (one (w1,w2)-keyed shuffle — the
+    * bigram table can be vocabulary²-sized, never broadcast); the context
+    * counts and the single-row V broadcast. */
+  private lazy val bigramLogprob = GraftQuery(
+    "txt_bigram_logprob",
+    "add-1 bigram-LM avg conditional log-prob per doc",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+      val bg = t.select(col("doc_id"), col("ts"),
+          posexplode(col("ts")).as(Seq("i", "w1")))
+        .withColumn("w2", expr("try_element_at(ts, i + 2)"))
+        .filter(col("w2").isNotNull)
+        .select("doc_id", "w1", "w2")
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val vv = t.select(explode(col("ts")).as("tok"))
+        .agg(countDistinct("tok").as("v"))
+      bg.join(c2, Seq("w1", "w2"))
+        .join(broadcast(c1), Seq("w1"))
+        .crossJoin(broadcast(vv))
+        .select(col("doc_id"),
+          floor(log((col("c2").cast("double") + 1) / (col("c1") + col("v"))) * 1e6 + 0.5)
+            .cast("long").as("lpm"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("lpm").as("lps"))
+        .select(col("doc_id"), col("n_bigrams"),
+          fround(col("lps").cast("double") / (col("n_bigrams") * 1e6), 4)
+            .as("avg_logprob"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents), tok AS (SELECT doc_id, unnest(ts) AS tok FROM t), vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tok), bg AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2 FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM t)), c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2), c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1), lp AS (SELECT doc_id, CAST(floor(ln((CAST(c2 AS DOUBLE) + 1) / (c1 + v)) * 1000000.0 + 0.5) AS BIGINT) AS lpm FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv) SELECT doc_id, count(*) AS n_bigrams, floor(CAST(sum(lpm) AS DOUBLE) / (count(*) * 1000000.0) * 10000.0 + 0.5) / 10000.0 AS avg_logprob FROM lp GROUP BY 1 ORDER BY 1"""))
 }
