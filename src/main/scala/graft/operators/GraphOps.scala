@@ -236,6 +236,39 @@ object GraphOps {
     },
     Some("""WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem), cool AS (SELECT pk FROM (SELECT pk, count(*) AS nd FROM sp GROUP BY 1) WHERE nd <= 50), spc AS (SELECT sk, sp.pk FROM sp JOIN cool USING (pk)), dg AS (SELECT sk, CAST(count(*) AS BIGINT) AS deg FROM spc GROUP BY 1), pr AS (SELECT a.sk AS s1, b.sk AS s2, CAST(count(*) AS BIGINT) AS shared_parts FROM spc a JOIN spc b USING (pk) WHERE a.sk < b.sk GROUP BY 1, 2) SELECT s1, s2, shared_parts, d1.deg + d2.deg - shared_parts AS union_parts, CAST(floor(CAST(shared_parts AS DOUBLE) * 1000000.0 / (d1.deg + d2.deg - shared_parts) + 0.5) AS BIGINT) AS jacc_micro FROM pr JOIN dg d1 ON d1.sk = pr.s1 JOIN dg d2 ON d2.sk = pr.s2 ORDER BY jacc_micro DESC, s1, s2 LIMIT 20"""))
 
+  /** k-CORE peeling (k=3, 3 unrolled rounds) over the trade graph — the
+    * density filter a graph pipeline runs before community/embedding work
+    * (peripheral low-degree nodes dominate counts but carry no structure).
+    * Each round: degree over the CURRENT edge set, drop nodes under k,
+    * drop their edges — one keyed aggregation + two semi-join-shaped
+    * prunes per round, same iterative shape as PageRank (fixed rounds keep
+    * the oracle expressible as unrolled CTEs and bound latency; full
+    * convergence would loop the same plan). Reports the shrinking
+    * node/edge census per round — exact integers, no float anywhere. */
+  private val kCore = GraftQuery(
+    "graph_kcore",
+    "3-core peeling census over trade edges (nodes/edges after each round)",
+    (s, d) => {
+      var e = symEdges(s, d)
+      def census(r: Int): (Int, Long, Long) = {
+        val agg = e.agg(countDistinct("src").as("n"), count(lit(1)).as("m"))
+          .collect().head
+        (r, agg.getLong(0), agg.getLong(1) / 2)
+      }
+      val rows = scala.collection.mutable.ArrayBuffer(census(0))
+      for (r <- 1 to 3) {
+        val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 3).select("src")
+        e = e.join(keep, Seq("src"))
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"))
+          .select("src", "dst")
+        rows += census(r)
+      }
+      import s.implicits._
+      rows.toSeq.toDF("round", "n_nodes", "n_edges").orderBy("round")
+    },
+    Some("""WITH e0 AS (SELECT a AS src, b AS dst FROM (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b FROM lineitem JOIN orders ON l_orderkey = o_orderkey) UNION ALL SELECT b, a FROM (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b FROM lineitem JOIN orders ON l_orderkey = o_orderkey)), k1 AS (SELECT src FROM (SELECT src, count(*) AS deg FROM e0 GROUP BY 1) WHERE deg >= 3), e1 AS (SELECT e.src, e.dst FROM e0 e JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src), k2 AS (SELECT src FROM (SELECT src, count(*) AS deg FROM e1 GROUP BY 1) WHERE deg >= 3), e2 AS (SELECT e.src, e.dst FROM e1 e JOIN k2 a ON e.src = a.src JOIN k2 b ON e.dst = b.src), k3 AS (SELECT src FROM (SELECT src, count(*) AS deg FROM e2 GROUP BY 1) WHERE deg >= 3), e3 AS (SELECT e.src, e.dst FROM e2 e JOIN k3 a ON e.src = a.src JOIN k3 b ON e.dst = b.src) SELECT 0 AS round, CAST((SELECT count(DISTINCT src) FROM e0) AS BIGINT) AS n_nodes, CAST((SELECT count(*) FROM e0) // 2 AS BIGINT) AS n_edges UNION ALL SELECT 1, CAST((SELECT count(DISTINCT src) FROM e1) AS BIGINT), CAST((SELECT count(*) FROM e1) // 2 AS BIGINT) UNION ALL SELECT 2, CAST((SELECT count(DISTINCT src) FROM e2) AS BIGINT), CAST((SELECT count(*) FROM e2) // 2 AS BIGINT) UNION ALL SELECT 3, CAST((SELECT count(DISTINCT src) FROM e3) AS BIGINT), CAST((SELECT count(*) FROM e3) // 2 AS BIGINT) ORDER BY round"""))
+
   val all: Seq[GraftQuery] = Seq(pagerank, degreeStats, twoHop, bipartiteProj,
-    neighborJaccard)
+    neighborJaccard, kCore)
 }

@@ -11,6 +11,13 @@ class OperatorSpec extends AnyFunSuite {
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
   test("every registered query name is unique and has a runnable fn") {
+    // null first: a GraftQuery val declared AFTER its module's `all` list
+    // initializes to null inside that list (Scala val init order) and then
+    // NPEs at Verify startup — killing the whole correctness artifact, not
+    // one query. Fail here by position instead.
+    val nulls = SparkEntry.registry.zipWithIndex.filter(_._1 == null).map(_._2)
+    assert(nulls.isEmpty,
+      s"null registry entries at positions $nulls — a query val is declared after its `all` list; make it lazy or move it up")
     assert(SparkEntry.registry.map(_.name).distinct.size == SparkEntry.registry.size)
   }
 
