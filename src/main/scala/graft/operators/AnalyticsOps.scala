@@ -809,7 +809,80 @@ object AnalyticsOps {
     },
     Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, count(*) AS n_events FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** Per-group OLS trend line (slope / intercept / R²) from the six
+    * closed-form sufficient statistics — regression as ONE
+    * map-side-combined aggregation pass, never a solver or a collect.
+    * All six sums are exact integers (x = day index, y = centi value), so
+    * the only floating-point ops are the final divisions — bit-identical
+    * in any engine. The long products stay far under 2^63 at every driver
+    * SF (bounds in comments). Scale: partial aggregation means each
+    * executor ships 6 longs per group; the fit itself is free. */
+  private lazy val qaOlsTrend = GraftQuery(
+    "qa_ols_trend",
+    "per-event-type OLS value-vs-day trend from exact sufficient statistics",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("x"),
+        centi(col("value")).as("y"))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+        // covN/dx/dy are exact longs (|covN| ≲ 6e14, dy ≲ 1e18 at sf1);
+        // double conversion + division afterwards is IEEE-identical in
+        // both engines.
+        .withColumn("covn", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("dx", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("dy", col("n") * col("syy") - col("sy") * col("sy"))
+        .select(col("event_type"), col("n"),
+          fround(col("covn").cast("double") / col("dx") / 100.0, 6)
+            .as("slope_per_day"),
+          fround((col("sy").cast("double") -
+            col("covn").cast("double") / col("dx") * col("sx")) /
+            col("n") / 100.0, 4).as("intercept"),
+          fround(col("covn").cast("double") * col("covn") /
+            (col("dx").cast("double") * col("dy")), 6).as("r2"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (SELECT event_type, CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x, CAST(floor(value * 100 + 0.5) AS BIGINT) AS y FROM events), g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(y * y) AS BIGINT) AS syy FROM ev GROUP BY 1), k AS (SELECT *, n * sxy - sx * sy AS covn, n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy FROM g) SELECT event_type, n, floor(CAST(covn AS DOUBLE) / dx / 100.0 * 1e6 + 0.5) / 1e6 AS slope_per_day, floor((CAST(sy AS DOUBLE) - CAST(covn AS DOUBLE) / dx * sx) / n / 100.0 * 1e4 + 0.5) / 1e4 AS intercept, floor(CAST(covn AS DOUBLE) * covn / (CAST(dx AS DOUBLE) * dy) * 1e6 + 0.5) / 1e6 AS r2 FROM k ORDER BY 1"""))
+
+  /** Seasonality profile: the 7×24 (day-of-week × hour) grid of event
+    * count, average value, and the cell count's z-score against the grid
+    * — the load-shape fingerprint behind anomaly baselines. Day-of-week
+    * is derived by PORTABLE integer arithmetic on epoch days
+    * ((days+4) mod 7, Sunday=0) rather than engine dayofweek conventions,
+    * and the z-score is formed from exact integer grid sums
+    * ((k·cnt−S1)/√(k·S2−S1²)) so no float accumulates across rows.
+    * Scale: one 168-group map-side-combined agg over the fact, then a
+    * broadcast scalar join. */
+  private lazy val calSeasonality = GraftQuery(
+    "cal_seasonality",
+    "dow×hour event-count/value grid with exact-integer z-scores",
+    (s, d) => {
+      val us = unix_micros(col("ts"))
+      val cells = Tables.events(s, d)
+        .select(((floor(us / lit(86400000000L)) + 4) % 7).cast("int").as("dow"),
+          (floor(us / lit(3600000000L)) % 24).cast("int").as("hr"),
+          centi(col("value")).as("vc"))
+        .groupBy("dow", "hr")
+        .agg(count(lit(1)).as("cnt"), sum("vc").as("vcs"))
+      val tot = cells.agg(count(lit(1)).as("k"), sum("cnt").as("s1"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("dow"), col("hr"), col("cnt"),
+          fround(col("vcs").cast("double") / col("cnt") / 100.0, 4)
+            .as("avg_value"),
+          fround((col("k") * col("cnt") - col("s1")).cast("double") /
+            sqrt((col("k") * col("s2") - col("s1") * col("s1")).cast("double")),
+            4).as("count_z"))
+        .orderBy("dow", "hr")
+    },
+    Some("""WITH ev AS (SELECT CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 AS INTEGER) AS dow, CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS INTEGER) AS hr, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events), c AS (SELECT dow, hr, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(vc) AS BIGINT) AS vcs FROM ev GROUP BY 1, 2), t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(cnt) AS BIGINT) AS s1, CAST(sum(cnt * cnt) AS BIGINT) AS s2 FROM c) SELECT dow, hr, cnt, floor(CAST(vcs AS DOUBLE) / cnt / 100.0 * 1e4 + 0.5) / 1e4 AS avg_value, floor(CAST(k * cnt - s1 AS DOUBLE) / sqrt(CAST(k * s2 - s1 * s1 AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS count_z FROM c CROSS JOIN t ORDER BY 1, 2"""))
+
   val all: Seq[GraftQuery] = Seq(
+    qaOlsTrend, calSeasonality,
     winSession, winLagLead, aggPercentiles, aggCorr, jSkewSalted, txtTfidf,
     aggStatsOnepass, aggPivot, winSessionNative, aggApproxPercentile,
     aggArgExtremes, aggMapHistogram, aggMultiDistinct, aggHllRollup,

@@ -380,8 +380,44 @@ object CurationOps {
       Some(s"""WITH h AS (SELECT doc_id, ${md5u32Sql("md5(CAST(doc_id AS VARCHAR))")} AS u FROM documents), r AS (SELECT doc_id, row_number() OVER (ORDER BY u, doc_id) AS rn FROM h) SELECT rn, doc_id FROM r WHERE (rn - 1) % 10 = 0 ORDER BY rn"""))
   }
 
+  /** Poisson bootstrap: 20 deterministic resampling replicates of the
+    * corpus mean doc length in ONE distributed pass — the standard way to
+    * put a confidence interval on a 100 TB statistic without materializing
+    * resamples (Chamandy et al., "Estimating uncertainty for massive data
+    * streams", Google TR 2012). Each (doc, replicate) weight is
+    * Binomial(4, 1/4) ≈ Poisson(1), read from four 2-bit md5 fields, so a
+    * re-run reproduces every replicate bit-for-bit. Scale: a narrow 20×
+    * row explosion feeding one map-side-combined 20-group agg — no
+    * shuffle of corpus-sized data, no driver resample loop. */
+  private val sampPoissonBootstrap = {
+    // DuckDB shifts with the >> operator; Spark SQL with shiftright().
+    def weights(shift: Int => String) = (0 until 4)
+      .map(i => s"CAST((${shift(2 * i)} & 3) = 0 AS INT)").mkString(" + ")
+    val sparkH =
+      "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', CAST(rep AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    val sparkSql =
+      s"""SELECT rep, CAST(sum(w) AS BIGINT) AS n_eff,
+         |  floor(CAST(sum(w * n_chars) AS DOUBLE) / sum(w) * 1e4 + 0.5) / 1e4 AS est_mean_chars
+         |FROM (SELECT rep, n_chars, ${weights(i => s"shiftright($sparkH, $i)")} AS w
+         |      FROM documents
+         |      LATERAL VIEW explode(sequence(0, 19)) t AS rep)
+         |GROUP BY rep ORDER BY rep""".stripMargin
+    val duckSql =
+      s"""WITH r AS (SELECT unnest(generate_series(0, 19)) AS rep),
+         | x0 AS (SELECT rep, n_chars, md5(CAST(doc_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)) AS hx FROM documents CROSS JOIN r),
+         | x AS (SELECT rep, n_chars, ${graft.functions.GraftFunctions.md5u32Sql("hx")} AS h FROM x0),
+         | w AS (SELECT rep, n_chars, ${weights(i => s"(h >> $i)")} AS w FROM x)
+         |SELECT rep, CAST(sum(w) AS BIGINT) AS n_eff,
+         |  floor(CAST(sum(w * n_chars) AS DOUBLE) / sum(w) * 1e4 + 0.5) / 1e4 AS est_mean_chars
+         |FROM w GROUP BY rep ORDER BY rep""".stripMargin.replace("\n", " ")
+    q("samp_poisson_bootstrap",
+      "20-replicate deterministic Poisson bootstrap of mean doc length",
+      Seq("documents"), sparkSql, duckSql)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     sampStratified, sampQuota, shufflePrefix, txtNormalize, lengthHist,
     embQuantize, sampImportance, sampWeightedReservoir, sampBalancedClasses,
-    sampTemperature, sampLargestRemainder, sampSystematic)
+    sampTemperature, sampLargestRemainder, sampSystematic,
+    sampPoissonBootstrap)
 }

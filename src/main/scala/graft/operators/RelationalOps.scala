@@ -855,6 +855,42 @@ object RelationalOps {
     },
     Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), o AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM ev), m AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s FROM o), x AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM m), sess_iv AS (SELECT user_id, sess, min(us) AS st, max(us) AS en FROM x GROUP BY 1, 2), pts AS (SELECT st AS ts, 1 AS dlt FROM sess_iv UNION ALL SELECT en + 1, -1 FROM sess_iv), agg AS (SELECT ts, CAST(sum(dlt) AS BIGINT) AS dlt FROM pts GROUP BY 1), run AS (SELECT ts, sum(dlt) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS c, lead(ts) OVER (ORDER BY ts) AS nxt FROM agg) SELECT CAST(c AS BIGINT) AS concurrent, CAST(sum(nxt - ts) AS BIGINT) AS total_us FROM run WHERE nxt IS NOT NULL AND nxt > ts AND c >= 1 GROUP BY 1 ORDER BY 1"""))
 
+  /** Market-basket association: for every unordered pair of part brands
+    * co-purchased inside one order, the pair support and lift
+    * (n_orders × P(a,b) / (P(a) × P(b))). The pair generation is a
+    * SELF-JOIN KEYED ON THE ORDER — fan-out is bounded by the per-order
+    * distinct-brand count squared (TPC-H orders hold ~4 lineitems), never
+    * corpus-quadratic; the brand dimension (25 values) rides along as two
+    * broadcast joins, and the scalar order total as a broadcast cross
+    * join. Lift is computed from exact integer counts and only rounded at
+    * the output edge. */
+  private lazy val relBasketLift = GraftQuery(
+    "rel_basket_lift",
+    "within-order brand-pair support + lift (market-basket association)",
+    (s, d) => {
+      val ob = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .distinct()
+      val tot = ob.agg(countDistinct("ok").as("n_ord"))
+      val brandCnt = ob.groupBy("brand").agg(count(lit(1)).as("bc"))
+      val pairs = ob.toDF("ok", "brand_a")
+        .join(ob.toDF("ok", "brand_b"), Seq("ok"))
+        .filter(col("brand_a") < col("brand_b"))
+        .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("support"))
+      pairs
+        .join(broadcast(brandCnt.toDF("brand_a", "ca")), Seq("brand_a"))
+        .join(broadcast(brandCnt.toDF("brand_b", "cb")), Seq("brand_b"))
+        .crossJoin(broadcast(tot))
+        .filter(col("support") >= 2)
+        .select(col("brand_a"), col("brand_b"), col("support"),
+          fround(col("support").cast("double") * col("n_ord") /
+            (col("ca") * col("cb")), 4).as("lift"))
+        .orderBy("brand_a", "brand_b")
+    },
+    Some("""WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand FROM lineitem JOIN part ON l_partkey = p_partkey), tot AS (SELECT count(DISTINCT ok) AS n_ord FROM ob), bc AS (SELECT brand, count(*) AS bc FROM ob GROUP BY 1), pr AS (SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS support FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand GROUP BY 1, 2) SELECT brand_a, brand_b, support, floor(CAST(support AS DOUBLE) * n_ord / (ca.bc * cb.bc) * 10000.0 + 0.5) / 10000.0 AS lift FROM pr JOIN bc ca ON pr.brand_a = ca.brand JOIN bc cb ON pr.brand_b = cb.brand CROSS JOIN tot WHERE support >= 2 ORDER BY 1, 2"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1, q3, q5, q10Returns, q14Promo, q18TopQuantity, q19Disjunctive, q7Volume,
     jSemi, jAnti, jOuter,
@@ -863,7 +899,7 @@ object RelationalOps {
     setExcept, setUnion, aggRollup, aggCube, aggGroupingSets, aggApprox,
     jsonKv, calDaily, strWeekday, reshapeUnpivot, jIntervalOverlap,
     jFuzzyMatch, relSkyline, relIntervalMerge, jAsofNearest, winCumeDist,
-    relSweepConcurrency, calTumbling, winTimeRange)
+    relSweepConcurrency, calTumbling, winTimeRange, relBasketLift)
 
   /** TIME-interval range frame: per user, the trailing-24-hour event count
     * and exact centi spend at every event — the time-based sliding window

@@ -132,5 +132,115 @@ object TemporalOps {
     },
     Some("""WITH a AS (SELECT user_id, count(*) AS n, sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS vcs FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00' GROUP BY 1), b AS (SELECT user_id, count(*) AS n, sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS vcs FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-30 00:00:00' GROUP BY 1) SELECT b.user_id, CASE WHEN a.n IS NULL THEN 'added' WHEN a.n = b.n AND a.vcs = b.vcs THEN 'unchanged' ELSE 'changed' END AS status, coalesce(a.n, 0) AS old_n, b.n AS new_n, floor(CAST(b.vcs - coalesce(a.vcs, 0) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS delta_value FROM b LEFT JOIN a USING (user_id) ORDER BY user_id"""))
 
-  val all: Seq[GraftQuery] = Seq(rollingDau, attribution, firstLast, snapshotDiff)
+  /** Cohort revenue triangle: customers are bucketed by the month of their
+    * FIRST order, then every order contributes to (cohort_month,
+    * months-since-cohort). The classic retention/LTV view the reference's
+    * fixed per-key rollups (ref: TemperatureActor.scala:65-69 monthly
+    * rollup) cannot express because the grouping key is itself derived
+    * from an aggregate. The cohort month is a window min over the
+    * customer partition — the same single o_custkey shuffle the rollup
+    * needs anyway, so the whole query is ONE keyed shuffle plus a
+    * map-side-combined final agg on the tiny (month×age) grid. Revenue
+    * sums in exact centi integers. */
+  private val cohortRevenue = GraftQuery(
+    "evt_cohort_revenue",
+    "first-order-month cohort × month-age revenue triangle over orders",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+      Tables.orders(s, d)
+        .select(col("o_custkey"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("om"),
+          centi(col("o_totalprice")).as("pc"))
+        .withColumn("cohort_month", min("om").over(w))
+        .withColumn("age_months",
+          months_between(col("om"), col("cohort_month")).cast("int"))
+        .groupBy("cohort_month", "age_months")
+        .agg(countDistinct("o_custkey").as("n_customers"),
+          count(lit(1)).as("n_orders"), sum("pc").as("pcs"))
+        .select(col("cohort_month"), col("age_months"), col("n_customers"),
+          col("n_orders"),
+          fround(col("pcs").cast("double") / 100.0, 2).as("revenue"))
+        .orderBy("cohort_month", "age_months")
+    },
+    Some("""WITH o AS (SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS om, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc FROM orders), c AS (SELECT *, min(om) OVER (PARTITION BY o_custkey) AS cohort_month FROM o) SELECT cohort_month, CAST(datediff('month', cohort_month, om) AS INTEGER) AS age_months, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders, floor(CAST(sum(pc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS revenue FROM c GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** RFM segmentation: per customer recency (days since last order at the
+    * corpus max date), frequency (order count), monetary (exact centi
+    * revenue), each scored into quintiles, then the 5×5×5 segment grid
+    * with counts and revenue. ntile needs a total order to be
+    * deterministic, so every ORDER BY carries the o_custkey tiebreak —
+    * identical rule in the oracle. Scale: the per-customer rollup is one
+    * keyed shuffle over the fact; the three ntiles then sort only the
+    * CUSTOMER dimension (3+ orders of magnitude below the fact). At true
+    * 100 TB you'd swap exact ntile for approx_percentile thresholds; the
+    * exact form is the oracle-able anchor. */
+  private val rfmSegments = GraftQuery(
+    "pipe_rfm_segments",
+    "recency/frequency/monetary quintile segmentation of customers",
+    (s, d) => {
+      val rolled = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate").cast("date").as("od"),
+          centi(col("o_totalprice")).as("pc"))
+        .groupBy("o_custkey")
+        .agg(max("od").as("last_od"), count(lit(1)).as("freq"),
+          sum("pc").as("mc"))
+      val maxd = rolled.agg(max("last_od").as("maxd"))
+      val perCust = rolled.crossJoin(broadcast(maxd))
+        .withColumn("recency_days", datediff(col("maxd"), col("last_od")))
+      val scored = perCust
+        .withColumn("r_score", ntile(5).over(
+          Window.orderBy(col("recency_days"), col("o_custkey"))))
+        .withColumn("f_score", ntile(5).over(
+          Window.orderBy(col("freq").desc, col("o_custkey"))))
+        .withColumn("m_score", ntile(5).over(
+          Window.orderBy(col("mc").desc, col("o_custkey"))))
+      scored.groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_customers"), sum("mc").as("mcs"))
+        .select(col("r_score"), col("f_score"), col("m_score"),
+          col("n_customers"),
+          fround(col("mcs").cast("double") / 100.0, 2).as("revenue"))
+        .orderBy("r_score", "f_score", "m_score")
+    },
+    Some("""WITH pc AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_od, count(*) AS freq, sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS mc FROM orders GROUP BY 1), r AS (SELECT *, datediff('day', last_od, max(last_od) OVER ()) AS recency_days FROM pc), sc AS (SELECT *, ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_score, ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f_score, ntile(5) OVER (ORDER BY mc DESC, o_custkey) AS m_score FROM r) SELECT r_score, f_score, m_score, count(*) AS n_customers, floor(CAST(sum(mc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS revenue FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  /** PAA + SAX symbolization: each user's time-ordered value series is
+    * compressed to 4 equal segments (Piecewise Aggregate Approximation)
+    * and each segment mean mapped to a letter, yielding a 4-char SAX word
+    * per user — the discretization that turns per-entity time series into
+    * joinable/groupable motifs (Lin et al., "Symbolic Aggregate
+    * approXimation", DMKD 2007). Letter boundaries compare SCALED
+    * INTEGERS (vcs < 2500·n ⟺ mean < 25) so no float ever decides a
+    * boundary. Scale: one user-keyed shuffle shared by the window and the
+    * two same-key aggregations; state per row is O(1). */
+  private val paaSax = GraftQuery(
+    "evt_paa_sax",
+    "4-segment PAA + SAX word per user's value series",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val wc = Window.partitionBy("user_id")
+      val seg = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          centi(col("value")).as("vc"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .withColumn("seg", floor((col("rn") - 1) * 4 / col("cnt")).cast("int"))
+        .groupBy("user_id", "seg")
+        .agg(count(lit(1)).as("n"), sum("vc").as("vcs"))
+        .withColumn("letter",
+          when(col("vcs") < lit(2500L) * col("n"), "a")
+            .when(col("vcs") < lit(5000L) * col("n"), "b")
+            .when(col("vcs") < lit(7500L) * col("n"), "c")
+            .otherwise("d"))
+      seg.groupBy("user_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("seg"), col("letter")))),
+          x => x("letter")), "").as("sax_word"),
+          sum("n").as("n_events"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events), o AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn, count(*) OVER (PARTITION BY user_id) AS cnt FROM ev), sg AS (SELECT user_id, CAST(((rn - 1) * 4) // cnt AS INTEGER) AS seg, count(*) AS n, CAST(sum(vc) AS BIGINT) AS vcs FROM o GROUP BY 1, 2), lt AS (SELECT user_id, seg, n, CASE WHEN vcs < 2500 * n THEN 'a' WHEN vcs < 5000 * n THEN 'b' WHEN vcs < 7500 * n THEN 'c' ELSE 'd' END AS letter FROM sg) SELECT user_id, string_agg(letter, '' ORDER BY seg) AS sax_word, CAST(sum(n) AS BIGINT) AS n_events FROM lt GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(rollingDau, attribution, firstLast, snapshotDiff, cohortRevenue,
+      rfmSegments, paaSax)
 }
