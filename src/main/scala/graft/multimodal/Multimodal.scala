@@ -89,6 +89,29 @@ object Multimodal {
     }.toDF("media_id", "n_samples", "sample_sum", "sample_min", "sample_max")
   }
 
+  /** Perceptual-hash bands from the 8×8 resize grid: bit k is set iff
+    * sample k is strictly above the grid mean (integer-exact: v·64 >
+    * Σv), packed into four 16-bit band values — the pHash layout that
+    * lets near-dup search bucket on band equality and verify by Hamming
+    * distance. Runs on the same stub resampler as [[resizeThumb]]; a
+    * real deployment swaps the sampling for DCT coefficients and keeps
+    * the banding unchanged. */
+  def phashBands(media: Dataset[Media], side: Int = 8): DataFrame = {
+    import media.sparkSession.implicits._
+    val n = side * side
+    media.map { m =>
+      val len = m.payload.length
+      val s =
+        if (len == 0) Array.fill(n)(0L)
+        else Array.tabulate(n)(k => (m.payload((k.toLong * len / n).toInt) & 0xff).toLong)
+      val total = s.sum
+      val bits = s.map(v => if (v * n > total) 1 else 0)
+      val bands = Array.tabulate(4)(j =>
+        (0 until 16).foldLeft(0)((acc, i) => acc | (bits(16 * j + i) << i)))
+      (m.media_id, bands(0), bands(1), bands(2), bands(3))
+    }.toDF("media_id", "b0", "b1", "b2", "b3")
+  }
+
   /** Feature extraction to a fixed-width embedding (byte histogram — the
     * stub for a vision-model embedding; schema matches `embeddings`). */
   def featurize(media: Dataset[Media], dim: Int = 16): DataFrame = {

@@ -786,12 +786,58 @@ object ParsingOps {
       .orderBy("media_id"),
     Some("""WITH d AS (SELECT doc_id AS media_id, text, length(text) AS len FROM documents), smp AS (SELECT media_id, CAST(ascii(substring(text, CAST((k * len) // 64 AS INTEGER) + 1, 1)) AS BIGINT) AS v FROM d, (SELECT unnest(generate_series(0, 63)) AS k)) SELECT media_id, CAST(count(*) AS BIGINT) AS n_samples, CAST(sum(v) AS BIGINT) AS sample_sum, min(v) AS sample_min, max(v) AS sample_max FROM smp GROUP BY 1 ORDER BY 1"""))
 
+  /** Perceptual-hash near-dup over the media table: 64-bit pHash (from
+    * the stub resize grid) split into four 16-bit bands; candidates are
+    * pairs sharing ANY band bucket (the Hamming-space LSH guarantee:
+    * distance ≤ 3 forces a band collision), verified by exact Hamming
+    * distance ≤ 6, then folded to a per-media near-dup degree. The same
+    * band-bucket + verify discipline as dedup_minhash — never all-pairs —
+    * including the hot-bucket cutoff (bucket > 64 members is boilerplate
+    * banding, dropped before the join) that keeps a constant-band corpus
+    * from going quadratic. Scale: one typed decode pass, banded
+    * self-join, pair-bounded verify against the broadcast-sized hash
+    * table. */
+  private lazy val mmPhash = GraftQuery(
+    "mm_phash_dedup",
+    "multimodal: banded pHash near-dup candidates, Hamming-verified",
+    (s, d) => {
+      val ph = graft.PersistCache.getOrBuild(s, s"mm_phash:$d") {
+        graft.multimodal.Multimodal.phashBands(
+          graft.multimodal.Multimodal.mediaTable(s, d))
+      }
+      val bands = ph.select(col("media_id"),
+          posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+        .toDF("media_id", "bj", "bv")
+      val ok = bands.groupBy("bj", "bv").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= 64).select("bj", "bv")
+      val bb = bands.join(ok, Seq("bj", "bv"))
+      val cand = bb.toDF("bj", "bv", "ma")
+        .join(bb.toDF("bj", "bv", "mb"), Seq("bj", "bv"))
+        .filter(col("ma") < col("mb")).select("ma", "mb").distinct()
+      val hd = cand
+        .join(ph.toDF("ma", "a0", "a1", "a2", "a3"), Seq("ma"))
+        .join(ph.toDF("mb", "c0", "c1", "c2", "c3"), Seq("mb"))
+        .filter(
+          bit_count(col("a0").bitwiseXOR(col("c0"))) +
+            bit_count(col("a1").bitwiseXOR(col("c1"))) +
+            bit_count(col("a2").bitwiseXOR(col("c2"))) +
+            bit_count(col("a3").bitwiseXOR(col("c3"))) <= 6)
+      val near = hd.select(col("ma").as("media_id"))
+        .union(hd.select(col("mb").as("media_id")))
+        .groupBy("media_id").agg(count(lit(1)).as("n_near"))
+      ph.join(near, Seq("media_id"), "left")
+        .select(col("media_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"))
+        .orderBy("media_id")
+    },
+    Some("""WITH d AS (SELECT doc_id AS media_id, text, length(text) AS len FROM documents), smp AS (SELECT media_id, k, CAST(CASE WHEN len = 0 THEN 0 ELSE ascii(substring(text, CAST((k * len) // 64 AS INTEGER) + 1, 1)) END AS BIGINT) AS v FROM d, (SELECT unnest(generate_series(0, 63)) AS k)), tot AS (SELECT media_id, sum(v) AS s FROM smp GROUP BY 1), bits AS (SELECT smp.media_id, k, CASE WHEN v * 64 > s THEN 1 ELSE 0 END AS bit FROM smp JOIN tot USING (media_id)), bands AS (SELECT media_id, CAST(k // 16 AS INTEGER) AS bj, CAST(sum(bit * (1 << CAST(k % 16 AS INTEGER))) AS INTEGER) AS bv FROM bits GROUP BY 1, 2), ph AS (SELECT media_id, max(CASE WHEN bj = 0 THEN bv END) AS b0, max(CASE WHEN bj = 1 THEN bv END) AS b1, max(CASE WHEN bj = 2 THEN bv END) AS b2, max(CASE WHEN bj = 3 THEN bv END) AS b3 FROM bands GROUP BY 1), ok AS (SELECT bj, bv FROM bands GROUP BY 1, 2 HAVING count(*) <= 64), bb AS (SELECT bands.* FROM bands JOIN ok USING (bj, bv)), cand AS (SELECT DISTINCT a.media_id AS ma, b.media_id AS mb FROM bb a JOIN bb b ON a.bj = b.bj AND a.bv = b.bv AND a.media_id < b.media_id), hd AS (SELECT ma, mb FROM cand JOIN ph pa ON pa.media_id = ma JOIN ph pb ON pb.media_id = mb WHERE bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1)) + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3)) <= 6), nn AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_near FROM (SELECT ma AS media_id FROM hd UNION ALL SELECT mb FROM hd) GROUP BY 1) SELECT ph.media_id, b0, b1, b2, b3, coalesce(nn.n_near, 0) AS n_near FROM ph LEFT JOIN nn USING (media_id) ORDER BY media_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     csvRoundtrip, jsonStruct, jsonInferred, dateConstruct, sqlMultikeyJoin,
     mvCascade, sqlCtas, mmDecode, partitionPruned, dppPrune, mmFrameSample,
     qaProfile, qaProfileHll, qaExpectations, scd2Merge, mvIncrementalAgg,
     qaTableChecksum, qaRefIntegrity, qaKeySkew, mvCompactCdc, qaCovMatrix,
-    qaLabelGini, qaEquidepthHist, mmResize, scd2Asof)
+    qaLabelGini, qaEquidepthHist, mmResize, scd2Asof, mmPhash)
 
   /** Time-travel READ over the SCD2 dimension — "the dimension as of
     * 2024-07-01": for each key, exactly the one version whose

@@ -868,11 +868,16 @@ object RelationalOps {
     "rel_basket_lift",
     "within-order brand-pair support + lift (market-basket association)",
     (s, d) => {
-      val ob = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
-          col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
-        .distinct()
+      // The (order, brand) set feeds four consumers (total, per-brand
+      // counts, both self-join sides) — materialize it once per session
+      // like the other stored artifacts instead of four fact scans.
+      val ob = graft.PersistCache.getOrBuild(s, s"basket_ob:$d") {
+        Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+          .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+          .distinct()
+      }
       val tot = ob.agg(countDistinct("ok").as("n_ord"))
       val brandCnt = ob.groupBy("brand").agg(count(lit(1)).as("bc"))
       val pairs = ob.toDF("ok", "brand_a")

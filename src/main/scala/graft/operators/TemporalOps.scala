@@ -240,7 +240,33 @@ object TemporalOps {
     },
     Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events), o AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn, count(*) OVER (PARTITION BY user_id) AS cnt FROM ev), sg AS (SELECT user_id, CAST(((rn - 1) * 4) // cnt AS INTEGER) AS seg, count(*) AS n, CAST(sum(vc) AS BIGINT) AS vcs FROM o GROUP BY 1, 2), lt AS (SELECT user_id, seg, n, CASE WHEN vcs < 2500 * n THEN 'a' WHEN vcs < 5000 * n THEN 'b' WHEN vcs < 7500 * n THEN 'c' ELSE 'd' END AS letter FROM sg) SELECT user_id, string_agg(letter, '' ORDER BY seg) AS sax_word, CAST(sum(n) AS BIGINT) AS n_events FROM lt GROUP BY 1 ORDER BY 1"""))
 
+  /** Turning-point census: per user, how many events are strict local
+    * minima (both neighbors higher) or maxima (both neighbors lower) in
+    * the time-ordered value series — the MATCH_RECOGNIZE-lite shape
+    * detection (V / peak patterns) done with one lag + one lead over one
+    * user-keyed shuffle. Comparisons are on exact centi integers; series
+    * edges (NULL neighbor) count as no turn. */
+  private val turningPoints = GraftQuery(
+    "win_turning_points",
+    "per-user strict local-minima/maxima census of the value series",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          centi(col("value")).as("vc"))
+        .withColumn("pv", lag("vc", 1).over(w))
+        .withColumn("nx", lead("vc", 1).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("pv") > col("vc") && col("nx") > col("vc"), 1L)
+            .otherwise(0L)).as("n_valleys"),
+          sum(when(col("pv") < col("vc") && col("nx") < col("vc"), 1L)
+            .otherwise(0L)).as("n_peaks"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events), o AS (SELECT *, lag(vc) OVER w AS pv, lead(vc) OVER w AS nx FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)) SELECT user_id, count(*) AS n_events, CAST(sum(CASE WHEN pv > vc AND nx > vc THEN 1 ELSE 0 END) AS BIGINT) AS n_valleys, CAST(sum(CASE WHEN pv < vc AND nx < vc THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks FROM o GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] =
     Seq(rollingDau, attribution, firstLast, snapshotDiff, cohortRevenue,
-      rfmSegments, paaSax)
+      rfmSegments, paaSax, turningPoints)
 }
