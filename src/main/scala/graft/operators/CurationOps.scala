@@ -415,9 +415,41 @@ object CurationOps {
       Seq("documents"), sparkSql, duckSql)
   }
 
+  /** Differential-privacy-style noised count release: per (source, lang)
+    * doc counts plus two-sided GEOMETRIC noise — the discrete-Laplace
+    * mechanism shape — derived WITHOUT logarithms (libm log is not
+    * bit-identical across engines): a Geometric(1/2) draw is the number
+    * of trailing zero bits of a hash word, ctz(h) = bit_count((h & -h)−1),
+    * and the noise is the difference of two independent draws. Everything
+    * is integer arithmetic on md5 bits, so the release is reproducible
+    * and the oracle exact. (Demo releases true n alongside; a real
+    * deployment drops it and seeds per-release.) Scale: noise is O(1)
+    * per GROUP, computed after the map-side-combined rollup. */
+  private val sampDpCounts = {
+    def ctz(h: String) =
+      s"(CASE WHEN $h = 0 THEN 32 ELSE bit_count(($h & -$h) - 1) END)"
+    def inner(h1: String, h2: String) =
+      s"""SELECT source, lang, n, CAST(${ctz("h1")} - ${ctz("h2")} AS BIGINT) AS noise
+         |FROM (SELECT source, lang, count(*) AS n, $h1 AS h1, $h2 AS h2
+         |      FROM documents GROUP BY source, lang)""".stripMargin
+    def outer(in: String) =
+      s"""SELECT source, lang, CAST(n AS BIGINT) AS n, noise,
+         |  greatest(0, CAST(n AS BIGINT) + noise) AS released
+         |FROM ($in) ORDER BY source, lang""".stripMargin
+    def sparkH(tag: String) =
+      s"CAST(conv(substring(md5(concat('$tag:', source, ':', lang)), 1, 8), 16, 10) AS BIGINT)"
+    def duckH(tag: String) =
+      graft.functions.GraftFunctions.md5u32Sql(s"md5('$tag:' || source || ':' || lang)")
+    q("samp_dp_counts",
+      "noised count release: discrete two-sided-geometric noise from md5 bits",
+      Seq("documents"),
+      outer(inner(sparkH("dp1"), sparkH("dp2"))),
+      outer(inner(duckH("dp1"), duckH("dp2"))).replace("\n", " "))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     sampStratified, sampQuota, shufflePrefix, txtNormalize, lengthHist,
     embQuantize, sampImportance, sampWeightedReservoir, sampBalancedClasses,
     sampTemperature, sampLargestRemainder, sampSystematic,
-    sampPoissonBootstrap)
+    sampPoissonBootstrap, sampDpCounts)
 }

@@ -683,8 +683,36 @@ object SimilarityOps {
     cur.agg(sum(col("dmin").cast("decimal(28,0)")).as("i"))
       .collect().head.getDecimal(0).longValueExact()
 
+  /** Whitening TRANSFORM (the apply step over emb_dim_profile's stats):
+    * each vector component standardized to z = (x − μ_dim)/σ_dim — the
+    * preprocessing step before cosine/PCA when dimensions carry different
+    * scales. Stats come from the same integer-micro exact sums as the
+    * profile (shared microDims base), broadcast into the per-element
+    * transform; shown for the first 20 vectors so the output stays
+    * result-sized while the stats pass is corpus-wide. Scale: one
+    * map-side-combined 64-group agg + a broadcast join riding the scan —
+    * the transform itself never shuffles. */
+  private lazy val embWhitening = GraftQuery(
+    "emb_whitening",
+    "per-dim standardization transform z=(x-μ)/σ from integer-exact stats",
+    (s, d) => {
+      val md = microDims(s, d)
+      val stats = md.groupBy("dim").agg(count(lit(1)).as("n"),
+        sum("micro").as("sm"),
+        sum((col("micro") * col("micro")).cast("decimal(38,0)")).as("sm2"))
+      val mean = col("sm").cast("double") / col("n")
+      md.filter(col("vec_id") < 20)
+        .join(broadcast(stats), Seq("dim"))
+        .select(col("vec_id"), col("dim"),
+          fround((col("micro") - mean) /
+            sqrt(col("sm2").cast("double") / col("n") - mean * mean), 4)
+            .as("z"))
+        .orderBy("vec_id", "dim")
+    },
+    Some("""WITH mic AS (SELECT vec_id, dim, CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS micro FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim)), st AS (SELECT dim, count(*) AS n, CAST(sum(micro) AS BIGINT) AS sm, sum(micro * micro) AS sm2 FROM mic GROUP BY 1) SELECT vec_id, dim, floor((micro - CAST(sm AS DOUBLE) / n) / sqrt(CAST(sm2 AS DOUBLE) / n - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n)) * 1e4 + 0.5) / 1e4 AS z FROM mic JOIN st USING (dim) WHERE vec_id < 20 ORDER BY 1, 2"""))
+
   val all: Seq[GraftQuery] = Seq(knnBrute, labelStats, knnLsh, knnMatryoshka,
     embCentroids, embDimProfile, embAssignPurity, dedupSemantic,
     embPrototypicality, simHubness, hardNegatives, embKmeansStep,
-    embSimHistogram, embPcaPower, embPcaVar, embKmeansppSeed)
+    embSimHistogram, embPcaPower, embPcaVar, embKmeansppSeed, embWhitening)
 }

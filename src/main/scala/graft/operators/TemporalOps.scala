@@ -266,7 +266,49 @@ object TemporalOps {
     },
     Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events), o AS (SELECT *, lag(vc) OVER w AS pv, lead(vc) OVER w AS nx FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)) SELECT user_id, count(*) AS n_events, CAST(sum(CASE WHEN pv > vc AND nx > vc THEN 1 ELSE 0 END) AS BIGINT) AS n_valleys, CAST(sum(CASE WHEN pv < vc AND nx < vc THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks FROM o GROUP BY 1 ORDER BY 1"""))
 
+  /** Stationary distribution of the event-type Markov chain: the 5×5
+    * transition matrix (from consecutive same-user event pairs — one
+    * corpus-wide window pass) power-iterated 8 steps from the uniform
+    * vector, ENTIRELY inside one declarative plan. The matrix collapses
+    * to a single row of 25 exact-count columns, so each iteration is a
+    * projection over that row — no driver collect, no loop of jobs — and
+    * both engines evaluate the SAME generated expression text
+    * (term-order-identical double arithmetic), which is what makes an
+    * iterated float computation hash-stable. Scale: the only corpus-sized
+    * work is the pair extraction; 8 iterations on a 1-row frame are free. */
+  private val markovStationary = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val n = types.size
+    val cTerms = (for (i <- 0 until n; j <- 0 until n) yield
+      s"sum(CASE WHEN a = '${types(i)}' AND b = '${types(j)}' THEN 1 ELSE 0 END) AS c_${i}_$j") ++
+      (0 until n).map(i => s"sum(CASE WHEN a = '${types(i)}' THEN 1 ELSE 0 END) AS r_$i")
+    val pTerms = for (i <- 0 until n; j <- 0 until n) yield
+      s"CAST(c_${i}_$j AS DOUBLE) / r_$i AS p_${i}_$j"
+    def iter(k: Int): String = {
+      def prev(i: Int) = if (k == 1) "0.2" else s"pi${k - 1}_$i"
+      val cols = (0 until n).map(j =>
+        (0 until n).map(i => s"${prev(i)} * p_${i}_$j").mkString(" + ") +
+          s" AS pi${k}_$j")
+      s"i$k AS (SELECT *, ${cols.mkString(", ")} FROM ${if (k == 1) "p" else s"i${k - 1}"})"
+    }
+    val finalSel = (0 until n).map(j =>
+      s"SELECT '${types(j)}' AS event_type, floor(pi8_$j * 1e6 + 0.5) / 1e6 AS pi FROM i8")
+      .mkString(" UNION ALL ")
+    def sql(us: String): String =
+      s"WITH ev AS (SELECT user_id, event_id, $us AS us, event_type FROM events), " +
+        "pr AS (SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS a, event_type AS b FROM ev), " +
+        s"c AS (SELECT ${cTerms.mkString(", ")} FROM pr WHERE a IS NOT NULL), " +
+        s"p AS (SELECT ${pTerms.mkString(", ")} FROM c), " +
+        (1 to 8).map(iter).mkString(", ") +
+        s" SELECT * FROM ($finalSel) ORDER BY event_type"
+    GraftQuery(
+      "evt_markov_stationary",
+      "8-step power iteration to the event-type chain's stationary vector",
+      (s, d) => { Tables.register(s, d, Seq("events")); s.sql(sql("unix_micros(ts)")) },
+      Some(sql("epoch_us(CAST(ts AS TIMESTAMP))")))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(rollingDau, attribution, firstLast, snapshotDiff, cohortRevenue,
-      rfmSegments, paaSax, turningPoints)
+      rfmSegments, paaSax, turningPoints, markovStationary)
 }
