@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
+import graft.functions.GraftFunctions.fround
 
 /** Iterative graph analytics over relationship edges mined from the fact
   * tables — the second graph primitive next to DedupOps.connectedComponents
@@ -280,6 +281,41 @@ object GraphOps {
     },
     Some("""WITH e0 AS (SELECT a AS src, b AS dst FROM (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b FROM lineitem JOIN orders ON l_orderkey = o_orderkey) UNION ALL SELECT b, a FROM (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b FROM lineitem JOIN orders ON l_orderkey = o_orderkey)), k1 AS (SELECT src FROM (SELECT src, count(*) AS deg FROM e0 GROUP BY 1) WHERE deg >= 3), e1 AS (SELECT e.src, e.dst FROM e0 e JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src), k2 AS (SELECT src FROM (SELECT src, count(*) AS deg FROM e1 GROUP BY 1) WHERE deg >= 3), e2 AS (SELECT e.src, e.dst FROM e1 e JOIN k2 a ON e.src = a.src JOIN k2 b ON e.dst = b.src), k3 AS (SELECT src FROM (SELECT src, count(*) AS deg FROM e2 GROUP BY 1) WHERE deg >= 3), e3 AS (SELECT e.src, e.dst FROM e2 e JOIN k3 a ON e.src = a.src JOIN k3 b ON e.dst = b.src) SELECT 0 AS round, CAST((SELECT count(DISTINCT src) FROM e0) AS BIGINT) AS n_nodes, CAST((SELECT count(*) FROM e0) // 2 AS BIGINT) AS n_edges UNION ALL SELECT 1, CAST((SELECT count(DISTINCT src) FROM e1) AS BIGINT), CAST((SELECT count(*) FROM e1) // 2 AS BIGINT) UNION ALL SELECT 2, CAST((SELECT count(DISTINCT src) FROM e2) AS BIGINT), CAST((SELECT count(*) FROM e2) // 2 AS BIGINT) UNION ALL SELECT 3, CAST((SELECT count(DISTINCT src) FROM e3) AS BIGINT), CAST((SELECT count(*) FROM e3) // 2 AS BIGINT) ORDER BY round"""))
 
+  /** Degree assortativity: the Pearson correlation of endpoint degrees
+    * across directed edge instances of the symmetric trade graph — do
+    * hubs trade with hubs (positive) or with the periphery (negative)?
+    * Degrees are exact integers, so the correlation is the usual
+    * six-exact-sums Pearson with float math only in the final ratio.
+    * Scale: degree table from one edge rollup, joined back twice keyed on
+    * the endpoint (node-sized build sides), one global six-long reduce —
+    * no edge-squared blowup anywhere. */
+  private lazy val assortativity = GraftQuery(
+    "graph_assortativity",
+    "degree assortativity (endpoint-degree Pearson r) of the trade graph",
+    (s, d) => {
+      val e = symEdges(s, d)
+      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      e.join(deg.toDF("src", "ds"), Seq("src"))
+        .join(deg.toDF("dst", "dt"), Seq("dst"))
+        .agg(count(lit(1)).as("m"), sum("ds").as("sx"), sum("dt").as("sy"),
+          sum(col("ds") * col("ds")).as("sxx"),
+          sum(col("ds") * col("dt")).as("sxy"),
+          sum(col("dt") * col("dt")).as("syy"))
+        .select((col("m") / 2).cast("long").as("n_edges"),
+          // products in decimal(38,0): hub degrees square into m·sxx
+          // terms that pass 2^63 around 100× sf0.1 — 128-bit keeps the
+          // Pearson exact there (the oracle's HUGEINT arithmetic is the
+          // same widening)
+          fround((col("m").cast("decimal(38,0)") * col("sxy") -
+            col("sx").cast("decimal(38,0)") * col("sy")).cast("double") /
+            sqrt((col("m").cast("decimal(38,0)") * col("sxx") -
+              col("sx").cast("decimal(38,0)") * col("sx")).cast("double") *
+              (col("m").cast("decimal(38,0)") * col("syy") -
+                col("sy").cast("decimal(38,0)") * col("sy")).cast("double")), 6)
+            .as("assortativity"))
+    },
+    Some("""WITH b AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT a AS src, b AS dst FROM b UNION ALL SELECT b, a FROM b), dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1), j AS (SELECT da.deg AS ds, db.deg AS dt FROM e JOIN dg da ON e.src = da.src JOIN dg db ON e.dst = db.src), g AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(ds) AS BIGINT) AS sx, CAST(sum(dt) AS BIGINT) AS sy, CAST(sum(ds * ds) AS BIGINT) AS sxx, CAST(sum(ds * dt) AS BIGINT) AS sxy, CAST(sum(dt * dt) AS BIGINT) AS syy FROM j) SELECT m // 2 AS n_edges, floor(CAST(m * sxy - sx * sy AS DOUBLE) / sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * CAST(m * syy - sy * sy AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS assortativity FROM g"""))
+
   val all: Seq[GraftQuery] = Seq(pagerank, degreeStats, twoHop, bipartiteProj,
-    neighborJaccard, kCore)
+    neighborJaccard, kCore, assortativity)
 }

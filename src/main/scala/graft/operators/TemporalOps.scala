@@ -308,7 +308,74 @@ object TemporalOps {
       Some(sql("epoch_us(CAST(ts AS TIMESTAMP))")))
   }
 
+  /** Offline single-changepoint locator per event type: the day t*
+    * maximizing |S_t − (t/N)·S_N| over the daily-total series (the CUSUM
+    * deviation-from-trend statistic), computed scale-free as the INTEGER
+    * |N·S_t − t·S_N| so the argmax never compares floats. One keyed
+    * day-rollup, one per-type cumulative window, one top-1 per type
+    * (row_number, day tiebreak). The reported magnitude is normalized
+    * back to value units only at the output edge. */
+  private val changepoint = GraftQuery(
+    "evt_changepoint",
+    "per-type CUSUM changepoint day over daily value totals",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("day"))
+        .agg(sum(centi(col("value"))).as("vc"))
+      val wc = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy("event_type")
+      val scored = daily
+        .withColumn("t", row_number().over(
+          Window.partitionBy("event_type").orderBy("day")))
+        .withColumn("st", sum("vc").over(wc))
+        .withColumn("nn", count(lit(1)).over(wt))
+        .withColumn("sn", sum("vc").over(wt))
+        .withColumn("dev", abs(col("nn") * col("st") - col("t") * col("sn")))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(desc("dev"), col("day"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("cp_day"),
+          fround(col("dev").cast("double") / col("nn") / col("nn") / 100.0, 4)
+            .as("cusum_stat"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS vc FROM events GROUP BY 1, 2), c AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS t, sum(vc) OVER (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) AS st, count(*) OVER (PARTITION BY event_type) AS nn, sum(vc) OVER (PARTITION BY event_type) AS sn FROM daily), s AS (SELECT *, abs(nn * st - t * sn) AS dev FROM c), r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev DESC, day) AS rk FROM s) SELECT event_type, day AS cp_day, floor(CAST(dev AS DOUBLE) / nn / nn / 100.0 * 1e4 + 0.5) / 1e4 AS cusum_stat FROM r WHERE rk = 1 ORDER BY 1"""))
+
+  /** Lag-1 autocorrelation of each event type's time-ordered value
+    * series — the "is this metric momentum or noise" diagnostic — via the
+    * same exact-sufficient-statistics discipline as qa_ols_trend: lag
+    * pairs from ONE type-keyed window pass, six integer sums, float math
+    * only in the final Pearson ratio. */
+  private val autocorr = GraftQuery(
+    "evt_autocorr",
+    "per-type lag-1 autocorrelation from exact integer sums",
+    (s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("us", "event_id")
+      Tables.events(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
+          col("event_id"), centi(col("value")).as("y"))
+        .withColumn("x", lag("y", 1).over(w))
+        .filter(col("x").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("m"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("m"),
+          fround((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("m") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+            .as("r1"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS y FROM events), l AS (SELECT event_type, y, lag(y) OVER (PARTITION BY event_type ORDER BY us, event_id) AS x FROM ev), g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(y * y) AS BIGINT) AS syy FROM l WHERE x IS NOT NULL GROUP BY 1) SELECT event_type, m, floor(CAST(m * sxy - sx * sy AS DOUBLE) / sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * CAST(m * syy - sy * sy AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS r1 FROM g ORDER BY 1"""))
+
   val all: Seq[GraftQuery] =
     Seq(rollingDau, attribution, firstLast, snapshotDiff, cohortRevenue,
-      rfmSegments, paaSax, turningPoints, markovStationary)
+      rfmSegments, paaSax, turningPoints, markovStationary, changepoint,
+      autocorr)
 }
