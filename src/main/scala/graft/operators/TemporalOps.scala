@@ -291,21 +291,31 @@ object TemporalOps {
           s" AS pi${k}_$j")
       s"i$k AS (SELECT *, ${cols.mkString(", ")} FROM ${if (k == 1) "p" else s"i${k - 1}"})"
     }
-    val finalSel = (0 until n).map(j =>
-      s"SELECT '${types(j)}' AS event_type, floor(pi8_$j * 1e6 + 0.5) / 1e6 AS pi FROM i8")
-      .mkString(" UNION ALL ")
-    def sql(us: String): String =
+    // Final unpivot differs by engine ON PURPOSE: a UNION ALL of 5 selects
+    // over the CTE would be INLINED 5× by Catalyst (5 corpus scans), so
+    // the Spark side rides stack() over one i8 row; the rounding
+    // arithmetic text is identical, so the values still match the
+    // oracle's UNION ALL form bit-for-bit.
+    def rounded(j: Int) = s"floor(pi8_$j * 1e6 + 0.5) / 1e6"
+    val sparkFinal = "SELECT event_type, pi FROM (SELECT stack(" + n + ", " +
+      (0 until n).map(j => s"'${types(j)}', ${rounded(j)}").mkString(", ") +
+      ") AS (event_type, pi) FROM i8) ORDER BY event_type"
+    val duckFinal = "SELECT * FROM (" +
+      (0 until n).map(j =>
+        s"SELECT '${types(j)}' AS event_type, ${rounded(j)} AS pi FROM i8")
+        .mkString(" UNION ALL ") + ") ORDER BY event_type"
+    def sql(us: String, finalSel: String): String =
       s"WITH ev AS (SELECT user_id, event_id, $us AS us, event_type FROM events), " +
         "pr AS (SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS a, event_type AS b FROM ev), " +
         s"c AS (SELECT ${cTerms.mkString(", ")} FROM pr WHERE a IS NOT NULL), " +
         s"p AS (SELECT ${pTerms.mkString(", ")} FROM c), " +
-        (1 to 8).map(iter).mkString(", ") +
-        s" SELECT * FROM ($finalSel) ORDER BY event_type"
+        (1 to 8).map(iter).mkString(", ") + " " + finalSel
     GraftQuery(
       "evt_markov_stationary",
       "8-step power iteration to the event-type chain's stationary vector",
-      (s, d) => { Tables.register(s, d, Seq("events")); s.sql(sql("unix_micros(ts)")) },
-      Some(sql("epoch_us(CAST(ts AS TIMESTAMP))")))
+      (s, d) => { Tables.register(s, d, Seq("events"))
+        s.sql(sql("unix_micros(ts)", sparkFinal)) },
+      Some(sql("epoch_us(CAST(ts AS TIMESTAMP))", duckFinal)))
   }
 
   /** Offline single-changepoint locator per event type: the day t*

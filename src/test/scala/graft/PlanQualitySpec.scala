@@ -316,7 +316,11 @@ class PlanQualitySpec extends AnyFunSuite {
       "qa_equidepth_hist",   // bin edges over the 9-quantile row set
       "txt_ppl_buckets",     // tercile cuts over the 15-row bucket table
       "samp_largest_remainder", // remainder ranking over the source dim
-      "emb_prototypicality") // row_number over the 20-row top-K prefix
+      "emb_prototypicality", // row_number over the 20-row top-K prefix
+      "pipe_rfm_segments")   // exact quintile ntiles over the CUSTOMER
+                             // rollup (orders of magnitude below the
+                             // fact); the op's doc names
+                             // approx_percentile as the true-scale swap
     val offenders = SparkEntry.registry.flatMap { q =>
       val unpartitioned =
         try {
@@ -410,5 +414,35 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(windowNodes(exec).exists(_.partitionSpec.nonEmpty),
       "the corpus-side row_number must partition by bucket")
     assert(exec.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("basket lift serves its four consumers from the materialized (order, brand) set") {
+    val p = plan("rel_basket_lift")
+    assert(p.contains("InMemoryTableScan"),
+      s"the order-brand set must be persisted, not re-derived per consumer:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000)) // brand counts + scalar total
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("pHash near-dup pairs only inside band buckets, never all-pairs") {
+    val p = plan("mm_phash_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be the banded equi-join:\n${p.take(2000)}")
+    assert(p.contains("InMemoryTableScan"),
+      s"the hash table must come from the persisted decode pass:\n${p.take(2000)}")
+  }
+
+  test("cohort revenue: the window min rides a partitioned spec (no global window)") {
+    val df = SparkEntry.queries("evt_cohort_revenue")(spark, sf)
+    val exec = df.queryExecution.executedPlan
+    assert(windowNodes(exec).nonEmpty && windowNodes(exec).forall(_.partitionSpec.nonEmpty),
+      "cohort-month derivation must partition by customer")
+  }
+
+  test("markov stationary: ONE corpus scan feeds the whole 8-step iteration") {
+    val p = plan("evt_markov_stationary")
+    val scans = "(?i)scan parquet".r.findAllIn(p).size
+    assert(scans <= 1,
+      s"the stacked final select must not inline the corpus CTE per type ($scans scans):\n${p.take(2000)}")
   }
 }
