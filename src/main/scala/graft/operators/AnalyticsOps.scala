@@ -881,8 +881,45 @@ object AnalyticsOps {
     },
     Some("""WITH ev AS (SELECT CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 AS INTEGER) AS dow, CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS INTEGER) AS hr, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events), c AS (SELECT dow, hr, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(vc) AS BIGINT) AS vcs FROM ev GROUP BY 1, 2), t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(cnt) AS BIGINT) AS s1, CAST(sum(cnt * cnt) AS BIGINT) AS s2 FROM c) SELECT dow, hr, cnt, floor(CAST(vcs AS DOUBLE) / cnt / 100.0 * 1e4 + 0.5) / 1e4 AS avg_value, floor(CAST(k * cnt - s1 AS DOUBLE) / sqrt(CAST(k * s2 - s1 * s1 AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS count_z FROM c CROSS JOIN t ORDER BY 1, 2"""))
 
+  /** Seasonal anomaly top-20: each event scored against ITS (dow, hour)
+    * cell's mean/σ (the cal_seasonality baseline applied back to the
+    * stream), ranked by |z|. The cell stats are exact integer sums
+    * broadcast into the scoring pass, so every z is the same double in
+    * both engines; the top-k is a TakeOrderedAndProject heap, never a
+    * global sort. The anomaly-detection READ path over the profile the
+    * grid query materializes. */
+  private lazy val calSeasonalAnomaly = GraftQuery(
+    "cal_seasonal_anomaly",
+    "top-20 |z| events vs their dow×hour seasonal cell baseline",
+    (s, d) => {
+      val us = unix_micros(col("ts"))
+      val ev = Tables.events(s, d)
+        .select(col("event_id"),
+          ((floor(us / lit(86400000000L)) + 4) % 7).cast("int").as("dow"),
+          (floor(us / lit(3600000000L)) % 24).cast("int").as("hr"),
+          centi(col("value")).as("vc"))
+      // a cell is a usable baseline only with ≥4 samples and positive
+      // variance (integer-exact test); sparse-SF cells would otherwise
+      // divide by σ=0
+      val cells = ev.groupBy("dow", "hr")
+        .agg(count(lit(1)).as("n"), sum("vc").as("s1"),
+          sum(col("vc") * col("vc")).as("s2"))
+        .filter(col("n") >= 4 &&
+          col("n") * col("s2") > col("s1") * col("s1"))
+      val mean = col("s1").cast("double") / col("n")
+      ev.join(broadcast(cells), Seq("dow", "hr"))
+        .select(col("event_id"), col("dow"), col("hr"),
+          fround(col("vc").cast("double") / 100.0, 2).as("value"),
+          fround((col("vc") - mean) /
+            sqrt(col("s2").cast("double") / col("n") - mean * mean), 4)
+            .as("z"))
+        .orderBy(abs(col("z")).desc, col("event_id"))
+        .limit(20)
+    },
+    Some("""WITH ev AS (SELECT event_id, CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 AS INTEGER) AS dow, CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS INTEGER) AS hr, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events), c AS (SELECT dow, hr, CAST(count(*) AS BIGINT) AS n, CAST(sum(vc) AS BIGINT) AS s1, CAST(sum(vc * vc) AS BIGINT) AS s2 FROM ev GROUP BY 1, 2 HAVING count(*) >= 4 AND count(*) * sum(vc * vc) > sum(vc) * sum(vc)) SELECT * FROM (SELECT event_id, dow, hr, floor(CAST(vc AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS value, floor((vc - CAST(s1 AS DOUBLE) / n) / sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) * 1e4 + 0.5) / 1e4 AS z FROM ev JOIN c USING (dow, hr)) ORDER BY abs(z) DESC, event_id LIMIT 20"""))
+
   val all: Seq[GraftQuery] = Seq(
-    qaOlsTrend, calSeasonality,
+    qaOlsTrend, calSeasonality, calSeasonalAnomaly,
     winSession, winLagLead, aggPercentiles, aggCorr, jSkewSalted, txtTfidf,
     aggStatsOnepass, aggPivot, winSessionNative, aggApproxPercentile,
     aggArgExtremes, aggMapHistogram, aggMultiDistinct, aggHllRollup,

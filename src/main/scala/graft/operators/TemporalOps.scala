@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
@@ -384,8 +384,49 @@ object TemporalOps {
     },
     Some("""WITH ev AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS y FROM events), l AS (SELECT event_type, y, lag(y) OVER (PARTITION BY event_type ORDER BY us, event_id) AS x FROM ev), g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(y * y) AS BIGINT) AS syy FROM l WHERE x IS NOT NULL GROUP BY 1) SELECT event_type, m, floor(CAST(m * sxy - sx * sy AS DOUBLE) / sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * CAST(m * syy - sy * sy AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS r1 FROM g ORDER BY 1"""))
 
+  /** Inter-arrival-gap histogram: per-user event gaps bucketed into 7
+    * fixed log-ish time bands (<1s … ≥6h) with count and exact-mean gap —
+    * the burstiness fingerprint behind rate limiting and session-gap
+    * tuning (the 30-min session threshold in win_session sits between
+    * bands 4 and 5). Gaps are integer microseconds off one user-keyed
+    * lag pass; bucketing is pure integer comparison. Scale: one keyed
+    * shuffle, then a 7-group rollup. */
+  private val gapHistogram = {
+    val edges = Seq(1000000L, 10000000L, 60000000L, 600000000L,
+      3600000000L, 21600000000L)
+    val labels = Seq("lt_1s", "lt_10s", "lt_1m", "lt_10m", "lt_1h", "lt_6h",
+      "ge_6h")
+    GraftQuery(
+      "evt_gap_histogram",
+      "per-user inter-arrival gaps bucketed into 7 time bands",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val gaps = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("gap", col("us") - lag("us", 1).over(w))
+          .filter(col("gap").isNotNull)
+        val bucket = edges.zipWithIndex.foldRight(
+          lit(edges.size).cast("int")) { case ((e, i), rest) =>
+          when(col("gap") < e, lit(i).cast("int")).otherwise(rest)
+        }
+        val label = labels.zipWithIndex
+          .foldLeft(lit(""): Column) { case (acc, (l, i)) =>
+            when(col("bucket") === i, lit(l)).otherwise(acc)
+          }
+        gaps.withColumn("bucket", bucket)
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_gaps"), sum("gap").as("gap_us"))
+          .withColumn("band", label)
+          .select(col("bucket"), col("band"), col("n_gaps"),
+            fround(col("gap_us").cast("double") / col("n_gaps") / 1000000.0, 3)
+              .as("mean_gap_s"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), g AS (SELECT us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap FROM ev), b AS (SELECT CASE ${edges.zipWithIndex.map { case (e, i) => s"WHEN gap < $e THEN $i" }.mkString(" ")} ELSE ${edges.size} END AS bucket, gap FROM g WHERE gap IS NOT NULL) SELECT bucket, CASE ${labels.zipWithIndex.map { case (l, i) => s"WHEN bucket = $i THEN '$l'" }.mkString(" ")} END AS band, count(*) AS n_gaps, floor(CAST(sum(gap) AS DOUBLE) / count(*) / 1000000.0 * 1e3 + 0.5) / 1e3 AS mean_gap_s FROM b GROUP BY 1 ORDER BY 1"""))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(rollingDau, attribution, firstLast, snapshotDiff, cohortRevenue,
       rfmSegments, paaSax, turningPoints, markovStationary, changepoint,
-      autocorr)
+      autocorr, gapHistogram)
 }

@@ -905,12 +905,36 @@ object TextOps {
     },
     Some("""WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents), v AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1), v2 AS (SELECT * FROM v WHERE length(tok) >= 2), pr AS (SELECT substring(tok, i, 2) AS pair, cnt FROM (SELECT tok, cnt, unnest(generate_series(1, length(tok) - 1)) AS i FROM v2)), pc AS (SELECT pair, sum(cnt) AS pc FROM pr GROUP BY 1), top AS (SELECT pair AS top_pair FROM pc ORDER BY pc DESC, pair LIMIT 1), m AS (SELECT top_pair, replace(tok, top_pair, '~') AS mtok, cnt FROM v2, top), np AS (SELECT top_pair, substring(mtok, i, 2) AS pair, cnt FROM (SELECT top_pair, mtok, cnt, unnest(generate_series(1, length(mtok) - 1)) AS i FROM m WHERE length(mtok) >= 2)) SELECT top_pair, pair, CAST(sum(cnt) AS BIGINT) AS pair_cnt FROM np GROUP BY 1, 2 ORDER BY pair_cnt DESC, pair LIMIT 10"""))
 
+  /** Lexical-richness profile per source: vocabulary size, hapax
+    * legomena (words seen exactly once in that source) share of the
+    * vocabulary, and source-level type-token ratio — the
+    * hapax/TTR fingerprint distinguishes generated/boilerplate text
+    * (hapax-poor) from organic prose. One corpus tokenize pass, one
+    * (source, word)-keyed rollup, then a source-sized agg; all ratios
+    * derive from exact counts. */
+  private lazy val hapaxProfile = GraftQuery(
+    "txt_hapax_profile",
+    "per-source vocabulary size, hapax share, type-token ratio",
+    (s, d) => Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum("cnt").as("n_tokens"))
+      .select(col("source"), col("n_vocab"), col("n_hapax"), col("n_tokens"),
+        fround(col("n_hapax").cast("double") / col("n_vocab"), 6)
+          .as("hapax_share"),
+        fround(col("n_vocab").cast("double") / col("n_tokens"), 6).as("ttr"))
+      .orderBy("source"),
+    Some("""WITH tok AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents), wc AS (SELECT source, tok, count(*) AS cnt FROM tok GROUP BY 1, 2), g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_vocab, CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, CAST(sum(cnt) AS BIGINT) AS n_tokens FROM wc GROUP BY 1) SELECT source, n_vocab, n_hapax, n_tokens, floor(CAST(n_hapax AS DOUBLE) / n_vocab * 1e6 + 0.5) / 1e6 AS hapax_share, floor(CAST(n_vocab AS DOUBLE) / n_tokens * 1e6 + 0.5) / 1e6 AS ttr FROM g ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(tokenStats, quality, langId, fingerprint,
     topNgrams, repetition, decontaminate, boilerplate, decontaminateBloom,
     vocabTopK, vocabSketch, unigramLogprob, bpePretokenize, txtNovelty,
     pplBuckets, charEntropy, langIdConfusion, oovRate, bpePairs,
     langIdKappa, cdcChunks, cooccurrence, splitContamination, zipfFit,
-    featureHashing, bpeMergeStep, bigramLogprob)
+    featureHashing, bpeMergeStep, bigramLogprob, hapaxProfile)
 
   /** Add-1-smoothed BIGRAM-LM conditional log-prob per doc — the next
     * model class up from txt_unigram_logprob (context-conditioned token
