@@ -447,9 +447,43 @@ object CurationOps {
       outer(inner(duckH("dp1"), duckH("dp2"))).replace("\n", " "))
   }
 
+  /** Horvitz-Thompson estimation over samp_importance's kept set: the
+    * unequal-probability sample is unbiased ONLY when each kept row is
+    * reweighted by 1/p — this query closes that loop, estimating the
+    * corpus total of n_chars from the sample and reporting the exact
+    * error vs the true total. Per-row contributions n_chars/p are
+    * ROUNDED TO MICRO INTEGERS before summing (identical floor in both
+    * engines), so the estimate never depends on float summation order —
+    * the repo's fixed-point discipline applied to an estimator. Two
+    * corpus passes (sample + truth), like samp_balanced_classes. */
+  private val sampHtEstimate = GraftQuery(
+    "samp_ht_estimate",
+    "Horvitz-Thompson corpus-total estimate off the importance sample",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.functions.GraftFunctions._
+      val t = tokens(col("text"))
+      val docs = Tables.documents(s, d)
+      val kept = docs
+        .select(col("doc_id"), col("n_chars"), impWeight(t).as("w"),
+          impU01(col("doc_id")).as("u01"))
+        .filter(col("u01") < col("w"))
+        .select(col("n_chars"),
+          floor(col("n_chars") / col("w") * 1000000.0 + 0.5).cast("long")
+            .as("contrib_micro"))
+      val truth = docs.agg(sum("n_chars").as("true_total"))
+      kept.agg(count(lit(1)).as("n_kept"), sum("contrib_micro").as("cm"))
+        .crossJoin(broadcast(truth))
+        .select(col("n_kept"), col("true_total"),
+          fround(col("cm").cast("double") / 1000000.0, 2).as("ht_estimate"),
+          fround((col("cm").cast("double") / 1000000.0 - col("true_total")) /
+            col("true_total") * 1000000.0, 1).as("err_ppm"))
+    },
+    Some(s"""WITH sc AS (SELECT doc_id, n_chars, 0.2 + 0.8 * (CAST(len(list_filter(t, x -> x IN (${graft.functions.GraftFunctions.stopwordsSqlList}))) AS DOUBLE) / len(t) * 0.3 + CAST(len(list_filter(t, x -> length(x) > 4)) AS DOUBLE) / len(t) * 0.4 + (CASE WHEN len(t) BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END) * 0.3) AS w, CAST(${graft.functions.GraftFunctions.md5u32Sql("md5('imp:' || CAST(doc_id AS VARCHAR))")} AS DOUBLE) / 4294967296.0 AS u01 FROM (SELECT doc_id, n_chars, string_split(lower(text), ' ') AS t FROM documents)), k AS (SELECT CAST(floor(n_chars / w * 1000000.0 + 0.5) AS BIGINT) AS contrib_micro FROM sc WHERE u01 < w), agg AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(contrib_micro) AS BIGINT) AS cm FROM k), t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS true_total FROM documents) SELECT n_kept, true_total, floor(CAST(cm AS DOUBLE) / 1000000.0 * 100.0 + 0.5) / 100.0 AS ht_estimate, floor((CAST(cm AS DOUBLE) / 1000000.0 - true_total) / true_total * 1000000.0 * 10.0 + 0.5) / 10.0 AS err_ppm FROM agg CROSS JOIN t"""))
+
   val all: Seq[GraftQuery] = Seq(
     sampStratified, sampQuota, shufflePrefix, txtNormalize, lengthHist,
     embQuantize, sampImportance, sampWeightedReservoir, sampBalancedClasses,
     sampTemperature, sampLargestRemainder, sampSystematic,
-    sampPoissonBootstrap, sampDpCounts)
+    sampPoissonBootstrap, sampDpCounts, sampHtEstimate)
 }

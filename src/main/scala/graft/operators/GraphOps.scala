@@ -316,6 +316,39 @@ object GraphOps {
     },
     Some("""WITH b AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT a AS src, b AS dst FROM b UNION ALL SELECT b, a FROM b), dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1), j AS (SELECT da.deg AS ds, db.deg AS dt FROM e JOIN dg da ON e.src = da.src JOIN dg db ON e.dst = db.src), g AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(ds) AS BIGINT) AS sx, CAST(sum(dt) AS BIGINT) AS sy, CAST(sum(ds * ds) AS BIGINT) AS sxx, CAST(sum(ds * dt) AS BIGINT) AS sxy, CAST(sum(dt * dt) AS BIGINT) AS syy FROM j) SELECT m // 2 AS n_edges, floor(CAST(m * sxy - sx * sy AS DOUBLE) / sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * CAST(m * syy - sy * sy AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS assortativity FROM g"""))
 
+  /** Newman modularity of the NATION partition over the trade graph: per
+    * nation, the within-community directed-edge count e_c, degree mass
+    * d_c, and contribution e_c/|E| − (d_c/|E|)² — "do customers trade
+    * with their own nation's suppliers more than degree chance
+    * predicts?". The node→nation map is a dimension-sized broadcast into
+    * the edge list (twice, src and dst); everything else is exact integer
+    * sums with floats only in the per-nation ratio. Scale: two broadcast
+    * joins riding the cached edge scan + one 25-group rollup. */
+  private lazy val modularity = GraftQuery(
+    "graph_modularity",
+    "per-nation modularity contribution over the trade graph",
+    (s, d) => {
+      val nodes = Tables.customer(s, d)
+        .select((col("c_custkey") * 2).as("id"), col("c_nationkey").as("nat"))
+        .union(Tables.supplier(s, d)
+          .select((col("s_suppkey") * 2 + 1).as("id"),
+            col("s_nationkey").as("nat")))
+      val e = symEdges(s, d)
+        .join(broadcast(nodes.toDF("src", "nat_s")), Seq("src"))
+        .join(broadcast(nodes.toDF("dst", "nat_d")), Seq("dst"))
+      val per = e.groupBy(col("nat_s").as("nation"))
+        .agg(count(lit(1)).as("d_c"),
+          sum(when(col("nat_s") === col("nat_d"), 1L).otherwise(0L)).as("e_c"))
+      val tot = per.agg(sum("d_c").as("m2"))
+      per.crossJoin(broadcast(tot))
+        .select(col("nation"), col("d_c"), col("e_c"),
+          fround(col("e_c").cast("double") / col("m2") -
+            (col("d_c").cast("double") / col("m2")) *
+              (col("d_c").cast("double") / col("m2")), 8).as("q_contrib"))
+        .orderBy("nation")
+    },
+    Some("""WITH b AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT a AS src, b AS dst FROM b UNION ALL SELECT b, a FROM b), nodes AS (SELECT c_custkey * 2 AS id, c_nationkey AS nat FROM customer UNION ALL SELECT s_suppkey * 2 + 1, s_nationkey FROM supplier), j AS (SELECT ns.nat AS nat_s, nd.nat AS nat_d FROM e JOIN nodes ns ON e.src = ns.id JOIN nodes nd ON e.dst = nd.id), per AS (SELECT nat_s AS nation, CAST(count(*) AS BIGINT) AS d_c, CAST(sum(CASE WHEN nat_s = nat_d THEN 1 ELSE 0 END) AS BIGINT) AS e_c FROM j GROUP BY 1), t AS (SELECT CAST(sum(d_c) AS BIGINT) AS m2 FROM per) SELECT nation, d_c, e_c, floor((CAST(e_c AS DOUBLE) / m2 - (CAST(d_c AS DOUBLE) / m2) * (CAST(d_c AS DOUBLE) / m2)) * 1e8 + 0.5) / 1e8 AS q_contrib FROM per CROSS JOIN t ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(pagerank, degreeStats, twoHop, bipartiteProj,
-    neighborJaccard, kCore, assortativity)
+    neighborJaccard, kCore, assortativity, modularity)
 }

@@ -896,6 +896,48 @@ object RelationalOps {
     },
     Some("""WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand FROM lineitem JOIN part ON l_partkey = p_partkey), tot AS (SELECT count(DISTINCT ok) AS n_ord FROM ob), bc AS (SELECT brand, count(*) AS bc FROM ob GROUP BY 1), pr AS (SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS support FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand GROUP BY 1, 2) SELECT brand_a, brand_b, support, floor(CAST(support AS DOUBLE) * n_ord / (ca.bc * cb.bc) * 10000.0 + 0.5) / 10000.0 AS lift FROM pr JOIN bc ca ON pr.brand_a = ca.brand JOIN bc cb ON pr.brand_b = cb.brand CROSS JOIN tot WHERE support >= 2 ORDER BY 1, 2"""))
 
+  /** Temporal dimension join: every order joined to the SCD2 customer
+    * version VALID AT ITS ORDER DATE (the warehouse read that answers
+    * "revenue by the segment the customer was in when they ordered", not
+    * the segment they have now). Versions are synthesized over the order
+    * span (%7 keys flip to PROMO at 1998-01-01); the join is EQUI-KEYED
+    * on the customer with the validity window as a residual filter — at
+    * scale this stays one keyed shuffle (or a broadcast if the dim fits),
+    * never a range-only join. Revenue in exact centi integers. */
+  private lazy val jTemporalDim = GraftQuery(
+    "j_temporal_dim",
+    "orders joined to the SCD2 segment version valid at order date",
+    (s, d) => {
+      val changed = col("c_custkey") % 7 === 0
+      val mk = (ver: Int, seg: org.apache.spark.sql.Column, from: String,
+                to: org.apache.spark.sql.Column) =>
+        struct(lit(ver).as("version"), seg.as("segment"),
+          lit(from).cast("date").as("vf"), to.as("vt"))
+      val far = lit("9999-12-31").cast("date")
+      val versions = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          explode(when(changed, array(
+              mk(1, col("c_mktsegment"), "1992-01-01",
+                lit("1998-01-01").cast("date")),
+              mk(2, lit("PROMO"), "1998-01-01", far)))
+            .otherwise(array(
+              mk(1, col("c_mktsegment"), "1992-01-01", far)))).as("v"))
+        .select(col("c_custkey"), col("v.version").as("version"),
+          col("v.segment").as("segment"), col("v.vf").as("vf"),
+          col("v.vt").as("vt"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate").cast("date").as("od"),
+          centi(col("o_totalprice")).as("pc"))
+        .join(versions, col("o_custkey") === col("c_custkey") &&
+          col("vf") <= col("od") && col("od") < col("vt"))
+        .groupBy("segment", "version")
+        .agg(count(lit(1)).as("n_orders"), sum("pc").as("pcs"))
+        .select(col("segment"), col("version"), col("n_orders"),
+          fround(col("pcs").cast("double") / 100.0, 2).as("revenue"))
+        .orderBy("segment", "version")
+    },
+    Some("""WITH dim AS (SELECT c_custkey, c_mktsegment FROM customer), v AS (SELECT c_custkey, 1 AS version, c_mktsegment AS segment, DATE '1992-01-01' AS vf, CASE WHEN c_custkey % 7 = 0 THEN DATE '1998-01-01' ELSE DATE '9999-12-31' END AS vt FROM dim UNION ALL SELECT c_custkey, 2, 'PROMO', DATE '1998-01-01', DATE '9999-12-31' FROM dim WHERE c_custkey % 7 = 0), o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc FROM orders) SELECT segment, version, count(*) AS n_orders, floor(CAST(sum(pc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS revenue FROM o JOIN v ON o_custkey = c_custkey AND vf <= od AND od < vt GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1, q3, q5, q10Returns, q14Promo, q18TopQuantity, q19Disjunctive, q7Volume,
     jSemi, jAnti, jOuter,
@@ -904,7 +946,8 @@ object RelationalOps {
     setExcept, setUnion, aggRollup, aggCube, aggGroupingSets, aggApprox,
     jsonKv, calDaily, strWeekday, reshapeUnpivot, jIntervalOverlap,
     jFuzzyMatch, relSkyline, relIntervalMerge, jAsofNearest, winCumeDist,
-    relSweepConcurrency, calTumbling, winTimeRange, relBasketLift)
+    relSweepConcurrency, calTumbling, winTimeRange, relBasketLift,
+    jTemporalDim)
 
   /** TIME-interval range frame: per user, the trailing-24-hour event count
     * and exact centi spend at every event — the time-based sliding window
