@@ -918,8 +918,37 @@ object AnalyticsOps {
     },
     Some("""WITH ev AS (SELECT event_id, CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 AS INTEGER) AS dow, CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS INTEGER) AS hr, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events), c AS (SELECT dow, hr, CAST(count(*) AS BIGINT) AS n, CAST(sum(vc) AS BIGINT) AS s1, CAST(sum(vc * vc) AS BIGINT) AS s2 FROM ev GROUP BY 1, 2 HAVING count(*) >= 4 AND count(*) * sum(vc * vc) > sum(vc) * sum(vc)) SELECT * FROM (SELECT event_id, dow, hr, floor(CAST(vc AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS value, floor((vc - CAST(s1 AS DOUBLE) / n) / sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) * 1e4 + 0.5) / 1e4 AS z FROM ev JOIN c USING (dow, hr)) ORDER BY abs(z) DESC, event_id LIMIT 20"""))
 
+  /** WEIGHTED median per group (weight = the props JSON k field): the
+    * smallest value whose cumulative weight reaches half the group's
+    * total — the percentile family's missing member when rows carry
+    * unequal mass (token counts, sampling weights). Selection compares
+    * 2·cum ≥ total on exact integer weights over a (value, id) total
+    * order, so the chosen row is engine-independent even through ties.
+    * One group-keyed shuffle shared by both windows and the rank. */
+  private lazy val aggWeightedMedian = GraftQuery(
+    "agg_weighted_median",
+    "per-type weighted median of value (weight = JSON props k)",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), centi(col("value")).as("vc"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("wt"))
+      val ord = Window.partitionBy("event_type").orderBy("vc", "event_id")
+      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy("event_type")
+      ev.withColumn("cw", sum("wt").over(cum))
+        .withColumn("tot", sum("wt").over(whole))
+        .filter(col("cw") * 2 >= col("tot"))
+        .withColumn("rn", row_number().over(ord))
+        .filter(col("rn") === 1)
+        .select(col("event_type"),
+          fround(col("vc").cast("double") / 100.0, 2).as("w_median"),
+          col("tot").as("total_weight"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (SELECT event_type, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc, TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS wt FROM events), c AS (SELECT *, sum(wt) OVER (PARTITION BY event_type ORDER BY vc, event_id ROWS UNBOUNDED PRECEDING) AS cw, sum(wt) OVER (PARTITION BY event_type) AS tot FROM ev), f AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY vc, event_id) AS rn FROM c WHERE cw * 2 >= tot) SELECT event_type, floor(CAST(vc AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS w_median, CAST(tot AS BIGINT) AS total_weight FROM f WHERE rn = 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
-    qaOlsTrend, calSeasonality, calSeasonalAnomaly,
+    qaOlsTrend, calSeasonality, calSeasonalAnomaly, aggWeightedMedian,
     winSession, winLagLead, aggPercentiles, aggCorr, jSkewSalted, txtTfidf,
     aggStatsOnepass, aggPivot, winSessionNative, aggApproxPercentile,
     aggArgExtremes, aggMapHistogram, aggMultiDistinct, aggHllRollup,

@@ -711,8 +711,40 @@ object SimilarityOps {
     },
     Some("""WITH mic AS (SELECT vec_id, dim, CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS micro FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim)), st AS (SELECT dim, count(*) AS n, CAST(sum(micro) AS BIGINT) AS sm, sum(micro * micro) AS sm2 FROM mic GROUP BY 1) SELECT vec_id, dim, floor((micro - CAST(sm AS DOUBLE) / n) / sqrt(CAST(sm2 AS DOUBLE) / n - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n)) * 1e4 + 0.5) / 1e4 AS z FROM mic JOIN st USING (dim) WHERE vec_id < 20 ORDER BY 1, 2"""))
 
+  /** Isotropy diagnostic WITHOUT any pairwise work: the average
+    * cross-vector dot product equals (‖Σv‖² − Σ‖v‖²)/(n(n−1)) — two
+    * corpus-sized sums instead of n² pairs (the algebraic identity that
+    * makes "is my embedding space collapsing toward a common direction"
+    * an O(n·d) question). Everything is integer-micro exact with 128-bit
+    * squares (‖Σv‖² passes 2^63 immediately); floats appear only in the
+    * three output ratios. Isotropy ≈ 0 is healthy; → 1 means all vectors
+    * share a dominant direction. */
+  private lazy val embIsotropy = GraftQuery(
+    "emb_isotropy",
+    "mean cross-vector dot via the sum-vector identity — no pairwise pass",
+    (s, d) => {
+      val md = microDims(s, d)
+      val dimSums = md.groupBy("dim").agg(sum("micro").as("sd"))
+      val a = dimSums.agg(
+        sum(col("sd").cast("decimal(38,0)") * col("sd")).as("ss"))
+      val b = md.agg(
+        sum((col("micro") * col("micro")).cast("decimal(38,0)")).as("tn"),
+        countDistinct("vec_id").as("n"))
+      a.crossJoin(b).select(col("n").as("n_vecs"),
+        fround(col("tn").cast("double") / col("n") / 1e12, 8)
+          .as("avg_self_dot"),
+        fround((col("ss") - col("tn")).cast("double") /
+          (col("n") * (col("n") - lit(1L))).cast("double") / 1e12, 8)
+          .as("avg_pair_dot"),
+        fround(((col("ss") - col("tn")).cast("double") /
+          (col("n") * (col("n") - lit(1L))).cast("double")) /
+          (col("tn").cast("double") / col("n")), 6).as("isotropy"))
+    },
+    Some("""WITH mic AS (SELECT vec_id, dim, CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS micro FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim)), ds AS (SELECT dim, CAST(sum(micro) AS BIGINT) AS sd FROM mic GROUP BY 1), a AS (SELECT sum(CAST(sd AS HUGEINT) * sd) AS ss FROM ds), b AS (SELECT sum(CAST(micro AS HUGEINT) * micro) AS tn, CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM mic) SELECT n AS n_vecs, floor(CAST(tn AS DOUBLE) / n / 1e12 * 1e8 + 0.5) / 1e8 AS avg_self_dot, floor(CAST(ss - tn AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 1e12 * 1e8 + 0.5) / 1e8 AS avg_pair_dot, floor((CAST(ss - tn AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) / (CAST(tn AS DOUBLE) / n) * 1e6 + 0.5) / 1e6 AS isotropy FROM a CROSS JOIN b"""))
+
   val all: Seq[GraftQuery] = Seq(knnBrute, labelStats, knnLsh, knnMatryoshka,
     embCentroids, embDimProfile, embAssignPurity, dedupSemantic,
     embPrototypicality, simHubness, hardNegatives, embKmeansStep,
-    embSimHistogram, embPcaPower, embPcaVar, embKmeansppSeed, embWhitening)
+    embSimHistogram, embPcaPower, embPcaVar, embKmeansppSeed, embWhitening,
+    embIsotropy)
 }
