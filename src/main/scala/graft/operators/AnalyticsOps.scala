@@ -947,8 +947,41 @@ object AnalyticsOps {
     },
     Some("""WITH ev AS (SELECT event_type, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc, TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS wt FROM events), c AS (SELECT *, sum(wt) OVER (PARTITION BY event_type ORDER BY vc, event_id ROWS UNBOUNDED PRECEDING) AS cw, sum(wt) OVER (PARTITION BY event_type) AS tot FROM ev), f AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY vc, event_id) AS rn FROM c WHERE cw * 2 >= tot) SELECT event_type, floor(CAST(vc AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS w_median, CAST(tot AS BIGINT) AS total_weight FROM f WHERE rn = 1 ORDER BY 1"""))
 
+  /** Chi-squared drift over a CATEGORICAL column — the contingency-table
+    * complement to qa_psi_drift (numeric bins) and qa_ks_drift (ECDF):
+    * event-type counts in the first half-month vs the rest, expected
+    * counts from the margins, per-cell (O−E)²/E contributions. Margins
+    * and observed counts are exact integers off ONE 10-cell rollup;
+    * expected/χ² are the only float steps and share expression text
+    * across engines. */
+  private lazy val qaChi2Drift = GraftQuery(
+    "qa_chi2_drift",
+    "chi-squared event-type drift: first half-month vs rest",
+    (s, d) => {
+      val cells = Tables.events(s, d)
+        .select(col("event_type"),
+          when(dayofmonth(col("ts")) <= 15, 0).otherwise(1).as("p"))
+        .groupBy("event_type")
+        .agg(sum(when(col("p") === 0, 1L).otherwise(0L)).as("o_a"),
+          sum(when(col("p") === 1, 1L).otherwise(0L)).as("o_b"))
+      val tot = cells.agg(sum("o_a").as("ca"), sum("o_b").as("cb"))
+      cells.crossJoin(broadcast(tot))
+        .withColumn("ea", (col("o_a") + col("o_b")).cast("double") *
+          col("ca") / (col("ca") + col("cb")))
+        .withColumn("eb", (col("o_a") + col("o_b")).cast("double") *
+          col("cb") / (col("ca") + col("cb")))
+        .select(col("event_type"), col("o_a"), col("o_b"),
+          fround(col("ea"), 4).as("e_a"), fround(col("eb"), 4).as("e_b"),
+          fround((col("o_a") - col("ea")) * (col("o_a") - col("ea")) / col("ea") +
+            (col("o_b") - col("eb")) * (col("o_b") - col("eb")) / col("eb"), 6)
+            .as("chi2_contrib"))
+        .orderBy("event_type")
+    },
+    Some("""WITH cells AS (SELECT event_type, CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS o_a, CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o_b FROM (SELECT event_type, CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15 THEN 0 ELSE 1 END AS p FROM events) GROUP BY 1), t AS (SELECT CAST(sum(o_a) AS BIGINT) AS ca, CAST(sum(o_b) AS BIGINT) AS cb FROM cells), x AS (SELECT *, CAST(o_a + o_b AS DOUBLE) * ca / (ca + cb) AS ea, CAST(o_a + o_b AS DOUBLE) * cb / (ca + cb) AS eb FROM cells CROSS JOIN t) SELECT event_type, o_a, o_b, floor(ea * 1e4 + 0.5) / 1e4 AS e_a, floor(eb * 1e4 + 0.5) / 1e4 AS e_b, floor(((o_a - ea) * (o_a - ea) / ea + (o_b - eb) * (o_b - eb) / eb) * 1e6 + 0.5) / 1e6 AS chi2_contrib FROM x ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
     qaOlsTrend, calSeasonality, calSeasonalAnomaly, aggWeightedMedian,
+    qaChi2Drift,
     winSession, winLagLead, aggPercentiles, aggCorr, jSkewSalted, txtTfidf,
     aggStatsOnepass, aggPivot, winSessionNative, aggApproxPercentile,
     aggArgExtremes, aggMapHistogram, aggMultiDistinct, aggHllRollup,

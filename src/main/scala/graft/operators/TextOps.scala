@@ -929,12 +929,39 @@ object TextOps {
       .orderBy("source"),
     Some("""WITH tok AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents), wc AS (SELECT source, tok, count(*) AS cnt FROM tok GROUP BY 1, 2), g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_vocab, CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, CAST(sum(cnt) AS BIGINT) AS n_tokens FROM wc GROUP BY 1) SELECT source, n_vocab, n_hapax, n_tokens, floor(CAST(n_hapax AS DOUBLE) / n_vocab * 1e6 + 0.5) / 1e6 AS hapax_share, floor(CAST(n_vocab AS DOUBLE) / n_tokens * 1e6 + 0.5) / 1e6 AS ttr FROM g ORDER BY 1"""))
 
+  /** Term burstiness (Church–Gale): for the top-50 corpus terms, the
+    * mean within-document count (cf/df) and the Fano factor
+    * (variance-to-mean over containing documents) — bursty terms (Fano ≫
+    * 1) are topical, Fano ≈ 1 terms are function-word-like; the signal
+    * behind burstiness-aware term weighting. All three moments come from
+    * one (term, doc)-keyed rollup (cf, df, Σc²), so the corpus is
+    * tokenized once; top-50 is a TakeOrdered heap. */
+  private lazy val burstiness = GraftQuery(
+    "txt_burstiness",
+    "top-50 term burstiness: mean in-doc count + Fano factor",
+    (s, d) => {
+      val td = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("c"))
+      val stats = td.groupBy("term")
+        .agg(sum("c").as("cf"), count(lit(1)).as("df"),
+          sum(col("c") * col("c")).as("s2"))
+      val mean = col("cf").cast("double") / col("df")
+      stats.orderBy(desc("cf"), col("term")).limit(50)
+        .select(col("term"), col("cf"), col("df"),
+          fround(mean, 4).as("mean_in_doc"),
+          fround((col("s2").cast("double") / col("df") - mean * mean) / mean, 4)
+            .as("fano"))
+        .orderBy(desc("cf"), col("term"))
+    },
+    Some("""WITH td AS (SELECT term, doc_id, count(*) AS c FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) GROUP BY 1, 2), st AS (SELECT term, CAST(sum(c) AS BIGINT) AS cf, CAST(count(*) AS BIGINT) AS df, CAST(sum(c * c) AS BIGINT) AS s2 FROM td GROUP BY 1), top AS (SELECT * FROM st ORDER BY cf DESC, term LIMIT 50) SELECT term, cf, df, floor(CAST(cf AS DOUBLE) / df * 1e4 + 0.5) / 1e4 AS mean_in_doc, floor((CAST(s2 AS DOUBLE) / df - (CAST(cf AS DOUBLE) / df) * (CAST(cf AS DOUBLE) / df)) / (CAST(cf AS DOUBLE) / df) * 1e4 + 0.5) / 1e4 AS fano FROM top ORDER BY cf DESC, term"""))
+
   val all: Seq[GraftQuery] = Seq(tokenStats, quality, langId, fingerprint,
     topNgrams, repetition, decontaminate, boilerplate, decontaminateBloom,
     vocabTopK, vocabSketch, unigramLogprob, bpePretokenize, txtNovelty,
     pplBuckets, charEntropy, langIdConfusion, oovRate, bpePairs,
     langIdKappa, cdcChunks, cooccurrence, splitContamination, zipfFit,
-    featureHashing, bpeMergeStep, bigramLogprob, hapaxProfile)
+    featureHashing, bpeMergeStep, bigramLogprob, hapaxProfile, burstiness)
 
   /** Add-1-smoothed BIGRAM-LM conditional log-prob per doc — the next
     * model class up from txt_unigram_logprob (context-conditioned token
