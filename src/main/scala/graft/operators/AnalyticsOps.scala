@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
@@ -979,6 +979,49 @@ object AnalyticsOps {
     },
     Some("""WITH cells AS (SELECT event_type, CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS o_a, CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o_b FROM (SELECT event_type, CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15 THEN 0 ELSE 1 END AS p FROM events) GROUP BY 1), t AS (SELECT CAST(sum(o_a) AS BIGINT) AS ca, CAST(sum(o_b) AS BIGINT) AS cb FROM cells), x AS (SELECT *, CAST(o_a + o_b AS DOUBLE) * ca / (ca + cb) AS ea, CAST(o_a + o_b AS DOUBLE) * cb / (ca + cb) AS eb FROM cells CROSS JOIN t) SELECT event_type, o_a, o_b, floor(ea * 1e4 + 0.5) / 1e4 AS e_a, floor(eb * 1e4 + 0.5) / 1e4 AS e_b, floor(((o_a - ea) * (o_a - ea) / ea + (o_b - eb) * (o_b - eb) / eb) * 1e6 + 0.5) / 1e6 AS chi2_contrib FROM x ORDER BY 1"""))
 
+  /** Mutual information (and entropies) between the corpus's lang and
+    * source labels — the feature-dependence audit behind stratification
+    * and leakage checks ("does source already determine language?").
+    * Every Σ n·ln(·) rides as floor-rounded integer micro-nats summed as
+    * BIGINT (the lpPerDoc discipline — double sums have no fixed
+    * partial-aggregation order; integer sums do), so the only float ops
+    * are one division per output column at the edge. The uncertainty
+    * coefficient U(lang|source) = MI/H(lang) is a ratio of the two exact
+    * integer sums. ln-ulp boundary risk: same accepted class as
+    * txt_unigram_logprob (documented there). Scale: ONE corpus pass into
+    * the |lang×source| cell table (map-side combined); marginals and
+    * totals are rollups of the tiny cell table, broadcast back. */
+  private lazy val qaMutualInfo = GraftQuery(
+    "qa_mutual_info",
+    "lang×source mutual information, entropies, uncertainty coefficient",
+    (s, d) => {
+      val cells = Tables.documents(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).as("nij"))
+      val rowM = cells.groupBy("lang").agg(sum("nij").as("ni"))
+      val colM = cells.groupBy("source").agg(sum("nij").as("nj"))
+      val tot = cells.agg(sum("nij").as("nn"))
+      def microSum(df: org.apache.spark.sql.DataFrame, term: Column, as: String) =
+        df.agg(sum(floor(term * 1e6 + 0.5).cast("long")).as(as))
+      val miS = microSum(
+        cells.join(broadcast(rowM), "lang").join(broadcast(colM), "source")
+          .crossJoin(broadcast(tot)),
+        col("nij") * log((col("nij") * col("nn")).cast("double") /
+          (col("ni") * col("nj")).cast("double")), "mi_s")
+      val hlS = microSum(rowM.crossJoin(broadcast(tot)),
+        -col("ni") * log(col("ni").cast("double") / col("nn").cast("double")), "hl_s")
+      val hsS = microSum(colM.crossJoin(broadcast(tot)),
+        -col("nj") * log(col("nj").cast("double") / col("nn").cast("double")), "hs_s")
+      val nCells = cells.agg(count(lit(1)).as("n_cells"))
+      miS.crossJoin(hlS).crossJoin(hsS).crossJoin(nCells).crossJoin(tot)
+        .select(col("nn").as("n_docs"), col("n_cells"),
+          fround(col("mi_s").cast("double") / (col("nn") * 1e6), 6).as("mi_nats"),
+          fround(col("hl_s").cast("double") / (col("nn") * 1e6), 6).as("h_lang"),
+          fround(col("hs_s").cast("double") / (col("nn") * 1e6), 6).as("h_source"),
+          fround(col("mi_s").cast("double") / col("hl_s").cast("double"), 6)
+            .as("u_lang_given_source"))
+    },
+    Some("""WITH cells AS (SELECT lang, source, count(*) AS nij FROM documents GROUP BY 1, 2), r AS (SELECT lang, CAST(sum(nij) AS BIGINT) AS ni FROM cells GROUP BY 1), c AS (SELECT source, CAST(sum(nij) AS BIGINT) AS nj FROM cells GROUP BY 1), t AS (SELECT CAST(sum(nij) AS BIGINT) AS nn FROM cells), mi AS (SELECT CAST(sum(CAST(floor(nij * ln(CAST(nij * nn AS DOUBLE) / CAST(ni * nj AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS mi_s FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t), hl AS (SELECT CAST(sum(CAST(floor(-ni * ln(CAST(ni AS DOUBLE) / CAST(nn AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hl_s FROM r CROSS JOIN t), hs AS (SELECT CAST(sum(CAST(floor(-nj * ln(CAST(nj AS DOUBLE) / CAST(nn AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hs_s FROM c CROSS JOIN t), nc AS (SELECT count(*) AS n_cells FROM cells) SELECT nn AS n_docs, n_cells, floor(CAST(mi_s AS DOUBLE) / (nn * 1000000.0) * 1e6 + 0.5) / 1e6 AS mi_nats, floor(CAST(hl_s AS DOUBLE) / (nn * 1000000.0) * 1e6 + 0.5) / 1e6 AS h_lang, floor(CAST(hs_s AS DOUBLE) / (nn * 1000000.0) * 1e6 + 0.5) / 1e6 AS h_source, floor(CAST(mi_s AS DOUBLE) / CAST(hl_s AS DOUBLE) * 1e6 + 0.5) / 1e6 AS u_lang_given_source FROM mi CROSS JOIN hl CROSS JOIN hs CROSS JOIN nc CROSS JOIN t"""))
+
   val all: Seq[GraftQuery] = Seq(
     qaOlsTrend, calSeasonality, calSeasonalAnomaly, aggWeightedMedian,
     qaChi2Drift,
@@ -987,7 +1030,7 @@ object AnalyticsOps {
     aggArgExtremes, aggMapHistogram, aggMultiDistinct, aggHllRollup,
     evtRetention, evtZscore, evtTransitions, qaWinsorize, qaPsiDrift,
     qaKsDrift, evtEwma, evtRunLengths, winRollingMedian, qaBenford,
-    qaOutlierMad, aggBitmapDistinct, aggBitmapOverlap)
+    qaOutlierMad, aggBitmapDistinct, aggBitmapOverlap, qaMutualInfo)
 
   /** Exact AUDIENCE OVERLAP matrix across event-type segments via bitmap
     * intersection: each segment's user bitmap is built in the same single

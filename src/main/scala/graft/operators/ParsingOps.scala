@@ -832,12 +832,55 @@ object ParsingOps {
     },
     Some("""WITH d AS (SELECT doc_id AS media_id, text, length(text) AS len FROM documents), smp AS (SELECT media_id, k, CAST(CASE WHEN len = 0 THEN 0 ELSE ascii(substring(text, CAST((k * len) // 64 AS INTEGER) + 1, 1)) END AS BIGINT) AS v FROM d, (SELECT unnest(generate_series(0, 63)) AS k)), tot AS (SELECT media_id, sum(v) AS s FROM smp GROUP BY 1), bits AS (SELECT smp.media_id, k, CASE WHEN v * 64 > s THEN 1 ELSE 0 END AS bit FROM smp JOIN tot USING (media_id)), bands AS (SELECT media_id, CAST(k // 16 AS INTEGER) AS bj, CAST(sum(bit * (1 << CAST(k % 16 AS INTEGER))) AS INTEGER) AS bv FROM bits GROUP BY 1, 2), ph AS (SELECT media_id, max(CASE WHEN bj = 0 THEN bv END) AS b0, max(CASE WHEN bj = 1 THEN bv END) AS b1, max(CASE WHEN bj = 2 THEN bv END) AS b2, max(CASE WHEN bj = 3 THEN bv END) AS b3 FROM bands GROUP BY 1), ok AS (SELECT bj, bv FROM bands GROUP BY 1, 2 HAVING count(*) <= 64), bb AS (SELECT bands.* FROM bands JOIN ok USING (bj, bv)), cand AS (SELECT DISTINCT a.media_id AS ma, b.media_id AS mb FROM bb a JOIN bb b ON a.bj = b.bj AND a.bv = b.bv AND a.media_id < b.media_id), hd AS (SELECT ma, mb FROM cand JOIN ph pa ON pa.media_id = ma JOIN ph pb ON pb.media_id = mb WHERE bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1)) + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3)) <= 6), nn AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_near FROM (SELECT ma AS media_id FROM hd UNION ALL SELECT mb FROM hd) GROUP BY 1) SELECT ph.media_id, b0, b1, b2, b3, coalesce(nn.n_near, 0) AS n_near FROM ph LEFT JOIN nn USING (media_id) ORDER BY media_id"""))
 
+  /** The stored batch half of the lambda serving view: daily per-type
+    * rollup over everything BEFORE the watermark day — a deployment
+    * refreshes this nightly; queries never recompute it. */
+  private[graft] def batchDailyMv(s: SparkSession, d: String) =
+    graft.PersistCache.getOrBuild(s, s"lambda-daily-mv:$d") {
+      import graft.functions.GraftFunctions.centi
+      Tables.events(s, d)
+        .filter(col("ts") < lit("2024-01-25 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), sum(centi(col("value"))).as("vcs"))
+    }
+
+  /** Lambda-architecture serving view: the batch layer (stored daily MV
+    * over history, [[batchDailyMv]]) UNION'd with the speed layer (the
+    * same rollup computed from raw events AFTER the watermark) — the
+    * read path that makes a 100 TB history queryable at streaming
+    * freshness. Day grains never straddle the watermark, so the union
+    * needs no key-level merge (contrast mv_incremental_agg, which merges
+    * decomposable states); each row carries which layer served it. The
+    * oracle recomputes both layers from scratch — equality proves the
+    * stored-batch + fresh-delta composition loses nothing. Scale: the
+    * speed scan's `ts >= watermark` predicate is exactly what a
+    * date-partitioned events table prunes to a few partitions; history
+    * cost is |MV|, not |raw|. */
+  private lazy val mvLambdaServing = GraftQuery(
+    "mv_lambda_serving",
+    "lambda serving view: stored batch daily MV ∪ post-watermark speed layer",
+    (s, d) => {
+      import graft.functions.GraftFunctions.centi
+      val speed = Tables.events(s, d)
+        .filter(col("ts") >= lit("2024-01-25 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), sum(centi(col("value"))).as("vcs"))
+      batchDailyMv(s, d).withColumn("served_from", lit("batch"))
+        .unionByName(speed.withColumn("served_from", lit("speed")))
+        .select(col("event_type"), col("day"), col("n").as("n_events"),
+          fround(col("vcs").cast("double") / 100.0, 2).as("total_value"),
+          col("served_from"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH r AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events, floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value, CASE WHEN CAST(ts AS DATE) < DATE '2024-01-25' THEN 'batch' ELSE 'speed' END AS served_from FROM events GROUP BY 1, 2, 5) SELECT event_type, day, n_events, total_value, served_from FROM r ORDER BY 1, 2"""))
+
   val all: Seq[GraftQuery] = Seq(
     csvRoundtrip, jsonStruct, jsonInferred, dateConstruct, sqlMultikeyJoin,
     mvCascade, sqlCtas, mmDecode, partitionPruned, dppPrune, mmFrameSample,
     qaProfile, qaProfileHll, qaExpectations, scd2Merge, mvIncrementalAgg,
     qaTableChecksum, qaRefIntegrity, qaKeySkew, mvCompactCdc, qaCovMatrix,
-    qaLabelGini, qaEquidepthHist, mmResize, scd2Asof, mmPhash)
+    qaLabelGini, qaEquidepthHist, mmResize, scd2Asof, mmPhash,
+    mvLambdaServing)
 
   /** Time-travel READ over the SCD2 dimension — "the dimension as of
     * 2024-07-01": for each key, exactly the one version whose

@@ -476,8 +476,55 @@ object PipelineOps {
     Some(graft.operators.DedupOps.keepVerdictCtes +
       s""", g AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tok, ${gateReasonSql("len(t)", "CAST(len(list_distinct(t)) AS DOUBLE) / len(t)", s"CAST(len(list_filter(t, x -> x IN (${graft.functions.GraftFunctions.stopwordsSqlList}))) AS DOUBLE) / len(t)")} AS gate_reason, CASE WHEN ${graft.functions.GraftFunctions.impKeepSql} THEN 1 ELSE 0 END AS samp_keep FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents)) SELECT g.doc_id, g.source, g.n_tok, kv.reason AS dedup_reason, g.gate_reason, g.samp_keep, CASE WHEN kv.reason <> 'kept' THEN kv.reason WHEN g.gate_reason <> 'kept' THEN g.gate_reason WHEN g.samp_keep = 0 THEN 'sampled_out' ELSE 'kept' END AS verdict FROM g JOIN kv USING (doc_id) ORDER BY g.doc_id"""))
 
+  /** Business-day (Mon–Fri) order→ship latency per order priority — the
+    * calendar arithmetic SLAs are actually written in. The count of
+    * weekdays in [orderdate, shipdate) is a CLOSED FORM over integers
+    * (full weeks × 5 + a two-term boundary correction from the start
+    * weekday), so the fact table is never exploded into per-day rows — a
+    * naive generate_series approach multiplies a 100 TB join by ~30×.
+    * Weekday indexes are Monday=0 on both engines (Spark dayofweek is
+    * 1=Sun..7=Sat, hence the (+5)%7 rebase; DuckDB isodow is 1=Mon..7).
+    * Scale: one orderkey-equijoin shuffle (the same one every TPC-H
+    * order/lineitem query pays), then a 5-group rollup; the latency math
+    * is a narrow per-row projection. */
+  private val calBusinessDays = {
+    val sparkBd =
+      """full_w * 5 + greatest(0, least(5, w1 + rem) - w1)
+        | + greatest(0, least(5, w1 + rem - 7))""".stripMargin.replaceAll("\\s+", " ")
+    GraftQuery(
+      "cal_business_days",
+      "closed-form business-day order→ship latency stats per priority",
+      (s, d) => {
+        val joined = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), to_date(col("l_shipdate")).as("d2"))
+          .join(Tables.orders(s, d)
+            .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d1"),
+              col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+        joined
+          .withColumn("n", datediff(col("d2"), col("d1")).cast("long"))
+          .filter(col("n") >= 0) // generator guarantees ship ≥ order; the
+          // closed form (and DuckDB's floor-div `//` vs Spark's truncating
+          // `div`) only agree on non-negative spans, so pin the domain
+          .withColumn("w1", (dayofweek(col("d1")) + lit(5)) % 7)
+          .withColumn("full_w", expr("n div 7"))
+          .withColumn("rem", col("n") % 7)
+          .withColumn("bdays", expr(sparkBd))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_lines"), sum("bdays").as("sb"),
+            max("bdays").as("max_bdays"))
+          .select(col("o_orderpriority"), col("n_lines"),
+            fround(col("sb").cast("double") / col("n_lines"), 4)
+              .as("mean_bdays"),
+            col("max_bdays"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH j AS (SELECT o_orderpriority, CAST(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS n, CAST(isodow(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS w1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) >= 0), b AS (SELECT o_orderpriority, (n // 7) * 5 + greatest(0, least(5, w1 + (n % 7)) - w1) + greatest(0, least(5, w1 + (n % 7) - 7)) AS bdays FROM j) SELECT o_orderpriority, count(*) AS n_lines, floor(CAST(sum(bdays) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS mean_bdays, CAST(max(bdays) AS BIGINT) AS max_bdays FROM b GROUP BY 1 ORDER BY 1"""))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     sampHashSplit, sampClusterSplit, arrHofStats, evtFunnel, aggMode,
     calGapFill, calInterpolate, pipePack, pipeMixWeights, pipeChunk,
-    pipeFilterGate, pipeCurationFunnel, pipeTokenBudget, pipeAuditTrail)
+    pipeFilterGate, pipeCurationFunnel, pipeTokenBudget, pipeAuditTrail,
+    calBusinessDays)
 }

