@@ -534,9 +534,44 @@ object PipelineOps {
       Some("""WITH j AS (SELECT o_orderpriority, CAST(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS n, CAST(isodow(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS w1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) >= 0), b AS (SELECT o_orderpriority, (n // 7) * 5 + greatest(0, least(5, w1 + (n % 7)) - w1) + greatest(0, least(5, w1 + (n % 7) - 7)) AS bdays FROM j) SELECT o_orderpriority, count(*) AS n_lines, floor(CAST(sum(bdays) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS mean_bdays, CAST(max(bdays) AS BIGINT) AS max_bdays FROM b GROUP BY 1 ORDER BY 1"""))
   }
 
+  /** T5-style SPAN CORRUPTION planning — the deterministic masking recipe
+    * a denoising-pretraining pipeline applies per document: one span of 3
+    * tokens per 20 tokens (≈15% corruption), span starts drawn from the
+    * md5 hash of (doc_id, span index) so the mask is a pure function of
+    * the document identity — reproducible across runs, engines, and
+    * corpus growth, like samp_hash_split. Overlapping spans merge (the
+    * masked-position set is distinct), so n_masked ≤ 3·n_spans and the
+    * realized ratio is reported against the 15% target. Docs under 20
+    * tokens get no spans but stay in the output. Scale: explode is
+    * bounded by 3·n_tok/20 positions per doc, every step is narrow until
+    * one doc-keyed count — embarrassingly parallel. */
+  private val pipeSpanCorruption = GraftQuery(
+    "pipe_span_corruption",
+    "deterministic T5-style span-corruption mask stats per document",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("n_spans", expr("n_tok div 20"))
+      val masked = base.filter(col("n_spans") >= 1)
+        .withColumn("i", explode(sequence(lit(0L), col("n_spans") - 1)))
+        .withColumn("start",
+          md5u32(concat(col("doc_id").cast("string"), lit(":"),
+            col("i").cast("string"))) % (col("n_tok") - 2))
+        .withColumn("p", explode(sequence(col("start"), col("start") + 2)))
+        .select("doc_id", "p").distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_masked"))
+      base.join(masked, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"), col("n_spans"),
+          coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+          fround(coalesce(col("n_masked"), lit(0L)).cast("double") / col("n_tok"), 4)
+            .as("mask_ratio"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH base AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok, CAST(len(string_split(lower(text), ' ')) // 20 AS BIGINT) AS n_spans FROM documents), sp AS (SELECT doc_id, n_tok, unnest(generate_series(0, n_spans - 1)) AS i FROM base WHERE n_spans >= 1), st AS (SELECT doc_id, ${md5u32Sql("md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR))")} % (n_tok - 2) AS start FROM sp), pos AS (SELECT DISTINCT doc_id, start + k AS p FROM st, (SELECT unnest(generate_series(0, 2)) AS k)), mk AS (SELECT doc_id, count(*) AS n_masked FROM pos GROUP BY 1) SELECT base.doc_id, n_tok, n_spans, CAST(coalesce(mk.n_masked, 0) AS BIGINT) AS n_masked, floor(CAST(coalesce(mk.n_masked, 0) AS DOUBLE) / n_tok * 1e4 + 0.5) / 1e4 AS mask_ratio FROM base LEFT JOIN mk USING (doc_id) ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     sampHashSplit, sampClusterSplit, arrHofStats, evtFunnel, aggMode,
     calGapFill, calInterpolate, pipePack, pipeMixWeights, pipeChunk,
     pipeFilterGate, pipeCurationFunnel, pipeTokenBudget, pipeAuditTrail,
-    calBusinessDays)
+    calBusinessDays, pipeSpanCorruption)
 }

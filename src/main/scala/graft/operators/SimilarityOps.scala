@@ -101,24 +101,27 @@ object SimilarityOps {
     * hyperplanes (md5-nibble parity of "p:i"), same sequential-order dot
     * products, same bit packing — candidate sets and rankings hash-match.
     * ScalaTest additionally checks recall vs sim_knn_brute. */
+  /** In-bucket LSH top-3 per mod-50 probe — shared by the sim_knn_lsh
+    * query and the recall eval (one implementation, one tie-break rule). */
+  private def lshTop3(s: SparkSession, d: String): DataFrame = {
+    val coded = codedTable(s, d)
+    val q = coded.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("code").as("qcode"))
+    val scored = coded.join(broadcast(q),
+        col("code") === col("qcode") && col("q_id") =!= col("vec_id"))
+      .withColumn("cos", expr("graft_dot(qv, v)") / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("q_id").orderBy(fround(col("cos"), 6).desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        fround(col("cos"), 4).as("cos"), col("rnk"))
+  }
+
   private val knnLsh = GraftQuery(
     "sim_knn_lsh",
     "ANN: sign-random-projection LSH buckets + in-bucket cosine top-3",
-    (s, d) => {
-      val coded = codedTable(s, d)
-      val q = coded.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("code").as("qcode"))
-      val scored = coded.join(broadcast(q),
-          col("code") === col("qcode") && col("q_id") =!= col("vec_id"))
-        .withColumn("cos", expr("graft_dot(qv, v)") / (col("qn") * col("nrm")))
-      val w = Window.partitionBy("q_id").orderBy(fround(col("cos"), 6).desc, col("vec_id"))
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select(col("q_id"), col("vec_id").as("n_id"),
-          fround(col("cos"), 4).as("cos"), col("rnk"))
-        .orderBy("q_id", "rnk")
-    },
+    (s, d) => lshTop3(s, d).orderBy("q_id", "rnk"),
     Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e), proj AS (SELECT vec_id, p, list_sum([(CASE WHEN instr('0123456789abcdef', substr(md5(p::VARCHAR || ':' || (i-1)::VARCHAR), 1, 1)) % 2 = 1 THEN 1.0 ELSE -1.0 END) * v[i] for i in generate_series(1, len(v))]) AS dp FROM n, (SELECT unnest(generate_series(0, 7)) AS p)), codes AS (SELECT vec_id, CAST(sum(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS code FROM proj GROUP BY 1), c AS (SELECT n.vec_id, n.v, n.nrm, codes.code FROM n JOIN codes USING (vec_id)), q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, code AS qcode FROM c WHERE vec_id % 50 = 0), sc AS (SELECT q.q_id, c.vec_id AS n_id, list_sum([s[1]*s[2] for s in list_zip(q.qv, c.v)]) / (q.qn * c.nrm) AS cos FROM q JOIN c ON c.code = q.qcode AND c.vec_id <> q.q_id) SELECT q_id, n_id, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos, CAST(rnk AS INTEGER) AS rnk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY floor(cos * 1000000.0 + 0.5) DESC, n_id) AS rnk FROM sc) WHERE rnk <= 3 ORDER BY q_id, rnk"""))
 
   /** Matryoshka two-stage serving — the retrieve-then-rerank pattern:
@@ -742,9 +745,38 @@ object SimilarityOps {
     },
     Some("""WITH mic AS (SELECT vec_id, dim, CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS micro FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim)), ds AS (SELECT dim, CAST(sum(micro) AS BIGINT) AS sd FROM mic GROUP BY 1), a AS (SELECT sum(CAST(sd AS HUGEINT) * sd) AS ss FROM ds), b AS (SELECT sum(CAST(micro AS HUGEINT) * micro) AS tn, CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM mic) SELECT n AS n_vecs, floor(CAST(tn AS DOUBLE) / n / 1e12 * 1e8 + 0.5) / 1e8 AS avg_self_dot, floor(CAST(ss - tn AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 1e12 * 1e8 + 0.5) / 1e8 AS avg_pair_dot, floor((CAST(ss - tn AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) / (CAST(tn AS DOUBLE) / n) * 1e6 + 0.5) / 1e6 AS isotropy FROM a CROSS JOIN b"""))
 
+  /** ANN RECALL EVALUATION — the measurement that justifies shipping an
+    * approximate index: recall@3 of the sign-LSH in-bucket top-3 against
+    * the exact brute-force top-3, per probe. The eval is itself a query
+    * (and oracled): both rankings use the SAME rounded-cosine tie-break,
+    * so the comparison is deterministic; probes whose bucket holds fewer
+    * than 3 candidates are scored against what the index returned (the
+    * honest serving-time recall, not a best-case). Scale: both rankings
+    * are probe-broadcast scans; the eval adds only probe-sized joins. */
+  private val simRecallEval = GraftQuery(
+    "sim_recall_eval",
+    "recall@3 of LSH top-3 vs exact brute-force top-3 per probe",
+    (s, d) => {
+      val b = bruteTopK(s, d, 50, 3).select(col("q_id"), col("n_id"))
+      val l = lshTop3(s, d).select(col("q_id"), col("n_id"))
+      val common = b.join(l, Seq("q_id", "n_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_common"))
+      val lcnt = l.groupBy("q_id").agg(count(lit(1)).as("n_lsh"))
+      b.groupBy("q_id").agg(count(lit(1)).as("n_brute"))
+        .join(lcnt, Seq("q_id"), "left")
+        .join(common, Seq("q_id"), "left")
+        .select(col("q_id"), col("n_brute"),
+          coalesce(col("n_lsh"), lit(0L)).as("n_lsh"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          fround(coalesce(col("n_common"), lit(0L)).cast("double") / 3.0, 4)
+            .as("recall_at_3"))
+        .orderBy("q_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e), bq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0), bsc AS (SELECT bq.q_id, c.vec_id AS n_id, list_sum([s[1]*s[2] for s in list_zip(bq.qv, c.v)]) / (bq.qn * c.nrm) AS cos FROM bq JOIN n c ON c.vec_id <> bq.q_id), b3 AS (SELECT q_id, n_id FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY floor(cos * 1000000.0 + 0.5) DESC, n_id) AS rnk FROM bsc) WHERE rnk <= 3), proj AS (SELECT vec_id, p, list_sum([(CASE WHEN instr('0123456789abcdef', substr(md5(p::VARCHAR || ':' || (i-1)::VARCHAR), 1, 1)) % 2 = 1 THEN 1.0 ELSE -1.0 END) * v[i] for i in generate_series(1, len(v))]) AS dp FROM n, (SELECT unnest(generate_series(0, 7)) AS p)), codes AS (SELECT vec_id, CAST(sum(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS code FROM proj GROUP BY 1), c2 AS (SELECT n.vec_id, n.v, n.nrm, codes.code FROM n JOIN codes USING (vec_id)), lq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, code AS qcode FROM c2 WHERE vec_id % 50 = 0), lsc AS (SELECT lq.q_id, c2.vec_id AS n_id, list_sum([s[1]*s[2] for s in list_zip(lq.qv, c2.v)]) / (lq.qn * c2.nrm) AS cos FROM lq JOIN c2 ON c2.code = lq.qcode AND c2.vec_id <> lq.q_id), l3 AS (SELECT q_id, n_id FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY floor(cos * 1000000.0 + 0.5) DESC, n_id) AS rnk FROM lsc) WHERE rnk <= 3), cm AS (SELECT b3.q_id, count(*) AS n_common FROM b3 JOIN l3 ON b3.q_id = l3.q_id AND b3.n_id = l3.n_id GROUP BY 1), lc AS (SELECT q_id, count(*) AS n_lsh FROM l3 GROUP BY 1), bc AS (SELECT q_id, count(*) AS n_brute FROM b3 GROUP BY 1) SELECT bc.q_id, bc.n_brute, coalesce(lc.n_lsh, 0) AS n_lsh, coalesce(cm.n_common, 0) AS n_common, floor(CAST(coalesce(cm.n_common, 0) AS DOUBLE) / 3.0 * 1e4 + 0.5) / 1e4 AS recall_at_3 FROM bc LEFT JOIN lc USING (q_id) LEFT JOIN cm USING (q_id) ORDER BY q_id"""))
+
   val all: Seq[GraftQuery] = Seq(knnBrute, labelStats, knnLsh, knnMatryoshka,
     embCentroids, embDimProfile, embAssignPurity, dedupSemantic,
     embPrototypicality, simHubness, hardNegatives, embKmeansStep,
     embSimHistogram, embPcaPower, embPcaVar, embKmeansppSeed, embWhitening,
-    embIsotropy)
+    embIsotropy, simRecallEval)
 }

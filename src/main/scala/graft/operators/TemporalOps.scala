@@ -506,8 +506,50 @@ object TemporalOps {
     },
     Some("""WITH pu AS (SELECT user_id, min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l FROM events GROUP BY 1), mx AS (SELECT max(l) AS maxd FROM pu), u AS (SELECT CAST(datediff('day', f, l) AS BIGINT) AS t, CASE WHEN datediff('day', l, maxd) <= 2 THEN 1 ELSE 0 END AS cen FROM pu CROSS JOIN mx), bt AS (SELECT t, CAST(sum(1 - cen) AS BIGINT) AS d, CAST(sum(cen) AS BIGINT) AS c FROM u GROUP BY 1), tt AS (SELECT CAST(sum(d + c) AS BIGINT) AS ntot FROM bt), r AS (SELECT *, CAST(ntot - coalesce(sum(d + c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk FROM bt CROSS JOIN tt), s AS (SELECT *, CASE WHEN n_at_risk > d THEN CAST(floor(ln(CAST(n_at_risk - d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) ELSE -20000000 END AS lnm FROM r), cm AS (SELECT *, CAST(sum(lnm) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM s) SELECT t AS t_day, n_at_risk, d AS n_deaths, c AS n_censored, floor(exp(CAST(cum AS DOUBLE) / 1000000.0) * 1e4 + 0.5) / 1e4 AS survival FROM cm ORDER BY 1"""))
 
+  /** Entropy RATE of the event-type chain: the conditional entropy
+    * H(next | prev) over same-user consecutive pairs, next to the marginal
+    * H(next) — their gap is the mutual information the previous event
+    * carries about the next one ("how predictable is the stream"), the
+    * sequence-level complement of evt_transition_matrix /
+    * evt_markov_stationary. Same integer micro-nat discipline as
+    * qa_mutual_info: per-cell n·ln(·) terms floor to BIGINTs over the
+    * 25-cell (and 5-row) tables, so no float ever accumulates. Scale: one
+    * user-keyed window pass for the pairs, then constant-size rollups. */
+  private val entropyRate = GraftQuery(
+    "evt_entropy_rate",
+    "event-type chain entropy rate vs marginal entropy (predictability gain)",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val pr = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          col("event_type").as("b"))
+        .withColumn("a", lag("b", 1).over(w))
+        .filter(col("a").isNotNull)
+      val cells = pr.groupBy("a", "b").agg(count(lit(1)).as("nij"))
+      val rowT = cells.groupBy("a").agg(sum("nij").as("ni"))
+      val colT = cells.groupBy("b").agg(sum("nij").as("nj"))
+      val tot = cells.agg(sum("nij").as("nn"))
+      def microSum(df: org.apache.spark.sql.DataFrame, term: Column, as: String) =
+        df.agg(sum(floor(term * 1e6 + 0.5).cast("long")).as(as))
+      val hc = microSum(cells.join(broadcast(rowT), "a"),
+        -col("nij") * log(col("nij").cast("double") / col("ni").cast("double")),
+        "hc")
+      val hm = microSum(colT.crossJoin(broadcast(tot)),
+        -col("nj") * log(col("nj").cast("double") / col("nn").cast("double")),
+        "hm")
+      hc.crossJoin(hm).crossJoin(tot)
+        .select(col("nn").as("n_transitions"),
+          fround(col("hc").cast("double") / (col("nn") * 1e6), 6)
+            .as("h_cond_nats"),
+          fround(col("hm").cast("double") / (col("nn") * 1e6), 6)
+            .as("h_marginal_nats"),
+          fround((col("hm") - col("hc")).cast("double") / (col("nn") * 1e6), 6)
+            .as("predictability_gain"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type AS b FROM events), pr AS (SELECT lag(b) OVER (PARTITION BY user_id ORDER BY us, event_id) AS a, b FROM ev), cells AS (SELECT a, b, count(*) AS nij FROM pr WHERE a IS NOT NULL GROUP BY 1, 2), rt AS (SELECT a, CAST(sum(nij) AS BIGINT) AS ni FROM cells GROUP BY 1), ct AS (SELECT b, CAST(sum(nij) AS BIGINT) AS nj FROM cells GROUP BY 1), t AS (SELECT CAST(sum(nij) AS BIGINT) AS nn FROM cells), hc AS (SELECT CAST(sum(CAST(floor(-nij * ln(CAST(nij AS DOUBLE) / CAST(ni AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hc FROM cells JOIN rt USING (a)), hm AS (SELECT CAST(sum(CAST(floor(-nj * ln(CAST(nj AS DOUBLE) / CAST(nn AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hm FROM ct CROSS JOIN t) SELECT nn AS n_transitions, floor(CAST(hc AS DOUBLE) / (nn * 1000000.0) * 1e6 + 0.5) / 1e6 AS h_cond_nats, floor(CAST(hm AS DOUBLE) / (nn * 1000000.0) * 1e6 + 0.5) / 1e6 AS h_marginal_nats, floor(CAST(hm - hc AS DOUBLE) / (nn * 1000000.0) * 1e6 + 0.5) / 1e6 AS predictability_gain FROM hc CROSS JOIN hm CROSS JOIN t"""))
+
   val all: Seq[GraftQuery] =
     Seq(rollingDau, attribution, firstLast, snapshotDiff, cohortRevenue,
       rfmSegments, paaSax, turningPoints, markovStationary, changepoint,
-      autocorr, gapHistogram, islands, survivalKm)
+      autocorr, gapHistogram, islands, survivalKm, entropyRate)
 }

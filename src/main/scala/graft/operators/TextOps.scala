@@ -1018,13 +1018,62 @@ object TextOps {
       Some(s"""WITH tok AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents), st AS (SELECT source, tok, count(*) AS a FROM tok GROUP BY 1, 2), tw AS (SELECT tok, CAST(sum(a) AS BIGINT) AS tw FROM st GROUP BY 1), ts AS (SELECT source, CAST(sum(a) AS BIGINT) AS tsrc FROM st GROUP BY 1), t AS (SELECT CAST(sum(a) AS BIGINT) AS nn FROM st), x AS (SELECT st.source, st.tok, st.a, tw.tw - st.a AS b, ts.tsrc, tw.tw, t.nn, ts.tsrc - st.a AS c, (t.nn - ts.tsrc) - (tw.tw - st.a) AS d FROM st JOIN tw USING (tok) JOIN ts USING (source) CROSS JOIN t), sc AS (SELECT source, tok, a, b, CASE WHEN a * (nn - tsrc) > b * tsrc THEN 'over' ELSE 'under' END AS direction, CAST(floor(($g2) * 1e4 + 0.5) AS BIGINT) AS g2m FROM x), rk AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY g2m DESC, tok) AS rk FROM sc) SELECT source, rk, tok, a AS n_in_source, b AS n_elsewhere, direction, floor(CAST(g2m AS DOUBLE) / 1e4 * 1e4 + 0.5) / 1e4 AS g2 FROM rk WHERE rk <= 8 ORDER BY source, rk"""))
   }
 
+  /** Pairwise Jensen-Shannon divergence between the source unigram
+    * distributions — the symmetric, bounded [0, ln 2] domain-distance
+    * behind training-mixture design ("how different are these corpora
+    * really") and drift tracking between corpus snapshots. Every KL term's
+    * ln argument is a ratio of INTEGER products (2·c1·n2 / (c1·n2+c2·n1)),
+    * the per-token terms ride as floor-rounded micro-nat BIGINTs (lpPerDoc
+    * discipline, same accepted ln-ulp note), and tokens absent from one
+    * side contribute only the other side's term (the x·ln(2x/x) → x·ln 2
+    * limit — JSD never divides by zero). Scale: one corpus tokenize into
+    * the (source, token) count table; the 6-row pair dim broadcasts onto
+    * it; the full-outer merge and both aggregations key on the token —
+    * vocabulary-sized shuffles, never corpus-sized, nothing broadcast but
+    * dims. */
+  private lazy val jsdSources = GraftQuery(
+    "txt_jsd_sources",
+    "pairwise Jensen-Shannon divergence between source unigram models",
+    (s, d) => {
+      val st = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val nt = st.groupBy("source").agg(sum("c").as("n"))
+      val pairsDim = broadcast(nt.toDF("sa", "na")
+        .crossJoin(nt.toDF("sb", "nb")).filter(col("sa") < col("sb")))
+      val aSide = st.toDF("sa", "tok", "c1").join(pairsDim, Seq("sa"))
+        .select("sa", "sb", "na", "nb", "tok", "c1")
+      val bSide = st.toDF("sb", "tok", "c2").join(pairsDim, Seq("sb"))
+        .select("sa", "sb", "na", "nb", "tok", "c2")
+      val merged = aSide.join(bSide, Seq("sa", "sb", "na", "nb", "tok"), "full_outer")
+        .select(col("sa"), col("sb"), col("na"), col("nb"),
+          coalesce(col("c1"), lit(0L)).as("c1"),
+          coalesce(col("c2"), lit(0L)).as("c2"))
+      def term(cx: String, cy: String, nx: String, ny: String) =
+        when(col(cx) > 0,
+          floor(col(cx) * log((lit(2L) * col(cx) * col(ny)).cast("double") /
+            (col(cx) * col(ny) + col(cy) * col(nx)).cast("double")) * 1e6 + 0.5)
+            .cast("long")).otherwise(lit(0L))
+      merged.groupBy("sa", "sb", "na", "nb")
+        .agg(sum(term("c1", "c2", "na", "nb")).as("sp"),
+          sum(term("c2", "c1", "nb", "na")).as("sq"),
+          sum(when(col("c1") > 0 && col("c2") > 0, 1L).otherwise(0L))
+            .as("shared_vocab"),
+          count(lit(1)).as("union_vocab"))
+        .select(col("sa"), col("sb"), col("shared_vocab"), col("union_vocab"),
+          fround((col("sp").cast("double") / col("na") +
+            col("sq").cast("double") / col("nb")) * 0.5 / 1e6, 6).as("jsd_nats"))
+        .orderBy("sa", "sb")
+    },
+    Some("""WITH st AS (SELECT source, tok, count(*) AS c FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents) GROUP BY 1, 2), nt AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM st GROUP BY 1), pr AS (SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb FROM nt a, nt b WHERE a.source < b.source), av AS (SELECT pr.sa, pr.sb, pr.na, pr.nb, st.tok, st.c AS c1 FROM st JOIN pr ON st.source = pr.sa), bv AS (SELECT pr.sa, pr.sb, pr.na, pr.nb, st.tok, st.c AS c2 FROM st JOIN pr ON st.source = pr.sb), m AS (SELECT sa, sb, na, nb, tok, coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2 FROM av FULL JOIN bv USING (sa, sb, na, nb, tok)), t AS (SELECT sa, sb, na, nb, CASE WHEN c1 > 0 THEN CAST(floor(c1 * ln(CAST(2 * c1 * nb AS DOUBLE) / CAST(c1 * nb + c2 * na AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS tp, CASE WHEN c2 > 0 THEN CAST(floor(c2 * ln(CAST(2 * c2 * na AS DOUBLE) / CAST(c2 * na + c1 * nb AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS tq, CASE WHEN c1 > 0 AND c2 > 0 THEN 1 ELSE 0 END AS sh FROM m) SELECT sa, sb, CAST(sum(sh) AS BIGINT) AS shared_vocab, count(*) AS union_vocab, floor((CAST(sum(tp) AS DOUBLE) / na + CAST(sum(tq) AS DOUBLE) / nb) * 0.5 / 1000000.0 * 1e6 + 0.5) / 1e6 AS jsd_nats FROM t GROUP BY sa, sb, na, nb ORDER BY 1, 2"""))
+
   val all: Seq[GraftQuery] = Seq(tokenStats, quality, langId, fingerprint,
     topNgrams, repetition, decontaminate, boilerplate, decontaminateBloom,
     vocabTopK, vocabSketch, unigramLogprob, bpePretokenize, txtNovelty,
     pplBuckets, charEntropy, langIdConfusion, oovRate, bpePairs,
     langIdKappa, cdcChunks, cooccurrence, splitContamination, zipfFit,
     featureHashing, bpeMergeStep, bigramLogprob, hapaxProfile, burstiness,
-    keynessG2)
+    keynessG2, jsdSources)
 
   /** Add-1-smoothed BIGRAM-LM conditional log-prob per doc — the next
     * model class up from txt_unigram_logprob (context-conditioned token
