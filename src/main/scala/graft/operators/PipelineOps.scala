@@ -569,9 +569,48 @@ object PipelineOps {
     },
     Some(s"""WITH base AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok, CAST(len(string_split(lower(text), ' ')) // 20 AS BIGINT) AS n_spans FROM documents), sp AS (SELECT doc_id, n_tok, unnest(generate_series(0, n_spans - 1)) AS i FROM base WHERE n_spans >= 1), st AS (SELECT doc_id, ${md5u32Sql("md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR))")} % (n_tok - 2) AS start FROM sp), pos AS (SELECT DISTINCT doc_id, start + k AS p FROM st, (SELECT unnest(generate_series(0, 2)) AS k)), mk AS (SELECT doc_id, count(*) AS n_masked FROM pos GROUP BY 1) SELECT base.doc_id, n_tok, n_spans, CAST(coalesce(mk.n_masked, 0) AS BIGINT) AS n_masked, floor(CAST(coalesce(mk.n_masked, 0) AS DOUBLE) / n_tok * 1e4 + 0.5) / 1e4 AS mask_ratio FROM base LEFT JOIN mk USING (doc_id) ORDER BY doc_id"""))
 
+  /** PADDING-WASTE audit for batched training: documents grouped into
+    * fixed batches of 8 under two orderings — ARRIVAL (doc_id — what a
+    * naive loader does) vs LENGTH-SORTED (n_tok desc — bucketed dynamic
+    * batching). Every batch pads to its longest member, so padded tokens
+    * = Σ_batch (8·max − Σ len); the two strategies' waste side-by-side is
+    * the report that justifies length bucketing (it typically cuts
+    * padding several-fold). Pure integer window arithmetic; each
+    * strategy is one row_number + one grouped rollup; the last partial
+    * batch pads like the rest. Scale: two sorts of the doc-ID/length
+    * projection (never the text), each a single total-order window —
+    * at true scale the sort is range-partitioned, the semantics hold. */
+  private val pipeLengthBatching = {
+    def strat(name: String, ord: Seq[Column]) = (df: org.apache.spark.sql.DataFrame) => {
+      val w = Window.orderBy(ord: _*)
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("batch", expr("(rn - 1) div 8"))
+        .groupBy("batch")
+        .agg(count(lit(1)).as("bsz"), max("n_tok").as("mx"), sum("n_tok").as("sm"))
+        .agg(count(lit(1)).as("n_batches"), sum("sm").as("real_tokens"),
+          sum(col("bsz") * col("mx") - col("sm")).as("padded_tokens"))
+        .select(lit(name).as("strategy"), col("n_batches"), col("real_tokens"),
+          col("padded_tokens"),
+          fround(col("padded_tokens").cast("double") /
+            (col("real_tokens") + col("padded_tokens")).cast("double"), 4)
+            .as("pad_share"))
+    }
+    GraftQuery(
+      "pipe_length_batching",
+      "padding waste of arrival-order vs length-sorted batches of 8",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+        strat("arrival", Seq(col("doc_id")))(docs)
+          .unionByName(strat("sorted", Seq(desc("n_tok"), col("doc_id")))(docs))
+          .orderBy("strategy")
+      },
+      Some("""WITH docs AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok FROM documents), arr AS (SELECT n_tok, (row_number() OVER (ORDER BY doc_id) - 1) // 8 AS batch FROM docs), srt AS (SELECT n_tok, (row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1) // 8 AS batch FROM docs), ab AS (SELECT batch, count(*) AS bsz, max(n_tok) AS mx, sum(n_tok) AS sm FROM arr GROUP BY 1), sb AS (SELECT batch, count(*) AS bsz, max(n_tok) AS mx, sum(n_tok) AS sm FROM srt GROUP BY 1), res AS (SELECT 'arrival' AS strategy, count(*) AS n_batches, CAST(sum(sm) AS BIGINT) AS real_tokens, CAST(sum(bsz * mx - sm) AS BIGINT) AS padded_tokens FROM ab UNION ALL SELECT 'sorted', count(*), CAST(sum(sm) AS BIGINT), CAST(sum(bsz * mx - sm) AS BIGINT) FROM sb) SELECT strategy, n_batches, real_tokens, padded_tokens, floor(CAST(padded_tokens AS DOUBLE) / CAST(real_tokens + padded_tokens AS DOUBLE) * 1e4 + 0.5) / 1e4 AS pad_share FROM res ORDER BY strategy"""))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     sampHashSplit, sampClusterSplit, arrHofStats, evtFunnel, aggMode,
     calGapFill, calInterpolate, pipePack, pipeMixWeights, pipeChunk,
     pipeFilterGate, pipeCurationFunnel, pipeTokenBudget, pipeAuditTrail,
-    calBusinessDays, pipeSpanCorruption)
+    calBusinessDays, pipeSpanCorruption, pipeLengthBatching)
 }

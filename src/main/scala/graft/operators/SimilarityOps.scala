@@ -774,9 +774,78 @@ object SimilarityOps {
     },
     Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e), bq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0), bsc AS (SELECT bq.q_id, c.vec_id AS n_id, list_sum([s[1]*s[2] for s in list_zip(bq.qv, c.v)]) / (bq.qn * c.nrm) AS cos FROM bq JOIN n c ON c.vec_id <> bq.q_id), b3 AS (SELECT q_id, n_id FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY floor(cos * 1000000.0 + 0.5) DESC, n_id) AS rnk FROM bsc) WHERE rnk <= 3), proj AS (SELECT vec_id, p, list_sum([(CASE WHEN instr('0123456789abcdef', substr(md5(p::VARCHAR || ':' || (i-1)::VARCHAR), 1, 1)) % 2 = 1 THEN 1.0 ELSE -1.0 END) * v[i] for i in generate_series(1, len(v))]) AS dp FROM n, (SELECT unnest(generate_series(0, 7)) AS p)), codes AS (SELECT vec_id, CAST(sum(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS code FROM proj GROUP BY 1), c2 AS (SELECT n.vec_id, n.v, n.nrm, codes.code FROM n JOIN codes USING (vec_id)), lq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, code AS qcode FROM c2 WHERE vec_id % 50 = 0), lsc AS (SELECT lq.q_id, c2.vec_id AS n_id, list_sum([s[1]*s[2] for s in list_zip(lq.qv, c2.v)]) / (lq.qn * c2.nrm) AS cos FROM lq JOIN c2 ON c2.code = lq.qcode AND c2.vec_id <> lq.q_id), l3 AS (SELECT q_id, n_id FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY floor(cos * 1000000.0 + 0.5) DESC, n_id) AS rnk FROM lsc) WHERE rnk <= 3), cm AS (SELECT b3.q_id, count(*) AS n_common FROM b3 JOIN l3 ON b3.q_id = l3.q_id AND b3.n_id = l3.n_id GROUP BY 1), lc AS (SELECT q_id, count(*) AS n_lsh FROM l3 GROUP BY 1), bc AS (SELECT q_id, count(*) AS n_brute FROM b3 GROUP BY 1) SELECT bc.q_id, bc.n_brute, coalesce(lc.n_lsh, 0) AS n_lsh, coalesce(cm.n_common, 0) AS n_common, floor(CAST(coalesce(cm.n_common, 0) AS DOUBLE) / 3.0 * 1e4 + 0.5) / 1e4 AS recall_at_3 FROM bc LEFT JOIN lc USING (q_id) LEFT JOIN cm USING (q_id) ORDER BY q_id"""))
 
+  /** kNN CLASSIFIER EVALUATION: each mod-50 probe's label predicted by
+    * majority vote of its brute-force top-5 neighbors (vote ties break to
+    * the smaller label id — the fixed rule both engines apply), scored
+    * against the probe's own label, rolled up per true label. The
+    * embedding-quality eval a retrieval deployment runs before trusting
+    * labels-by-neighborhood. Scale: rides the same probe-broadcast scan
+    * as sim_knn_brute; everything after the top-5 is probe-sized. */
+  private val knnLabelAccuracy = GraftQuery(
+    "sim_knn_label_accuracy",
+    "leave-one-out 5-NN majority-vote label accuracy per true label",
+    (s, d) => {
+      val lbl = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val votes = bruteTopK(s, d, 50, 5)
+        .select(col("q_id"), col("n_id"))
+        .join(broadcast(lbl.toDF("n_id", "nl")), Seq("n_id"))
+        .groupBy("q_id", "nl").agg(count(lit(1)).as("v"))
+      val w = Window.partitionBy("q_id").orderBy(desc("v"), col("nl"))
+      val pred = votes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1).select(col("q_id"), col("nl").as("pred"))
+      pred.join(broadcast(lbl.toDF("q_id", "truth")), Seq("q_id"))
+        .groupBy("truth")
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("pred") === col("truth"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("truth").as("label"), col("n_probes"), col("n_correct"),
+          fround(col("n_correct").cast("double") / col("n_probes"), 4)
+            .as("accuracy"))
+        .orderBy("label")
+    },
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e), bq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0), bsc AS (SELECT bq.q_id, c.vec_id AS n_id, list_sum([s[1]*s[2] for s in list_zip(bq.qv, c.v)]) / (bq.qn * c.nrm) AS cos FROM bq JOIN n c ON c.vec_id <> bq.q_id), b5 AS (SELECT q_id, n_id FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY floor(cos * 1000000.0 + 0.5) DESC, n_id) AS rnk FROM bsc) WHERE rnk <= 5), vt AS (SELECT b5.q_id, emb.label AS nl, count(*) AS v FROM b5 JOIN embeddings emb ON emb.vec_id = b5.n_id GROUP BY 1, 2), pd AS (SELECT q_id, nl AS pred FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY v DESC, nl) AS rk FROM vt) WHERE rk = 1) SELECT t.label, count(*) AS n_probes, CAST(sum(CASE WHEN pd.pred = t.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct, floor(CAST(sum(CASE WHEN pd.pred = t.label THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS accuracy FROM pd JOIN embeddings t ON t.vec_id = pd.q_id GROUP BY 1 ORDER BY 1"""))
+
+  /** EMBEDDING CENTROID DRIFT between the two md5-free halves of the
+    * corpus (even vs odd vec_id — the deterministic stand-in for "last
+    * snapshot vs this snapshot"): per label, the L2 distance between the
+    * half-centroids. The embedding-space drift check that catches encoder
+    * regressions before they poison an index rebuild. Exactness: per-dim
+    * sums ride integer micro-units; the cross-half difference
+    * d_i = s0·c1 − s1·c0 clears denominators, so Σ d_i² is an EXACT
+    * 128-bit integer (DECIMAL(38,0)/HUGEINT — the emb_isotropy pattern)
+    * and float math happens once per label at the output edge. Scale: one
+    * posexplode pass, one (label, half, dim)-keyed rollup, then
+    * label-sized frames. */
+  private val embCentroidDrift = GraftQuery(
+    "emb_centroid_drift",
+    "per-label centroid L2 drift between corpus halves in exact integers",
+    (s, d) => {
+      val mic = Tables.embeddings(s, d)
+        .select(col("label"), (col("vec_id") % 2).as("half"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("label"), col("half"), col("dim"),
+          floor(col("x").cast("double") * 1e6 + 0.5).cast("long").as("micro"))
+      val sums = mic.groupBy("label", "half", "dim")
+        .agg(sum("micro").as("sm"), count(lit(1)).as("c"))
+      val a = sums.filter(col("half") === 0)
+        .select(col("label"), col("dim"), col("sm").as("s0"), col("c").as("c0"))
+      val b = sums.filter(col("half") === 1)
+        .select(col("label"), col("dim"), col("sm").as("s1"), col("c").as("c1"))
+      a.join(b, Seq("label", "dim"))
+        .withColumn("di",
+          (col("s0") * col("c1") - col("s1") * col("c0")).cast("decimal(38,0)"))
+        .groupBy("label", "c0", "c1")
+        .agg(sum(col("di") * col("di")).as("ss"))
+        .select(col("label"), col("c0").as("n_even"), col("c1").as("n_odd"),
+          fround(sqrt(col("ss").cast("double")) /
+            (col("c0") * col("c1")).cast("double") / 1e6, 6).as("l2_drift"))
+        .orderBy("label")
+    },
+    Some("""WITH mic AS (SELECT label, vec_id % 2 AS half, dim, CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS micro FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim)), sums AS (SELECT label, half, dim, CAST(sum(micro) AS BIGINT) AS sm, count(*) AS c FROM mic GROUP BY 1, 2, 3), a AS (SELECT label, dim, sm AS s0, c AS c0 FROM sums WHERE half = 0), b AS (SELECT label, dim, sm AS s1, c AS c1 FROM sums WHERE half = 1), j AS (SELECT a.label, a.dim, c0, c1, CAST(s0 * c1 - s1 * c0 AS HUGEINT) AS di FROM a JOIN b ON a.label = b.label AND a.dim = b.dim) SELECT label, c0 AS n_even, c1 AS n_odd, floor(sqrt(CAST(sum(di * di) AS DOUBLE)) / CAST(c0 * c1 AS DOUBLE) / 1000000.0 * 1e6 + 0.5) / 1e6 AS l2_drift FROM j GROUP BY label, c0, c1 ORDER BY label"""))
+
   val all: Seq[GraftQuery] = Seq(knnBrute, labelStats, knnLsh, knnMatryoshka,
     embCentroids, embDimProfile, embAssignPurity, dedupSemantic,
     embPrototypicality, simHubness, hardNegatives, embKmeansStep,
     embSimHistogram, embPcaPower, embPcaVar, embKmeansppSeed, embWhitening,
-    embIsotropy, simRecallEval)
+    embIsotropy, simRecallEval, knnLabelAccuracy, embCentroidDrift)
 }

@@ -321,9 +321,13 @@ class PlanQualitySpec extends AnyFunSuite {
                              // rollup (orders of magnitude below the
                              // fact); the op's doc names
                              // approx_percentile as the true-scale swap
-      "evt_survival_km")     // risk-set/survival cumulation over the
+      "evt_survival_km",     // risk-set/survival cumulation over the
                              // |distinct lifetimes| table (<= corpus day
                              // span) — the KM curve is one global series
+      "pipe_length_batching") // global batch numbering over the
+                              // (doc_id, n_tok) projection — a total
+                              // order IS the operator's semantics; at
+                              // scale the sort range-partitions
     val offenders = SparkEntry.registry.flatMap { q =>
       val unpartitioned =
         try {

@@ -611,4 +611,48 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(hm <= math.log(5.0) + tol, "5 event types bound the marginal")
     assert(math.abs((hm - hc) - gain) <= 2e-6, "gain is the exact-integer difference")
   }
+
+  // ---- kNN label accuracy ---------------------------------------------------
+
+  test("sim_knn_label_accuracy: probes partition by true label, accuracy = correct/probes") {
+    val rows = run("sim_knn_label_accuracy").collect()
+    assert(rows.nonEmpty)
+    val probeTotal = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 50 === 0).count()
+    assert(rows.map(_.getLong(1)).sum == probeTotal, "every probe scored once")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val acc = r.getDouble(3)
+      assert(acc >= 0.0 && acc <= 1.0)
+    }
+  }
+
+  // ---- centroid drift -------------------------------------------------------
+
+  test("emb_centroid_drift: halves cover each label, drift nonneg and below the value range") {
+    val rows = run("emb_centroid_drift").collect()
+    assert(rows.nonEmpty)
+    val perLabel = Tables.embeddings(spark, sf).groupBy("label").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == perLabel(r.getInt(0)),
+        "even+odd halves cover the label")
+      val drift = r.getDouble(3)
+      // embeddings live in [-1, 1]^64 -> centroid L2 distance <= 2*sqrt(64)
+      assert(drift >= 0.0 && drift <= 16.0, s"drift=$drift")
+    }
+  }
+
+  // ---- length batching ------------------------------------------------------
+
+  test("pipe_length_batching: sorted batching never pads more than arrival order, real tokens invariant") {
+    val rows = run("pipe_length_batching").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (abN, abReal, abPad) = rows("arrival")
+    val (sbN, sbReal, sbPad) = rows("sorted")
+    assert(abN == sbN, "same batch count")
+    assert(abReal == sbReal, "strategy cannot change real token mass")
+    assert(sbPad <= abPad, "length-sorting can only reduce padding")
+    assert(abPad >= 0 && sbPad >= 0)
+  }
 }
