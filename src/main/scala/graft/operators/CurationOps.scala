@@ -485,9 +485,47 @@ object CurationOps {
     },
     Some(s"""WITH sc AS (SELECT doc_id, n_chars, 0.2 + 0.8 * (CAST(len(list_filter(t, x -> x IN (${graft.functions.GraftFunctions.stopwordsSqlList}))) AS DOUBLE) / len(t) * 0.3 + CAST(len(list_filter(t, x -> length(x) > 4)) AS DOUBLE) / len(t) * 0.4 + (CASE WHEN len(t) BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END) * 0.3) AS w, CAST(${graft.functions.GraftFunctions.md5u32Sql("md5('imp:' || CAST(doc_id AS VARCHAR))")} AS DOUBLE) / 4294967296.0 AS u01 FROM (SELECT doc_id, n_chars, string_split(lower(text), ' ') AS t FROM documents)), k AS (SELECT CAST(floor(n_chars / w * 1000000.0 + 0.5) AS BIGINT) AS contrib_micro FROM sc WHERE u01 < w), agg AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(contrib_micro) AS BIGINT) AS cm FROM k), t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS true_total FROM documents) SELECT n_kept, true_total, floor(CAST(cm AS DOUBLE) / 1000000.0 * 100.0 + 0.5) / 100.0 AS ht_estimate, floor((CAST(cm AS DOUBLE) / 1000000.0 - true_total) / true_total * 1000000.0 * 10.0 + 0.5) / 10.0 AS err_ppm FROM agg CROSS JOIN t"""))
 
+  /** NEYMAN ALLOCATION of a 500-doc sample budget across sources — the
+    * optimal-stratification rule n_h ∝ N_h·S_h (allocate by stratum size
+    * TIMES within-stratum spread, not size alone), shown against the
+    * proportional allocation it beats whenever variances differ.
+    * Determinism: S_h comes from exact integer moments (Σx, Σx², N over
+    * n_chars), each stratum's weight N_h·S_h floors to an integer
+    * micro-unit BEFORE the cross-stratum total (floats never sum), and
+    * the final seat counts use the same floor(x+0.5) spelling in both
+    * engines. Scale: one map-side-combined moment pass over the corpus;
+    * everything after is |sources| rows. */
+  private val sampNeyman = {
+    import org.apache.spark.sql.functions._
+    GraftQuery(
+      "samp_neyman_allocation",
+      "Neyman vs proportional allocation of a 500-doc budget per source",
+      (s, d) => {
+        import graft.functions.GraftFunctions.fround
+        val m = Tables.documents(s, d)
+          .groupBy("source")
+          .agg(count(lit(1)).as("nh"), sum("n_chars").as("sx"),
+            sum(col("n_chars") * col("n_chars")).as("sxx"))
+          .withColumn("sh", sqrt((col("sxx").cast("double") * col("nh") -
+            col("sx").cast("double") * col("sx").cast("double")) /
+            (col("nh").cast("double") * col("nh").cast("double"))))
+          .withColumn("wm", floor(col("nh") * col("sh") * 1e2 + 0.5).cast("long"))
+        val tot = m.agg(sum("nh").as("nn"), sum("wm").as("wt"))
+        m.crossJoin(broadcast(tot))
+          .select(col("source"), col("nh").as("n_docs"),
+            fround(col("sh"), 2).as("sd_chars"),
+            floor(lit(500.0) * col("nh").cast("double") / col("nn") + 0.5)
+              .cast("long").as("alloc_proportional"),
+            floor(lit(500.0) * col("wm").cast("double") / col("wt") + 0.5)
+              .cast("long").as("alloc_neyman"))
+          .orderBy("source")
+      },
+      Some("""WITH m AS (SELECT source, count(*) AS nh, CAST(sum(n_chars) AS BIGINT) AS sx, CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx FROM documents GROUP BY 1), sh AS (SELECT *, sqrt((CAST(sxx AS DOUBLE) * nh - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(nh AS DOUBLE) * CAST(nh AS DOUBLE))) AS sh FROM m), w AS (SELECT *, CAST(floor(nh * sh * 1e2 + 0.5) AS BIGINT) AS wm FROM sh), t AS (SELECT CAST(sum(nh) AS BIGINT) AS nn, CAST(sum(wm) AS BIGINT) AS wt FROM w) SELECT source, nh AS n_docs, floor(sh * 1e2 + 0.5) / 1e2 AS sd_chars, CAST(floor(500.0 * CAST(nh AS DOUBLE) / nn + 0.5) AS BIGINT) AS alloc_proportional, CAST(floor(500.0 * CAST(wm AS DOUBLE) / wt + 0.5) AS BIGINT) AS alloc_neyman FROM w CROSS JOIN t ORDER BY source"""))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     sampStratified, sampQuota, shufflePrefix, txtNormalize, lengthHist,
     embQuantize, sampImportance, sampWeightedReservoir, sampBalancedClasses,
     sampTemperature, sampLargestRemainder, sampSystematic,
-    sampPoissonBootstrap, sampDpCounts, sampHtEstimate)
+    sampPoissonBootstrap, sampDpCounts, sampHtEstimate, sampNeyman)
 }

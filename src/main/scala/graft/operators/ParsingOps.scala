@@ -874,13 +874,52 @@ object ParsingOps {
     },
     Some("""WITH r AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events, floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value, CASE WHEN CAST(ts AS DATE) < DATE '2024-01-25' THEN 'batch' ELSE 'speed' END AS served_from FROM events GROUP BY 1, 2, 5) SELECT event_type, day, n_events, total_value, served_from FROM r ORDER BY 1, 2"""))
 
+  /** RECURSIVE-HIERARCHY rollup — the engine's answer to WITH RECURSIVE
+    * (which Spark SQL lacks): every customer is placed in a synthetic
+    * containment hierarchy (parent = id div 10, roots are the single-digit
+    * ids) and revenue rolls up to (root, depth). The traversal is POINTER
+    * DOUBLING, fully declarative: three unrolled self-joins, each doubling
+    * the ancestor distance (roots are 0-step fixpoints so distances sum
+    * exactly), covering depth ≤ 8 — log₂(depth) keyed self-joins of a
+    * node-sized table instead of a depth-long iteration; the same shape
+    * scales to a billion-node hierarchy. The oracle IS DuckDB's native
+    * WITH RECURSIVE — engine parity proven against the real thing.
+    * Revenue joins on the customer key and aggregates map-side before the
+    * tiny (root, depth) grid. */
+  private lazy val sqlRecursiveHierarchy = GraftQuery(
+    "sql_recursive_hierarchy",
+    "pointer-doubling root/depth resolution + rollup vs WITH RECURSIVE",
+    (s, d) => {
+      val l1 = Tables.customer(s, d).select(
+        col("c_custkey").as("id"),
+        when(col("c_custkey") < 10, col("c_custkey"))
+          .otherwise(expr("c_custkey div 10")).as("anc"),
+        when(col("c_custkey") < 10, lit(0L)).otherwise(lit(1L)).as("dist"))
+      def dbl(l: DataFrame): DataFrame =
+        l.as("a").join(l.as("b"), col("a.anc") === col("b.id"))
+          .select(col("a.id").as("id"), col("b.anc").as("anc"),
+            (col("a.dist") + col("b.dist")).as("dist"))
+      val resolved = dbl(dbl(dbl(l1))) // 2^3 = 8 >= max chain length
+      val rev = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("id"))
+        .agg(count(lit(1)).as("n_ord"), sum(centi(col("o_totalprice"))).as("pc"))
+      resolved.join(rev, Seq("id"), "left")
+        .groupBy(col("anc").as("root"), col("dist").as("depth"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(coalesce(col("n_ord"), lit(0L))).as("n_orders"),
+          fround(sum(coalesce(col("pc"), lit(0L))).cast("double") / 100.0, 2)
+            .as("revenue"))
+        .orderBy("root", "depth")
+    },
+    Some("""WITH RECURSIVE walk AS (SELECT c_custkey AS id, c_custkey AS cur, CAST(0 AS BIGINT) AS depth FROM customer UNION ALL SELECT id, cur // 10, depth + 1 FROM walk WHERE cur >= 10), res AS (SELECT id, cur AS root, depth FROM walk WHERE cur < 10), rev AS (SELECT o_custkey AS id, count(*) AS n_ord, sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS pc FROM orders GROUP BY 1) SELECT root, depth, count(*) AS n_customers, CAST(sum(coalesce(n_ord, 0)) AS BIGINT) AS n_orders, floor(CAST(sum(coalesce(pc, 0)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS revenue FROM res LEFT JOIN rev USING (id) GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[GraftQuery] = Seq(
     csvRoundtrip, jsonStruct, jsonInferred, dateConstruct, sqlMultikeyJoin,
     mvCascade, sqlCtas, mmDecode, partitionPruned, dppPrune, mmFrameSample,
     qaProfile, qaProfileHll, qaExpectations, scd2Merge, mvIncrementalAgg,
     qaTableChecksum, qaRefIntegrity, qaKeySkew, mvCompactCdc, qaCovMatrix,
     qaLabelGini, qaEquidepthHist, mmResize, scd2Asof, mmPhash,
-    mvLambdaServing)
+    mvLambdaServing, sqlRecursiveHierarchy)
 
   /** Time-travel READ over the SCD2 dimension — "the dimension as of
     * 2024-07-01": for each key, exactly the one version whose

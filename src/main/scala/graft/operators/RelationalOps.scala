@@ -938,6 +938,59 @@ object RelationalOps {
     },
     Some("""WITH dim AS (SELECT c_custkey, c_mktsegment FROM customer), v AS (SELECT c_custkey, 1 AS version, c_mktsegment AS segment, DATE '1992-01-01' AS vf, CASE WHEN c_custkey % 7 = 0 THEN DATE '1998-01-01' ELSE DATE '9999-12-31' END AS vt FROM dim UNION ALL SELECT c_custkey, 2, 'PROMO', DATE '1998-01-01', DATE '9999-12-31' FROM dim WHERE c_custkey % 7 = 0), o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc FROM orders) SELECT segment, version, count(*) AS n_orders, floor(CAST(sum(pc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS revenue FROM o JOIN v ON o_custkey = c_custkey AND vf <= od AND od < vt GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** BITEMPORAL read — valid time × transaction time, the two-axis
+    * warehouse question "what did we BELIEVE on date T about business
+    * date V". Facts: every order's original totalprice is recorded 3 days
+    * after its order date; orders with orderkey % 11 = 0 receive a +10%
+    * amended version recorded 1997-06-01. The query renders the monthly
+    * revenue rollup under two knowledge cutoffs — as-of 1997-01-01
+    * (amendments invisible or even the original not yet recorded) and
+    * current — plus how many rows each cutoff sees. Versions are emitted
+    * by one narrow per-row explode (the SCD2-merge pattern: no join, the
+    * version table is derived in-plan); each snapshot filters on
+    * recorded_date ≤ cutoff and takes the LAST recorded version per order
+    * via max-struct (single keyed agg). Exact centi arithmetic throughout.
+    * At scale a stored bitemporal table serves this with the same two
+    * predicates pushed into the scan. */
+  private lazy val relBitemporal = {
+    val cut = "1997-01-01"
+    GraftQuery(
+      "rel_bitemporal_correction",
+      "monthly revenue as believed at a past cutoff vs with later corrections",
+      (s, d) => {
+        val vers = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            date_trunc("month", col("o_orderdate")).cast("date").as("vm"),
+            col("o_orderdate"), centi(col("o_totalprice")).as("pc"))
+          .select(col("*"), explode(
+            when(col("o_orderkey") % 11 === 0, array(
+              struct(date_add(col("o_orderdate").cast("date"), 3).as("rec"),
+                col("pc").as("vpc")),
+              struct(lit("1997-06-01").cast("date").as("rec"),
+                expr("(pc * 110L) div 100L").as("vpc"))))
+              .otherwise(array(
+                struct(date_add(col("o_orderdate").cast("date"), 3).as("rec"),
+                  col("pc").as("vpc"))))).as("v"))
+        def snapshot(asof: org.apache.spark.sql.Column, name: String) = vers
+          .filter(col("v.rec") <= asof)
+          .groupBy("o_orderkey", "vm")
+          .agg(max(struct(col("v.rec"), col("v.vpc"))).as("last"))
+          .groupBy("vm")
+          .agg(count(lit(1)).as(s"n_$name"),
+            sum(col("last.vpc")).as(s"pc_$name"))
+        snapshot(lit(cut).cast("date"), "asof")
+          .join(snapshot(lit("9999-12-31").cast("date"), "now"), Seq("vm"), "right_outer")
+          .select(col("vm").as("month"),
+            coalesce(col("n_asof"), lit(0L)).as("n_asof"),
+            fround(coalesce(col("pc_asof"), lit(0L)).cast("double") / 100.0, 2)
+              .as("rev_asof"),
+            col("n_now"),
+            fround(col("pc_now").cast("double") / 100.0, 2).as("rev_now"))
+          .orderBy("month")
+      },
+      Some(s"""WITH base AS (SELECT o_orderkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS vm, CAST(o_orderdate AS DATE) AS od, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc FROM orders), vers AS (SELECT o_orderkey, vm, od + 3 AS rec, pc AS vpc FROM base UNION ALL SELECT o_orderkey, vm, DATE '1997-06-01', (pc * 110) // 100 FROM base WHERE o_orderkey % 11 = 0), la AS (SELECT o_orderkey, vm, max(struct_pack(rec := rec, vpc := vpc)) AS last FROM vers WHERE rec <= DATE '$cut' GROUP BY 1, 2), sa AS (SELECT vm, count(*) AS n_asof, CAST(sum((last).vpc) AS BIGINT) AS pc_asof FROM la GROUP BY 1), ln AS (SELECT o_orderkey, vm, max(struct_pack(rec := rec, vpc := vpc)) AS last FROM vers GROUP BY 1, 2), sn AS (SELECT vm, count(*) AS n_now, CAST(sum((last).vpc) AS BIGINT) AS pc_now FROM ln GROUP BY 1) SELECT sn.vm AS month, coalesce(sa.n_asof, 0) AS n_asof, floor(CAST(coalesce(sa.pc_asof, 0) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS rev_asof, sn.n_now, floor(CAST(sn.pc_now AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS rev_now FROM sn LEFT JOIN sa ON sn.vm = sa.vm ORDER BY month"""))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q1, q3, q5, q10Returns, q14Promo, q18TopQuantity, q19Disjunctive, q7Volume,
     jSemi, jAnti, jOuter,
@@ -947,7 +1000,7 @@ object RelationalOps {
     jsonKv, calDaily, strWeekday, reshapeUnpivot, jIntervalOverlap,
     jFuzzyMatch, relSkyline, relIntervalMerge, jAsofNearest, winCumeDist,
     relSweepConcurrency, calTumbling, winTimeRange, relBasketLift,
-    jTemporalDim)
+    jTemporalDim, relBitemporal)
 
   /** TIME-interval range frame: per user, the trailing-24-hour event count
     * and exact centi spend at every event — the time-based sliding window

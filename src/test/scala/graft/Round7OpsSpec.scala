@@ -655,4 +655,49 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(sbPad <= abPad, "length-sorting can only reduce padding")
     assert(abPad >= 0 && sbPad >= 0)
   }
+
+  // ---- recursive hierarchy --------------------------------------------------
+
+  test("sql_recursive_hierarchy: pointer doubling resolves root = leading digit, depth = digits - 1") {
+    val rows = run("sql_recursive_hierarchy").collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getLong(2)).sum
+    assert(n == Tables.customer(spark, sf).count(), "every customer resolved once")
+    // independent closed form: root is the decimal leading digit, depth
+    // is #digits - 1 — recompute the census and compare exactly
+    val want = Tables.customer(spark, sf).select("c_custkey").collect()
+      .map(_.getLong(0)).groupBy(k => (k.toString.head.asDigit.toLong,
+        (k.toString.length - 1).toLong))
+      .map { case (k, v) => k -> v.length.toLong }
+    val got = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want, "census matches the closed form")
+  }
+
+  // ---- bitemporal -----------------------------------------------------------
+
+  test("rel_bitemporal_correction: as-of never exceeds current counts; corrections only raise revenue") {
+    val rows = run("rel_bitemporal_correction").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(3), "knowledge only grows")
+      // +10% amendments and late-recorded originals both mean
+      // rev_now >= rev_asof per month
+      assert(r.getDouble(4) >= r.getDouble(2) - 1e-9)
+    }
+    assert(rows.exists(r => r.getLong(1) < r.getLong(3)),
+      "the cutoff actually hides some knowledge")
+  }
+
+  // ---- Neyman allocation ----------------------------------------------------
+
+  test("samp_neyman_allocation: budgets land within rounding of 500, Neyman skews to spread") {
+    val rows = run("samp_neyman_allocation").collect()
+    assert(rows.nonEmpty)
+    val k = rows.length
+    val propSum = rows.map(_.getLong(3)).sum
+    val neySum = rows.map(_.getLong(4)).sum
+    // independent per-stratum floor(+0.5) can drift at most k/2 seats
+    assert(math.abs(propSum - 500L) <= k && math.abs(neySum - 500L) <= k)
+    rows.foreach(r => assert(r.getLong(3) >= 0 && r.getLong(4) >= 0))
+  }
 }
