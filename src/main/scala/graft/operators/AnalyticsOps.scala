@@ -1022,6 +1022,47 @@ object AnalyticsOps {
     },
     Some("""WITH cells AS (SELECT lang, source, count(*) AS nij FROM documents GROUP BY 1, 2), r AS (SELECT lang, CAST(sum(nij) AS BIGINT) AS ni FROM cells GROUP BY 1), c AS (SELECT source, CAST(sum(nij) AS BIGINT) AS nj FROM cells GROUP BY 1), t AS (SELECT CAST(sum(nij) AS BIGINT) AS nn FROM cells), mi AS (SELECT CAST(sum(CAST(floor(nij * ln(CAST(nij * nn AS DOUBLE) / CAST(ni * nj AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS mi_s FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t), hl AS (SELECT CAST(sum(CAST(floor(-ni * ln(CAST(ni AS DOUBLE) / CAST(nn AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hl_s FROM r CROSS JOIN t), hs AS (SELECT CAST(sum(CAST(floor(-nj * ln(CAST(nj AS DOUBLE) / CAST(nn AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hs_s FROM c CROSS JOIN t), nc AS (SELECT count(*) AS n_cells FROM cells) SELECT nn AS n_docs, n_cells, floor(CAST(mi_s AS DOUBLE) / (nn * 1000000.0) * 1e6 + 0.5) / 1e6 AS mi_nats, floor(CAST(hl_s AS DOUBLE) / (nn * 1000000.0) * 1e6 + 0.5) / 1e6 AS h_lang, floor(CAST(hs_s AS DOUBLE) / (nn * 1000000.0) * 1e6 + 0.5) / 1e6 AS h_source, floor(CAST(mi_s AS DOUBLE) / CAST(hl_s AS DOUBLE) * 1e6 + 0.5) / 1e6 AS u_lang_given_source FROM mi CROSS JOIN hl CROSS JOIN hs CROSS JOIN nc CROSS JOIN t"""))
 
+  /** THEIL-T inequality decomposition of customer revenue by nation — the
+    * additively decomposable inequality index (within + between sums to
+    * total, which the spec verifies): per nation g, T_g = Σ_{i∈g}
+    * (x_i/X_g)·ln(x_i·N_g/X_g), plus the nation's between-group term
+    * (X_g/X)·ln((X_g/N_g)/(X/N)). The training-data relevance: the same
+    * index audits token-contribution concentration across sources. The
+    * per-customer Σ x·ln(·) rides as DECIMAL(38,0) micro-nat sums (x_i
+    * reaches 1e8 centi-units, so BIGINT would overflow near sf1 — same
+    * 128-bit pattern as emb_isotropy); ln args are ratios of exact
+    * integer products. Scale: one keyed rollup orders→customer (the
+    * dominant shuffle), one customer→nation rollup, broadcast totals. */
+  private lazy val aggTheil = GraftQuery(
+    "agg_theil_decomposition",
+    "Theil-T revenue inequality per nation: within + between components",
+    (s, d) => {
+      val cust = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(sum(centi(col("o_totalprice"))).as("x"))
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey").as("ng")),
+          Seq("o_custkey"))
+      val grp = cust.groupBy("ng")
+        .agg(count(lit(1)).as("n_g"), sum("x").as("x_g"))
+      val terms = cust.join(broadcast(grp), Seq("ng"))
+        .select(col("ng"),
+          floor(col("x") * log((col("x") * col("n_g")).cast("double") /
+            col("x_g").cast("double")) * 1e4 + 0.5).cast("decimal(38,0)")
+            .as("tm"))
+        .groupBy("ng").agg(sum("tm").as("tsum"))
+      val tot = grp.agg(sum("n_g").as("nn"), sum("x_g").as("xx"))
+      grp.join(terms, Seq("ng")).crossJoin(broadcast(tot))
+        .select(col("ng").as("nation"), col("n_g").as("n_customers"),
+          fround(col("x_g").cast("double") / 100.0, 2).as("revenue"),
+          fround(col("tsum").cast("double") / col("x_g").cast("double") / 1e4, 6)
+            .as("theil_within"),
+          fround((col("x_g").cast("double") / col("xx").cast("double")) *
+            log((col("x_g") * col("nn")).cast("double") /
+              (col("n_g") * col("xx")).cast("double")), 6).as("theil_between_term"))
+        .orderBy("nation")
+    },
+    Some("""WITH cu AS (SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x FROM orders GROUP BY 1), cust AS (SELECT cu.o_custkey, cu.x, c.c_nationkey AS ng FROM cu JOIN customer c ON c.c_custkey = cu.o_custkey), grp AS (SELECT ng, count(*) AS n_g, CAST(sum(x) AS BIGINT) AS x_g FROM cust GROUP BY 1), terms AS (SELECT ng, sum(CAST(floor(x * ln(CAST(x * n_g AS DOUBLE) / CAST(x_g AS DOUBLE)) * 1e4 + 0.5) AS HUGEINT)) AS tsum FROM cust JOIN grp USING (ng) GROUP BY 1), tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS nn, CAST(sum(x_g) AS BIGINT) AS xx FROM grp) SELECT ng AS nation, n_g AS n_customers, floor(CAST(x_g AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS revenue, floor(CAST(tsum AS DOUBLE) / CAST(x_g AS DOUBLE) / 1e4 * 1e6 + 0.5) / 1e6 AS theil_within, floor((CAST(x_g AS DOUBLE) / CAST(xx AS DOUBLE)) * ln(CAST(x_g * nn AS DOUBLE) / CAST(n_g * xx AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS theil_between_term FROM grp JOIN terms USING (ng) CROSS JOIN tot ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
     qaOlsTrend, calSeasonality, calSeasonalAnomaly, aggWeightedMedian,
     qaChi2Drift,
@@ -1030,7 +1071,8 @@ object AnalyticsOps {
     aggArgExtremes, aggMapHistogram, aggMultiDistinct, aggHllRollup,
     evtRetention, evtZscore, evtTransitions, qaWinsorize, qaPsiDrift,
     qaKsDrift, evtEwma, evtRunLengths, winRollingMedian, qaBenford,
-    qaOutlierMad, aggBitmapDistinct, aggBitmapOverlap, qaMutualInfo)
+    qaOutlierMad, aggBitmapDistinct, aggBitmapOverlap, qaMutualInfo,
+    aggTheil)
 
   /** Exact AUDIENCE OVERLAP matrix across event-type segments via bitmap
     * intersection: each segment's user bitmap is built in the same single

@@ -369,6 +369,45 @@ object GraphOps {
     },
     Some("""WITH b AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT a AS src, b AS dst FROM b UNION ALL SELECT b, a FROM b), nodes AS (SELECT c_custkey * 2 AS id, c_nationkey AS nat FROM customer UNION ALL SELECT s_suppkey * 2 + 1, s_nationkey FROM supplier), j AS (SELECT ns.nat AS nat_s, nd.nat AS nat_d FROM e JOIN nodes ns ON e.src = ns.id JOIN nodes nd ON e.dst = nd.id), per AS (SELECT nat_s AS nation, CAST(count(*) AS BIGINT) AS d_c, CAST(sum(CASE WHEN nat_s = nat_d THEN 1 ELSE 0 END) AS BIGINT) AS e_c FROM j GROUP BY 1), t AS (SELECT CAST(sum(d_c) AS BIGINT) AS m2 FROM per) SELECT nation, d_c, e_c, floor((CAST(e_c AS DOUBLE) / m2 - (CAST(d_c AS DOUBLE) / m2) * (CAST(d_c AS DOUBLE) / m2)) * 1e8 + 0.5) / 1e8 AS q_contrib FROM per CROSS JOIN t ORDER BY 1"""))
 
+  /** BFS DISTANCE CENSUS from customer 1's node: how much of the trade
+    * graph is within 1, 2, 3 hops (plus the unreached remainder) — the
+    * reachability profile behind "blast radius" and influence questions.
+    * Three unrolled frontier relaxations (dist_{r+1} = min(dist_r,
+    * 1 + min over in-neighbors)), each ONE keyed join of the node-sized
+    * distance table against the dst-partitioned edge cache — the same
+    * per-round shape as PageRank, so a deeper BFS is just more rounds (or
+    * pointer-doubled like sql_recursive_hierarchy). Everything is integer
+    * min-arithmetic; the census is exact. */
+  private lazy val bfsDistance = {
+    def relaxSql(prev: String, k: Int): String =
+      s"d$k AS (SELECT id, min(dd) AS dist FROM (SELECT id, dist AS dd FROM $prev UNION ALL SELECT e.src AS id, p.dist + 1 AS dd FROM e JOIN $prev p ON e.dst = p.id) GROUP BY 1)"
+    GraftQuery(
+      "graph_bfs_distance",
+      "3-hop BFS distance census from customer 1 over the trade graph",
+      (s, d) => {
+        val sym = symEdges(s, d)
+        val nodesAll = nodes(s, d).select(col("src").as("id"))
+        var dist = nodesAll.filter(col("id") === 2L)
+          .select(col("id"), lit(0L).as("dist"))
+        for (_ <- 1 to 3) {
+          val hop = sym.join(broadcast(dist), col("dst") === col("id"))
+            .select(col("src").as("id"), (col("dist") + 1L).as("dd"))
+          dist = dist.select(col("id"), col("dist").as("dd")).unionByName(hop)
+            .groupBy("id").agg(min("dd").as("dist"))
+        }
+        nodesAll.join(dist, Seq("id"), "left")
+          .groupBy(coalesce(col("dist"), lit(-1L)).as("dist"))
+          .agg(count(lit(1)).as("n_nodes"))
+          .select(when(col("dist") === -1L, lit("unreached"))
+            .otherwise(concat(lit("hop_"), col("dist"))).as("ring"),
+            col("n_nodes"))
+          .orderBy("ring")
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), nd AS (SELECT DISTINCT src AS id FROM e), d0 AS (SELECT CAST(2 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist), """ +
+        relaxSql("d0", 1) + ", " + relaxSql("d1", 2) + ", " + relaxSql("d2", 3) +
+        """ SELECT CASE WHEN d3.dist IS NULL THEN 'unreached' ELSE 'hop_' || CAST(d3.dist AS VARCHAR) END AS ring, count(*) AS n_nodes FROM nd LEFT JOIN d3 ON nd.id = d3.id GROUP BY 1 ORDER BY 1"""))
+  }
+
   val all: Seq[GraftQuery] = Seq(pagerank, degreeStats, twoHop, bipartiteProj,
-    neighborJaccard, kCore, assortativity, modularity)
+    neighborJaccard, kCore, assortativity, modularity, bfsDistance)
 }

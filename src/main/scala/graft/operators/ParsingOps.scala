@@ -913,13 +913,51 @@ object ParsingOps {
     },
     Some("""WITH RECURSIVE walk AS (SELECT c_custkey AS id, c_custkey AS cur, CAST(0 AS BIGINT) AS depth FROM customer UNION ALL SELECT id, cur // 10, depth + 1 FROM walk WHERE cur >= 10), res AS (SELECT id, cur AS root, depth FROM walk WHERE cur < 10), rev AS (SELECT o_custkey AS id, count(*) AS n_ord, sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS pc FROM orders GROUP BY 1) SELECT root, depth, count(*) AS n_customers, CAST(sum(coalesce(n_ord, 0)) AS BIGINT) AS n_orders, floor(CAST(sum(coalesce(pc, 0)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS revenue FROM res LEFT JOIN rev USING (id) GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Multimodal AUDIO-FEATURE shape: payload bytes read as unsigned 8-bit
+    * PCM samples (the stub decode — text bytes stand in for a real
+    * codec's output, same note as mm_decode_stats), cut into
+    * non-overlapping 32-sample frames, per-frame energy Σ(s−64)² as an
+    * EXACT integer, silence = energy under a fixed integer threshold.
+    * Per clip: frame count, silent-frame count, total energy, RMS. This
+    * is the windowed-feature-extraction plumbing (VAD, loudness
+    * normalization) a real audio pipeline runs — swap the stub samples
+    * for decoded PCM and nothing else changes. Scale: slice/aggregate
+    * HOFs per row (no explode of the sample stream), one clip-keyed
+    * rollup. */
+  private lazy val mmAudioEnergy = GraftQuery(
+    "mm_audio_energy",
+    "multimodal: 32-sample frame energy + silence census per clip (stub PCM)",
+    (s, d) => {
+      val smp = filter(split(col("text"), ""), c => c =!= "")
+      val chars = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          transform(smp, c => ascii(c).cast("long")).as("smp"))
+        .filter(size(col("smp")) >= 32)
+      val framed = chars
+        .select(col("media_id"), col("smp"),
+          explode(sequence(lit(0L), expr("size(smp) div 32 - 1"))).as("w"))
+        .select(col("media_id"),
+          aggregate(slice(col("smp"), (col("w") * 32 + 1).cast("int"), lit(32)),
+            lit(0L), (acc, x) => acc + (x - 64L) * (x - 64L)).as("e2"))
+      framed.groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("e2") < 40000L, 1L).otherwise(0L)).as("n_silent"),
+          sum("e2").as("total_e2"))
+        .select(col("media_id"), col("n_frames"), col("n_silent"),
+          col("total_e2"),
+          fround(sqrt(col("total_e2").cast("double") /
+            (col("n_frames") * 32).cast("double")), 4).as("mean_rms"))
+        .orderBy("media_id")
+    },
+    Some("""WITH d AS (SELECT doc_id AS media_id, text, length(text) AS len FROM documents WHERE length(text) >= 32), fr0 AS (SELECT media_id, text, unnest(generate_series(0, len // 32 - 1)) AS w FROM d), fr AS (SELECT media_id, CAST(list_sum([(ord(substr(text, CAST(w * 32 + k AS INTEGER), 1)) - 64) * (ord(substr(text, CAST(w * 32 + k AS INTEGER), 1)) - 64) for k in generate_series(1, 32)]) AS BIGINT) AS e2 FROM fr0) SELECT media_id, count(*) AS n_frames, CAST(sum(CASE WHEN e2 < 40000 THEN 1 ELSE 0 END) AS BIGINT) AS n_silent, CAST(sum(e2) AS BIGINT) AS total_e2, floor(sqrt(CAST(sum(e2) AS DOUBLE) / CAST(count(*) * 32 AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS mean_rms FROM fr GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
     csvRoundtrip, jsonStruct, jsonInferred, dateConstruct, sqlMultikeyJoin,
     mvCascade, sqlCtas, mmDecode, partitionPruned, dppPrune, mmFrameSample,
     qaProfile, qaProfileHll, qaExpectations, scd2Merge, mvIncrementalAgg,
     qaTableChecksum, qaRefIntegrity, qaKeySkew, mvCompactCdc, qaCovMatrix,
     qaLabelGini, qaEquidepthHist, mmResize, scd2Asof, mmPhash,
-    mvLambdaServing, sqlRecursiveHierarchy)
+    mvLambdaServing, sqlRecursiveHierarchy, mmAudioEnergy)
 
   /** Time-travel READ over the SCD2 dimension — "the dimension as of
     * 2024-07-01": for each key, exactly the one version whose

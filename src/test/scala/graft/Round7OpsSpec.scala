@@ -700,4 +700,66 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(math.abs(propSum - 500L) <= k && math.abs(neySum - 500L) <= k)
     rows.foreach(r => assert(r.getLong(3) >= 0 && r.getLong(4) >= 0))
   }
+
+  // ---- audio energy ---------------------------------------------------------
+
+  test("mm_audio_energy: frame counts match len div 32, energy recomputes exactly for a sample clip") {
+    val rows = run("mm_audio_energy").collect()
+    assert(rows.nonEmpty)
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == lens(r.getLong(0)) / 32, "n_frames = len div 32")
+      assert(r.getLong(2) <= r.getLong(1), "silent <= frames")
+    }
+    // exact JVM recompute for the first clip
+    val id = rows.head.getLong(0)
+    val text = Tables.documents(spark, sf).filter(col("doc_id") === id)
+      .select("text").collect().head.getString(0)
+    val e2s = text.getBytes("UTF-8").map(b => (b & 0xff) - 64L)
+      .grouped(32).filter(_.length == 32).map(w => w.map(x => x * x).sum).toSeq
+    assert(rows.head.getLong(3) == e2s.sum, "total_e2 exact")
+  }
+
+  // ---- Theil decomposition --------------------------------------------------
+
+  test("agg_theil_decomposition: within terms nonneg, decomposition reassembles the global Theil") {
+    import org.apache.spark.sql.functions.{floor => _, log => _, _}
+    val rows = run("agg_theil_decomposition").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(3) >= -1e-6, "per-group Theil >= 0"))
+    // recompute the global Theil directly and compare with
+    // sum_g (X_g/X)*T_g + sum_g between_term
+    val cust = Tables.orders(spark, sf)
+      .groupBy("o_custkey").agg(sum(col("o_totalprice")).as("x"))
+      .collect().map(_.getDouble(1))
+    val xx = cust.sum; val nn = cust.length
+    val tGlobal = cust.map(x => (x / xx) * math.log(x * nn / xx)).sum
+    val revs = rows.map(_.getDouble(2)); val revTot = revs.sum
+    val reassembled = rows.zip(revs).map { case (r, rev) =>
+      (rev / revTot) * r.getDouble(3) + r.getDouble(4)
+    }.sum
+    assert(math.abs(tGlobal - reassembled) < 5e-3,
+      s"global=$tGlobal reassembled=$reassembled")
+  }
+
+  // ---- BFS ------------------------------------------------------------------
+
+  test("graph_bfs_distance: rings partition all nodes; hop_1 equals customer 1's direct partners") {
+    val rows = run("graph_bfs_distance").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+    val nCust = li.select("o_custkey").distinct().count()
+    val nSupp = li.select("l_suppkey").distinct().count()
+    assert(rows.values.sum == nCust + nSupp, "rings cover every node once")
+    assert(rows.get("hop_0").contains(1L) || !rows.contains("hop_0"))
+    val direct = li.filter(col("o_custkey") === 1)
+      .select("l_suppkey").distinct().count()
+    if (direct > 0) assert(rows("hop_1") == direct,
+      "hop-1 ring is exactly customer 1's supplier set")
+  }
 }
