@@ -1063,6 +1063,39 @@ object AnalyticsOps {
     },
     Some("""WITH cu AS (SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x FROM orders GROUP BY 1), cust AS (SELECT cu.o_custkey, cu.x, c.c_nationkey AS ng FROM cu JOIN customer c ON c.c_custkey = cu.o_custkey), grp AS (SELECT ng, count(*) AS n_g, CAST(sum(x) AS BIGINT) AS x_g FROM cust GROUP BY 1), terms AS (SELECT ng, sum(CAST(floor(x * ln(CAST(x * n_g AS DOUBLE) / CAST(x_g AS DOUBLE)) * 1e4 + 0.5) AS HUGEINT)) AS tsum FROM cust JOIN grp USING (ng) GROUP BY 1), tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS nn, CAST(sum(x_g) AS BIGINT) AS xx FROM grp) SELECT ng AS nation, n_g AS n_customers, floor(CAST(x_g AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS revenue, floor(CAST(tsum AS DOUBLE) / CAST(x_g AS DOUBLE) / 1e4 * 1e6 + 0.5) / 1e6 AS theil_within, floor((CAST(x_g AS DOUBLE) / CAST(xx AS DOUBLE)) * ln(CAST(x_g * nn AS DOUBLE) / CAST(n_g * xx AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS theil_between_term FROM grp JOIN terms USING (ng) CROSS JOIN tot ORDER BY 1"""))
 
+  /** GINI COEFFICIENT of customer revenue per nation — the Lorenz-curve
+    * concentration index next to agg_theil_decomposition's entropy one
+    * (the two disagree-by-design on where inequality "lives"; shipping
+    * both is the point). Rank formula G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n
+    * over ascending revenue with the customer key as tiebreak, so the
+    * rank-weighted sum is a DECIMAL(38,0) exact integer (i·x reaches
+    * ~1e14 per row; BIGINT sums overflow near sf1) and the only float is
+    * the final ratio. Scale: the per-customer rollup is the dominant
+    * keyed shuffle; ranking partitions by nation. */
+  private lazy val aggGini = GraftQuery(
+    "agg_gini_coefficient",
+    "per-nation Gini coefficient of customer revenue from exact rank sums",
+    (s, d) => {
+      val cust = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(sum(centi(col("o_totalprice"))).as("x"))
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey").as("ng")),
+          Seq("o_custkey"))
+      val w = Window.partitionBy("ng").orderBy(col("x"), col("o_custkey"))
+      cust.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("ng")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum((col("i") * col("x")).cast("decimal(38,0)")).as("six"))
+        .select(col("ng").as("nation"), col("n").as("n_customers"),
+          fround(col("sx").cast("double") / 100.0, 2).as("revenue"),
+          fround(lit(2.0) * col("six").cast("double") /
+            (col("n") * col("sx")).cast("double") -
+            (col("n") + lit(1L)).cast("double") / col("n").cast("double"), 6)
+            .as("gini"))
+        .orderBy("nation")
+    },
+    Some("""WITH cu AS (SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x FROM orders GROUP BY 1), cust AS (SELECT cu.o_custkey, cu.x, c.c_nationkey AS ng FROM cu JOIN customer c ON c.c_custkey = cu.o_custkey), rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY ng ORDER BY x, o_custkey) AS BIGINT) AS i FROM cust) SELECT ng AS nation, count(*) AS n_customers, floor(CAST(sum(x) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS revenue, floor((2.0 * CAST(sum(CAST(i * x AS HUGEINT)) AS DOUBLE) / CAST(count(*) * sum(x) AS DOUBLE) - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS gini FROM rk GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
     qaOlsTrend, calSeasonality, calSeasonalAnomaly, aggWeightedMedian,
     qaChi2Drift,
@@ -1072,7 +1105,7 @@ object AnalyticsOps {
     evtRetention, evtZscore, evtTransitions, qaWinsorize, qaPsiDrift,
     qaKsDrift, evtEwma, evtRunLengths, winRollingMedian, qaBenford,
     qaOutlierMad, aggBitmapDistinct, aggBitmapOverlap, qaMutualInfo,
-    aggTheil)
+    aggTheil, aggGini)
 
   /** Exact AUDIENCE OVERLAP matrix across event-type segments via bitmap
     * intersection: each segment's user bitmap is built in the same single

@@ -408,6 +408,39 @@ object GraphOps {
         """ SELECT CASE WHEN d3.dist IS NULL THEN 'unreached' ELSE 'hop_' || CAST(d3.dist AS VARCHAR) END AS ring, count(*) AS n_nodes FROM nd LEFT JOIN d3 ON nd.id = d3.id GROUP BY 1 ORDER BY 1"""))
   }
 
+  /** CONDUCTANCE of the nation partition over the trade graph — the cut
+    * quality measure next to modularity (modularity rewards density,
+    * conductance directly prices the boundary): per nation g,
+    * φ(g) = cut(g) / min(vol(g), vol(V∖g)) over directed edge instances.
+    * Endpoint nations come from the customer/supplier dimensions joined
+    * onto both edge ends — two keyed joins against the dst-partitioned
+    * edge cache, no broadcast of anything edge-sized; cut and volume are
+    * exact integer sums off ONE annotated-edge pass. */
+  private lazy val conductance = GraftQuery(
+    "graph_conductance",
+    "per-nation conductance (cut / min-volume) of the trade graph",
+    (s, d) => {
+      val nation = Tables.customer(s, d)
+        .select((col("c_custkey") * 2).as("id"), col("c_nationkey").as("ng"))
+        .unionByName(Tables.supplier(s, d)
+          .select((col("s_suppkey") * 2 + 1).as("id"), col("s_nationkey").as("ng")))
+      val e = symEdges(s, d)
+        .join(nation.toDF("src", "sg"), Seq("src"))
+        .join(nation.toDF("dst", "dg"), Seq("dst"))
+      val per = e.groupBy(col("sg").as("ng"))
+        .agg(count(lit(1)).as("vol"),
+          sum(when(col("sg") =!= col("dg"), 1L).otherwise(0L)).as("cut"))
+      val tot = per.agg(sum("vol").as("tv"))
+      per.crossJoin(broadcast(tot))
+        .select(col("ng").as("nation"), col("vol"), col("cut"),
+          fround(col("cut").cast("double") /
+            least(col("vol"), col("tv") - col("vol")).cast("double"), 6)
+            .as("conductance"))
+        .orderBy("nation")
+    },
+    Some("""WITH e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), nat AS (SELECT c_custkey*2 AS id, c_nationkey AS ng FROM customer UNION ALL SELECT s_suppkey*2+1, s_nationkey FROM supplier), an AS (SELECT sn.ng AS sg, dn.ng AS dg FROM e JOIN nat sn ON e.src = sn.id JOIN nat dn ON e.dst = dn.id), per AS (SELECT sg AS ng, count(*) AS vol, CAST(sum(CASE WHEN sg <> dg THEN 1 ELSE 0 END) AS BIGINT) AS cut FROM an GROUP BY 1), t AS (SELECT CAST(sum(vol) AS BIGINT) AS tv FROM per) SELECT ng AS nation, CAST(vol AS BIGINT) AS vol, cut, floor(CAST(cut AS DOUBLE) / CAST(least(vol, tv - vol) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS conductance FROM per CROSS JOIN t ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(pagerank, degreeStats, twoHop, bipartiteProj,
-    neighborJaccard, kCore, assortativity, modularity, bfsDistance)
+    neighborJaccard, kCore, assortativity, modularity, bfsDistance,
+    conductance)
 }

@@ -202,5 +202,46 @@ object PqAnn {
     },
     None)
 
-  val all: Seq[GraftQuery] = Seq(query)
+  /** PQ RECONSTRUCTION DISTORTION per subspace — the quality audit that
+    * decides whether the compressed index is servable (high distortion in
+    * a subspace means its codebook under-fits): for every vector and
+    * subspace, the squared distance to its ASSIGNED centroid (the exact
+    * quantization error ADC search incurs), rolled up to per-subspace
+    * MSE/max. No oracle: the codebooks are engine-trained (same
+    * declared-spec status as sim_knn_pq); determinism still holds — each
+    * error is a fixed fold over the sorted centroid list, floored to
+    * nano-units before the EXACT integer rollup. Scale: one
+    * subvector-explode pass against the broadcast model. */
+  private val distortion: GraftQuery = GraftQuery(
+    "emb_pq_distortion",
+    s"PQ quantization error per subspace ($M×$KC codebooks): MSE + worst case",
+    (s, d) => {
+      val model = trainedCodebooks(s, d)
+      val sub = unitVecs(s, d)
+        .select(col("vec_id"), posexplode(
+          transform(sequence(lit(0), lit(M - 1)),
+            m => slice(col("v"), m * SUBDIM + 1, lit(SUBDIM)))).as(Seq("m", "sv")))
+      val dss = call_function("graft_dot", col("sv"), col("sv"))
+      val d2 = aggregate(
+        col("cents"),
+        struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cid")),
+        (acc, c) => {
+          val dd = dss - lit(2.0) * call_function("graft_dot", col("sv"), c.getField("cv")) +
+            c.getField("cc")
+          when(c.getField("m") === col("m") && dd < acc.getField("d2"),
+            struct(dd.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
+        }).getField("d2")
+      sub.crossJoin(broadcast(modelDf(s, model)))
+        .select(col("m"),
+          floor(greatest(d2, lit(0.0)) * 1e9 + 0.5).cast("long").as("d2n"))
+        .groupBy("m")
+        .agg(count(lit(1)).as("n_vecs"), sum("d2n").as("sn"), max("d2n").as("mx"))
+        .select(col("m").as("subspace"), col("n_vecs"),
+          fround(col("sn").cast("double") / (col("n_vecs") * 1e9), 6).as("mse"),
+          fround(col("mx").cast("double") / 1e9, 6).as("max_d2"))
+        .orderBy("subspace")
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(query, distortion)
 }

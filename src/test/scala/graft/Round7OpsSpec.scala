@@ -746,6 +746,62 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- Gini -----------------------------------------------------------------
+
+  test("agg_gini_coefficient: values in [0,1), zero iff all revenues equal, matches a JVM recompute") {
+    val rows = run("agg_gini_coefficient").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(3) >= -1e-6 && r.getDouble(3) < 1.0))
+    // independent recompute for the first nation using centi-exact values
+    val ng = rows.head.getInt(0)
+    val xs = Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("x"))
+      .join(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        Seq("o_custkey"))
+      .filter(col("c_nationkey") === ng)
+      .select("x").collect().map(_.getLong(0)).sorted
+    val n = xs.length.toLong
+    val six = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * BigInt(x) }.sum
+    val g = 2.0 * six.toDouble / (n.toDouble * xs.sum.toDouble) - (n + 1.0) / n
+    assert(math.abs(rows.head.getDouble(3) - g) < 1e-5)
+  }
+
+  // ---- conductance ----------------------------------------------------------
+
+  test("graph_conductance: cut <= vol, phi in [0,1], volumes sum to 2|E|") {
+    val rows = run("graph_conductance").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "cut cannot exceed volume")
+      val phi = r.getDouble(3)
+      assert(phi >= 0.0 && phi <= 1.0 + 1e-9)
+    }
+    val e2 = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("o_custkey", "l_suppkey").distinct().count() * 2
+    assert(rows.map(_.getLong(1)).sum == e2, "volumes account for every directed edge")
+  }
+
+  // ---- PQ distortion --------------------------------------------------------
+
+  test("emb_pq_distortion: one row per subspace, mse <= max, coding beats the zero-vector baseline") {
+    val rows = run("emb_pq_distortion").collect()
+    assert(rows.length == 8, "M = 8 subspaces")
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= r.getDouble(3) + 1e-9)
+    }
+    // unit vectors: sum over subspaces of E|sv|^2 = 1, so a zero-vector
+    // "codebook" would score total MSE 1.0 — trained codebooks must beat it
+    val total = rows.map(_.getDouble(2)).sum
+    assert(total < 1.0, s"total distortion $total should beat the unit baseline")
+    val again = run("emb_pq_distortion").collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq, "deterministic")
+  }
+
   test("graph_bfs_distance: rings partition all nodes; hop_1 equals customer 1's direct partners") {
     val rows = run("graph_bfs_distance").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
