@@ -1105,7 +1105,46 @@ object AnalyticsOps {
     evtRetention, evtZscore, evtTransitions, qaWinsorize, qaPsiDrift,
     qaKsDrift, evtEwma, evtRunLengths, winRollingMedian, qaBenford,
     qaOutlierMad, aggBitmapDistinct, aggBitmapOverlap, qaMutualInfo,
-    aggTheil, aggGini)
+    aggTheil, aggGini, winRollingCorr)
+
+  /** 7-day ROLLING correlation between the click and purchase daily value
+    * series — "are these metrics moving together this week" — from exact
+    * integer sums inside one ROWS frame (count, Σx, Σy, Σxy, Σx², Σy²
+    * over centi-units), the windowed form of agg_corr_exact/evt_autocorr:
+    * the Pearson ratio is the only float, spelled identically in both
+    * engines, and undefined windows (zero variance) surface as NULL. The
+    * frame runs over the ~|corpus days| daily table (audited-benign
+    * unpartitioned window — the day series is one global sequence). */
+  private lazy val winRollingCorr = GraftQuery(
+    "win_rolling_corr",
+    "7-day rolling Pearson r between click and purchase daily totals",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "click", centi(col("value")))
+          .otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", centi(col("value")))
+            .otherwise(0L)).as("y"))
+      val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+      // second moments in DECIMAL(38,0): daily centi-totals square past
+      // 2^63 around sf100 (the repo-wide windowed-moment rule)
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val num = (dec(col("m")) * col("sxy") - dec(col("sx")) * col("sy")).cast("double")
+      val den = sqrt((dec(col("m")) * col("sxx") - dec(col("sx")) * col("sx")).cast("double") *
+        (dec(col("m")) * col("syy") - dec(col("sy")) * col("sy")).cast("double"))
+      daily
+        .withColumn("m", count(lit(1)).over(w))
+        .withColumn("sx", sum("x").over(w)).withColumn("sy", sum("y").over(w))
+        .withColumn("sxy", sum(dec(col("x")) * col("y")).over(w))
+        .withColumn("sxx", sum(dec(col("x")) * col("x")).over(w))
+        .withColumn("syy", sum(dec(col("y")) * col("y")).over(w))
+        .filter(col("m") === 7)
+        .select(col("day"), col("m").as("n_days"),
+          when(den > 0, fround(num / den, 6)).as("r7"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(sum(CASE WHEN event_type = 'click' THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS x, CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1), r AS (SELECT day, CAST(count(*) OVER w AS HUGEINT) AS m, CAST(sum(x) OVER w AS HUGEINT) AS sx, CAST(sum(y) OVER w AS HUGEINT) AS sy, CAST(sum(CAST(x AS HUGEINT) * y) OVER w AS HUGEINT) AS sxy, CAST(sum(CAST(x AS HUGEINT) * x) OVER w AS HUGEINT) AS sxx, CAST(sum(CAST(y AS HUGEINT) * y) OVER w AS HUGEINT) AS syy FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) SELECT day, CAST(m AS BIGINT) AS n_days, CASE WHEN sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * CAST(m * syy - sy * sy AS DOUBLE)) > 0 THEN floor(CAST(m * sxy - sx * sy AS DOUBLE) / sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * CAST(m * syy - sy * sy AS DOUBLE)) * 1e6 + 0.5) / 1e6 END AS r7 FROM r WHERE m = 7 ORDER BY day"""))
 
   /** Exact AUDIENCE OVERLAP matrix across event-type segments via bitmap
     * intersection: each segment's user bitmap is built in the same single

@@ -1000,7 +1000,38 @@ object RelationalOps {
     jsonKv, calDaily, strWeekday, reshapeUnpivot, jIntervalOverlap,
     jFuzzyMatch, relSkyline, relIntervalMerge, jAsofNearest, winCumeDist,
     relSweepConcurrency, calTumbling, winTimeRange, relBasketLift,
-    jTemporalDim, relBitemporal)
+    jTemporalDim, relBitemporal, jIntervalBucketed)
+
+  /** BUCKETED interval join — the 100 TB-safe spelling of "points inside
+    * intervals": each URGENT order's 3-day follow-on window is exploded to
+    * the ≤3 calendar days it covers, points (all order dates) join on the
+    * DAY equi-key, and the true containment predicate runs as a residual
+    * filter. Same answer as the nested-loop range join
+    * (j_interval_overlap exercises BroadcastNestedLoopJoin deliberately),
+    * but the work is one keyed shuffle bounded by |intervals|·days +
+    * |points| — a plan that survives when neither side broadcasts.
+    * Output is the follow-on-count histogram. */
+  private lazy val jIntervalBucketed = GraftQuery(
+    "j_interval_bucketed",
+    "day-bucketed interval containment: keyed equi-join + residual filter",
+    (s, d) => {
+      val pts = Tables.orders(s, d)
+        .select(to_date(col("o_orderdate")).as("pd"))
+        .groupBy("pd").agg(count(lit(1)).as("np"))
+      val iv = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("st"))
+      val hits = iv
+        .withColumn("pd", explode(sequence(col("st"), date_add(col("st"), 2))))
+        .join(pts, Seq("pd"))
+        .filter(col("pd") >= col("st") && col("pd") <= date_add(col("st"), 2))
+        .groupBy("o_orderkey").agg(sum("np").as("n_follow"))
+      iv.join(hits, Seq("o_orderkey"), "left")
+        .select(coalesce(col("n_follow"), lit(0L)).as("n_follow"))
+        .groupBy("n_follow").agg(count(lit(1)).as("n_windows"))
+        .orderBy("n_follow")
+    },
+    Some("""WITH pts AS (SELECT CAST(o_orderdate AS DATE) AS pd, count(*) AS np FROM orders GROUP BY 1), iv AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS st FROM orders WHERE o_orderpriority = '1-URGENT'), days AS (SELECT o_orderkey, st, st + CAST(k AS INTEGER) AS pd FROM iv, (SELECT unnest(generate_series(0, 2)) AS k)), hits AS (SELECT o_orderkey, CAST(sum(np) AS BIGINT) AS n_follow FROM days JOIN pts USING (pd) WHERE pd >= st AND pd <= st + 2 GROUP BY 1) SELECT coalesce(h.n_follow, 0) AS n_follow, count(*) AS n_windows FROM iv LEFT JOIN hits h USING (o_orderkey) GROUP BY 1 ORDER BY 1"""))
 
   /** TIME-interval range frame: per user, the trailing-24-hour event count
     * and exact centi spend at every event — the time-based sliding window

@@ -548,8 +548,47 @@ object TemporalOps {
     },
     Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type AS b FROM events), pr AS (SELECT lag(b) OVER (PARTITION BY user_id ORDER BY us, event_id) AS a, b FROM ev), cells AS (SELECT a, b, count(*) AS nij FROM pr WHERE a IS NOT NULL GROUP BY 1, 2), rt AS (SELECT a, CAST(sum(nij) AS BIGINT) AS ni FROM cells GROUP BY 1), ct AS (SELECT b, CAST(sum(nij) AS BIGINT) AS nj FROM cells GROUP BY 1), t AS (SELECT CAST(sum(nij) AS BIGINT) AS nn FROM cells), hc AS (SELECT CAST(sum(CAST(floor(-nij * ln(CAST(nij AS DOUBLE) / CAST(ni AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hc FROM cells JOIN rt USING (a)), hm AS (SELECT CAST(sum(CAST(floor(-nj * ln(CAST(nj AS DOUBLE) / CAST(nn AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hm FROM ct CROSS JOIN t) SELECT nn AS n_transitions, floor(CAST(hc AS DOUBLE) / (nn * 1000000.0) * 1e6 + 0.5) / 1e6 AS h_cond_nats, floor(CAST(hm AS DOUBLE) / (nn * 1000000.0) * 1e6 + 0.5) / 1e6 AS h_marginal_nats, floor(CAST(hm - hc AS DOUBLE) / (nn * 1000000.0) * 1e6 + 0.5) / 1e6 AS predictability_gain FROM hc CROSS JOIN hm CROSS JOIN t"""))
 
+  /** TIME-TO-CONVERT order statistics: for users whose first 'purchase'
+    * follows their first 'signup', the delay distribution as EXACT order
+    * statistics — lower median (the ⌈n/2⌉-th smallest) and p90 (the
+    * ⌈0.9·n⌉-th) picked by row_number over integer seconds, so no
+    * interpolation and no float ever decides a rank (the discrete
+    * complement to agg_percentiles' interpolated form). One conditional
+    * min-aggregation pass per user (the evt_funnel shape — never a
+    * self-join per stage), then rank-picks over the conversion-sized
+    * table. */
+  private val timeToConvert = GraftQuery(
+    "evt_time_to_convert",
+    "signup→purchase delay: exact lower-median and p90 order statistics",
+    (s, d) => {
+      val fu = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "signup", unix_micros(col("ts"))))
+          .as("su"),
+          min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+            .as("pu"))
+        .filter(col("su").isNotNull && col("pu").isNotNull && col("pu") >= col("su"))
+        .select(col("user_id"), expr("(pu - su) div 1000000").as("delay_s"))
+      val n = fu.agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("delay_s"), col("user_id"))
+      fu.withColumn("rk", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(n))
+        .groupBy("n")
+        // ceil spelled (9n+9) div 10 — positive operands only, where
+        // Spark's truncating div and DuckDB's floor // agree
+        .agg(max(when(col("rk") === expr("(n + 1) div 2"), col("delay_s")))
+          .as("median_s"),
+          max(when(col("rk") === expr("(9 * n + 9) div 10"), col("delay_s")))
+            .as("p90_s"),
+          min("delay_s").as("min_s"), max("delay_s").as("max_s"))
+        .select(col("n").as("n_converted"), col("median_s"), col("p90_s"),
+          col("min_s"), col("max_s"))
+    },
+    Some("""WITH fu AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS su, min(CASE WHEN event_type = 'purchase' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS pu FROM events GROUP BY 1), cv AS (SELECT user_id, (pu - su) // 1000000 AS delay_s FROM fu WHERE su IS NOT NULL AND pu IS NOT NULL AND pu >= su), rk AS (SELECT *, CAST(row_number() OVER (ORDER BY delay_s, user_id) AS BIGINT) AS rk, CAST(count(*) OVER () AS BIGINT) AS n FROM cv) SELECT n AS n_converted, max(CASE WHEN rk = (n + 1) // 2 THEN delay_s END) AS median_s, max(CASE WHEN rk = (9 * n + 9) // 10 THEN delay_s END) AS p90_s, CAST(min(delay_s) AS BIGINT) AS min_s, CAST(max(delay_s) AS BIGINT) AS max_s FROM rk GROUP BY 1"""))
+
   val all: Seq[GraftQuery] =
     Seq(rollingDau, attribution, firstLast, snapshotDiff, cohortRevenue,
       rfmSegments, paaSax, turningPoints, markovStationary, changepoint,
-      autocorr, gapHistogram, islands, survivalKm, entropyRate)
+      autocorr, gapHistogram, islands, survivalKm, entropyRate,
+      timeToConvert)
 }

@@ -324,10 +324,14 @@ class PlanQualitySpec extends AnyFunSuite {
       "evt_survival_km",     // risk-set/survival cumulation over the
                              // |distinct lifetimes| table (<= corpus day
                              // span) — the KM curve is one global series
-      "pipe_length_batching") // global batch numbering over the
+      "pipe_length_batching", // global batch numbering over the
                               // (doc_id, n_tok) projection — a total
                               // order IS the operator's semantics; at
                               // scale the sort range-partitions
+      "evt_time_to_convert",  // rank-pick over the conversion-sized
+                              // delay table (<= |users| rows)
+      "win_rolling_corr")     // 7-row frames over the ~|corpus days|
+                              // daily series — one global sequence
     val offenders = SparkEntry.registry.flatMap { q =>
       val unpartitioned =
         try {

@@ -802,6 +802,64 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq, "deterministic")
   }
 
+  // ---- bucketed interval join -----------------------------------------------
+
+  test("j_interval_bucketed: histogram covers every urgent order; counts match a nested-loop recompute") {
+    val rows = run("j_interval_bucketed").collect()
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(rows.map(_.getLong(1)).sum == urgent, "one window per urgent order")
+    // nested-loop truth on the driver (spec SF is small)
+    val dates = Tables.orders(spark, sf)
+      .select(to_date(col("o_orderdate"))).collect().map(_.getDate(0).toLocalDate)
+    val byDay = dates.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val starts = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(to_date(col("o_orderdate"))).collect().map(_.getDate(0).toLocalDate)
+    val want = starts.map(st => (0 to 2).map(k => byDay.getOrElse(st.plusDays(k.toLong), 0L)).sum)
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "bucketed join equals the nested-loop truth")
+  }
+
+  // ---- time to convert ------------------------------------------------------
+
+  test("evt_time_to_convert: order stats match a JVM sort of the same delays") {
+    val r = run("evt_time_to_convert").collect().head
+    val delays = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", unix_micros(col("ts")))).as("su"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("pu"))
+      .filter(col("su").isNotNull && col("pu").isNotNull && col("pu") >= col("su"))
+      .select(((col("pu") - col("su")) / lit(1000000L)).cast("long").as("d"))
+      .collect().map(_.getLong(0)).sorted
+    val n = delays.length
+    assert(r.getLong(0) == n)
+    if (n > 0) {
+      assert(r.getLong(1) == delays((n + 1) / 2 - 1), "lower median")
+      assert(r.getLong(2) == delays((9 * n + 9) / 10 - 1), "p90 order stat")
+      assert(r.getLong(3) == delays.head && r.getLong(4) == delays.last)
+    }
+  }
+
+  // ---- rolling correlation --------------------------------------------------
+
+  test("win_rolling_corr: r in [-1,1], exactly full 7-day frames, day series contiguous in count") {
+    val rows = run("win_rolling_corr").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 7L)
+      if (!r.isNullAt(2)) {
+        val v = r.getDouble(2)
+        assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9, s"r7=$v")
+      }
+    }
+    val nDays = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(to_date(col("ts"))).distinct().count()
+    assert(rows.length == math.max(0, nDays - 6), "one row per full window")
+  }
+
   test("graph_bfs_distance: rings partition all nodes; hop_1 equals customer 1's direct partners") {
     val rows = run("graph_bfs_distance").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
