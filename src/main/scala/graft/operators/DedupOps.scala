@@ -719,9 +719,48 @@ object DedupOps {
     Some("WITH " + shingleCte4 + pairCountCtes +
       """, p0 AS (SELECT i.a, i.b, floor(i.c * 1.0 / (x.n + y.n - i.c) * 10000.0 + 0.5) / 10000.0 AS jaccard FROM inter i JOIN sz x ON i.a = x.doc_id JOIN sz y ON i.b = y.doc_id), th AS (SELECT unnest([20, 30, 40, 50, 60, 70, 80, 90]) AS t), ft AS (SELECT t, a, b FROM p0, th WHERE jaccard >= t / 100.0), pc AS (SELECT t, CAST(count(*) AS BIGINT) AS n_pairs FROM ft GROUP BY 1), dc AS (SELECT t, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs FROM (SELECT t, a AS doc FROM ft UNION ALL SELECT t, b FROM ft) GROUP BY 1) SELECT CAST(th.t AS INTEGER) AS threshold_pct, coalesce(pc.n_pairs, 0) AS n_pairs, coalesce(dc.n_docs, 0) AS n_docs FROM th LEFT JOIN pc ON pc.t = th.t LEFT JOIN dc ON dc.t = th.t ORDER BY 1"""))
 
+  /** ROUGE-1 scoring of the verified near-dup pairs — precision/recall/F1
+    * over token MULTISETS (overlap = Σ_tok min(c_a, c_b)), the
+    * summarization-eval metric repurposed as the dedup post-mortem: a
+    * high-Jaccard pair with low ROUGE recall means shingle overlap came
+    * from reordering, not shared content. Pair set is the stored
+    * Jaccard≥0.4 table (pair-bounded — never corpus²); per-doc token
+    * counts join onto it keyed by (doc, token), and the min() overlap is
+    * exact integers with float ratios only at the edge. */
+  private lazy val rougePairs = GraftQuery(
+    "txt_rouge1_pairs",
+    "ROUGE-1 P/R/F1 over token multisets for each verified near-dup pair",
+    (s, d) => {
+      val tc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(graft.functions.GraftFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val totals = tc.groupBy("doc_id").agg(sum("c").as("nt"))
+      val pairs = jaccardPairs(s, d).select(col("a"), col("b"))
+      val ov = pairs
+        .join(tc.toDF("a", "tok", "ca"), Seq("a"))
+        .join(tc.toDF("b", "tok", "cb"), Seq("b", "tok"))
+        .groupBy("a", "b").agg(sum(least(col("ca"), col("cb"))).as("ov"))
+      pairs
+        .join(ov, Seq("a", "b"), "left")
+        .join(totals.toDF("a", "na"), Seq("a"))
+        .join(totals.toDF("b", "nb"), Seq("b"))
+        .select(col("a"), col("b"),
+          coalesce(col("ov"), lit(0L)).as("overlap"),
+          col("na"), col("nb"),
+          fround(coalesce(col("ov"), lit(0L)).cast("double") / col("na"), 4)
+            .as("rouge1_p"),
+          fround(coalesce(col("ov"), lit(0L)).cast("double") / col("nb"), 4)
+            .as("rouge1_r"),
+          fround(lit(2.0) * coalesce(col("ov"), lit(0L)).cast("double") /
+            (col("na") + col("nb")).cast("double"), 4).as("rouge1_f1"))
+        .orderBy("a", "b")
+    },
+    Some(ngramPairsCte +
+      """, tc AS (SELECT doc_id, tok, count(*) AS c FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents) GROUP BY 1, 2), tt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nt FROM tc GROUP BY 1), ov AS (SELECT p.a, p.b, CAST(sum(least(x.c, y.c)) AS BIGINT) AS ov FROM p JOIN tc x ON x.doc_id = p.a JOIN tc y ON y.doc_id = p.b AND y.tok = x.tok GROUP BY 1, 2) SELECT p.a, p.b, coalesce(ov.ov, 0) AS overlap, ta.nt AS na, tb.nt AS nb, floor(CAST(coalesce(ov.ov, 0) AS DOUBLE) / ta.nt * 1e4 + 0.5) / 1e4 AS rouge1_p, floor(CAST(coalesce(ov.ov, 0) AS DOUBLE) / tb.nt * 1e4 + 0.5) / 1e4 AS rouge1_r, floor(2.0 * CAST(coalesce(ov.ov, 0) AS DOUBLE) / CAST(ta.nt + tb.nt AS DOUBLE) * 1e4 + 0.5) / 1e4 AS rouge1_f1 FROM p LEFT JOIN ov ON ov.a = p.a AND ov.b = p.b JOIN tt ta ON ta.doc_id = p.a JOIN tt tb ON tb.doc_id = p.b ORDER BY 1, 2"""))
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupComponents, dedupKeepList,
     dedupKeepLongest, dedupSimhash, dedupSimhashGroups, dedupEmbedding,
     dedupEmbeddingLsh, dedupIncremental, dedupContainment, graphTriangles,
-    dedupClusterSizes, dedupThresholdCurve)
+    dedupClusterSizes, dedupThresholdCurve, rougePairs)
 }

@@ -843,9 +843,41 @@ object SimilarityOps {
     },
     Some("""WITH mic AS (SELECT label, vec_id % 2 AS half, dim, CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS micro FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim)), sums AS (SELECT label, half, dim, CAST(sum(micro) AS BIGINT) AS sm, count(*) AS c FROM mic GROUP BY 1, 2, 3), a AS (SELECT label, dim, sm AS s0, c AS c0 FROM sums WHERE half = 0), b AS (SELECT label, dim, sm AS s1, c AS c1 FROM sums WHERE half = 1), j AS (SELECT a.label, a.dim, c0, c1, CAST(s0 * c1 - s1 * c0 AS HUGEINT) AS di FROM a JOIN b ON a.label = b.label AND a.dim = b.dim) SELECT label, c0 AS n_even, c1 AS n_odd, floor(sqrt(CAST(sum(di * di) AS DOUBLE)) / CAST(c0 * c1 AS DOUBLE) / 1000000.0 * 1e6 + 0.5) / 1e6 AS l2_drift FROM j GROUP BY label, c0, c1 ORDER BY label"""))
 
+  /** DIRECTIONAL CONCENTRATION per label: the mean resultant length
+    * R̄ = |Σ v̂ᵢ| / n of the label's UNIT vectors — the von-Mises-Fisher
+    * concentration statistic (R̄→1: tight directional cluster, R̄→0:
+    * dispersed). Complements emb_centroid_drift (location) with spread.
+    * Unit components are micro-rounded to integers BEFORE any sum, so
+    * the per-dimension resultants are exact BIGINTs and their squared
+    * norm is an exact DECIMAL(38,0); each engine computes the norm
+    * divisor ‖v‖ from the same fixed left-to-right component fold.
+    * Scale: one posexplode pass, one (label, dim) rollup, label-sized
+    * output. */
+  private val embConcentration = GraftQuery(
+    "emb_concentration",
+    "per-label mean resultant length of unit vectors (vMF concentration)",
+    (s, d) => {
+      val unit = Tables.embeddings(s, d)
+        .select(col("label"), vecDouble(col("embedding")).as("raw"))
+        .withColumn("nrm", sqrt(aggregate(col("raw"), lit(0.0), (a, x) => a + x * x)))
+        .select(col("label"), posexplode(
+          transform(col("raw"), x => floor(x / col("nrm") * 1e6 + 0.5).cast("long")))
+          .as(Seq("dim", "um")))
+      val byDim = unit.groupBy("label", "dim")
+        .agg(sum("um").as("sd"), count(lit(1)).as("n"))
+      byDim.groupBy("label", "n")
+        .agg(sum((col("sd") * col("sd")).cast("decimal(38,0)")).as("ss"))
+        .select(col("label"), col("n").as("n_vecs"),
+          fround(sqrt(col("ss").cast("double")) / (col("n") * 1e6), 4)
+            .as("resultant_len"))
+        .orderBy("label")
+    },
+    Some("""WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS raw FROM embeddings), nv AS (SELECT label, raw, sqrt(list_sum([x * x for x in raw])) AS nrm FROM e), um AS (SELECT label, dim, CAST(floor(raw[dim] / nrm * 1000000.0 + 0.5) AS BIGINT) AS um FROM nv, (SELECT unnest(generate_series(1, 64)) AS dim)), bd AS (SELECT label, dim, CAST(sum(um) AS BIGINT) AS sd, count(*) AS n FROM um GROUP BY 1, 2) SELECT label, n AS n_vecs, floor(sqrt(CAST(sum(CAST(sd AS HUGEINT) * sd) AS DOUBLE)) / (n * 1000000.0) * 1e4 + 0.5) / 1e4 AS resultant_len FROM bd GROUP BY label, n ORDER BY label"""))
+
   val all: Seq[GraftQuery] = Seq(knnBrute, labelStats, knnLsh, knnMatryoshka,
     embCentroids, embDimProfile, embAssignPurity, dedupSemantic,
     embPrototypicality, simHubness, hardNegatives, embKmeansStep,
     embSimHistogram, embPcaPower, embPcaVar, embKmeansppSeed, embWhitening,
-    embIsotropy, simRecallEval, knnLabelAccuracy, embCentroidDrift)
+    embIsotropy, simRecallEval, knnLabelAccuracy, embCentroidDrift,
+    embConcentration)
 }

@@ -586,9 +586,40 @@ object TemporalOps {
     },
     Some("""WITH fu AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS su, min(CASE WHEN event_type = 'purchase' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS pu FROM events GROUP BY 1), cv AS (SELECT user_id, (pu - su) // 1000000 AS delay_s FROM fu WHERE su IS NOT NULL AND pu IS NOT NULL AND pu >= su), rk AS (SELECT *, CAST(row_number() OVER (ORDER BY delay_s, user_id) AS BIGINT) AS rk, CAST(count(*) OVER () AS BIGINT) AS n FROM cv) SELECT n AS n_converted, max(CASE WHEN rk = (n + 1) // 2 THEN delay_s END) AS median_s, max(CASE WHEN rk = (9 * n + 9) // 10 THEN delay_s END) AS p90_s, CAST(min(delay_s) AS BIGINT) AS min_s, CAST(max(delay_s) AS BIGINT) AS max_s FROM rk GROUP BY 1"""))
 
+  /** MAXIMUM DRAWDOWN of each event type's cumulative daily value series —
+    * the peak-to-trough risk statistic (largest drop from a running high),
+    * read here as "how far below its best day-total pace has this metric
+    * sunk". Pure integer window arithmetic: cumulative centi sum, running
+    * max, drawdown = peak − cum; the argmax row_number ties break on the
+    * earlier day. One event_type-keyed shuffle serves all three window
+    * passes and the rollup. */
+  private val maxDrawdown = GraftQuery(
+    "evt_max_drawdown",
+    "per-type maximum drawdown of the cumulative daily value series",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(centi(col("value"))).as("vc"))
+      val wc = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scored = daily
+        .withColumn("cum", sum("vc").over(wc))
+        .withColumn("peak", max("cum").over(wc))
+        .withColumn("dd", col("peak") - col("cum"))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(desc("dd"), col("day"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("trough_day"),
+          fround(col("dd").cast("double") / 100.0, 2).as("max_drawdown"),
+          fround(col("peak").cast("double") / 100.0, 2).as("peak_cum"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS vc FROM events GROUP BY 1, 2), c AS (SELECT *, CAST(sum(vc) OVER w AS BIGINT) AS cum FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING)), p AS (SELECT *, CAST(max(cum) OVER w AS BIGINT) AS peak FROM c WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING)), dd AS (SELECT *, peak - cum AS dd FROM p), rk AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dd DESC, day) AS rk FROM dd) SELECT event_type, day AS trough_day, floor(CAST(dd AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS max_drawdown, floor(CAST(peak AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS peak_cum FROM rk WHERE rk = 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] =
     Seq(rollingDau, attribution, firstLast, snapshotDiff, cohortRevenue,
       rfmSegments, paaSax, turningPoints, markovStationary, changepoint,
       autocorr, gapHistogram, islands, survivalKm, entropyRate,
-      timeToConvert)
+      timeToConvert, maxDrawdown)
 }

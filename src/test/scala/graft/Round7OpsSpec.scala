@@ -746,6 +746,47 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- ROUGE pairs ----------------------------------------------------------
+
+  test("txt_rouge1_pairs: metrics in [0,1], overlap bounded by both lengths, F1 is the harmonic mean") {
+    val rows = run("txt_rouge1_pairs").collect()
+    assert(rows.nonEmpty, "the near-dup pair table is non-empty at spec SF")
+    rows.foreach { r =>
+      val (ov, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (p, rr, f1) = (r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      assert(ov <= math.min(na, nb))
+      assert(p >= 0 && p <= 1 && rr >= 0 && rr <= 1)
+      if (p + rr > 0)
+        assert(math.abs(f1 - 2.0 * ov / (na + nb)) < 1e-3)
+    }
+  }
+
+  // ---- concentration --------------------------------------------------------
+
+  test("emb_concentration: resultant length in [0,1], labels cover the corpus") {
+    val rows = run("emb_concentration").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val rl = r.getDouble(2)
+      assert(rl >= 0.0 && rl <= 1.0 + 1e-4, s"R=$rl")
+    }
+  }
+
+  // ---- drawdown -------------------------------------------------------------
+
+  test("evt_max_drawdown: drawdown nonneg and <= peak, one row per event type") {
+    val rows = run("evt_max_drawdown").collect()
+    val types = Tables.events(spark, sf).select("event_type").distinct().count()
+    assert(rows.length == types)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0, "drawdown nonneg")
+      assert(r.getDouble(2) <= r.getDouble(3) + 1e-9,
+        "cannot draw down more than the peak (values are nonneg)")
+    }
+  }
+
   // ---- Gini -----------------------------------------------------------------
 
   test("agg_gini_coefficient: values in [0,1), zero iff all revenues equal, matches a JVM recompute") {
