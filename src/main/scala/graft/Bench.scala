@@ -87,6 +87,12 @@ object Bench {
     // family; the census query serves counts off the stored rounds).
     try graft.operators.GraphOps.storedKcore(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] kcore setup failed: ${e.getMessage}") }
+    // ...and the (order, brand) basket projection rel_basket_lift's four
+    // consumers share — a per-corpus-snapshot artifact like the rest.
+    try {
+      graft.operators.RelationalOps.basketOb(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable => System.err.println(s"[bench] basket setup failed: ${e.getMessage}") }
     // ...and the supplier co-occurrence projection (the bipartite pair
     // weights shared by graph_bipartite_proj and graph_neighbor_jaccard) —
     // the co-purchase graph is a per-corpus-snapshot artifact too.

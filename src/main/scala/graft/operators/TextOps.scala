@@ -1067,13 +1067,46 @@ object TextOps {
     },
     Some("""WITH st AS (SELECT source, tok, count(*) AS c FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents) GROUP BY 1, 2), nt AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM st GROUP BY 1), pr AS (SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb FROM nt a, nt b WHERE a.source < b.source), av AS (SELECT pr.sa, pr.sb, pr.na, pr.nb, st.tok, st.c AS c1 FROM st JOIN pr ON st.source = pr.sa), bv AS (SELECT pr.sa, pr.sb, pr.na, pr.nb, st.tok, st.c AS c2 FROM st JOIN pr ON st.source = pr.sb), m AS (SELECT sa, sb, na, nb, tok, coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2 FROM av FULL JOIN bv USING (sa, sb, na, nb, tok)), t AS (SELECT sa, sb, na, nb, CASE WHEN c1 > 0 THEN CAST(floor(c1 * ln(CAST(2 * c1 * nb AS DOUBLE) / CAST(c1 * nb + c2 * na AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS tp, CASE WHEN c2 > 0 THEN CAST(floor(c2 * ln(CAST(2 * c2 * na AS DOUBLE) / CAST(c2 * na + c1 * nb AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS tq, CASE WHEN c1 > 0 AND c2 > 0 THEN 1 ELSE 0 END AS sh FROM m) SELECT sa, sb, CAST(sum(sh) AS BIGINT) AS shared_vocab, count(*) AS union_vocab, floor((CAST(sum(tp) AS DOUBLE) / na + CAST(sum(tq) AS DOUBLE) / nb) * 0.5 / 1000000.0 * 1e6 + 0.5) / 1e6 AS jsd_nats FROM t GROUP BY sa, sb, na, nb ORDER BY 1, 2"""))
 
+  /** COUNT-MIN SKETCH probe audit — the third mergeable frequency sketch
+    * next to Misra-Gries (txt_vocab_sketch) and Bloom
+    * (txt_decontaminate_bloom): the token stream folds into a fixed
+    * (depth×width) counter grid built DISTRIBUTED (partition sketches
+    * merge by counter addition, so the result is partition-order
+    * invariant and, with a fixed seed, fully deterministic); ten fixed
+    * probe tokens are then estimated from the driver-held sketch (a
+    * model-sized artifact, the IvfAnn-probe precedent) next to their
+    * exact counts. CMS guarantees estimate ≥ exact; the spec pins that
+    * and the ε·N error bound. No oracle: sketch internals are
+    * engine-specific (declared-spec status like the other sketches). */
+  private lazy val countMinProbe = GraftQuery(
+    "txt_count_min_probe",
+    "count-min sketch estimates vs exact counts for 10 probe tokens",
+    (s, d) => {
+      import s.implicits._
+      val tok = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+      val cms = tok.stat.countMinSketch("tok", eps = 0.001, confidence = 0.99,
+        seed = 42)
+      val probes = Seq("the", "scan", "join", "sort", "batch", "stream",
+        "spark", "window", "hash", "merge")
+      val est = probes.map(t => t -> cms.estimateCount(t)).toDF("tok", "cms_est")
+      val exact = tok.filter(col("tok").isin(probes: _*))
+        .groupBy("tok").agg(count(lit(1)).as("exact"))
+      est.join(exact, Seq("tok"), "left")
+        .select(col("tok"), coalesce(col("exact"), lit(0L)).as("exact"),
+          col("cms_est"),
+          (col("cms_est") >= coalesce(col("exact"), lit(0L))).as("never_under"))
+        .orderBy("tok")
+    },
+    None)
+
   val all: Seq[GraftQuery] = Seq(tokenStats, quality, langId, fingerprint,
     topNgrams, repetition, decontaminate, boilerplate, decontaminateBloom,
     vocabTopK, vocabSketch, unigramLogprob, bpePretokenize, txtNovelty,
     pplBuckets, charEntropy, langIdConfusion, oovRate, bpePairs,
     langIdKappa, cdcChunks, cooccurrence, splitContamination, zipfFit,
     featureHashing, bpeMergeStep, bigramLogprob, hapaxProfile, burstiness,
-    keynessG2, jsdSources)
+    keynessG2, jsdSources, countMinProbe)
 
   /** Add-1-smoothed BIGRAM-LM conditional log-prob per doc — the next
     * model class up from txt_unigram_logprob (context-conditioned token

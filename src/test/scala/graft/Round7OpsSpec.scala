@@ -746,6 +746,36 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- AQP ------------------------------------------------------------------
+
+  test("samp_aqp_revenue: estimate within a few std errors of exact, sample is ~1%") {
+    val r = run("samp_aqp_revenue").collect().head
+    val (n, est, exact, relErr, se) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val orders = Tables.orders(spark, sf).count()
+    assert(n > 0 && n < orders / 20, "sample is a small fraction")
+    assert(se > 0)
+    assert(math.abs(est - exact) <= 6 * se,
+      s"estimate $est vs exact $exact beyond 6 SE ($se)")
+    assert(math.abs(relErr) <= 100.0)
+  }
+
+  // ---- count-min ------------------------------------------------------------
+
+  test("txt_count_min_probe: never underestimates, error bounded by eps*N, deterministic") {
+    val rows = run("txt_count_min_probe").collect()
+    assert(rows.length == 10)
+    val nTok = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " "))).count()
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"CMS underestimated ${r.getString(0)}")
+      assert(r.getLong(2) - r.getLong(1) <= math.ceil(0.001 * nTok).toLong * 3,
+        s"error beyond 3x eps*N for ${r.getString(0)}")
+    }
+    val again = run("txt_count_min_probe").collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   // ---- ROUGE pairs ----------------------------------------------------------
 
   test("txt_rouge1_pairs: metrics in [0,1], overlap bounded by both lengths, F1 is the harmonic mean") {
