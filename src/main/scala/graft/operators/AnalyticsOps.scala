@@ -1105,7 +1105,69 @@ object AnalyticsOps {
     evtRetention, evtZscore, evtTransitions, qaWinsorize, qaPsiDrift,
     qaKsDrift, evtEwma, evtRunLengths, winRollingMedian, qaBenford,
     qaOutlierMad, aggBitmapDistinct, aggBitmapOverlap, qaMutualInfo,
-    aggTheil, aggGini, winRollingCorr)
+    aggTheil, aggGini, winRollingCorr, winSessionSensitivity,
+    calWeekOverWeek)
+
+  /** SESSION-GAP sensitivity curve: session counts and mean lengths at
+    * gap thresholds 5/15/30/60 min from ONE user-keyed lag pass — the
+    * dedup_threshold_curve pattern applied to sessionization (pick the
+    * gap by reading the curve, not by re-running the pipeline per
+    * candidate). Each threshold's session count is just the sum of
+    * integer new-session indicators over the SAME gap column; no window
+    * or shuffle is repeated per threshold. */
+  private lazy val winSessionSensitivity = {
+    val gapsMin = Seq(5L, 15L, 30L, 60L)
+    GraftQuery(
+      "win_session_sensitivity",
+      "session count/mean-length at 5/15/30/60-min gaps from one lag pass",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val lagged = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("gap", col("us") - lag("us", 1).over(w))
+        val n = lagged.agg(count(lit(1)).as("n_events"))
+        val curves = gapsMin.map { g =>
+          lagged.agg(sum(when(col("gap").isNull ||
+              col("gap") > g * 60L * 1000000L, 1L).otherwise(0L)).as("n_sessions"))
+            .crossJoin(broadcast(n))
+            .select(lit(g).as("gap_min"), col("n_sessions"),
+              fround(col("n_events").cast("double") / col("n_sessions"), 3)
+                .as("mean_events_per_session"))
+        }
+        curves.reduce(_.unionByName(_)).orderBy("gap_min")
+      },
+      Some("WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), l AS (SELECT user_id, us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap FROM ev), t AS (SELECT CAST(count(*) AS BIGINT) AS n_events FROM l) " +
+        gapsMin.map(g =>
+          s"SELECT CAST($g AS BIGINT) AS gap_min, CAST(sum(CASE WHEN gap IS NULL OR gap > ${g * 60L * 1000000L} THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions, floor(CAST((SELECT n_events FROM t) AS DOUBLE) / sum(CASE WHEN gap IS NULL OR gap > ${g * 60L * 1000000L} THEN 1 ELSE 0 END) * 1e3 + 0.5) / 1e3 AS mean_events_per_session FROM l")
+          .mkString(" UNION ALL ") + " ORDER BY gap_min"))
+  }
+
+  /** Week-over-week change: weekly per-type event counts and value totals
+    * with the previous week's via lag, the growth-rate read every metrics
+    * dashboard serves. Weeks are Monday-anchored date_trunc in BOTH
+    * engines; first weeks surface NULL change. One keyed rollup + one
+    * type-partitioned lag. */
+  private lazy val calWeekOverWeek = GraftQuery(
+    "cal_week_over_week",
+    "weekly per-type totals with week-over-week percent change",
+    (s, d) => {
+      val weekly = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+        .agg(count(lit(1)).as("n"), sum(centi(col("value"))).as("vc"))
+      val w = Window.partitionBy("event_type").orderBy("week")
+      weekly
+        .withColumn("pn", lag("n", 1).over(w))
+        .withColumn("pv", lag("vc", 1).over(w))
+        .select(col("event_type"), col("week"), col("n").as("n_events"),
+          fround(col("vc").cast("double") / 100.0, 2).as("total_value"),
+          fround((col("n") - col("pn")).cast("double") /
+            col("pn").cast("double") * 100.0, 4).as("wow_count_pct"),
+          fround((col("vc") - col("pv")).cast("double") /
+            col("pv").cast("double") * 100.0, 4).as("wow_value_pct"))
+        .orderBy("event_type", "week")
+    },
+    Some("""WITH wk AS (SELECT event_type, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week, count(*) AS n, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS vc FROM events GROUP BY 1, 2), l AS (SELECT *, lag(n) OVER w AS pn, lag(vc) OVER w AS pv FROM wk WINDOW w AS (PARTITION BY event_type ORDER BY week)) SELECT event_type, week, n AS n_events, floor(CAST(vc AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total_value, floor(CAST(n - pn AS DOUBLE) / CAST(pn AS DOUBLE) * 100.0 * 1e4 + 0.5) / 1e4 AS wow_count_pct, floor(CAST(vc - pv AS DOUBLE) / CAST(pv AS DOUBLE) * 100.0 * 1e4 + 0.5) / 1e4 AS wow_value_pct FROM l ORDER BY 1, 2"""))
 
   /** 7-day ROLLING correlation between the click and purchase daily value
     * series — "are these metrics moving together this week" — from exact

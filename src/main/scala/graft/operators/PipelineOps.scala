@@ -608,9 +608,53 @@ object PipelineOps {
       Some("""WITH docs AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok FROM documents), arr AS (SELECT n_tok, (row_number() OVER (ORDER BY doc_id) - 1) // 8 AS batch FROM docs), srt AS (SELECT n_tok, (row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1) // 8 AS batch FROM docs), ab AS (SELECT batch, count(*) AS bsz, max(n_tok) AS mx, sum(n_tok) AS sm FROM arr GROUP BY 1), sb AS (SELECT batch, count(*) AS bsz, max(n_tok) AS mx, sum(n_tok) AS sm FROM srt GROUP BY 1), res AS (SELECT 'arrival' AS strategy, count(*) AS n_batches, CAST(sum(sm) AS BIGINT) AS real_tokens, CAST(sum(bsz * mx - sm) AS BIGINT) AS padded_tokens FROM ab UNION ALL SELECT 'sorted', count(*), CAST(sum(sm) AS BIGINT), CAST(sum(bsz * mx - sm) AS BIGINT) FROM sb) SELECT strategy, n_batches, real_tokens, padded_tokens, floor(CAST(padded_tokens AS DOUBLE) / CAST(real_tokens + padded_tokens AS DOUBLE) * 1e4 + 0.5) / 1e4 AS pad_share FROM res ORDER BY strategy"""))
   }
 
+  /** DATASET CARD — the one-row datasheet a corpus release ships with
+    * (Gebru et al., "Datasheets for Datasets"): size, token mass, exact
+    * vocabulary, duplicate rate (off the shared keepVerdict — exact +
+    * near-dup), mean quality score, and language-mix entropy. Every
+    * averaged float rides as floor-rounded integer micro-units before
+    * summation (lpPerDoc discipline); the card is assembled from 1-row
+    * aggregates, so the corpus scans are the token pass and the verdict's
+    * fingerprint pass — nothing quadratic. */
+  private lazy val pipeDatasetCard = GraftQuery(
+    "pipe_dataset_card",
+    "one-row corpus datasheet: size, vocab, dup rate, quality, lang entropy",
+    (s, d) => {
+      import graft.functions.GraftFunctions.{stopRatio, longRatio, lenOk, qualityScore}
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(explode(tokens(col("text"))).as("tok"))
+      val tokStats = tok.agg(count(lit(1)).as("total_tokens"),
+        countDistinct("tok").as("vocab_size"))
+      val dup = DedupOps.keepVerdict(s, d)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep") === 0, 1L).otherwise(0L)).as("n_dropped"))
+      val qual = docs
+        .select(tokens(col("text")).as("t"))
+        .select(floor(qualityScore(stopRatio(col("t")), longRatio(col("t")),
+          lenOk(col("t"))) * 1e6 + 0.5).cast("long").as("qm"))
+        .agg(sum("qm").as("qs"), count(lit(1)).as("qn"))
+      val langs = docs.groupBy("lang").agg(count(lit(1)).as("nl"))
+      val ltot = langs.agg(sum("nl").as("nn"), count(lit(1)).as("n_langs"))
+      val lent = langs.crossJoin(broadcast(ltot))
+        .agg(sum(floor(-col("nl") * log(col("nl").cast("double") /
+          col("nn").cast("double")) * 1e6 + 0.5).cast("long")).as("hs"))
+      dup.crossJoin(tokStats).crossJoin(qual).crossJoin(lent).crossJoin(ltot)
+        .select(col("n_docs"), col("total_tokens"), col("vocab_size"),
+          fround(col("n_dropped").cast("double") / col("n_docs"), 4)
+            .as("dup_rate"),
+          fround(col("qs").cast("double") / (col("qn") * 1e6), 4)
+            .as("mean_quality"),
+          col("n_langs"),
+          fround(col("hs").cast("double") / (col("nn") * 1e6), 4)
+            .as("lang_entropy_nats"))
+    },
+    Some(graft.operators.DedupOps.keepVerdictCtes +
+      s""", tok AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents), ts AS (SELECT CAST(count(*) AS BIGINT) AS total_tokens, CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size FROM tok), dp AS (SELECT count(*) AS n_docs, CAST(sum(CASE WHEN keep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped FROM kv), q AS (SELECT CAST(sum(CAST(floor((CAST(len(list_filter(t, x -> x IN (${graft.functions.GraftFunctions.stopwordsSqlList}))) AS DOUBLE) / len(t) * 0.3 + CAST(len(list_filter(t, x -> length(x) > 4)) AS DOUBLE) / len(t) * 0.4 + (CASE WHEN len(t) BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END) * 0.3) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qs, count(*) AS qn FROM (SELECT string_split(lower(text), ' ') AS t FROM documents)), lg AS (SELECT lang, count(*) AS nl FROM documents GROUP BY 1), lt AS (SELECT CAST(sum(nl) AS BIGINT) AS nn, count(*) AS n_langs FROM lg), le AS (SELECT CAST(sum(CAST(floor(-nl * ln(CAST(nl AS DOUBLE) / CAST(nn AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hs FROM lg CROSS JOIN lt) SELECT dp.n_docs, ts.total_tokens, ts.vocab_size, floor(CAST(dp.n_dropped AS DOUBLE) / dp.n_docs * 1e4 + 0.5) / 1e4 AS dup_rate, floor(CAST(q.qs AS DOUBLE) / (q.qn * 1000000.0) * 1e4 + 0.5) / 1e4 AS mean_quality, lt.n_langs, floor(CAST(le.hs AS DOUBLE) / (lt.nn * 1000000.0) * 1e4 + 0.5) / 1e4 AS lang_entropy_nats FROM dp CROSS JOIN ts CROSS JOIN q CROSS JOIN le CROSS JOIN lt"""))
+
   val all: Seq[GraftQuery] = Seq(
     sampHashSplit, sampClusterSplit, arrHofStats, evtFunnel, aggMode,
     calGapFill, calInterpolate, pipePack, pipeMixWeights, pipeChunk,
     pipeFilterGate, pipeCurationFunnel, pipeTokenBudget, pipeAuditTrail,
-    calBusinessDays, pipeSpanCorruption, pipeLengthBatching)
+    calBusinessDays, pipeSpanCorruption, pipeLengthBatching,
+    pipeDatasetCard)
 }

@@ -746,6 +746,50 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- session sensitivity --------------------------------------------------
+
+  test("win_session_sensitivity: session counts monotonically non-increasing in the gap; 30-min row matches win_session") {
+    val rows = run("win_session_sensitivity").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set(5L, 15L, 30L, 60L))
+    assert(rows(5L) >= rows(15L) && rows(15L) >= rows(30L) && rows(30L) >= rows(60L),
+      "larger gaps can only merge sessions")
+    val sessions30 = run("win_session").count()
+    assert(rows(30L) == sessions30,
+      "the 30-min curve point equals the dedicated sessionizer's count")
+  }
+
+  // ---- week over week -------------------------------------------------------
+
+  test("cal_week_over_week: first week per type has NULL change, counts sum to corpus") {
+    val rows = run("cal_week_over_week").collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(0))
+    byType.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getDate(1).toString)
+      assert(sorted.head.isNullAt(4) && sorted.head.isNullAt(5),
+        "no prior week for the first row")
+      assert(sorted.tail.forall(r => !r.isNullAt(4)), "later weeks have a basis")
+    }
+    assert(rows.map(_.getLong(2)).sum == Tables.events(spark, sf).count())
+  }
+
+  // ---- dataset card ---------------------------------------------------------
+
+  test("pipe_dataset_card: one row, components agree with their dedicated queries") {
+    val r = run("pipe_dataset_card").collect().head
+    assert(r.getLong(0) == Tables.documents(spark, sf).count())
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0, "dup rate bounded")
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, "quality in [0,1]")
+    assert(r.getDouble(6) >= 0.0 &&
+      r.getDouble(6) <= math.log(r.getLong(5).toDouble) + 1e-4,
+      "lang entropy bounded by ln(#langs)")
+    // dup rate agrees with the keep-list verdict
+    val kl = run("dedup_keep_list").collect()
+    val dropped = kl.count(_.getInt(1) == 0)
+    assert(math.abs(r.getDouble(3) - dropped.toDouble / kl.length) < 1e-3)
+  }
+
   // ---- AQP ------------------------------------------------------------------
 
   test("samp_aqp_revenue: estimate within a few std errors of exact, sample is ~1%") {
