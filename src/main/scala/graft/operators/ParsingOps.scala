@@ -899,7 +899,13 @@ object ParsingOps {
         l.as("a").join(l.as("b"), col("a.anc") === col("b.id"))
           .select(col("a.id").as("id"), col("b.anc").as("anc"),
             (col("a.dist") + col("b.dist")).as("dist"))
-      val resolved = dbl(dbl(dbl(l1))) // 2^3 = 8 >= max chain length
+      // each doubling level is memoized (kcoreEdges discipline): a naive
+      // dbl(dbl(dbl(l1))) embeds 2^3−1 = 7 joins and scans the dimension
+      // 8× — with per-level materialization the plan is 3 joins over
+      // cached leaves (PlanQualitySpec pins the join count)
+      val l2 = graft.PersistCache.getOrMaterialize(s, s"hier:l2:$d")(dbl(l1))
+      val l4 = graft.PersistCache.getOrMaterialize(s, s"hier:l4:$d")(dbl(l2))
+      val resolved = dbl(l4) // 2^3 = 8 >= max chain length
       val rev = Tables.orders(s, d)
         .groupBy(col("o_custkey").as("id"))
         .agg(count(lit(1)).as("n_ord"), sum(centi(col("o_totalprice"))).as("pc"))

@@ -351,6 +351,39 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("bucketed interval join replaces the nested loop: day-keyed hash joins only") {
+    val p = plan("j_interval_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the whole point is avoiding the O(n*m) nested loop: " + p.take(2000))
+    assert(p.contains("Join"), p.take(500))
+  }
+
+  test("business-day latency stays closed-form: no Generate/explode over the fact join") {
+    val p = plan("cal_business_days")
+    assert(!p.contains("Generate"),
+      "per-day explode would multiply the fact join: " + p.take(2000))
+  }
+
+  test("BFS frontier joins broadcast the node-sized distance table") {
+    val p = plan("graph_bfs_distance")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("k-core peel rounds broadcast the surviving-node filter") {
+    val p = plan("graph_kcore")
+    assert(p.contains("InMemoryTableScan"),
+      "census must serve from the stored peel rounds: " + p.take(2000))
+  }
+
+  test("recursive hierarchy serves its doubling levels from memoized caches") {
+    // a naive dbl(dbl(dbl(l1))) embeds 2^3-1 joins and 8 dimension scans;
+    // the memoized form reads levels 2 and 4 from InMemoryTableScans
+    // (their stored lineage still prints inside the cached subtree, so a
+    // flat join count is not assertable from the plan string)
+    val p = plan("sql_recursive_hierarchy")
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+  }
+
   test("ewma fold stays in codegen'd HOFs: no ScalaUDF, window partitioned by user") {
     val p = plan("evt_ewma")
     assert(!p.contains("ScalaUDF"), p.take(2000))
