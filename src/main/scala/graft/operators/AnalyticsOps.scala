@@ -1106,7 +1106,63 @@ object AnalyticsOps {
     qaKsDrift, evtEwma, evtRunLengths, winRollingMedian, qaBenford,
     qaOutlierMad, aggBitmapDistinct, aggBitmapOverlap, qaMutualInfo,
     aggTheil, aggGini, winRollingCorr, winSessionSensitivity,
-    calWeekOverWeek)
+    calWeekOverWeek, qaKeyGaps, aggParetoRatio)
+
+  /** SURROGATE-KEY GAP audit: per 1000-key bucket of o_orderkey, expected
+    * span (max−min+1) vs actual count — the "did we lose rows" check for
+    * sequence-keyed ingests, computed WITHOUT materializing the expected
+    * range (a generate_series at 100 TB key-space is its own outage):
+    * gaps fall out of min/max/count per bucket, one map-side-combined
+    * rollup. TPC-H orderkeys are sparse by construction, so the audit has
+    * real signal here. */
+  private lazy val qaKeyGaps = GraftQuery(
+    "qa_key_gaps",
+    "per-bucket orderkey sequence-gap audit from min/max/count (no range explode)",
+    (s, d) => Tables.orders(s, d)
+      .groupBy(expr("o_orderkey div 1000").as("bucket"))
+      .agg(min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+        count(lit(1)).as("n_actual"))
+      .select(col("bucket"), col("min_key"), col("max_key"),
+        (col("max_key") - col("min_key") + 1).as("n_span"),
+        col("n_actual"),
+        (col("max_key") - col("min_key") + 1 - col("n_actual")).as("n_missing"))
+      .orderBy("bucket"),
+    Some("""SELECT o_orderkey // 1000 AS bucket, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key, max(o_orderkey) - min(o_orderkey) + 1 AS n_span, count(*) AS n_actual, max(o_orderkey) - min(o_orderkey) + 1 - count(*) AS n_missing FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  /** PARETO concentration read: the revenue share held by the top 10% and
+    * top 20% of customers — the canonical "80/20" statement next to the
+    * Gini/Theil indexes. Rank cutoffs are ceil(k·n/10) spelled with
+    * positive-only integer division; cumulative and total sums are exact
+    * BIGINTs off ONE ranked window pass; shares are the only floats.
+    * The global ranking runs over the customer rollup (orders of
+    * magnitude below the fact). */
+  private lazy val aggParetoRatio = GraftQuery(
+    "agg_pareto_ratio",
+    "revenue share of the top-10% and top-20% customers (exact rank sums)",
+    (s, d) => {
+      val cust = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(sum(centi(col("o_totalprice"))).as("x"))
+      val w = Window.orderBy(desc("x"), col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = cust.agg(count(lit(1)).as("n"), sum("x").as("xx"))
+      cust
+        .withColumn("rk", row_number().over(
+          Window.orderBy(desc("x"), col("o_custkey"))).cast("long"))
+        .withColumn("cum", sum("x").over(w))
+        .crossJoin(broadcast(tot))
+        .groupBy("n", "xx")
+        .agg(max(when(col("rk") === expr("(n + 9) div 10"), col("cum")))
+          .as("c10"),
+          max(when(col("rk") === expr("(2 * n + 9) div 10"), col("cum")))
+            .as("c20"))
+        .select(col("n").as("n_customers"),
+          fround(col("xx").cast("double") / 100.0, 2).as("revenue"),
+          fround(col("c10").cast("double") / col("xx").cast("double"), 4)
+            .as("top10_share"),
+          fround(col("c20").cast("double") / col("xx").cast("double"), 4)
+            .as("top20_share"))
+    },
+    Some("""WITH cu AS (SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x FROM orders GROUP BY 1), rk AS (SELECT *, CAST(row_number() OVER (ORDER BY x DESC, o_custkey) AS BIGINT) AS rk, CAST(sum(x) OVER (ORDER BY x DESC, o_custkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, CAST(count(*) OVER () AS BIGINT) AS n, CAST(sum(x) OVER () AS BIGINT) AS xx FROM cu) SELECT n AS n_customers, floor(CAST(xx AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS revenue, floor(CAST(max(CASE WHEN rk = (n + 9) // 10 THEN cum END) AS DOUBLE) / CAST(xx AS DOUBLE) * 1e4 + 0.5) / 1e4 AS top10_share, floor(CAST(max(CASE WHEN rk = (2 * n + 9) // 10 THEN cum END) AS DOUBLE) / CAST(xx AS DOUBLE) * 1e4 + 0.5) / 1e4 AS top20_share FROM rk GROUP BY n, xx"""))
 
   /** SESSION-GAP sensitivity curve: session counts and mean lengths at
     * gap thresholds 5/15/30/60 min from ONE user-keyed lag pass — the

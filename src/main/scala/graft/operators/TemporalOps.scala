@@ -617,9 +617,45 @@ object TemporalOps {
     },
     Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS vc FROM events GROUP BY 1, 2), c AS (SELECT *, CAST(sum(vc) OVER w AS BIGINT) AS cum FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING)), p AS (SELECT *, CAST(max(cum) OVER w AS BIGINT) AS peak FROM c WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING)), dd AS (SELECT *, peak - cum AS dd FROM p), rk AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dd DESC, day) AS rk FROM dd) SELECT event_type, day AS trough_day, floor(CAST(dd AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS max_drawdown, floor(CAST(peak AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS peak_cum FROM rk WHERE rk = 1 ORDER BY 1"""))
 
+  /** FORECAST BACKTEST: the two baseline forecasters every real model
+    * must beat — naive (ŷ_t = y_{t−1}) and trailing-7-day mean — scored
+    * by MAE over the per-type daily value series, one row per (type,
+    * method). Exactness: the MA7 error is kept as the scaled integer
+    * |7·y_t − Σ₇| (never divide before comparing), so both methods' error
+    * sums are exact BIGINTs and the final MAE division is the only
+    * float. Evaluation starts at day 8 so both methods score the SAME
+    * days. One type-keyed window pass serves both forecasts. */
+  private val forecastBacktest = GraftQuery(
+    "evt_forecast_backtest",
+    "MAE backtest of naive vs trailing-7-mean daily forecasts per type",
+    (s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val w7 = w.rowsBetween(-7, -1)
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(centi(col("value"))).as("y"))
+      val scored = daily
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prev", lag("y", 1).over(w))
+        .withColumn("s7", sum("y").over(w7))
+        .filter(col("rn") >= 8)
+      val res = scored.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("y") - col("prev"))).as("e1"),
+          sum(abs(col("y") * 7 - col("s7"))).as("e7"))
+      res.select(col("event_type"), lit("naive").as("method"), col("n_days"),
+          fround(col("e1").cast("double") / col("n_days") / 100.0, 2).as("mae"))
+        .unionByName(res.select(col("event_type"), lit("ma7").as("method"),
+          col("n_days"),
+          fround(col("e7").cast("double") / (col("n_days") * 7) / 100.0, 2)
+            .as("mae")))
+        .orderBy("event_type", "method")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y FROM events GROUP BY 1, 2), sc AS (SELECT *, row_number() OVER w AS rn, lag(y) OVER w AS prev, CAST(sum(y) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s7 FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)), f AS (SELECT event_type, count(*) AS n_days, CAST(sum(abs(y - prev)) AS BIGINT) AS e1, CAST(sum(abs(y * 7 - s7)) AS BIGINT) AS e7 FROM sc WHERE rn >= 8 GROUP BY 1) SELECT event_type, method, n_days, mae FROM (SELECT event_type, 'naive' AS method, n_days, floor(CAST(e1 AS DOUBLE) / n_days / 100.0 * 100.0 + 0.5) / 100.0 AS mae FROM f UNION ALL SELECT event_type, 'ma7', n_days, floor(CAST(e7 AS DOUBLE) / (n_days * 7) / 100.0 * 100.0 + 0.5) / 100.0 FROM f) ORDER BY 1, 2"""))
+
   val all: Seq[GraftQuery] =
     Seq(rollingDau, attribution, firstLast, snapshotDiff, cohortRevenue,
       rfmSegments, paaSax, turningPoints, markovStationary, changepoint,
       autocorr, gapHistogram, islands, survivalKm, entropyRate,
-      timeToConvert, maxDrawdown)
+      timeToConvert, maxDrawdown, forecastBacktest)
 }

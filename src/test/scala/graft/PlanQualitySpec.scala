@@ -330,8 +330,11 @@ class PlanQualitySpec extends AnyFunSuite {
                               // scale the sort range-partitions
       "evt_time_to_convert",  // rank-pick over the conversion-sized
                               // delay table (<= |users| rows)
-      "win_rolling_corr")     // 7-row frames over the ~|corpus days|
+      "win_rolling_corr",     // 7-row frames over the ~|corpus days|
                               // daily series — one global sequence
+      "agg_pareto_ratio")     // global revenue ranking over the CUSTOMER
+                              // rollup (orders of magnitude below the
+                              // fact) — a total order IS the statistic
     val offenders = SparkEntry.registry.flatMap { q =>
       val unpartitioned =
         try {

@@ -746,6 +746,42 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- forecast backtest ----------------------------------------------------
+
+  test("evt_forecast_backtest: two methods per type on the same days, MAE nonneg") {
+    val rows = run("evt_forecast_backtest").collect()
+    val byType = rows.groupBy(_.getString(0))
+    byType.values.foreach { rs =>
+      assert(rs.map(_.getString(1)).toSet == Set("naive", "ma7"))
+      assert(rs.map(_.getLong(2)).distinct.length == 1,
+        "both methods score the same evaluation days")
+      rs.foreach(r => assert(r.getDouble(3) >= 0.0))
+    }
+  }
+
+  // ---- key gaps -------------------------------------------------------------
+
+  test("qa_key_gaps: spans bound counts, totals reconcile with the table") {
+    val rows = run("qa_key_gaps").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3), "actual <= span")
+      assert(r.getLong(5) == r.getLong(3) - r.getLong(4))
+      assert(r.getLong(5) >= 0)
+    }
+    assert(rows.map(_.getLong(4)).sum == Tables.orders(spark, sf).count())
+  }
+
+  // ---- Pareto ---------------------------------------------------------------
+
+  test("agg_pareto_ratio: shares in (0,1], top20 >= top10 >= uniform baseline") {
+    val r = run("agg_pareto_ratio").collect().head
+    val (t10, t20) = (r.getDouble(2), r.getDouble(3))
+    assert(t10 > 0 && t20 <= 1.0 + 1e-9 && t20 >= t10)
+    // any distribution gives the top decile at least its uniform share
+    assert(t10 >= 0.1 - 1e-2 && t20 >= 0.2 - 1e-2)
+  }
+
   // ---- session sensitivity --------------------------------------------------
 
   test("win_session_sensitivity: session counts monotonically non-increasing in the gap; 30-min row matches win_session") {
