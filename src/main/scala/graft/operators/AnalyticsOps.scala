@@ -1085,7 +1085,7 @@ object AnalyticsOps {
       cust.withColumn("i", row_number().over(w).cast("long"))
         .groupBy("ng")
         .agg(count(lit(1)).as("n"), sum("x").as("sx"),
-          sum((col("i") * col("x")).cast("decimal(38,0)")).as("six"))
+          sum(col("i").cast("decimal(38,0)") * col("x")).as("six"))
         .select(col("ng").as("nation"), col("n").as("n_customers"),
           fround(col("sx").cast("double") / 100.0, 2).as("revenue"),
           fround(lit(2.0) * col("six").cast("double") /
@@ -1106,7 +1106,90 @@ object AnalyticsOps {
     qaKsDrift, evtEwma, evtRunLengths, winRollingMedian, qaBenford,
     qaOutlierMad, aggBitmapDistinct, aggBitmapOverlap, qaMutualInfo,
     aggTheil, aggGini, winRollingCorr, winSessionSensitivity,
-    calWeekOverWeek, qaKeyGaps, aggParetoRatio)
+    calWeekOverWeek, qaKeyGaps, aggParetoRatio, qaPkUniqueness, aggAnovaF)
+
+  /** PRIMARY-KEY UNIQUENESS audit across the whole catalog — the first
+    * data contract every ingest asserts: per table, declared key columns,
+    * row count, distinct-key count, and duplicate rows. lineitem audits
+    * its COMPOSITE key (orderkey, linenumber). Ten map-side-combined
+    * aggregates unioned; nothing joins. */
+  private lazy val qaPkUniqueness = {
+    val singles = Seq(
+      ("region", "r_regionkey"), ("nation", "n_nationkey"),
+      ("customer", "c_custkey"), ("supplier", "s_suppkey"),
+      ("part", "p_partkey"), ("orders", "o_orderkey"),
+      ("events", "event_id"), ("documents", "doc_id"),
+      ("embeddings", "vec_id"))
+    GraftQuery(
+      "qa_pk_uniqueness",
+      "catalog-wide primary-key uniqueness audit (incl. composite lineitem key)",
+      (s, d) => {
+        val legs = singles.map { case (t, k) =>
+          Tables(s, d, t).agg(count(lit(1)).as("n_rows"),
+            countDistinct(col(k)).as("n_keys"))
+            .select(lit(t).as("table_name"), lit(k).as("key_cols"),
+              col("n_rows"), col("n_keys"),
+              (col("n_rows") - col("n_keys")).as("n_dup_rows"))
+        } :+ Tables.lineitem(s, d)
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_keys"))
+          .select(lit("lineitem").as("table_name"),
+            lit("l_orderkey,l_linenumber").as("key_cols"),
+            col("n_rows"), col("n_keys"),
+            (col("n_rows") - col("n_keys")).as("n_dup_rows"))
+        legs.reduce(_.unionByName(_)).orderBy("table_name")
+      },
+      Some(singles.map { case (t, k) =>
+        s"SELECT '$t' AS table_name, '$k' AS key_cols, count(*) AS n_rows, CAST(count(DISTINCT $k) AS BIGINT) AS n_keys, count(*) - CAST(count(DISTINCT $k) AS BIGINT) AS n_dup_rows FROM $t"
+      }.mkString(" UNION ALL ") +
+        " UNION ALL SELECT 'lineitem', 'l_orderkey,l_linenumber', count(*), CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT), count(*) - CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) FROM lineitem ORDER BY table_name"))
+  }
+
+  /** ONE-WAY ANOVA of value by event type — the between/within variance
+    * decomposition and its F statistic, the mean-difference test next to
+    * the distribution-level KS/PSI/χ² drift family. Each group's
+    * (Σx)²/n_g term is an exact-rational double floored to integer
+    * deci-micro units BEFORE the cross-group sum (5-term float addition
+    * has no fixed order in a distributed agg; integer sums do). η² =
+    * SSB/SST reports effect size alongside F. */
+  private lazy val aggAnovaF = GraftQuery(
+    "agg_anova_f",
+    "one-way ANOVA F and eta-squared of value across event types",
+    (s, d) => {
+      val g = Tables.events(s, d)
+        .select(col("event_type"), centi(col("value")).as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("ng"), sum("x").as("sx"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+      val terms = g.select(col("ng"), col("sx"), col("sxx"),
+        floor((col("sx").cast("decimal(38,0)") * col("sx")).cast("double") /
+          col("ng").cast("double") * 1e4 + 0.5).cast("decimal(38,0)").as("tm"))
+      terms
+        .agg(count(lit(1)).as("k"), sum("ng").as("nn"), sum("sx").as("sxt"),
+          sum("sxx").as("sxxt"), sum("tm").as("tms"))
+        .select(col("k"), col("nn").as("n_rows"),
+          fround({
+            val sst = col("sxxt").cast("double") -
+              (col("sxt").cast("decimal(38,0)") * col("sxt")).cast("double") /
+                col("nn").cast("double")
+            val ssb = col("tms").cast("double") / 1e4 -
+              (col("sxt").cast("decimal(38,0)") * col("sxt")).cast("double") /
+                col("nn").cast("double")
+            val ssw = col("sxxt").cast("double") - col("tms").cast("double") / 1e4
+            (ssb / (col("k") - 1).cast("double")) /
+              (ssw / (col("nn") - col("k")).cast("double"))
+          }, 4).as("f_stat"),
+          fround({
+            val sst = col("sxxt").cast("double") -
+              (col("sxt").cast("decimal(38,0)") * col("sxt")).cast("double") /
+                col("nn").cast("double")
+            val ssb = col("tms").cast("double") / 1e4 -
+              (col("sxt").cast("decimal(38,0)") * col("sxt")).cast("double") /
+                col("nn").cast("double")
+            ssb / sst
+          }, 6).as("eta_squared"))
+    },
+    Some("""WITH g AS (SELECT event_type, count(*) AS ng, CAST(sum(x) AS BIGINT) AS sx, sum(CAST(x AS HUGEINT) * x) AS sxx FROM (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS x FROM events) GROUP BY 1), t AS (SELECT ng, sx, sxx, CAST(floor(CAST(CAST(sx AS HUGEINT) * sx AS DOUBLE) / CAST(ng AS DOUBLE) * 1e4 + 0.5) AS HUGEINT) AS tm FROM g), a AS (SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS nn, CAST(sum(sx) AS BIGINT) AS sxt, sum(sxx) AS sxxt, sum(tm) AS tms FROM t) SELECT k, nn AS n_rows, floor(((CAST(tms AS DOUBLE) / 1e4 - CAST(CAST(sxt AS HUGEINT) * sxt AS DOUBLE) / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE)) / ((CAST(sxxt AS DOUBLE) - CAST(tms AS DOUBLE) / 1e4) / CAST(nn - k AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS f_stat, floor((CAST(tms AS DOUBLE) / 1e4 - CAST(CAST(sxt AS HUGEINT) * sxt AS DOUBLE) / CAST(nn AS DOUBLE)) / (CAST(sxxt AS DOUBLE) - CAST(CAST(sxt AS HUGEINT) * sxt AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS eta_squared FROM a"""))
 
   /** SURROGATE-KEY GAP audit: per 1000-key bucket of o_orderkey, expected
     * span (max−min+1) vs actual count — the "did we lose rows" check for

@@ -929,6 +929,46 @@ object RelationalOps {
     },
     Some("""WITH dim AS (SELECT c_custkey, c_mktsegment FROM customer), v AS (SELECT c_custkey, 1 AS version, c_mktsegment AS segment, DATE '1992-01-01' AS vf, CASE WHEN c_custkey % 7 = 0 THEN DATE '1998-01-01' ELSE DATE '9999-12-31' END AS vt FROM dim UNION ALL SELECT c_custkey, 2, 'PROMO', DATE '1998-01-01', DATE '9999-12-31' FROM dim WHERE c_custkey % 7 = 0), o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc FROM orders) SELECT segment, version, count(*) AS n_orders, floor(CAST(sum(pc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS revenue FROM o JOIN v ON o_custkey = c_custkey AND vf <= od AND od < vt GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** RANGE-PARTITIONER boundary estimation — what Spark's RangePartitioner
+    * (and every distributed sort) does before shuffling: estimate k−1
+    * split points of the key from a SAMPLE, never a global sort of the
+    * fact. The sample is the deterministic 1% md5 subset of lineitem
+    * orderkeys; boundaries are the rank-⌈j·m/16⌉ order statistics within
+    * it (positive-only integer division). The audit columns report each
+    * estimated partition's ACTUAL row share — how balanced the resulting
+    * shuffle would be. Scale: fact-side work is two scans (sample filter
+    * + histogram against broadcast boundaries); only the 1% sample is
+    * ever ranked. */
+  private lazy val relRangeBoundaries = GraftQuery(
+    "rel_range_boundaries",
+    "sample-estimated 16-way range-partition boundaries + realized balance",
+    (s, d) => {
+      import graft.functions.GraftFunctions.md5u32
+      val keys = Tables.lineitem(s, d).select(col("l_orderkey").as("k"))
+      val samp = keys.filter(md5u32(col("k").cast("string")) % 100 === 0)
+      val m = samp.agg(count(lit(1)).as("m"))
+      val w = Window.orderBy(col("k"))
+      val bounds = samp
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(m))
+        .withColumn("j", explode(sequence(lit(1L), lit(15L))))
+        .filter(col("rk") === expr("(j * m + 15) div 16"))
+        .select(col("j"), col("k").as("boundary"))
+      val tot = keys.agg(count(lit(1)).as("n"))
+      val parts = keys.crossJoin(broadcast(bounds
+          .agg(collect_list(struct(col("j"), col("boundary"))).as("bs"))))
+        .select(
+          aggregate(col("bs"), lit(0L),
+            (acc, b) => acc + when(col("k") > b.getField("boundary"), 1L)
+              .otherwise(0L)).as("pid"))
+        .groupBy("pid").agg(count(lit(1)).as("n_rows"))
+      parts.crossJoin(broadcast(tot))
+        .select(col("pid"), col("n_rows"),
+          fround(col("n_rows").cast("double") / col("n"), 4).as("share"))
+        .orderBy("pid")
+    },
+    Some(s"""WITH keys AS (SELECT l_orderkey AS k FROM lineitem), samp AS (SELECT k FROM keys WHERE ${graft.functions.GraftFunctions.md5u32Sql("md5(CAST(k AS VARCHAR))")} % 100 = 0), rk AS (SELECT k, CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS rk, CAST(count(*) OVER () AS BIGINT) AS m FROM samp), bounds AS (SELECT j, k AS boundary FROM rk, (SELECT unnest(generate_series(1, 15)) AS j) WHERE rk = (j * m + 15) // 16), t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM keys), pid AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM bounds b WHERE keys.k > b.boundary) AS pid FROM keys) SELECT pid, count(*) AS n_rows, floor(CAST(count(*) AS DOUBLE) / (SELECT n FROM t) * 1e4 + 0.5) / 1e4 AS share FROM pid GROUP BY 1 ORDER BY 1"""))
+
   /** The (order, brand) basket projection rel_basket_lift's four
     * consumers share (total, per-brand counts, both self-join sides) —
     * materialized once per session like the other stored artifacts and
@@ -1004,7 +1044,7 @@ object RelationalOps {
     jsonKv, calDaily, strWeekday, reshapeUnpivot, jIntervalOverlap,
     jFuzzyMatch, relSkyline, relIntervalMerge, jAsofNearest, winCumeDist,
     relSweepConcurrency, calTumbling, winTimeRange, relBasketLift,
-    jTemporalDim, relBitemporal, jIntervalBucketed)
+    jTemporalDim, relBitemporal, jIntervalBucketed, relRangeBoundaries)
 
   /** BUCKETED interval join — the 100 TB-safe spelling of "points inside
     * intervals": each URGENT order's 3-day follow-on window is exploded to

@@ -332,9 +332,12 @@ class PlanQualitySpec extends AnyFunSuite {
                               // delay table (<= |users| rows)
       "win_rolling_corr",     // 7-row frames over the ~|corpus days|
                               // daily series — one global sequence
-      "agg_pareto_ratio")     // global revenue ranking over the CUSTOMER
+      "agg_pareto_ratio",     // global revenue ranking over the CUSTOMER
                               // rollup (orders of magnitude below the
                               // fact) — a total order IS the statistic
+      "rel_range_boundaries") // ranking over the 1% SAMPLE only — the
+                              // whole point of sample-based boundary
+                              // estimation; the fact is never sorted
     val offenders = SparkEntry.registry.flatMap { q =>
       val unpartitioned =
         try {

@@ -746,6 +746,49 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- PK uniqueness --------------------------------------------------------
+
+  test("qa_pk_uniqueness: all ten tables audited; single-col keys unique, lineitem's real dupes surfaced") {
+    val rows = run("qa_pk_uniqueness").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(2) - r.getLong(3), "dup arithmetic")
+      if (r.getString(0) != "lineitem")
+        assert(r.getLong(4) == 0L,
+          s"${r.getString(0)} has ${r.getLong(4)} duplicate key rows")
+    }
+    // the audit's reason to exist: the synthetic generator REUSES
+    // (l_orderkey, l_linenumber) pairs, and the audit reports it (verified
+    // against a direct recompute) instead of assuming TPC-H's contract
+    val li = rows.find(_.getString(0) == "lineitem").get
+    val truth = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber").distinct().count()
+    assert(li.getLong(3) == truth && li.getLong(4) == li.getLong(2) - truth)
+    assert(rows.map(_.getString(0)).toSet == Tables.names.toSet)
+  }
+
+  // ---- ANOVA ----------------------------------------------------------------
+
+  test("agg_anova_f: F nonneg, eta^2 in [0,1), k = number of event types") {
+    val r = run("agg_anova_f").collect().head
+    assert(r.getLong(0) == Tables.events(spark, sf)
+      .select("event_type").distinct().count())
+    assert(r.getDouble(2) >= 0.0, "F nonneg")
+    assert(r.getDouble(3) >= -1e-9 && r.getDouble(3) < 1.0, "eta^2 bounded")
+  }
+
+  // ---- range boundaries -----------------------------------------------------
+
+  test("rel_range_boundaries: shares sum to 1, 16 partitions, reasonable balance from a 1% sample") {
+    val rows = run("rel_range_boundaries").collect()
+    assert(rows.length <= 16 && rows.nonEmpty)
+    val shares = rows.map(_.getDouble(2))
+    assert(math.abs(shares.sum - 1.0) < 0.01, s"shares sum ${shares.sum}")
+    assert(rows.map(_.getLong(1)).sum == Tables.lineitem(spark, sf).count())
+    // a sample-estimated split should not be pathologically skewed
+    if (rows.length == 16) assert(shares.max < 0.5, s"worst share ${shares.max}")
+  }
+
   // ---- forecast backtest ----------------------------------------------------
 
   test("evt_forecast_backtest: two methods per type on the same days, MAE nonneg") {
