@@ -874,10 +874,49 @@ object SimilarityOps {
     },
     Some("""WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS raw FROM embeddings), nv AS (SELECT label, raw, sqrt(list_sum([x * x for x in raw])) AS nrm FROM e), um AS (SELECT label, dim, CAST(floor(raw[dim] / nrm * 1000000.0 + 0.5) AS BIGINT) AS um FROM nv, (SELECT unnest(generate_series(1, 64)) AS dim)), bd AS (SELECT label, dim, CAST(sum(um) AS BIGINT) AS sd, count(*) AS n FROM um GROUP BY 1, 2) SELECT label, n AS n_vecs, floor(sqrt(CAST(sum(CAST(sd AS HUGEINT) * sd) AS DOUBLE)) / (n * 1000000.0) * 1e4 + 0.5) / 1e4 AS resultant_len FROM bd GROUP BY label, n ORDER BY label"""))
 
+  /** BINARY-QUANTIZATION FIDELITY: how well 1-bit-per-dimension sign codes
+    * preserve cosine similarity — the audit behind shipping 64-bit binary
+    * embeddings for cheap first-stage retrieval (Hamming agreement
+    * (64−2·h)/64 is the quantized similarity). Over every
+    * (mod-50 probe, candidate) pair: Pearson correlation between exact
+    * integer sign-agreement and micro-rounded cosine, from exact integer
+    * moments (the agg_corr_exact discipline) — plus the mean Hamming
+    * distance. High correlation certifies the sign codes as a retrieval
+    * prefilter; a drop flags an embedding space that lost axis alignment.
+    * Scale: probes broadcast; one candidate-side pass; per-pair work is
+    * one 64-wide zip fold. */
+  private val embSignFidelity = GraftQuery(
+    "emb_sign_fidelity",
+    "cosine-vs-sign-code agreement correlation over probe pairs",
+    (s, d) => {
+      val base = normalized(s, d)
+      val q = base.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val pairs = base.join(broadcast(q), col("q_id") =!= col("vec_id"))
+        .select(
+          size(filter(zip_with(col("qv"), col("v"),
+            (x, y) => (x > 0) =!= (y > 0)), b => b)).cast("long").as("ham"),
+          floor(expr("graft_dot(qv, v)") / (col("qn") * col("nrm")) * 1e6 + 0.5)
+            .cast("long").as("cm"))
+        .select(col("ham"), (lit(64L) - lit(2L) * col("ham")).as("sa"), col("cm"))
+      pairs.agg(count(lit(1)).as("m"), sum("sa").as("sx"), sum("cm").as("sy"),
+          sum(col("sa") * col("sa")).as("sxx"),
+          sum(col("sa").cast("decimal(38,0)") * col("cm")).as("sxy"),
+          sum(col("cm").cast("decimal(38,0)") * col("cm")).as("syy"),
+          sum("ham").as("hs"))
+        .select(col("m").as("n_pairs"),
+          fround(col("hs").cast("double") / col("m"), 3).as("mean_hamming"),
+          fround((col("m") * col("sxy") - col("sx").cast("decimal(38,0)") * col("sy")).cast("double") /
+            sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("m") * col("syy") - col("sy").cast("decimal(38,0)") * col("sy")).cast("double")), 6)
+            .as("cos_sign_corr"))
+    },
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e), q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0), pr AS (SELECT CAST(len(list_filter([(qv[i] > 0) <> (c.v[i] > 0) for i in generate_series(1, 64)], b -> b)) AS BIGINT) AS ham, CAST(floor(list_sum([s[1]*s[2] for s in list_zip(q.qv, c.v)]) / (q.qn * c.nrm) * 1000000.0 + 0.5) AS BIGINT) AS cm FROM q JOIN n c ON c.vec_id <> q.q_id), p2 AS (SELECT ham, 64 - 2 * ham AS sa, cm FROM pr), a AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(sa) AS BIGINT) AS sx, CAST(sum(cm) AS BIGINT) AS sy, CAST(sum(sa * sa) AS BIGINT) AS sxx, CAST(sum(CAST(sa AS HUGEINT) * cm) AS HUGEINT) AS sxy, CAST(sum(CAST(cm AS HUGEINT) * cm) AS HUGEINT) AS syy, CAST(sum(ham) AS BIGINT) AS hs FROM p2) SELECT m AS n_pairs, floor(CAST(hs AS DOUBLE) / m * 1e3 + 0.5) / 1e3 AS mean_hamming, floor(CAST(m * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * CAST(m * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS cos_sign_corr FROM a"""))
+
   val all: Seq[GraftQuery] = Seq(knnBrute, labelStats, knnLsh, knnMatryoshka,
     embCentroids, embDimProfile, embAssignPurity, dedupSemantic,
     embPrototypicality, simHubness, hardNegatives, embKmeansStep,
     embSimHistogram, embPcaPower, embPcaVar, embKmeansppSeed, embWhitening,
     embIsotropy, simRecallEval, knnLabelAccuracy, embCentroidDrift,
-    embConcentration)
+    embConcentration, embSignFidelity)
 }

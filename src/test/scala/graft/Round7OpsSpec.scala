@@ -746,6 +746,20 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- sign fidelity --------------------------------------------------------
+
+  test("emb_sign_fidelity: positive cosine-sign correlation, hamming within [0,64]") {
+    val r = run("emb_sign_fidelity").collect().head
+    val probes = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 50 === 0).count()
+    val total = Tables.embeddings(spark, sf).count()
+    assert(r.getLong(0) == probes * (total - 1), "all probe-candidate pairs scored")
+    assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 64.0)
+    val corr = r.getDouble(2)
+    assert(corr > 0.3 && corr <= 1.0,
+      s"sign codes should meaningfully track cosine, got $corr")
+  }
+
   // ---- PK uniqueness --------------------------------------------------------
 
   test("qa_pk_uniqueness: all ten tables audited; single-col keys unique, lineitem's real dupes surfaced") {
