@@ -1106,7 +1106,41 @@ object AnalyticsOps {
     qaKsDrift, evtEwma, evtRunLengths, winRollingMedian, qaBenford,
     qaOutlierMad, aggBitmapDistinct, aggBitmapOverlap, qaMutualInfo,
     aggTheil, aggGini, winRollingCorr, winSessionSensitivity,
-    calWeekOverWeek, qaKeyGaps, aggParetoRatio, qaPkUniqueness, aggAnovaF)
+    calWeekOverWeek, qaKeyGaps, aggParetoRatio, qaPkUniqueness, aggAnovaF,
+    aggSkewKurtosis)
+
+  /** SKEWNESS and EXCESS KURTOSIS per event type — the 3rd/4th
+    * standardized moments completing the moment family (mean/variance in
+    * agg_stats_onepass, correlation in agg_corr_exact): heavy-tail and
+    * asymmetry detection for value distributions. All four raw power sums
+    * ride exact integers (x³/x⁴ in DECIMAL(38,0) — centi values to the
+    * 4th power clear 2^63 immediately), central moments come from the
+    * standard raw-to-central identities spelled in ONE fixed operand
+    * order, floats only at the edge. One map-side-combined pass. */
+  private lazy val aggSkewKurtosis = GraftQuery(
+    "agg_skew_kurtosis",
+    "per-type skewness + excess kurtosis from exact integer power sums",
+    (s, d) => {
+      val x = col("x").cast("decimal(38,0)")
+      val g = Tables.events(s, d)
+        .select(col("event_type"), centi(col("value")).as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("s1"),
+          sum(x * col("x")).as("s2"), sum(x * col("x") * col("x")).as("s3"),
+          sum(x * col("x") * col("x") * col("x")).as("s4"))
+      val n = col("n").cast("double")
+      val m1 = col("s1").cast("double") / n
+      val m2 = col("s2").cast("double") / n - m1 * m1
+      val m3 = col("s3").cast("double") / n - lit(3.0) * m1 * (col("s2").cast("double") / n) +
+        lit(2.0) * m1 * m1 * m1
+      val m4 = col("s4").cast("double") / n - lit(4.0) * m1 * (col("s3").cast("double") / n) +
+        lit(6.0) * m1 * m1 * (col("s2").cast("double") / n) - lit(3.0) * m1 * m1 * m1 * m1
+      g.select(col("event_type"), col("n").as("n_events"),
+        fround(m3 / sqrt(m2 * m2 * m2), 6).as("skewness"),
+        fround(m4 / (m2 * m2) - lit(3.0), 6).as("excess_kurtosis"))
+        .orderBy("event_type")
+    },
+    Some("""WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s1, sum(CAST(x AS HUGEINT) * x) AS s2, sum(CAST(x AS HUGEINT) * x * x) AS s3, sum(CAST(x AS HUGEINT) * x * x * x) AS s4 FROM (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS x FROM events) GROUP BY 1), m AS (SELECT event_type, n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1, CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2, CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3, CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4 FROM g), c AS (SELECT event_type, n, r2 - m1 * m1 AS m2, r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3, r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2 - 3.0 * m1 * m1 * m1 * m1 AS m4 FROM m) SELECT event_type, n AS n_events, floor(m3 / sqrt(m2 * m2 * m2) * 1e6 + 0.5) / 1e6 AS skewness, floor((m4 / (m2 * m2) - 3.0) * 1e6 + 0.5) / 1e6 AS excess_kurtosis FROM c ORDER BY 1"""))
 
   /** PRIMARY-KEY UNIQUENESS audit across the whole catalog — the first
     * data contract every ingest asserts: per table, declared key columns,

@@ -1106,7 +1106,37 @@ object TextOps {
     pplBuckets, charEntropy, langIdConfusion, oovRate, bpePairs,
     langIdKappa, cdcChunks, cooccurrence, splitContamination, zipfFit,
     featureHashing, bpeMergeStep, bigramLogprob, hapaxProfile, burstiness,
-    keynessG2, jsdSources, countMinProbe)
+    keynessG2, jsdSources, countMinProbe, vocabJaccardSources)
+
+  /** Pairwise VOCABULARY Jaccard between sources — the set-level
+    * complement to txt_jsd_sources' distributional distance (two corpora
+    * can share every word yet differ sharply in frequency, and vice
+    * versa; reading both says which). Intersections come from ONE
+    * token-keyed self-meet of the distinct (source, token) table —
+    * vocabulary-sized, never corpus-sized — and set sizes broadcast;
+    * |A∪B| = |A|+|B|−|A∩B| so the union is never materialized. */
+  private lazy val vocabJaccardSources = GraftQuery(
+    "txt_vocab_jaccard_sources",
+    "pairwise source vocabulary Jaccard from one token-keyed self-meet",
+    (s, d) => {
+      val st = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .distinct()
+      val sizes = broadcast(st.groupBy("source").agg(count(lit(1)).as("nv")))
+      val inter = st.toDF("sa", "tok").join(st.toDF("sb", "tok"), Seq("tok"))
+        .filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("ninter"))
+      inter
+        .join(sizes.toDF("sa", "na"), Seq("sa"))
+        .join(sizes.toDF("sb", "nb"), Seq("sb"))
+        .select(col("sa"), col("sb"), col("ninter"),
+          (col("na") + col("nb") - col("ninter")).as("nunion"),
+          fround(col("ninter").cast("double") /
+            (col("na") + col("nb") - col("ninter")).cast("double"), 4)
+            .as("vocab_jaccard"))
+        .orderBy("sa", "sb")
+    },
+    Some("""WITH st AS (SELECT DISTINCT source, tok FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents)), sz AS (SELECT source, count(*) AS nv FROM st GROUP BY 1), i AS (SELECT a.source AS sa, b.source AS sb, count(*) AS ninter FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source GROUP BY 1, 2) SELECT sa, sb, ninter, x.nv + y.nv - ninter AS nunion, floor(CAST(ninter AS DOUBLE) / CAST(x.nv + y.nv - ninter AS DOUBLE) * 1e4 + 0.5) / 1e4 AS vocab_jaccard FROM i JOIN sz x ON i.sa = x.source JOIN sz y ON i.sb = y.source ORDER BY 1, 2"""))
 
   /** Add-1-smoothed BIGRAM-LM conditional log-prob per doc — the next
     * model class up from txt_unigram_logprob (context-conditioned token

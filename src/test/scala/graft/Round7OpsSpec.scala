@@ -746,6 +746,36 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- skew/kurtosis --------------------------------------------------------
+
+  test("agg_skew_kurtosis: matches Spark's own skewness/kurtosis aggregates") {
+    val got = run("agg_skew_kurtosis").collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val want = Tables.events(spark, sf)
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").cast("double").as("x"))
+      .groupBy("event_type")
+      .agg(skewness(col("x")).as("sk"), kurtosis(col("x")).as("ku"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    got.foreach { case (t, (sk, ku)) =>
+      assert(math.abs(sk - want(t)._1) < 1e-4, s"$t skew $sk vs ${want(t)._1}")
+      assert(math.abs(ku - want(t)._2) < 1e-4, s"$t kurt $ku vs ${want(t)._2}")
+    }
+  }
+
+  // ---- vocab jaccard --------------------------------------------------------
+
+  test("txt_vocab_jaccard_sources: jaccard in (0,1], canonical order, inter <= union") {
+    val rows = run("txt_vocab_jaccard_sources").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getLong(2) <= r.getLong(3))
+      val j = r.getDouble(4)
+      assert(j > 0.0 && j <= 1.0, s"jaccard $j")
+    }
+  }
+
   // ---- sign fidelity --------------------------------------------------------
 
   test("emb_sign_fidelity: positive cosine-sign correlation, hamming within [0,64]") {
