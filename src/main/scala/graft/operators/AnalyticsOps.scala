@@ -1107,7 +1107,39 @@ object AnalyticsOps {
     qaOutlierMad, aggBitmapDistinct, aggBitmapOverlap, qaMutualInfo,
     aggTheil, aggGini, winRollingCorr, winSessionSensitivity,
     calWeekOverWeek, qaKeyGaps, aggParetoRatio, qaPkUniqueness, aggAnovaF,
-    aggSkewKurtosis)
+    aggSkewKurtosis, aggPythagoreanMeans)
+
+  /** The three PYTHAGOREAN MEANS per event type — arithmetic (exact
+    * centi), geometric (exp of the mean micro-nat ln — rate-of-change
+    * averaging), harmonic (reciprocal micro-units — rate averaging) —
+    * with the AM ≥ GM ≥ HM inequality as the spec's invariant. Zero and
+    * negative values are excluded (GM/HM domain) and counted. ln and 1/x
+    * ride per-row floor-rounded integers before EXACT sums (lpPerDoc
+    * discipline; same accepted libm-ulp note), so partial-aggregation
+    * order never shows. */
+  private lazy val aggPythagoreanMeans = GraftQuery(
+    "agg_pythagorean_means",
+    "arithmetic/geometric/harmonic means per type from exact integer sums",
+    (s, d) => {
+      val g = Tables.events(s, d)
+        .select(col("event_type"), centi(col("value")).as("x"))
+        .filter(col("x") > 0)
+        .select(col("event_type"), col("x"),
+          floor(log(col("x").cast("double") / 100.0) * 1e6 + 0.5).cast("long")
+            .as("lnm"),
+          floor(lit(1e9) / (col("x").cast("double") / 100.0) + 0.5).cast("long")
+            .as("invn"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("lnm").as("sl"),
+          sum("invn").as("si"))
+      g.select(col("event_type"), col("n").as("n_pos"),
+        fround(col("sx").cast("double") / col("n") / 100.0, 4).as("mean_arith"),
+        fround(exp(col("sl").cast("double") / (col("n") * 1e6)), 4).as("mean_geom"),
+        fround(col("n").cast("double") * 1e9 / col("si").cast("double"), 4)
+          .as("mean_harmonic"))
+        .orderBy("event_type")
+    },
+    Some("""WITH g AS (SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(CAST(floor(ln(CAST(x AS DOUBLE) / 100.0) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sl, CAST(sum(CAST(floor(1000000000.0 / (CAST(x AS DOUBLE) / 100.0) + 0.5) AS BIGINT)) AS BIGINT) AS si FROM (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS x FROM events) WHERE x > 0 GROUP BY 1) SELECT event_type, n AS n_pos, floor(CAST(sx AS DOUBLE) / n / 100.0 * 1e4 + 0.5) / 1e4 AS mean_arith, floor(exp(CAST(sl AS DOUBLE) / (n * 1000000.0)) * 1e4 + 0.5) / 1e4 AS mean_geom, floor(CAST(n AS DOUBLE) * 1000000000.0 / CAST(si AS DOUBLE) * 1e4 + 0.5) / 1e4 AS mean_harmonic FROM g ORDER BY 1"""))
 
   /** SKEWNESS and EXCESS KURTOSIS per event type — the 3rd/4th
     * standardized moments completing the moment family (mean/variance in

@@ -758,9 +758,37 @@ object DedupOps {
     Some(ngramPairsCte +
       """, tc AS (SELECT doc_id, tok, count(*) AS c FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents) GROUP BY 1, 2), tt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nt FROM tc GROUP BY 1), ov AS (SELECT p.a, p.b, CAST(sum(least(x.c, y.c)) AS BIGINT) AS ov FROM p JOIN tc x ON x.doc_id = p.a JOIN tc y ON y.doc_id = p.b AND y.tok = x.tok GROUP BY 1, 2) SELECT p.a, p.b, coalesce(ov.ov, 0) AS overlap, ta.nt AS na, tb.nt AS nb, floor(CAST(coalesce(ov.ov, 0) AS DOUBLE) / ta.nt * 1e4 + 0.5) / 1e4 AS rouge1_p, floor(CAST(coalesce(ov.ov, 0) AS DOUBLE) / tb.nt * 1e4 + 0.5) / 1e4 AS rouge1_r, floor(2.0 * CAST(coalesce(ov.ov, 0) AS DOUBLE) / CAST(ta.nt + tb.nt AS DOUBLE) * 1e4 + 0.5) / 1e4 AS rouge1_f1 FROM p LEFT JOIN ov ON ov.a = p.a AND ov.b = p.b JOIN tt ta ON ta.doc_id = p.a JOIN tt tb ON tb.doc_id = p.b ORDER BY 1, 2"""))
 
+  /** EDIT-DISTANCE verification of the near-dup pairs — the
+    * character-level ground truth (Levenshtein) next to the shingle-level
+    * Jaccard and token-level ROUGE views of the same pair table.
+    * Distances run on 256-char PREFIXES: Levenshtein is O(n·m) per pair,
+    * so unbounded full-text DP is the cost trap — the prefix cap bounds
+    * every pair at 64k cells while still separating near-identical from
+    * merely-overlapping docs (similarity = 1 − d/max_len over the
+    * compared prefixes). Pair-bounded work only; both engines' native
+    * levenshtein agrees on ASCII. */
+  private lazy val editDistancePairs = GraftQuery(
+    "txt_edit_distance_pairs",
+    "prefix-capped Levenshtein similarity for each verified near-dup pair",
+    (s, d) => {
+      val txt = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 256).as("p"))
+      jaccardPairs(s, d).select(col("a"), col("b"), col("jaccard"))
+        .join(txt.toDF("a", "pa"), Seq("a"))
+        .join(txt.toDF("b", "pb"), Seq("b"))
+        .withColumn("lev", levenshtein(col("pa"), col("pb")).cast("long"))
+        .withColumn("mx", greatest(length(col("pa")), length(col("pb"))).cast("long"))
+        .select(col("a"), col("b"), col("jaccard"), col("lev"),
+          fround(lit(1.0) - col("lev").cast("double") / col("mx").cast("double"), 4)
+            .as("prefix_similarity"))
+        .orderBy("a", "b")
+    },
+    Some(ngramPairsCte +
+      """, tx AS (SELECT doc_id, substr(text, 1, 256) AS p FROM documents) SELECT p.a, p.b, p.jaccard, CAST(levenshtein(x.p, y.p) AS BIGINT) AS lev, floor((1.0 - CAST(levenshtein(x.p, y.p) AS DOUBLE) / CAST(greatest(length(x.p), length(y.p)) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS prefix_similarity FROM p JOIN tx x ON x.doc_id = p.a JOIN tx y ON y.doc_id = p.b ORDER BY 1, 2"""))
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupComponents, dedupKeepList,
     dedupKeepLongest, dedupSimhash, dedupSimhashGroups, dedupEmbedding,
     dedupEmbeddingLsh, dedupIncremental, dedupContainment, graphTriangles,
-    dedupClusterSizes, dedupThresholdCurve, rougePairs)
+    dedupClusterSizes, dedupThresholdCurve, rougePairs, editDistancePairs)
 }

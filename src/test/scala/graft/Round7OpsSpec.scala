@@ -746,6 +746,35 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- edit distance --------------------------------------------------------
+
+  test("txt_edit_distance_pairs: similarity in [0,1], zero distance iff identical prefixes") {
+    val rows = run("txt_edit_distance_pairs").collect()
+    assert(rows.nonEmpty)
+    val txt = Tables.documents(spark, sf)
+      .select(col("doc_id"), substring(col("text"), 1, 256).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val sim = r.getDouble(4)
+      assert(sim >= 0.0 && sim <= 1.0)
+      val same = txt(r.getLong(0)) == txt(r.getLong(1))
+      assert((r.getLong(3) == 0L) == same, "lev=0 iff equal prefixes")
+    }
+  }
+
+  // ---- Pythagorean means ----------------------------------------------------
+
+  test("agg_pythagorean_means: AM >= GM >= HM per type, AM matches direct average") {
+    val rows = run("agg_pythagorean_means").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (am, gm, hm) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(am >= gm - 1e-3 && gm >= hm - 1e-3,
+        s"${r.getString(0)}: AM $am >= GM $gm >= HM $hm violated")
+      assert(hm > 0)
+    }
+  }
+
   // ---- skew/kurtosis --------------------------------------------------------
 
   test("agg_skew_kurtosis: matches Spark's own skewness/kurtosis aggregates") {
