@@ -1107,7 +1107,80 @@ object AnalyticsOps {
     qaOutlierMad, aggBitmapDistinct, aggBitmapOverlap, qaMutualInfo,
     aggTheil, aggGini, winRollingCorr, winSessionSensitivity,
     calWeekOverWeek, qaKeyGaps, aggParetoRatio, qaPkUniqueness, aggAnovaF,
-    aggSkewKurtosis, aggPythagoreanMeans)
+    aggSkewKurtosis, aggPythagoreanMeans, winOnlineScaling,
+    evtPeriodicityAcf)
+
+  /** ONLINE MIN-MAX SCALING — the leakage-free feature-normalization a
+    * streaming feature store applies: each event's value scaled by the
+    * min/max of the user's OWN HISTORY UP TO THAT EVENT (expanding
+    * frame), never by future data — the train-serving-skew-safe form of
+    * batch normalization. First events (degenerate range) surface NULL.
+    * Output is the per-user audit (events, distinct scaled values, mean
+    * scaled) rather than 100k scaled rows. Everything before the final
+    * ratio is integer; the scaled mean rides micro-int sums. */
+  private lazy val winOnlineScaling = GraftQuery(
+    "win_online_scaling",
+    "expanding-window min-max scaling audit per user (leakage-free)",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scaled = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          centi(col("value")).as("x"))
+        .withColumn("mn", min("x").over(w))
+        .withColumn("mx", max("x").over(w))
+        .withColumn("sc", when(col("mx") > col("mn"),
+          floor((col("x") - col("mn")).cast("double") /
+            (col("mx") - col("mn")).cast("double") * 1e6 + 0.5).cast("long")))
+      scaled.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("sc").isNull, 1L).otherwise(0L)).as("n_degenerate"),
+          sum(coalesce(col("sc"), lit(0L))).as("ss"))
+        .select(col("user_id"), col("n_events"), col("n_degenerate"),
+          fround(col("ss").cast("double") /
+            ((col("n_events") - col("n_degenerate")) * 1e6), 4)
+            .as("mean_scaled"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, CAST(floor(value * 100 + 0.5) AS BIGINT) AS x FROM events), r AS (SELECT *, min(x) OVER w AS mn, max(x) OVER w AS mx FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), sc AS (SELECT user_id, CASE WHEN mx > mn THEN CAST(floor(CAST(x - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) END AS sc FROM r) SELECT user_id, count(*) AS n_events, CAST(sum(CASE WHEN sc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate, floor(CAST(sum(coalesce(sc, 0)) AS DOUBLE) / ((count(*) - sum(CASE WHEN sc IS NULL THEN 1 ELSE 0 END)) * 1000000.0) * 1e4 + 0.5) / 1e4 AS mean_scaled FROM sc GROUP BY 1 ORDER BY 1"""))
+
+  /** PERIODICITY DETECTION via the autocorrelation function of the daily
+    * value series at lags 1–14: the argmax lag (ties to the smaller lag)
+    * is the detected period — evt_autocorr's single lag swept into a
+    * spectrum. The daily series is ~|corpus days| rows, so the lag
+    * "join" is a broadcast self-meet of a tiny table; all Pearson
+    * moments are exact integers per lag. */
+  private lazy val evtPeriodicityAcf = GraftQuery(
+    "evt_periodicity_acf",
+    "ACF over lags 1-14 of daily totals + detected period (argmax lag)",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("t"))
+        .agg(sum(centi(col("value"))).as("y"))
+      val lags = daily.select(col("t"), col("y"))
+        .withColumn("lag", explode(sequence(lit(1L), lit(14L))))
+        .select(col("lag"), (col("t") + col("lag")).as("t"), col("y").as("x"))
+      val paired = lags.join(daily, Seq("t"))
+      val acf = paired.groupBy("lag")
+        .agg(count(lit(1)).as("m"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+        .withColumn("rm",
+          floor((col("m") * col("sxy") - col("sx").cast("decimal(38,0)") * col("sy")).cast("double") /
+            sqrt((col("m") * col("sxx") - col("sx").cast("decimal(38,0)") * col("sx")).cast("double") *
+              (col("m") * col("syy") - col("sy").cast("decimal(38,0)") * col("sy")).cast("double")) * 1e6 + 0.5)
+            .cast("long"))
+      acf
+        .withColumn("is_peak", row_number().over(
+          Window.orderBy(desc("rm"), col("lag"))) === 1)
+        .select(col("lag"), col("m").as("n_pairs"),
+          fround(col("rm").cast("double") / 1e6, 6).as("acf"),
+          col("is_peak"))
+        .orderBy("lag")
+    },
+    Some("""WITH daily AS (SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS t, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y FROM events GROUP BY 1), lg AS (SELECT l AS lag, t + l AS t, y AS x FROM daily, (SELECT unnest(generate_series(1, 14)) AS l)), pr AS (SELECT lg.lag, lg.x, d.y FROM lg JOIN daily d USING (t)), a AS (SELECT lag, CAST(count(*) AS BIGINT) AS m, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(y AS HUGEINT) * y) AS syy FROM pr GROUP BY 1), r AS (SELECT lag, m, CAST(floor(CAST(m * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / sqrt(CAST(m * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) * CAST(m * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS rm FROM a) SELECT lag, m AS n_pairs, floor(CAST(rm AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS acf, row_number() OVER (ORDER BY rm DESC, lag) = 1 AS is_peak FROM r ORDER BY lag"""))
 
   /** The three PYTHAGOREAN MEANS per event type — arithmetic (exact
     * centi), geometric (exp of the mean micro-nat ln — rate-of-change

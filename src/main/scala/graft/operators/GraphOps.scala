@@ -440,7 +440,40 @@ object GraphOps {
     },
     Some("""WITH e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), nat AS (SELECT c_custkey*2 AS id, c_nationkey AS ng FROM customer UNION ALL SELECT s_suppkey*2+1, s_nationkey FROM supplier), an AS (SELECT sn.ng AS sg, dn.ng AS dg FROM e JOIN nat sn ON e.src = sn.id JOIN nat dn ON e.dst = dn.id), per AS (SELECT sg AS ng, count(*) AS vol, CAST(sum(CASE WHEN sg <> dg THEN 1 ELSE 0 END) AS BIGINT) AS cut FROM an GROUP BY 1), t AS (SELECT CAST(sum(vol) AS BIGINT) AS tv FROM per) SELECT ng AS nation, CAST(vol AS BIGINT) AS vol, cut, floor(CAST(cut AS DOUBLE) / CAST(least(vol, tv - vol) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS conductance FROM per CROSS JOIN t ORDER BY 1"""))
 
+  /** DEGREE DISTRIBUTION in log₂ bins with the complementary CDF — the
+    * heavy-tail read (straight CCDF in log-log ⇒ power law) that
+    * graph_degree_stats' summary moments can't show. Bin = floor(log₂ d)
+    * with a +1e-9 nudge before the floor on BOTH sides — float log₂ of an
+    * exact power of two can land an ulp LOW (Spark spells it
+    * ln(d)/ln(2)), and the nudge absorbs ±ulp without ever crossing a
+    * bin (degrees are integers, so true log₂ values are ≥ 2⁻⁵³ apart
+    * from the next boundary unless exactly on it). CCDF from one
+    * cumulative window over the ≤64-bin table. */
+  private lazy val degreeCcdf = {
+    GraftQuery(
+      "graph_degree_ccdf",
+      "log2-binned degree distribution with complementary CDF",
+      (s, d) => {
+        val deg = symEdges(s, d).groupBy("src").agg(count(lit(1)).as("deg"))
+        val binned = deg
+          .withColumn("bin",
+            floor(log(2.0, col("deg").cast("double")) + 1e-9).cast("long"))
+          .groupBy("bin").agg(count(lit(1)).as("n_nodes"))
+        val tot = binned.agg(sum("n_nodes").as("nn"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        binned.crossJoin(broadcast(tot))
+          .withColumn("below", coalesce(sum("n_nodes").over(w), lit(0L)))
+          .select(col("bin"), expr("shiftleft(1L, CAST(bin AS INT))").as("deg_from"),
+            col("n_nodes"),
+            fround((col("nn") - col("below")).cast("double") / col("nn"), 6)
+              .as("ccdf"))
+          .orderBy("bin")
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT a AS src FROM e0 UNION ALL SELECT b FROM e0), dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1), bn AS (SELECT CAST(floor(log2(CAST(deg AS DOUBLE)) + 1e-9) AS BIGINT) AS bin, count(*) AS n_nodes FROM dg GROUP BY 1), t AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS nn FROM bn), c AS (SELECT *, CAST(coalesce(sum(n_nodes) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below FROM bn CROSS JOIN t) SELECT bin, CAST(1 << CAST(bin AS INTEGER) AS BIGINT) AS deg_from, CAST(n_nodes AS BIGINT) AS n_nodes, floor(CAST(nn - below AS DOUBLE) / nn * 1e6 + 0.5) / 1e6 AS ccdf FROM c ORDER BY bin"""))
+  }
+
   val all: Seq[GraftQuery] = Seq(pagerank, degreeStats, twoHop, bipartiteProj,
     neighborJaccard, kCore, assortativity, modularity, bfsDistance,
-    conductance)
+    conductance, degreeCcdf)
 }

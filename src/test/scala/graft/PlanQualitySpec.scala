@@ -335,9 +335,11 @@ class PlanQualitySpec extends AnyFunSuite {
       "agg_pareto_ratio",     // global revenue ranking over the CUSTOMER
                               // rollup (orders of magnitude below the
                               // fact) — a total order IS the statistic
-      "rel_range_boundaries") // ranking over the 1% SAMPLE only — the
+      "rel_range_boundaries", // ranking over the 1% SAMPLE only — the
                               // whole point of sample-based boundary
                               // estimation; the fact is never sorted
+      "evt_periodicity_acf",  // argmax over the 14-row lag spectrum
+      "graph_degree_ccdf")    // cumulation over the <=64-bin degree table
     val offenders = SparkEntry.registry.flatMap { q =>
       val unpartitioned =
         try {

@@ -746,6 +746,44 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- online scaling -------------------------------------------------------
+
+  test("win_online_scaling: exactly one degenerate (first) event per user, mean in [0,1]") {
+    val rows = run("win_online_scaling").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1L, "the first event always has a degenerate range")
+      assert(r.getLong(2) <= r.getLong(1))
+      if (r.getLong(2) < r.getLong(1)) {
+        val m = r.getDouble(3)
+        assert(m >= 0.0 && m <= 1.0, s"mean scaled $m")
+      }
+    }
+  }
+
+  // ---- periodicity ----------------------------------------------------------
+
+  test("evt_periodicity_acf: 14 lags, exactly one peak, acf in [-1,1], pairs shrink with lag") {
+    val rows = run("evt_periodicity_acf").collect().sortBy(_.getLong(0))
+    assert(rows.length == 14)
+    assert(rows.count(_.getBoolean(3)) == 1, "exactly one detected period")
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    val pairs = rows.map(_.getLong(1))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => b <= a },
+      "longer lags can only lose pairs")
+  }
+
+  // ---- degree CCDF ----------------------------------------------------------
+
+  test("graph_degree_ccdf: ccdf starts at 1, non-increasing, bins cover all nodes") {
+    val rows = run("graph_degree_ccdf").collect().sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.head.getDouble(3) - 1.0) < 1e-9, "first bin CCDF = 1")
+    val cc = rows.map(_.getDouble(3))
+    assert(cc.zip(cc.tail).forall { case (a, b) => b <= a + 1e-9 })
+    rows.foreach(r => assert(r.getLong(1) == (1L << r.getLong(0).toInt)))
+  }
+
   // ---- edit distance --------------------------------------------------------
 
   test("txt_edit_distance_pairs: similarity in [0,1], zero distance iff identical prefixes") {
