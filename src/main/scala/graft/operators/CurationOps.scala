@@ -558,9 +558,40 @@ object CurationOps {
       Some(s"""WITH o AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc, CASE WHEN ${md5u32Sql("md5(CAST(o_orderkey AS VARCHAR))")} % 100 = 0 THEN 1 ELSE 0 END AS ins FROM orders), a AS (SELECT CAST(sum(pc) AS BIGINT) AS exact_c, CAST(sum(ins) AS BIGINT) AS n_sample, CAST(sum(CASE WHEN ins = 1 THEN pc ELSE 0 END) AS BIGINT) AS samp_c, sum(CASE WHEN ins = 1 THEN CAST(pc AS HUGEINT) * pc ELSE 0 END) AS samp_sq FROM o) SELECT n_sample, floor(CAST(samp_c AS DOUBLE) * 100.0 / 100.0 * 100.0 + 0.5) / 100.0 AS est_revenue, floor(CAST(exact_c AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS exact_revenue, floor((CAST(samp_c AS DOUBLE) * 100.0 - CAST(exact_c AS DOUBLE)) / CAST(exact_c AS DOUBLE) * 100.0 * 1e4 + 0.5) / 1e4 AS rel_err_pct, floor(sqrt(0.99 * 10000.0 * CAST(samp_sq AS DOUBLE)) / 100.0 * 100.0 + 0.5) / 100.0 AS std_error FROM a"""))
   }
 
+  /** K-FOLD cross-validation assignment audit: folds are a pure function
+    * of the doc id (md5 % 5 — the samp_hash_split discipline, so folds
+    * are reproducible and disjoint by construction), and the audit
+    * reports each fold's size and source balance (max/min source share
+    * within the fold) — the check that CV folds don't accidentally
+    * stratify by domain. One doc-keyed rollup; nothing shuffles twice. */
+  private val sampKfold = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.{fround, md5u32, md5u32Sql}
+    GraftQuery(
+      "samp_kfold_audit",
+      "deterministic 5-fold CV assignment with per-fold source balance",
+      (s, d) => {
+        val f = Tables.documents(s, d)
+          .select((md5u32(concat(lit("fold:"), col("doc_id").cast("string"))) % 5)
+            .as("fold"), col("source"))
+        val cell = f.groupBy("fold", "source").agg(count(lit(1)).as("c"))
+        cell.groupBy("fold")
+          .agg(sum("c").as("n_docs"), count(lit(1)).as("n_sources"),
+            max("c").as("mx"), min("c").as("mn"))
+          .select(col("fold"), col("n_docs"), col("n_sources"),
+            fround(col("mx").cast("double") / col("n_docs"), 4)
+              .as("max_source_share"),
+            fround(col("mn").cast("double") / col("n_docs"), 4)
+              .as("min_source_share"))
+          .orderBy("fold")
+      },
+      Some(s"""WITH f AS (SELECT ${md5u32Sql("md5('fold:' || CAST(doc_id AS VARCHAR))")} % 5 AS fold, source FROM documents), cell AS (SELECT fold, source, count(*) AS c FROM f GROUP BY 1, 2) SELECT fold, CAST(sum(c) AS BIGINT) AS n_docs, count(*) AS n_sources, floor(CAST(max(c) AS DOUBLE) / sum(c) * 1e4 + 0.5) / 1e4 AS max_source_share, floor(CAST(min(c) AS DOUBLE) / sum(c) * 1e4 + 0.5) / 1e4 AS min_source_share FROM cell GROUP BY 1 ORDER BY 1"""))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     sampStratified, sampQuota, shufflePrefix, txtNormalize, lengthHist,
     embQuantize, sampImportance, sampWeightedReservoir, sampBalancedClasses,
     sampTemperature, sampLargestRemainder, sampSystematic,
-    sampPoissonBootstrap, sampDpCounts, sampHtEstimate, sampNeyman, sampAqp)
+    sampPoissonBootstrap, sampDpCounts, sampHtEstimate, sampNeyman, sampAqp,
+    sampKfold)
 }

@@ -653,9 +653,38 @@ object TemporalOps {
     },
     Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y FROM events GROUP BY 1, 2), sc AS (SELECT *, row_number() OVER w AS rn, lag(y) OVER w AS prev, CAST(sum(y) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s7 FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)), f AS (SELECT event_type, count(*) AS n_days, CAST(sum(abs(y - prev)) AS BIGINT) AS e1, CAST(sum(abs(y * 7 - s7)) AS BIGINT) AS e7 FROM sc WHERE rn >= 8 GROUP BY 1) SELECT event_type, method, n_days, mae FROM (SELECT event_type, 'naive' AS method, n_days, floor(CAST(e1 AS DOUBLE) / n_days / 100.0 * 100.0 + 0.5) / 100.0 AS mae FROM f UNION ALL SELECT event_type, 'ma7', n_days, floor(CAST(e7 AS DOUBLE) / (n_days * 7) / 100.0 * 100.0 + 0.5) / 100.0 FROM f) ORDER BY 1, 2"""))
 
+  /** BEHAVIORAL-DIVERSITY profile: each user's event-type Shannon entropy
+    * (0 = monomaniac, ln 5 = uniform over the five types) bucketed into
+    * quarter-nat bands — the per-entity entropy histogram behind bot
+    * detection and engagement segmentation (the per-USER complement to
+    * the corpus-level evt_entropy_rate). Per-user entropies ride the
+    * micro-nat integer discipline; banding is integer comparison on the
+    * micro value. One user-keyed rollup of the (user, type) counts. */
+  private val userEntropyProfile = GraftQuery(
+    "evt_user_entropy_profile",
+    "histogram of per-user event-type entropy in 0.02-nat bands",
+    (s, d) => {
+      val ut = Tables.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      val tot = ut.groupBy("user_id").agg(sum("c").as("n"))
+      val hm = ut.join(tot, Seq("user_id"))
+        .groupBy("user_id", "n")
+        .agg(sum(floor(-col("c") * log(col("c").cast("double") /
+          col("n").cast("double")) * 1e6 + 0.5).cast("long")).as("hs"))
+        .select(col("user_id"), col("n"),
+          expr("(hs div n) div 20000").as("band"))
+      hm.groupBy("band")
+        .agg(count(lit(1)).as("n_users"), sum("n").as("n_events"))
+        .select(col("band"),
+          fround(col("band").cast("double") * 0.02, 2).as("entropy_from"),
+          col("n_users"), col("n_events"))
+        .orderBy("band")
+    },
+    Some("""WITH ut AS (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2), t AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM ut GROUP BY 1), h AS (SELECT ut.user_id, t.n, CAST(sum(CAST(floor(-c * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hs FROM ut JOIN t USING (user_id) GROUP BY 1, 2), b AS (SELECT user_id, n, (hs // n) // 20000 AS band FROM h) SELECT band, floor(CAST(band AS DOUBLE) * 0.02 * 1e2 + 0.5) / 1e2 AS entropy_from, count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events FROM b GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] =
     Seq(rollingDau, attribution, firstLast, snapshotDiff, cohortRevenue,
       rfmSegments, paaSax, turningPoints, markovStationary, changepoint,
       autocorr, gapHistogram, islands, survivalKm, entropyRate,
-      timeToConvert, maxDrawdown, forecastBacktest)
+      timeToConvert, maxDrawdown, forecastBacktest, userEntropyProfile)
 }

@@ -746,6 +746,33 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- k-fold ---------------------------------------------------------------
+
+  test("samp_kfold_audit: folds partition the corpus, shares bounded, assignment deterministic") {
+    val rows = run("samp_kfold_audit").collect()
+    assert(rows.map(_.getLong(0)).toSet.subsetOf(Set(0L, 1L, 2L, 3L, 4L)))
+    assert(rows.map(_.getLong(1)).sum == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= r.getDouble(4), "max >= min share")
+      assert(r.getDouble(3) <= 1.0 && r.getDouble(4) >= 0.0)
+    }
+    val again = run("samp_kfold_audit").collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  // ---- user entropy profile -------------------------------------------------
+
+  test("evt_user_entropy_profile: bands within [0, ln5], users sum to corpus") {
+    val rows = run("evt_user_entropy_profile").collect()
+    assert(rows.nonEmpty)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == users)
+    assert(rows.map(_.getLong(3)).sum == Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= math.log(5.0) + 0.02)
+    }
+  }
+
   // ---- online scaling -------------------------------------------------------
 
   test("win_online_scaling: exactly one degenerate (first) event per user, mean in [0,1]") {
