@@ -682,9 +682,35 @@ object TemporalOps {
     },
     Some("""WITH ut AS (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2), t AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM ut GROUP BY 1), h AS (SELECT ut.user_id, t.n, CAST(sum(CAST(floor(-c * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hs FROM ut JOIN t USING (user_id) GROUP BY 1, 2), b AS (SELECT user_id, n, (hs // n) // 20000 AS band FROM h) SELECT band, floor(CAST(band AS DOUBLE) * 0.02 * 1e2 + 0.5) / 1e2 AS entropy_from, count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events FROM b GROUP BY 1 ORDER BY 1"""))
 
+  /** FANO FACTOR (index of dispersion, var/mean of per-day event counts
+    * over ACTIVE days) per user — the burstiness classifier: ≈1 is
+    * Poisson-like arrival, ≫1 is bursty, <1 is regular/clocked. The
+    * top-20 burstiest users (Fano desc, user-id tiebreak) with their
+    * dispersion, from exact integer count moments — the ratio
+    * (n·Σc² − (Σc)²)/(n·Σc) divides exact integers once at the edge.
+    * Users need ≥2 active days for a defined variance. */
+  private val fanoFactor = GraftQuery(
+    "evt_fano_factor",
+    "top-20 burstiest users by Fano factor of daily event counts",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val m = daily.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("c").as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+        .filter(col("n") >= 2)
+        .select(col("user_id"), col("n").as("n_active_days"), col("s1").as("n_events"),
+          fround((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+            (col("n") * col("s1")).cast("double"), 4).as("fano"))
+      m.orderBy(desc("fano"), col("user_id")).limit(20)
+    },
+    Some("""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS c FROM events GROUP BY 1, 2), m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2 FROM daily GROUP BY 1) SELECT user_id, n AS n_active_days, s1 AS n_events, floor(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * s1 AS DOUBLE) * 1e4 + 0.5) / 1e4 AS fano FROM m WHERE n >= 2 ORDER BY fano DESC, user_id LIMIT 20"""))
+
   val all: Seq[GraftQuery] =
     Seq(rollingDau, attribution, firstLast, snapshotDiff, cohortRevenue,
       rfmSegments, paaSax, turningPoints, markovStationary, changepoint,
       autocorr, gapHistogram, islands, survivalKm, entropyRate,
-      timeToConvert, maxDrawdown, forecastBacktest, userEntropyProfile)
+      timeToConvert, maxDrawdown, forecastBacktest, userEntropyProfile,
+      fanoFactor)
 }

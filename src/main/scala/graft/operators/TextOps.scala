@@ -1106,7 +1106,58 @@ object TextOps {
     pplBuckets, charEntropy, langIdConfusion, oovRate, bpePairs,
     langIdKappa, cdcChunks, cooccurrence, splitContamination, zipfFit,
     featureHashing, bpeMergeStep, bigramLogprob, hapaxProfile, burstiness,
-    keynessG2, jsdSources, countMinProbe, vocabJaccardSources)
+    keynessG2, jsdSources, countMinProbe, vocabJaccardSources, heapsLaw)
+
+  /** HEAPS' LAW curve + exponent: vocabulary growth V(N) ≈ K·N^β along
+    * the doc_id-ordered corpus prefix, in deciles — the sublinear-growth
+    * check (β ≈ 0.4–0.8 for natural text; β → 1 flags unbounded junk
+    * vocabulary, β → 0 a closed template language). The cumulative
+    * distinct-vocabulary curve needs NO per-prefix rescans: each token's
+    * FIRST document (one min-aggregation) places it in exactly one
+    * decile, so both curves are cumulative sums over a 10-row frame. β
+    * comes from the 10-point log-log OLS with micro-nat integer sums
+    * (slope of ln V on ln N). Zipf's law (txt_zipf_fit) is the frequency
+    * view; this is the growth view. */
+  private lazy val heapsLaw = GraftQuery(
+    "txt_heaps_law",
+    "Heaps'-law vocabulary-growth deciles + fitted beta exponent",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("nt"))
+      val nDocs = docs.agg(count(lit(1)).as("nd"))
+      val docDec = docs.crossJoin(broadcast(nDocs))
+        .withColumn("r", row_number().over(Window.orderBy("doc_id")).cast("long"))
+        .withColumn("dec", expr("((r - 1) * 10) div nd + 1"))
+      val tokCum = docDec.groupBy("dec").agg(sum("nt").as("toks"))
+      val firstDoc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(min("doc_id").as("fd"))
+        .join(docDec.select(col("doc_id").as("fd"), col("dec")), Seq("fd"))
+        .groupBy("dec").agg(count(lit(1)).as("newv"))
+      val w = Window.orderBy("dec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val curve = tokCum.join(firstDoc, Seq("dec"), "left") // a decile with
+        // zero NEW vocabulary must still contribute its token mass
+        .withColumn("tokens_cum", sum("toks").over(w))
+        .withColumn("vocab_cum", sum(coalesce(col("newv"), lit(0L))).over(w))
+        .select(col("dec"),
+          floor(log(col("tokens_cum").cast("double")) * 1e6 + 0.5).cast("long")
+            .as("lx"),
+          floor(log(col("vocab_cum").cast("double")) * 1e6 + 0.5).cast("long")
+            .as("ly"),
+          col("tokens_cum"), col("vocab_cum"))
+      val fit = curve.agg(count(lit(1)).as("m"), sum("lx").as("sx"),
+          sum("ly").as("sy"),
+          sum(col("lx").cast("decimal(38,0)") * col("lx")).as("sxx"),
+          sum(col("lx").cast("decimal(38,0)") * col("ly")).as("sxy"))
+        .select(fround((col("m") * col("sxy") - col("sx").cast("decimal(38,0)") * col("sy")).cast("double") /
+          (col("m") * col("sxx") - col("sx").cast("decimal(38,0)") * col("sx")).cast("double"), 4)
+          .as("beta"))
+      curve.select(col("dec").as("decile"), col("tokens_cum"), col("vocab_cum"))
+        .crossJoin(broadcast(fit))
+        .orderBy("decile")
+    },
+    Some("""WITH docs AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt FROM documents), nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM docs), dd AS (SELECT doc_id, nt, ((CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) - 1) * 10) // nd + 1 AS dec FROM docs CROSS JOIN nd), tc AS (SELECT dec, CAST(sum(nt) AS BIGINT) AS toks FROM dd GROUP BY 1), fd AS (SELECT tok, min(doc_id) AS fd FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents) GROUP BY 1), nv AS (SELECT dd.dec, count(*) AS newv FROM fd JOIN dd ON dd.doc_id = fd.fd GROUP BY 1), cv AS (SELECT tc.dec, CAST(sum(toks) OVER w AS BIGINT) AS tokens_cum, CAST(sum(coalesce(newv, 0)) OVER w AS BIGINT) AS vocab_cum FROM tc LEFT JOIN nv USING (dec) WINDOW w AS (ORDER BY tc.dec ROWS UNBOUNDED PRECEDING)), lg AS (SELECT dec, tokens_cum, vocab_cum, CAST(floor(ln(CAST(tokens_cum AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lx, CAST(floor(ln(CAST(vocab_cum AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS ly FROM cv), f AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy, sum(CAST(lx AS HUGEINT) * lx) AS sxx, sum(CAST(lx AS HUGEINT) * ly) AS sxy FROM lg) SELECT dec AS decile, tokens_cum, vocab_cum, floor(CAST(m * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / CAST(m * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) * 1e4 + 0.5) / 1e4 AS beta FROM lg CROSS JOIN f ORDER BY decile"""))
 
   /** Pairwise VOCABULARY Jaccard between sources — the set-level
     * complement to txt_jsd_sources' distributional distance (two corpora

@@ -339,7 +339,10 @@ class PlanQualitySpec extends AnyFunSuite {
                               // whole point of sample-based boundary
                               // estimation; the fact is never sorted
       "evt_periodicity_acf",  // argmax over the 14-row lag spectrum
-      "graph_degree_ccdf")    // cumulation over the <=64-bin degree table
+      "graph_degree_ccdf",    // cumulation over the <=64-bin degree table
+      "txt_heaps_law")        // decile numbering over the (doc_id, n_tok)
+                              // projection + cumulation over 10 rows —
+                              // the prefix order IS the curve
     val offenders = SparkEntry.registry.flatMap { q =>
       val unpartitioned =
         try {

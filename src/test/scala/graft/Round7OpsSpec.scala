@@ -746,6 +746,39 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- Heaps' law -----------------------------------------------------------
+
+  test("txt_heaps_law: 10 monotone deciles, vocab sublinear (0 < beta < 1), totals match corpus") {
+    val rows = run("txt_heaps_law").collect().sortBy(_.getLong(0))
+    assert(rows.length == 10)
+    val toks = rows.map(_.getLong(1)); val voc = rows.map(_.getLong(2))
+    assert(toks.zip(toks.tail).forall { case (a, b) => b > a }, "tokens strictly grow")
+    assert(voc.zip(voc.tail).forall { case (a, b) => b >= a }, "vocab non-decreasing")
+    val totalTok = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " "))).count()
+    assert(toks.last == totalTok, "final decile covers the corpus")
+    // the synthetic corpus samples a small closed vocabulary, so the
+    // full word set appears almost immediately and beta is legitimately
+    // ~0 — exactly the "template language" signal the operator exists to
+    // raise; natural text would land 0.4-0.8
+    val beta = rows.head.getDouble(3)
+    assert(beta >= -1e-9 && beta < 1.0, s"Heaps beta $beta outside [0,1)")
+    if (voc.last == voc.head) assert(beta <= 0.05, "flat vocab must fit ~0")
+  }
+
+  // ---- Fano factor ----------------------------------------------------------
+
+  test("evt_fano_factor: top-20 ranked desc, fano nonneg, active days >= 2") {
+    val rows = run("evt_fano_factor").collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val fs = rows.map(_.getDouble(3))
+    assert(fs.zip(fs.tail).forall { case (a, b) => b <= a }, "ranked by fano desc")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2)
+      assert(r.getDouble(3) >= 0.0)
+    }
+  }
+
   // ---- k-fold ---------------------------------------------------------------
 
   test("samp_kfold_audit: folds partition the corpus, shares bounded, assignment deterministic") {
