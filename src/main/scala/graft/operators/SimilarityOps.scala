@@ -913,10 +913,41 @@ object SimilarityOps {
     },
     Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e), q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0), pr AS (SELECT CAST(len(list_filter([(qv[i] > 0) <> (c.v[i] > 0) for i in generate_series(1, 64)], b -> b)) AS BIGINT) AS ham, CAST(floor(list_sum([s[1]*s[2] for s in list_zip(q.qv, c.v)]) / (q.qn * c.nrm) * 1000000.0 + 0.5) AS BIGINT) AS cm FROM q JOIN n c ON c.vec_id <> q.q_id), p2 AS (SELECT ham, 64 - 2 * ham AS sa, cm FROM pr), a AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(sa) AS BIGINT) AS sx, CAST(sum(cm) AS BIGINT) AS sy, CAST(sum(sa * sa) AS BIGINT) AS sxx, CAST(sum(CAST(sa AS HUGEINT) * cm) AS HUGEINT) AS sxy, CAST(sum(CAST(cm AS HUGEINT) * cm) AS HUGEINT) AS syy, CAST(sum(ham) AS BIGINT) AS hs FROM p2) SELECT m AS n_pairs, floor(CAST(hs AS DOUBLE) / m * 1e3 + 0.5) / 1e3 AS mean_hamming, floor(CAST(m * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * CAST(m * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS cos_sign_corr FROM a"""))
 
+  /** INTRINSIC DIMENSION by the TwoNN maximum-likelihood estimator
+    * (Facco et al. 2017): d̂ = n / Σ ln(r₂/r₁) over each probe's two
+    * nearest neighbors — embeddings nominally in R⁶⁴ usually live on a
+    * much lower-dimensional manifold, and d̂ is the capacity/compression
+    * diagnostic that says how much. On the unit sphere r² = 2−2cos, so
+    * ln(r₂/r₁) = ½(ln(1−c₂) − ln(1−c₁)) rides the micro-nat integer
+    * discipline; probes with a near-duplicate first neighbor
+    * (c₁ ≥ 1−1e-9, ln → −∞) are excluded and counted. Rides the same
+    * probe-broadcast scan as sim_knn_brute. */
+  private val embIntrinsicDim = GraftQuery(
+    "emb_intrinsic_dim",
+    "TwoNN MLE intrinsic dimension from probe nearest-neighbor ratios",
+    (s, d) => {
+      val nn = bruteTopK(s, d, 50, 2)
+        .groupBy("q_id")
+        .agg(max(when(col("rnk") === 1, fround(col("cos"), 6))).as("c1"),
+          max(when(col("rnk") === 2, fround(col("cos"), 6))).as("c2"))
+      val scored = nn
+        .withColumn("ok", col("c1") < 1.0 - 1e-9)
+        .withColumn("lnm", when(col("ok"),
+          floor((log(lit(1.0) - col("c2")) - log(lit(1.0) - col("c1"))) * 0.5 *
+            1e6 + 0.5).cast("long")))
+      scored.agg(count(lit(1)).as("n_probes"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_used"),
+          sum(coalesce(col("lnm"), lit(0L))).as("sl"))
+        .select(col("n_probes"), col("n_used"),
+          fround(col("n_used").cast("double") * 1e6 /
+            col("sl").cast("double"), 3).as("intrinsic_dim"))
+    },
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e), bq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0), bsc AS (SELECT bq.q_id, c.vec_id AS n_id, list_sum([s[1]*s[2] for s in list_zip(bq.qv, c.v)]) / (bq.qn * c.nrm) AS cos FROM bq JOIN n c ON c.vec_id <> bq.q_id), b2 AS (SELECT q_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos, rnk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY floor(cos * 1000000.0 + 0.5) DESC, n_id) AS rnk FROM bsc) WHERE rnk <= 2), nn AS (SELECT q_id, max(CASE WHEN rnk = 1 THEN cos END) AS c1, max(CASE WHEN rnk = 2 THEN cos END) AS c2 FROM b2 GROUP BY 1), sc AS (SELECT q_id, c1 < 1.0 - 1e-9 AS ok, CASE WHEN c1 < 1.0 - 1e-9 THEN CAST(floor((ln(1.0 - c2) - ln(1.0 - c1)) * 0.5 * 1000000.0 + 0.5) AS BIGINT) END AS lnm FROM nn) SELECT count(*) AS n_probes, CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_used, floor(CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE) * 1000000.0 / CAST(sum(coalesce(lnm, 0)) AS DOUBLE) * 1e3 + 0.5) / 1e3 AS intrinsic_dim FROM sc"""))
+
   val all: Seq[GraftQuery] = Seq(knnBrute, labelStats, knnLsh, knnMatryoshka,
     embCentroids, embDimProfile, embAssignPurity, dedupSemantic,
     embPrototypicality, simHubness, hardNegatives, embKmeansStep,
     embSimHistogram, embPcaPower, embPcaVar, embKmeansppSeed, embWhitening,
     embIsotropy, simRecallEval, knnLabelAccuracy, embCentroidDrift,
-    embConcentration, embSignFidelity)
+    embConcentration, embSignFidelity, embIntrinsicDim)
 }

@@ -707,10 +707,49 @@ object TemporalOps {
     },
     Some("""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS c FROM events GROUP BY 1, 2), m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2 FROM daily GROUP BY 1) SELECT user_id, n AS n_active_days, s1 AS n_events, floor(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * s1 AS DOUBLE) * 1e4 + 0.5) / 1e4 AS fano FROM m WHERE n >= 2 ORDER BY fano DESC, user_id LIMIT 20"""))
 
+  /** CLASSICAL SEASONAL DECOMPOSITION (STL-lite) of the daily total:
+    * trend = centered 7-day moving mean, seasonal = day-of-week mean of
+    * the detrended series, residual = remainder — additive decomposition
+    * with every intermediate an EXACT integer: the trend rides as
+    * 7·trend (the frame sum itself), detrended as 7y − Σ₇ (never divide
+    * before aggregating), and the seasonal means clear denominators the
+    * same way; the three reported components divide exact integers once
+    * each, with residual = y − trend − seasonal spelled identically in
+    * both engines. Edge days (incomplete frame) are excluded from both
+    * the seasonal fit and the output. */
+  private val seasonalDecompose = GraftQuery(
+    "evt_seasonal_decompose",
+    "additive trend/seasonal/residual decomposition of daily totals",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(centi(col("value"))).as("y"))
+      val w = Window.orderBy("day").rowsBetween(-3, 3)
+      val tr = daily
+        .withColumn("s7", sum("y").over(w))
+        .withColumn("m7", count(lit(1)).over(w))
+        .filter(col("m7") === 7) // complete centered frames only
+        .withColumn("dt7", col("y") * 7 - col("s7")) // 7*(y - trend), exact
+        .withColumn("dow", (dayofweek(col("day")) + lit(5)) % 7)
+      val seas = tr.groupBy("dow")
+        .agg(sum("dt7").as("sd"), count(lit(1)).as("nd"))
+      tr.join(broadcast(seas), Seq("dow"))
+        .select(col("day"),
+          fround(col("y").cast("double") / 100.0, 2).as("value"),
+          fround(col("s7").cast("double") / 7.0 / 100.0, 2).as("trend"),
+          fround(col("sd").cast("double") / (col("nd") * 7) / 100.0, 2)
+            .as("seasonal"),
+          fround((col("y").cast("double") - col("s7").cast("double") / 7.0 -
+            col("sd").cast("double") / (col("nd") * 7)) / 100.0, 2)
+            .as("residual"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y FROM events GROUP BY 1), tr AS (SELECT *, CAST(sum(y) OVER w AS BIGINT) AS s7, CAST(count(*) OVER w AS BIGINT) AS m7 FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), f AS (SELECT day, y, s7, y * 7 - s7 AS dt7, CAST(isodow(day) - 1 AS BIGINT) AS dow FROM tr WHERE m7 = 7), seas AS (SELECT dow, CAST(sum(dt7) AS BIGINT) AS sd, CAST(count(*) AS BIGINT) AS nd FROM f GROUP BY 1) SELECT day, floor(CAST(y AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS value, floor(CAST(s7 AS DOUBLE) / 7.0 / 100.0 * 100.0 + 0.5) / 100.0 AS trend, floor(CAST(sd AS DOUBLE) / (nd * 7) / 100.0 * 100.0 + 0.5) / 100.0 AS seasonal, floor((CAST(y AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0 - CAST(sd AS DOUBLE) / (nd * 7)) / 100.0 * 100.0 + 0.5) / 100.0 AS residual FROM f JOIN seas USING (dow) ORDER BY day"""))
+
   val all: Seq[GraftQuery] =
     Seq(rollingDau, attribution, firstLast, snapshotDiff, cohortRevenue,
       rfmSegments, paaSax, turningPoints, markovStationary, changepoint,
       autocorr, gapHistogram, islands, survivalKm, entropyRate,
       timeToConvert, maxDrawdown, forecastBacktest, userEntropyProfile,
-      fanoFactor)
+      fanoFactor, seasonalDecompose)
 }

@@ -746,6 +746,35 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- seasonal decomposition -----------------------------------------------
+
+  test("evt_seasonal_decompose: components reassemble the series, seasonal sums to ~0 over dows") {
+    val rows = run("evt_seasonal_decompose").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, t, se, res) = (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(v - (t + se + res)) < 0.05,
+        s"decomposition must reassemble: $v vs ${t + se + res}")
+    }
+    // day-of-week seasonal effects average out by construction
+    val dowMeans = rows.groupBy(_.getDate(0).toLocalDate.getDayOfWeek)
+      .map(_._2.head.getDouble(3))
+    val mean = rows.map(_.getDouble(1)).sum / rows.length
+    assert(math.abs(dowMeans.sum) < mean * 0.5 + 1.0,
+      "seasonal components roughly centered")
+  }
+
+  // ---- intrinsic dimension --------------------------------------------------
+
+  test("emb_intrinsic_dim: estimate positive and at most the ambient dimension's scale") {
+    val r = run("emb_intrinsic_dim").collect().head
+    assert(r.getLong(1) <= r.getLong(0))
+    val id = r.getDouble(2)
+    assert(id > 0.0, s"TwoNN estimate $id must be positive")
+    // TwoNN can overshoot the ambient dim on small samples, but not absurdly
+    assert(id < 200.0, s"TwoNN estimate $id implausible")
+  }
+
   // ---- Heaps' law -----------------------------------------------------------
 
   test("txt_heaps_law: 10 monotone deciles, vocab sublinear (0 < beta < 1), totals match corpus") {
