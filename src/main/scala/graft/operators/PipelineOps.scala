@@ -651,10 +651,50 @@ object PipelineOps {
     Some(graft.operators.DedupOps.keepVerdictCtes +
       s""", tok AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents), ts AS (SELECT CAST(count(*) AS BIGINT) AS total_tokens, CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size FROM tok), dp AS (SELECT count(*) AS n_docs, CAST(sum(CASE WHEN keep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped FROM kv), q AS (SELECT CAST(sum(CAST(floor((CAST(len(list_filter(t, x -> x IN (${graft.functions.GraftFunctions.stopwordsSqlList}))) AS DOUBLE) / len(t) * 0.3 + CAST(len(list_filter(t, x -> length(x) > 4)) AS DOUBLE) / len(t) * 0.4 + (CASE WHEN len(t) BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END) * 0.3) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qs, count(*) AS qn FROM (SELECT string_split(lower(text), ' ') AS t FROM documents)), lg AS (SELECT lang, count(*) AS nl FROM documents GROUP BY 1), lt AS (SELECT CAST(sum(nl) AS BIGINT) AS nn, count(*) AS n_langs FROM lg), le AS (SELECT CAST(sum(CAST(floor(-nl * ln(CAST(nl AS DOUBLE) / CAST(nn AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hs FROM lg CROSS JOIN lt) SELECT dp.n_docs, ts.total_tokens, ts.vocab_size, floor(CAST(dp.n_dropped AS DOUBLE) / dp.n_docs * 1e4 + 0.5) / 1e4 AS dup_rate, floor(CAST(q.qs AS DOUBLE) / (q.qn * 1000000.0) * 1e4 + 0.5) / 1e4 AS mean_quality, lt.n_langs, floor(CAST(le.hs AS DOUBLE) / (lt.nn * 1000000.0) * 1e4 + 0.5) / 1e4 AS lang_entropy_nats FROM dp CROSS JOIN ts CROSS JOIN q CROSS JOIN le CROSS JOIN lt"""))
 
+  /** CURRICULUM PHASES: documents ordered by ascending quality score into
+    * three equal-doc phases (warmup → core → polish — the
+    * curriculum-learning schedule that feeds cleanest data last), with
+    * each phase's doc count, token mass, and exact mean quality. Phase
+    * assignment is a rank tercile over the micro-int quality (ranking
+    * never compares floats; doc_id tiebreak), the same positive-only
+    * ceil-division spelling as the other rank cuts. One corpus pass for
+    * the scores, a doc-projection sort, a 3-group rollup. */
+  private val pipeCurriculum = {
+    import graft.functions.GraftFunctions.{stopRatio, longRatio, lenOk, qualityScore}
+    GraftQuery(
+      "pipe_curriculum_phases",
+      "3-phase quality curriculum: per-phase docs, tokens, mean quality",
+      (s, d) => {
+        val t = col("t")
+        val scored = Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .select(col("doc_id"), size(t).cast("long").as("n_tok"),
+            floor(qualityScore(stopRatio(t), longRatio(t), lenOk(t)) * 1e6 + 0.5)
+              .cast("long").as("qm"))
+        val n = scored.agg(count(lit(1)).as("n"))
+        val w = Window.orderBy(col("qm"), col("doc_id"))
+        scored
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .crossJoin(broadcast(n))
+          .withColumn("phase", expr("((rk - 1) * 3) div n + 1"))
+          .groupBy("phase")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"),
+            sum("qm").as("qs"))
+          .select(col("phase"),
+            when(col("phase") === 1, "warmup").when(col("phase") === 2, "core")
+              .otherwise("polish").as("name"),
+            col("n_docs"), col("tokens"),
+            fround(col("qs").cast("double") / (col("n_docs") * 1e6), 4)
+              .as("mean_quality"))
+          .orderBy("phase")
+      },
+      Some(s"""WITH sc AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, CAST(floor((CAST(len(list_filter(t, x -> x IN (${graft.functions.GraftFunctions.stopwordsSqlList}))) AS DOUBLE) / len(t) * 0.3 + CAST(len(list_filter(t, x -> length(x) > 4)) AS DOUBLE) / len(t) * 0.4 + (CASE WHEN len(t) BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END) * 0.3) * 1000000.0 + 0.5) AS BIGINT) AS qm FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)), rk AS (SELECT *, CAST(row_number() OVER (ORDER BY qm, doc_id) AS BIGINT) AS rk, CAST(count(*) OVER () AS BIGINT) AS n FROM sc), ph AS (SELECT ((rk - 1) * 3) // n + 1 AS phase, n_tok, qm FROM rk) SELECT phase, CASE WHEN phase = 1 THEN 'warmup' WHEN phase = 2 THEN 'core' ELSE 'polish' END AS name, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens, floor(CAST(sum(qm) AS DOUBLE) / (count(*) * 1000000.0) * 1e4 + 0.5) / 1e4 AS mean_quality FROM ph GROUP BY 1 ORDER BY 1"""))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     sampHashSplit, sampClusterSplit, arrHofStats, evtFunnel, aggMode,
     calGapFill, calInterpolate, pipePack, pipeMixWeights, pipeChunk,
     pipeFilterGate, pipeCurationFunnel, pipeTokenBudget, pipeAuditTrail,
     calBusinessDays, pipeSpanCorruption, pipeLengthBatching,
-    pipeDatasetCard)
+    pipeDatasetCard, pipeCurriculum)
 }

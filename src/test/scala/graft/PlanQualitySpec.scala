@@ -340,9 +340,12 @@ class PlanQualitySpec extends AnyFunSuite {
                               // estimation; the fact is never sorted
       "evt_periodicity_acf",  // argmax over the 14-row lag spectrum
       "graph_degree_ccdf",    // cumulation over the <=64-bin degree table
-      "txt_heaps_law")        // decile numbering over the (doc_id, n_tok)
+      "txt_heaps_law",        // decile numbering over the (doc_id, n_tok)
                               // projection + cumulation over 10 rows —
                               // the prefix order IS the curve
+      "pipe_curriculum_phases") // quality tercile over the score
+                              // projection — the global order IS the
+                              // curriculum schedule
     val offenders = SparkEntry.registry.flatMap { q =>
       val unpartitioned =
         try {

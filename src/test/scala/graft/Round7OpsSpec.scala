@@ -746,6 +746,19 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- curriculum -----------------------------------------------------------
+
+  test("pipe_curriculum_phases: three ~equal phases, mean quality strictly ordered, docs partition") {
+    val rows = run("pipe_curriculum_phases").collect().sortBy(_.getLong(0))
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(2)).sum == Tables.documents(spark, sf).count())
+    val sizes = rows.map(_.getLong(2))
+    assert(sizes.max - sizes.min <= 1, "tercile sizes differ by at most 1")
+    val q = rows.map(_.getDouble(4))
+    assert(q(0) <= q(1) && q(1) <= q(2),
+      s"curriculum orders quality ascending: ${q.mkString(", ")}")
+  }
+
   // ---- seasonal decomposition -----------------------------------------------
 
   test("evt_seasonal_decompose: components reassemble the series, seasonal sums to ~0 over dows") {
