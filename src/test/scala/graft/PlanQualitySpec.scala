@@ -343,9 +343,12 @@ class PlanQualitySpec extends AnyFunSuite {
       "txt_heaps_law",        // decile numbering over the (doc_id, n_tok)
                               // projection + cumulation over 10 rows —
                               // the prefix order IS the curve
-      "pipe_curriculum_phases") // quality tercile over the score
+      "pipe_curriculum_phases", // quality tercile over the score
                               // projection — the global order IS the
                               // curriculum schedule
+      "evt_seasonal_decompose") // centered 7-day frames over the
+                              // ~|corpus days| daily series — one
+                              // global sequence (win_rolling_corr class)
     val offenders = SparkEntry.registry.flatMap { q =>
       val unpartitioned =
         try {
