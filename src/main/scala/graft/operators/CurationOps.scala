@@ -588,10 +588,57 @@ object CurationOps {
       Some(s"""WITH f AS (SELECT ${md5u32Sql("md5('fold:' || CAST(doc_id AS VARCHAR))")} % 5 AS fold, source FROM documents), cell AS (SELECT fold, source, count(*) AS c FROM f GROUP BY 1, 2) SELECT fold, CAST(sum(c) AS BIGINT) AS n_docs, count(*) AS n_sources, floor(CAST(max(c) AS DOUBLE) / sum(c) * 1e4 + 0.5) / 1e4 AS max_source_share, floor(CAST(min(c) AS DOUBLE) / sum(c) * 1e4 + 0.5) / 1e4 AS min_source_share FROM cell GROUP BY 1 ORDER BY 1"""))
   }
 
+  /** TEMPERATURE SWEEP: the language mixture weights at α ∈ {1/4, 1/2,
+    * 3/4, 1} from ONE count rollup — the knob-tuning curve
+    * (dedup_threshold_curve discipline) for the single most-debated
+    * pretraining constant. Every n^α is built from IEEE-exact sqrt
+    * compositions (α=1/4 is sqrt∘sqrt, 3/4 is their product — sqrt is
+    * correctly rounded in both engines, so no libm-pow divergence ever
+    * enters), micro-floored before the per-alpha share totals. */
+  private val sampTemperatureSweep = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.fround
+    val alphas = Seq("0.25", "0.5", "0.75", "1.0")
+    def wSql(a: String, n: String) = a match {
+      case "0.25" => s"sqrt(sqrt($n))"
+      case "0.5"  => s"sqrt($n)"
+      case "0.75" => s"sqrt($n) * sqrt(sqrt($n))"
+      case _      => s"CAST($n AS DOUBLE)"
+    }
+    GraftQuery(
+      "samp_temperature_sweep",
+      "language mixture shares at four sampling temperatures from one rollup",
+      (s, d) => {
+        val byLang = Tables.documents(s, d)
+          .groupBy("lang").agg(count(lit(1)).as("n"))
+        val legs = alphas.map { a =>
+          val w = a match {
+            case "0.25" => sqrt(sqrt(col("n")))
+            case "0.5"  => sqrt(col("n"))
+            case "0.75" => sqrt(col("n")) * sqrt(sqrt(col("n")))
+            case _      => col("n").cast("double")
+          }
+          byLang.select(lit(a).as("alpha"), col("lang"), col("n"),
+            floor(w * 1e6 + 0.5).cast("long").as("wm"))
+        }
+        val scored = legs.reduce(_.unionByName(_))
+        val tot = scored.groupBy("alpha").agg(sum("wm").as("tot"))
+        scored.join(broadcast(tot), Seq("alpha"))
+          .select(col("alpha"), col("lang"), col("n"),
+            fround(col("wm").cast("double") / col("tot"), 6).as("share"))
+          .orderBy("alpha", "lang")
+      },
+      Some("WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1), sc AS (" +
+        alphas.map(a =>
+          s"SELECT '$a' AS alpha, lang, n, CAST(floor(${wSql(a, "n")} * 1000000.0 + 0.5) AS BIGINT) AS wm FROM c")
+          .mkString(" UNION ALL ") +
+        "), t AS (SELECT alpha, CAST(sum(wm) AS BIGINT) AS tot FROM sc GROUP BY 1) SELECT sc.alpha, lang, n, floor(CAST(wm AS DOUBLE) / tot * 1e6 + 0.5) / 1e6 AS share FROM sc JOIN t ON sc.alpha = t.alpha ORDER BY 1, 2"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     sampStratified, sampQuota, shufflePrefix, txtNormalize, lengthHist,
     embQuantize, sampImportance, sampWeightedReservoir, sampBalancedClasses,
     sampTemperature, sampLargestRemainder, sampSystematic,
     sampPoissonBootstrap, sampDpCounts, sampHtEstimate, sampNeyman, sampAqp,
-    sampKfold)
+    sampKfold, sampTemperatureSweep)
 }

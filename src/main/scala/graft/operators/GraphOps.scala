@@ -473,7 +473,54 @@ object GraphOps {
       Some("""WITH e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT a AS src FROM e0 UNION ALL SELECT b FROM e0), dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1), bn AS (SELECT CAST(floor(log2(CAST(deg AS DOUBLE)) + 1e-9) AS BIGINT) AS bin, count(*) AS n_nodes FROM dg GROUP BY 1), t AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS nn FROM bn), c AS (SELECT *, CAST(coalesce(sum(n_nodes) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below FROM bn CROSS JOIN t) SELECT bin, CAST(1 << CAST(bin AS INTEGER) AS BIGINT) AS deg_from, CAST(n_nodes AS BIGINT) AS n_nodes, floor(CAST(nn - below AS DOUBLE) / nn * 1e6 + 0.5) / 1e6 AS ccdf FROM c ORDER BY bin"""))
   }
 
+  /** RICH-CLUB coefficient at degree thresholds 4/8/16/32: among nodes
+    * of degree > k, the realized fraction of possible edges — do hubs
+    * form a densely wired elite (φ → 1) or merely coexist (φ → 0)? The
+    * assortativity complement that localizes WHERE hub-hub wiring lives.
+    * One pass over the degree-annotated edge set computes all four
+    * thresholds' edge counts (conditional sums); club sizes come from the
+    * node-sized degree table; possible edges = N_k(N_k−1) for the
+    * directed-instance count. */
+  private lazy val richClub = {
+    val ks = Seq(4L, 8L, 16L, 32L)
+    GraftQuery(
+      "graph_rich_club",
+      "rich-club coefficient at degree thresholds 4/8/16/32",
+      (s, d) => {
+        val deg = nodes(s, d) // (src, deg)
+        val e = symEdges(s, d)
+          .join(deg.toDF("src", "ds"), Seq("src"))
+          .join(deg.toDF("dst", "dt"), Seq("dst"))
+        val edgeCnt = e.agg(
+          ks.map(k => sum(when(col("ds") > k && col("dt") > k, 1L)
+            .otherwise(0L)).as(s"e$k")).head,
+          ks.map(k => sum(when(col("ds") > k && col("dt") > k, 1L)
+            .otherwise(0L)).as(s"e$k")).tail: _*)
+        val nodeCnt = deg.agg(
+          ks.map(k => sum(when(col("deg") > k, 1L).otherwise(0L)).as(s"n$k")).head,
+          ks.map(k => sum(when(col("deg") > k, 1L).otherwise(0L)).as(s"n$k")).tail: _*)
+        val legs = ks.map { k =>
+          edgeCnt.crossJoin(nodeCnt)
+            .select(lit(k).as("k"), col(s"n$k").as("n_club"),
+              expr(s"e$k div 2").as("club_edges"),
+              when(col(s"n$k") >= 2,
+                fround(col(s"e$k").cast("double") /
+                  (col(s"n$k") * (col(s"n$k") - 1)).cast("double"), 6))
+                .as("phi"))
+        }
+        legs.reduce(_.unionByName(_)).orderBy("k")
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1), an AS (SELECT x.deg AS ds, y.deg AS dt FROM e JOIN dg x ON e.src = x.src JOIN dg y ON e.dst = y.src), ec AS (SELECT """ +
+        ks.map(k => s"CAST(sum(CASE WHEN ds > $k AND dt > $k THEN 1 ELSE 0 END) AS BIGINT) AS e$k").mkString(", ") +
+        " FROM an), nc AS (SELECT " +
+        ks.map(k => s"CAST(sum(CASE WHEN deg > $k THEN 1 ELSE 0 END) AS BIGINT) AS n$k").mkString(", ") +
+        " FROM dg) SELECT k, n_club, club_edges, phi FROM (" +
+        ks.map(k =>
+          s"SELECT CAST($k AS BIGINT) AS k, n$k AS n_club, e$k // 2 AS club_edges, CASE WHEN n$k >= 2 THEN floor(CAST(e$k AS DOUBLE) / CAST(n$k * (n$k - 1) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS phi FROM ec CROSS JOIN nc")
+          .mkString(" UNION ALL ") + ") ORDER BY k"))
+  }
+
   val all: Seq[GraftQuery] = Seq(pagerank, degreeStats, twoHop, bipartiteProj,
     neighborJaccard, kCore, assortativity, modularity, bfsDistance,
-    conductance, degreeCcdf)
+    conductance, degreeCcdf, richClub)
 }

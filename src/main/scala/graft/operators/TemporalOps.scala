@@ -746,10 +746,39 @@ object TemporalOps {
     },
     Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y FROM events GROUP BY 1), tr AS (SELECT *, CAST(sum(y) OVER w AS BIGINT) AS s7, CAST(count(*) OVER w AS BIGINT) AS m7 FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), f AS (SELECT day, y, s7, y * 7 - s7 AS dt7, CAST(isodow(day) - 1 AS BIGINT) AS dow FROM tr WHERE m7 = 7), seas AS (SELECT dow, CAST(sum(dt7) AS BIGINT) AS sd, CAST(count(*) AS BIGINT) AS nd FROM f GROUP BY 1) SELECT day, floor(CAST(y AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS value, floor(CAST(s7 AS DOUBLE) / 7.0 / 100.0 * 100.0 + 0.5) / 100.0 AS trend, floor(CAST(sd AS DOUBLE) / (nd * 7) / 100.0 * 100.0 + 0.5) / 100.0 AS seasonal, floor((CAST(y AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0 - CAST(sd AS DOUBLE) / (nd * 7)) / 100.0 * 100.0 + 0.5) / 100.0 AS residual FROM f JOIN seas USING (dow) ORDER BY day"""))
 
+  /** CIRCADIAN PROFILE via circular statistics: hour-of-day is an ANGLE
+    * (23:00 and 01:00 are 2h apart, not 22), so each type's typical hour
+    * is the circular mean atan2(Σsin, Σcos) and its concentration the
+    * mean resultant length R̄ — the correct "when does this event happen"
+    * statistic a linear mean gets wrong at midnight wrap. cos/sin of the
+    * 24 possible hour angles micro-floor to integers per row, sums are
+    * exact; atan2/fround at the edge only (accepted libm-ulp class). */
+  private val circadianProfile = GraftQuery(
+    "evt_circadian_profile",
+    "per-type circular mean hour + concentration of event times",
+    (s, d) => {
+      val theta = col("h").cast("double") * (2.0 * math.Pi / 24.0)
+      val hr = Tables.events(s, d)
+        .select(col("event_type"), hour(col("ts")).as("h"))
+        .select(col("event_type"),
+          floor(cos(theta) * 1e6 + 0.5).cast("long").as("cm"),
+          floor(sin(theta) * 1e6 + 0.5).cast("long").as("sm"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cm").as("sc"), sum("sm").as("ss"))
+      hr.select(col("event_type"), col("n").as("n_events"),
+        fround((atan2(col("ss").cast("double"), col("sc").cast("double")) *
+          (24.0 / (2.0 * math.Pi)) + 24.0) % 24.0, 3).as("mean_hour"),
+        fround(sqrt((col("sc").cast("decimal(38,0)") * col("sc") +
+          col("ss").cast("decimal(38,0)") * col("ss")).cast("double")) /
+          (col("n") * 1e6), 4).as("concentration"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH hr AS (SELECT event_type, CAST(floor(cos(CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE) * ${2.0 * math.Pi / 24.0}) * 1000000.0 + 0.5) AS BIGINT) AS cm, CAST(floor(sin(CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE) * ${2.0 * math.Pi / 24.0}) * 1000000.0 + 0.5) AS BIGINT) AS sm FROM events), g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(cm) AS BIGINT) AS sc, CAST(sum(sm) AS BIGINT) AS ss FROM hr GROUP BY 1) SELECT event_type, n AS n_events, floor(((atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE)) * ${24.0 / (2.0 * math.Pi)}) + 24.0) % 24.0 * 1e3 + 0.5) / 1e3 AS mean_hour, floor(sqrt(CAST(CAST(sc AS HUGEINT) * sc + CAST(ss AS HUGEINT) * ss AS DOUBLE)) / (n * 1000000.0) * 1e4 + 0.5) / 1e4 AS concentration FROM g ORDER BY 1"""))
+
   val all: Seq[GraftQuery] =
     Seq(rollingDau, attribution, firstLast, snapshotDiff, cohortRevenue,
       rfmSegments, paaSax, turningPoints, markovStationary, changepoint,
       autocorr, gapHistogram, islands, survivalKm, entropyRate,
       timeToConvert, maxDrawdown, forecastBacktest, userEntropyProfile,
-      fanoFactor, seasonalDecompose)
+      fanoFactor, seasonalDecompose, circadianProfile)
 }

@@ -746,6 +746,50 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- temperature sweep ----------------------------------------------------
+
+  test("samp_temperature_sweep: shares sum to 1 per alpha, flattening with lower alpha") {
+    val rows = run("samp_temperature_sweep").collect()
+    val byAlpha = rows.groupBy(_.getString(0))
+    assert(byAlpha.keySet == Set("0.25", "0.5", "0.75", "1.0"))
+    byAlpha.foreach { case (a, rs) =>
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-3, s"alpha $a shares")
+    }
+    // lower temperature flattens the mixture: max share is non-decreasing in alpha
+    val maxShare = byAlpha.map { case (a, rs) => a.toDouble -> rs.map(_.getDouble(3)).max }
+      .toSeq.sortBy(_._1).map(_._2)
+    assert(maxShare.zip(maxShare.tail).forall { case (lo, hi) => lo <= hi + 1e-9 },
+      s"max shares by alpha: ${maxShare.mkString(", ")}")
+  }
+
+  // ---- circadian ------------------------------------------------------------
+
+  test("evt_circadian_profile: mean hour in [0,24), concentration in [0,1]") {
+    val rows = run("evt_circadian_profile").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mh, c) = (r.getDouble(2), r.getDouble(3))
+      assert(mh >= 0.0 && mh < 24.0, s"mean hour $mh")
+      assert(c >= 0.0 && c <= 1.0 + 1e-4, s"concentration $c")
+    }
+  }
+
+  // ---- rich club ------------------------------------------------------------
+
+  test("graph_rich_club: club sizes shrink with k, phi in [0,1] when defined") {
+    val rows = run("graph_rich_club").collect().sortBy(_.getLong(0))
+    assert(rows.length == 4)
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => b <= a },
+      "higher thresholds admit fewer nodes")
+    rows.foreach { r =>
+      if (!r.isNullAt(3)) {
+        val phi = r.getDouble(3)
+        assert(phi >= 0.0 && phi <= 1.0 + 1e-9)
+      }
+    }
+  }
+
   // ---- curriculum -----------------------------------------------------------
 
   test("pipe_curriculum_phases: three ~equal phases, mean quality strictly ordered, docs partition") {
