@@ -1108,7 +1108,45 @@ object AnalyticsOps {
     aggTheil, aggGini, winRollingCorr, winSessionSensitivity,
     calWeekOverWeek, qaKeyGaps, aggParetoRatio, qaPkUniqueness, aggAnovaF,
     aggSkewKurtosis, aggPythagoreanMeans, winOnlineScaling,
-    evtPeriodicityAcf)
+    evtPeriodicityAcf, qaEmdDrift)
+
+  /** EARTH MOVER'S (Wasserstein-1) drift between the first and second
+    * half-month value distributions — the drift metric that reports HOW
+    * FAR mass moved in value units, completing the family: PSI (ratio),
+    * KS (max gap), χ² (categorical), EMD (transport cost). On binned 1-D
+    * integers EMD is exactly Σ_bins |cumΔ|·width: counts bin at centi
+    * unit width 100 (one value unit), the CDF difference cumulates as
+    * n2·cum1 − n1·cum2 (cleared denominators — EXACT integers
+    * throughout), and the single division happens at the edge. One
+    * conditional-aggregation pass bins both halves. */
+  private lazy val qaEmdDrift = GraftQuery(
+    "qa_emd_drift",
+    "Wasserstein-1 drift of value between month halves (exact binned form)",
+    (s, d) => {
+      val binned = Tables.events(s, d)
+        .select(centi(col("value")).as("vc"),
+          when(dayofmonth(col("ts")) <= 15, 0).otherwise(1).as("p"))
+        .groupBy(expr("vc div 100").as("bin"))
+        .agg(sum(when(col("p") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("p") === 1, 1L).otherwise(0L)).as("cb"))
+      val tot = binned.agg(sum("ca").as("na"), sum("cb").as("nb"))
+      val w = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      binned.crossJoin(broadcast(tot))
+        .withColumn("cuma", sum("ca").over(w))
+        .withColumn("cumb", sum("cb").over(w))
+        .withColumn("dd",
+          abs(col("nb").cast("decimal(38,0)") * col("cuma") -
+            col("na").cast("decimal(38,0)") * col("cumb")))
+        .groupBy("na", "nb")
+        .agg(count(lit(1)).as("n_bins"), sum("dd").as("sdd"))
+        .select(col("n_bins"), col("na").as("n_first_half"),
+          col("nb").as("n_second_half"),
+          fround(col("sdd").cast("double") /
+            (col("na").cast("double") * col("nb").cast("double")), 4)
+            .as("emd_value_units"))
+    },
+    Some("""WITH b AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) // 100 AS bin, CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15 THEN 0 ELSE 1 END AS p FROM events), c AS (SELECT bin, CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca, CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb FROM b GROUP BY 1), t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM c), cm AS (SELECT bin, na, nb, CAST(sum(ca) OVER w AS BIGINT) AS cuma, CAST(sum(cb) OVER w AS BIGINT) AS cumb FROM c CROSS JOIN t WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)), dd AS (SELECT na, nb, abs(CAST(nb AS HUGEINT) * cuma - CAST(na AS HUGEINT) * cumb) AS dd FROM cm) SELECT count(*) AS n_bins, na AS n_first_half, nb AS n_second_half, floor(CAST(sum(dd) AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS emd_value_units FROM dd GROUP BY na, nb"""))
 
   /** ONLINE MIN-MAX SCALING — the leakage-free feature-normalization a
     * streaming feature store applies: each event's value scaled by the

@@ -786,9 +786,36 @@ object DedupOps {
     Some(ngramPairsCte +
       """, tx AS (SELECT doc_id, substr(text, 1, 256) AS p FROM documents) SELECT p.a, p.b, p.jaccard, CAST(levenshtein(x.p, y.p) AS BIGINT) AS lev, floor((1.0 - CAST(levenshtein(x.p, y.p) AS DOUBLE) / CAST(greatest(length(x.p), length(y.p)) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS prefix_similarity FROM p JOIN tx x ON x.doc_id = p.a JOIN tx y ON y.doc_id = p.b ORDER BY 1, 2"""))
 
+  /** SHARD-LOCAL DEDUP MISS AUDIT — the distributed-design question every
+    * 100 TB dedup answers first: if dedup ran independently inside md5
+    * shards (the cheap, no-global-shuffle plan), how many verified
+    * near-dup pairs CROSS shard boundaries and would be missed? Random
+    * (content-independent) sharding makes cross-shard the overwhelmingly
+    * likely case (≈ 1−1/S), which is exactly WHY real dedup shuffles by
+    * content signature (minhash band) instead of by id — this audit is
+    * the measured justification. One projection over the stored verified
+    * pair table; nothing rescans the corpus. */
+  private lazy val shardMissAudit = GraftQuery(
+    "dedup_shard_miss_audit",
+    "verified near-dup pairs that id-sharded (8-way) dedup would miss",
+    (s, d) => {
+      import graft.functions.GraftFunctions.md5u32
+      def shard(c: org.apache.spark.sql.Column) = md5u32(concat(lit("shard:"), c.cast("string"))) % 8
+      jaccardPairs(s, d)
+        .select(when(shard(col("a")) === shard(col("b")), 1L).otherwise(0L)
+          .as("same_shard"))
+        .agg(count(lit(1)).as("n_pairs"), sum("same_shard").as("n_same"))
+        .select(col("n_pairs"), col("n_same").as("n_caught_local"),
+          (col("n_pairs") - col("n_same")).as("n_missed"),
+          fround((col("n_pairs") - col("n_same")).cast("double") /
+            col("n_pairs").cast("double"), 4).as("miss_rate"))
+    },
+    Some(ngramPairsCte + s""" SELECT count(*) AS n_pairs, CAST(sum(CASE WHEN ${graft.functions.GraftFunctions.md5u32Sql("md5('shard:' || CAST(a AS VARCHAR))")} % 8 = ${graft.functions.GraftFunctions.md5u32Sql("md5('shard:' || CAST(b AS VARCHAR))")} % 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_caught_local, count(*) - CAST(sum(CASE WHEN ${graft.functions.GraftFunctions.md5u32Sql("md5('shard:' || CAST(a AS VARCHAR))")} % 8 = ${graft.functions.GraftFunctions.md5u32Sql("md5('shard:' || CAST(b AS VARCHAR))")} % 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_missed, floor(CAST(count(*) - sum(CASE WHEN ${graft.functions.GraftFunctions.md5u32Sql("md5('shard:' || CAST(a AS VARCHAR))")} % 8 = ${graft.functions.GraftFunctions.md5u32Sql("md5('shard:' || CAST(b AS VARCHAR))")} % 8 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS miss_rate FROM p"""))
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupComponents, dedupKeepList,
     dedupKeepLongest, dedupSimhash, dedupSimhashGroups, dedupEmbedding,
     dedupEmbeddingLsh, dedupIncremental, dedupContainment, graphTriangles,
-    dedupClusterSizes, dedupThresholdCurve, rougePairs, editDistancePairs)
+    dedupClusterSizes, dedupThresholdCurve, rougePairs, editDistancePairs,
+    shardMissAudit)
 }

@@ -346,9 +346,11 @@ class PlanQualitySpec extends AnyFunSuite {
       "pipe_curriculum_phases", // quality tercile over the score
                               // projection — the global order IS the
                               // curriculum schedule
-      "evt_seasonal_decompose") // centered 7-day frames over the
+      "evt_seasonal_decompose", // centered 7-day frames over the
                               // ~|corpus days| daily series — one
                               // global sequence (win_rolling_corr class)
+      "qa_emd_drift")         // CDF cumulation over the ~100-bin value
+                              // histogram
     val offenders = SparkEntry.registry.flatMap { q =>
       val unpartitioned =
         try {

@@ -746,6 +746,30 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- EMD drift ------------------------------------------------------------
+
+  test("qa_emd_drift: nonneg, bounded by the value range, halves partition the corpus") {
+    val r = run("qa_emd_drift").collect().head
+    assert(r.getLong(1) + r.getLong(2) == Tables.events(spark, sf).count())
+    val emd = r.getDouble(3)
+    assert(emd >= 0.0, "transport cost nonneg")
+    val rng = Tables.events(spark, sf)
+      .agg(max(col("value")) - min(col("value"))).collect().head.getDouble(0)
+    assert(emd <= rng + 1.0, s"EMD $emd cannot exceed the value range $rng")
+  }
+
+  // ---- shard miss audit -----------------------------------------------------
+
+  test("dedup_shard_miss_audit: caught+missed = pairs, miss rate near 1-1/8 for random sharding") {
+    val r = run("dedup_shard_miss_audit").collect().head
+    assert(r.getLong(1) + r.getLong(2) == r.getLong(0))
+    val rate = r.getDouble(3)
+    assert(rate >= 0.0 && rate <= 1.0)
+    // content-independent sharding catches ~1/8 of pairs; allow wide
+    // slack for the small pair population at spec SF
+    if (r.getLong(0) >= 20) assert(rate > 0.5, s"miss rate $rate implausibly low")
+  }
+
   // ---- temperature sweep ----------------------------------------------------
 
   test("samp_temperature_sweep: shares sum to 1 per alpha, flattening with lower alpha") {
