@@ -775,10 +775,50 @@ object TemporalOps {
     },
     Some(s"""WITH hr AS (SELECT event_type, CAST(floor(cos(CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE) * ${2.0 * math.Pi / 24.0}) * 1000000.0 + 0.5) AS BIGINT) AS cm, CAST(floor(sin(CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE) * ${2.0 * math.Pi / 24.0}) * 1000000.0 + 0.5) AS BIGINT) AS sm FROM events), g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(cm) AS BIGINT) AS sc, CAST(sum(sm) AS BIGINT) AS ss FROM hr GROUP BY 1) SELECT event_type, n AS n_events, floor(((atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE)) * ${24.0 / (2.0 * math.Pi)}) + 24.0) % 24.0 * 1e3 + 0.5) / 1e3 AS mean_hour, floor(sqrt(CAST(CAST(sc AS HUGEINT) * sc + CAST(ss AS HUGEINT) * ss AS DOUBLE)) / (n * 1000000.0) * 1e4 + 0.5) / 1e4 AS concentration FROM g ORDER BY 1"""))
 
+  /** BURST DETECTION (threshold-automaton lite): a day is bursting when
+    * its event count exceeds 2× the trailing-14-day mean — compared as
+    * the EXACT integers 14·c > 2·Σ₁₄ (never a float mean) — and
+    * consecutive burst days merge into episodes via the gaps-and-islands
+    * key (win_islands discipline). Per type: episode count, longest, and
+    * total burst days. Warm-up days (incomplete trailing frame) can't
+    * burst. One type-keyed shuffle serves both windows and the rollup. */
+  private val burstDetection = GraftQuery(
+    "evt_burst_detection",
+    "per-type burst episodes: days above 2x the trailing-14-day mean",
+    (s, d) => {
+      val w14 = Window.partitionBy("event_type").orderBy("t")
+        .rowsBetween(-14, -1)
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("t"))
+        .agg(count(lit(1)).as("c"))
+      val flagged = daily
+        .withColumn("s14", sum("c").over(w14))
+        .withColumn("m14", count(lit(1)).over(w14))
+        .filter(col("m14") === 14)
+        .withColumn("burst", col("c") * 14 > col("s14") * 2)
+      val isl = flagged.filter(col("burst"))
+        .withColumn("grp", col("t") - row_number().over(
+          Window.partitionBy("event_type").orderBy("t")))
+        .groupBy("event_type", "grp").agg(count(lit(1)).as("len"))
+      val perType = isl.groupBy("event_type")
+        .agg(count(lit(1)).as("n_episodes"), max("len").as("longest"),
+          sum("len").as("burst_days"))
+      daily.select("event_type").distinct()
+        .join(perType, Seq("event_type"), "left")
+        .select(col("event_type"),
+          coalesce(col("n_episodes"), lit(0L)).as("n_episodes"),
+          coalesce(col("longest"), lit(0L)).as("longest"),
+          coalesce(col("burst_days"), lit(0L)).as("burst_days"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS t, count(*) AS c FROM events GROUP BY 1, 2), f AS (SELECT *, CAST(sum(c) OVER w AS BIGINT) AS s14, CAST(count(*) OVER w AS BIGINT) AS m14 FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY t ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)), b AS (SELECT event_type, t FROM f WHERE m14 = 14 AND c * 14 > s14 * 2), g AS (SELECT event_type, t - row_number() OVER (PARTITION BY event_type ORDER BY t) AS grp FROM b), isl AS (SELECT event_type, grp, count(*) AS len FROM g GROUP BY 1, 2), pt AS (SELECT event_type, count(*) AS n_episodes, CAST(max(len) AS BIGINT) AS longest, CAST(sum(len) AS BIGINT) AS burst_days FROM isl GROUP BY 1) SELECT d.event_type, coalesce(pt.n_episodes, 0) AS n_episodes, coalesce(pt.longest, 0) AS longest, coalesce(pt.burst_days, 0) AS burst_days FROM (SELECT DISTINCT event_type FROM daily) d LEFT JOIN pt USING (event_type) ORDER BY 1"""))
+
   val all: Seq[GraftQuery] =
     Seq(rollingDau, attribution, firstLast, snapshotDiff, cohortRevenue,
       rfmSegments, paaSax, turningPoints, markovStationary, changepoint,
       autocorr, gapHistogram, islands, survivalKm, entropyRate,
       timeToConvert, maxDrawdown, forecastBacktest, userEntropyProfile,
-      fanoFactor, seasonalDecompose, circadianProfile)
+      fanoFactor, seasonalDecompose, circadianProfile, burstDetection)
 }

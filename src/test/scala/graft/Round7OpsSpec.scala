@@ -746,6 +746,20 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- burst detection ------------------------------------------------------
+
+  test("evt_burst_detection: one row per type, episode arithmetic consistent") {
+    val rows = run("evt_burst_detection").collect()
+    val types = Tables.events(spark, sf).select("event_type").distinct().count()
+    assert(rows.length == types)
+    rows.foreach { r =>
+      val (ep, lg, days) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(lg <= days && days >= ep, s"episodes $ep longest $lg days $days")
+      if (ep == 0) assert(lg == 0 && days == 0)
+      else assert(lg >= 1 && days >= ep)
+    }
+  }
+
   // ---- EMD drift ------------------------------------------------------------
 
   test("qa_emd_drift: nonneg, bounded by the value range, halves partition the corpus") {
