@@ -957,13 +957,46 @@ object ParsingOps {
     },
     Some("""WITH d AS (SELECT doc_id AS media_id, text, length(text) AS len FROM documents WHERE length(text) >= 32), fr0 AS (SELECT media_id, text, unnest(generate_series(0, len // 32 - 1)) AS w FROM d), fr AS (SELECT media_id, CAST(list_sum([(ord(substr(text, CAST(w * 32 + k AS INTEGER), 1)) - 64) * (ord(substr(text, CAST(w * 32 + k AS INTEGER), 1)) - 64) for k in generate_series(1, 32)]) AS BIGINT) AS e2 FROM fr0) SELECT media_id, count(*) AS n_frames, CAST(sum(CASE WHEN e2 < 40000 THEN 1 ELSE 0 END) AS BIGINT) AS n_silent, CAST(sum(e2) AS BIGINT) AS total_e2, floor(sqrt(CAST(sum(e2) AS DOUBLE) / CAST(count(*) * 32 AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS mean_rms FROM fr GROUP BY 1 ORDER BY 1"""))
 
+  /** FINGERPRINT-WIDTH collision audit: how many DISTINCT document texts
+    * collide under truncated md5 fingerprints of 4/6/8 hex digits
+    * (16/24/32 bits) — the birthday-bound measurement behind choosing a
+    * dedup fingerprint width (a 100 TB corpus at 32 bits collides
+    * constantly; this query shows the curve on real data instead of
+    * assuming the formula). Per width: distinct texts, occupied buckets,
+    * and texts lost to collisions (distinct_texts − buckets). One
+    * distinct-text pass feeds all three widths. */
+  private lazy val qaFingerprintCollisions = {
+    val widths = Seq(4, 6, 8)
+    GraftQuery(
+      "qa_fingerprint_collision_audit",
+      "distinct-text collisions under 16/24/32-bit truncated fingerprints",
+      (s, d) => {
+        val texts = Tables.documents(s, d)
+          .select(md5(lower(col("text"))).as("fp")).distinct()
+        val legs = widths.map { w =>
+          texts.select(substring(col("fp"), 1, w).as("b"))
+            .groupBy("b").agg(count(lit(1)).as("n"))
+            .agg(sum("n").as("n_texts"), count(lit(1)).as("n_buckets"),
+              sum(col("n") - 1).as("n_collided"))
+            .select(lit(w * 4).as("bits"), col("n_texts"), col("n_buckets"),
+              col("n_collided"))
+        }
+        legs.reduce(_.unionByName(_)).orderBy("bits")
+      },
+      Some("WITH t AS (SELECT DISTINCT md5(lower(text)) AS fp FROM documents) " +
+        widths.map(w =>
+          s"SELECT CAST(${w * 4} AS INTEGER) AS bits, CAST(sum(n) AS BIGINT) AS n_texts, count(*) AS n_buckets, CAST(sum(n - 1) AS BIGINT) AS n_collided FROM (SELECT substr(fp, 1, $w) AS b, count(*) AS n FROM t GROUP BY 1)")
+          .mkString(" UNION ALL ") + " ORDER BY bits"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     csvRoundtrip, jsonStruct, jsonInferred, dateConstruct, sqlMultikeyJoin,
     mvCascade, sqlCtas, mmDecode, partitionPruned, dppPrune, mmFrameSample,
     qaProfile, qaProfileHll, qaExpectations, scd2Merge, mvIncrementalAgg,
     qaTableChecksum, qaRefIntegrity, qaKeySkew, mvCompactCdc, qaCovMatrix,
     qaLabelGini, qaEquidepthHist, mmResize, scd2Asof, mmPhash,
-    mvLambdaServing, sqlRecursiveHierarchy, mmAudioEnergy)
+    mvLambdaServing, sqlRecursiveHierarchy, mmAudioEnergy,
+    qaFingerprintCollisions)
 
   /** Time-travel READ over the SCD2 dimension — "the dimension as of
     * 2024-07-01": for each key, exactly the one version whose

@@ -815,10 +815,59 @@ object TemporalOps {
     },
     Some("""WITH daily AS (SELECT event_type, CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS t, count(*) AS c FROM events GROUP BY 1, 2), f AS (SELECT *, CAST(sum(c) OVER w AS BIGINT) AS s14, CAST(count(*) OVER w AS BIGINT) AS m14 FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY t ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)), b AS (SELECT event_type, t FROM f WHERE m14 = 14 AND c * 14 > s14 * 2), g AS (SELECT event_type, t - row_number() OVER (PARTITION BY event_type ORDER BY t) AS grp FROM b), isl AS (SELECT event_type, grp, count(*) AS len FROM g GROUP BY 1, 2), pt AS (SELECT event_type, count(*) AS n_episodes, CAST(max(len) AS BIGINT) AS longest, CAST(sum(len) AS BIGINT) AS burst_days FROM isl GROUP BY 1) SELECT d.event_type, coalesce(pt.n_episodes, 0) AS n_episodes, coalesce(pt.longest, 0) AS longest, coalesce(pt.burst_days, 0) AS burst_days FROM (SELECT DISTINCT event_type FROM daily) d LEFT JOIN pt USING (event_type) ORDER BY 1"""))
 
+  /** HAAR WAVELET energy spectrum of the daily total: detail energy at
+    * dyadic scales 2/4/8 days — the multi-resolution read of WHERE the
+    * series' variance lives (day-to-day noise vs week-scale swings). All
+    * transform coefficients stay EXACT integers: level-k details are
+    * differences of adjacent 2^(k−1)-day block SUMS (never averages —
+    * the 2^k scaling folds into one normalization at the edge:
+    * energy_k = Σd²/2^k). Incomplete trailing blocks are dropped per
+    * level. Everything after the daily rollup is ≤|corpus days| rows. */
+  private val haarEnergy = {
+    GraftQuery(
+      "evt_haar_energy",
+      "Haar detail energy of daily totals at 2/4/8-day scales",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("t"))
+          .agg(sum(centi(col("value"))).as("y"))
+        val legs = Seq(1, 2, 3).map { k =>
+          val half = 1L << (k - 1)
+          val blocks = daily
+            .withColumn("blk", expr(s"t div $half"))
+            .groupBy("blk")
+            .agg(sum("y").as("s"), count(lit(1)).as("m"))
+            .filter(col("m") === half) // complete half-blocks only
+          val pairs = blocks
+            .withColumn("pair", expr("blk div 2"))
+            .withColumn("side", col("blk") % 2)
+            .groupBy("pair")
+            .agg(count(lit(1)).as("np"),
+              sum(when(col("side") === 0, col("s")).otherwise(-col("s")))
+                .as("det"))
+            .filter(col("np") === 2)
+          pairs.agg(count(lit(1)).as("n_coeffs"),
+            sum((col("det") * col("det")).cast("decimal(38,0)")).as("e"))
+            .select(lit(k).as("scale_level"), lit(2L << (k - 1)).as("scale_days"),
+              col("n_coeffs"),
+              fround(col("e").cast("double") / lit((1L << k).toDouble) /
+                1e4, 2).as("detail_energy"))
+        }
+        legs.reduce(_.unionByName(_)).orderBy("scale_level")
+      },
+      Some("WITH daily AS (SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS t, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y FROM events GROUP BY 1) " +
+        Seq(1, 2, 3).map { k =>
+          val half = 1L << (k - 1)
+          s"SELECT CAST($k AS INTEGER) AS scale_level, CAST(${2L << (k - 1)} AS BIGINT) AS scale_days, count(*) AS n_coeffs, floor(CAST(sum(CAST(det AS HUGEINT) * det) AS DOUBLE) / ${1L << k} / 1e4 * 1e2 + 0.5) / 1e2 AS detail_energy FROM (SELECT pair, CAST(sum(CASE WHEN side = 0 THEN s ELSE -s END) AS BIGINT) AS det FROM (SELECT blk // 2 AS pair, blk % 2 AS side, s FROM (SELECT t // $half AS blk, CAST(sum(y) AS BIGINT) AS s, count(*) AS m FROM daily GROUP BY 1) WHERE m = $half) GROUP BY pair HAVING count(*) = 2)"
+        }.mkString(" UNION ALL ") + " ORDER BY scale_level"))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(rollingDau, attribution, firstLast, snapshotDiff, cohortRevenue,
       rfmSegments, paaSax, turningPoints, markovStationary, changepoint,
       autocorr, gapHistogram, islands, survivalKm, entropyRate,
       timeToConvert, maxDrawdown, forecastBacktest, userEntropyProfile,
-      fanoFactor, seasonalDecompose, circadianProfile, burstDetection)
+      fanoFactor, seasonalDecompose, circadianProfile, burstDetection,
+      haarEnergy)
 }

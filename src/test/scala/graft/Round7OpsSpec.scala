@@ -746,6 +746,30 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- fingerprint collisions -----------------------------------------------
+
+  test("qa_fingerprint_collision_audit: wider fingerprints collide less, text count constant") {
+    val rows = run("qa_fingerprint_collision_audit").collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq == Seq(16, 24, 32))
+    assert(rows.map(_.getLong(1)).distinct.length == 1,
+      "same distinct-text universe at every width")
+    val coll = rows.map(_.getLong(3))
+    assert(coll.zip(coll.tail).forall { case (a, b) => b <= a },
+      "more bits cannot create collisions")
+    rows.foreach(r => assert(r.getLong(2) + r.getLong(3) == r.getLong(1)))
+  }
+
+  // ---- Haar energy ----------------------------------------------------------
+
+  test("evt_haar_energy: three scales, energies nonneg, coefficient counts halve") {
+    val rows = run("evt_haar_energy").collect().sortBy(_.getInt(0))
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(1)).toSeq == Seq(2L, 4L, 8L))
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0))
+    val n = rows.map(_.getLong(2))
+    assert(n(1) <= n(0) && n(2) <= n(1), "coarser scales have fewer coefficients")
+  }
+
   // ---- burst detection ------------------------------------------------------
 
   test("evt_burst_detection: one row per type, episode arithmetic consistent") {
