@@ -944,10 +944,48 @@ object SimilarityOps {
     },
     Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e), bq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0), bsc AS (SELECT bq.q_id, c.vec_id AS n_id, list_sum([s[1]*s[2] for s in list_zip(bq.qv, c.v)]) / (bq.qn * c.nrm) AS cos FROM bq JOIN n c ON c.vec_id <> bq.q_id), b2 AS (SELECT q_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos, rnk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY floor(cos * 1000000.0 + 0.5) DESC, n_id) AS rnk FROM bsc) WHERE rnk <= 2), nn AS (SELECT q_id, max(CASE WHEN rnk = 1 THEN cos END) AS c1, max(CASE WHEN rnk = 2 THEN cos END) AS c2 FROM b2 GROUP BY 1), sc AS (SELECT q_id, c1 < 1.0 - 1e-9 AS ok, CASE WHEN c1 < 1.0 - 1e-9 THEN CAST(floor((ln(1.0 - c2) - ln(1.0 - c1)) * 0.5 * 1000000.0 + 0.5) AS BIGINT) END AS lnm FROM nn) SELECT count(*) AS n_probes, CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_used, floor(CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE) * 1000000.0 / CAST(sum(coalesce(lnm, 0)) AS DOUBLE) * 1e3 + 0.5) / 1e3 AS intrinsic_dim FROM sc"""))
 
+  /** SIMPLIFIED SILHOUETTE per cluster: s = (b − a)/max(a, b) with a =
+    * distance to the OWN (nearest) centroid and b = distance to the
+    * nearest OTHER centroid — the clustering-quality score that the full
+    * silhouette approximates at O(n·k) instead of O(n²) (the only form
+    * that survives 100 TB). Distances come from the SAME micro-quantized
+    * centroid base as emb_assign_purity (exact integer d²); the per-point
+    * ratio micro-floors before the per-cluster mean, so no float ever
+    * accumulates. */
+  private val embSilhouette = GraftQuery(
+    "emb_cluster_silhouette",
+    "per-cluster simplified silhouette from the shared centroid base",
+    (s, d) => {
+      val mic = microDims(s, d)
+      val dist = mic.join(broadcast(quantCentroids(s, d)), Seq("dim"))
+        .groupBy("vec_id", "c_label")
+        .agg(sum((col("micro") - col("c_micro")) *
+          (col("micro") - col("c_micro"))).as("d2"))
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("c_label"))
+      val ab = dist.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .groupBy("vec_id")
+        .agg(max(when(col("rk") === 1, col("d2"))).as("a2"),
+          max(when(col("rk") === 2, col("d2"))).as("b2"),
+          max(when(col("rk") === 1, col("c_label"))).as("cl"))
+      val scored = ab.withColumn("sm",
+        when(greatest(col("a2"), col("b2")) > 0,
+          floor((sqrt(col("b2").cast("double")) - sqrt(col("a2").cast("double"))) /
+            greatest(sqrt(col("a2").cast("double")), sqrt(col("b2").cast("double"))) *
+            1e6 + 0.5).cast("long")).otherwise(lit(0L)))
+      scored.groupBy(col("cl").as("cluster"))
+        .agg(count(lit(1)).as("n_vecs"), sum("sm").as("ss"))
+        .select(col("cluster"), col("n_vecs"),
+          fround(col("ss").cast("double") / (col("n_vecs") * 1e6), 4)
+            .as("mean_silhouette"))
+        .orderBy("cluster")
+    },
+    Some("""WITH mic AS (SELECT vec_id, dim, CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS micro FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim)), c AS (SELECT label AS c_label, dim, CAST(floor(CAST(sum(micro) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c_micro FROM (SELECT m.vec_id, e.label, m.dim, m.micro FROM mic m JOIN embeddings e ON e.vec_id = m.vec_id) GROUP BY 1, 2), d AS (SELECT m.vec_id, c.c_label, CAST(sum((m.micro - c.c_micro) * (m.micro - c.c_micro)) AS BIGINT) AS d2 FROM mic m JOIN c USING (dim) GROUP BY 1, 2), r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk FROM d), ab AS (SELECT vec_id, max(CASE WHEN rk = 1 THEN d2 END) AS a2, max(CASE WHEN rk = 2 THEN d2 END) AS b2, max(CASE WHEN rk = 1 THEN c_label END) AS cl FROM r WHERE rk <= 2 GROUP BY 1), sc AS (SELECT cl, CASE WHEN greatest(a2, b2) > 0 THEN CAST(floor((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE))) / greatest(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS sm FROM ab) SELECT cl AS cluster, count(*) AS n_vecs, floor(CAST(sum(sm) AS DOUBLE) / (count(*) * 1000000.0) * 1e4 + 0.5) / 1e4 AS mean_silhouette FROM sc GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(knnBrute, labelStats, knnLsh, knnMatryoshka,
     embCentroids, embDimProfile, embAssignPurity, dedupSemantic,
     embPrototypicality, simHubness, hardNegatives, embKmeansStep,
     embSimHistogram, embPcaPower, embPcaVar, embKmeansppSeed, embWhitening,
     embIsotropy, simRecallEval, knnLabelAccuracy, embCentroidDrift,
-    embConcentration, embSignFidelity, embIntrinsicDim)
+    embConcentration, embSignFidelity, embIntrinsicDim, embSilhouette)
 }

@@ -746,6 +746,19 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- silhouette -----------------------------------------------------------
+
+  test("emb_cluster_silhouette: scores in [-1,1], vecs partition, clusters match labels") {
+    val rows = run("emb_cluster_silhouette").collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val sc = r.getDouble(2)
+      assert(sc >= -1.0 - 1e-4 && sc <= 1.0 + 1e-4, s"silhouette $sc")
+    }
+    val labels = Tables.embeddings(spark, sf).select("label").distinct().count()
+    assert(rows.length <= labels)
+  }
+
   // ---- fingerprint collisions -----------------------------------------------
 
   test("qa_fingerprint_collision_audit: wider fingerprints collide less, text count constant") {
