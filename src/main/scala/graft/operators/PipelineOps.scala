@@ -691,10 +691,47 @@ object PipelineOps {
       Some(s"""WITH sc AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, CAST(floor((CAST(len(list_filter(t, x -> x IN (${graft.functions.GraftFunctions.stopwordsSqlList}))) AS DOUBLE) / len(t) * 0.3 + CAST(len(list_filter(t, x -> length(x) > 4)) AS DOUBLE) / len(t) * 0.4 + (CASE WHEN len(t) BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END) * 0.3) * 1000000.0 + 0.5) AS BIGINT) AS qm FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)), rk AS (SELECT *, CAST(row_number() OVER (ORDER BY qm, doc_id) AS BIGINT) AS rk, CAST(count(*) OVER () AS BIGINT) AS n FROM sc), ph AS (SELECT ((rk - 1) * 3) // n + 1 AS phase, n_tok, qm FROM rk) SELECT phase, CASE WHEN phase = 1 THEN 'warmup' WHEN phase = 2 THEN 'core' ELSE 'polish' END AS name, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens, floor(CAST(sum(qm) AS DOUBLE) / (count(*) * 1000000.0) * 1e4 + 0.5) / 1e4 AS mean_quality FROM ph GROUP BY 1 ORDER BY 1"""))
   }
 
+  /** PADDING CURVE: the length-sorted padding waste at batch sizes
+    * 4/8/16/32 — the knob-tuning read for pipe_length_batching's fixed
+    * B = 8 (bigger batches amortize kernels but pad more; the curve says
+    * how much). ONE length ranking (the sort is the expensive part)
+    * serves all four batch sizes; per-size grouping and the waste
+    * arithmetic are pure integers. */
+  private val pipePaddingCurve = {
+    val sizes = Seq(4L, 8L, 16L, 32L)
+    GraftQuery(
+      "pipe_padding_curve",
+      "length-sorted padding waste at batch sizes 4/8/16/32 from one ranking",
+      (s, d) => {
+        val ranked = Tables.documents(s, d)
+          .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(desc("n_tok"), col("doc_id"))).cast("long"))
+        val legs = sizes.map { b =>
+          ranked.withColumn("batch", expr(s"(rn - 1) div $b"))
+            .groupBy("batch")
+            .agg(count(lit(1)).as("bsz"), max("n_tok").as("mx"),
+              sum("n_tok").as("sm"))
+            .agg(count(lit(1)).as("n_batches"), sum("sm").as("real_tokens"),
+              sum(col("bsz") * col("mx") - col("sm")).as("padded"))
+            .select(lit(b).as("batch_size"), col("n_batches"),
+              col("real_tokens"), col("padded"),
+              fround(col("padded").cast("double") /
+                (col("real_tokens") + col("padded")).cast("double"), 4)
+                .as("pad_share"))
+        }
+        legs.reduce(_.unionByName(_)).orderBy("batch_size")
+      },
+      Some("WITH ranked AS (SELECT CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok, CAST(row_number() OVER (ORDER BY len(string_split(lower(text), ' ')) DESC, doc_id) AS BIGINT) AS rn FROM documents) " +
+        sizes.map(b =>
+          s"SELECT CAST($b AS BIGINT) AS batch_size, count(*) AS n_batches, CAST(sum(sm) AS BIGINT) AS real_tokens, CAST(sum(bsz * mx - sm) AS BIGINT) AS padded, floor(CAST(sum(bsz * mx - sm) AS DOUBLE) / CAST(sum(sm) + sum(bsz * mx - sm) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS pad_share FROM (SELECT (rn - 1) // $b AS batch, count(*) AS bsz, max(n_tok) AS mx, sum(n_tok) AS sm FROM ranked GROUP BY 1)")
+          .mkString(" UNION ALL ") + " ORDER BY batch_size"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     sampHashSplit, sampClusterSplit, arrHofStats, evtFunnel, aggMode,
     calGapFill, calInterpolate, pipePack, pipeMixWeights, pipeChunk,
     pipeFilterGate, pipeCurationFunnel, pipeTokenBudget, pipeAuditTrail,
     calBusinessDays, pipeSpanCorruption, pipeLengthBatching,
-    pipeDatasetCard, pipeCurriculum)
+    pipeDatasetCard, pipeCurriculum, pipePaddingCurve)
 }

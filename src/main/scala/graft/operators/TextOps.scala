@@ -1106,7 +1106,55 @@ object TextOps {
     pplBuckets, charEntropy, langIdConfusion, oovRate, bpePairs,
     langIdKappa, cdcChunks, cooccurrence, splitContamination, zipfFit,
     featureHashing, bpeMergeStep, bigramLogprob, hapaxProfile, burstiness,
-    keynessG2, jsdSources, countMinProbe, vocabJaccardSources, heapsLaw)
+    keynessG2, jsdSources, countMinProbe, vocabJaccardSources, heapsLaw,
+    burrowsDelta)
+
+  /** BURROWS' DELTA between sources — the classic stylometric distance
+    * (authorship attribution, Burrows 2002): z-score each source's
+    * relative frequency of the top-30 corpus words against the
+    * cross-source mean/sd, Δ(a,b) = mean |z_a − z_b|. Relative
+    * frequencies ride as integer parts-per-billion (c·1e9 div total);
+    * cross-source moments are exact integer sums over the DENSE
+    * (source × word) grid (absent words count 0 — that absence IS
+    * stylistic signal); per-cell z micro-floors before the pair mean.
+    * Zero-variance words drop out. Scale: one tokenize rollup, then
+    * everything is (30 × sources)-sized. */
+  private lazy val burrowsDelta = GraftQuery(
+    "txt_burrows_delta",
+    "pairwise Burrows' delta over top-30 word z-scores between sources",
+    (s, d) => {
+      val st = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val totals = st.groupBy("source").agg(sum("c").as("nt"))
+      val top = st.groupBy("tok").agg(sum("c").as("cf"))
+        .orderBy(desc("cf"), col("tok")).limit(30).select("tok")
+      val grid = totals.crossJoin(broadcast(top))
+        .join(st, Seq("source", "tok"), "left")
+        .select(col("source"), col("tok"),
+          expr("coalesce(c, 0L) * 1000000000L div nt").as("rf"))
+      val stats = grid.groupBy("tok")
+        .agg(count(lit(1)).as("k"), sum("rf").as("sr"),
+          sum(col("rf").cast("decimal(38,0)") * col("rf")).as("srr"))
+        .withColumn("vark", // k^2 * variance, exact integer
+          (col("k") * col("srr") - col("sr").cast("decimal(38,0)") * col("sr")))
+        .filter(col("vark") > 0)
+      val z = grid.join(broadcast(stats), Seq("tok"))
+        .select(col("source"), col("tok"),
+          floor((col("rf").cast("double") * col("k").cast("double") -
+            col("sr").cast("double")) /
+            sqrt(col("vark").cast("double")) * 1e6 + 0.5).cast("long").as("zm"))
+      val pairs = z.toDF("sa", "tok", "za")
+        .join(z.toDF("sb", "tok", "zb"), Seq("tok"))
+        .filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb")
+        .agg(count(lit(1)).as("n_words"), sum(abs(col("za") - col("zb"))).as("sd"))
+      pairs.select(col("sa"), col("sb"), col("n_words"),
+          fround(col("sd").cast("double") / (col("n_words") * 1e6), 4)
+            .as("burrows_delta"))
+        .orderBy("sa", "sb")
+    },
+    Some("""WITH st AS (SELECT source, tok, count(*) AS c FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents) GROUP BY 1, 2), tt AS (SELECT source, CAST(sum(c) AS BIGINT) AS nt FROM st GROUP BY 1), top AS (SELECT tok FROM (SELECT tok, CAST(sum(c) AS BIGINT) AS cf FROM st GROUP BY 1) ORDER BY cf DESC, tok LIMIT 30), grid AS (SELECT tt.source, top.tok, coalesce(st.c, 0) * 1000000000 // tt.nt AS rf FROM tt CROSS JOIN top LEFT JOIN st ON st.source = tt.source AND st.tok = top.tok), stats AS (SELECT tok, CAST(count(*) AS BIGINT) AS k, CAST(sum(rf) AS BIGINT) AS sr, sum(CAST(rf AS HUGEINT) * rf) AS srr FROM grid GROUP BY 1), sv AS (SELECT *, k * srr - CAST(sr AS HUGEINT) * sr AS vark FROM stats WHERE k * srr - CAST(sr AS HUGEINT) * sr > 0), z AS (SELECT g.source, g.tok, CAST(floor((CAST(g.rf AS DOUBLE) * CAST(sv.k AS DOUBLE) - CAST(sv.sr AS DOUBLE)) / sqrt(CAST(sv.vark AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS zm FROM grid g JOIN sv ON g.tok = sv.tok), pr AS (SELECT a.source AS sa, b.source AS sb, count(*) AS n_words, CAST(sum(abs(a.zm - b.zm)) AS BIGINT) AS sd FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source GROUP BY 1, 2) SELECT sa, sb, n_words, floor(CAST(sd AS DOUBLE) / (n_words * 1000000.0) * 1e4 + 0.5) / 1e4 AS burrows_delta FROM pr ORDER BY 1, 2"""))
 
   /** HEAPS' LAW curve + exponent: vocabulary growth V(N) ≈ K·N^β along
     * the doc_id-ordered corpus prefix, in deciles — the sublinear-growth

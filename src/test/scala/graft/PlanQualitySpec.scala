@@ -349,8 +349,11 @@ class PlanQualitySpec extends AnyFunSuite {
       "evt_seasonal_decompose", // centered 7-day frames over the
                               // ~|corpus days| daily series — one
                               // global sequence (win_rolling_corr class)
-      "qa_emd_drift")         // CDF cumulation over the ~100-bin value
+      "qa_emd_drift",         // CDF cumulation over the ~100-bin value
                               // histogram
+      "pipe_padding_curve")   // one global length ranking reused by all
+                              // four batch sizes (pipe_length_batching
+                              // class)
     val offenders = SparkEntry.registry.flatMap { q =>
       val unpartitioned =
         try {

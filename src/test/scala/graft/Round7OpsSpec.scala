@@ -746,6 +746,30 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- padding curve --------------------------------------------------------
+
+  test("pipe_padding_curve: pad share non-decreasing in batch size, real tokens invariant") {
+    val rows = run("pipe_padding_curve").collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(4L, 8L, 16L, 32L))
+    assert(rows.map(_.getLong(2)).distinct.length == 1, "token mass invariant")
+    val shares = rows.map(_.getDouble(4))
+    assert(shares.zip(shares.tail).forall { case (a, b) => b >= a - 1e-9 },
+      s"bigger sorted batches can only pad more: ${shares.mkString(", ")}")
+  }
+
+  // ---- Burrows' delta -------------------------------------------------------
+
+  test("txt_burrows_delta: canonical pairs, nonneg symmetric distance, consistent word panel") {
+    val rows = run("txt_burrows_delta").collect()
+    assert(rows.nonEmpty)
+    val panels = rows.map(_.getLong(2)).distinct
+    assert(panels.length == 1 && panels.head <= 30, "one shared word panel")
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getDouble(3) >= 0.0)
+    }
+  }
+
   // ---- silhouette -----------------------------------------------------------
 
   test("emb_cluster_silhouette: scores in [-1,1], vecs partition, clusters match labels") {
