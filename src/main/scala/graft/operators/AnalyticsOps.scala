@@ -1108,7 +1108,39 @@ object AnalyticsOps {
     aggTheil, aggGini, winRollingCorr, winSessionSensitivity,
     calWeekOverWeek, qaKeyGaps, aggParetoRatio, qaPkUniqueness, aggAnovaF,
     aggSkewKurtosis, aggPythagoreanMeans, winOnlineScaling,
-    evtPeriodicityAcf, qaEmdDrift)
+    evtPeriodicityAcf, qaEmdDrift, qaProportionZtest)
+
+  /** TWO-PROPORTION z-TEST: did the purchase rate change between month
+    * halves? — the A/B-test primitive completing the inference family
+    * (ANOVA for means, χ² for categories, KS/PSI/EMD for distributions,
+    * z for rates). Trials and conversions are exact integer counts from
+    * ONE conditional pass; the pooled-variance z statistic is a single
+    * fixed-order float expression over those integers. Both one-row
+    * legs' counts ship alongside the statistic so the reader can redo
+    * the arithmetic. */
+  private lazy val qaProportionZtest = GraftQuery(
+    "qa_proportion_ztest",
+    "two-proportion z-test on the purchase rate between month halves",
+    (s, d) => {
+      val c = Tables.events(s, d)
+        .select(when(dayofmonth(col("ts")) <= 15, 0).otherwise(1).as("p"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
+        .agg(sum(when(col("p") === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("p") === 0, col("conv")).otherwise(0L)).as("x1"),
+          sum(when(col("p") === 1, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("p") === 1, col("conv")).otherwise(0L)).as("x2"))
+      val p1 = col("x1").cast("double") / col("n1").cast("double")
+      val p2 = col("x2").cast("double") / col("n2").cast("double")
+      val pp = (col("x1") + col("x2")).cast("double") /
+        (col("n1") + col("n2")).cast("double")
+      c.select(col("n1"), col("x1"), col("n2"), col("x2"),
+        fround(p1, 6).as("rate_first"), fround(p2, 6).as("rate_second"),
+        fround((p1 - p2) /
+          sqrt(pp * (lit(1.0) - pp) *
+            (lit(1.0) / col("n1").cast("double") +
+              lit(1.0) / col("n2").cast("double"))), 4).as("z_stat"))
+    },
+    Some("""WITH c AS (SELECT CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1, CAST(sum(CASE WHEN p = 0 THEN conv ELSE 0 END) AS BIGINT) AS x1, CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2, CAST(sum(CASE WHEN p = 1 THEN conv ELSE 0 END) AS BIGINT) AS x2 FROM (SELECT CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15 THEN 0 ELSE 1 END AS p, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv FROM events)) SELECT n1, x1, n2, x2, floor(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS rate_first, floor(CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS rate_second, floor((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) * 1e4 + 0.5) / 1e4 AS z_stat FROM c"""))
 
   /** EARTH MOVER'S (Wasserstein-1) drift between the first and second
     * half-month value distributions — the drift metric that reports HOW

@@ -863,11 +863,38 @@ object TemporalOps {
         }.mkString(" UNION ALL ") + " ORDER BY scale_level"))
   }
 
+  /** USER-JOURNEY TRIGRAMS: the top-15 three-step event-type sequences
+    * across all user histories — the journey-mining read behind funnel
+    * design ("what do users actually do in order"), one step up from
+    * evt_transition_matrix's bigrams. Two leads over one user-keyed
+    * window pass; trigrams never straddle users; ranking is
+    * (count desc, pattern) deterministic. */
+  private val journeyTrigrams = GraftQuery(
+    "evt_journey_trigrams",
+    "top-15 user-journey event-type trigrams with corpus share",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val tri = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          col("event_type").as("a"))
+        .withColumn("b", lead("a", 1).over(w))
+        .withColumn("c", lead("a", 2).over(w))
+        .filter(col("b").isNotNull && col("c").isNotNull)
+        .select(concat_ws(">", col("a"), col("b"), col("c")).as("pattern"))
+      val counts = tri.groupBy("pattern").agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum("n").as("nn"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("pattern"), col("n"),
+          fround(col("n").cast("double") / col("nn"), 4).as("share"))
+        .orderBy(desc("n"), col("pattern")).limit(15)
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type AS a FROM events), tr AS (SELECT a, lead(a, 1) OVER w AS b, lead(a, 2) OVER w AS c FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), pat AS (SELECT a || '>' || b || '>' || c AS pattern FROM tr WHERE b IS NOT NULL AND c IS NOT NULL), ct AS (SELECT pattern, count(*) AS n FROM pat GROUP BY 1), t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM ct) SELECT pattern, n, floor(CAST(n AS DOUBLE) / nn * 1e4 + 0.5) / 1e4 AS share FROM ct CROSS JOIN t ORDER BY n DESC, pattern LIMIT 15"""))
+
   val all: Seq[GraftQuery] =
     Seq(rollingDau, attribution, firstLast, snapshotDiff, cohortRevenue,
       rfmSegments, paaSax, turningPoints, markovStationary, changepoint,
       autocorr, gapHistogram, islands, survivalKm, entropyRate,
       timeToConvert, maxDrawdown, forecastBacktest, userEntropyProfile,
       fanoFactor, seasonalDecompose, circadianProfile, burstDetection,
-      haarEnergy)
+      haarEnergy, journeyTrigrams)
 }

@@ -746,6 +746,32 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- proportion z-test ----------------------------------------------------
+
+  test("qa_proportion_ztest: halves cover the corpus, rates recompute, z finite") {
+    val r = run("qa_proportion_ztest").collect().head
+    assert(r.getLong(0) + r.getLong(2) == Tables.events(spark, sf).count())
+    assert(r.getLong(1) <= r.getLong(0) && r.getLong(3) <= r.getLong(2))
+    assert(math.abs(r.getDouble(4) - r.getLong(1).toDouble / r.getLong(0)) < 1e-5)
+    assert(!r.getDouble(6).isNaN && !r.getDouble(6).isInfinite)
+  }
+
+  // ---- journey trigrams -----------------------------------------------------
+
+  test("evt_journey_trigrams: 15 ranked patterns of 3 valid types, shares <= 1") {
+    val rows = run("evt_journey_trigrams").collect()
+    assert(rows.length == 15)
+    val types = Tables.events(spark, sf).select("event_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    val ns = rows.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a }, "ranked desc")
+    rows.foreach { r =>
+      val parts = r.getString(0).split(">")
+      assert(parts.length == 3 && parts.forall(types.contains))
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
   // ---- padding curve --------------------------------------------------------
 
   test("pipe_padding_curve: pad share non-decreasing in batch size, real tokens invariant") {
