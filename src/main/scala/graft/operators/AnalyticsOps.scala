@@ -1108,7 +1108,48 @@ object AnalyticsOps {
     aggTheil, aggGini, winRollingCorr, winSessionSensitivity,
     calWeekOverWeek, qaKeyGaps, aggParetoRatio, qaPkUniqueness, aggAnovaF,
     aggSkewKurtosis, aggPythagoreanMeans, winOnlineScaling,
-    evtPeriodicityAcf, qaEmdDrift, qaProportionZtest)
+    evtPeriodicityAcf, qaEmdDrift, qaProportionZtest, qaJoinCardEstimate)
+
+  /** JOIN-CARDINALITY ESTIMATION audit — the optimizer-statistics theory
+    * made measurable: |orders ⋈ lineitem| estimated three ways (the
+    * textbook uniform-key formula |A|·|B|/max(ndv), a 150-bucket
+    * equi-width key histogram Σ aᵢ·bᵢ/width assuming in-bucket
+    * uniformity, and the exact per-key Σ cA(k)·cB(k)) next to the true
+    * join count — per-estimator error in one read, the audit that says
+    * how much histogram resolution buys. Everything is exact integer
+    * arithmetic from two key rollups; no actual join executes (the
+    * per-key sum IS the join count, computed as an aggregate). */
+  private lazy val qaJoinCardEstimate = GraftQuery(
+    "qa_join_cardinality_estimate",
+    "join-size estimates (uniform/histogram/exact) vs the true cardinality",
+    (s, d) => {
+      val a = Tables.orders(s, d).groupBy(col("o_orderkey").as("k"))
+        .agg(count(lit(1)).as("ca"))
+      val b = Tables.lineitem(s, d).groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).as("cb"))
+      val exact = a.join(b, Seq("k"))
+        .agg(sum(col("ca") * col("cb")).as("exact_card"))
+      val statsA = a.agg(sum("ca").as("na"), countDistinct("k").as("da"),
+        max("k").as("mx"))
+      val statsB = b.agg(sum("cb").as("nb"), countDistinct("k").as("db"))
+      val span = broadcast(statsA.select(expr("mx div 150 + 1").as("span")))
+      val ha = a.crossJoin(span)
+        .groupBy(expr("k div span").as("bk")).agg(sum("ca").as("ba"))
+      val hb = b.crossJoin(span)
+        .groupBy(expr("k div span").as("bk")).agg(sum("cb").as("bb"))
+      val hist = ha.join(hb, Seq("bk")).crossJoin(span)
+        .agg(sum(expr("(ba * bb) div span")).as("hist_card"))
+      exact.crossJoin(statsA).crossJoin(statsB).crossJoin(hist)
+        .select(col("exact_card"),
+          expr("(na * nb) div greatest(da, db)").as("uniform_card"),
+          col("hist_card"),
+          fround((expr("(na * nb) div greatest(da, db)") - col("exact_card"))
+            .cast("double") / col("exact_card").cast("double") * 100.0, 2)
+            .as("uniform_err_pct"),
+          fround((col("hist_card") - col("exact_card")).cast("double") /
+            col("exact_card").cast("double") * 100.0, 2).as("hist_err_pct"))
+    },
+    Some("""WITH a AS (SELECT o_orderkey AS k, count(*) AS ca FROM orders GROUP BY 1), b AS (SELECT l_orderkey AS k, count(*) AS cb FROM lineitem GROUP BY 1), ex AS (SELECT CAST(sum(ca * cb) AS BIGINT) AS exact_card FROM a JOIN b USING (k)), sa AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(count(DISTINCT k) AS BIGINT) AS da, CAST(max(k) AS BIGINT) AS mx FROM a), sb AS (SELECT CAST(sum(cb) AS BIGINT) AS nb, CAST(count(DISTINCT k) AS BIGINT) AS db FROM b), sp AS (SELECT mx // 150 + 1 AS span FROM sa), ha AS (SELECT k // (SELECT span FROM sp) AS bk, CAST(sum(ca) AS BIGINT) AS ba FROM a GROUP BY 1), hb AS (SELECT k // (SELECT span FROM sp) AS bk, CAST(sum(cb) AS BIGINT) AS bb FROM b GROUP BY 1), hist AS (SELECT CAST(sum((ba * bb) // (SELECT span FROM sp)) AS BIGINT) AS hist_card FROM ha JOIN hb USING (bk)) SELECT exact_card, (na * nb) // greatest(da, db) AS uniform_card, hist_card, floor(CAST((na * nb) // greatest(da, db) - exact_card AS DOUBLE) / CAST(exact_card AS DOUBLE) * 100.0 * 1e2 + 0.5) / 1e2 AS uniform_err_pct, floor(CAST(hist_card - exact_card AS DOUBLE) / CAST(exact_card AS DOUBLE) * 100.0 * 1e2 + 0.5) / 1e2 AS hist_err_pct FROM ex CROSS JOIN sa CROSS JOIN sb CROSS JOIN hist"""))
 
   /** TWO-PROPORTION z-TEST: did the purchase rate change between month
     * halves? — the A/B-test primitive completing the inference family

@@ -746,6 +746,19 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- join cardinality -----------------------------------------------------
+
+  test("qa_join_cardinality_estimate: exact matches a real join count; estimates in sane range") {
+    val r = run("qa_join_cardinality_estimate").collect().head
+    val truth = Tables.orders(spark, sf).select(col("o_orderkey"))
+      .join(Tables.lineitem(spark, sf).select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey")).count()
+    assert(r.getLong(0) == truth, "per-key sum equals the executed join count")
+    assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+    // histogram estimate should not be worse than 10x off on TPC-H keys
+    assert(math.abs(r.getDouble(4)) < 1000.0)
+  }
+
   // ---- proportion z-test ----------------------------------------------------
 
   test("qa_proportion_ztest: halves cover the corpus, rates recompute, z finite") {
