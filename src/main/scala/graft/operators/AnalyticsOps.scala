@@ -1108,7 +1108,41 @@ object AnalyticsOps {
     aggTheil, aggGini, winRollingCorr, winSessionSensitivity,
     calWeekOverWeek, qaKeyGaps, aggParetoRatio, qaPkUniqueness, aggAnovaF,
     aggSkewKurtosis, aggPythagoreanMeans, winOnlineScaling,
-    evtPeriodicityAcf, qaEmdDrift, qaProportionZtest, qaJoinCardEstimate)
+    evtPeriodicityAcf, qaEmdDrift, qaProportionZtest, qaJoinCardEstimate,
+    qaMannWhitney)
+
+  /** MANN-WHITNEY U between month halves — the NONPARAMETRIC location
+    * test (no normality assumed, unlike the z/ANOVA legs), computed
+    * EXACTLY and scale-safely from the shared centi-value histogram:
+    * U = Σ_v cA(v)·cumB(<v) + cA(v)·cB(v)/2 (ties contribute half), so
+    * the combined sample is never globally ranked — one distinct-value
+    * rollup (~|value range| rows) and one cumulative window replace the
+    * O(N log N) sort a textbook implementation needs. The half-tie term
+    * doubles everything to stay integer (U2 = 2U), and the normal
+    * approximation's z rides the same exact integers. */
+  private lazy val qaMannWhitney = GraftQuery(
+    "qa_mann_whitney",
+    "exact Mann-Whitney U (with ties) between month halves via histograms",
+    (s, d) => {
+      val h = Tables.events(s, d)
+        .select(centi(col("value")).as("v"),
+          when(dayofmonth(col("ts")) <= 15, 0).otherwise(1).as("p"))
+        .groupBy("v")
+        .agg(sum(when(col("p") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("p") === 1, 1L).otherwise(0L)).as("cb"))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      val u2 = h
+        .withColumn("cumb", coalesce(sum("cb").over(w), lit(0L)))
+        .agg(sum("ca").as("n1"), sum("cb").as("n2"),
+          sum(col("ca").cast("decimal(38,0)") * (lit(2L) * col("cumb") + col("cb")))
+            .as("u2"))
+      val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+      u2.select(col("n1"), col("n2"),
+        fround(col("u2").cast("double") / 2.0, 1).as("u_stat"),
+        fround((col("u2").cast("double") / 2.0 - n1 * n2 / 2.0) /
+          sqrt(n1 * n2 * (n1 + n2 + 1.0) / 12.0), 4).as("z_approx"))
+    },
+    Some("""WITH h AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v, CAST(sum(CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS ca, CAST(sum(CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15 THEN 0 ELSE 1 END) AS BIGINT) AS cb FROM events GROUP BY 1), c AS (SELECT *, CAST(coalesce(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb FROM h), a AS (SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(cb) AS BIGINT) AS n2, sum(CAST(ca AS HUGEINT) * (2 * cumb + cb)) AS u2 FROM c) SELECT n1, n2, floor(CAST(u2 AS DOUBLE) / 2.0 * 1e1 + 0.5) / 1e1 AS u_stat, floor((CAST(u2 AS DOUBLE) / 2.0 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0) / 12.0) * 1e4 + 0.5) / 1e4 AS z_approx FROM a"""))
 
   /** JOIN-CARDINALITY ESTIMATION audit — the optimizer-statistics theory
     * made measurable: |orders ⋈ lineitem| estimated three ways (the

@@ -890,11 +890,42 @@ object TemporalOps {
     },
     Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type AS a FROM events), tr AS (SELECT a, lead(a, 1) OVER w AS b, lead(a, 2) OVER w AS c FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), pat AS (SELECT a || '>' || b || '>' || c AS pattern FROM tr WHERE b IS NOT NULL AND c IS NOT NULL), ct AS (SELECT pattern, count(*) AS n FROM pat GROUP BY 1), t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM ct) SELECT pattern, n, floor(CAST(n AS DOUBLE) / nn * 1e4 + 0.5) / 1e4 AS share FROM ct CROSS JOIN t ORDER BY n DESC, pattern LIMIT 15"""))
 
+  /** TIME-CONSTRAINED FUNNEL: signup → purchase conversion with and
+    * without a 7-day completion window — evt_funnel counts any later
+    * purchase; real funnel reporting caps the clock, and the gap between
+    * the two numbers is the "slow converter" mass. One conditional
+    * min-aggregation pass per user (no per-stage self-join); the window
+    * test compares exact integer microseconds. */
+  private val funnelConstrained = GraftQuery(
+    "evt_funnel_constrained",
+    "signup→purchase funnel: anytime vs within-7-days conversion",
+    (s, d) => {
+      val week = 7L * 86400L * 1000000L
+      val fu = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "signup", unix_micros(col("ts"))))
+          .as("su"),
+          min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+            .as("pu"))
+        .filter(col("su").isNotNull)
+      fu.agg(count(lit(1)).as("n_signups"),
+          sum(when(col("pu").isNotNull && col("pu") >= col("su"), 1L)
+            .otherwise(0L)).as("conv_any"),
+          sum(when(col("pu").isNotNull && col("pu") >= col("su") &&
+            col("pu") < col("su") + week, 1L).otherwise(0L)).as("conv_7d"))
+        .select(col("n_signups"), col("conv_any"), col("conv_7d"),
+          fround(col("conv_any").cast("double") / col("n_signups"), 4)
+            .as("rate_any"),
+          fround(col("conv_7d").cast("double") / col("n_signups"), 4)
+            .as("rate_7d"))
+    },
+    Some(s"""WITH fu AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS su, min(CASE WHEN event_type = 'purchase' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS pu FROM events GROUP BY 1), f AS (SELECT * FROM fu WHERE su IS NOT NULL) SELECT count(*) AS n_signups, CAST(sum(CASE WHEN pu IS NOT NULL AND pu >= su THEN 1 ELSE 0 END) AS BIGINT) AS conv_any, CAST(sum(CASE WHEN pu IS NOT NULL AND pu >= su AND pu < su + ${7L * 86400L * 1000000L} THEN 1 ELSE 0 END) AS BIGINT) AS conv_7d, floor(CAST(sum(CASE WHEN pu IS NOT NULL AND pu >= su THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS rate_any, floor(CAST(sum(CASE WHEN pu IS NOT NULL AND pu >= su AND pu < su + ${7L * 86400L * 1000000L} THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS rate_7d FROM f"""))
+
   val all: Seq[GraftQuery] =
     Seq(rollingDau, attribution, firstLast, snapshotDiff, cohortRevenue,
       rfmSegments, paaSax, turningPoints, markovStationary, changepoint,
       autocorr, gapHistogram, islands, survivalKm, entropyRate,
       timeToConvert, maxDrawdown, forecastBacktest, userEntropyProfile,
       fanoFactor, seasonalDecompose, circadianProfile, burstDetection,
-      haarEnergy, journeyTrigrams)
+      haarEnergy, journeyTrigrams, funnelConstrained)
 }

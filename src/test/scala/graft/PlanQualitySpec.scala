@@ -351,9 +351,12 @@ class PlanQualitySpec extends AnyFunSuite {
                               // global sequence (win_rolling_corr class)
       "qa_emd_drift",         // CDF cumulation over the ~100-bin value
                               // histogram
-      "pipe_padding_curve")   // one global length ranking reused by all
+      "pipe_padding_curve",   // one global length ranking reused by all
                               // four batch sizes (pipe_length_batching
                               // class)
+      "qa_mann_whitney")      // cumulation over the ~|value range|
+                              // centi-histogram — the whole point is
+                              // replacing the global sort
     val offenders = SparkEntry.registry.flatMap { q =>
       val unpartitioned =
         try {

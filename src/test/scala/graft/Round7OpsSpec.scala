@@ -746,6 +746,39 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- Mann-Whitney ---------------------------------------------------------
+
+  test("qa_mann_whitney: U within [0, n1*n2], matches a JVM brute-force with ties") {
+    val r = run("qa_mann_whitney").collect().head
+    val (n1, n2, u) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(u >= 0.0 && u <= n1.toDouble * n2)
+    // brute force at spec SF: U = #{a > b} + #{a == b}/2
+    val vals = Tables.events(spark, sf)
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("v"),
+        when(dayofmonth(col("ts")) <= 15, 0).otherwise(1).as("p"))
+      .collect().map(r2 => (r2.getLong(0), r2.getInt(1)))
+    val as = vals.filter(_._2 == 0).map(_._1)
+    val bs = vals.filter(_._2 == 1).map(_._1).sorted
+    def cntBelow(x: Long): (Long, Long) = {
+      var lo = 0; var hi = bs.length
+      while (lo < hi) { val m = (lo + hi) / 2; if (bs(m) < x) lo = m + 1 else hi = m }
+      val firstGE = lo; var hi2 = bs.length; var lo2 = firstGE
+      while (lo2 < hi2) { val m = (lo2 + hi2) / 2; if (bs(m) <= x) lo2 = m + 1 else hi2 = m }
+      (firstGE.toLong, (lo2 - firstGE).toLong)
+    }
+    val u2 = as.map { x => val (below, eq) = cntBelow(x); 2 * below + eq }.sum
+    assert(math.abs(u - u2 / 2.0) < 0.51, s"engine U $u vs brute ${u2 / 2.0}")
+  }
+
+  // ---- constrained funnel ---------------------------------------------------
+
+  test("evt_funnel_constrained: windowed conversions subset anytime conversions") {
+    val r = run("evt_funnel_constrained").collect().head
+    assert(r.getLong(2) <= r.getLong(1) && r.getLong(1) <= r.getLong(0))
+    assert(r.getDouble(4) <= r.getDouble(3) + 1e-9)
+    assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1)
+  }
+
   // ---- join cardinality -----------------------------------------------------
 
   test("qa_join_cardinality_estimate: exact matches a real join count; estimates in sane range") {
