@@ -1109,7 +1109,82 @@ object AnalyticsOps {
     calWeekOverWeek, qaKeyGaps, aggParetoRatio, qaPkUniqueness, aggAnovaF,
     aggSkewKurtosis, aggPythagoreanMeans, winOnlineScaling,
     evtPeriodicityAcf, qaEmdDrift, qaProportionZtest, qaJoinCardEstimate,
-    qaMannWhitney)
+    qaMannWhitney, evtRetentionHalflife, qaSimpsonParadox)
+
+  /** RETENTION HALF-LIFE: fit ln(retention) = α − λ·offset over the
+    * pooled day-offset retention rates (offsets ≥ 1, rate > 0) and
+    * report λ and t½ = ln 2/λ — the one-number summary of the whole
+    * retention matrix (evt_retention is the full triangle; this is the
+    * model fit a dashboard headline shows). Per-offset rates come from
+    * exact integer active/cohort counts; ln terms micro-floor before
+    * the ≤|max offset| OLS sums. */
+  private lazy val evtRetentionHalflife = GraftQuery(
+    "evt_retention_halflife",
+    "exponential-decay fit of pooled retention: lambda + half-life days",
+    (s, d) => {
+      val act = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val coh = act
+        .withColumn("cohort", min("day").over(Window.partitionBy("user_id")))
+        .withColumn("off", datediff(col("day"), col("cohort")).cast("long"))
+      val pooled = coh.groupBy("off").agg(count(lit(1)).as("n_active"))
+      val base = pooled.filter(col("off") === 0)
+        .select(col("n_active").as("n0"))
+      val pts = pooled.filter(col("off") >= 1).crossJoin(broadcast(base))
+        .filter(col("n_active") > 0)
+        .select(col("off").as("x"),
+          floor(log(col("n_active").cast("double") / col("n0").cast("double")) *
+            1e6 + 0.5).cast("long").as("ym"))
+      val fit = pts.agg(count(lit(1)).as("m"), sum("x").as("sx"),
+          sum("ym").as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("ym")).as("sxy"))
+        .select(col("m").as("n_offsets"),
+          fround(-(col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("m") * col("sxx") - col("sx") * col("sx")).cast("double") / 1e6, 6)
+            .as("lambda_per_day"))
+      fit.select(col("n_offsets"), col("lambda_per_day"),
+        when(col("lambda_per_day") > 0,
+          fround(lit(math.log(2.0)) / col("lambda_per_day"), 2))
+          .as("half_life_days"))
+    },
+    Some(s"""WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), c AS (SELECT *, min(day) OVER (PARTITION BY user_id) AS cohort FROM act), o AS (SELECT CAST(date_diff('day', cohort, day) AS BIGINT) AS off, count(*) AS n_active FROM c GROUP BY 1), b AS (SELECT n_active AS n0 FROM o WHERE off = 0), p AS (SELECT off AS x, CAST(floor(ln(CAST(n_active AS DOUBLE) / CAST(n0 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS ym FROM o CROSS JOIN b WHERE off >= 1 AND n_active > 0), f AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(ym) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * ym) AS BIGINT) AS sxy FROM p), l AS (SELECT m AS n_offsets, floor(-CAST(m * sxy - sx * sy AS DOUBLE) / CAST(m * sxx - sx * sx AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS lambda_per_day FROM f) SELECT n_offsets, lambda_per_day, CASE WHEN lambda_per_day > 0 THEN floor(${math.log(2.0)} / lambda_per_day * 1e2 + 0.5) / 1e2 END AS half_life_days FROM l"""))
+
+  /** SIMPSON'S-PARADOX detector: the pooled revenue-vs-order-count slope
+    * across customers against each nation's within-group slope — counting
+    * nations whose sign REVERSES the pooled trend, the aggregation trap
+    * every analytics reviewer checks before trusting a corpus-wide
+    * correlation. All slopes are exact-integer-moment signs (numerator
+    * n·Σxy − Σx·Σy in DECIMAL, no division needed for a sign test). */
+  private lazy val qaSimpsonParadox = GraftQuery(
+    "qa_simpson_paradox",
+    "pooled vs per-nation slope signs of revenue on order count",
+    (s, d) => {
+      val cust = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("x"), sum(centi(col("o_totalprice"))).as("y"))
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey").as("ng")),
+          Seq("o_custkey"))
+      def num = (col("m") * col("sxy") - col("sx").cast("decimal(38,0)") * col("sy"))
+      val per = cust.groupBy("ng")
+        .agg(count(lit(1)).as("m"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+        .select(col("ng"), when(num > 0, 1L).when(num < 0, -1L).otherwise(0L)
+          .as("sgn"))
+      val pooled = cust
+        .agg(count(lit(1)).as("m"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+        .select(when(num > 0, 1L).when(num < 0, -1L).otherwise(0L)
+          .as("pooled_sgn"))
+      per.crossJoin(broadcast(pooled))
+        .agg(count(lit(1)).as("n_groups"),
+          max("pooled_sgn").as("pooled_sign"),
+          sum(when(col("sgn") === col("pooled_sgn"), 1L).otherwise(0L))
+            .as("n_agreeing"),
+          sum(when(col("sgn") === -col("pooled_sgn"), 1L).otherwise(0L))
+            .as("n_reversed"))
+    },
+    Some("""WITH cu AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS x, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y FROM orders GROUP BY 1), cust AS (SELECT cu.*, c.c_nationkey AS ng FROM cu JOIN customer c ON c.c_custkey = cu.o_custkey), per AS (SELECT ng, CASE WHEN CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * y) - CAST(sum(x) AS HUGEINT) * sum(y) > 0 THEN 1 WHEN CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * y) - CAST(sum(x) AS HUGEINT) * sum(y) < 0 THEN -1 ELSE 0 END AS sgn FROM cust GROUP BY 1), pl AS (SELECT CASE WHEN CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * y) - CAST(sum(x) AS HUGEINT) * sum(y) > 0 THEN 1 WHEN CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * y) - CAST(sum(x) AS HUGEINT) * sum(y) < 0 THEN -1 ELSE 0 END AS pooled_sgn FROM cust) SELECT count(*) AS n_groups, CAST(max(pooled_sgn) AS BIGINT) AS pooled_sign, CAST(sum(CASE WHEN sgn = pooled_sgn THEN 1 ELSE 0 END) AS BIGINT) AS n_agreeing, CAST(sum(CASE WHEN sgn = -pooled_sgn THEN 1 ELSE 0 END) AS BIGINT) AS n_reversed FROM per CROSS JOIN pl"""))
 
   /** MANN-WHITNEY U between month halves — the NONPARAMETRIC location
     * test (no normality assumed, unlike the z/ANOVA legs), computed

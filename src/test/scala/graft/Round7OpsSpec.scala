@@ -746,6 +746,31 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- retention half-life --------------------------------------------------
+
+  test("evt_retention_halflife: positive decay on this corpus implies a positive half-life") {
+    val r = run("evt_retention_halflife").collect().head
+    assert(r.getLong(0) >= 2, "enough offsets to fit")
+    val lambda = r.getDouble(1)
+    if (lambda > 0) {
+      val hl = r.getDouble(2)
+      assert(math.abs(hl - math.log(2.0) / lambda) < 0.05, "t1/2 = ln2/lambda")
+    } else assert(r.isNullAt(2))
+  }
+
+  // ---- Simpson detector -----------------------------------------------------
+
+  test("qa_simpson_paradox: groups partition nations, agree+reverse <= groups") {
+    val r = run("qa_simpson_paradox").collect().head
+    val nations = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_nationkey").distinct().count()
+    assert(r.getLong(0) == nations)
+    assert(r.getLong(2) + r.getLong(3) <= r.getLong(0))
+    assert(math.abs(r.getLong(1)) <= 1)
+  }
+
   // ---- Mann-Whitney ---------------------------------------------------------
 
   test("qa_mann_whitney: U within [0, n1*n2], matches a JVM brute-force with ties") {
