@@ -1044,7 +1044,49 @@ object RelationalOps {
     jsonKv, calDaily, strWeekday, reshapeUnpivot, jIntervalOverlap,
     jFuzzyMatch, relSkyline, relIntervalMerge, jAsofNearest, winCumeDist,
     relSweepConcurrency, calTumbling, winTimeRange, relBasketLift,
-    jTemporalDim, relBitemporal, jIntervalBucketed, relRangeBoundaries)
+    jTemporalDim, relBitemporal, jIntervalBucketed, relRangeBoundaries,
+    jBloomPrefilter)
+
+  /** BLOOM-PREFILTERED JOIN — the sideways-information-passing pattern a
+    * fact⋈selective-dim join wants at 100 TB: build a Bloom filter over
+    * the urgent-order keys IN-PLAN (graft_bloom_agg, the same
+    * BloomFilterAggregate surface as txt_decontaminate_bloom), broadcast
+    * the ONE-ROW sketch, and pre-drop fact rows in whole-stage codegen
+    * before any exchange — the exact semi-join then runs on the
+    * survivors only. The report shows what the prefilter passed vs the
+    * exact membership: Bloom guarantees ZERO false negatives (spec-
+    * pinned), and the false-positive overhead is the price of never
+    * shuffling non-candidates. No oracle: the sketch's bit layout is
+    * engine-internal (declared-spec status like the other sketches). */
+  private lazy val jBloomPrefilter = GraftQuery(
+    "j_bloom_prefilter",
+    "bloom-prefiltered fact semi-join: pass/exact/false-positive audit",
+    (s, d) => {
+      graft.functions.expressions.GraftExpressions.ensureRegistered(s)
+      // might_contain demands the sketch as a scalar subquery (the
+      // bloomCandidates precedent) — hence the SQL spelling over
+      // invocation-private views
+      val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val vo = s"graft_bloom_o_$nonce"; val vl = s"graft_bloom_l_$nonce"
+      Tables.orders(s, d).createOrReplaceTempView(vo)
+      Tables.lineitem(s, d).createOrReplaceTempView(vl)
+      val df = s.sql(
+        s"""WITH u AS (SELECT o_orderkey FROM $vo WHERE o_orderpriority = '1-URGENT'),
+           |bf AS (SELECT graft_bloom_agg(xxhash64(o_orderkey), 200000L, 1600000L) AS bf FROM u),
+           |pass AS (SELECT count(*) AS n_bloom_pass FROM $vl
+           |         WHERE graft_might_contain((SELECT bf FROM bf), xxhash64(l_orderkey))),
+           |ex AS (SELECT count(*) AS n_exact FROM $vl
+           |       WHERE l_orderkey IN (SELECT o_orderkey FROM u)),
+           |t AS (SELECT count(*) AS n_fact_rows FROM $vl)
+           |SELECT n_fact_rows, n_exact, n_bloom_pass,
+           |       n_bloom_pass - n_exact AS n_false_positive,
+           |       floor(CAST(n_fact_rows - n_bloom_pass AS DOUBLE) /
+           |             CAST(n_fact_rows AS DOUBLE) * 1e4 + 0.5) / 1e4 AS pruned_share
+           |FROM pass CROSS JOIN ex CROSS JOIN t""".stripMargin)
+      s.catalog.dropTempView(vo); s.catalog.dropTempView(vl)
+      df
+    },
+    None)
 
   /** BUCKETED interval join — the 100 TB-safe spelling of "points inside
     * intervals": each URGENT order's 3-day follow-on window is exploded to

@@ -921,11 +921,48 @@ object TemporalOps {
     },
     Some(s"""WITH fu AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS su, min(CASE WHEN event_type = 'purchase' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS pu FROM events GROUP BY 1), f AS (SELECT * FROM fu WHERE su IS NOT NULL) SELECT count(*) AS n_signups, CAST(sum(CASE WHEN pu IS NOT NULL AND pu >= su THEN 1 ELSE 0 END) AS BIGINT) AS conv_any, CAST(sum(CASE WHEN pu IS NOT NULL AND pu >= su AND pu < su + ${7L * 86400L * 1000000L} THEN 1 ELSE 0 END) AS BIGINT) AS conv_7d, floor(CAST(sum(CASE WHEN pu IS NOT NULL AND pu >= su THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS rate_any, floor(CAST(sum(CASE WHEN pu IS NOT NULL AND pu >= su AND pu < su + ${7L * 86400L * 1000000L} THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS rate_7d FROM f"""))
 
+  /** ATTRIBUTION MODEL COMPARISON: every purchase credited under BOTH
+    * first-touch (the earliest prior non-purchase event) and last-touch
+    * (evt_attribution's rule) in ONE user-keyed window pass — two carries
+    * over the same frame — with per-channel credit counts side by side
+    * and the share of purchases the two models credit differently. The
+    * model-choice sensitivity read marketing reporting runs before
+    * standardizing on either. */
+  private val attributionCompare = GraftQuery(
+    "evt_attribution_compare",
+    "first-touch vs last-touch purchase credit per channel + disagreement",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val credited = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"))
+        .withColumn("src",
+          when(col("event_type") =!= "purchase", col("event_type")))
+        .withColumn("first_ch",
+          coalesce(first("src", ignoreNulls = true).over(w), lit("direct")))
+        .withColumn("last_ch",
+          coalesce(last("src", ignoreNulls = true).over(w), lit("direct")))
+        .filter(col("event_type") === "purchase")
+      credited.groupBy(col("first_ch").as("channel"))
+        .agg(count(lit(1)).as("n_first_touch"),
+          sum(when(col("first_ch") =!= col("last_ch"), 1L).otherwise(0L))
+            .as("n_disagree_as_first"))
+        .join(credited.groupBy(col("last_ch").as("channel"))
+          .agg(count(lit(1)).as("n_last_touch")), Seq("channel"), "full_outer")
+        .select(col("channel"),
+          coalesce(col("n_first_touch"), lit(0L)).as("n_first_touch"),
+          coalesce(col("n_last_touch"), lit(0L)).as("n_last_touch"),
+          coalesce(col("n_disagree_as_first"), lit(0L)).as("n_disagree_as_first"))
+        .orderBy("channel")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events), m AS (SELECT *, CASE WHEN event_type <> 'purchase' THEN event_type END AS src FROM ev), a AS (SELECT *, coalesce(first_value(src IGNORE NULLS) OVER w, 'direct') AS first_ch, coalesce(last_value(src IGNORE NULLS) OVER w, 'direct') AS last_ch FROM m WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), p AS (SELECT * FROM a WHERE event_type = 'purchase'), f AS (SELECT first_ch AS channel, count(*) AS n_first_touch, CAST(sum(CASE WHEN first_ch <> last_ch THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree_as_first FROM p GROUP BY 1), l AS (SELECT last_ch AS channel, count(*) AS n_last_touch FROM p GROUP BY 1) SELECT channel, coalesce(f.n_first_touch, 0) AS n_first_touch, coalesce(l.n_last_touch, 0) AS n_last_touch, coalesce(f.n_disagree_as_first, 0) AS n_disagree_as_first FROM f FULL JOIN l USING (channel) ORDER BY channel"""))
+
   val all: Seq[GraftQuery] =
     Seq(rollingDau, attribution, firstLast, snapshotDiff, cohortRevenue,
       rfmSegments, paaSax, turningPoints, markovStationary, changepoint,
       autocorr, gapHistogram, islands, survivalKm, entropyRate,
       timeToConvert, maxDrawdown, forecastBacktest, userEntropyProfile,
       fanoFactor, seasonalDecompose, circadianProfile, burstDetection,
-      haarEnergy, journeyTrigrams, funnelConstrained)
+      haarEnergy, journeyTrigrams, funnelConstrained, attributionCompare)
 }

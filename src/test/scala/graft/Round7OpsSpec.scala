@@ -746,6 +746,37 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- attribution comparison -----------------------------------------------
+
+  test("evt_attribution_compare: both models credit every purchase exactly once; last matches evt_attribution") {
+    val rows = run("evt_attribution_compare").collect()
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getLong(1)).sum == purchases, "first-touch total")
+    assert(rows.map(_.getLong(2)).sum == purchases, "last-touch total")
+    val lastRef = run("evt_attribution").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) == lastRef.getOrElse(r.getString(0), 0L),
+        s"last-touch credit for ${r.getString(0)} matches the dedicated query")
+      assert(r.getLong(3) <= r.getLong(1))
+    }
+  }
+
+  // ---- bloom prefilter ------------------------------------------------------
+
+  test("j_bloom_prefilter: zero false negatives, bounded fp overhead, deterministic") {
+    val r = run("j_bloom_prefilter").collect().head
+    val (fact, exact, pass, fp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(pass >= exact, "Bloom can never drop a true member")
+    assert(fp == pass - exact && fp >= 0)
+    assert(fp.toDouble <= 0.05 * fact + 10,
+      s"false-positive overhead $fp implausible for the sized sketch")
+    val again = run("j_bloom_prefilter").collect().head
+    assert(r.toString == again.toString, "fixed-seed sketch is deterministic")
+  }
+
   // ---- retention half-life --------------------------------------------------
 
   test("evt_retention_halflife: positive decay on this corpus implies a positive half-life") {
