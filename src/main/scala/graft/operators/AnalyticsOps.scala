@@ -1109,7 +1109,46 @@ object AnalyticsOps {
     calWeekOverWeek, qaKeyGaps, aggParetoRatio, qaPkUniqueness, aggAnovaF,
     aggSkewKurtosis, aggPythagoreanMeans, winOnlineScaling,
     evtPeriodicityAcf, qaEmdDrift, qaProportionZtest, qaJoinCardEstimate,
-    qaMannWhitney, evtRetentionHalflife, qaSimpsonParadox)
+    qaMannWhitney, evtRetentionHalflife, qaSimpsonParadox, qaFkFanout)
+
+  /** FK FAN-OUT PROFILE: the 1:N cardinality statistics of every declared
+    * relationship edge (parents, children, childless parents, mean/max
+    * fan-out) — the schema-discovery read that feeds join-size estimation
+    * (qa_join_cardinality_estimate consumes exactly these histograms) and
+    * broadcast decisions. One keyed rollup per edge, left-joined from the
+    * parent side so childless parents count. */
+  private lazy val qaFkFanout = {
+    val edges = Seq(
+      ("customer->orders", "customer", "c_custkey", "orders", "o_custkey"),
+      ("orders->lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+      ("nation->customer", "nation", "n_nationkey", "customer", "c_nationkey"),
+      ("nation->supplier", "nation", "n_nationkey", "supplier", "s_nationkey"),
+      ("part->lineitem", "part", "p_partkey", "lineitem", "l_partkey"))
+    GraftQuery(
+      "qa_fk_fanout_profile",
+      "per-FK-edge fan-out stats: parents, children, childless, mean/max",
+      (s, d) => {
+        val legs = edges.map { case (name, pt, pk, ct, ck) =>
+          val kids = Tables(s, d, ct).groupBy(col(ck).as("k"))
+            .agg(count(lit(1)).as("n"))
+          Tables(s, d, pt).select(col(pk).as("k"))
+            .join(kids, Seq("k"), "left")
+            .agg(count(lit(1)).as("n_parents"),
+              sum(coalesce(col("n"), lit(0L))).as("n_children"),
+              sum(when(col("n").isNull, 1L).otherwise(0L)).as("n_childless"),
+              max(coalesce(col("n"), lit(0L))).as("max_fanout"))
+            .select(lit(name).as("edge"), col("n_parents"), col("n_children"),
+              col("n_childless"),
+              fround(col("n_children").cast("double") / col("n_parents"), 4)
+                .as("mean_fanout"),
+              col("max_fanout"))
+        }
+        legs.reduce(_.unionByName(_)).orderBy("edge")
+      },
+      Some(edges.map { case (name, pt, pk, ct, ck) =>
+        s"SELECT '$name' AS edge, count(*) AS n_parents, CAST(sum(coalesce(n, 0)) AS BIGINT) AS n_children, CAST(sum(CASE WHEN n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_childless, floor(CAST(sum(coalesce(n, 0)) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS mean_fanout, CAST(max(coalesce(n, 0)) AS BIGINT) AS max_fanout FROM (SELECT $pk AS k FROM $pt) p LEFT JOIN (SELECT $ck AS k, count(*) AS n FROM $ct GROUP BY 1) c USING (k)"
+      }.mkString(" UNION ALL ") + " ORDER BY edge"))
+  }
 
   /** RETENTION HALF-LIFE: fit ln(retention) = α − λ·offset over the
     * pooled day-offset retention rates (offsets ≥ 1, rate > 0) and

@@ -746,6 +746,20 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- FK fan-out -----------------------------------------------------------
+
+  test("qa_fk_fanout_profile: child totals match table sizes, childless <= parents") {
+    val rows = run("qa_fk_fanout_profile").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.size == 5)
+    assert(rows("orders->lineitem").getLong(2) ==
+      Tables.lineitem(spark, sf).count(), "every lineitem has a parent order")
+    rows.values.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1))
+      assert(r.getLong(5) >= 0 && r.getDouble(4) >= 0.0)
+    }
+  }
+
   // ---- attribution comparison -----------------------------------------------
 
   test("evt_attribution_compare: both models credit every purchase exactly once; last matches evt_attribution") {
