@@ -1109,7 +1109,43 @@ object AnalyticsOps {
     calWeekOverWeek, qaKeyGaps, aggParetoRatio, qaPkUniqueness, aggAnovaF,
     aggSkewKurtosis, aggPythagoreanMeans, winOnlineScaling,
     evtPeriodicityAcf, qaEmdDrift, qaProportionZtest, qaJoinCardEstimate,
-    qaMannWhitney, evtRetentionHalflife, qaSimpsonParadox, qaFkFanout)
+    qaMannWhitney, evtRetentionHalflife, qaSimpsonParadox, qaFkFanout,
+    aggHhi)
+
+  /** HERFINDAHL-HIRSCHMAN INDEX of supplier revenue concentration per
+    * nation — the antitrust-style market-structure read next to the
+    * household-style Gini/Theil/Pareto: HHI = Σ shareᵢ² over each
+    * nation's suppliers, in the conventional 0–10,000 points. Shares
+    * square as exact integer basis points BEFORE the sum (Σ(bp)²/1e4
+    * instead of float share sums), so the index is bit-stable; the
+    * equivalent-competitor count 1/HHI comes free. Supplier revenue =
+    * lineitem extendedprice rolled to l_suppkey — the same fact shuffle
+    * the TPC-H supplier queries pay. */
+  private lazy val aggHhi = GraftQuery(
+    "agg_hhi_market",
+    "per-nation supplier-revenue HHI (points) + equivalent competitors",
+    (s, d) => {
+      val supRev = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(centi(col("l_extendedprice"))).as("rev"))
+        .join(Tables.supplier(s, d)
+          .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey").as("ng")),
+          Seq("l_suppkey"))
+      val tot = supRev.groupBy("ng").agg(sum("rev").as("trev"))
+      val bp = supRev.join(broadcast(tot), Seq("ng"))
+        .select(col("ng"),
+          expr("(rev * 10000) div trev").as("bp")) // share in basis points
+      bp.groupBy("ng")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("bp") * col("bp")).as("sbp2"))
+        .select(col("ng").as("nation"), col("n_suppliers"),
+          fround(col("sbp2").cast("double") / 1e4, 2).as("hhi_points"),
+          when(col("sbp2") > 0,
+            fround(lit(1e8) / col("sbp2").cast("double"), 2))
+            .as("equiv_competitors"))
+        .orderBy("nation")
+    },
+    Some("""WITH sr AS (SELECT l_suppkey, CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev FROM lineitem GROUP BY 1), an AS (SELECT sr.l_suppkey, sr.rev, s.s_nationkey AS ng FROM sr JOIN supplier s ON s.s_suppkey = sr.l_suppkey), t AS (SELECT ng, CAST(sum(rev) AS BIGINT) AS trev FROM an GROUP BY 1), bp AS (SELECT an.ng, (rev * 10000) // trev AS bp FROM an JOIN t ON an.ng = t.ng) SELECT ng AS nation, count(*) AS n_suppliers, floor(CAST(sum(bp * bp) AS DOUBLE) / 1e4 * 1e2 + 0.5) / 1e2 AS hhi_points, CASE WHEN sum(bp * bp) > 0 THEN floor(1e8 / CAST(sum(bp * bp) AS DOUBLE) * 1e2 + 0.5) / 1e2 END AS equiv_competitors FROM bp GROUP BY 1 ORDER BY 1"""))
 
   /** FK FAN-OUT PROFILE: the 1:N cardinality statistics of every declared
     * relationship edge (parents, children, childless parents, mean/max

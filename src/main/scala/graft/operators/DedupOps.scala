@@ -812,10 +812,52 @@ object DedupOps {
     },
     Some(ngramPairsCte + s""" SELECT count(*) AS n_pairs, CAST(sum(CASE WHEN ${graft.functions.GraftFunctions.md5u32Sql("md5('shard:' || CAST(a AS VARCHAR))")} % 8 = ${graft.functions.GraftFunctions.md5u32Sql("md5('shard:' || CAST(b AS VARCHAR))")} % 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_caught_local, count(*) - CAST(sum(CASE WHEN ${graft.functions.GraftFunctions.md5u32Sql("md5('shard:' || CAST(a AS VARCHAR))")} % 8 = ${graft.functions.GraftFunctions.md5u32Sql("md5('shard:' || CAST(b AS VARCHAR))")} % 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_missed, floor(CAST(count(*) - sum(CASE WHEN ${graft.functions.GraftFunctions.md5u32Sql("md5('shard:' || CAST(a AS VARCHAR))")} % 8 = ${graft.functions.GraftFunctions.md5u32Sql("md5('shard:' || CAST(b AS VARCHAR))")} % 8 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS miss_rate FROM p"""))
 
+  /** TF-IDF-WEIGHTED COSINE for the verified near-dup pairs — the fourth
+    * lens on the same pair table (shingle Jaccard = structure, ROUGE =
+    * token multisets, Levenshtein = characters, tf-idf cosine = term
+    * IMPORTANCE): two docs sharing only stopwords score near 0 here while
+    * raw token overlap looks high. Weights w = tf·ln(N/df) ride as
+    * micro-int per (doc, token); the pair dot product and norms are
+    * exact DECIMAL sums of integer products, with one sqrt/division per
+    * pair at the edge. All joins are pair- or vocabulary-keyed. */
+  private lazy val tfidfPairCosine = GraftQuery(
+    "txt_tfidf_pair_cosine",
+    "tf-idf-weighted cosine for each verified near-dup pair",
+    (s, d) => {
+      val tc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(graft.functions.GraftFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tc.groupBy("tok").agg(count(lit(1)).as("df"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("nn"))
+      val wts = tc.join(df, Seq("tok")).crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("tok"),
+          floor(col("tf") * log(col("nn").cast("double") / col("df").cast("double")) *
+            1e4 + 0.5).cast("long").as("w"))
+      val norms = wts.groupBy("doc_id")
+        .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("nrm2"))
+      val pairs = jaccardPairs(s, d).select(col("a"), col("b"), col("jaccard"))
+      val dots = pairs
+        .join(wts.toDF("a", "tok", "wa"), Seq("a"))
+        .join(wts.toDF("b", "tok", "wb"), Seq("b", "tok"))
+        .groupBy("a", "b")
+        .agg(sum(col("wa").cast("decimal(38,0)") * col("wb")).as("dot"))
+      pairs
+        .join(dots, Seq("a", "b"), "left")
+        .join(norms.toDF("a", "na2"), Seq("a"))
+        .join(norms.toDF("b", "nb2"), Seq("b"))
+        .select(col("a"), col("b"), col("jaccard"),
+          fround(coalesce(col("dot"), lit(0).cast("decimal(38,0)")).cast("double") /
+            sqrt(col("na2").cast("double") * col("nb2").cast("double")), 4)
+            .as("tfidf_cosine"))
+        .orderBy("a", "b")
+    },
+    Some(ngramPairsCte +
+      """, tc AS (SELECT doc_id, tok, count(*) AS tf FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents) GROUP BY 1, 2), dfq AS (SELECT tok, count(*) AS df FROM tc GROUP BY 1), nd AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents), wts AS (SELECT doc_id, tc.tok, CAST(floor(tf * ln(CAST(nn AS DOUBLE) / CAST(df AS DOUBLE)) * 1e4 + 0.5) AS BIGINT) AS w FROM tc JOIN dfq ON tc.tok = dfq.tok CROSS JOIN nd), nrm AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS nrm2 FROM wts GROUP BY 1), dots AS (SELECT p.a, p.b, sum(CAST(x.w AS HUGEINT) * y.w) AS dot FROM p JOIN wts x ON x.doc_id = p.a JOIN wts y ON y.doc_id = p.b AND y.tok = x.tok GROUP BY 1, 2) SELECT p.a, p.b, p.jaccard, floor(CAST(coalesce(dots.dot, 0) AS DOUBLE) / sqrt(CAST(nx.nrm2 AS DOUBLE) * CAST(ny.nrm2 AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS tfidf_cosine FROM p LEFT JOIN dots ON dots.a = p.a AND dots.b = p.b JOIN nrm nx ON nx.doc_id = p.a JOIN nrm ny ON ny.doc_id = p.b ORDER BY 1, 2"""))
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupComponents, dedupKeepList,
     dedupKeepLongest, dedupSimhash, dedupSimhashGroups, dedupEmbedding,
     dedupEmbeddingLsh, dedupIncremental, dedupContainment, graphTriangles,
     dedupClusterSizes, dedupThresholdCurve, rougePairs, editDistancePairs,
-    shardMissAudit)
+    shardMissAudit, tfidfPairCosine)
 }

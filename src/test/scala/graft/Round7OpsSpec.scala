@@ -746,6 +746,34 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- tf-idf pair cosine ---------------------------------------------------
+
+  test("txt_tfidf_pair_cosine: cosine in [0,1], pair set matches the jaccard table") {
+    val rows = run("txt_tfidf_pair_cosine").collect()
+    val nPairs = run("dedup_ngram_jaccard").count()
+    assert(rows.length == nPairs, "one cosine per verified pair")
+    rows.foreach { r =>
+      val c = r.getDouble(3)
+      assert(c >= -1e-9 && c <= 1.0 + 1e-4, s"cosine $c")
+    }
+  }
+
+  // ---- HHI ------------------------------------------------------------------
+
+  test("agg_hhi_market: points in (0, 10000], equiv competitors consistent with 1/HHI") {
+    val rows = run("agg_hhi_market").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hhi = r.getDouble(2)
+      assert(hhi > 0 && hhi <= 10000.0 + 1e-9)
+      if (!r.isNullAt(3))
+        assert(math.abs(r.getDouble(3) - 1e4 / hhi) < 0.5,
+          s"equiv ${r.getDouble(3)} vs ${1e4 / hhi}")
+      assert(hhi >= 1e4 / r.getLong(1) - 5.0,
+        "HHI bounded below by the equal-share floor")
+    }
+  }
+
   // ---- FK fan-out -----------------------------------------------------------
 
   test("qa_fk_fanout_profile: child totals match table sizes, childless <= parents") {
