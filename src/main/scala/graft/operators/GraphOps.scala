@@ -520,7 +520,44 @@ object GraphOps {
           .mkString(" UNION ALL ") + ") ORDER BY k"))
   }
 
+  /** PERSONALIZED PageRank from customer 1's node — the "related to THIS
+    * entity" ranking (recommendations, related-item feeds): identical
+    * integer-picounit iteration to graph_pagerank but the reset mass
+    * teleports to the SOURCE alone instead of spreading uniformly, so
+    * rank decays with trade distance from customer 1. Every round keeps
+    * the full node set (zero-mass nodes contribute exact zeros), so the
+    * plan shape — one edge-keyed shuffle per round, node-sized broadcast
+    * — is unchanged from the global variant. */
+  private lazy val ppr = GraftQuery(
+    "graph_ppr",
+    "personalized PageRank from customer 1 (3 iterations, exact picounits)",
+    (s, d) => {
+      val sym = symEdges(s, d); val nd = nodes(s, d)
+      var ranks = nd.select(col("src").as("id"))
+        .select(col("id"),
+          when(col("id") === 2L, lit(1000000000000L)).otherwise(lit(0L))
+            .as("fp"))
+      for (_ <- 1 to 3) {
+        val contrib = ranks.join(nd, col("id") === col("src"))
+          .select(col("id").as("cid"), expr("(fp * 85L) div (100L * deg)").as("c"))
+        ranks = sym.join(broadcast(contrib), col("src") === col("cid"))
+          .groupBy(col("dst").as("rid"))
+          .agg(sum(col("c")).as("contrib"))
+          .select(col("rid").as("id"),
+            (when(col("rid") === 2L, lit(150000000000L)).otherwise(lit(0L)) +
+              col("contrib")).as("fp"))
+      }
+      ranks.filter(col("fp") > 0)
+        .orderBy(desc("fp"), col("id"))
+        .limit(30)
+        .select(col("id"),
+          when(col("id") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+            .as("kind"),
+          expr("id div 2").as("key"), col("fp").as("rank_fp"))
+    },
+    Some("""WITH e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1), r0 AS (SELECT src AS id, CASE WHEN src = 2 THEN CAST(1000000000000 AS BIGINT) ELSE 0 END AS fp FROM dg), s1 AS (SELECT e.dst AS id, CAST(sum((r.fp * 85) // (100 * dg.deg)) AS BIGINT) AS contrib FROM e JOIN r0 r ON e.src = r.id JOIN dg ON e.src = dg.src GROUP BY 1), r1 AS (SELECT id, CASE WHEN id = 2 THEN CAST(150000000000 AS BIGINT) ELSE 0 END + contrib AS fp FROM s1), s2 AS (SELECT e.dst AS id, CAST(sum((r.fp * 85) // (100 * dg.deg)) AS BIGINT) AS contrib FROM e JOIN r1 r ON e.src = r.id JOIN dg ON e.src = dg.src GROUP BY 1), r2 AS (SELECT id, CASE WHEN id = 2 THEN CAST(150000000000 AS BIGINT) ELSE 0 END + contrib AS fp FROM s2), s3 AS (SELECT e.dst AS id, CAST(sum((r.fp * 85) // (100 * dg.deg)) AS BIGINT) AS contrib FROM e JOIN r2 r ON e.src = r.id JOIN dg ON e.src = dg.src GROUP BY 1), r3 AS (SELECT id, CASE WHEN id = 2 THEN CAST(150000000000 AS BIGINT) ELSE 0 END + contrib AS fp FROM s3) SELECT id, CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind, id // 2 AS key, fp AS rank_fp FROM r3 WHERE fp > 0 ORDER BY fp DESC, id LIMIT 30"""))
+
   val all: Seq[GraftQuery] = Seq(pagerank, degreeStats, twoHop, bipartiteProj,
     neighborJaccard, kCore, assortativity, modularity, bfsDistance,
-    conductance, degreeCcdf, richClub)
+    conductance, degreeCcdf, richClub, ppr)
 }

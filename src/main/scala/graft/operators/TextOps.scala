@@ -1107,7 +1107,27 @@ object TextOps {
     langIdKappa, cdcChunks, cooccurrence, splitContamination, zipfFit,
     featureHashing, bpeMergeStep, bigramLogprob, hapaxProfile, burstiness,
     keynessG2, jsdSources, countMinProbe, vocabJaccardSources, heapsLaw,
-    burrowsDelta)
+    burrowsDelta, surprisalBySource)
+
+  /** MEAN TOKEN SURPRISAL per source — the unigram-LM quality signal
+    * rolled to the SOURCE grain (which corpus slice is most "surprising"
+    * under the corpus's own distribution: high = diverse/rare vocabulary,
+    * low = templated): rides THE shared lpPerDoc pipeline (one
+    * implementation with txt_unigram_logprob and txt_ppl_buckets), so
+    * per-source sums stay exact micro-nat BIGINTs end-to-end. */
+  private lazy val surprisalBySource = GraftQuery(
+    "txt_surprisal_by_source",
+    "per-source mean token surprisal under the corpus unigram LM",
+    (s, d) => lpPerDoc(s, d, Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        sum("lp_sum").as("lps"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        fround(-col("lps").cast("double") / (col("n_tokens") * 1e6), 4)
+          .as("mean_surprisal_nats"))
+      .orderBy("source"),
+    Some("WITH " + lpPerDocCtes(", source") +
+      " SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, floor(-CAST(sum(lp_sum) AS DOUBLE) / (sum(n_tok) * 1000000.0) * 1e4 + 0.5) / 1e4 AS mean_surprisal_nats FROM pd GROUP BY 1 ORDER BY 1"))
 
   /** BURROWS' DELTA between sources — the classic stylometric distance
     * (authorship attribution, Burrows 2002): z-score each source's

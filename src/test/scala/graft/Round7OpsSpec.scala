@@ -746,6 +746,29 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- personalized PageRank ------------------------------------------------
+
+  test("graph_ppr: source outranks everyone, all ranks positive, top-30 desc") {
+    val rows = run("graph_ppr").collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    assert(rows.head.getLong(0) == 2L,
+      "the personalization source holds the top rank")
+    val fps = rows.map(_.getLong(3))
+    assert(fps.zip(fps.tail).forall { case (a, b) => b <= a })
+    assert(fps.forall(_ > 0))
+  }
+
+  // ---- surprisal by source --------------------------------------------------
+
+  test("txt_surprisal_by_source: positive surprisal, token totals match the corpus") {
+    val rows = run("txt_surprisal_by_source").collect()
+    assert(rows.nonEmpty)
+    val total = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " "))).count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    rows.foreach(r => assert(r.getDouble(3) > 0.0, "surprisal positive"))
+  }
+
   // ---- tf-idf pair cosine ---------------------------------------------------
 
   test("txt_tfidf_pair_cosine: cosine in [0,1], pair set matches the jaccard table") {
