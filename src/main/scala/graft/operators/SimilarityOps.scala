@@ -982,10 +982,51 @@ object SimilarityOps {
     },
     Some("""WITH mic AS (SELECT vec_id, dim, CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS micro FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim)), c AS (SELECT label AS c_label, dim, CAST(floor(CAST(sum(micro) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c_micro FROM (SELECT m.vec_id, e.label, m.dim, m.micro FROM mic m JOIN embeddings e ON e.vec_id = m.vec_id) GROUP BY 1, 2), d AS (SELECT m.vec_id, c.c_label, CAST(sum((m.micro - c.c_micro) * (m.micro - c.c_micro)) AS BIGINT) AS d2 FROM mic m JOIN c USING (dim) GROUP BY 1, 2), r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk FROM d), ab AS (SELECT vec_id, max(CASE WHEN rk = 1 THEN d2 END) AS a2, max(CASE WHEN rk = 2 THEN d2 END) AS b2, max(CASE WHEN rk = 1 THEN c_label END) AS cl FROM r WHERE rk <= 2 GROUP BY 1), sc AS (SELECT cl, CASE WHEN greatest(a2, b2) > 0 THEN CAST(floor((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE))) / greatest(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS sm FROM ab) SELECT cl AS cluster, count(*) AS n_vecs, floor(CAST(sum(sm) AS DOUBLE) / (count(*) * 1000000.0) * 1e4 + 0.5) / 1e4 AS mean_silhouette FROM sc GROUP BY 1 ORDER BY 1"""))
 
+  /** DIAGONAL-MAHALANOBIS outliers: each vector's distance from the
+    * corpus mean in per-dimension standard-deviation units (Σ(x−μ)²/σ²
+    * over the diagonal covariance) — the multivariate outlier detector
+    * that catches points no single dimension flags. Corpus moments come
+    * from exact integer micro sums (one pass); per-dimension terms
+    * micro-floor BEFORE the per-vector sum, so the ranking never
+    * compares raw float accumulations; top-20 by (distance, vec_id).
+    * Zero-variance dimensions contribute nothing. */
+  private val embMahalanobis = GraftQuery(
+    "emb_mahalanobis_outliers",
+    "top-20 diagonal-Mahalanobis outliers from exact integer moments",
+    (s, d) => {
+      val mic = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1e6 + 0.5).cast("long")))
+          .as(Seq("dim", "m")))
+      val stats = mic.groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum("m").as("s1"),
+          sum(col("m").cast("decimal(38,0)") * col("m")).as("s2"))
+        // n²·σ² as an exact integer; zero-variance dims drop out
+        .withColumn("v2", col("n") * col("s2") -
+          col("s1").cast("decimal(38,0)") * col("s1"))
+        .filter(col("v2") > 0)
+      val terms = mic.join(broadcast(stats), Seq("dim"))
+        .select(col("vec_id"),
+          // ((n·x − Σx)² / (n²σ²))·1e6, floored — exact operands, one
+          // float division per (vector, dim)
+          floor((col("n") * col("m") - col("s1")).cast("decimal(38,0)")
+            .cast("double") *
+            (col("n") * col("m") - col("s1")).cast("decimal(38,0)")
+              .cast("double") /
+            col("v2").cast("double") * 1e6 + 0.5).cast("long").as("t"))
+      terms.groupBy("vec_id").agg(sum("t").as("d2m"))
+        .orderBy(desc("d2m"), col("vec_id")).limit(20)
+        .select(col("vec_id"),
+          fround(sqrt(col("d2m").cast("double") / 1e6), 4).as("mahalanobis"))
+    },
+    Some("""WITH mic AS (SELECT vec_id, dim, CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS m FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim)), st AS (SELECT dim, CAST(count(*) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS s1, sum(CAST(m AS HUGEINT) * m) AS s2 FROM mic GROUP BY 1), sv AS (SELECT *, n * s2 - CAST(s1 AS HUGEINT) * s1 AS v2 FROM st WHERE n * s2 - CAST(s1 AS HUGEINT) * s1 > 0), t AS (SELECT vec_id, CAST(floor(CAST(CAST(n * m - s1 AS HUGEINT) AS DOUBLE) * CAST(CAST(n * m - s1 AS HUGEINT) AS DOUBLE) / CAST(v2 AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS t FROM mic JOIN sv USING (dim)), d2 AS (SELECT vec_id, CAST(sum(t) AS BIGINT) AS d2m FROM t GROUP BY 1) SELECT vec_id, floor(sqrt(CAST(d2m AS DOUBLE) / 1000000.0) * 1e4 + 0.5) / 1e4 AS mahalanobis FROM d2 ORDER BY d2m DESC, vec_id LIMIT 20"""))
+
   val all: Seq[GraftQuery] = Seq(knnBrute, labelStats, knnLsh, knnMatryoshka,
     embCentroids, embDimProfile, embAssignPurity, dedupSemantic,
     embPrototypicality, simHubness, hardNegatives, embKmeansStep,
     embSimHistogram, embPcaPower, embPcaVar, embKmeansppSeed, embWhitening,
     embIsotropy, simRecallEval, knnLabelAccuracy, embCentroidDrift,
-    embConcentration, embSignFidelity, embIntrinsicDim, embSilhouette)
+    embConcentration, embSignFidelity, embIntrinsicDim, embSilhouette,
+    embMahalanobis)
 }

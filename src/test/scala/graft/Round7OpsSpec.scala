@@ -746,6 +746,19 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- Mahalanobis ----------------------------------------------------------
+
+  test("emb_mahalanobis_outliers: 20 ranked outliers, distances positive and in sd-unit scale") {
+    val rows = run("emb_mahalanobis_outliers").collect()
+    assert(rows.length == 20)
+    val ds = rows.map(_.getDouble(1))
+    assert(ds.zip(ds.tail).forall { case (a, b) => b <= a + 1e-9 }, "ranked desc")
+    // expected distance for 64 standardized dims is ~sqrt(64) = 8; the
+    // TOP outliers must exceed that, and nothing plausible passes 80
+    assert(ds.head > math.sqrt(64.0) * 0.8 && ds.head < 80.0, s"top ${ds.head}")
+    ds.foreach(x => assert(x > 0))
+  }
+
   // ---- personalized PageRank ------------------------------------------------
 
   test("graph_ppr: source outranks everyone, all ranks positive, top-30 desc") {
