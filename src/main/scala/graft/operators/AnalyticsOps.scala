@@ -1110,7 +1110,45 @@ object AnalyticsOps {
     aggSkewKurtosis, aggPythagoreanMeans, winOnlineScaling,
     evtPeriodicityAcf, qaEmdDrift, qaProportionZtest, qaJoinCardEstimate,
     qaMannWhitney, evtRetentionHalflife, qaSimpsonParadox, qaFkFanout,
-    aggHhi)
+    aggHhi, qaTheilSen)
+
+  /** THEIL-SEN robust trend of the daily value total — the median of all
+    * pairwise slopes, immune to the outlier days that drag qa_ols_trend's
+    * least-squares line (ship both; their gap IS the outlier report).
+    * The pair set is |days|² ≈ 30² — the DAILY series self-meets, never
+    * the fact — and every slope is the exact integer
+    * div((y_j−y_i)·1e6, j−i); the median is a rank-pick (no
+    * interpolation, no float compare). Positive-denominator div keeps
+    * Spark/DuckDB truncation in agreement; negative numerators floor the
+    * same way via the (a − (a%b+b)%b)/b spelling — avoided entirely by
+    * picking the LOWER median on the sorted micro-slope list. */
+  private lazy val qaTheilSen = GraftQuery(
+    "qa_theilsen_trend",
+    "Theil-Sen median slope of daily totals vs the OLS slope",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("t"))
+        .agg(sum(centi(col("value"))).as("y"))
+      val pairs = daily.toDF("ti", "yi").join(daily.toDF("tj", "yj"),
+          col("ti") < col("tj"))
+        // floor division with positive denominator: spell as DuckDB's //
+        // (floor) — Spark div truncates, so shift negatives first
+        .select(expr(
+          "CASE WHEN yj >= yi THEN ((yj - yi) * 1000000L) div (tj - ti) " +
+            "ELSE -(((yi - yj) * 1000000L + (tj - ti) - 1) div (tj - ti)) END")
+          .as("sm"))
+      val n = pairs.agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("sm"))
+      val med = pairs.withColumn("rk", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(n))
+        .filter(col("rk") === expr("(n + 1) div 2"))
+        .select(col("n").as("n_pairs"),
+          fround(col("sm").cast("double") / 1e6 / 100.0, 4)
+            .as("theilsen_slope"))
+      med
+    },
+    Some("""WITH daily AS (SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS t, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y FROM events GROUP BY 1), pr AS (SELECT CASE WHEN b.y >= a.y THEN ((b.y - a.y) * 1000000) // (b.t - a.t) ELSE -(((a.y - b.y) * 1000000 + (b.t - a.t) - 1) // (b.t - a.t)) END AS sm FROM daily a JOIN daily b ON a.t < b.t), rk AS (SELECT sm, CAST(row_number() OVER (ORDER BY sm) AS BIGINT) AS rk, CAST(count(*) OVER () AS BIGINT) AS n FROM pr) SELECT n AS n_pairs, floor(CAST(sm AS DOUBLE) / 1e6 / 100.0 * 1e4 + 0.5) / 1e4 AS theilsen_slope FROM rk WHERE rk = (n + 1) // 2"""))
 
   /** HERFINDAHL-HIRSCHMAN INDEX of supplier revenue concentration per
     * nation — the antitrust-style market-structure read next to the

@@ -354,9 +354,11 @@ class PlanQualitySpec extends AnyFunSuite {
       "pipe_padding_curve",   // one global length ranking reused by all
                               // four batch sizes (pipe_length_batching
                               // class)
-      "qa_mann_whitney")      // cumulation over the ~|value range|
+      "qa_mann_whitney",      // cumulation over the ~|value range|
                               // centi-histogram — the whole point is
                               // replacing the global sort
+      "qa_theilsen_trend")    // median rank-pick over the ~|days|^2
+                              // pairwise-slope table (~400 rows)
     val offenders = SparkEntry.registry.flatMap { q =>
       val unpartitioned =
         try {

@@ -746,6 +746,29 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- Theil-Sen ------------------------------------------------------------
+
+  test("qa_theilsen_trend: pair count = d(d-1)/2, slope matches a JVM median of pairwise slopes") {
+    val r = run("qa_theilsen_trend").collect().head
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("y"))
+      .collect().map(x => x.getDate(0).toLocalDate.toEpochDay -> x.getLong(1))
+      .sortBy(_._1)
+    val dcount = daily.length.toLong
+    assert(r.getLong(0) == dcount * (dcount - 1) / 2)
+    val slopes = (for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield {
+      val num = (daily(j)._2 - daily(i)._2) * 1000000L
+      val den = daily(j)._1 - daily(i)._1
+      Math.floorDiv(num, den)
+    }).sorted
+    val med = slopes(((slopes.length + 1) / 2 - 1).toInt)
+    assert(math.abs(r.getDouble(1) - med / 1e6 / 100.0) < 1e-3,
+      s"engine ${r.getDouble(1)} vs jvm ${med / 1e6 / 100.0}")
+  }
+
   // ---- Mahalanobis ----------------------------------------------------------
 
   test("emb_mahalanobis_outliers: 20 ranked outliers, distances positive and in sd-unit scale") {
