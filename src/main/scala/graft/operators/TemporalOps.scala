@@ -958,11 +958,53 @@ object TemporalOps {
     },
     Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events), m AS (SELECT *, CASE WHEN event_type <> 'purchase' THEN event_type END AS src FROM ev), a AS (SELECT *, coalesce(first_value(src IGNORE NULLS) OVER w, 'direct') AS first_ch, coalesce(last_value(src IGNORE NULLS) OVER w, 'direct') AS last_ch FROM m WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), p AS (SELECT * FROM a WHERE event_type = 'purchase'), f AS (SELECT first_ch AS channel, count(*) AS n_first_touch, CAST(sum(CASE WHEN first_ch <> last_ch THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree_as_first FROM p GROUP BY 1), l AS (SELECT last_ch AS channel, count(*) AS n_last_touch FROM p GROUP BY 1) SELECT channel, coalesce(f.n_first_touch, 0) AS n_first_touch, coalesce(l.n_last_touch, 0) AS n_last_touch, coalesce(f.n_disagree_as_first, 0) AS n_disagree_as_first FROM f FULL JOIN l USING (channel) ORDER BY channel"""))
 
+  /** GROWTH ACCOUNTING: every day's active users decomposed into NEW
+    * (first-ever day), RETAINED (also active yesterday), and RESURRECTED
+    * (seen before, but not yesterday), with CHURNED (active yesterday,
+    * absent today) attributed to today — the identity
+    * DAU_t = DAU_{t−1} + new + resurrected − churned that every growth
+    * team reports (spec verifies it telescopes exactly). One user-keyed
+    * window pass over the distinct user-day table classifies every
+    * active day; churn is the same lag information read from the NEXT
+    * day's side (lead), so no second scan. */
+  private val growthAccounting = GraftQuery(
+    "evt_growth_accounting",
+    "daily new/retained/resurrected/churned decomposition of active users",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val du = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .withColumn("prev", lag("day", 1).over(w))
+        .withColumn("nxt", lead("day", 1).over(w))
+        .withColumn("cls",
+          when(col("prev").isNull, "new")
+            .when(datediff(col("day"), col("prev")) === 1, "retained")
+            .otherwise("resurrected"))
+      val active = du.groupBy("day")
+        .agg(count(lit(1)).as("dau"),
+          sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
+          sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+            .as("n_resurrected"))
+      // churned ON day d+1: active on d with no activity on d+1
+      val churn = du
+        .filter(col("nxt").isNull || datediff(col("nxt"), col("day")) > 1)
+        .groupBy(date_add(col("day"), 1).as("day"))
+        .agg(count(lit(1)).as("n_churned"))
+      active.join(churn, Seq("day"), "left")
+        .select(col("day"), col("dau"), col("n_new"), col("n_retained"),
+          col("n_resurrected"), coalesce(col("n_churned"), lit(0L))
+            .as("n_churned"))
+        .orderBy("day")
+    },
+    Some("""WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), l AS (SELECT *, lag(day) OVER w AS prev, lead(day) OVER w AS nxt FROM du WINDOW w AS (PARTITION BY user_id ORDER BY day)), cls AS (SELECT *, CASE WHEN prev IS NULL THEN 'new' WHEN datediff('day', prev, day) = 1 THEN 'retained' ELSE 'resurrected' END AS cls FROM l), act AS (SELECT day, count(*) AS dau, CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new, CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained, CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected FROM cls GROUP BY 1), ch AS (SELECT day + 1 AS day, count(*) AS n_churned FROM l WHERE nxt IS NULL OR datediff('day', day, nxt) > 1 GROUP BY 1) SELECT act.day, dau, n_new, n_retained, n_resurrected, coalesce(ch.n_churned, 0) AS n_churned FROM act LEFT JOIN ch ON act.day = ch.day ORDER BY act.day"""))
+
   val all: Seq[GraftQuery] =
     Seq(rollingDau, attribution, firstLast, snapshotDiff, cohortRevenue,
       rfmSegments, paaSax, turningPoints, markovStationary, changepoint,
       autocorr, gapHistogram, islands, survivalKm, entropyRate,
       timeToConvert, maxDrawdown, forecastBacktest, userEntropyProfile,
       fanoFactor, seasonalDecompose, circadianProfile, burstDetection,
-      haarEnergy, journeyTrigrams, funnelConstrained, attributionCompare)
+      haarEnergy, journeyTrigrams, funnelConstrained, attributionCompare,
+      growthAccounting)
 }

@@ -746,6 +746,30 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- growth accounting ----------------------------------------------------
+
+  test("evt_growth_accounting: classes partition DAU and the growth identity telescopes") {
+    val rows = run("evt_growth_accounting").collect()
+      .sortBy(_.getDate(0).toLocalDate.toEpochDay)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        "dau = new + retained + resurrected")
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b)
+        if b.getDate(0).toLocalDate.toEpochDay ==
+          a.getDate(0).toLocalDate.toEpochDay + 1 =>
+        assert(b.getLong(1) ==
+          a.getLong(1) + b.getLong(2) + b.getLong(4) - b.getLong(5),
+          s"growth identity fails at ${b.getDate(0)}")
+      case _ => ()
+    }
+    assert(rows.map(_.getLong(2)).sum ==
+      Tables.events(spark, sf).select("user_id").distinct().count(),
+      "every user is new exactly once")
+  }
+
   // ---- Theil-Sen ------------------------------------------------------------
 
   test("qa_theilsen_trend: pair count = d(d-1)/2, slope matches a JVM median of pairwise slopes") {
