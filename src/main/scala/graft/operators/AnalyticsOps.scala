@@ -1110,7 +1110,46 @@ object AnalyticsOps {
     aggSkewKurtosis, aggPythagoreanMeans, winOnlineScaling,
     evtPeriodicityAcf, qaEmdDrift, qaProportionZtest, qaJoinCardEstimate,
     qaMannWhitney, evtRetentionHalflife, qaSimpsonParadox, qaFkFanout,
-    aggHhi, qaTheilSen)
+    aggHhi, qaTheilSen, qaDiffInDiff)
+
+  /** DIFFERENCE-IN-DIFFERENCES: the causal-inference workhorse on the
+    * synthetic treatment "purchases (treated) vs clicks (control),
+    * before vs after mid-month" — DiD = (T̄post − T̄pre) − (C̄post − C̄pre)
+    * nets out both the group level difference and the common time
+    * trend. All four cell sums/counts are exact integers from ONE
+    * conditional pass; the estimate is one fixed-order expression over
+    * them, reported with the four cell means so the reader can redo the
+    * subtraction. */
+  private lazy val qaDiffInDiff = GraftQuery(
+    "qa_diff_in_diff",
+    "difference-in-differences of mean value: purchase vs click, pre/post",
+    (s, d) => {
+      val c = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(when(col("event_type") === "purchase", 1).otherwise(0).as("g"),
+          when(dayofmonth(col("ts")) > 15, 1).otherwise(0).as("p"),
+          centi(col("value")).as("v"))
+        .groupBy("g", "p")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      val cells = c.select(
+        concat(when(col("g") === 1, lit("t")).otherwise(lit("c")),
+          when(col("p") === 1, lit("_post")).otherwise(lit("_pre"))).as("cell"),
+        col("n"), col("sv"))
+      val wide = cells.groupBy()
+        .pivot("cell", Seq("t_pre", "t_post", "c_pre", "c_post"))
+        .agg(first("n").as("n"), first("sv").as("sv"))
+      def mean(cell: String) =
+        col(s"${cell}_sv").cast("double") / col(s"${cell}_n").cast("double") / 100.0
+      wide.select(
+        col("t_pre_n"), col("t_post_n"), col("c_pre_n"), col("c_post_n"),
+        fround(mean("t_pre"), 4).as("treated_pre"),
+        fround(mean("t_post"), 4).as("treated_post"),
+        fround(mean("c_pre"), 4).as("control_pre"),
+        fround(mean("c_post"), 4).as("control_post"),
+        fround((mean("t_post") - mean("t_pre")) - (mean("c_post") - mean("c_pre")), 4)
+          .as("did_estimate"))
+    },
+    Some("""WITH c AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g, CASE WHEN day(CAST(ts AS TIMESTAMP)) > 15 THEN 1 ELSE 0 END AS p, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events WHERE event_type IN ('purchase', 'click')), a AS (SELECT CAST(sum(CASE WHEN g = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_pre_n, CAST(sum(CASE WHEN g = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t_post_n, CAST(sum(CASE WHEN g = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_pre_n, CAST(sum(CASE WHEN g = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_post_n, CAST(sum(CASE WHEN g = 1 AND p = 0 THEN v ELSE 0 END) AS BIGINT) AS t_pre_sv, CAST(sum(CASE WHEN g = 1 AND p = 1 THEN v ELSE 0 END) AS BIGINT) AS t_post_sv, CAST(sum(CASE WHEN g = 0 AND p = 0 THEN v ELSE 0 END) AS BIGINT) AS c_pre_sv, CAST(sum(CASE WHEN g = 0 AND p = 1 THEN v ELSE 0 END) AS BIGINT) AS c_post_sv FROM c) SELECT t_pre_n, t_post_n, c_pre_n, c_post_n, floor(CAST(t_pre_sv AS DOUBLE) / CAST(t_pre_n AS DOUBLE) / 100.0 * 1e4 + 0.5) / 1e4 AS treated_pre, floor(CAST(t_post_sv AS DOUBLE) / CAST(t_post_n AS DOUBLE) / 100.0 * 1e4 + 0.5) / 1e4 AS treated_post, floor(CAST(c_pre_sv AS DOUBLE) / CAST(c_pre_n AS DOUBLE) / 100.0 * 1e4 + 0.5) / 1e4 AS control_pre, floor(CAST(c_post_sv AS DOUBLE) / CAST(c_post_n AS DOUBLE) / 100.0 * 1e4 + 0.5) / 1e4 AS control_post, floor(((CAST(t_post_sv AS DOUBLE) / CAST(t_post_n AS DOUBLE) / 100.0 - CAST(t_pre_sv AS DOUBLE) / CAST(t_pre_n AS DOUBLE) / 100.0) - (CAST(c_post_sv AS DOUBLE) / CAST(c_post_n AS DOUBLE) / 100.0 - CAST(c_pre_sv AS DOUBLE) / CAST(c_pre_n AS DOUBLE) / 100.0)) * 1e4 + 0.5) / 1e4 AS did_estimate FROM a"""))
 
   /** THEIL-SEN robust trend of the daily value total — the median of all
     * pairwise slopes, immune to the outlier days that drag qa_ols_trend's

@@ -635,10 +635,46 @@ object CurationOps {
         "), t AS (SELECT alpha, CAST(sum(wm) AS BIGINT) AS tot FROM sc GROUP BY 1) SELECT sc.alpha, lang, n, floor(CAST(wm AS DOUBLE) / tot * 1e6 + 0.5) / 1e6 AS share FROM sc JOIN t ON sc.alpha = t.alpha ORDER BY 1, 2"))
   }
 
+  /** PPS SYSTEMATIC sampling — inclusion probability proportional to
+    * SIZE (n_chars), the token-mass-fair draw a corpus sampler wants
+    * when documents differ 100× in length (uniform doc sampling
+    * under-represents long docs' content): lay every doc's size on the
+    * cumulative axis and take one doc per crossing of the 100-point
+    * systematic grid. A doc is selected iff its cumulative interval
+    * contains a grid point — floor(hi·100/T) > floor(lo·100/T), all
+    * exact integers; docs longer than a stride can be picked with
+    * multiplicity (reported). Scale: one doc-projection cumulative
+    * window (the samp_systematic class), selection is a per-row integer
+    * predicate. */
+  private val sampPps = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.fround
+    GraftQuery(
+      "samp_pps_systematic",
+      "size-proportional systematic sample: 100 grid points on the char axis",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val tot = Tables.documents(s, d).agg(sum("n_chars").as("tt"))
+        val cum = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"))
+          .withColumn("hi", sum("n_chars").over(w))
+          .withColumn("lo", col("hi") - col("n_chars"))
+          .crossJoin(broadcast(tot))
+          .withColumn("mult",
+            expr("(hi * 100) div tt") - expr("(lo * 100) div tt"))
+        cum.filter(col("mult") > 0)
+          .select(col("doc_id"), col("n_chars"), col("mult").as("multiplicity"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tt FROM documents), c AS (SELECT doc_id, n_chars, CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi FROM documents), m AS (SELECT doc_id, n_chars, (hi * 100) // tt - ((hi - n_chars) * 100) // tt AS mult FROM c CROSS JOIN tot) SELECT doc_id, n_chars, mult AS multiplicity FROM m WHERE mult > 0 ORDER BY doc_id"""))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     sampStratified, sampQuota, shufflePrefix, txtNormalize, lengthHist,
     embQuantize, sampImportance, sampWeightedReservoir, sampBalancedClasses,
     sampTemperature, sampLargestRemainder, sampSystematic,
     sampPoissonBootstrap, sampDpCounts, sampHtEstimate, sampNeyman, sampAqp,
-    sampKfold, sampTemperatureSweep)
+    sampKfold, sampTemperatureSweep, sampPps)
 }

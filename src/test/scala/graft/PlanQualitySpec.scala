@@ -357,8 +357,10 @@ class PlanQualitySpec extends AnyFunSuite {
       "qa_mann_whitney",      // cumulation over the ~|value range|
                               // centi-histogram — the whole point is
                               // replacing the global sort
-      "qa_theilsen_trend")    // median rank-pick over the ~|days|^2
+      "qa_theilsen_trend",    // median rank-pick over the ~|days|^2
                               // pairwise-slope table (~400 rows)
+      "samp_pps_systematic")  // cumulative size axis over the doc
+                              // projection (samp_systematic class)
     val offenders = SparkEntry.registry.flatMap { q =>
       val unpartitioned =
         try {

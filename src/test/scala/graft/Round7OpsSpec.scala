@@ -746,6 +746,32 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- PPS sampling ---------------------------------------------------------
+
+  test("samp_pps_systematic: multiplicities sum to ~100, selection favors long docs deterministically") {
+    val rows = run("samp_pps_systematic").collect()
+    val msum = rows.map(_.getLong(2)).sum
+    assert(msum >= 99 && msum <= 100, s"grid points accounted for: $msum")
+    rows.foreach(r => assert(r.getLong(2) >= 1))
+    // size-proportional: mean selected length exceeds corpus mean
+    val meanSel = rows.map(r => r.getLong(1) * r.getLong(2)).sum.toDouble / msum
+    val meanAll = Tables.documents(spark, sf)
+      .agg(avg(col("n_chars"))).collect().head.getDouble(0)
+    assert(meanSel > meanAll, s"PPS mean $meanSel should exceed corpus mean $meanAll")
+    val again = run("samp_pps_systematic").collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  // ---- diff in diff ---------------------------------------------------------
+
+  test("qa_diff_in_diff: estimate equals the four-cell arithmetic, cells cover both groups") {
+    val r = run("qa_diff_in_diff").collect().head
+    assert(Seq(0, 1, 2, 3).forall(i => r.getLong(i) > 0), "all four cells populated")
+    val did = (r.getDouble(5) - r.getDouble(4)) - (r.getDouble(7) - r.getDouble(6))
+    assert(math.abs(r.getDouble(8) - did) < 1e-3,
+      s"reported ${r.getDouble(8)} vs recomputed $did")
+  }
+
   // ---- growth accounting ----------------------------------------------------
 
   test("evt_growth_accounting: classes partition DAU and the growth identity telescopes") {
