@@ -1110,7 +1110,40 @@ object AnalyticsOps {
     aggSkewKurtosis, aggPythagoreanMeans, winOnlineScaling,
     evtPeriodicityAcf, qaEmdDrift, qaProportionZtest, qaJoinCardEstimate,
     qaMannWhitney, evtRetentionHalflife, qaSimpsonParadox, qaFkFanout,
-    aggHhi, qaTheilSen, qaDiffInDiff)
+    aggHhi, qaTheilSen, qaDiffInDiff, qaPowerMde)
+
+  /** POWER ANALYSIS companion to qa_proportion_ztest: the minimum
+    * detectable effect at 80% power / α=0.05 two-sided for the observed
+    * sample sizes and pooled purchase rate —
+    * MDE = (z_{α/2}+z_{β})·√(p̄(1−p̄)(1/n₁+1/n₂)) — plus the per-variant
+    * sample size needed to detect a 10% relative lift. The "is this
+    * experiment even big enough" read that belongs NEXT TO the test
+    * statistic, not after the fact. Counts are exact integers off one
+    * conditional pass; both outputs are single fixed-order float
+    * expressions with the conventional 1.96/0.84 quantiles as literals. */
+  private lazy val qaPowerMde = GraftQuery(
+    "qa_power_mde",
+    "minimum detectable effect + required n for the purchase-rate test",
+    (s, d) => {
+      val c = Tables.events(s, d)
+        .select(when(dayofmonth(col("ts")) <= 15, 0).otherwise(1).as("p"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
+        .agg(sum(when(col("p") === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("p") === 1, 1L).otherwise(0L)).as("n2"),
+          sum("conv").as("x"))
+      val pp = col("x").cast("double") / (col("n1") + col("n2")).cast("double")
+      val k = lit(1.96 + 0.84)
+      c.select(col("n1"), col("n2"),
+        fround(pp, 6).as("pooled_rate"),
+        fround(k * sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n1").cast("double") +
+            lit(1.0) / col("n2").cast("double"))), 6).as("mde_abs"),
+        // n per variant to detect a 10% relative lift:
+        // n = (k/delta)^2 * 2*p(1-p) with delta = 0.1*p
+        fround(k * k * lit(2.0) * pp * (lit(1.0) - pp) /
+          (lit(0.1) * pp * (lit(0.1) * pp)), 1).as("n_per_variant_10pct"))
+    },
+    Some("""WITH c AS (SELECT CAST(sum(CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n1, CAST(sum(CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15 THEN 0 ELSE 1 END) AS BIGINT) AS n2, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x FROM events) SELECT n1, n2, floor(CAST(x AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS pooled_rate, floor(2.8 * sqrt((CAST(x AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * (1.0 - CAST(x AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS mde_abs, floor(2.8 * 2.8 * 2.0 * (CAST(x AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * (1.0 - CAST(x AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) / ((0.1 * (CAST(x AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))) * (0.1 * (CAST(x AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)))) * 1e1 + 0.5) / 1e1 AS n_per_variant_10pct FROM c"""))
 
   /** DIFFERENCE-IN-DIFFERENCES: the causal-inference workhorse on the
     * synthetic treatment "purchases (treated) vs clicks (control),

@@ -746,6 +746,20 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- power / MDE ----------------------------------------------------------
+
+  test("qa_power_mde: MDE shrinks with n, required n consistent with the closed form") {
+    val r = run("qa_power_mde").collect().head
+    val (n1, n2, p, mde, nReq) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(p > 0 && p < 1)
+    val expMde = 2.8 * math.sqrt(p * (1 - p) * (1.0 / n1 + 1.0 / n2))
+    assert(math.abs(mde - expMde) < 1e-5)
+    val expN = 2.8 * 2.8 * 2.0 * p * (1 - p) / ((0.1 * p) * (0.1 * p))
+    assert(math.abs(nReq - expN) < 0.2)
+    assert(nReq > n1, "a 10% relative lift needs more data than this split has")
+  }
+
   // ---- PPS sampling ---------------------------------------------------------
 
   test("samp_pps_systematic: multiplicities sum to ~100, selection favors long docs deterministically") {
