@@ -1022,11 +1022,31 @@ object SimilarityOps {
     },
     Some("""WITH mic AS (SELECT vec_id, dim, CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS m FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim)), st AS (SELECT dim, CAST(count(*) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS s1, sum(CAST(m AS HUGEINT) * m) AS s2 FROM mic GROUP BY 1), sv AS (SELECT *, n * s2 - CAST(s1 AS HUGEINT) * s1 AS v2 FROM st WHERE n * s2 - CAST(s1 AS HUGEINT) * s1 > 0), t AS (SELECT vec_id, CAST(floor(CAST(CAST(n * m - s1 AS HUGEINT) AS DOUBLE) * CAST(CAST(n * m - s1 AS HUGEINT) AS DOUBLE) / CAST(v2 AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS t FROM mic JOIN sv USING (dim)), d2 AS (SELECT vec_id, CAST(sum(t) AS BIGINT) AS d2m FROM t GROUP BY 1) SELECT vec_id, floor(sqrt(CAST(d2m AS DOUBLE) / 1000000.0) * 1e4 + 0.5) / 1e4 AS mahalanobis FROM d2 ORDER BY d2m DESC, vec_id LIMIT 20"""))
 
+  /** NEAREST-NEIGHBOR MARGIN per probe: cos(NN₁) − cos(NN₂), the
+    * retrieval-confidence signal (a wide margin means the top hit is
+    * unambiguous; a sliver means reranking or abstention) — the
+    * per-query companion to the corpus-level intrinsic-dimension and
+    * recall evals, riding the same brute top-k scan with the shared
+    * rounded-cosine tie-break. */
+  private val knnMargin = GraftQuery(
+    "sim_knn_margin",
+    "top-1 vs top-2 cosine margin per probe (retrieval confidence)",
+    (s, d) => bruteTopK(s, d, 50, 2)
+      .groupBy("q_id")
+      .agg(max(when(col("rnk") === 1, fround(col("cos"), 6))).as("c1"),
+        max(when(col("rnk") === 2, fround(col("cos"), 6))).as("c2"),
+        max(when(col("rnk") === 1, col("n_id"))).as("nn1"))
+      .select(col("q_id"), col("nn1"), fround(col("c1"), 4).as("cos_top1"),
+        fround(col("c2"), 4).as("cos_top2"),
+        fround(col("c1") - col("c2"), 4).as("margin"))
+      .orderBy("q_id"),
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e), bq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0), bsc AS (SELECT bq.q_id, c.vec_id AS n_id, list_sum([s[1]*s[2] for s in list_zip(bq.qv, c.v)]) / (bq.qn * c.nrm) AS cos FROM bq JOIN n c ON c.vec_id <> bq.q_id), b2 AS (SELECT q_id, n_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos, rnk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY floor(cos * 1000000.0 + 0.5) DESC, n_id) AS rnk FROM bsc) WHERE rnk <= 2), g AS (SELECT q_id, max(CASE WHEN rnk = 1 THEN cos END) AS c1, max(CASE WHEN rnk = 2 THEN cos END) AS c2, max(CASE WHEN rnk = 1 THEN n_id END) AS nn1 FROM b2 GROUP BY 1) SELECT q_id, nn1, floor(c1 * 1e4 + 0.5) / 1e4 AS cos_top1, floor(c2 * 1e4 + 0.5) / 1e4 AS cos_top2, floor((c1 - c2) * 1e4 + 0.5) / 1e4 AS margin FROM g ORDER BY q_id"""))
+
   val all: Seq[GraftQuery] = Seq(knnBrute, labelStats, knnLsh, knnMatryoshka,
     embCentroids, embDimProfile, embAssignPurity, dedupSemantic,
     embPrototypicality, simHubness, hardNegatives, embKmeansStep,
     embSimHistogram, embPcaPower, embPcaVar, embKmeansppSeed, embWhitening,
     embIsotropy, simRecallEval, knnLabelAccuracy, embCentroidDrift,
     embConcentration, embSignFidelity, embIntrinsicDim, embSilhouette,
-    embMahalanobis)
+    embMahalanobis, knnMargin)
 }

@@ -746,6 +746,19 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ---- BFS ------------------------------------------------------------------
 
+  // ---- kNN margin -----------------------------------------------------------
+
+  test("sim_knn_margin: margins nonneg, top1 >= top2, one row per probe") {
+    val rows = run("sim_knn_margin").collect()
+    val probes = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 50 === 0).count()
+    assert(rows.length == probes)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= r.getDouble(3) - 1e-9, "top1 >= top2")
+      assert(r.getDouble(4) >= -1e-9, "margin nonneg")
+    }
+  }
+
   // ---- power / MDE ----------------------------------------------------------
 
   test("qa_power_mde: MDE shrinks with n, required n consistent with the closed form") {
