@@ -1096,7 +1096,50 @@ object AnalyticsOps {
     },
     Some("""WITH cu AS (SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x FROM orders GROUP BY 1), cust AS (SELECT cu.o_custkey, cu.x, c.c_nationkey AS ng FROM cu JOIN customer c ON c.c_custkey = cu.o_custkey), rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY ng ORDER BY x, o_custkey) AS BIGINT) AS i FROM cust) SELECT ng AS nation, count(*) AS n_customers, floor(CAST(sum(x) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS revenue, floor((2.0 * CAST(sum(CAST(i * x AS HUGEINT)) AS DOUBLE) / CAST(count(*) * sum(x) AS DOUBLE) - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS gini FROM rk GROUP BY 1 ORDER BY 1"""))
 
+  /** EXACT MEDIAN WITHOUT A GLOBAL SORT — the two-pass order-statistic
+    * plan a distributed engine uses when `percentile_approx` isn't enough
+    * and a full sort of the fact is unaffordable: pass 1 builds a coarse
+    * bucket HISTOGRAM (one map-side-combinable agg) whose cumulative
+    * counts locate the bucket holding each target rank; pass 2 ranks ONLY
+    * the candidate bucket's rows (≈ n / n_buckets of the data) and reads
+    * the k-th order statistic as bucket_offset + in-bucket row_number.
+    * Medians are quantile_cont semantics: even-n groups average the two
+    * middle values — both rank targets fall out of the same pass. Exact
+    * centi-integer values end-to-end; only the final /100 rounds. */
+  private val aggMedianTwopass = GraftQuery(
+    "agg_median_twopass",
+    "exact per-group median via bucket histogram + in-bucket rank only",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+        centi(col("l_extendedprice")).as("pc"))
+      val withB = li.withColumn("b", expr("pc div 100000"))
+      val hist = withB.groupBy("flag", "b").agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy("flag").orderBy("b")
+      val cum = hist.withColumn("hi", sum("c").over(wc))
+        .withColumn("lo", col("hi") - col("c"))
+      val tot = hist.groupBy("flag").agg(sum("c").as("n"))
+        .withColumn("k1", expr("(n + 1) div 2"))
+        .withColumn("k2", expr("(n + 2) div 2"))
+      val cand = cum.join(tot.select("flag", "k1", "k2"), Seq("flag"))
+        .filter((col("k1") > col("lo") && col("k1") <= col("hi")) ||
+          (col("k2") > col("lo") && col("k2") <= col("hi")))
+        .select(col("flag"), col("b"), col("lo"))
+      val wr = Window.partitionBy("flag", "b").orderBy("pc")
+      val picked = withB.join(broadcast(cand), Seq("flag", "b"))
+        .withColumn("rk", col("lo") + row_number().over(wr))
+        .join(broadcast(tot), Seq("flag"))
+        .filter(col("rk") === col("k1") || col("rk") === col("k2"))
+      picked.groupBy(col("flag"), col("n"))
+        .agg(sum("pc").as("sv"), count(lit(1)).as("m"))
+        .select(col("flag"), col("n"),
+          fround(col("sv").cast("double") / col("m") / 100.0, 4)
+            .as("median_price"))
+        .orderBy("flag")
+    },
+    Some("""SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n, floor(median(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 * 1e4 + 0.5) / 1e4 AS median_price FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
+    aggMedianTwopass,
     qaOlsTrend, calSeasonality, calSeasonalAnomaly, aggWeightedMedian,
     qaChi2Drift,
     winSession, winLagLead, aggPercentiles, aggCorr, jSkewSalted, txtTfidf,

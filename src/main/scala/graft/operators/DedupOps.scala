@@ -854,10 +854,61 @@ object DedupOps {
     Some(ngramPairsCte +
       """, tc AS (SELECT doc_id, tok, count(*) AS tf FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents) GROUP BY 1, 2), dfq AS (SELECT tok, count(*) AS df FROM tc GROUP BY 1), nd AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents), wts AS (SELECT doc_id, tc.tok, CAST(floor(tf * ln(CAST(nn AS DOUBLE) / CAST(df AS DOUBLE)) * 1e4 + 0.5) AS BIGINT) AS w FROM tc JOIN dfq ON tc.tok = dfq.tok CROSS JOIN nd), nrm AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS nrm2 FROM wts GROUP BY 1), dots AS (SELECT p.a, p.b, sum(CAST(x.w AS HUGEINT) * y.w) AS dot FROM p JOIN wts x ON x.doc_id = p.a JOIN wts y ON y.doc_id = p.b AND y.tok = x.tok GROUP BY 1, 2) SELECT p.a, p.b, p.jaccard, floor(CAST(coalesce(dots.dot, 0) AS DOUBLE) / sqrt(CAST(nx.nrm2 AS DOUBLE) * CAST(ny.nrm2 AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS tfidf_cosine FROM p LEFT JOIN dots ON dots.a = p.a AND dots.b = p.b JOIN nrm nx ON nx.doc_id = p.a JOIN nrm ny ON ny.doc_id = p.b ORDER BY 1, 2"""))
 
+  /** EXACT DUPLICATED-SPAN detection — the substring-level companion to
+    * the whole-doc near-dup family: find the longest runs of tokens COPIED
+    * VERBATIM between two documents (training-data dedup removes repeated
+    * spans, not just near-identical whole documents; ref parity target is
+    * the suffix-array exact-substring method, re-expressed relationally).
+    * Method: every 8-token gram with its start position forms an inverted
+    * index; matching grams across two docs that sit on the same DIAGONAL
+    * (pos_a − pos_b constant) at consecutive positions are one maximal
+    * shared span — the gaps-and-islands trick (pos − row_number per
+    * diagonal) recovers each span's extent without any per-pair alignment
+    * scan. Scale shape: the gram self-join is the only fan-out and is
+    * bounded by the document-frequency cutoff (grams seen > 64 times are
+    * boilerplate and dropped — same τ discipline as [[pairShingles]]);
+    * island detection is a per-(pair, diagonal) keyed window, never a
+    * global sort. Top-20 longest spans via TakeOrdered. */
+  private val dupSpans = GraftQuery(
+    "dedup_dup_spans",
+    "maximal verbatim shared token spans per doc pair (8-gram diagonals)",
+    (s, d) => {
+      val n = 8
+      val g0 = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= n)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), size(col("t")) - n),
+          i => md5(array_join(slice(col("t"), i + 1, lit(n)), " ")))))
+        .toDF("doc_id", "pos", "gh")
+      val hot = g0.groupBy("gh").agg(count(lit(1)).as("dfc"))
+        .filter(col("dfc") > 64).select("gh")
+      val g = g0.join(hot, Seq("gh"), "left_anti")
+      val p = g.as("x").join(g.as("y"),
+          col("x.gh") === col("y.gh") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.pos").as("pa"), col("y.pos").as("pb"))
+      val wDiag = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("a"), col("b"), col("pa") - col("pb"))
+        .orderBy("pa")
+      val isl = p.withColumn("isl", col("pa") - row_number().over(wDiag))
+      isl.groupBy(col("a"), col("b"), (col("pa") - col("pb")).as("diag"),
+          col("isl"))
+        .agg(min("pa").as("mn"), min("pb").as("mnb"), max("pa").as("mx"))
+        .select(col("a"), col("b"),
+          (col("mx") - col("mn") + n).cast("long").as("span_len"),
+          col("mn").cast("long").as("start_a"),
+          col("mnb").cast("long").as("start_b"))
+        .orderBy(desc("span_len"), col("a"), col("b"), col("start_a"),
+          col("start_b"))
+        .limit(20)
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), g0 AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, md5(array_to_string(tk[i:i+7], ' ')) AS gh FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk) - 7)) AS i) WHERE len(tk) >= 8), g AS (SELECT * FROM g0 WHERE gh NOT IN (SELECT gh FROM g0 GROUP BY gh HAVING count(*) > 64)), p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb FROM g x JOIN g y ON x.gh = y.gh AND x.doc_id < y.doc_id), i AS (SELECT a, b, pa, pb, pa - pb AS diag, pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS isl FROM p), sp AS (SELECT a, b, min(pa) AS mn, min(pb) AS mnb, max(pa) AS mx FROM i GROUP BY a, b, diag, isl) SELECT a, b, CAST(mx - mn + 8 AS BIGINT) AS span_len, CAST(mn AS BIGINT) AS start_a, CAST(mnb AS BIGINT) AS start_b FROM sp ORDER BY span_len DESC, a, b, start_a, start_b LIMIT 20"""))
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupComponents, dedupKeepList,
     dedupKeepLongest, dedupSimhash, dedupSimhashGroups, dedupEmbedding,
     dedupEmbeddingLsh, dedupIncremental, dedupContainment, graphTriangles,
     dedupClusterSizes, dedupThresholdCurve, rougePairs, editDistancePairs,
-    shardMissAudit, tfidfPairCosine)
+    shardMissAudit, tfidfPairCosine, dupSpans)
 }

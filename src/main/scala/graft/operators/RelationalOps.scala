@@ -253,6 +253,27 @@ object RelationalOps {
     },
     Some("""SELECT user_id FROM events WHERE event_type = 'signup' UNION SELECT user_id FROM events WHERE event_type = 'error' ORDER BY user_id"""))
 
+  /** SYMMETRIC DIFFERENCE — the set-op composition (A∖B) ∪ (B∖A) with a
+    * side tag, completing the §2.7 union/intersect/except family: the
+    * audit read "which user-days are in exactly one of the two behavioral
+    * populations". Both EXCEPT legs hash-aggregate on the same
+    * (user_id, day) key, so AQE reuses one shuffle partitioning across
+    * the composition; the tag is a plain literal column, not a second
+    * scan. */
+  private val setSymdiff = GraftQuery(
+    "set_symdiff",
+    "symmetric difference of click vs purchase user-day sets, side-tagged",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("dy"), col("event_type"))
+      val a = ev.filter(col("event_type") === "click").select("user_id", "dy")
+      val b = ev.filter(col("event_type") === "purchase").select("user_id", "dy")
+      a.except(b).withColumn("side", lit("click_only"))
+        .union(b.except(a).withColumn("side", lit("purchase_only")))
+        .orderBy("user_id", "dy", "side")
+    },
+    Some("""WITH a AS (SELECT user_id, CAST(ts AS DATE) AS dy FROM events WHERE event_type = 'click'), b AS (SELECT user_id, CAST(ts AS DATE) AS dy FROM events WHERE event_type = 'purchase') SELECT user_id, dy, 'click_only' AS side FROM (SELECT * FROM a EXCEPT SELECT * FROM b) UNION ALL SELECT user_id, dy, 'purchase_only' FROM (SELECT * FROM b EXCEPT SELECT * FROM a) ORDER BY user_id, dy, side"""))
+
   /** ROLLUP: hierarchical subtotals. Null group markers are coalesced to a
     * sentinel so cross-engine null-ordering differences can't bite. */
   private val aggRollup = GraftQuery(
@@ -1040,7 +1061,8 @@ object RelationalOps {
     jSemi, jAnti, jOuter,
     jRange, jAsof, jBucketed, winRank, winMoving, winNtile, winRangeFrame,
     winPercentRank, setIntersect,
-    setExcept, setUnion, aggRollup, aggCube, aggGroupingSets, aggApprox,
+    setExcept, setUnion, setSymdiff, aggRollup, aggCube, aggGroupingSets,
+    aggApprox,
     jsonKv, calDaily, strWeekday, reshapeUnpivot, jIntervalOverlap,
     jFuzzyMatch, relSkyline, relIntervalMerge, jAsofNearest, winCumeDist,
     relSweepConcurrency, calTumbling, winTimeRange, relBasketLift,

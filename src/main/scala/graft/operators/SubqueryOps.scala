@@ -183,7 +183,35 @@ object SubqueryOps {
       sql(x => s"CAST($x AS BIGINT)").replace("\n", " "))
   }
 
+  /** QUANTIFIED-COMPARISON subquery (`x <= ALL (correlated set)`) — the
+    * one predicate-subquery form Spark SQL has no surface syntax for, so
+    * the engine spells the standard decorrelation DIRECTLY: `c <= ALL (S)`
+    * over a non-empty correlated set is exactly `min(S) >= c`, one
+    * aggregate of the inner side + one equi join — never a per-outer-row
+    * re-execution (the same plan Catalyst would emit if it parsed ALL).
+    * The oracle keeps the literal `<= ALL` + EXISTS spelling to prove the
+    * rewrite is semantics-preserving, empty-set vacuous-truth included.
+    * Segment rollup of customers whose EVERY order is >= 50 000 (exact
+    * centi comparison). */
+  private val allQuantified = GraftQuery(
+    "sq_all_quantified",
+    "x <= ALL correlated subquery decorrelated to a min-aggregate join",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.functions.GraftFunctions.centi
+      val mins = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(min(centi(col("o_totalprice"))).as("mn"),
+          count(lit(1)).as("n_ord"))
+        .filter(col("mn") >= 5000000L)
+      Tables.customer(s, d)
+        .join(mins, col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), sum("n_ord").as("n_orders"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust, CAST(sum((SELECT count(*) FROM orders o2 WHERE o2.o_custkey = c_custkey)) AS BIGINT) AS n_orders FROM customer WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey) AND 5000000 <= ALL (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) FROM orders o WHERE o.o_custkey = c_custkey) GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
     existsLateShip, notExistsIdle, scalarSmallQty, havingShare, inHighVolume,
-    lateralTopk, minCostJoin)
+    lateralTopk, minCostJoin, allQuantified)
 }
