@@ -109,6 +109,16 @@ object Bench {
       graft.operators.DedupOps.componentLabels(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     } catch { case e: Throwable => System.err.println(s"[bench] dedup setup failed: ${e.getMessage}") }
+    // ...and the positioned-8-gram table (dedup_dup_spans' inverted
+    // index) — the same per-corpus-snapshot artifact family.
+    try graft.operators.DedupOps.dupSpanGrams(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[bench] dup-spans setup failed: ${e.getMessage}") }
+    // ...and the MinHash signature table (shared by dedup_minhash and the
+    // LSH power eval) — per-corpus artifact, one aggregation.
+    try {
+      graft.operators.DedupOps.minhashSig(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable => System.err.println(s"[bench] minhash-sig setup failed: ${e.getMessage}") }
     // ...and the stored base MV (mv_incremental_agg's pre-watermark
     // rollup): a deployment refreshes against yesterday's materialization,
     // so the query measures delta-aggregate + merge, not the base rebuild.

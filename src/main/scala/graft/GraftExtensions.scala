@@ -135,6 +135,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_bitmap_and_count expects 2 arguments (bitmap, bitmap), got ${exprs.length}")
         graft.functions.expressions.BitmapAndCount(exprs(0), exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_zvalue"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.MortonZ].getName, "graft_zvalue"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_zvalue expects 2 arguments (x, y), got ${exprs.length}")
+        graft.functions.expressions.MortonZ(exprs(0), exprs(1))
+      }))
     ext.injectOptimizerRule(_ => SelfDotRewrite)
   }
 }

@@ -15,7 +15,7 @@ object SparkEntry {
     WeatherOps.all ++ RelationalOps.all ++ TpchOps.all ++ TextOps.all ++
       DedupOps.all ++ SimilarityOps.all ++ IvfAnn.all ++ PqAnn.all ++
       ParsingOps.all ++ AnalyticsOps.all ++ PipelineOps.all ++ SubqueryOps.all ++
-      CurationOps.all ++ GraphOps.all ++ TemporalOps.all
+      CurationOps.all ++ GraphOps.all ++ TemporalOps.all ++ LayoutOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -147,5 +147,7 @@ object GraftExpressions {
         BitmapAndCount(exprs(0), exprs(1))
       },
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_zvalue", exprs => MortonZ(exprs(0), exprs(1)), "scala_udf")
   }
 }

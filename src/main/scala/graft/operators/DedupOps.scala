@@ -90,19 +90,7 @@ object DedupOps {
       // materialization. (min over the cached SET equals min over the raw
       // multiset, so signatures off the distinct output are unchanged.)
       val sh = shingles3(s, d)
-      val shU = sh.withColumn("u",
-        graft.functions.GraftFunctions.md5u32(col("sh")))
-      // One aggregation with K min-columns: each minhash folds map-side
-      // (partial min per partition), so the shuffle carries one row per doc
-      // instead of one per (doc, shingle, hash_idx).
-      val mins = (0 until K).map(i =>
-        min((lit(HASH_A(i)) * col("u") + lit(HASH_B(i))) % lit(P)).as(s"mh$i"))
-      // the set size rides the same aggregation (one groupBy produces both
-      // the signature and |set|), so the verify stage needs no second
-      // scan+shuffle over the shingle table
-      val sig = graft.PersistCache.getOrBuild(s, s"minhash-sig:$d")(
-        shU.groupBy("doc_id")
-          .agg(mins.head, (mins.tail :+ count(lit(1)).as("n")): _*))
+      val sig = minhashSig(s, d)
       // the band explode off the cached sig is narrow and cheap; only sig
       // itself needs materialization for the self-join's two legs
       val bands = sig.select(col("doc_id"),
@@ -189,6 +177,23 @@ object DedupOps {
     * PersistCache key as dedup_minhash's shingle leg). */
   private[graft] def shingles3(s: SparkSession, d: String): DataFrame =
     graft.PersistCache.getOrBuild(s, s"shingles3:$d")(shingleSet(s, d, 3))
+
+  /** The MinHash(12) signature + set-size table — ONE aggregation with K
+    * min-columns (each minhash folds map-side, so the shuffle carries one
+    * row per doc, not one per (doc, shingle, hash_idx)); the set size
+    * rides the same groupBy so the verify stage needs no second
+    * scan+shuffle. Shared by dedup_minhash and the LSH power eval (same
+    * signatures, or the eval would grade a different index than the one
+    * that serves candidates). */
+  private[graft] def minhashSig(s: SparkSession, d: String): DataFrame =
+    graft.PersistCache.getOrBuild(s, s"minhash-sig:$d") {
+      val shU = shingles3(s, d).withColumn("u",
+        graft.functions.GraftFunctions.md5u32(col("sh")))
+      val mins = (0 until K).map(i =>
+        min((lit(HASH_A(i)) * col("u") + lit(HASH_B(i))) % lit(P)).as(s"mh$i"))
+      shU.groupBy("doc_id")
+        .agg(mins.head, (mins.tail :+ count(lit(1)).as("n")): _*)
+    }
 
   /** Verified 4-gram Jaccard pairs (a < b, jaccard >= 0.4) — the shared
     * edge-set leg behind the pair-listing query and the components query,
@@ -854,6 +859,31 @@ object DedupOps {
     Some(ngramPairsCte +
       """, tc AS (SELECT doc_id, tok, count(*) AS tf FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents) GROUP BY 1, 2), dfq AS (SELECT tok, count(*) AS df FROM tc GROUP BY 1), nd AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents), wts AS (SELECT doc_id, tc.tok, CAST(floor(tf * ln(CAST(nn AS DOUBLE) / CAST(df AS DOUBLE)) * 1e4 + 0.5) AS BIGINT) AS w FROM tc JOIN dfq ON tc.tok = dfq.tok CROSS JOIN nd), nrm AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS nrm2 FROM wts GROUP BY 1), dots AS (SELECT p.a, p.b, sum(CAST(x.w AS HUGEINT) * y.w) AS dot FROM p JOIN wts x ON x.doc_id = p.a JOIN wts y ON y.doc_id = p.b AND y.tok = x.tok GROUP BY 1, 2) SELECT p.a, p.b, p.jaccard, floor(CAST(coalesce(dots.dot, 0) AS DOUBLE) / sqrt(CAST(nx.nrm2 AS DOUBLE) * CAST(ny.nrm2 AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS tfidf_cosine FROM p LEFT JOIN dots ON dots.a = p.a AND dots.b = p.b JOIN nrm nx ON nx.doc_id = p.a JOIN nrm ny ON ny.doc_id = p.b ORDER BY 1, 2"""))
 
+  /** The df-capped positioned-8-gram table dedup_dup_spans self-joins —
+    * memoized + eagerly materialized like [[pairShingles]] (it feeds both
+    * self-join legs; lazy persist would race them through the unpersisted
+    * plan, measured 9.8 s vs 1.4 s cold), keyed on xxhash64 (8 bytes on
+    * the shuffle) where the oracle uses the md5 hex — the pair SET is
+    * hash-agnostic, only gram equality matters. The df cutoff (> 64
+    * occurrences = boilerplate) is a single windowed count, one pass +
+    * one gh-keyed shuffle, not a census-leg join that would evaluate the
+    * tokenize+hash scan twice. Bench setup warms it as a stored corpus
+    * artifact. */
+  private[graft] def dupSpanGrams(s: SparkSession, d: String): DataFrame =
+    graft.PersistCache.getOrMaterialize(s, s"dupspans-grams:$d") {
+      val n = 8
+      val g0 = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= n)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), size(col("t")) - n),
+          i => xxhash64(array_join(slice(col("t"), i + 1, lit(n)), " ")))))
+        .toDF("doc_id", "pos", "gh")
+      val wDf = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+      g0.withColumn("dfc", count(lit(1)).over(wDf))
+        .filter(col("dfc") <= 64).drop("dfc")
+    }
+
   /** EXACT DUPLICATED-SPAN detection — the substring-level companion to
     * the whole-doc near-dup family: find the longest runs of tokens COPIED
     * VERBATIM between two documents (training-data dedup removes repeated
@@ -874,16 +904,7 @@ object DedupOps {
     "maximal verbatim shared token spans per doc pair (8-gram diagonals)",
     (s, d) => {
       val n = 8
-      val g0 = Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= n)
-        .select(col("doc_id"), posexplode(transform(
-          sequence(lit(0), size(col("t")) - n),
-          i => md5(array_join(slice(col("t"), i + 1, lit(n)), " ")))))
-        .toDF("doc_id", "pos", "gh")
-      val hot = g0.groupBy("gh").agg(count(lit(1)).as("dfc"))
-        .filter(col("dfc") > 64).select("gh")
-      val g = g0.join(hot, Seq("gh"), "left_anti")
+      val g = dupSpanGrams(s, d)
       val p = g.as("x").join(g.as("y"),
           col("x.gh") === col("y.gh") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
@@ -905,10 +926,119 @@ object DedupOps {
     },
     Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents), g0 AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, md5(array_to_string(tk[i:i+7], ' ')) AS gh FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk) - 7)) AS i) WHERE len(tk) >= 8), g AS (SELECT * FROM g0 WHERE gh NOT IN (SELECT gh FROM g0 GROUP BY gh HAVING count(*) > 64)), p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb FROM g x JOIN g y ON x.gh = y.gh AND x.doc_id < y.doc_id), i AS (SELECT a, b, pa, pb, pa - pb AS diag, pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS isl FROM p), sp AS (SELECT a, b, min(pa) AS mn, min(pb) AS mnb, max(pa) AS mx FROM i GROUP BY a, b, diag, isl) SELECT a, b, CAST(mx - mn + 8 AS BIGINT) AS span_len, CAST(mn AS BIGINT) AS start_a, CAST(mnb AS BIGINT) AS start_b FROM sp ORDER BY span_len DESC, a, b, start_a, start_b LIMIT 20"""))
 
+  /** LSH CALIBRATION eval — does the deployed MinHash(12)/6×2-band index
+    * realize the collision probability the theory promises? For every
+    * df-bounded candidate pair the audit compares the S-curve
+    * 1 − (1 − j²)⁶ (j = exact 3-gram Jaccard, the same universe the
+    * signatures hash) against whether the pair ACTUALLY shares a band
+    * bucket, rolled up per Jaccard decile. A mismatch means broken hash
+    * mixing or a mis-sized band config — the check a curation team runs
+    * before trusting recall projections at 100 TB. Rides entirely on
+    * stored artifacts (scored pairs, shingle set, signature table); the
+    * only new work is one pair-bounded intersection join. */
+  private val lshPowerEval = GraftQuery(
+    "dedup_lsh_power_eval",
+    "minhash LSH S-curve: theoretical vs realized band collision per decile",
+    (s, d) => {
+      val pairs = scoredPairs(s, d).select(col("a"), col("b"))
+      val shh = shingles3(s, d)
+        .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+      val inter3 = broadcast(pairs)
+        .join(shh.select(col("doc_id").as("a"), col("shh")), Seq("a"))
+        .join(shh.select(col("doc_id").as("b"), col("shh")), Seq("b", "shh"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      val sig = minhashSig(s, d)
+      val sa = sig.select(col("doc_id").as("a") +: col("n").as("na") +:
+        (0 until K).map(i => col(s"mh$i").as(s"amh$i")): _*)
+      val sb = sig.select(col("doc_id").as("b") +: col("n").as("nb") +:
+        (0 until K).map(i => col(s"mh$i").as(s"bmh$i")): _*)
+      val collide = (0 until BANDS).map(bq =>
+          col(s"amh${2 * bq}") === col(s"bmh${2 * bq}") &&
+            col(s"amh${2 * bq + 1}") === col(s"bmh${2 * bq + 1}"))
+        .reduce(_ || _)
+      val j = col("c") * lit(1.0) / (col("na") + col("nb") - col("c"))
+      val q = lit(1.0) - j * j
+      val miss = q * q * q * q * q * q
+      pairs
+        .join(inter3, Seq("a", "b"), "left_outer").na.fill(0L, Seq("c"))
+        .join(sa, Seq("a")).join(sb, Seq("b"))
+        .withColumn("j", j)
+        .withColumn("theory_u",
+          floor((lit(1.0) - miss) * 1e6 + 0.5).cast("long"))
+        .withColumn("hit", when(collide, 1L).otherwise(0L))
+        .groupBy(floor(col("j") * 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"), sum("theory_u").as("su"),
+          sum("hit").as("nh"))
+        .select(col("bucket"), col("n_pairs"),
+          fround(col("su").cast("double") / col("n_pairs") / 1e6, 4)
+            .as("mean_theory"),
+          fround(col("nh").cast("double") / col("n_pairs"), 4)
+            .as("realized_rate"))
+        .orderBy("bucket")
+    },
+    Some {
+      val abValues = (0 until K)
+        .map(i => s"(${i}, ${HASH_A(i)}, ${HASH_B(i)})").mkString(", ")
+      "WITH " + shingleCte4 + pairCountCtes +
+        s""", p0 AS (SELECT a, b FROM inter), s3d AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in generate_series(1, greatest(len(toks) - 2, 0))]) AS sh FROM t), u3 AS (SELECT doc_id, $uSql AS u FROM (SELECT doc_id, md5(sh) AS h FROM s3d)), ab AS (SELECT * FROM (VALUES $abValues) tt(i, a, b)), mh3 AS (SELECT doc_id, i, min((a * u + b) % $P) AS mh FROM u3, ab GROUP BY 1, 2), sig3 AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh3 GROUP BY 1), sz3 AS (SELECT doc_id, count(*) AS n FROM s3d GROUP BY 1), i3 AS (SELECT p.a, p.b, count(*) AS c FROM p0 p JOIN s3d x ON x.doc_id = p.a JOIN s3d y ON y.doc_id = p.b AND y.sh = x.sh GROUP BY 1, 2), ev AS (SELECT p.a, p.b, coalesce(i3.c, 0) AS c, za.n AS na, zb.n AS nb, ga.sig AS siga, gb.sig AS sigb FROM p0 p LEFT JOIN i3 ON i3.a = p.a AND i3.b = p.b JOIN sz3 za ON za.doc_id = p.a JOIN sz3 zb ON zb.doc_id = p.b JOIN sig3 ga ON ga.doc_id = p.a JOIN sig3 gb ON gb.doc_id = p.b), sc AS (SELECT c * 1.0 / (na + nb - c) AS j, CAST(CASE WHEN len(list_filter(generate_series(0, 5), bq -> siga[2*bq+1] = sigb[2*bq+1] AND siga[2*bq+2] = sigb[2*bq+2])) > 0 THEN 1 ELSE 0 END AS BIGINT) AS hit FROM ev), th AS (SELECT j, hit, CAST(floor((1.0 - (1.0 - j*j) * (1.0 - j*j) * (1.0 - j*j) * (1.0 - j*j) * (1.0 - j*j) * (1.0 - j*j)) * 1e6 + 0.5) AS BIGINT) AS theory_u FROM sc) SELECT CAST(floor(j * 10) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_pairs, floor(CAST(sum(theory_u) AS DOUBLE) / count(*) / 1e6 * 1e4 + 0.5) / 1e4 AS mean_theory, floor(CAST(sum(hit) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS realized_rate FROM th GROUP BY 1 ORDER BY 1"""
+    })
+
+  /** MinHash ESTIMATOR-ERROR eval — the companion to the band-collision
+    * S-curve above: per Jaccard decile, how far does the 12-hash
+    * signature agreement m/12 sit from the exact 3-gram Jaccard c/u?
+    * The error |m/12 − c/u| = |m·u − 12·c| ⁄ (12·u) is computed from its
+    * EXACT integer numerator (no float subtraction of near-equal
+    * estimates), micro-scaled, and averaged from exact sums — the
+    * audit that sizes K before scaling the signature table 1000×.
+    * Same stored artifacts as the power eval; one pair-bounded join
+    * chain. */
+  private val minhashErrorEval = GraftQuery(
+    "dedup_minhash_error_eval",
+    "|signature-estimate − exact Jaccard| per decile (sizes K honestly)",
+    (s, d) => {
+      val pairs = scoredPairs(s, d).select(col("a"), col("b"))
+      val shh = shingles3(s, d)
+        .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+      val inter3 = broadcast(pairs)
+        .join(shh.select(col("doc_id").as("a"), col("shh")), Seq("a"))
+        .join(shh.select(col("doc_id").as("b"), col("shh")), Seq("b", "shh"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      val sig = minhashSig(s, d)
+      val sa = sig.select(col("doc_id").as("a") +: col("n").as("na") +:
+        (0 until K).map(i => col(s"mh$i").as(s"amh$i")): _*)
+      val sb = sig.select(col("doc_id").as("b") +: col("n").as("nb") +:
+        (0 until K).map(i => col(s"mh$i").as(s"bmh$i")): _*)
+      val m = (0 until K).map(i =>
+        when(col(s"amh$i") === col(s"bmh$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      pairs
+        .join(inter3, Seq("a", "b"), "left_outer").na.fill(0L, Seq("c"))
+        .join(sa, Seq("a")).join(sb, Seq("b"))
+        .withColumn("u", col("na") + col("nb") - col("c"))
+        .withColumn("m", m)
+        .withColumn("err_u", floor(
+          abs(col("m") * col("u") - lit(K.toLong) * col("c")).cast("double") /
+            (lit(K.toLong) * col("u")).cast("double") * 1e6 + 0.5).cast("long"))
+        .withColumn("j", col("c") * lit(1.0) / col("u"))
+        .groupBy(floor(col("j") * 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"), sum("err_u").as("se"))
+        .select(col("bucket"), col("n_pairs"),
+          fround(col("se").cast("double") / col("n_pairs") / 1e6, 4)
+            .as("mean_abs_err"))
+        .orderBy("bucket")
+    },
+    Some {
+      val abValues = (0 until K)
+        .map(i => s"(${i}, ${HASH_A(i)}, ${HASH_B(i)})").mkString(", ")
+      "WITH " + shingleCte4 + pairCountCtes +
+        s""", p0 AS (SELECT a, b FROM inter), s3d AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in generate_series(1, greatest(len(toks) - 2, 0))]) AS sh FROM t), u3 AS (SELECT doc_id, $uSql AS u FROM (SELECT doc_id, md5(sh) AS h FROM s3d)), ab AS (SELECT * FROM (VALUES $abValues) tt(i, a, b)), mh3 AS (SELECT doc_id, i, min((a * u + b) % $P) AS mh FROM u3, ab GROUP BY 1, 2), sig3 AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh3 GROUP BY 1), sz3 AS (SELECT doc_id, count(*) AS n FROM s3d GROUP BY 1), i3 AS (SELECT p.a, p.b, count(*) AS c FROM p0 p JOIN s3d x ON x.doc_id = p.a JOIN s3d y ON y.doc_id = p.b AND y.sh = x.sh GROUP BY 1, 2), ev AS (SELECT p.a, p.b, coalesce(i3.c, 0) AS c, za.n + zb.n - coalesce(i3.c, 0) AS u, CAST(len(list_filter(generate_series(1, $K), i -> ga.sig[i] = gb.sig[i])) AS BIGINT) AS m FROM p0 p LEFT JOIN i3 ON i3.a = p.a AND i3.b = p.b JOIN sz3 za ON za.doc_id = p.a JOIN sz3 zb ON zb.doc_id = p.b JOIN sig3 ga ON ga.doc_id = p.a JOIN sig3 gb ON gb.doc_id = p.b), er AS (SELECT c * 1.0 / u AS j, CAST(floor(CAST(abs(m * u - $K * c) AS DOUBLE) / CAST($K * u AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS err_u FROM ev) SELECT CAST(floor(j * 10) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_pairs, floor(CAST(sum(err_u) AS DOUBLE) / count(*) / 1e6 * 1e4 + 0.5) / 1e4 AS mean_abs_err FROM er GROUP BY 1 ORDER BY 1"""
+    })
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupComponents, dedupKeepList,
     dedupKeepLongest, dedupSimhash, dedupSimhashGroups, dedupEmbedding,
     dedupEmbeddingLsh, dedupIncremental, dedupContainment, graphTriangles,
     dedupClusterSizes, dedupThresholdCurve, rougePairs, editDistancePairs,
-    shardMissAudit, tfidfPairCosine, dupSpans)
+    shardMissAudit, tfidfPairCosine, dupSpans, lshPowerEval,
+    minhashErrorEval)
 }

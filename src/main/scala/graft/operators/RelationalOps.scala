@@ -253,6 +253,66 @@ object RelationalOps {
     },
     Some("""SELECT user_id FROM events WHERE event_type = 'signup' UNION SELECT user_id FROM events WHERE event_type = 'error' ORDER BY user_id"""))
 
+  /** 4-4-5 FISCAL CALENDAR rollup — the retail-calendar mapping every
+    * warehouse grows eventually: fiscal years start Feb 1, each quarter
+    * is 4+4+5 weeks, periods number 1..12 (week 53 of long years clamps
+    * into period 12, the standard convention). The mapping is pure
+    * closed-form integer arithmetic on the order date — no calendar
+    * dimension join, so it rides the scan as a codegen'd projection and
+    * the rollup is one keyed agg with exact centi revenue. */
+  private val calFiscal445 = GraftQuery(
+    "cal_fiscal_445",
+    "4-4-5 fiscal calendar (FY starts Feb 1): orders + revenue per period",
+    (s, d) => {
+      val od = col("o_orderdate").cast("date")
+      val fy = when(month(od) >= 2, year(od)).otherwise(year(od) - 1)
+      Tables.orders(s, d)
+        .select(od.as("od"), fy.as("fy"), centi(col("o_totalprice")).as("pc"))
+        .withColumn("wk", least(
+          expr("datediff(od, make_date(fy, 2, 1)) div 7"), lit(51)))
+        .withColumn("q", expr("wk div 13") + 1)
+        .withColumn("period", (col("q") - 1) * 3 +
+          when(col("wk") % 13 < 4, 1).when(col("wk") % 13 < 8, 2).otherwise(3))
+        .groupBy("fy", "q", "period")
+        .agg(count(lit(1)).as("n_orders"),
+          fround(sum("pc").cast("double") / 100.0, 2).as("revenue"))
+        .orderBy("fy", "period")
+    },
+    Some("""WITH o AS (SELECT CAST(o_orderdate AS DATE) AS od, CASE WHEN month(CAST(o_orderdate AS DATE)) >= 2 THEN year(CAST(o_orderdate AS DATE)) ELSE year(CAST(o_orderdate AS DATE)) - 1 END AS fy, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc FROM orders), w AS (SELECT fy, least(date_diff('day', make_date(fy, 2, 1), od) // 7, 51) AS wk, pc FROM o), p AS (SELECT fy, wk // 13 + 1 AS q, (wk // 13) * 3 + CASE WHEN wk % 13 < 4 THEN 1 WHEN wk % 13 < 8 THEN 2 ELSE 3 END AS period, pc FROM w) SELECT fy, q, period, CAST(count(*) AS BIGINT) AS n_orders, floor(CAST(sum(pc) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS revenue FROM p GROUP BY 1, 2, 3 ORDER BY fy, period"""))
+
+  /** BAND JOIN (|x − y| ≤ ε) via BUCKET + NEIGHBOR-BUCKET equi keys — the
+    * scale-safe spelling of a similarity/tolerance join on a numeric
+    * axis: bucket each value at ε width, explode ONE side to its three
+    * candidate buckets, equi-join on the bucket, verify the exact band
+    * predicate post-probe. Each row is replicated exactly 3×, every true
+    * pair matches exactly once (the probe's home bucket is unique, and
+    * a < b kills the mirror) — never the O(n²) theta join Spark would
+    * otherwise plan for a bare |a−b| ≤ ε condition. Values are shifted
+    * non-negative before the integer div so Spark's truncating `div` and
+    * DuckDB's flooring `//` agree. */
+  private val jBandBucketed = GraftQuery(
+    "j_band_bucketed",
+    "band join |acctbal diff| <= 100 as bucket+neighbor equi join",
+    (s, d) => {
+      val band = 10000L
+      val off = 1000000L
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("k"), centi(col("s_acctbal")).as("bal"))
+        .withColumn("b2", expr(s"(bal + $off) div $band"))
+      val left = sup.select(col("k").as("a"), col("bal").as("bala"),
+        explode(array(col("b2") - 1, col("b2"), col("b2") + 1)).as("bk"))
+      val right = sup.select(col("k").as("b"), col("bal").as("balb"),
+        col("b2").as("bk"))
+      left.join(right, Seq("bk"))
+        .filter(col("a") < col("b") &&
+          abs(col("bala") - col("balb")) <= band)
+        .select(col("a"), col("b"),
+          fround(abs(col("bala") - col("balb")).cast("double") / 100.0, 2)
+            .as("bal_diff"))
+        .orderBy("a", "b")
+    },
+    Some("""WITH s AS (SELECT s_suppkey AS k, CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal FROM supplier), s2 AS (SELECT *, (bal + 1000000) // 10000 AS b2 FROM s), l AS (SELECT k AS a, bal AS bala, b2 + d AS bk FROM s2, (SELECT unnest([-1, 0, 1]) AS d)), r AS (SELECT k AS b, bal AS balb, b2 AS bk FROM s2) SELECT a, b, floor(CAST(abs(bala - balb) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS bal_diff FROM l JOIN r USING (bk) WHERE a < b AND abs(bala - balb) <= 10000 ORDER BY a, b"""))
+
   /** SYMMETRIC DIFFERENCE — the set-op composition (A∖B) ∪ (B∖A) with a
     * side tag, completing the §2.7 union/intersect/except family: the
     * audit read "which user-days are in exactly one of the two behavioral
@@ -1059,7 +1119,9 @@ object RelationalOps {
   val all: Seq[GraftQuery] = Seq(
     q1, q3, q5, q10Returns, q14Promo, q18TopQuantity, q19Disjunctive, q7Volume,
     jSemi, jAnti, jOuter,
-    jRange, jAsof, jBucketed, winRank, winMoving, winNtile, winRangeFrame,
+    jRange, jAsof, jBucketed, jBandBucketed, calFiscal445, winRank,
+    winMoving, winNtile,
+    winRangeFrame,
     winPercentRank, setIntersect,
     setExcept, setUnion, setSymdiff, aggRollup, aggCube, aggGroupingSets,
     aggApprox,

@@ -1042,11 +1042,116 @@ object SimilarityOps {
       .orderBy("q_id"),
     Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e), bq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0), bsc AS (SELECT bq.q_id, c.vec_id AS n_id, list_sum([s[1]*s[2] for s in list_zip(bq.qv, c.v)]) / (bq.qn * c.nrm) AS cos FROM bq JOIN n c ON c.vec_id <> bq.q_id), b2 AS (SELECT q_id, n_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos, rnk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY floor(cos * 1000000.0 + 0.5) DESC, n_id) AS rnk FROM bsc) WHERE rnk <= 2), g AS (SELECT q_id, max(CASE WHEN rnk = 1 THEN cos END) AS c1, max(CASE WHEN rnk = 2 THEN cos END) AS c2, max(CASE WHEN rnk = 1 THEN n_id END) AS nn1 FROM b2 GROUP BY 1) SELECT q_id, nn1, floor(c1 * 1e4 + 0.5) / 1e4 AS cos_top1, floor(c2 * 1e4 + 0.5) / 1e4 AS cos_top2, floor((c1 - c2) * 1e4 + 0.5) / 1e4 AS margin FROM g ORDER BY q_id"""))
 
+  /** The deterministic ±1 Johnson–Lindenstrauss sign matrix [k=16][d=64],
+    * derived from md5 so the DuckDB oracle regenerates the identical
+    * matrix with the [[graft.functions.GraftFunctions.md5u32Sql]] nibble
+    * polynomial — model-sized, shipped to executors as a literal (the
+    * broadcast-a-tiny-model pattern; no per-row hashing in the scan). */
+  private lazy val jlSigns: Seq[Seq[Long]] =
+    (0 until 16).map { j =>
+      (0 until 64).map { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"jl|$i|$j".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2L) * 2L - 1L
+      }
+    }
+
+  private def jlSignSql: String = {
+    val poly = graft.functions.GraftFunctions.md5u32Sql(
+      "md5('jl|' || CAST(i AS VARCHAR) || '|' || CAST(j AS VARCHAR))")
+    s"(($poly % 2) * 2 - 1)"
+  }
+
+  /** JOHNSON–LINDENSTRAUSS DISTORTION audit — before committing 100 TB of
+    * embeddings to a 4× cheaper 16-dim sketch, measure what the random
+    * ±1 projection does to pairwise distances: for consecutive-id vector
+    * pairs, the ratio ‖Py‖²/(k·‖x‖²) concentrates around 1 (the JL
+    * lemma); the histogram + per-bucket mean quantifies the spread this
+    * corpus actually gets. All arithmetic is exact micro-int until the
+    * single final division: projections are BIGINT dot products against
+    * the literal sign matrix (codegen'd HOFs, zero shuffle), the pair
+    * join is a narrow div-2 key join, and the histogram is one tiny
+    * agg. */
+  private val embJlDistortion = GraftQuery(
+    "emb_jl_distortion",
+    "±1-projection JL distance-distortion histogram (64→16 dims)",
+    (s, d) => {
+      val proj = Tables.embeddings(s, d).select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+            .as("m"))
+        .withColumn("sgn", typedlit(jlSigns))
+        .withColumn("y", expr(
+          """transform(sgn, row -> aggregate(sequence(0, 63),
+             CAST(0 AS BIGINT),
+             (acc, i) -> acc + element_at(row, i + 1) * element_at(m, i + 1)))"""))
+        .select(col("vec_id"), col("m"), col("y"))
+      val a = proj.filter(col("vec_id") % 2 === 0)
+        .select(expr("vec_id div 2").as("p"), col("m").as("ma"), col("y").as("ya"))
+      val b = proj.filter(col("vec_id") % 2 === 1)
+        .select(expr("vec_id div 2").as("p"), col("m").as("mb"), col("y").as("yb"))
+      a.join(b, Seq("p"))
+        .withColumn("d2f", expr(
+          "aggregate(zip_with(ma, mb, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("d2p", expr(
+          "aggregate(zip_with(ya, yb, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .filter(col("d2f") > 0)
+        .withColumn("ratio_u",
+          floor(col("d2p").cast("double") / (col("d2f").cast("double") * 16.0)
+            * 1e4 + 0.5).cast("long"))
+        .groupBy(expr("ratio_u div 1000").as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"), sum("ratio_u").as("su"))
+        .select(col("bucket"), col("n_pairs"),
+          fround(col("su").cast("double") / col("n_pairs") / 1e4, 4)
+            .as("mean_ratio"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH m AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS m FROM embeddings), y AS (SELECT vec_id, j, CAST(list_sum(list_transform(generate_series(0, 63), i -> $jlSignSql * m.m[i + 1])) AS BIGINT) AS yj FROM m, (SELECT unnest(generate_series(0, 15)) AS j)), yl AS (SELECT vec_id, list(yj ORDER BY j) AS y FROM y GROUP BY 1), pm AS (SELECT m.vec_id, m.m, yl.y FROM m JOIN yl USING (vec_id)), pr AS (SELECT a.vec_id // 2 AS p, CAST(list_sum([(z[1] - z[2]) * (z[1] - z[2]) for z in list_zip(a.m, b.m)]) AS BIGINT) AS d2f, CAST(list_sum([(z[1] - z[2]) * (z[1] - z[2]) for z in list_zip(a.y, b.y)]) AS BIGINT) AS d2p FROM pm a JOIN pm b ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0), ru AS (SELECT CAST(floor(CAST(d2p AS DOUBLE) / (CAST(d2f AS DOUBLE) * 16.0) * 1e4 + 0.5) AS BIGINT) AS ratio_u FROM pr WHERE d2f > 0) SELECT ratio_u // 1000 AS bucket, CAST(count(*) AS BIGINT) AS n_pairs, floor(CAST(sum(ratio_u) AS DOUBLE) / count(*) / 1e4 * 1e4 + 0.5) / 1e4 AS mean_ratio FROM ru GROUP BY 1 ORDER BY 1"""))
+
+  /** RANK-STABILITY eval for dimension truncation — Spearman's ρ between
+    * the full-64-dim ranking and the 16-dim-prefix ranking of each
+    * probe's true top-20: the retrieval-quality companion to
+    * [[embJlDistortion]] (distance distortion) and sim_knn_matryoshka
+    * (the serving path it justifies). Both rankings ride the shared
+    * brute top-k scan + one prefix re-score of 20 rows per probe; ρ is
+    * exact integer arithmetic (rank differences) until the final
+    * division. */
+  private val simRankSpearman = GraftQuery(
+    "sim_rank_spearman",
+    "Spearman rho: full-dim vs 16-dim-prefix ranking of each probe's top-20",
+    (s, d) => {
+      val top = bruteTopK(s, d, 50, 20)
+      val e = normalized(s, d).withColumn("vPre", slice(col("v"), 1, 16))
+        .withColumn("nPre", sqrt(expr("graft_dot(vPre, vPre)")))
+      val qPre = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("vPre").as("qvPre"),
+          col("nPre").as("qnPre"))
+      val scored = top
+        .join(e.select(col("vec_id").as("n_id"), col("vPre"), col("nPre")),
+          Seq("n_id"))
+        .join(broadcast(qPre), Seq("q_id"))
+        .withColumn("cosPre",
+          expr("graft_dot(qvPre, vPre)") / (col("qnPre") * col("nPre")))
+      val wp = Window.partitionBy("q_id")
+        .orderBy(fround(col("cosPre"), 6).desc, col("n_id"))
+      scored.withColumn("prnk", row_number().over(wp))
+        .withColumn("d2",
+          ((col("rnk") - col("prnk")) * (col("rnk") - col("prnk"))).cast("long"))
+        .groupBy("q_id")
+        .agg(sum("d2").as("sd2"), count(lit(1)).cast("long").as("k"))
+        .select(col("q_id"),
+          fround(lit(1.0) - lit(6.0) * col("sd2") /
+            (col("k") * (col("k") * col("k") - lit(1L))), 4)
+            .as("spearman_rho"))
+        .orderBy("q_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm, list_slice(v, 1, 16) AS vPre FROM e), n2 AS (SELECT vec_id, v, nrm, vPre, sqrt(list_sum([x*x for x in vPre])) AS nPre FROM n), q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, vPre AS qvPre, nPre AS qnPre FROM n2 WHERE vec_id % 50 = 0), sc AS (SELECT q.q_id, c.vec_id AS n_id, list_sum([s[1]*s[2] for s in list_zip(q.qv, c.v)]) / (q.qn * c.nrm) AS cos, list_sum([s[1]*s[2] for s in list_zip(q.qvPre, c.vPre)]) / (q.qnPre * c.nPre) AS cosPre FROM q JOIN n2 c ON c.vec_id <> q.q_id), rk AS (SELECT q_id, n_id, cosPre, row_number() OVER (PARTITION BY q_id ORDER BY floor(cos * 1000000.0 + 0.5) DESC, n_id) AS rnk FROM sc), top AS (SELECT * FROM rk WHERE rnk <= 20), pk AS (SELECT q_id, rnk, row_number() OVER (PARTITION BY q_id ORDER BY floor(cosPre * 1000000.0 + 0.5) DESC, n_id) AS prnk FROM top), ag AS (SELECT q_id, CAST(sum((rnk - prnk) * (rnk - prnk)) AS BIGINT) AS sd2, CAST(count(*) AS BIGINT) AS k FROM pk GROUP BY 1) SELECT q_id, floor((1.0 - 6.0 * sd2 / (k * (k * k - 1))) * 1e4 + 0.5) / 1e4 AS spearman_rho FROM ag ORDER BY q_id"""))
+
   val all: Seq[GraftQuery] = Seq(knnBrute, labelStats, knnLsh, knnMatryoshka,
     embCentroids, embDimProfile, embAssignPurity, dedupSemantic,
     embPrototypicality, simHubness, hardNegatives, embKmeansStep,
     embSimHistogram, embPcaPower, embPcaVar, embKmeansppSeed, embWhitening,
     embIsotropy, simRecallEval, knnLabelAccuracy, embCentroidDrift,
     embConcentration, embSignFidelity, embIntrinsicDim, embSilhouette,
-    embMahalanobis, knnMargin)
+    embMahalanobis, knnMargin, embJlDistortion, simRankSpearman)
 }

@@ -999,8 +999,49 @@ object TemporalOps {
     },
     Some("""WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), l AS (SELECT *, lag(day) OVER w AS prev, lead(day) OVER w AS nxt FROM du WINDOW w AS (PARTITION BY user_id ORDER BY day)), cls AS (SELECT *, CASE WHEN prev IS NULL THEN 'new' WHEN datediff('day', prev, day) = 1 THEN 'retained' ELSE 'resurrected' END AS cls FROM l), act AS (SELECT day, count(*) AS dau, CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new, CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained, CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected FROM cls GROUP BY 1), ch AS (SELECT day + 1 AS day, count(*) AS n_churned FROM l WHERE nxt IS NULL OR datediff('day', day, nxt) > 1 GROUP BY 1) SELECT act.day, dau, n_new, n_retained, n_resurrected, coalesce(ch.n_churned, 0) AS n_churned FROM act LEFT JOIN ch ON act.day = ch.day ORDER BY act.day"""))
 
+  /** EVENT-PATTERN MATCHING (the MATCH_RECOGNIZE surface Spark SQL lacks,
+    * spelled with windows): find V-REVERSALS in each type's daily value
+    * series — a decline run of ≥ 2 days immediately followed by a rise
+    * run of ≥ 2 days. Runs come from the gaps-and-islands double
+    * row_number (one keyed shuffle); run adjacency is a lead() over the
+    * run table (run-count-sized). Per episode: bottom day, run lengths,
+    * exact centi decline/recovery amounts. The same skeleton spells any
+    * A+B+C* pattern — runs ARE the compiled NFA states. */
+  private val patternVshape = GraftQuery(
+    "evt_pattern_vshape",
+    "MATCH_RECOGNIZE stand-in: >=2-down-then->=2-up V-reversals per type",
+    (s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(centi(col("value"))).as("y"))
+      val dz = daily.withColumn("delta", col("y") - lag("y", 1).over(w))
+        .filter(col("delta").isNotNull)
+        .withColumn("sgn", when(col("delta") > 0, 1)
+          .when(col("delta") < 0, -1).otherwise(0))
+      val runs = dz
+        .withColumn("grp", row_number().over(w) - row_number().over(
+          Window.partitionBy("event_type", "sgn").orderBy("day")))
+        .groupBy("event_type", "sgn", "grp")
+        .agg(count(lit(1)).as("len"), min("day").as("start_day"),
+          max("day").as("end_day"), sum("delta").as("tot"))
+      val wr = Window.partitionBy("event_type").orderBy("start_day")
+      runs
+        .withColumn("nsgn", lead("sgn", 1).over(wr))
+        .withColumn("nlen", lead("len", 1).over(wr))
+        .withColumn("ntot", lead("tot", 1).over(wr))
+        .filter(col("sgn") === -1 && col("len") >= 2 &&
+          col("nsgn") === 1 && col("nlen") >= 2)
+        .select(col("event_type"), col("end_day").as("bottom_day"),
+          col("len").as("decline_days"), col("nlen").as("rise_days"),
+          fround(-col("tot").cast("double") / 100.0, 2).as("decline_amt"),
+          fround(col("ntot").cast("double") / 100.0, 2).as("recovery_amt"))
+        .orderBy("event_type", "bottom_day")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y FROM events GROUP BY 1, 2), dd AS (SELECT *, y - lag(y) OVER (PARTITION BY event_type ORDER BY day) AS delta FROM daily), dz AS (SELECT event_type, day, delta, CASE WHEN delta > 0 THEN 1 WHEN delta < 0 THEN -1 ELSE 0 END AS sgn FROM dd WHERE delta IS NOT NULL), rr AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) - row_number() OVER (PARTITION BY event_type, sgn ORDER BY day) AS grp FROM dz), runs AS (SELECT event_type, sgn, grp, CAST(count(*) AS BIGINT) AS len, min(day) AS start_day, max(day) AS end_day, CAST(sum(delta) AS BIGINT) AS tot FROM rr GROUP BY 1, 2, 3), seq AS (SELECT *, lead(sgn) OVER w AS nsgn, lead(len) OVER w AS nlen, lead(tot) OVER w AS ntot FROM runs WINDOW w AS (PARTITION BY event_type ORDER BY start_day)) SELECT event_type, end_day AS bottom_day, len AS decline_days, nlen AS rise_days, floor(CAST(-tot AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS decline_amt, floor(CAST(ntot AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS recovery_amt FROM seq WHERE sgn = -1 AND len >= 2 AND nsgn = 1 AND nlen >= 2 ORDER BY 1, 2"""))
+
   val all: Seq[GraftQuery] =
-    Seq(rollingDau, attribution, firstLast, snapshotDiff, cohortRevenue,
+    Seq(patternVshape, rollingDau, attribution, firstLast, snapshotDiff, cohortRevenue,
       rfmSegments, paaSax, turningPoints, markovStationary, changepoint,
       autocorr, gapHistogram, islands, survivalKm, entropyRate,
       timeToConvert, maxDrawdown, forecastBacktest, userEntropyProfile,

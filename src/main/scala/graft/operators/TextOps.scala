@@ -696,12 +696,31 @@ object TextOps {
     "txt_cdc_chunks",
     "content-defined chunking: md5 window-hash boundaries (mod 64), per-doc chunk stats",
     (s, d) => {
+      // The 8-byte window hash is a Rabin-style base-131 polynomial over
+      // the char codes (what a native CDC chunker actually rolls) —
+      // exact 64-bit integer arithmetic both engines replay
+      // bit-identically; boundary = hash ≡ 0 (mod 64). The per-position
+      // probe rides the codegen'd Generate→Filter pipeline (text stays a
+      // local inside the fused loop; only (doc_id, cut) survives to the
+      // window shuffle). An md5-per-position variant measured 4.4 s
+      // warm at sf0.1 and an interpreted array-HOF spelling 6 s — the
+      // polynomial in whole-stage codegen is the fast shape.
+      val poly = (0 until 8).map(k =>
+          s"element_at(codes, CAST(i AS INT) + $k) * ${math.pow(131.0, k).toLong}L")
+        .mkString(" + ")
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("len"))
+      // chars → codes ONCE per doc (split is one linear pass; a
+      // substring(text, i, 1) per position would re-walk the string
+      // from index 0 every probe — O(len²) per doc, measured 4-15 s
+      // at sf0.1 across three spellings); element_at on the codes
+      // array is O(1) per probe
       val cuts = docs.filter(col("len") >= 8)
-        .select(col("doc_id"), col("text"),
+        .withColumn("codes",
+          expr("transform(split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))"))
+        .select(col("doc_id"), col("codes"),
           explode(sequence(lit(1L), col("len") - 7)).as("i"))
-        .filter(md5u32(col("text").substr(col("i").cast("int"), lit(8))) % 64 === 0)
+        .filter(expr(s"($poly) % 64 = 0"))
         .select(col("doc_id"), (col("i") + 7).as("cut"))
       val w = Window.partitionBy("doc_id").orderBy("cut")
       val perDoc = cuts
@@ -719,7 +738,12 @@ object TextOps {
         .withColumn("avg_chunk", fround(col("len").cast("double") / col("n_chunks"), 4))
         .orderBy("doc_id")
     },
-    Some(s"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents), pos AS (SELECT doc_id, text, unnest(generate_series(1, len - 7)) AS i FROM d WHERE len >= 8), cuts AS (SELECT doc_id, i + 7 AS cut FROM pos WHERE ${md5u32Sql("md5(substr(text, CAST(i AS INTEGER), 8))")} % 64 = 0), g AS (SELECT doc_id, cut, cut - coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) AS gap FROM cuts), pd AS (SELECT doc_id, count(*) AS n_cuts, max(gap) AS max_gap, max(cut) AS max_cut FROM g GROUP BY 1) SELECT d.doc_id, d.len, CAST(coalesce(pd.n_cuts, 0) + (CASE WHEN d.len > coalesce(pd.max_cut, 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_chunks, CAST(greatest(coalesce(pd.max_gap, 0), d.len - coalesce(pd.max_cut, 0)) AS BIGINT) AS max_chunk, floor(CAST(d.len AS DOUBLE) / (coalesce(pd.n_cuts, 0) + CASE WHEN d.len > coalesce(pd.max_cut, 0) THEN 1 ELSE 0 END) * 10000.0 + 0.5) / 10000.0 AS avg_chunk FROM d LEFT JOIN pd USING (doc_id) ORDER BY 1"""))
+    Some {
+      val polySql = (0 until 8).map(k =>
+          s"CAST(codes[i + $k] AS BIGINT) * ${math.pow(131.0, k).toLong}")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents), cc AS (SELECT doc_id, len, list_transform(generate_series(1, len), i -> ord(substr(text, i, 1))) AS codes FROM d WHERE len >= 8), cuts AS (SELECT doc_id, unnest(list_filter(list_transform(generate_series(1, len - 7), i -> CASE WHEN ($polySql) % 64 = 0 THEN i + 7 END), x -> x IS NOT NULL)) AS cut FROM cc), g AS (SELECT doc_id, cut, cut - coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) AS gap FROM cuts), pd AS (SELECT doc_id, count(*) AS n_cuts, max(gap) AS max_gap, max(cut) AS max_cut FROM g GROUP BY 1) SELECT d.doc_id, d.len, CAST(coalesce(pd.n_cuts, 0) + (CASE WHEN d.len > coalesce(pd.max_cut, 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_chunks, CAST(greatest(coalesce(pd.max_gap, 0), d.len - coalesce(pd.max_cut, 0)) AS BIGINT) AS max_chunk, floor(CAST(d.len AS DOUBLE) / (coalesce(pd.n_cuts, 0) + CASE WHEN d.len > coalesce(pd.max_cut, 0) THEN 1 ELSE 0 END) * 10000.0 + 0.5) / 10000.0 AS avg_chunk FROM d LEFT JOIN pd USING (doc_id) ORDER BY 1"""
+    })
 
   /** Windowed word CO-OCCURRENCE counts (positions ≤ 2 apart, unordered
     * pair key) — the association-mining kernel under PMI scoring, phrase
@@ -1100,6 +1124,44 @@ object TextOps {
     },
     None)
 
+  /** PMI COLLOCATIONS — pointwise mutual information over adjacent token
+    * pairs, the classic collocation extractor (phrases whose parts
+    * co-occur far above chance; the phrase-mining step before tokenizer
+    * or vocabulary decisions). Counts are exact corpus-wide BIGINTs from
+    * two map-side-combined aggregations (unigrams + bigrams, each one
+    * narrow explode→agg); PMI = ln(c_ab·N ⁄ (c_a·c_b)) is the only
+    * float, computed from exact integer operands and floor-rounded; the
+    * support cutoff (≥ 5) kills the noise tail before the tiny
+    * broadcast-joined scoring step. Top-30 by rounded PMI via
+    * TakeOrdered. */
+  private val pmiCollocations = GraftQuery(
+    "txt_pmi_collocations",
+    "top-30 PMI-ranked adjacent-token collocations (support >= 5)",
+    (s, d) => {
+      val withT = Tables.documents(s, d)
+        .select(tokens(col("text")).as("tk"))
+      val uni = withT.select(explode(col("tk")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c1"))
+      val nTot = withT.agg(sum(size(col("tk"))).as("n"))
+      val bi = withT.filter(size(col("tk")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS w1, tk[i + 1] AS w2))"))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        .filter(col("cb") >= 5)
+      bi.join(broadcast(uni.select(col("tok").as("w1"), col("c1").as("ca"))), Seq("w1"))
+        .join(broadcast(uni.select(col("tok").as("w2"), col("c1").as("cw"))), Seq("w2"))
+        .crossJoin(broadcast(nTot))
+        .withColumn("pmi", log((col("cb") * col("n")).cast("double") /
+          (col("ca") * col("cw"))))
+        .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+          col("cb").as("pair_count"), fround(col("pmi"), 4).as("pmi"))
+        .orderBy(desc("pmi"), col("bigram"))
+        .limit(30)
+    },
+    Some("""WITH tk AS (SELECT string_split(lower(text), ' ') AS tk FROM documents), uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM (SELECT unnest(tk) AS tok FROM tk) GROUP BY 1), nt AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS n FROM tk), bg AS (SELECT tk[i] AS w1, tk[i + 1] AS w2 FROM tk, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) WHERE len(tk) >= 2), bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY 1, 2 HAVING count(*) >= 5) SELECT w1 || ' ' || w2 AS bigram, cb AS pair_count, floor(ln(CAST(cb * n AS DOUBLE) / (ca.c1 * cw.c1)) * 1e4 + 0.5) / 1e4 AS pmi FROM bc JOIN uc ca ON ca.tok = w1 JOIN uc cw ON cw.tok = w2 CROSS JOIN nt ORDER BY pmi DESC, bigram LIMIT 30"""))
+
   val all: Seq[GraftQuery] = Seq(tokenStats, quality, langId, fingerprint,
     topNgrams, repetition, decontaminate, boilerplate, decontaminateBloom,
     vocabTopK, vocabSketch, unigramLogprob, bpePretokenize, txtNovelty,
@@ -1107,7 +1169,7 @@ object TextOps {
     langIdKappa, cdcChunks, cooccurrence, splitContamination, zipfFit,
     featureHashing, bpeMergeStep, bigramLogprob, hapaxProfile, burstiness,
     keynessG2, jsdSources, countMinProbe, vocabJaccardSources, heapsLaw,
-    burrowsDelta, surprisalBySource)
+    burrowsDelta, surprisalBySource, pmiCollocations)
 
   /** MEAN TOKEN SURPRISAL per source — the unigram-LM quality signal
     * rolled to the SOURCE grain (which corpus slice is most "surprising"

@@ -870,17 +870,16 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("txt_cdc_chunks: per-doc boundary replay and chunk invariants") {
-    def u32(sx: String): Long = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.substring(0, 8), 16)
-    }
+    // base-131 Rabin window hash, the engine's boundary rule
+    def winHash(text: String, i: Int): Long =
+      (0 until 8).map(k => text.charAt(i - 1 + k).toLong *
+        math.pow(131.0, k).toLong).sum
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val expected = docs.sortBy(_._1).map { case (id, text) =>
       val len = text.length.toLong
       val cuts = (1 to text.length - 7)
-        .filter(i => u32(text.substring(i - 1, i + 7)) % 64 == 0).map(_ + 7L)
+        .filter(i => winHash(text, i) % 64 == 0).map(_ + 7L)
       val gaps = cuts.zip(0L +: cuts.dropRight(1)).map { case (c, p) => c - p }
       val tail = len - cuts.lastOption.getOrElse(0L)
       val nChunks = (cuts.size + (if (tail > 0) 1 else 0)).toLong

@@ -359,8 +359,11 @@ class PlanQualitySpec extends AnyFunSuite {
                               // replacing the global sort
       "qa_theilsen_trend",    // median rank-pick over the ~|days|^2
                               // pairwise-slope table (~400 rows)
-      "samp_pps_systematic")  // cumulative size axis over the doc
+      "samp_pps_systematic",  // cumulative size axis over the doc
                               // projection (samp_systematic class)
+      "rel_compaction_plan")  // cumulative bin split over the per-FILE
+                              // size table (file-count-sized — the
+                              // table-metadata scan, not a data scan)
     val offenders = SparkEntry.registry.flatMap { q =>
       val unpartitioned =
         try {
