@@ -1138,8 +1138,152 @@ object AnalyticsOps {
     },
     Some("""SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n, floor(median(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 * 1e4 + 0.5) / 1e4 AS median_price FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
+  /** CUPED variance reduction — the experimentation-stack workhorse
+    * (Deng et al.'s controlled-experiment pre-period adjustment): each
+    * user's post-period metric Y is debiased by their PRE-period metric
+    * X via Y* = Y − θ(X − X̄), θ = cov(X,Y)/var(X), shrinking the
+    * comparison's variance by exactly ρ² without touching the treatment
+    * contrast. Assignment is the deterministic md5 coin; θ and ρ² come
+    * from EXACT integer user-level moments (decimal-widened products, a
+    * float appears only in the final divisions), so both engines land
+    * the identical adjusted means. One user-keyed aggregation + two
+    * tiny moment rollups. */
+  private val evtUpliftCuped = GraftQuery(
+    "evt_uplift_cuped",
+    "CUPED adjusted variant means + realized variance reduction (rho^2)",
+    (s, d) => {
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val users = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("ts") < cut, centi(col("value"))).otherwise(0L)).as("x"),
+          sum(when(col("ts") >= cut, centi(col("value"))).otherwise(0L)).as("y"))
+        .withColumn("variant",
+          (md5u32(col("user_id").cast("string")) % 2).cast("int"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val g = users.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(dec(col("x")) * col("y")).as("sxy"),
+        sum(dec(col("x")) * col("x")).as("sxx"),
+        sum(dec(col("y")) * col("y")).as("syy"))
+      val cov = (dec(col("n")) * col("sxy") - dec(col("sx")) * col("sy"))
+        .cast("double")
+      val vx = (dec(col("n")) * col("sxx") - dec(col("sx")) * col("sx"))
+        .cast("double")
+      val vy = (dec(col("n")) * col("syy") - dec(col("sy")) * col("sy"))
+        .cast("double")
+      val gg = g.select(col("n"), col("sx"),
+        (cov / vx).as("theta"), (cov * cov / (vx * vy)).as("rho2"))
+      users.groupBy("variant")
+        .agg(count(lit(1)).as("n_users"), sum("x").as("sxv"),
+          sum("y").as("syv"))
+        .crossJoin(broadcast(gg))
+        .select(col("variant"), col("n_users"),
+          fround(col("syv").cast("double") / col("n_users") / 100.0, 4)
+            .as("mean_y"),
+          fround((col("syv").cast("double") / col("n_users") -
+            col("theta") * (col("sxv").cast("double") / col("n_users") -
+              col("sx").cast("double") / col("n"))) / 100.0, 4)
+            .as("mean_y_adj"),
+          fround(col("theta"), 6).as("theta"),
+          fround(col("rho2"), 6).as("var_reduction"))
+        .orderBy("variant")
+    },
+    Some(s"""WITH u AS (SELECT user_id, CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS x, CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y, CAST(${graft.functions.GraftFunctions.md5u32Sql("md5(CAST(user_id AS VARCHAR))")} % 2 AS INTEGER) AS variant FROM events GROUP BY user_id), g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(y AS HUGEINT) * y) AS syy FROM u), gg AS (SELECT n, sx, CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS theta, CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) * CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / (CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)) AS rho2 FROM g), v AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_users, CAST(sum(x) AS BIGINT) AS sxv, CAST(sum(y) AS BIGINT) AS syv FROM u GROUP BY 1) SELECT variant, n_users, floor(CAST(syv AS DOUBLE) / n_users / 100.0 * 1e4 + 0.5) / 1e4 AS mean_y, floor((CAST(syv AS DOUBLE) / n_users - theta * (CAST(sxv AS DOUBLE) / n_users - CAST(sx AS DOUBLE) / n)) / 100.0 * 1e4 + 0.5) / 1e4 AS mean_y_adj, floor(theta * 1e6 + 0.5) / 1e6 AS theta, floor(rho2 * 1e6 + 0.5) / 1e6 AS var_reduction FROM v, gg ORDER BY variant"""))
+
+  /** QUANTILE SEMANTICS side-by-side — percentile_disc (the smallest
+    * actual value whose cumulative share reaches q) vs percentile_cont
+    * (linear interpolation), both spelled EXPLICITLY from ranks so the
+    * semantics are pinned rather than inherited from either engine's
+    * builtin: disc = value at rank ⌈q·n⌉; cont interpolates ranks
+    * ⌊(n−1)q⌋+1 and its successor with the EXACT integer remainder
+    * (v_lo·(100−rem) + v_hi·rem)/100 — no float position arithmetic, so
+    * the 4dp outputs are bit-stable. One keyed window ranks each type's
+    * values; the three target ranks join back broadcast. */
+  private val aggQuantileSemantics = GraftQuery(
+    "agg_quantile_semantics",
+    "percentile_disc vs percentile_cont per type, exact rank arithmetic",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), centi(col("value")).as("v"))
+      val w = Window.partitionBy("event_type").orderBy("v")
+      val ranked = ev.withColumn("rn", row_number().over(w).cast("long"))
+      val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val targets = counts
+        .crossJoin(broadcast(Seq(25, 50, 75).toDF("q")))
+        .withColumn("disc_rank", expr("(q * n + 99) div 100"))
+        .withColumn("lo_rank", expr("((n - 1) * q) div 100 + 1"))
+        .withColumn("rem", expr("((n - 1) * q) % 100"))
+        .withColumn("hi_rank",
+          col("lo_rank") + when(col("rem") > 0, 1L).otherwise(0L))
+      ranked.join(broadcast(targets), Seq("event_type"))
+        .filter(col("rn") === col("disc_rank") ||
+          col("rn") === col("lo_rank") || col("rn") === col("hi_rank"))
+        .groupBy("event_type", "q", "rem")
+        .agg(
+          min(when(col("rn") === col("disc_rank"), col("v"))).as("vd"),
+          min(when(col("rn") === col("lo_rank"), col("v"))).as("vlo"),
+          min(when(col("rn") === col("hi_rank"), col("v"))).as("vhi"))
+        .select(col("event_type"), col("q"),
+          fround(col("vd").cast("double") / 100.0, 4).as("disc_value"),
+          fround((col("vlo") * (lit(100L) - col("rem")) +
+            col("vhi") * col("rem")).cast("double") / 100.0 / 100.0, 4)
+            .as("cont_value"))
+        .orderBy("event_type", "q")
+    },
+    Some("""WITH ev AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events), rk AS (SELECT event_type, v, CAST(row_number() OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS rn FROM ev), c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1), tg AS (SELECT event_type, q, (q * n + 99) // 100 AS disc_rank, ((n - 1) * q) // 100 + 1 AS lo_rank, ((n - 1) * q) % 100 AS rem, ((n - 1) * q) // 100 + 1 + (CASE WHEN ((n - 1) * q) % 100 > 0 THEN 1 ELSE 0 END) AS hi_rank FROM c, (SELECT unnest([25, 50, 75]) AS q)), j AS (SELECT rk.event_type, q, rem, min(CASE WHEN rn = disc_rank THEN v END) AS vd, min(CASE WHEN rn = lo_rank THEN v END) AS vlo, min(CASE WHEN rn = hi_rank THEN v END) AS vhi FROM rk JOIN tg ON rk.event_type = tg.event_type AND (rn = disc_rank OR rn = lo_rank OR rn = hi_rank) GROUP BY 1, 2, 3) SELECT event_type, CAST(q AS INTEGER) AS q, floor(CAST(vd AS DOUBLE) / 100.0 * 1e4 + 0.5) / 1e4 AS disc_value, floor(CAST(vlo * (100 - rem) + vhi * rem AS DOUBLE) / 100.0 / 100.0 * 1e4 + 0.5) / 1e4 AS cont_value FROM j ORDER BY 1, 2"""))
+
+  /** SLICE FINDER — the automatic-insights sweep every metrics platform
+    * runs ("which segment moved the number"): for every 1-dimensional
+    * slice over three dimensions (event type, Monday-0 weekday, 6-hour
+    * band), compare the slice's mean value against its COMPLEMENT with a
+    * Welch z from exact integer moments, and surface the top-10 by
+    * |z|. The complement's moments are the global moments minus the
+    * slice's — one grouped agg per dimension plus one global agg, no
+    * second scan per slice. Doubles appear identically late in both
+    * engines; ordering is on the 4dp-rounded score with full
+    * tiebreakers. */
+  private val qaSliceFinder = GraftQuery(
+    "qa_slice_finder",
+    "top-10 metric-moving slices across 3 dims (Welch z vs complement)",
+    (s, d) => {
+      val base = Tables.events(s, d).select(
+        col("event_type"),
+        ((dayofweek(col("ts")) + lit(5)) % 7).cast("long").as("dow"),
+        expr("hour(ts) div 6").as("hb"),
+        centi(col("value")).as("x"))
+      def slices(dim: String, key: Column) = base
+        .groupBy(key.cast("string").as("slice_value"))
+        .agg(count(lit(1)).as("n1"), sum("x").as("s1"),
+          sum(col("x") * col("x")).as("q1"))
+        .withColumn("dim", lit(dim))
+      val sl = slices("event_type", col("event_type"))
+        .union(slices("weekday", col("dow")))
+        .union(slices("hour_band", col("hb")))
+      val g = base.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("qx"))
+      val m1 = col("s1").cast("double") / col("n1")
+      val m0 = col("s0").cast("double") / col("n0")
+      val v1 = (col("q1").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double") / col("n1")) / col("n1")
+      val v0 = (col("q0").cast("double") -
+        col("s0").cast("double") * col("s0").cast("double") / col("n0")) / col("n0")
+      sl.crossJoin(broadcast(g))
+        .withColumn("n0", col("n") - col("n1"))
+        .withColumn("s0", col("sx") - col("s1"))
+        .withColumn("q0", col("qx") - col("q1"))
+        .select(col("dim"), col("slice_value"), col("n1").as("n"),
+          fround(m1 / 100.0, 4).as("mean_slice"),
+          fround(m0 / 100.0, 4).as("mean_rest"),
+          fround((m1 - m0) / sqrt(v1 / col("n1") + v0 / col("n0")), 4)
+            .as("z"))
+        .orderBy(abs(col("z")).desc, col("dim"), col("slice_value"))
+        .limit(10)
+    },
+    Some("""WITH base AS (SELECT event_type, CAST(isodow(ts) - 1 AS BIGINT) AS dow, CAST(hour(ts) // 6 AS BIGINT) AS hb, CAST(floor(value * 100 + 0.5) AS BIGINT) AS x FROM events), sl AS (SELECT 'event_type' AS dim, CAST(event_type AS VARCHAR) AS slice_value, CAST(count(*) AS BIGINT) AS n1, CAST(sum(x) AS BIGINT) AS s1, CAST(sum(x * x) AS BIGINT) AS q1 FROM base GROUP BY 2 UNION ALL SELECT 'weekday', CAST(dow AS VARCHAR), CAST(count(*) AS BIGINT), CAST(sum(x) AS BIGINT), CAST(sum(x * x) AS BIGINT) FROM base GROUP BY 2 UNION ALL SELECT 'hour_band', CAST(hb AS VARCHAR), CAST(count(*) AS BIGINT), CAST(sum(x) AS BIGINT), CAST(sum(x * x) AS BIGINT) FROM base GROUP BY 2), g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS qx FROM base), e AS (SELECT dim, slice_value, n1, s1, q1, n - n1 AS n0, sx - s1 AS s0, qx - q1 AS q0 FROM sl, g), sc AS (SELECT dim, slice_value, n1 AS n, CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s0 AS DOUBLE) / n0 AS m0, (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1) / n1 AS v1, (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / n0) / n0 AS v0, n1 AS nn1, n0 AS nn0 FROM e) SELECT dim, slice_value, n, floor(m1 / 100.0 * 1e4 + 0.5) / 1e4 AS mean_slice, floor(m0 / 100.0 * 1e4 + 0.5) / 1e4 AS mean_rest, floor((m1 - m0) / sqrt(v1 / nn1 + v0 / nn0) * 1e4 + 0.5) / 1e4 AS z FROM sc ORDER BY abs(floor((m1 - m0) / sqrt(v1 / nn1 + v0 / nn0) * 1e4 + 0.5) / 1e4) DESC, dim, slice_value LIMIT 10"""))
+
   val all: Seq[GraftQuery] = Seq(
-    aggMedianTwopass,
+    aggMedianTwopass, evtUpliftCuped, aggQuantileSemantics, qaSliceFinder,
     qaOlsTrend, calSeasonality, calSeasonalAnomaly, aggWeightedMedian,
     qaChi2Drift,
     winSession, winLagLead, aggPercentiles, aggCorr, jSkewSalted, txtTfidf,

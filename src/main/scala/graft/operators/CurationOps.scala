@@ -671,10 +671,65 @@ object CurationOps {
       Some("""WITH tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tt FROM documents), c AS (SELECT doc_id, n_chars, CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi FROM documents), m AS (SELECT doc_id, n_chars, (hi * 100) // tt - ((hi - n_chars) * 100) // tt AS mult FROM c CROSS JOIN tot) SELECT doc_id, n_chars, mult AS multiplicity FROM m WHERE mult > 0 ORDER BY doc_id"""))
   }
 
+  /** TEMPORAL train/test SPLIT with a purge gap, vs the user-hash split —
+    * the leakage audit behind every time-series eval: a purely temporal
+    * cut (train < Jan 20, 2-day embargo, test ≥ Jan 22) keeps the same
+    * USERS on both sides (user-level leakage: models memorize user
+    * idiosyncrasy, eval overstates), while the hash split is
+    * user-disjoint by construction but loses the temporal
+    * out-of-distribution test. One row per strategy with event/user
+    * censuses and the leak fraction — the numbers that decide which
+    * split a given eval needs. One user-keyed aggregation feeds both
+    * strategy rows. */
+  private lazy val sampTemporalSplit = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions._
+    GraftQuery(
+      "samp_temporal_split",
+      "temporal-with-purge-gap vs user-hash split: sizes + leakage audit",
+      (s, d) => {
+        val t1 = lit("2024-01-20 00:00:00").cast("timestamp")
+        val t2 = lit("2024-01-22 00:00:00").cast("timestamp")
+        val perUser = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(
+            sum(when(col("ts") < t1, 1L).otherwise(0L)).as("n_pre"),
+            sum(when(col("ts") >= t2, 1L).otherwise(0L)).as("n_post"),
+            count(lit(1)).as("n_all"))
+          .withColumn("is_test_user",
+            md5u32(col("user_id").cast("string")) % 5 === 0)
+        val temporal = perUser.agg(
+          lit("temporal_gap").as("strategy"),
+          sum("n_pre").as("n_train_events"),
+          sum("n_post").as("n_test_events"),
+          (sum("n_all") - sum("n_pre") - sum("n_post")).as("n_dropped_events"),
+          sum(when(col("n_pre") > 0, 1L).otherwise(0L)).as("users_train"),
+          sum(when(col("n_post") > 0, 1L).otherwise(0L)).as("users_test"),
+          sum(when(col("n_pre") > 0 && col("n_post") > 0, 1L).otherwise(0L))
+            .as("users_both"))
+        val byHash = perUser.agg(
+          lit("user_hash").as("strategy"),
+          sum(when(!col("is_test_user"), col("n_all")).otherwise(0L))
+            .as("n_train_events"),
+          sum(when(col("is_test_user"), col("n_all")).otherwise(0L))
+            .as("n_test_events"),
+          lit(0L).as("n_dropped_events"),
+          sum(when(!col("is_test_user"), 1L).otherwise(0L)).as("users_train"),
+          sum(when(col("is_test_user"), 1L).otherwise(0L)).as("users_test"),
+          lit(0L).as("users_both"))
+        temporal.union(byHash)
+          .withColumn("leak_frac",
+            fround(col("users_both").cast("double") /
+              greatest(col("users_test"), lit(1L)), 4))
+          .orderBy("strategy")
+      },
+      Some(s"""WITH pu AS (SELECT user_id, CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_pre, CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_post, CAST(count(*) AS BIGINT) AS n_all, ${graft.functions.GraftFunctions.md5u32Sql("md5(CAST(user_id AS VARCHAR))")} % 5 = 0 AS is_test_user FROM events GROUP BY user_id), rows2 AS (SELECT 'temporal_gap' AS strategy, CAST(sum(n_pre) AS BIGINT) AS n_train_events, CAST(sum(n_post) AS BIGINT) AS n_test_events, CAST(sum(n_all) - sum(n_pre) - sum(n_post) AS BIGINT) AS n_dropped_events, CAST(sum(CASE WHEN n_pre > 0 THEN 1 ELSE 0 END) AS BIGINT) AS users_train, CAST(sum(CASE WHEN n_post > 0 THEN 1 ELSE 0 END) AS BIGINT) AS users_test, CAST(sum(CASE WHEN n_pre > 0 AND n_post > 0 THEN 1 ELSE 0 END) AS BIGINT) AS users_both FROM pu UNION ALL SELECT 'user_hash', CAST(sum(CASE WHEN NOT is_test_user THEN n_all ELSE 0 END) AS BIGINT), CAST(sum(CASE WHEN is_test_user THEN n_all ELSE 0 END) AS BIGINT), 0, CAST(sum(CASE WHEN NOT is_test_user THEN 1 ELSE 0 END) AS BIGINT), CAST(sum(CASE WHEN is_test_user THEN 1 ELSE 0 END) AS BIGINT), 0 FROM pu) SELECT *, floor(CAST(users_both AS DOUBLE) / greatest(users_test, 1) * 1e4 + 0.5) / 1e4 AS leak_frac FROM rows2 ORDER BY strategy"""))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     sampStratified, sampQuota, shufflePrefix, txtNormalize, lengthHist,
     embQuantize, sampImportance, sampWeightedReservoir, sampBalancedClasses,
     sampTemperature, sampLargestRemainder, sampSystematic,
     sampPoissonBootstrap, sampDpCounts, sampHtEstimate, sampNeyman, sampAqp,
-    sampKfold, sampTemperatureSweep, sampPps)
+    sampKfold, sampTemperatureSweep, sampPps, sampTemporalSplit)
 }

@@ -1034,11 +1034,36 @@ object DedupOps {
         s""", p0 AS (SELECT a, b FROM inter), s3d AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in generate_series(1, greatest(len(toks) - 2, 0))]) AS sh FROM t), u3 AS (SELECT doc_id, $uSql AS u FROM (SELECT doc_id, md5(sh) AS h FROM s3d)), ab AS (SELECT * FROM (VALUES $abValues) tt(i, a, b)), mh3 AS (SELECT doc_id, i, min((a * u + b) % $P) AS mh FROM u3, ab GROUP BY 1, 2), sig3 AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh3 GROUP BY 1), sz3 AS (SELECT doc_id, count(*) AS n FROM s3d GROUP BY 1), i3 AS (SELECT p.a, p.b, count(*) AS c FROM p0 p JOIN s3d x ON x.doc_id = p.a JOIN s3d y ON y.doc_id = p.b AND y.sh = x.sh GROUP BY 1, 2), ev AS (SELECT p.a, p.b, coalesce(i3.c, 0) AS c, za.n + zb.n - coalesce(i3.c, 0) AS u, CAST(len(list_filter(generate_series(1, $K), i -> ga.sig[i] = gb.sig[i])) AS BIGINT) AS m FROM p0 p LEFT JOIN i3 ON i3.a = p.a AND i3.b = p.b JOIN sz3 za ON za.doc_id = p.a JOIN sz3 zb ON zb.doc_id = p.b JOIN sig3 ga ON ga.doc_id = p.a JOIN sig3 gb ON gb.doc_id = p.b), er AS (SELECT c * 1.0 / u AS j, CAST(floor(CAST(abs(m * u - $K * c) AS DOUBLE) / CAST($K * u AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS err_u FROM ev) SELECT CAST(floor(j * 10) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_pairs, floor(CAST(sum(err_u) AS DOUBLE) / count(*) / 1e6 * 1e4 + 0.5) / 1e4 AS mean_abs_err FROM er GROUP BY 1 ORDER BY 1"""
     })
 
+  /** CROSS-SOURCE DUPLICATION matrix — which source PAIRS share near-dup
+    * content: per unordered (src_a ≤ src_b) pair, the number of near-dup
+    * components containing documents from both (the diagonal counts
+    * within-source duplication). The read that decides source-priority
+    * rules for keep-lists and flags wholesale mirroring between feeds.
+    * Runs entirely off the stored component labels: the (comp, source)
+    * projection is component-bounded, so the self-join is tiny. */
+  private val crossSourceMatrix = GraftQuery(
+    "dedup_cross_source_matrix",
+    "near-dup components shared per source pair (mirror/feed-overlap audit)",
+    (s, d) => {
+      val lbl = componentLabels(s, d).select(col("id").as("doc_id"), col("comp"))
+      val cs = lbl
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .select(col("comp"), col("source")).distinct()
+      cs.as("x").join(cs.as("y"),
+          col("x.comp") === col("y.comp") && col("x.source") <= col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("n_components"))
+        .orderBy("src_a", "src_b")
+    },
+    Some(ngramPairsCte + componentsCtes +
+      """, cs AS (SELECT DISTINCT comp, source FROM m JOIN documents USING (doc_id)) SELECT x.source AS src_a, y.source AS src_b, CAST(count(*) AS BIGINT) AS n_components FROM cs x JOIN cs y ON x.comp = y.comp AND x.source <= y.source GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupComponents, dedupKeepList,
     dedupKeepLongest, dedupSimhash, dedupSimhashGroups, dedupEmbedding,
     dedupEmbeddingLsh, dedupIncremental, dedupContainment, graphTriangles,
     dedupClusterSizes, dedupThresholdCurve, rougePairs, editDistancePairs,
     shardMissAudit, tfidfPairCosine, dupSpans, lshPowerEval,
-    minhashErrorEval)
+    minhashErrorEval, crossSourceMatrix)
 }

@@ -989,6 +989,57 @@ object ParsingOps {
           .mkString(" UNION ALL ") + " ORDER BY bits"))
   }
 
+  /** SHOT-BOUNDARY detection over stub video — the frame-difference
+    * segmentation every video-curation pipeline runs before sampling
+    * training frames: "frames" are consecutive 16-byte windows of the
+    * payload (the documents' UTF-8 bytes stand in for decoded frame
+    * buffers, same as the audio stub), each frame's signature is its
+    * exact byte sum, and a boundary fires where consecutive signatures
+    * differ by > 200. Per-video shot census (count, longest, mean) folds
+    * entirely inside the row — signatures, boundaries, and the
+    * longest-shot scan are array HOFs over a split-once codes array
+    * (the O(1)-indexing discipline txt_cdc_chunks documents), zero
+    * shuffle before the final orderBy. */
+  private val mmShotBoundary = GraftQuery(
+    "mm_shot_boundary",
+    "frame-diff shot segmentation census over stub video payloads",
+    (s, d) => {
+      val sum16 = (1 to 16)
+        .map(j => s"element_at(codes, CAST(16 * k + $j AS INT))")
+        .mkString(" + ")
+      Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"), col("text"),
+          length(col("text")).cast("long").as("len"))
+        .filter(col("len") >= 16)
+        .withColumn("nf", expr("len div 16"))
+        .withColumn("codes",
+          expr("transform(split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))"))
+        .withColumn("sigs", expr(
+          s"transform(sequence(CAST(0 AS BIGINT), nf - 1), k -> $sum16)"))
+        .withColumn("bnds", expr(
+          """filter(transform(sequence(CAST(1 AS BIGINT), nf - 1),
+               t -> CASE WHEN abs(element_at(sigs, CAST(t AS INT) + 1) -
+                              element_at(sigs, CAST(t AS INT))) > 200
+                    THEN t END),
+             x -> x IS NOT NULL)"""))
+        .withColumn("max_run", expr(
+          """aggregate(bnds,
+               named_struct('prev', CAST(0 AS BIGINT), 'mx', CAST(0 AS BIGINT)),
+               (acc, b) -> named_struct('prev', b, 'mx', greatest(acc.mx, b - acc.prev)),
+               acc -> acc.mx)"""))
+        .withColumn("last_b", coalesce(expr("try_element_at(bnds, -1)"), lit(0L)))
+        .select(col("media_id"), col("nf").as("n_frames"),
+          (size(col("bnds")) + 1).cast("long").as("n_shots"),
+          greatest(col("max_run"), col("nf") - col("last_b")).as("longest_shot"),
+          fround(col("nf").cast("double") /
+            (size(col("bnds")) + 1), 4).as("mean_shot"))
+        .orderBy("media_id")
+    },
+    Some {
+      val sum16Sql = "list_sum(codes[16 * k + 1 : 16 * k + 16])"
+      s"""WITH d AS (SELECT doc_id AS media_id, text, length(text) AS len FROM documents), f AS (SELECT media_id, len // 16 AS nf, list_transform(generate_series(1, len), i -> ord(substr(text, i, 1))) AS codes FROM d WHERE len >= 16), sg AS (SELECT media_id, nf, list_transform(generate_series(0, nf - 1), k -> CAST($sum16Sql AS BIGINT)) AS sigs FROM f), bd AS (SELECT media_id, nf, list_filter(list_transform(generate_series(1, nf - 1), t -> CASE WHEN abs(sigs[t + 1] - sigs[t]) > 200 THEN t END), x -> x IS NOT NULL) AS bnds FROM sg), st AS (SELECT media_id, nf, bnds, len(bnds) AS nb, CAST(list_max(list_transform(generate_series(1, len(bnds) + 1), i -> (CASE WHEN i <= len(bnds) THEN bnds[i] ELSE nf END) - (CASE WHEN i = 1 THEN 0 ELSE bnds[i - 1] END))) AS BIGINT) AS longest FROM bd) SELECT media_id, CAST(nf AS BIGINT) AS n_frames, CAST(nb + 1 AS BIGINT) AS n_shots, longest AS longest_shot, floor(CAST(nf AS DOUBLE) / (nb + 1) * 1e4 + 0.5) / 1e4 AS mean_shot FROM st ORDER BY media_id"""
+    })
+
   val all: Seq[GraftQuery] = Seq(
     csvRoundtrip, jsonStruct, jsonInferred, dateConstruct, sqlMultikeyJoin,
     mvCascade, sqlCtas, mmDecode, partitionPruned, dppPrune, mmFrameSample,
@@ -996,7 +1047,7 @@ object ParsingOps {
     qaTableChecksum, qaRefIntegrity, qaKeySkew, mvCompactCdc, qaCovMatrix,
     qaLabelGini, qaEquidepthHist, mmResize, scd2Asof, mmPhash,
     mvLambdaServing, sqlRecursiveHierarchy, mmAudioEnergy,
-    qaFingerprintCollisions)
+    qaFingerprintCollisions, mmShotBoundary)
 
   /** Time-travel READ over the SCD2 dimension — "the dimension as of
     * 2024-07-01": for each key, exactly the one version whose

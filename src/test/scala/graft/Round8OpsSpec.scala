@@ -333,6 +333,167 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- temporal split audit -------------------------------------------------
+
+  test("samp_temporal_split: event conservation and hash split is user-disjoint") {
+    val out = run("samp_temporal_split").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7))).toMap
+    val total = Tables.events(spark, sf).count()
+    val (tr, te, dr, _, ut, ub, _) = out("temporal_gap")
+    assert(tr + te + dr == total, "temporal split partitions all events")
+    assert(ub <= ut)
+    val (htr, hte, hdr, _, _, hub, hleak) = out("user_hash")
+    assert(htr + hte == total && hdr == 0L)
+    assert(hub == 0L && hleak == 0.0, "hash split must be user-disjoint")
+  }
+
+  // ---- CUPED ----------------------------------------------------------------
+
+  test("evt_uplift_cuped: theta and adjusted means replay from user moments") {
+    val out = run("evt_uplift_cuped").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(out.size == 2)
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    def u32(sx: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val users = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .groupBy(_._1).map { case (uid, evs) =>
+        val x = evs.filter(_._2.before(cut)).map(_._3).sum
+        val y = evs.filterNot(_._2.before(cut)).map(_._3).sum
+        (uid, x, y, (u32(uid.toString) % 2).toInt)
+      }.toSeq
+    val n = users.size.toDouble
+    val (sx, sy) = (users.map(_._2).sum.toDouble, users.map(_._3).sum.toDouble)
+    val sxy = users.map(u => BigInt(u._2) * BigInt(u._3)).sum
+    val sxx = users.map(u => BigInt(u._2) * BigInt(u._2)).sum
+    val cov = n * sxy.toDouble - sx * sy
+    val vx = n * sxx.toDouble - sx * sx
+    val theta = cov / vx
+    out.values.foreach { case (_, _, _, _, vr) =>
+      assert(vr >= 0.0 && vr <= 1.0)
+    }
+    assert(math.abs(out(0)._4 - math.floor(theta * 1e6 + 0.5) / 1e6) < 1e-6)
+    // adjusted means: variant delta must equal raw delta shifted by
+    // theta * (variant pre-period mean difference)
+    Seq(0, 1).foreach { v =>
+      val grp = users.filter(_._4 == v)
+      val my = grp.map(_._3).sum.toDouble / grp.size / 100.0
+      val mx = grp.map(_._2).sum.toDouble / grp.size
+      val adj = my - theta * (mx - sx / n) / 100.0
+      assert(math.abs(out(v)._3 - math.floor(adj * 1e4 + 0.5) / 1e4) < 1e-6,
+        s"variant $v adjusted mean")
+    }
+  }
+
+  // ---- quantile semantics ---------------------------------------------------
+
+  test("agg_quantile_semantics matches in-memory disc and cont quantiles") {
+    val out = run("agg_quantile_semantics").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val vals = Tables.events(spark, sf)
+      .select(col("event_type"), floor(col("value") * 100 + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    vals.foreach { case (et, sorted) =>
+      val n = sorted.length.toLong
+      Seq(25, 50, 75).foreach { q =>
+        val disc = sorted(((q * n + 99) / 100 - 1).toInt) / 100.0
+        val loR = ((n - 1) * q) / 100
+        val rem = ((n - 1) * q) % 100
+        val vlo = sorted(loR.toInt)
+        val vhi = sorted((loR + (if (rem > 0) 1 else 0)).toInt)
+        val cont = (vlo * (100 - rem) + vhi * rem) / 100.0 / 100.0
+        val (gd, gc) = out((et, q))
+        assert(gd == math.floor(disc * 1e4 + 0.5) / 1e4, s"$et q$q disc")
+        assert(gc == math.floor(cont * 1e4 + 0.5) / 1e4, s"$et q$q cont")
+      }
+    }
+  }
+
+  // ---- cross-source duplication matrix --------------------------------------
+
+  test("dedup_cross_source_matrix replays from component labels + sources") {
+    val got = run("dedup_cross_source_matrix").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val srcs = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val comps: Seq[Seq[String]] =
+      SparkEntry.queries("dedup_components")(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+        .groupBy(_._2).values.toSeq
+        .map(_.map(x => srcs(x._1)).distinct.sorted)
+    val want = comps.flatMap { ss =>
+      for (a <- ss; b <- ss if a <= b) yield (a, b)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == want)
+  }
+
+  // ---- slice finder ---------------------------------------------------------
+
+  test("qa_slice_finder: 10 rows, |z| non-increasing, top slice recomputed") {
+    val out = run("qa_slice_finder").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(5)))
+    assert(out.length == 10)
+    out.zip(out.drop(1)).foreach { case (a, b) =>
+      assert(math.abs(a._4) >= math.abs(b._4) - 1e-9)
+    }
+    // recompute the top slice's z from raw rows
+    val (dim, sv, n1, z) = out.head
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"),
+        ((dayofweek(col("ts")) + lit(5)) % 7).cast("long").as("dow"),
+        expr("hour(ts) div 6").as("hb"),
+        floor(col("value") * 100 + 0.5).cast("long").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val inSlice: ((String, Long, Long, Long)) => Boolean = dim match {
+      case "event_type" => t => t._1 == sv
+      case "weekday"    => t => t._2.toString == sv
+      case _            => t => t._3.toString == sv
+    }
+    val (s1, s0) = rows.partition(inSlice)
+    assert(s1.length.toLong == n1)
+    def stats(xs: Array[(String, Long, Long, Long)]) = {
+      val n = xs.length.toDouble
+      val m = xs.map(_._4).sum.toDouble / n
+      val v = (xs.map(t => t._4.toDouble * t._4).sum - n * m * m) / n
+      (n, m, v)
+    }
+    val (na, ma, va) = stats(s1); val (nb, mb, vb) = stats(s0)
+    val want = (ma - mb) / math.sqrt(va / na + vb / nb)
+    assert(math.abs(z - math.floor(want * 1e4 + 0.5) / 1e4) < 1e-3,
+      s"top z $z vs $want")
+  }
+
+  // ---- shot boundaries ------------------------------------------------------
+
+  test("mm_shot_boundary replays in memory and respects invariants") {
+    val got = run("mm_shot_boundary").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    docs.filter(_._2.length >= 16).foreach { case (id, text) =>
+      val nf = text.length / 16
+      val sigs = (0 until nf).map(k =>
+        text.substring(16 * k, 16 * k + 16).map(_.toLong).sum)
+      val bnds = (1 until nf).filter(t => math.abs(sigs(t) - sigs(t - 1)) > 200)
+      val shots = (bnds :+ nf).zip(0 +: bnds).map { case (e, st) => e - st }
+      val (gn, gs, gl) = got(id)
+      assert(gn == nf.toLong && gs == (bnds.size + 1).toLong &&
+        gl == shots.max.toLong, s"media $id")
+    }
+    assert(got.values.forall { case (nf, ns, ls) => ns >= 1 && ls <= nf })
+  }
+
   // ---- symmetric difference -------------------------------------------------
 
   test("set_symdiff row count equals |A∪B| − |A∩B| and sides are disjoint") {
