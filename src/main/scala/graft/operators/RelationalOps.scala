@@ -348,6 +348,27 @@ object RelationalOps {
       .orderBy("rf", "ls"),
     Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, count(*) AS cnt, floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls"""))
 
+  /** GROUPING_ID() disambiguation — the piece of the rollup surface the
+    * coalesce-to-sentinel spelling above papers over: when a real group
+    * value could COLLIDE with the sentinel, only the grouping bitmask
+    * tells subtotal rows from data rows. One rollup, the standard bit
+    * semantics (first rollup column = MSB) proven identical across
+    * engines, and the per-level row census a cube-serving layer keys
+    * its cache on. */
+  private val aggGroupingId = GraftQuery(
+    "agg_grouping_id",
+    "ROLLUP with grouping_id() bitmask + per-level census",
+    (s, d) => Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"),
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"))
+      .select(coalesce(col("l_returnflag"), lit("~")).as("rf"),
+        coalesce(col("l_linestatus"), lit("~")).as("ls"),
+        col("gid"), col("g_rf"), col("g_ls"), col("cnt"))
+      .orderBy("gid", "rf", "ls"),
+    Some("""SELECT coalesce(l_returnflag, '~') AS rf, coalesce(l_linestatus, '~') AS ls, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid, CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf, CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls, count(*) AS cnt FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY gid, rf, ls"""))
+
   private val aggCube = GraftQuery(
     "agg_cube",
     "GROUP BY CUBE over (event_type, month)",
@@ -1124,7 +1145,7 @@ object RelationalOps {
     winRangeFrame,
     winPercentRank, setIntersect,
     setExcept, setUnion, setSymdiff, aggRollup, aggCube, aggGroupingSets,
-    aggApprox,
+    aggGroupingId, aggApprox,
     jsonKv, calDaily, strWeekday, reshapeUnpivot, jIntervalOverlap,
     jFuzzyMatch, relSkyline, relIntervalMerge, jAsofNearest, winCumeDist,
     relSweepConcurrency, calTumbling, winTimeRange, relBasketLift,

@@ -103,7 +103,10 @@ object SimilarityOps {
     * ScalaTest additionally checks recall vs sim_knn_brute. */
   /** In-bucket LSH top-3 per mod-50 probe — shared by the sim_knn_lsh
     * query and the recall eval (one implementation, one tie-break rule). */
-  private def lshTop3(s: SparkSession, d: String): DataFrame = {
+  private def lshTop3(s: SparkSession, d: String): DataFrame =
+    lshTopK(s, d, 3)
+
+  private def lshTopK(s: SparkSession, d: String, k: Int): DataFrame = {
     val coded = codedTable(s, d)
     val q = coded.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -113,7 +116,7 @@ object SimilarityOps {
       .withColumn("cos", expr("graft_dot(qv, v)") / (col("qn") * col("nrm")))
     val w = Window.partitionBy("q_id").orderBy(fround(col("cos"), 6).desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= k)
       .select(col("q_id"), col("vec_id").as("n_id"),
         fround(col("cos"), 4).as("cos"), col("rnk"))
   }
@@ -1147,11 +1150,45 @@ object SimilarityOps {
     },
     Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm, list_slice(v, 1, 16) AS vPre FROM e), n2 AS (SELECT vec_id, v, nrm, vPre, sqrt(list_sum([x*x for x in vPre])) AS nPre FROM n), q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, vPre AS qvPre, nPre AS qnPre FROM n2 WHERE vec_id % 50 = 0), sc AS (SELECT q.q_id, c.vec_id AS n_id, list_sum([s[1]*s[2] for s in list_zip(q.qv, c.v)]) / (q.qn * c.nrm) AS cos, list_sum([s[1]*s[2] for s in list_zip(q.qvPre, c.vPre)]) / (q.qnPre * c.nPre) AS cosPre FROM q JOIN n2 c ON c.vec_id <> q.q_id), rk AS (SELECT q_id, n_id, cosPre, row_number() OVER (PARTITION BY q_id ORDER BY floor(cos * 1000000.0 + 0.5) DESC, n_id) AS rnk FROM sc), top AS (SELECT * FROM rk WHERE rnk <= 20), pk AS (SELECT q_id, rnk, row_number() OVER (PARTITION BY q_id ORDER BY floor(cosPre * 1000000.0 + 0.5) DESC, n_id) AS prnk FROM top), ag AS (SELECT q_id, CAST(sum((rnk - prnk) * (rnk - prnk)) AS BIGINT) AS sd2, CAST(count(*) AS BIGINT) AS k FROM pk GROUP BY 1) SELECT q_id, floor((1.0 - 6.0 * sd2 / (k * (k * k - 1))) * 1e4 + 0.5) / 1e4 AS spearman_rho FROM ag ORDER BY q_id"""))
 
+  /** RECALL@k CURVE of the LSH index — the eval that actually sizes an
+    * ANN deployment: mean recall over probes at k ∈ {1,3,5,10}, both
+    * rankings computed once at depth 10 and every cutoff read from the
+    * same pair join (no per-k re-scan). A probe whose LSH bucket holds
+    * fewer than k candidates is penalized naturally (missing = not
+    * retrieved), which is exactly the production failure mode bucket
+    * sizing must answer for. */
+  private val simRecallCurve = GraftQuery(
+    "sim_recall_curve",
+    "LSH mean recall@k vs brute truth for k in {1,3,5,10}",
+    (s, d) => {
+      import s.implicits._
+      val b = bruteTopK(s, d, 50, 10)
+        .select(col("q_id"), col("n_id"), col("rnk").as("brnk"))
+      val l = lshTopK(s, d, 10)
+        .select(col("q_id"), col("n_id"), col("rnk").as("lrnk"))
+      val ks = Seq(1, 3, 5, 10).toDF("k")
+      val hits = b.join(l, Seq("q_id", "n_id"))
+        .crossJoin(broadcast(ks))
+        .filter(col("brnk") <= col("k") && col("lrnk") <= col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_common"))
+      val probes = b.filter(col("brnk") === 1)
+        .agg(count(lit(1)).as("n_probes"))
+      ks.join(hits, Seq("k"), "left_outer")
+        .crossJoin(broadcast(probes))
+        .select(col("k"), col("n_probes"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          fround(coalesce(col("n_common"), lit(0L)).cast("double") /
+            (col("k") * col("n_probes")), 4).as("mean_recall"))
+        .orderBy("k")
+    },
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), n AS (SELECT vec_id, v, sqrt(list_sum([x*x for x in v])) AS nrm FROM e), bq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0), bsc AS (SELECT bq.q_id, c.vec_id AS n_id, list_sum([s[1]*s[2] for s in list_zip(bq.qv, c.v)]) / (bq.qn * c.nrm) AS cos FROM bq JOIN n c ON c.vec_id <> bq.q_id), b10 AS (SELECT q_id, n_id, rnk AS brnk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY floor(cos * 1000000.0 + 0.5) DESC, n_id) AS rnk FROM bsc) WHERE rnk <= 10), proj AS (SELECT vec_id, p, list_sum([(CASE WHEN instr('0123456789abcdef', substr(md5(p::VARCHAR || ':' || (i-1)::VARCHAR), 1, 1)) % 2 = 1 THEN 1.0 ELSE -1.0 END) * v[i] for i in generate_series(1, len(v))]) AS dp FROM n, (SELECT unnest(generate_series(0, 7)) AS p)), codes AS (SELECT vec_id, CAST(sum(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS code FROM proj GROUP BY 1), c2 AS (SELECT n.vec_id, n.v, n.nrm, codes.code FROM n JOIN codes USING (vec_id)), lq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, code AS qcode FROM c2 WHERE vec_id % 50 = 0), lsc AS (SELECT lq.q_id, c2.vec_id AS n_id, list_sum([s[1]*s[2] for s in list_zip(lq.qv, c2.v)]) / (lq.qn * c2.nrm) AS cos FROM lq JOIN c2 ON c2.code = lq.qcode AND c2.vec_id <> lq.q_id), l10 AS (SELECT q_id, n_id, rnk AS lrnk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY floor(cos * 1000000.0 + 0.5) DESC, n_id) AS rnk FROM lsc) WHERE rnk <= 10), ks AS (SELECT unnest([1, 3, 5, 10]) AS k), hits AS (SELECT k, CAST(count(*) AS BIGINT) AS n_common FROM b10 JOIN l10 USING (q_id, n_id), ks WHERE brnk <= k AND lrnk <= k GROUP BY 1), pr AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM b10 WHERE brnk = 1) SELECT CAST(ks.k AS INTEGER) AS k, n_probes, coalesce(hits.n_common, 0) AS n_common, floor(CAST(coalesce(hits.n_common, 0) AS DOUBLE) / (ks.k * n_probes) * 1e4 + 0.5) / 1e4 AS mean_recall FROM ks LEFT JOIN hits ON hits.k = ks.k CROSS JOIN pr ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(knnBrute, labelStats, knnLsh, knnMatryoshka,
     embCentroids, embDimProfile, embAssignPurity, dedupSemantic,
     embPrototypicality, simHubness, hardNegatives, embKmeansStep,
     embSimHistogram, embPcaPower, embPcaVar, embKmeansppSeed, embWhitening,
     embIsotropy, simRecallEval, knnLabelAccuracy, embCentroidDrift,
     embConcentration, embSignFidelity, embIntrinsicDim, embSilhouette,
-    embMahalanobis, knnMargin, embJlDistortion, simRankSpearman)
+    embMahalanobis, knnMargin, embJlDistortion, simRankSpearman,
+    simRecallCurve)
 }

@@ -1040,8 +1040,57 @@ object TemporalOps {
     },
     Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y FROM events GROUP BY 1, 2), dd AS (SELECT *, y - lag(y) OVER (PARTITION BY event_type ORDER BY day) AS delta FROM daily), dz AS (SELECT event_type, day, delta, CASE WHEN delta > 0 THEN 1 WHEN delta < 0 THEN -1 ELSE 0 END AS sgn FROM dd WHERE delta IS NOT NULL), rr AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) - row_number() OVER (PARTITION BY event_type, sgn ORDER BY day) AS grp FROM dz), runs AS (SELECT event_type, sgn, grp, CAST(count(*) AS BIGINT) AS len, min(day) AS start_day, max(day) AS end_day, CAST(sum(delta) AS BIGINT) AS tot FROM rr GROUP BY 1, 2, 3), seq AS (SELECT *, lead(sgn) OVER w AS nsgn, lead(len) OVER w AS nlen, lead(tot) OVER w AS ntot FROM runs WINDOW w AS (PARTITION BY event_type ORDER BY start_day)) SELECT event_type, end_day AS bottom_day, len AS decline_days, nlen AS rise_days, floor(CAST(-tot AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS decline_amt, floor(CAST(ntot AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS recovery_amt FROM seq WHERE sgn = -1 AND len >= 2 AND nsgn = 1 AND nlen >= 2 ORDER BY 1, 2"""))
 
+  /** INTERRUPTED TIME SERIES (segmented regression) — the
+    * quasi-experimental read when there's no control group: fit separate
+    * OLS lines to the daily value series BEFORE and AFTER an
+    * intervention date (Jan 16) and report the level jump at the cutoff
+    * and the slope change — the two coefficients an ITS analysis
+    * publishes. Both fits come from exact integer sufficient statistics
+    * (the qa_ols_trend machinery) per event type; the only floats are
+    * the final coefficient divisions. One daily rollup + one type-keyed
+    * agg per segment. */
+  private val interruptedTs = GraftQuery(
+    "evt_interrupted_ts",
+    "segmented regression: level + slope change at the Jan 16 intervention",
+    (s, d) => {
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+          (col("ts") >= cut).as("post"))
+        .agg(sum(centi(col("value"))).as("y"))
+        .withColumn("t", datediff(col("day"),
+          when(col("post"), lit("2024-01-16").cast("date"))
+            .otherwise(lit("2024-01-01").cast("date"))).cast("long"))
+      val seg = daily.groupBy("event_type", "post")
+        .agg(count(lit(1)).as("n"), sum("t").as("st"), sum("y").as("sy"),
+          sum(col("t") * col("y")).as("sty"),
+          sum(col("t") * col("t")).as("stt"))
+        .withColumn("slope",
+          (col("n") * col("sty") - col("st") * col("sy")).cast("double") /
+            (col("n") * col("stt") - col("st") * col("st")).cast("double"))
+        .withColumn("icept",
+          (col("sy").cast("double") -
+            col("slope") * col("st").cast("double")) / col("n"))
+      val pre = seg.filter(!col("post"))
+        .select(col("event_type"), col("n").as("n_pre"),
+          col("slope").as("b1"), col("icept").as("a1"))
+      val post = seg.filter(col("post"))
+        .select(col("event_type"), col("n").as("n_post"),
+          col("slope").as("b2"), col("icept").as("a2"))
+      pre.join(post, Seq("event_type"))
+        .select(col("event_type"), col("n_pre"), col("n_post"),
+          fround(col("b1") / 100.0, 4).as("slope_pre"),
+          fround(col("b2") / 100.0, 4).as("slope_post"),
+          // pre-model projection onto the first post day is a1 + b1*15
+          fround((col("a2") - (col("a1") + col("b1") * 15.0)) / 100.0, 4)
+            .as("level_change"),
+          fround((col("b2") - col("b1")) / 100.0, 4).as("slope_change"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, ts >= TIMESTAMP '2024-01-16 00:00:00' AS post, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y FROM events GROUP BY 1, 2, 3), tt AS (SELECT event_type, post, CAST(date_diff('day', CASE WHEN post THEN DATE '2024-01-16' ELSE DATE '2024-01-01' END, day) AS BIGINT) AS t, y FROM daily), seg AS (SELECT event_type, post, CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS st, CAST(sum(y) AS BIGINT) AS sy, CAST(sum(t * y) AS BIGINT) AS sty, CAST(sum(t * t) AS BIGINT) AS stt FROM tt GROUP BY 1, 2), co AS (SELECT event_type, post, n, CAST(n * sty - st * sy AS DOUBLE) / CAST(n * stt - st * st AS DOUBLE) AS slope, (CAST(sy AS DOUBLE) - (CAST(n * sty - st * sy AS DOUBLE) / CAST(n * stt - st * st AS DOUBLE)) * CAST(st AS DOUBLE)) / n AS icept FROM seg) SELECT p.event_type, p.n AS n_pre, q.n AS n_post, floor(p.slope / 100.0 * 1e4 + 0.5) / 1e4 AS slope_pre, floor(q.slope / 100.0 * 1e4 + 0.5) / 1e4 AS slope_post, floor((q.icept - (p.icept + p.slope * 15.0)) / 100.0 * 1e4 + 0.5) / 1e4 AS level_change, floor((q.slope - p.slope) / 100.0 * 1e4 + 0.5) / 1e4 AS slope_change FROM co p JOIN co q ON p.event_type = q.event_type AND NOT p.post AND q.post ORDER BY 1"""))
+
   val all: Seq[GraftQuery] =
-    Seq(patternVshape, rollingDau, attribution, firstLast, snapshotDiff, cohortRevenue,
+    Seq(patternVshape, interruptedTs, rollingDau, attribution, firstLast, snapshotDiff, cohortRevenue,
       rfmSegments, paaSax, turningPoints, markovStationary, changepoint,
       autocorr, gapHistogram, islands, survivalKm, entropyRate,
       timeToConvert, maxDrawdown, forecastBacktest, userEntropyProfile,

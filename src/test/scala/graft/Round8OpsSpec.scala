@@ -494,6 +494,49 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(got.values.forall { case (nf, ns, ls) => ns >= 1 && ls <= nf })
   }
 
+  // ---- recall curve ---------------------------------------------------------
+
+  test("sim_recall_curve: monotone-bounded, recall@3 consistent with sim_recall_eval") {
+    val out = run("sim_recall_curve").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.keySet == Set(1, 3, 5, 10))
+    out.values.foreach { case (np, nc, mr) =>
+      assert(np > 0 && nc <= 10 * np && mr >= 0.0 && mr <= 1.0)
+    }
+    val evalAvg = run("sim_recall_eval").collect()
+      .map(_.getLong(3)).sum // total common at k=3
+    assert(out(3)._2 == evalAvg,
+      "recall@3 common count must match sim_recall_eval's")
+  }
+
+  // ---- interrupted time series ----------------------------------------------
+
+  test("evt_interrupted_ts: slope_change is exactly post minus pre slope") {
+    val out = run("evt_interrupted_ts").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (sp, sq, sc) = (r.getDouble(3), r.getDouble(4), r.getDouble(6))
+      assert(math.abs(sc - (sq - sp)) < 2e-4, "slope change consistency")
+      assert(r.getLong(1) == 15L && r.getLong(2) == 15L,
+        "Jan 1-15 pre and Jan 16-30 post, both 15 daily points")
+    }
+  }
+
+  // ---- grouping_id ----------------------------------------------------------
+
+  test("agg_grouping_id: bitmask levels partition the rollup and censuses add up") {
+    val out = run("agg_grouping_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(5)))
+    val total = Tables.lineitem(spark, sf).count()
+    assert(out.filter(_._3 == 0L).map(_._4).sum == total)
+    assert(out.filter(_._3 == 1L).map(_._4).sum == total)
+    assert(out.filter(_._3 == 3L).map(_._4).sum == total)
+    assert(out.count(_._3 == 3L) == 1, "one grand-total row")
+    assert(out.filter(_._3 == 1L).forall(_._2 == "~"),
+      "gid=1 rows have linestatus grouped out")
+  }
+
   // ---- symmetric difference -------------------------------------------------
 
   test("set_symdiff row count equals |A∪B| − |A∩B| and sides are disjoint") {
