@@ -145,6 +145,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.expressions.MortonZ(exprs(0), exprs(1))
       }))
     ext.injectOptimizerRule(_ => SelfDotRewrite)
+    ext.injectOptimizerRule(_ => BandJoinRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
 
@@ -190,4 +192,75 @@ object SelfDotRewrite extends Rule[LogicalPlan] {
             fin.exprId == fv.exprId =>
         DotProduct(a, b)
     }
+}
+
+/** Rewrites an INNER theta join whose only cross-side join predicate
+  * family is a numeric BAND `abs(l − r) <= ε` (plus any residual
+  * conjuncts) into the bucket + neighbor-bucket EQUI join —
+  * automatically deriving the plan `j_band_bucketed` spells by hand.
+  *
+  * Why: Spark's only physical strategies for a bare band condition are
+  * BroadcastNestedLoopJoin or a cartesian product — O(|L|·|R|) row
+  * comparisons at any scale. After the rewrite each left row is exploded
+  * to its three candidate ε-buckets and the join becomes a hash /
+  * sort-merge join on the bucket key, with the ORIGINAL condition kept
+  * as a post-probe filter, so results are bit-identical: a qualifying
+  * pair's bucket distance is at most 1, and the probe side's single home
+  * bucket makes each pair match exactly once. Null band operands fail
+  * both the bucket equality and the original predicate — unchanged.
+  *
+  * Guards: inner join; both band operands LongType attributes from
+  * opposite sides; ε a positive long literal; NO equi conjunct already
+  * present (with one, the band already rides a hash join as a residual
+  * filter and exploding would only add fan-out). Bucketing uses floor
+  * division spelled as (x − pmod(x, ε)) div ε so negative values bucket
+  * consistently with the oracle's `//`.
+  */
+object BandJoinRewrite extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.Inner
+  import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, JoinHint, Project}
+  import org.apache.spark.sql.types.LongType
+
+  private def fdiv(x: Expression, eps: Long): Expression =
+    IntegralDivide(Subtract(x, Pmod(x, Literal(eps))), Literal(eps))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(left, right, Inner, Some(cond), _) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val hasEqui = conjuncts.exists {
+        case EqualTo(a: AttributeReference, b: AttributeReference) =>
+          (left.outputSet.contains(a) && right.outputSet.contains(b)) ||
+            (left.outputSet.contains(b) && right.outputSet.contains(a))
+        case _ => false
+      }
+      val band = conjuncts.collectFirst {
+        case LessThanOrEqual(
+              Abs(Subtract(a: AttributeReference, b: AttributeReference, _), _),
+              Literal(eps: Long, LongType))
+            if eps > 0 && a.dataType == LongType && b.dataType == LongType &&
+              ((left.outputSet.contains(a) && right.outputSet.contains(b)) ||
+                (left.outputSet.contains(b) && right.outputSet.contains(a))) =>
+          val (l, r) = if (left.outputSet.contains(a)) (a, b) else (b, a)
+          (l, r, eps)
+      }
+      band match {
+        case Some((l, r, eps)) if !hasEqui =>
+          val bl = fdiv(l, eps)
+          val bkAttr = AttributeReference("__band_bk", LongType)()
+          val gen = Generate(
+            Explode(CreateArray(Seq(
+              Subtract(bl, Literal(1L)), bl, Add(bl, Literal(1L))))),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(bkAttr), child = left)
+          val rAlias = Alias(fdiv(r, eps), "__band_bk_r")()
+          val projR = Project(right.output :+ rAlias, right)
+          val newJoin = Join(gen, projR, Inner,
+            Some(And(EqualTo(bkAttr, rAlias.toAttribute), cond)),
+            JoinHint.NONE)
+          Project(j.output, newJoin)
+        case _ => j
+      }
+  }
 }

@@ -253,6 +253,52 @@ object RelationalOps {
     },
     Some("""SELECT user_id FROM events WHERE event_type = 'signup' UNION SELECT user_id FROM events WHERE event_type = 'error' ORDER BY user_id"""))
 
+  /** The NAIVE band-join spelling — `abs(bala − balb) <= ε` as the bare
+    * join condition — relying on [[graft.BandJoinRewrite]] to derive the
+    * bucket + neighbor-bucket equi plan automatically (Spark's own
+    * strategies for this condition are BroadcastNestedLoopJoin or a
+    * cartesian product). Results are identical to the hand-bucketed
+    * [[jBandBucketed]] by construction; the plan spec asserts no
+    * nested-loop/cartesian operator survives into the physical plan.
+    * This is the declare-what-you-mean surface: users write the theta
+    * join, the optimizer owns the scale shape. */
+  private val jBandAuto = GraftQuery(
+    "j_band_auto",
+    "naive abs-diff theta join, auto-rewritten to a bucketed equi join",
+    (s, d) => {
+      val a = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("a"), centi(col("s_acctbal")).as("bala"))
+      val b = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("b"), centi(col("s_acctbal")).as("balb"))
+      a.join(b, abs(col("bala") - col("balb")) <= lit(10000L) &&
+          col("a") < col("b"))
+        .select(col("a"), col("b"),
+          fround(abs(col("bala") - col("balb")).cast("double") / 100.0, 2)
+            .as("bal_diff"))
+        .orderBy("a", "b")
+    },
+    Some("""WITH s AS (SELECT s_suppkey AS k, CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal FROM supplier) SELECT x.k AS a, y.k AS b, floor(CAST(abs(x.bal - y.bal) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS bal_diff FROM s x JOIN s y ON abs(x.bal - y.bal) <= 10000 AND x.k < y.k ORDER BY a, b"""))
+
+  /** Per-key top-k through the CUSTOM WHOLE-OPERATOR plan
+    * ([[graft.plans.TopKPerKey]]: LogicalPlan + SparkStrategy +
+    * bounded-heap SparkPlan, injected via GraftExtensions) — one pass,
+    * O(n log k), O(keys·k) memory, instead of the window row_number
+    * plan's full per-group sort. The oracle is the window spelling, so
+    * the hash compare proves the operator IS row_number()<=k under the
+    * (value desc, event_id) order. */
+  private val relTopkNative = GraftQuery(
+    "rel_topk_native",
+    "per-user top-3 events via the custom bounded-heap TopKPerKey operator",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"))
+      graft.plans.TopKPerKey.of(ev, "user_id", "value", "event_id", 3)
+        .select(col("user_id"), col("event_id"),
+          fround(col("value"), 2).as("value"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH rk AS (SELECT user_id, event_id, value, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn FROM events) SELECT user_id, event_id, floor(value * 100.0 + 0.5) / 100.0 AS value FROM rk WHERE rn <= 3 ORDER BY user_id, event_id"""))
+
   /** 4-4-5 FISCAL CALENDAR rollup — the retail-calendar mapping every
     * warehouse grows eventually: fiscal years start Feb 1, each quarter
     * is 4+4+5 weeks, periods number 1..12 (week 53 of long years clamps
@@ -1140,7 +1186,8 @@ object RelationalOps {
   val all: Seq[GraftQuery] = Seq(
     q1, q3, q5, q10Returns, q14Promo, q18TopQuantity, q19Disjunctive, q7Volume,
     jSemi, jAnti, jOuter,
-    jRange, jAsof, jBucketed, jBandBucketed, calFiscal445, winRank,
+    jRange, jAsof, jBucketed, jBandBucketed, jBandAuto, relTopkNative,
+    calFiscal445, winRank,
     winMoving, winNtile,
     winRangeFrame,
     winPercentRank, setIntersect,

@@ -537,6 +537,72 @@ class Round8OpsSpec extends AnyFunSuite {
       "gid=1 rows have linestatus grouped out")
   }
 
+  // ---- band-join auto rewrite -----------------------------------------------
+
+  test("j_band_auto: BandJoinRewrite turns the theta join into a bucketed equi join") {
+    val plan = SparkEntry.queries("j_band_auto")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"band theta join must not plan as a nested loop:\n$plan")
+    assert(plan.contains("Generate explode"), plan)
+    val auto = run("j_band_auto").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val hand = run("j_band_bucketed").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto == hand, "rewrite must be results-identical")
+  }
+
+  test("BandJoinRewrite leaves equi joins with a residual band filter alone") {
+    import spark.implicits._
+    val l = Seq((1L, 10L), (2L, 20L)).toDF("k", "x")
+    val r = Seq((1L, 12L), (2L, 99L)).toDF("k", "y")
+    val joined = l.join(r, l("k") === r("k") &&
+      abs(l("x") - r("y")) <= lit(5L))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate explode"),
+      s"equi join must not gain band fan-out:\n$plan")
+    assert(joined.count() == 1L)
+  }
+
+  // ---- custom TopKPerKey operator -------------------------------------------
+
+  test("rel_topk_native plans through TopKPerKeyExec with no window sort") {
+    val qe = SparkEntry.queries("rel_topk_native")(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), s"the heap operator must replace the window:\n$plan")
+  }
+
+  test("TopKPerKey is partitioning-invariant and equals the window spelling") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, 5.0), (1L, 11L, 7.0), (1L, 12L, 7.0), (1L, 13L, 3.0),
+      (2L, 20L, 1.0), (2L, 21L, 2.0),
+      (3L, 30L, 9.0)
+    ).toDF("k", "id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.plans.TopKPerKey.of(d, "k", "v", "id", 2)
+        .select("k", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Set((1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 30L))
+    assert(run(df) == want)
+    assert(run(df.repartition(7)) == want, "partitioning must not change results")
+    assert(run(df.repartition(1)) == want)
+  }
+
+  test("TopKPerKey drops null ord rows and rejects wrong types loudly") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, Some(5.0)), (1L, 2L, None), (1L, 3L, Some(6.0)))
+      .toDF("k", "id", "v")
+    val got = graft.plans.TopKPerKey.of(df, "k", "v", "id", 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L), "null ord must be dropped, not ranked")
+    val bad = Seq(("a", 1L, 1.0)).toDF("k", "id", "v")
+    intercept[IllegalArgumentException] {
+      graft.plans.TopKPerKey.of(bad, "k", "v", "id", 2)
+    }
+  }
+
   // ---- symmetric difference -------------------------------------------------
 
   test("set_symdiff row count equals |A∪B| − |A∩B| and sides are disjoint") {
