@@ -27,11 +27,14 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * registry query already does). Types are pinned to LongType key/tie
   * and DoubleType ord — the shapes the engine's ranking queries use.
   *
-  * Scale note: `requiredChildDistribution` asks for key-clustering, so
-  * EnsureRequirements inserts the one keyed exchange; a production
-  * refinement adds a PARTIAL top-k of the same operator before the
-  * exchange (heaps are trivially mergeable), exactly like partial
-  * aggregation — noted, not needed for correctness.
+  * Scale note: the strategy plans TWO instances — a PARTIAL pass
+  * (no distribution requirement, runs map-side on whatever partitioning
+  * the scan has) under a FINAL pass whose `requiredChildDistribution`
+  * makes EnsureRequirements insert the keyed exchange between them —
+  * exactly the partial-aggregation shape: the shuffle carries at most
+  * partitions·keys·k rows instead of the whole input, and top-k is
+  * idempotent (top-k of a union of per-partition top-ks is the global
+  * top-k), so the final pass needs no special merge logic.
   */
 case class TopKPerKey(key: Attribute, ord: Attribute, tie: Attribute,
     k: Int, child: LogicalPlan) extends UnaryNode {
@@ -41,11 +44,15 @@ case class TopKPerKey(key: Attribute, ord: Attribute, tie: Attribute,
 }
 
 case class TopKPerKeyExec(key: Attribute, ord: Attribute, tie: Attribute,
-    k: Int, child: SparkPlan) extends SparkPlan {
+    k: Int, partial: Boolean, child: SparkPlan) extends SparkPlan {
   override def output: Seq[Attribute] = child.output
   override def children: Seq[SparkPlan] = Seq(child)
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
   override def requiredChildDistribution: Seq[Distribution] =
-    Seq(ClusteredDistribution(Seq(key)))
+    if (partial)
+      Seq(org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(Seq(key)))
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[SparkPlan]): TopKPerKeyExec =
     copy(child = newChildren.head)
@@ -96,7 +103,12 @@ case class TopKPerKeyExec(key: Attribute, ord: Attribute, tie: Attribute,
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(key, ord, tie, k, child) =>
-      TopKPerKeyExec(key, ord, tie, k, planLater(child)) :: Nil
+      // partial-before-shuffle, exactly like partial aggregation: the
+      // exchange EnsureRequirements inserts above the partial pass now
+      // carries at most partitions·keys·k rows
+      TopKPerKeyExec(key, ord, tie, k, partial = false,
+        TopKPerKeyExec(key, ord, tie, k, partial = true,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }

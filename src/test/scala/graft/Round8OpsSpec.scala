@@ -572,6 +572,15 @@ class Round8OpsSpec extends AnyFunSuite {
     val plan = qe.executedPlan.toString
     assert(plan.contains("TopKPerKey"), plan)
     assert(!plan.contains("Window"), s"the heap operator must replace the window:\n$plan")
+    // partial-before-shuffle: the map-side pass sits BELOW the keyed
+    // exchange, the final pass above it — partial-aggregation shape
+    val partialIdx = plan.indexOf("TopKPerKeyPartial")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    val finalIdx = plan.indexOf("TopKPerKey ")
+    assert(partialIdx > 0 && exchangeIdx > 0 && finalIdx >= 0,
+      s"expected final/exchange/partial pipeline:\n$plan")
+    assert(finalIdx < exchangeIdx && exchangeIdx < partialIdx,
+      s"partial must be below the exchange, final above:\n$plan")
   }
 
   test("TopKPerKey is partitioning-invariant and equals the window spelling") {
