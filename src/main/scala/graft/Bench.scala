@@ -141,15 +141,27 @@ object Bench {
         sys.exit(2)
       }
     }
+    // Isolated-rerun protocol: SPARK_GRAFT_BENCH_REPS=3 times each query
+    // k times and records the MIN alongside the single-shot number. The
+    // single-shot column preserves round-over-round comparability (and
+    // includes the cold-plan cost a fresh session pays); the min column
+    // strips the ±25% host-noise band that round-7 regression-chasing
+    // showed dominates sub-second entries. Default 1 rep: the driver's
+    // per-round run stays one-shot.
+    val reps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (name, times.head, times.min)
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Full per-query map (all queries, full precision) goes to a FILE: the
@@ -159,15 +171,20 @@ object Bench {
     // so it carries a fixed HEADLINE subset at 3-decimal precision (fits
     // with room to spare) plus the all-query total; the committed
     // BENCH_FULL.json carries everything for round-over-round diffing.
-    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val fullQs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val min3Field = if (reps > 1) {
+      val m = results.map { case (k, _, mn) => "\"" + k + "\":" + mn }
+        .mkString("{", ",", "}")
+      s""","min3":$m,"reps":$reps"""
+    } else ""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"setup_sec":$setupSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs$min3Field,"setup_sec":$setupSec,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val timed = results.toMap
+    val timed = results.map { case (k, v, _) => k -> v }.toMap
     val headQs = headline.filter(timed.contains)
       .map(k => "\"" + k + "\":" + r3(timed(k))).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headQs,"n_queries":${results.size},"setup_sec":${r3(setupSec)},"full":"BENCH_FULL.json","sf":"$sfDir"}""")

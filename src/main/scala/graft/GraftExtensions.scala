@@ -146,6 +146,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectOptimizerRule(_ => SelfDotRewrite)
     ext.injectOptimizerRule(_ => BandJoinRewrite)
+    ext.injectOptimizerRule(_ => WindowTopKRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
@@ -227,12 +228,21 @@ object BandJoinRewrite extends Rule[LogicalPlan]
     IntegralDivide(Subtract(x, Pmod(x, Literal(eps))), Literal(eps))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(left, right, Inner, Some(cond), _) =>
+    case j @ Join(left, right, Inner, Some(cond), hint) =>
       val conjuncts = splitConjunctivePredicates(cond)
+      // an equi conjunct in the hash-join sense: each side of the
+      // equality evaluable against ONE join side (the ExtractEquiJoinKeys
+      // criterion), not merely a bare attribute = attribute — a
+      // cast(a) = b spelling already rides a hash join with the band as
+      // a residual filter, and exploding on top would only add fan-out
       val hasEqui = conjuncts.exists {
-        case EqualTo(a: AttributeReference, b: AttributeReference) =>
-          (left.outputSet.contains(a) && right.outputSet.contains(b)) ||
-            (left.outputSet.contains(b) && right.outputSet.contains(a))
+        case Equality(a, b) =>
+          // both sides must actually reference a plan side — a
+          // single-sided `expr = lit` is a pushable filter, not a key
+          a.references.nonEmpty && b.references.nonEmpty &&
+            a.deterministic && b.deterministic &&
+            ((canEvaluate(a, left) && canEvaluate(b, right)) ||
+              (canEvaluate(a, right) && canEvaluate(b, left)))
         case _ => false
       }
       val band = conjuncts.collectFirst {
@@ -256,11 +266,116 @@ object BandJoinRewrite extends Rule[LogicalPlan]
             generatorOutput = Seq(bkAttr), child = left)
           val rAlias = Alias(fdiv(r, eps), "__band_bk_r")()
           val projR = Project(right.output :+ rAlias, right)
+          // carry the user's hint (e.g. broadcast) through the rewrite —
+          // the rewritten join has the same left/right lineage, so the
+          // hint still points at the side the user meant
           val newJoin = Join(gen, projR, Inner,
             Some(And(EqualTo(bkAttr, rAlias.toAttribute), cond)),
-            JoinHint.NONE)
+            hint)
           Project(j.output, newJoin)
         case _ => j
+      }
+  }
+}
+
+/** Rewrites the DECLARATIVE per-key top-k — the pattern every user
+  * spells with the window API,
+  * {{{
+  *   df.withColumn("rn", row_number().over(
+  *       Window.partitionBy(ks).orderBy(os)))
+  *     .filter($"rn" <= k).drop("rn")
+  * }}}
+  * — into the bounded-heap [[graft.plans.TopKPerKey]] whole-operator
+  * plan (ref behavior: the reference's per-key top-k query,
+  * killrweather-app PrecipitationActor.scala:49, is exactly this shape).
+  *
+  * Why: the window plan buffers and fully sorts every key group —
+  * O(n log n) rows through sort buffers and, before Spark's own group
+  * limit, through the shuffle. The heap operator is one pass, O(n log k),
+  * with a map-side PARTIAL pass so the shuffle carries at most
+  * partitions·keys·k rows. Spark's `InsertWindowGroupLimit` gets partway
+  * there (it pre-filters to k per key) but still sorts and still runs
+  * the full Window machinery above; if that rule fired first, the
+  * redundant `WindowGroupLimit` pre-filter is stripped here and the
+  * heap operator subsumes it.
+  *
+  * Fire conditions (all checked, else the plan is left alone):
+  *  - single row_number() window expression, whose output the rank
+  *    filter bounds from above (`rn <= k`, `rn < k`, `k >= rn`,
+  *    `rn = 1`) — rank()/dense_rank() tie semantics do NOT match a
+  *    plain heap and are never rewritten;
+  *  - the rank attribute is consumed by NOTHING except that filter (the
+  *    project above must drop it — if the user keeps the rank column,
+  *    the window must stay);
+  *  - non-empty deterministic partition keys and an orderable,
+  *    deterministic sort order (row_number over an EMPTY partitionSpec
+  *    is a global limit — Spark already plans that well);
+  *  - residual filter conjuncts stay as a post-filter above the heap.
+  */
+object WindowTopKRewrite extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.{
+    Filter, Project, Window, WindowGroupLimit}
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  /** Above this, heap memory O(keys·k) stops being obviously better
+    * than the sort it replaces — leave the declarative plan alone. */
+  private val MaxK = 1 << 20
+
+  private object IntLit {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case Literal(v: Long, LongType) => Some(v)
+      case _ => None
+    }
+  }
+
+  /** The k this conjunct bounds the rank attribute to, if any. */
+  private def boundFor(c: Expression, rn: Attribute): Option[Long] = c match {
+    case LessThanOrEqual(a: Attribute, IntLit(v)) if a.semanticEquals(rn) => Some(v)
+    case LessThan(a: Attribute, IntLit(v)) if a.semanticEquals(rn) => Some(v - 1)
+    case GreaterThanOrEqual(IntLit(v), a: Attribute) if a.semanticEquals(rn) => Some(v)
+    case GreaterThan(IntLit(v), a: Attribute) if a.semanticEquals(rn) => Some(v - 1)
+    case EqualTo(a: Attribute, IntLit(1L)) if a.semanticEquals(rn) => Some(1L)
+    case EqualTo(IntLit(1L), a: Attribute) if a.semanticEquals(rn) => Some(1L)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(pl, Filter(cond,
+        Window(Seq(alias @ Alias(we: WindowExpression, _)),
+          partSpec, orderSpec, wchild, _)))
+        if we.windowFunction.isInstanceOf[RowNumber] &&
+          partSpec.nonEmpty && orderSpec.nonEmpty &&
+          partSpec.forall(_.deterministic) &&
+          orderSpec.forall(_.deterministic) &&
+          RowOrdering.isOrderable(orderSpec.map(_.child)) =>
+      val rn = alias.toAttribute
+      val conjuncts = splitConjunctivePredicates(cond)
+      val bounds = conjuncts.flatMap(c => boundFor(c, rn))
+      val rest = conjuncts.filter(c => boundFor(c, rn).isEmpty)
+      val usable = bounds.nonEmpty &&
+        rest.forall(c => !c.references.contains(rn)) &&
+        pl.forall(ne => !ne.references.contains(rn))
+      if (!usable || bounds.min < 1L || bounds.min > MaxK) p
+      else {
+        val k = bounds.min.toInt
+        // if Spark's InsertWindowGroupLimit already fired, its
+        // pre-filter keeps a superset of the heap's rows — subsume it
+        val base = wchild match {
+          case WindowGroupLimit(ps2, os2, _: RowNumber, limit, gchild)
+              if limit >= k && ps2.length == partSpec.length &&
+                ps2.zip(partSpec).forall { case (a, b) => a.semanticEquals(b) } &&
+                os2.length == orderSpec.length &&
+                os2.zip(orderSpec).forall { case (a, b) => a.semanticEquals(b) } =>
+            gchild
+          case other => other
+        }
+        val topk = graft.plans.TopKPerKey(partSpec, orderSpec, k, base)
+        val out = if (rest.isEmpty) topk
+          else Filter(rest.reduce(And), topk)
+        Project(pl, out)
       }
   }
 }

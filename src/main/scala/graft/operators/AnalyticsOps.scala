@@ -201,14 +201,16 @@ object AnalyticsOps {
     Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents), ft AS (SELECT doc_id, tok FROM tok WHERE length(tok) >= 3), tf AS (SELECT doc_id, tok, count(*) AS tf FROM ft GROUP BY 1, 2), df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1), n AS (SELECT count(*) AS n FROM documents), w AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df, tf.tf * ln(CAST(n.n + 1 AS DOUBLE) / (df.df + 1)) AS tfidf FROM tf JOIN df USING (tok) CROSS JOIN n), r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rk FROM w) SELECT doc_id, rk, tok, tf, df, floor(tfidf * 10000.0 + 0.5) / 10000.0 AS tfidf FROM r WHERE rk <= 3 ORDER BY 1, 2"""))
 
   /** The one-pass StatsAggregator (§2.10's custom-Aggregator surface; the
-    * distributed StatCounter replacement) as a registered capability. No
-    * SQL oracle: Welford/Chan merge order makes the float variance
-    * partition-count-dependent in the last ulps — StatsAggregatorSpec
-    * asserts equality to built-ins within 1e-9 instead; the driver records
-    * a rows-only check. */
+    * distributed StatCounter replacement) as a registered capability.
+    * Welford/Chan merge order perturbs the float mean/variance in the
+    * last ulps per partitioning, so those two are rounded to 4 decimals
+    * to make the values ORACLE-STABLE (count/min/max are exact
+    * regardless); StatsAggregatorSpec still pins full-precision equality
+    * to Spark's built-ins within 1e-9. The DuckDB oracle is the plain
+    * avg/var_pop arithmetic over the same rows. */
   private val aggStatsOnepass = GraftQuery(
     "agg_stats_onepass",
-    "one-pass {n,min,max,mean,var_pop,stdev} typed Aggregator per event type",
+    "one-pass {n,min,max,mean,var_pop} typed Aggregator per event type",
     (s, d) => {
       import s.implicits._
       import graft.functions.StatsAggregator
@@ -218,11 +220,12 @@ object AnalyticsOps {
         .agg(StatsAggregator[(String, Double)](_._2).toColumn.name("stats"))
         .select(col("key").as("event_type"),
           col("stats.count").as("cnt"), col("stats.min").as("mn"),
-          col("stats.max").as("mx"), col("stats.mean").as("mean"),
-          col("stats.variance").as("var_pop"))
+          col("stats.max").as("mx"),
+          fround(col("stats.mean"), 4).as("mean"),
+          fround(col("stats.variance"), 4).as("var_pop"))
         .orderBy("event_type")
     },
-    None)
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS cnt, min(value) AS mn, max(value) AS mx, floor(avg(value) * 1e4 + 0.5) / 1e4 AS mean, floor(var_pop(value) * 1e4 + 0.5) / 1e4 AS var_pop FROM events GROUP BY 1 ORDER BY 1"""))
 
   /** Pivot: long→wide reshape, one centi-exact value column per event
     * type. The explicit value list keeps it one pass (no extra distinct

@@ -89,6 +89,9 @@ object LayoutOps {
     "Morton/Z-order vs linear file layout: 2-D box pruning audit",
     (s, d) => {
       import s.implicits._
+      // belt-and-suspenders: graft_zvalue must resolve even on a session
+      // built without GraftExtensions (same pattern as SimilarityOps)
+      graft.functions.expressions.GraftExpressions.ensureRegistered(s)
       val base0 = Tables.lineitem(s, d).select(
         col("l_partkey").as("pk"), col("l_shipdate").cast("date").as("sd"))
       val mm = base0.agg(min("pk").as("pkmin"), max("pk").as("pkmax"),

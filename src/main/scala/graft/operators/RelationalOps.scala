@@ -299,6 +299,32 @@ object RelationalOps {
     },
     Some("""WITH rk AS (SELECT user_id, event_id, value, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn FROM events) SELECT user_id, event_id, floor(value * 100.0 + 0.5) / 100.0 AS value FROM rk WHERE rn <= 3 ORDER BY user_id, event_id"""))
 
+  /** The SAME top-k spelled DECLARATIVELY with the window API — no
+    * explicit TopKPerKey call anywhere. [[graft.WindowTopKRewrite]]
+    * recognizes the row_number-filter-drop shape and lowers it to the
+    * bounded-heap operator automatically (a spec asserts the physical
+    * plan shows TopKPerKeyPartial/TopKPerKey and no Window sort), so
+    * every user-spelled per-group top-k — the reference's A4 pattern,
+    * killrweather-app PrecipitationActor.scala:49 — gets the one-pass
+    * O(n log k) plan for free. Oracle identical to rel_topk_native:
+    * proves the rewrite IS row_number()<=k. */
+  private val winTopkAuto = GraftQuery(
+    "win_topk_auto",
+    "per-user top-3 events: declarative row_number spelling, auto-lowered to the heap operator",
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(desc("value"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .drop("rn")
+        .select(col("user_id"), col("event_id"),
+          fround(col("value"), 2).as("value"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH rk AS (SELECT user_id, event_id, value, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn FROM events) SELECT user_id, event_id, floor(value * 100.0 + 0.5) / 100.0 AS value FROM rk WHERE rn <= 3 ORDER BY user_id, event_id"""))
+
   /** 4-4-5 FISCAL CALENDAR rollup — the retail-calendar mapping every
     * warehouse grows eventually: fiscal years start Feb 1, each quarter
     * is 4+4+5 weeks, periods number 1..12 (week 53 of long years clamps
@@ -1187,6 +1213,7 @@ object RelationalOps {
     q1, q3, q5, q10Returns, q14Promo, q18TopQuantity, q19Disjunctive, q7Volume,
     jSemi, jAnti, jOuter,
     jRange, jAsof, jBucketed, jBandBucketed, jBandAuto, relTopkNative,
+    winTopkAuto,
     calFiscal445, winRank,
     winMoving, winNtile,
     winRangeFrame,
@@ -1205,14 +1232,17 @@ object RelationalOps {
     * BloomFilterAggregate surface as txt_decontaminate_bloom), broadcast
     * the ONE-ROW sketch, and pre-drop fact rows in whole-stage codegen
     * before any exchange — the exact semi-join then runs on the
-    * survivors only. The report shows what the prefilter passed vs the
-    * exact membership: Bloom guarantees ZERO false negatives (spec-
-    * pinned), and the false-positive overhead is the price of never
-    * shuffling non-candidates. No oracle: the sketch's bit layout is
-    * engine-internal (declared-spec status like the other sketches). */
+    * survivors only. The output is the zero-false-negative CONTRACT
+    * itself: n_exact_passed counts the true members the Bloom filter
+    * let through — a correct Bloom passes every one, so the DuckDB
+    * oracle replays the decision with the exact IN-list
+    * (n_exact_passed = n_exact by definition of "no false negatives");
+    * any dropped member makes the hashes diverge. The false-positive
+    * overhead (n_bloom_pass, engine-internal bit layout) stays
+    * spec-audited in Round7OpsSpec rather than oracled. */
   private lazy val jBloomPrefilter = GraftQuery(
     "j_bloom_prefilter",
-    "bloom-prefiltered fact semi-join: pass/exact/false-positive audit",
+    "bloom-prefiltered fact semi-join: zero-false-negative contract audit",
     (s, d) => {
       graft.functions.expressions.GraftExpressions.ensureRegistered(s)
       // might_contain demands the sketch as a scalar subquery (the
@@ -1225,20 +1255,18 @@ object RelationalOps {
       val df = s.sql(
         s"""WITH u AS (SELECT o_orderkey FROM $vo WHERE o_orderpriority = '1-URGENT'),
            |bf AS (SELECT graft_bloom_agg(xxhash64(o_orderkey), 200000L, 1600000L) AS bf FROM u),
-           |pass AS (SELECT count(*) AS n_bloom_pass FROM $vl
-           |         WHERE graft_might_contain((SELECT bf FROM bf), xxhash64(l_orderkey))),
            |ex AS (SELECT count(*) AS n_exact FROM $vl
            |       WHERE l_orderkey IN (SELECT o_orderkey FROM u)),
+           |ep AS (SELECT count(*) AS n_exact_passed FROM $vl
+           |       WHERE l_orderkey IN (SELECT o_orderkey FROM u)
+           |         AND graft_might_contain((SELECT bf FROM bf), xxhash64(l_orderkey))),
            |t AS (SELECT count(*) AS n_fact_rows FROM $vl)
-           |SELECT n_fact_rows, n_exact, n_bloom_pass,
-           |       n_bloom_pass - n_exact AS n_false_positive,
-           |       floor(CAST(n_fact_rows - n_bloom_pass AS DOUBLE) /
-           |             CAST(n_fact_rows AS DOUBLE) * 1e4 + 0.5) / 1e4 AS pruned_share
-           |FROM pass CROSS JOIN ex CROSS JOIN t""".stripMargin)
+           |SELECT n_fact_rows, n_exact, n_exact_passed
+           |FROM ep CROSS JOIN ex CROSS JOIN t""".stripMargin)
       s.catalog.dropTempView(vo); s.catalog.dropTempView(vl)
       df
     },
-    None)
+    Some("""WITH u AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'), ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM u)), t AS (SELECT CAST(count(*) AS BIGINT) AS n_fact_rows FROM lineitem) SELECT n_fact_rows, n_exact, n_exact AS n_exact_passed FROM ex CROSS JOIN t"""))
 
   /** BUCKETED interval join — the 100 TB-safe spelling of "points inside
     * intervals": each URGENT order's 3-day follow-on window is exploded to

@@ -1128,20 +1128,29 @@ object TextOps {
     * pairs, the classic collocation extractor (phrases whose parts
     * co-occur far above chance; the phrase-mining step before tokenizer
     * or vocabulary decisions). Counts are exact corpus-wide BIGINTs from
-    * two map-side-combined aggregations (unigrams + bigrams, each one
-    * narrow explode→agg); PMI = ln(c_ab·N ⁄ (c_a·c_b)) is the only
-    * float, computed from exact integer operands and floor-rounded; the
-    * support cutoff (≥ 5) kills the noise tail before the tiny
-    * broadcast-joined scoring step. Top-30 by rounded PMI via
-    * TakeOrdered. */
+    * two map-side-combined aggregations (unigrams + bigrams), both fed
+    * by ONE persisted tokenized projection (the corpus is tokenized
+    * exactly once); the total token count is derived from the unigram
+    * table (sum of counts) instead of a third corpus pass. PMI =
+    * ln(c_ab·N ⁄ (c_a·c_b)) is the only float, computed from exact
+    * integer operands and floor-rounded; the support cutoff (≥ 5) kills
+    * the noise tail BEFORE the vocabulary joins. Scale: the unigram
+    * table is open-vocabulary (10⁸–10⁹ rows at 100 TB) so it is joined
+    * with plain SHUFFLED joins on the token key — never broadcast; the
+    * only broadcast is the 1-row total. AQE is free to downgrade the
+    * shuffle to a runtime broadcast when the support-filtered bigram
+    * side turns out tiny — a size-informed decision, not a hint.
+    * Top-30 by rounded PMI via TakeOrdered. */
   private val pmiCollocations = GraftQuery(
     "txt_pmi_collocations",
     "top-30 PMI-ranked adjacent-token collocations (support >= 5)",
     (s, d) => {
       val withT = Tables.documents(s, d)
         .select(tokens(col("text")).as("tk"))
+        .persist()
       val uni = withT.select(explode(col("tk")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("c1"))
+        .persist()
       val nTot = withT.agg(sum(size(col("tk"))).as("n"))
       val bi = withT.filter(size(col("tk")) >= 2)
         .select(explode(expr(
@@ -1150,8 +1159,8 @@ object TextOps {
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
         .filter(col("cb") >= 5)
-      bi.join(broadcast(uni.select(col("tok").as("w1"), col("c1").as("ca"))), Seq("w1"))
-        .join(broadcast(uni.select(col("tok").as("w2"), col("c1").as("cw"))), Seq("w2"))
+      bi.join(uni.select(col("tok").as("w1"), col("c1").as("ca")), Seq("w1"))
+        .join(uni.select(col("tok").as("w2"), col("c1").as("cw")), Seq("w2"))
         .crossJoin(broadcast(nTot))
         .withColumn("pmi", log((col("cb") * col("n")).cast("double") /
           (col("ca") * col("cw"))))

@@ -182,7 +182,49 @@ object WeatherOps {
       .orderBy("user_id", "dy"),
     Some("""SELECT user_id, CAST(ts AS DATE) AS dy, floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS total, count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** The reference's okta sky-condition decode table, CONTENT-faithful:
+    * the 17 seeded rows of `sky_condition_lookup`
+    * (ref: data/load-timeseries.cql:14-29; schema at
+    * create-timeseries.cql:61-64; the Scala-side mapping lives in
+    * WeatherEvent.scala's Sky* types). Codes are sparse — 0..10 then
+    * 12,13,14,16,19 — so the inner join also exercises the
+    * no-matching-code drop (events hashing to 11/15/17/18 vanish).
+    * The dimension is a 17-row LocalRelation: broadcast by construction,
+    * the exact J2 lookup shape at any fact scale. */
+  private val skyLookup = GraftQuery(
+    "w_sky_lookup",
+    "J2 okta sky-condition decode: seeded 17-row reference dimension joined to facts",
+    (s, d) => {
+      import s.implicits._
+      val sky = Seq(
+        0L -> "None, SKC or CLR",
+        1L -> "One okta - 1/10 or less but not zero",
+        2L -> "Two oktas - 2/10 - 3/10, or FEW",
+        3L -> "Three oktas - 4/10",
+        4L -> "Four oktas - 5/10, or SCT",
+        5L -> "Five oktas - 6/10",
+        6L -> "Six oktas - 7/10 - 8/10",
+        7L -> "Seven oktas - 9/10 or more but not 10/10, or BKN",
+        8L -> "Eight oktas - 10/10, or OVC",
+        9L -> "Sky obscured, or cloud amount cannot be estimated",
+        10L -> "Partial obscuration 11: Thin scattered",
+        12L -> "Scattered",
+        13L -> "Dark scattered",
+        14L -> "Thin broken 15: Broken",
+        16L -> "Dark broken 17: Thin overcast 18: Overcast",
+        19L -> "Dark overcast"
+      ).toDF("code", "condition")
+      Tables.events(s, d)
+        .select(pmod(col("event_id"), lit(20L)).as("code"))
+        .join(broadcast(sky), Seq("code"))
+        .groupBy("code", "condition")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("code")
+    },
+    Some("""WITH sky(code, condition) AS (VALUES (0, 'None, SKC or CLR'), (1, 'One okta - 1/10 or less but not zero'), (2, 'Two oktas - 2/10 - 3/10, or FEW'), (3, 'Three oktas - 4/10'), (4, 'Four oktas - 5/10, or SCT'), (5, 'Five oktas - 6/10'), (6, 'Six oktas - 7/10 - 8/10'), (7, 'Seven oktas - 9/10 or more but not 10/10, or BKN'), (8, 'Eight oktas - 10/10, or OVC'), (9, 'Sky obscured, or cloud amount cannot be estimated'), (10, 'Partial obscuration 11: Thin scattered'), (12, 'Scattered'), (13, 'Dark scattered'), (14, 'Thin broken 15: Broken'), (16, 'Dark broken 17: Thin overcast 18: Overcast'), (19, 'Dark overcast')) SELECT CAST(sky.code AS BIGINT) AS code, sky.condition, count(*) AS cnt FROM (SELECT event_id % 20 AS code FROM events) e JOIN sky ON e.code = sky.code GROUP BY 1, 2 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
     dailyStats, monthlyHiLow, annualSum, topK, latest,
-    stationInfo, enrichedAgg, countRaw, distinctUsers, dailyCounter)
+    stationInfo, enrichedAgg, countRaw, distinctUsers, dailyCounter,
+    skyLookup)
 }

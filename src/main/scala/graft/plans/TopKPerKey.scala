@@ -1,31 +1,38 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection,
+  UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  LogicalPlan, Project, Sort, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
-import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** WHOLE-OPERATOR custom plan (SURVEY §2.10 rung (c): LogicalPlan +
   * SparkStrategy + SparkPlan, registered via SparkSessionExtensions):
   * per-key top-k with BOUNDED HEAPS.
   *
-  * The declarative spelling — `row_number().over(Window.partitionBy(key)
-  * .orderBy(ord desc, tie)) <= k` — SORTS every key group in full:
-  * O(n log n) per partition and the whole group buffered, even though
-  * only k rows survive. This operator keeps a size-k min-heap per key in
-  * ONE pass: O(n log k) time, O(keys·k) memory, no sort buffer — the
-  * same reason Spark core rewrites global ORDER BY + LIMIT to
-  * TakeOrderedAndProject, applied per key.
+  * The declarative spelling — `row_number().over(Window.partitionBy(keys)
+  * .orderBy(order)) <= k` — SORTS every key group in full: O(n log n)
+  * per partition and the whole group buffered, even though only k rows
+  * survive. This operator keeps a size-k heap per key in ONE pass:
+  * O(n log k) time, O(keys·k) memory, no sort buffer — the same reason
+  * Spark core rewrites global ORDER BY + LIMIT to TakeOrderedAndProject,
+  * applied per key.
   *
-  * Semantics: keep the k rows with the largest (ord, tie-ascending)
-  * rank per key; rows with a null key or ord are dropped (window
-  * row_number would rank them — callers filter nulls first, as every
-  * registry query already does). Types are pinned to LongType key/tie
-  * and DoubleType ord — the shapes the engine's ranking queries use.
+  * Semantics: EXACTLY the rows `row_number() <= k` keeps. Keys are
+  * arbitrary expressions (grouped via an UnsafeProjection of the key
+  * tuple, so a null key is its own group — window partitionBy
+  * semantics); the order is arbitrary `SortOrder`s compared with
+  * Catalyst's own `RowOrdering` (codegen with interpreted fallback), so
+  * null ordering (NULLS FIRST/LAST) and NaN (ranks above every real
+  * double, `java.lang.Double.compare` semantics) behave bit-for-bit
+  * like the window sort. Ties beyond the sort order are arbitrary —
+  * exactly as arbitrary as row_number over a non-total order.
   *
   * Scale note: the strategy plans TWO instances — a PARTIAL pass
   * (no distribution requirement, runs map-side on whatever partitioning
@@ -35,97 +42,135 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * partitions·keys·k rows instead of the whole input, and top-k is
   * idempotent (top-k of a union of per-partition top-ks is the global
   * top-k), so the final pass needs no special merge logic.
+  *
+  * Users rarely construct this node by hand: [[graft.WindowTopKRewrite]]
+  * (injected by GraftExtensions) lowers the declarative
+  * row_number-filter spelling to it automatically; [[TopKPerKey.of]] is
+  * the explicit door.
   */
-case class TopKPerKey(key: Attribute, ord: Attribute, tie: Attribute,
+case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder],
     k: Int, child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
     copy(child = newChild)
 }
 
-case class TopKPerKeyExec(key: Attribute, ord: Attribute, tie: Attribute,
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     k: Int, partial: Boolean, child: SparkPlan) extends SparkPlan {
   override def output: Seq[Attribute] = child.output
   override def children: Seq[SparkPlan] = Seq(child)
   override def nodeName: String =
     if (partial) "TopKPerKeyPartial" else "TopKPerKey"
   override def requiredChildDistribution: Seq[Distribution] =
-    if (partial)
-      Seq(org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution)
-    else Seq(ClusteredDistribution(Seq(key)))
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(keys))
+  // rows are dropped, never moved: the child's partitioning still holds,
+  // so a downstream agg/join on the same keys skips its exchange
+  override def outputPartitioning: Partitioning = child.outputPartitioning
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[SparkPlan]): TopKPerKeyExec =
     copy(child = newChildren.head)
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val keyIdx = child.output.indexWhere(_.exprId == key.exprId)
-    val ordIdx = child.output.indexWhere(_.exprId == ord.exprId)
-    val tieIdx = child.output.indexWhere(_.exprId == tie.exprId)
     val schema = child.output
+    val keyExprs = keys
+    val sortOrder = order
     val kk = k
-    child.execute().mapPartitions({ it =>
-      // priority-queue MAXIMUM = the WORST kept row (smallest ord;
-      // among equal ord, the largest tie), so head-compare + replace
-      // maintains the top-k invariant in O(log k)
-      implicit val worstFirst: Ordering[(Double, Long, UnsafeRow)] =
-        Ordering.by(t => (-t._1, t._2))
-      val heaps = new java.util.HashMap[Long,
-        scala.collection.mutable.PriorityQueue[(Double, Long, UnsafeRow)]]()
-      val proj = UnsafeProjection.create(schema, schema)
-      while (it.hasNext) {
-        val row = it.next()
-        if (!row.isNullAt(keyIdx) && !row.isNullAt(ordIdx)) {
-          val kv = row.getLong(keyIdx)
-          val ov = row.getDouble(ordIdx)
-          val tv = row.getLong(tieIdx)
-          var h = heaps.get(kv)
-          if (h == null) {
-            h = scala.collection.mutable.PriorityQueue
-              .empty[(Double, Long, UnsafeRow)]
-            heaps.put(kv, h)
-          }
-          if (h.size < kk) h.enqueue((ov, tv, proj(row).copy()))
-          else {
-            val worst = h.head
-            if (ov > worst._1 || (ov == worst._1 && tv < worst._2)) {
-              h.dequeue(); h.enqueue((ov, tv, proj(row).copy()))
-            }
-          }
-        }
+    child.execute().mapPartitions(
+      TopKPerKeyExec.processPartition(schema, keyExprs, sortOrder, kk, _),
+      preservesPartitioning = true)
+  }
+}
+
+object TopKPerKeyExec {
+  /** Static so the task closure captures only the (serializable) bound
+    * expression lists — never the plan node itself. */
+  private def processPartition(schema: Seq[Attribute], keyExprs: Seq[Expression],
+      sortOrder: Seq[SortOrder], kk: Int,
+      it: Iterator[InternalRow]): Iterator[InternalRow] = {
+    val keyProj = UnsafeProjection.create(keyExprs, schema)
+    // Catalyst's row comparator for the window's ORDER BY — null
+    // ordering and NaN totality come from the engine, not hand-rolled
+    // primitive compares. Heap maximum = GREATEST under the sort
+    // order = the WORST kept row, so head-compare + replace maintains
+    // the top-k invariant in O(log k).
+    val rowOrd = RowOrdering.create(sortOrder, schema)
+    implicit val heapOrd: Ordering[UnsafeRow] =
+      (a: UnsafeRow, b: UnsafeRow) => rowOrd.compare(a, b)
+    val heaps = new java.util.HashMap[UnsafeRow,
+      scala.collection.mutable.PriorityQueue[UnsafeRow]]()
+    val proj = UnsafeProjection.create(schema, schema)
+    while (it.hasNext) {
+      val row = it.next()
+      val kv = keyProj(row)
+      var h = heaps.get(kv)
+      if (h == null) {
+        h = scala.collection.mutable.PriorityQueue.empty[UnsafeRow]
+        heaps.put(kv.copy(), h)
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.toSeq.map(_._3))
-    }, preservesPartitioning = false)
+      if (h.size < kk) h.enqueue(proj(row).copy())
+      else if (rowOrd.compare(row, h.head) < 0) {
+        h.dequeue(); h.enqueue(proj(row).copy())
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    heaps.values().iterator().asScala.flatMap(_.iterator)
   }
 }
 
 /** Planner strategy compiling the logical node to the heap exec. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(key, ord, tie, k, child) =>
+    case TopKPerKey(keys, order, k, child) =>
       // partial-before-shuffle, exactly like partial aggregation: the
       // exchange EnsureRequirements inserts above the partial pass now
       // carries at most partitions·keys·k rows
-      TopKPerKeyExec(key, ord, tie, k, partial = false,
-        TopKPerKeyExec(key, ord, tie, k, partial = true,
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true,
           planLater(child))) :: Nil
     case _ => Nil
   }
 }
 
 object TopKPerKey {
-  /** Public door: wrap `df` in the logical node (analysis-safe — the
-    * child is the analyzed plan, attributes resolved by name here). */
-  def of(df: DataFrame, key: String, ord: String, tie: String, k: Int): DataFrame = {
+  /** Public door: wrap `df` in the logical node. `order` columns carry
+    * their own direction/null-ordering (`col("v").desc`,
+    * `col("v").asc_nulls_last`, …); a bare column means ascending. */
+  def of(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
     val lp = df.queryExecution.analyzed
-    def attr(n: String): Attribute = lp.output.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(s"column $n not in ${lp.output.map(_.name)}"))
-    val (ka, oa, ta) = (attr(key), attr(ord), attr(tie))
-    require(ka.dataType == LongType && ta.dataType == LongType &&
-      oa.dataType == DoubleType,
-      s"TopKPerKey expects (bigint key, double ord, bigint tie), got " +
-        s"(${ka.dataType}, ${oa.dataType}, ${ta.dataType})")
+    require(keys.nonEmpty, "TopKPerKey needs at least one key column")
+    require(order.nonEmpty, "TopKPerKey needs at least one order column")
+    require(k >= 1, s"TopKPerKey needs k >= 1, got $k")
+    // resolve through the ANALYZER, not by hand: a throwaway
+    // sortWithinPartitions/select over the same analyzed child yields
+    // fully-resolved SortOrders/expressions with lp's exprIds (Spark-4
+    // Columns are opaque ColumnNodes until analysis)
+    val (keyExprs, sortOrders) = try {
+      val sorted = df.sortWithinPartitions(order: _*).queryExecution.analyzed
+        .asInstanceOf[Sort]
+      val keyed = df.select(keys: _*).queryExecution.analyzed
+        .asInstanceOf[Project]
+      (keyed.projectList.map {
+        case a: Alias => a.child
+        case e => e
+      }, sorted.order)
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"TopKPerKey key/order columns failed to resolve: ${e.getMessage}", e)
+    }
+    require(RowOrdering.isOrderable(sortOrders.map(_.child)),
+      s"TopKPerKey order columns must be orderable types, got " +
+        s"${sortOrders.map(_.child.dataType)}")
     org.apache.spark.sql.GraftPlanDoor.ofRows(df.sparkSession,
-      TopKPerKey(ka, oa, ta, k, lp))
+      TopKPerKey(keyExprs, sortOrders, k, lp))
+  }
+
+  /** Back-compat door: largest-`ord`-first with `tie` ascending — the
+    * row_number() OVER (PARTITION BY key ORDER BY ord DESC, tie) <= k
+    * shape the engine's ranking queries use. */
+  def of(df: DataFrame, key: String, ord: String, tie: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    of(df, Seq(col(key)), Seq(col(ord).desc, col(tie).asc), k)
   }
 }

@@ -54,32 +54,41 @@ final class KeyedParquetSink(val tableDir: String, keyCols: Seq[String],
   /** Idempotent merge of one micro-batch of full per-key aggregates. */
   def upsert(batch: DataFrame): Unit = synchronized {
     val spark = batch.sparkSession
+    // the merge takes THREE actions over the batch (emptiness probe,
+    // touched-bucket collect, staged write); without pinning, each one
+    // re-executes the whole upstream micro-batch plan — for a streaming
+    // caller that is the stateful aggregation run 3x per trigger (and 3x
+    // the reported state metrics). Standard foreachBatch discipline:
+    // persist the micro-batch for its multi-action lifetime.
     val withBucket = batch.withColumn(bucketCol,
       pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets.toLong)).cast("int"))
-    if (!exists(spark)) {
-      // first batch: nothing to merge; skip entirely if empty so an empty
-      // trigger can't leave behind a schemaless (unreadable) empty table
-      if (!withBucket.isEmpty) withBucket.write.partitionBy(bucketCol).parquet(tableDir)
-      return
-    }
-    // touched-bucket ids: <= numBuckets ints on the driver (metadata-sized)
-    val touched = withBucket.select(bucketCol).distinct()
-      .collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
-    if (touched.isEmpty) return
-    val existing = spark.read.parquet(tableDir)
-      .filter(col(bucketCol).isin(touched: _*)) // partition-pruned scan
-    val survivors = existing.join(
-      withBucket.select(keyCols.map(col): _*), keyCols, "left_anti")
-    val merged = survivors.unionByName(withBucket.select(existing.columns.map(col): _*))
-    val staging = new Path(tableDir + ".staging")
-    val f = fs(spark)
-    f.delete(staging, true)
-    merged.write.parquet(staging.toString)
-    spark.read.parquet(staging.toString)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(bucketCol)
-      .parquet(tableDir)
-    f.delete(staging, true)
+      .persist()
+    try {
+      if (!exists(spark)) {
+        // first batch: nothing to merge; skip entirely if empty so an empty
+        // trigger can't leave behind a schemaless (unreadable) empty table
+        if (!withBucket.isEmpty) withBucket.write.partitionBy(bucketCol).parquet(tableDir)
+        return
+      }
+      // touched-bucket ids: <= numBuckets ints on the driver (metadata-sized)
+      val touched = withBucket.select(bucketCol).distinct()
+        .collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
+      if (touched.isEmpty) return
+      val existing = spark.read.parquet(tableDir)
+        .filter(col(bucketCol).isin(touched: _*)) // partition-pruned scan
+      val survivors = existing.join(
+        withBucket.select(keyCols.map(col): _*), keyCols, "left_anti")
+      val merged = survivors.unionByName(withBucket.select(existing.columns.map(col): _*))
+      val staging = new Path(tableDir + ".staging")
+      val f = fs(spark)
+      f.delete(staging, true)
+      merged.write.parquet(staging.toString)
+      spark.read.parquet(staging.toString)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(bucketCol)
+        .parquet(tableDir)
+      f.delete(staging, true)
+    } finally withBucket.unpersist()
   }
 }

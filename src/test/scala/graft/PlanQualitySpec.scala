@@ -521,4 +521,132 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(scans <= 1,
       s"the stacked final select must not inline the corpus CTE per type ($scans scans):\n${p.take(2000)}")
   }
+
+  test("txt_pmi_collocations: no broadcast hint on the open vocabulary; one tokenize pass") {
+    val df = SparkEntry.queries("txt_pmi_collocations")(spark, sf)
+    // static plan contract: the ONLY forced broadcast is the 1-row token
+    // total; the unigram vocabulary (open, 10^8-10^9 rows at corpus
+    // scale) must reach its joins by shuffle. AQE may still broadcast at
+    // runtime from OBSERVED sizes -- a size-informed call, not a hint.
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size == 1,
+      s"expected exactly the 1-row-total broadcast hint, got ${hints.size}")
+    assert(hints.head.child.schema.fieldNames.sameElements(Array("n")),
+      "the only hinted side must be the 1-row total, never the vocabulary")
+    // one tokenize pass: both aggregations read the persisted projection
+    // (the InMemoryRelation's printed subtree embeds the original parquet
+    // scan string, so assert on the cache READS, not on scan absence)
+    val p = df.queryExecution.executedPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"unigram and bigram passes must share the cached tokenized projection:\n${p.take(2000)}")
+  }
+
+  test("BandJoinRewrite under a hot eps-bucket: AQE skew-split bounds every task") {
+    // The neighbor-bucket explode inherits the data's bucket skew — a hot
+    // eps-bucket becomes a hot join key at 100×. The rewrite's scale
+    // defense is that its OUTPUT is a plain shuffled equi join, the one
+    // shape AQE's skew-join CAN salvage at runtime (the nested-loop plan
+    // it replaces has no such escape hatch). Synthetic hot band: 200k of
+    // 220k probe rows share one eps-bucket; the spec proves (a) the final
+    // adaptive plan shows the skew-handled join and (b) via task metrics,
+    // no single task receives more than a bounded share of the band.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import org.apache.spark.sql.functions.{abs => sabs, col, lit}
+    val keys = Seq(
+      // forbid broadcast so the join is the 100TB big-big shuffled shape
+      // (a broadcast join would ALSO be skew-immune, but proves nothing)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      // enough reduce partitions that the 3 hot bucket keys can't BE the
+      // median (skew detection compares each partition to the median;
+      // at the suite default of 4, three hot keys ARE the median)
+      "spark.sql.shuffle.partitions" -> "32",
+      // sf-sized thresholds so the 200k-row hot key trips the same logic
+      // a multi-GB partition trips in production
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64k",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16k")
+    val saved = keys.map { case (k, _) =>
+      // getOption-style: an optional conf with no value reads as null
+      k -> scala.util.Try(spark.conf.get(k)).toOption.filter(_ != null) }
+    val taskMax = new java.util.concurrent.atomic.AtomicLong(0)
+    val taskSeen = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          taskSeen.incrementAndGet()
+          val r = m.shuffleReadMetrics.recordsRead
+          taskMax.getAndUpdate(cur => math.max(cur, r))
+        }
+      }
+    }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // hash payloads make the rows incompressible — skew detection reads
+      // COMPRESSED map-output sizes, and a cycling-x/constant-bucket row
+      // lz4s under the detection threshold (measured: the 200k-row hot
+      // key read as <256k and sailed past the skew check)
+      import org.apache.spark.sql.functions.xxhash64
+      val hot = spark.range(0, 200000).select(
+        (col("id") % 97L).as("x"), col("id").as("lid"),         // one bucket
+        xxhash64(col("id")).as("h1"), xxhash64(col("id"), lit(1L)).as("h2"))
+      val cold = spark.range(0, 20000).select(
+        ((col("id") % 4000L) * 500L + 10000L).as("x"),          // 4k buckets
+        (col("id") + 1000000L).as("lid"),
+        xxhash64(col("id"), lit(2L)).as("h1"), xxhash64(col("id"), lit(3L)).as("h2"))
+      val probe = hot.unionByName(cold)
+      val build = spark.range(0, 1000).select(
+        (col("id") * 400L).as("y"), col("id").as("rid"))
+      // the aggregate must CONSUME the hash payloads or column pruning
+      // strips them before the exchange and the rows compress below the
+      // skew-detection threshold again
+      val joined = probe.join(build, sabs(col("x") - col("y")) <= lit(100L))
+        .groupBy().agg(
+          org.apache.spark.sql.functions.count(lit(1)).as("cnt"),
+          org.apache.spark.sql.functions.max(col("h1")).as("s1"), // not sum:
+          org.apache.spark.sql.functions.min(col("h2")).as("s2")) // ANSI overflow
+      val n = joined.collect().head.getLong(0)
+      // expected count from the generating formulas, computed locally —
+      // the rewrite must stay results-identical under the skew configs
+      val expected =
+        (0 until 97).map { r =>
+          val rows = (200000L - 1 - r) / 97 + 1 // ids in [0,200000) ≡ r (mod 97)
+          rows * (0 until 1000).count(i => math.abs(r - 400L * i) <= 100)
+        }.sum +
+          5L * (0 until 4000).map { k =>
+            val x = 500L * k + 10000
+            (0 until 1000).count(i => math.abs(x - 400L * i) <= 100)
+          }.sum
+      assert(n == expected, s"band join row count drifted: $n != $expected")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+        s"band join fell back to a quadratic plan:\n${p.take(1500)}")
+      assert(p.contains("skew=true"),
+        s"AQE must mark the hot-band join skew-handled:\n${p.take(3000)}")
+      // drain the listener bus (events are posted async), then bound the
+      // worst task: without the split ONE task reads the whole exploded
+      // hot band (~660k records); with it, advisory-sized slices only
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      var last = -1L
+      while (System.nanoTime() < deadline && taskSeen.get() != last) {
+        last = taskSeen.get(); Thread.sleep(200)
+      }
+      val worst = taskMax.get()
+      assert(worst > 0, "listener captured no shuffle-read metrics")
+      assert(worst < 165000,
+        s"a single task read $worst shuffled records — the hot eps-bucket " +
+          "was not split (>25% of the exploded band in one task)")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
 }

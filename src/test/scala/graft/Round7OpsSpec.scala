@@ -945,10 +945,25 @@ class Round7OpsSpec extends AnyFunSuite {
 
   test("j_bloom_prefilter: zero false negatives, bounded fp overhead, deterministic") {
     val r = run("j_bloom_prefilter").collect().head
-    val (fact, exact, pass, fp) =
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (fact, exact, exactPassed) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(exactPassed == exact,
+      "Bloom can never drop a true member (zero false negatives)")
+    // the engine-internal side of the audit (total bloom passes → false
+    // positives) is computed here with the same sketch spelling — the
+    // registered query keeps only the oracle-able contract columns
+    graft.functions.expressions.GraftExpressions.ensureRegistered(spark)
+    Tables.orders(spark, sf).createOrReplaceTempView("bspec_o")
+    Tables.lineitem(spark, sf).createOrReplaceTempView("bspec_l")
+    val pass = spark.sql(
+      """WITH u AS (SELECT o_orderkey FROM bspec_o WHERE o_orderpriority = '1-URGENT'),
+        |bf AS (SELECT graft_bloom_agg(xxhash64(o_orderkey), 200000L, 1600000L) AS bf FROM u)
+        |SELECT count(*) FROM bspec_l
+        |WHERE graft_might_contain((SELECT bf FROM bf), xxhash64(l_orderkey))"""
+        .stripMargin).collect().head.getLong(0)
+    spark.catalog.dropTempView("bspec_o"); spark.catalog.dropTempView("bspec_l")
     assert(pass >= exact, "Bloom can never drop a true member")
-    assert(fp == pass - exact && fp >= 0)
+    val fp = pass - exact
     assert(fp.toDouble <= 0.05 * fact + 10,
       s"false-positive overhead $fp implausible for the sized sketch")
     val again = run("j_bloom_prefilter").collect().head

@@ -599,17 +599,66 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(run(df.repartition(1)) == want)
   }
 
-  test("TopKPerKey drops null ord rows and rejects wrong types loudly") {
+  test("TopKPerKey ranks null ord NULLS-LAST (desc default) like row_number") {
     import spark.implicits._
     val df = Seq((1L, 1L, Some(5.0)), (1L, 2L, None), (1L, 3L, Some(6.0)))
       .toDF("k", "id", "v")
     val got = graft.plans.TopKPerKey.of(df, "k", "v", "id", 2)
       .select("id").collect().map(_.getLong(0)).toSet
-    assert(got == Set(1L, 3L), "null ord must be dropped, not ranked")
-    val bad = Seq(("a", 1L, 1.0)).toDF("k", "id", "v")
+    assert(got == Set(1L, 3L),
+      "desc default NULLS LAST: the null-v row ranks 3rd, outside k=2")
+    // with k covering the group the null row IS kept — nulls rank, they
+    // are not dropped (exact row_number parity)
+    val all = graft.plans.TopKPerKey.of(df, "k", "v", "id", 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L, 3L), "null ord ranks last, not dropped")
+  }
+
+  test("TopKPerKey takes arbitrary key types and NaN ord ranks above reals") {
+    import spark.implicits._
+    // string keys — the round-8 operator rejected these; the generic
+    // grouping projection must handle any key type (incl. a null key
+    // forming its own group, as window partitionBy does)
+    val df = Seq(
+      (Some("a"), 1L, 1.0), (Some("a"), 2L, Double.NaN), (Some("a"), 3L, 2.0),
+      (None, 4L, 9.0), (None, 5L, 1.0)
+    ).toDF("k", "id", "v")
+    val got = graft.plans.TopKPerKey.of(df, "k", "v", "id", 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // Spark sort semantics: NaN > every real double, so NaN wins in "a";
+    // the null-key group is a real group and its max (id=4) is kept
+    assert(got == Set(2L, 4L))
+    // unorderable order column must be rejected loudly
+    val bad = Seq((1L, 1L, Map(1 -> 2))).toDF("k", "id", "v")
     intercept[IllegalArgumentException] {
       graft.plans.TopKPerKey.of(bad, "k", "v", "id", 2)
     }
+  }
+
+  test("win_topk_auto: declarative row_number spelling auto-lowers to the heap") {
+    val df = SparkEntry.queries("win_topk_auto")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyPartial"),
+      s"WindowTopKRewrite must lower the window spelling:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no Window machinery may remain after the rewrite:\n$plan")
+    // and it is bit-identical to the explicit-door spelling
+    val native = SparkEntry.queries("rel_topk_native")(spark, sf)
+    assert(df.collect().toSeq == native.collect().toSeq)
+  }
+
+  test("WindowTopKRewrite leaves rank-keeping and rank() plans alone") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1L, 1L, 1.0), (1L, 2L, 2.0)).toDF("k", "id", "v")
+    val w = Window.partitionBy("k").orderBy(desc("v"))
+    // user KEEPS the rank column -> the window must stay
+    val kept = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 1)
+    assert(kept.queryExecution.executedPlan.toString.contains("Window"))
+    assert(kept.collect().map(_.getLong(1)).toSet == Set(2L))
+    // rank() has tie semantics a heap cannot honor -> never rewritten
+    val ranked = df.withColumn("rn", rank().over(w)).filter($"rn" <= 1).drop("rn")
+    assert(ranked.queryExecution.executedPlan.toString.contains("Window"))
   }
 
   // ---- symmetric difference -------------------------------------------------

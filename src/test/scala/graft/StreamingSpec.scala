@@ -189,4 +189,69 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("stateTtl: closed-day state is evicted; late-but-in-watermark rows still merge") {
+    import java.sql.Timestamp
+    // synthetic flow under driver control: one parquet file per "delivery",
+    // staged into the source dir between runs (same ckpt => watermark and
+    // state persist across restarts, like the crash-recovery case)
+    val src = Files.createTempDirectory("ttl-src")
+    def stage(name: String, rows: Seq[(Long, String, Long, Double)]): Unit = {
+      import spark.implicits._
+      val outTmp = Files.createTempDirectory(s"ttl-stage-$name")
+      rows.toDF("event_id", "tss", "user_id", "value")
+        .select(col("event_id"), to_timestamp(col("tss"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("user_id"), lit("click").as("event_type"), col("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(outTmp.toString)
+      val part = Files.list(outTmp).filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst().get()
+      Files.copy(part, src.resolve(s"$name.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def srcStream() = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(src.toString)
+    val tableDir = tmp("ttl-tbl") + "/daily"
+    val ckpt = tmp("ttl-ckpt")
+    val ttl = Some("7 days")
+
+    // delivery 1: five early days
+    stage("d1", (1 to 5).map(d => (d.toLong, f"2024-01-0$d%01d 10:00:00", 1L, 1.0)))
+    val (q1, sink1) = CounterStream.dailyCounter(srcStream(), tableDir, ckpt, ttl)
+    q1.awaitTermination()
+    assert(sink1.read(spark).count() == 5)
+
+    // delivery 2: the stream clock jumps to Feb 1 -> watermark Jan 25;
+    // the five January-early-days' state must be EVICTED at batch end
+    stage("d2", Seq((10L, "2024-02-01 10:00:00", 1L, 2.0)))
+    val (q2, _) = CounterStream.dailyCounter(srcStream(), tableDir, ckpt, ttl)
+    q2.awaitTermination()
+    val stateAfterJump = q2.lastProgress.stateOperators.apply(0).numRowsTotal
+    assert(stateAfterJump <= 2,
+      s"closed-day state must be evicted, still holding $stateAfterJump rows")
+
+    // delivery 3: one row older than the watermark (Jan 3, DROPPED before
+    // aggregation -- the durable closed day must keep its finalized value,
+    // not be overwritten by a fresh-state partial recount) and one late
+    // row inside the watermark (Jan 30, must merge as a normal update)
+    stage("d3", Seq(
+      (20L, "2024-01-03 12:00:00", 1L, 100.0),
+      (21L, "2024-01-30 12:00:00", 1L, 3.0)))
+    val (q3, sink3) = CounterStream.dailyCounter(srcStream(), tableDir, ckpt, ttl)
+    q3.awaitTermination()
+    val rows = sink3.read(spark).collect()
+      .map(r => r.getAs[java.sql.Date]("dy").toString ->
+        (r.getAs[Double]("total"), r.getAs[Long]("cnt"))).toMap
+    assert(rows("2024-01-03") == ((1.0, 1L)),
+      "too-late row must be dropped; the closed day keeps its finalized value")
+    assert(rows("2024-01-30") == ((3.0, 1L)),
+      "late-but-in-watermark row must merge")
+    assert(rows("2024-02-01") == ((2.0, 1L)))
+    assert(rows.size == 7)
+    val finalOp = q3.lastProgress.stateOperators.apply(0)
+    assert(finalOp.numRowsTotal <= 3,
+      s"state must stay bounded by the ttl horizon, got ${finalOp.numRowsTotal} rows")
+    assert(finalOp.numRowsDroppedByWatermark >= 1,
+      "the below-watermark row must be dropped by the watermark filter")
+  }
 }
