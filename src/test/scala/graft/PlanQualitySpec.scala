@@ -543,6 +543,15 @@ class PlanQualitySpec extends AnyFunSuite {
       s"unigram and bigram passes must share the cached tokenized projection:\n${p.take(2000)}")
   }
 
+  test("w_latest_reading (ref P8, rn = 1) auto-lowers to the k=1 heap operator") {
+    // the reference's own latest-reading-per-station shape
+    // (WeatherStationActor.scala:43-48) spelled declaratively now rides
+    // TopKPerKey via WindowTopKRewrite — no Window sort machinery left
+    val p = plan("w_latest_reading")
+    assert(p.contains("TopKPerKeyPartial"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
   test("BandJoinRewrite under a hot eps-bucket: AQE skew-split bounds every task") {
     // The neighbor-bucket explode inherits the data's bucket skew — a hot
     // eps-bucket becomes a hot join key at 100×. The rewrite's scale
