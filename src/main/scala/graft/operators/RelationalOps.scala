@@ -325,6 +325,53 @@ object RelationalOps {
     },
     Some("""WITH rk AS (SELECT user_id, event_id, value, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn FROM events) SELECT user_id, event_id, floor(value * 100.0 + 0.5) / 100.0 AS value FROM rk WHERE rn <= 3 ORDER BY user_id, event_id"""))
 
+  /** Multi-key + string-key top-k through the SAME declarative spelling —
+    * proves the generalized operator end-to-end: WindowTopKRewrite fires
+    * on a two-column (string, string) partition key and the heap groups
+    * via the generic UnsafeProjection (the round-8 operator was pinned to
+    * one bigint key). Top-2 longest docs per (source, lang), doc_id
+    * tiebreak. */
+  private val winTopkMultikey = GraftQuery(
+    "win_topk_multikey",
+    "top-2 longest documents per (source, lang): declarative spelling, multi/string keys via the heap operator",
+    (s, d) => {
+      val w = Window.partitionBy("source", "lang")
+        .orderBy(desc("n_chars"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("source"), col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .drop("rn")
+        .orderBy("source", "lang", "doc_id")
+    },
+    Some("""WITH rk AS (SELECT source, lang, doc_id, n_chars, row_number() OVER (PARTITION BY source, lang ORDER BY n_chars DESC, doc_id) AS rn FROM documents) SELECT source, lang, doc_id, n_chars FROM rk WHERE rn <= 2 ORDER BY source, lang, doc_id"""))
+
+  /** NULL-ORDERING top-k through the declarative spelling: the order
+    * column is genuinely nullable (purchases keep their centi value,
+    * every other event type is NULL) and ranked DESC NULLS FIRST, so the
+    * heap must reproduce Catalyst's null-ordering — null outranks every
+    * value, ties broken by event_id — bit-for-bit against the DuckDB
+    * window (which spells the same NULLS FIRST). k=2 per user keeps
+    * null-ord rows in the answer wherever a user has ≥1 non-purchase
+    * event, making any null-handling divergence a guaranteed hash
+    * mismatch rather than a tail case. */
+  private val winTopkNulls = GraftQuery(
+    "win_topk_nulls",
+    "per-user top-2 under DESC NULLS FIRST on a nullable order column via the heap operator",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          when(col("event_type") === "purchase", centi(col("value")))
+            .otherwise(lit(null)).as("ov"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ov").desc_nulls_first, col("event_id"))
+      ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .drop("rn")
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH rk AS (SELECT user_id, event_id, CASE WHEN event_type = 'purchase' THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE NULL END AS ov, row_number() OVER (PARTITION BY user_id ORDER BY CASE WHEN event_type = 'purchase' THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE NULL END DESC NULLS FIRST, event_id) AS rn FROM events) SELECT user_id, event_id, ov FROM rk WHERE rn <= 2 ORDER BY user_id, event_id"""))
+
   /** 4-4-5 FISCAL CALENDAR rollup — the retail-calendar mapping every
     * warehouse grows eventually: fiscal years start Feb 1, each quarter
     * is 4+4+5 weeks, periods number 1..12 (week 53 of long years clamps
@@ -1213,7 +1260,7 @@ object RelationalOps {
     q1, q3, q5, q10Returns, q14Promo, q18TopQuantity, q19Disjunctive, q7Volume,
     jSemi, jAnti, jOuter,
     jRange, jAsof, jBucketed, jBandBucketed, jBandAuto, relTopkNative,
-    winTopkAuto,
+    winTopkAuto, winTopkMultikey, winTopkNulls,
     calFiscal445, winRank,
     winMoving, winNtile,
     winRangeFrame,

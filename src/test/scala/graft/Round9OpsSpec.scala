@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 additions: the generalized TopKPerKey / WindowTopKRewrite
+  * surface — multi-key and null-ordering registry queries lower to the
+  * heap, and a randomized equivalence proof against Spark's own Window
+  * machinery (the rewrite excluded on the expected side, so the two
+  * engines genuinely differ in code path).
+  */
+class Round9OpsSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSpark.spark
+  private val sf = GraftTestSpark.sf
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("win_topk_multikey / win_topk_nulls lower to the heap operator") {
+    for (q <- Seq("win_topk_multikey", "win_topk_nulls")) {
+      val p = run(q).queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerKeyPartial"), s"$q:\n${p.take(2000)}")
+      assert(!p.contains("Window"), s"$q:\n${p.take(2000)}")
+    }
+  }
+
+  test("TopKPerKey ≡ Spark's own window row_number on randomized data, keys, directions") {
+    // fixed seed: reproducible trials over nullable string keys, nullable
+    // double order values with NaN, all four null-ordering directions,
+    // random k and random input partitioning (exercises the partial pass)
+    val rnd = new scala.util.Random(20260814L)
+    val schema = StructType(Seq(
+      StructField("k1", LongType, nullable = false),
+      StructField("k2", StringType, nullable = true),
+      StructField("v", DoubleType, nullable = true),
+      StructField("id", LongType, nullable = false)))
+    val dirs = Seq(
+      "desc_nulls_last" -> col("v").desc_nulls_last,
+      "desc_nulls_first" -> col("v").desc_nulls_first,
+      "asc_nulls_last" -> col("v").asc_nulls_last,
+      "asc_nulls_first" -> col("v").asc_nulls_first)
+    for (trial <- 1 to 6) {
+      val n = 400 + rnd.nextInt(800)
+      val k = 1 + rnd.nextInt(4)
+      val rows = (0 until n).map { i =>
+        val v: java.lang.Double = rnd.nextInt(5) match {
+          case 0 => null
+          case 1 => java.lang.Double.valueOf(Double.NaN)
+          case _ => java.lang.Double.valueOf(rnd.nextInt(50).toDouble)
+        }
+        Row(rnd.nextInt(15).toLong,
+          if (rnd.nextInt(8) == 0) null else s"g${rnd.nextInt(3)}",
+          v, i.toLong)
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1 + rnd.nextInt(7)), schema)
+      val (dname, dir) = dirs(rnd.nextInt(dirs.size))
+      // expected side: Spark's OWN Window plan — exclude the rewrite and
+      // ASSERT the exclusion took (a silently-ineffective exclusion would
+      // compare the operator against itself and prove nothing)
+      val confKey = "spark.sql.optimizer.excludedRules"
+      val prev = scala.util.Try(spark.conf.get(confKey)).toOption.filter(_ != null)
+      spark.conf.set(confKey, "graft.WindowTopKRewrite")
+      val expected = try {
+        val w = Window.partitionBy("k1", "k2").orderBy(dir, col("id"))
+        val e = df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k).drop("rn")
+        assert(e.queryExecution.executedPlan.toString.contains("Window"),
+          "exclusion failed: the expected side must run the real window")
+        e.collect().map(_.toString).sorted.toSeq
+      } finally prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+      val got = graft.plans.TopKPerKey.of(df, Seq(col("k1"), col("k2")),
+        Seq(dir, col("id")), k).collect().map(_.toString).sorted.toSeq
+      assert(got == expected,
+        s"trial $trial ($dname, k=$k, n=$n): heap diverged from the window\n" +
+          s"missing=${expected.diff(got).take(5)}\nextra=${got.diff(expected).take(5)}")
+    }
+  }
+}
