@@ -76,17 +76,39 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val keyExprs = keys
     val sortOrder = order
     val kk = k
+    // partial-pass memory honesty at 100 TB: on a HIGH-NDV key the
+    // map-side pass would otherwise grow one heap per distinct key with
+    // no bound (the same hazard HashAggregate answers with sort-fallback
+    // spill). Partial top-k is merge-idempotent — emitting a key's heap
+    // MORE than once is correct because the final pass re-merges — so
+    // the partial pass flushes and resets its map at a key cap instead
+    // of growing: memory is O(maxKeys·k) regardless of NDV, at the price
+    // of a less-reduced shuffle for high-NDV keys (exactly the partial
+    // aggregation trade-off). The FINAL pass must hold every key of its
+    // partition (exactness) — its memory is O(its own output), which the
+    // keyed exchange spreads across the cluster.
+    val maxKeys =
+      if (!partial) Int.MaxValue
+      else session.conf.get(TopKPerKeyExec.PartialMaxKeysKey,
+        TopKPerKeyExec.PartialMaxKeysDefault.toString).toInt
+    require(maxKeys >= 1, s"${TopKPerKeyExec.PartialMaxKeysKey} must be >= 1")
     child.execute().mapPartitions(
-      TopKPerKeyExec.processPartition(schema, keyExprs, sortOrder, kk, _),
+      TopKPerKeyExec.processPartition(schema, keyExprs, sortOrder, kk, maxKeys, _),
       preservesPartitioning = true)
   }
 }
 
 object TopKPerKeyExec {
+  /** Session conf: distinct-key cap of the PARTIAL pass's heap map —
+    * above it the map is flushed downstream and reset (correct because
+    * the final pass re-merges per key). Test hook + ops knob. */
+  val PartialMaxKeysKey = "spark.graft.topk.partialMaxKeys"
+  val PartialMaxKeysDefault: Int = 1 << 22 // ~4M keys: tens of MB × k rows
+
   /** Static so the task closure captures only the (serializable) bound
     * expression lists — never the plan node itself. */
   private def processPartition(schema: Seq[Attribute], keyExprs: Seq[Expression],
-      sortOrder: Seq[SortOrder], kk: Int,
+      sortOrder: Seq[SortOrder], kk: Int, maxKeys: Int,
       it: Iterator[InternalRow]): Iterator[InternalRow] = {
     val keyProj = UnsafeProjection.create(keyExprs, schema)
     // Catalyst's row comparator for the window's ORDER BY — null
@@ -97,24 +119,38 @@ object TopKPerKeyExec {
     val rowOrd = RowOrdering.create(sortOrder, schema)
     implicit val heapOrd: Ordering[UnsafeRow] =
       (a: UnsafeRow, b: UnsafeRow) => rowOrd.compare(a, b)
-    val heaps = new java.util.HashMap[UnsafeRow,
-      scala.collection.mutable.PriorityQueue[UnsafeRow]]()
     val proj = UnsafeProjection.create(schema, schema)
-    while (it.hasNext) {
-      val row = it.next()
-      val kv = keyProj(row)
-      var h = heaps.get(kv)
-      if (h == null) {
-        h = scala.collection.mutable.PriorityQueue.empty[UnsafeRow]
-        heaps.put(kv.copy(), h)
-      }
-      if (h.size < kk) h.enqueue(proj(row).copy())
-      else if (rowOrd.compare(row, h.head) < 0) {
-        h.dequeue(); h.enqueue(proj(row).copy())
-      }
-    }
     import scala.jdk.CollectionConverters._
-    heaps.values().iterator().asScala.flatMap(_.iterator)
+    new Iterator[InternalRow] {
+      private var heaps = new java.util.HashMap[UnsafeRow,
+        scala.collection.mutable.PriorityQueue[UnsafeRow]]()
+      private var pending: Iterator[InternalRow] = Iterator.empty
+      private def drain(): Unit = {
+        pending = heaps.values().iterator().asScala.flatMap(_.iterator)
+        heaps = new java.util.HashMap()
+      }
+      private def advance(): Unit = {
+        while (!pending.hasNext && (it.hasNext || !heaps.isEmpty)) {
+          if (!it.hasNext) { drain() } // input done: emit what's held
+          else {
+            val row = it.next()
+            val kv = keyProj(row)
+            var h = heaps.get(kv)
+            if (h == null) {
+              h = scala.collection.mutable.PriorityQueue.empty[UnsafeRow]
+              heaps.put(kv.copy(), h)
+            }
+            if (h.size < kk) h.enqueue(proj(row).copy())
+            else if (rowOrd.compare(row, h.head) < 0) {
+              h.dequeue(); h.enqueue(proj(row).copy())
+            }
+            if (heaps.size() >= maxKeys) drain() // cap hit: flush early
+          }
+        }
+      }
+      override def hasNext: Boolean = { advance(); pending.hasNext }
+      override def next(): InternalRow = { advance(); pending.next() }
+    }
   }
 }
 

@@ -80,4 +80,44 @@ class Round9OpsSpec extends AnyFunSuite {
           s"missing=${expected.diff(got).take(5)}\nextra=${got.diff(expected).take(5)}")
     }
   }
+
+  test("partial pass flushes at the key cap: bounded map-side memory, results exact") {
+    // 200 distinct keys against a cap of 8: the partial map must flush
+    // ~25× per input partition instead of growing, the final pass
+    // re-merges the repeated per-key heaps, and the answer is unchanged.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val confKey = graft.plans.TopKPerKeyExec.PartialMaxKeysKey
+    val written = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) written.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    val df = spark.range(0, 20000).selectExpr(
+      "id % 200 as k", "cast(id % 37 as double) as v", "id")
+      .repartition(4)
+    def topk() = graft.plans.TopKPerKey.of(df, "k", "v", "id", 2)
+      .collect().map(_.toString).sorted.toSeq
+    val uncapped = topk()
+    spark.conf.set(confKey, "8")
+    spark.sparkContext.addSparkListener(listener)
+    val capped = try topk() finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.unset(confKey)
+    }
+    assert(capped == uncapped, "the key cap must never change results")
+    assert(uncapped.size == 400) // 200 keys × k=2
+    // drain the async listener bus, then prove flushes actually happened:
+    // an uncapped partial emits ≤ keys×k rows per input partition
+    // (≤ 4·400 through the exchange); flushing at 8 keys emits far more
+    var last = -1L
+    val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+    while (System.nanoTime() < deadline && written.get() != last) {
+      last = written.get(); Thread.sleep(200)
+    }
+    assert(written.get() > 1600,
+      s"expected repeated partial flushes through the exchange, " +
+        s"saw only ${written.get()} shuffle-written records")
+  }
 }
