@@ -81,6 +81,24 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("the SQL spelling of top-k lowers too (optimizer normalizes the subquery shape)") {
+    // SELECT-from-ranked-subquery is how SQL users spell per-key top-k;
+    // predicate pushdown + project collapse normalize it to the
+    // Project(Filter(Window)) shape the rewrite matches
+    import spark.implicits._
+    Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 3.0), (2L, 4L, 4.0))
+      .toDF("k", "id", "v").createOrReplaceTempView("r9_topk_sql")
+    val df = spark.sql(
+      """SELECT k, id, v FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY v DESC, id) AS rn
+        |  FROM r9_topk_sql) WHERE rn <= 2""".stripMargin)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKeyPartial"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(df.collect().map(_.getLong(1)).toSet == Set(2L, 3L, 4L))
+    spark.catalog.dropTempView("r9_topk_sql")
+  }
+
   test("partial pass flushes at the key cap: bounded map-side memory, results exact") {
     // 200 distinct keys against a cap of 8: the partial map must flush
     // ~25× per input partition instead of growing, the final pass

@@ -254,4 +254,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalOp.numRowsDroppedByWatermark >= 1,
       "the below-watermark row must be dropped by the watermark filter")
   }
+
+  test("streaming Misra-Gries vocabulary: O(k) state, bounds hold across micro-batches") {
+    import graft.streaming.VocabSketchStream
+    // three deliveries forced into separate micro-batches: the custom
+    // TypedImperativeAggregate's serialized buffer must round-trip the
+    // state store between them (mergeable sketch as streaming state)
+    import spark.implicits._
+    val corpus = Tables.documents(spark, sf).select("doc_id", "text")
+    val src = Files.createTempDirectory("mg-src")
+    def stageChunk(i: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.coalesce(1).write.parquet(s"$src/d$i")
+      val part = Files.list(Paths.get(s"$src/d$i"))
+        .filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst().get()
+      Files.move(part, Paths.get(s"$src/chunk$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    (0 until 3).foreach(i => stageChunk(i, corpus.filter(col("doc_id") % 3 === i)))
+    // the real corpus is near-uniform (every token far below the n/(k+1)
+    // presence threshold — the FreqSketchSpec caveat), so the presence
+    // guarantee needs a genuinely heavy token: a fourth delivery carries
+    // one, putting its count well above n/(k+1) of the combined stream
+    stageChunk(3, (0 until 150)
+      .map(i => (1000000L + i, Seq.fill(100)("zzhot").mkString(" ")))
+      .toDF("doc_id", "text"))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1") // one delivery per micro-batch
+      .parquet(src.toString)
+    val q = VocabSketchStream.run(stream, k = 16, top = 10,
+      tmp("mg-ckpt"), "mg_stream_sketch")
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      "the four deliveries must arrive as separate micro-batches")
+    val got = spark.table("mg_stream_sketch").collect()
+      .map(r => r.getAs[String]("token") ->
+        (r.getAs[Long]("est_cnt"), r.getAs[Long]("max_undercount"),
+          r.getAs[Long]("n_tokens"))).toMap
+    assert(got.nonEmpty && got.size <= 10) // top is a MAX: near-uniform
+    // input can leave fewer than 10 surviving counters
+    // exact truth over everything staged (batch read of the same files)
+    val exact = spark.read.parquet(src.toString)
+      .select(explode(graft.functions.GraftFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    got.foreach { case (tok, (est, under, nTok)) =>
+      assert(nTok == n, s"token-count census drifted: $nTok != $n")
+      val truth = exact(tok)
+      assert(est <= truth && truth <= est + under,
+        s"$tok: est=$est under=$under truth=$truth — MG bound broken across batches")
+      assert(under <= n / 17 + 1, s"$tok: undercount $under exceeds n/(k+1)")
+    }
+    // the presence guarantee survives streaming state-chain merges: the
+    // above-threshold token must be in the sketch regardless of merge order
+    assert(exact("zzhot") > n / 17 + 1, "test setup: hot token must exceed n/(k+1)")
+    assert(got.contains("zzhot"), s"heavy hitter missing from the stream sketch: $got")
+  }
 }
