@@ -355,8 +355,9 @@ object TextOps {
     * order-independent, unlike a double sum whose partial-aggregation
     * order Spark does not fix. `extra` columns (e.g. lang) are carried
     * through the grouping. Scale shape: one vocab aggregation (map-side
-    * combined), vocab broadcast back onto the token stream, one doc-keyed
-    * aggregation — the corpus shuffles once, on doc_id.
+    * combined), the open-vocabulary model SHUFFLE-joined back onto the
+    * token stream (never a broadcast hint — AQE may still broadcast from
+    * observed sizes), one doc-keyed aggregation.
     * Lockstep rounding (see GraftFunctions.fround):
     * floor(x*1e6 + 0.5) spelled identically in both engines — Spark's
     * round() goes through BigDecimal HALF_UP on the shortest decimal
@@ -376,7 +377,12 @@ object TextOps {
       .select(keep :+ explode(tokens(col("text"))).as("tok"): _*)
     val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
     val total = vocab.agg(sum("cnt").as("total"))
-    tok.join(broadcast(vocab.crossJoin(total)), Seq("tok"))
+    // the unigram model is OPEN-vocabulary (10⁸–10⁹ rows at corpus
+    // scale) so it reaches the token stream by a plain SHUFFLED join —
+    // never a broadcast hint (the txt_pmi_collocations lesson); the only
+    // forced broadcast is the 1-row total. AQE may still broadcast the
+    // vocab at runtime from OBSERVED sizes — size-informed, not hinted.
+    tok.join(vocab, Seq("tok")).crossJoin(broadcast(total))
       .select(keep :+
         floor(log(col("cnt").cast("double") / col("total")) * 1e6 + 0.5)
           .cast("long").as("lp_micro"): _*)
@@ -1352,8 +1358,10 @@ object TextOps {
       val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
       val vv = t.select(explode(col("ts")).as("tok"))
         .agg(countDistinct("tok").as("v"))
+      // c1 (first-word counts) is open-vocabulary — shuffled join on w1,
+      // never a broadcast hint; only the 1-row V estimate broadcasts
       bg.join(c2, Seq("w1", "w2"))
-        .join(broadcast(c1), Seq("w1"))
+        .join(c1, Seq("w1"))
         .crossJoin(broadcast(vv))
         .select(col("doc_id"),
           floor(log((col("c2").cast("double") + 1) / (col("c1") + col("v"))) * 1e6 + 0.5)

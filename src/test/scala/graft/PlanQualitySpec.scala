@@ -543,6 +543,25 @@ class PlanQualitySpec extends AnyFunSuite {
       s"unigram and bigram passes must share the cached tokenized projection:\n${p.take(2000)}")
   }
 
+  test("LM scoring queries: broadcast hints only on global (1-row) aggregates, vocab joins shuffled") {
+    // the open-vocabulary model (unigram counts, bigram first-word
+    // counts) is 10^8-10^9 rows at corpus scale: it must reach its join
+    // by shuffle, never by hint. The only legitimate forced broadcasts in
+    // these plans are 1-row totals (global aggregates).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+    for (q <- Seq("txt_unigram_logprob", "txt_ppl_buckets",
+        "txt_bigram_logprob", "txt_pmi_collocations")) {
+      val hints = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      hints.foreach { h =>
+        val outermostAgg = h.child.collectFirst { case a: Aggregate => a }
+        assert(outermostAgg.exists(_.groupingExpressions.isEmpty),
+          s"$q: broadcast hint on a non-global-aggregate (unbounded at scale):\n" +
+            h.child.toString.take(600))
+      }
+    }
+  }
+
   test("w_latest_reading (ref P8, rn = 1) auto-lowers to the k=1 heap operator") {
     // the reference's own latest-reading-per-station shape
     // (WeatherStationActor.scala:43-48) spelled declaratively now rides
