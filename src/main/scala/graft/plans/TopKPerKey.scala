@@ -61,6 +61,14 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
   override def children: Seq[SparkPlan] = Seq(child)
   override def nodeName: String =
     if (partial) "TopKPerKeyPartial" else "TopKPerKey"
+  // first-class operator metrics (SQL UI / AQE statistics): how much the
+  // pass reduced, and how often the partial map hit its key cap — the
+  // signal an operator is running in its flush-degraded high-NDV regime
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numCapFlushes" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "partial heap-map cap flushes"))
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(keys))
@@ -92,8 +100,11 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       else session.conf.get(TopKPerKeyExec.PartialMaxKeysKey,
         TopKPerKeyExec.PartialMaxKeysDefault.toString).toInt
     require(maxKeys >= 1, s"${TopKPerKeyExec.PartialMaxKeysKey} must be >= 1")
+    val outRows = longMetric("numOutputRows")
+    val capFlushes = longMetric("numCapFlushes")
     child.execute().mapPartitions(
-      TopKPerKeyExec.processPartition(schema, keyExprs, sortOrder, kk, maxKeys, _),
+      TopKPerKeyExec.processPartition(schema, keyExprs, sortOrder, kk, maxKeys,
+        outRows, capFlushes, _),
       preservesPartitioning = true)
   }
 }
@@ -109,6 +120,8 @@ object TopKPerKeyExec {
     * expression lists — never the plan node itself. */
   private def processPartition(schema: Seq[Attribute], keyExprs: Seq[Expression],
       sortOrder: Seq[SortOrder], kk: Int, maxKeys: Int,
+      outRows: org.apache.spark.sql.execution.metric.SQLMetric,
+      capFlushes: org.apache.spark.sql.execution.metric.SQLMetric,
       it: Iterator[InternalRow]): Iterator[InternalRow] = {
     val keyProj = UnsafeProjection.create(keyExprs, schema)
     // Catalyst's row comparator for the window's ORDER BY — null
@@ -127,6 +140,7 @@ object TopKPerKeyExec {
       private var pending: Iterator[InternalRow] = Iterator.empty
       private def drain(): Unit = {
         pending = heaps.values().iterator().asScala.flatMap(_.iterator)
+          .map { r => outRows += 1; r }
         heaps = new java.util.HashMap()
       }
       private def advance(): Unit = {
@@ -144,7 +158,7 @@ object TopKPerKeyExec {
             else if (rowOrd.compare(row, h.head) < 0) {
               h.dequeue(); h.enqueue(proj(row).copy())
             }
-            if (heaps.size() >= maxKeys) drain() // cap hit: flush early
+            if (heaps.size() >= maxKeys) { capFlushes += 1; drain() } // cap hit
           }
         }
       }

@@ -115,16 +115,31 @@ class Round9OpsSpec extends AnyFunSuite {
     val df = spark.range(0, 20000).selectExpr(
       "id % 200 as k", "cast(id % 37 as double) as v", "id")
       .repartition(4)
-    def topk() = graft.plans.TopKPerKey.of(df, "k", "v", "id", 2)
-      .collect().map(_.toString).sorted.toSeq
-    val uncapped = topk()
+    def topk() = {
+      val out = graft.plans.TopKPerKey.of(df, "k", "v", "id", 2)
+      (out.collect().map(_.toString).sorted.toSeq, out)
+    }
+    val (uncapped, _) = topk()
     spark.conf.set(confKey, "8")
     spark.sparkContext.addSparkListener(listener)
-    val capped = try topk() finally {
+    val (capped, cappedDf) = try topk() finally {
       spark.sparkContext.removeSparkListener(listener)
       spark.conf.unset(confKey)
     }
     assert(capped == uncapped, "the key cap must never change results")
+    // the operator's own SQL metrics record the degraded-regime signal
+    def topkNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[graft.plans.TopKPerKeyExec] = p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        topkNodes(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        topkNodes(s.plan) // stages hide their subtree from collect
+      case t: graft.plans.TopKPerKeyExec => Seq(t)
+    }.flatten
+    val partialFlushes = topkNodes(cappedDf.queryExecution.executedPlan)
+      .filter(_.partial).map(_.metrics("numCapFlushes").value).sum
+    assert(partialFlushes > 0,
+      "the partial node's numCapFlushes metric must record the cap hits")
     assert(uncapped.size == 400) // 200 keys × k=2
     // drain the async listener bus, then prove flushes actually happened:
     // an uncapped partial emits ≤ keys×k rows per input partition
