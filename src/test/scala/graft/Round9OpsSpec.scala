@@ -99,6 +99,32 @@ class Round9OpsSpec extends AnyFunSuite {
     spark.catalog.dropTempView("r9_topk_sql")
   }
 
+  test("BandJoinRewrite ≡ brute force on randomized data with negatives and random eps") {
+    // the bucketing spells floor division as (x − pmod(x, ε)) div ε so
+    // NEGATIVE operands bucket like the oracle's // — fuzz that claim:
+    // random signed values, random ε, compared against a local brute force
+    import spark.implicits._
+    val rnd = new scala.util.Random(99L)
+    for (trial <- 1 to 5) {
+      val eps = 1L + rnd.nextInt(50)
+      val xs = (0 until 300).map(i => (rnd.nextInt(400) - 200L, i.toLong))
+      val ys = (0 until 200).map(j => (rnd.nextInt(400) - 200L, j.toLong))
+      val l = xs.toDF("x", "i").repartition(3)
+      val r = ys.toDF("y", "j").repartition(2)
+      val joined = l.join(r, abs(col("x") - col("y")) <= lit(eps))
+        .select("i", "j")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+        s"trial $trial (eps=$eps): rewrite did not fire:\n${p.take(1200)}")
+      val got = joined.collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+      val want = (for {
+        (x, i) <- xs; (y, j) <- ys if math.abs(x - y) <= eps
+      } yield (i, j)).toSet
+      assert(got == want,
+        s"trial $trial (eps=$eps): missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
   test("partial pass flushes at the key cap: bounded map-side memory, results exact") {
     // 200 distinct keys against a cap of 8: the partial map must flush
     // ~25× per input partition instead of growing, the final pass
