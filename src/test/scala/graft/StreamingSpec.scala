@@ -312,4 +312,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(exact("zzhot") > n / 17 + 1, "test setup: hot token must exceed n/(k+1)")
     assert(got.contains("zzhot"), s"heavy hitter missing from the stream sketch: $got")
   }
+
+  test("streaming top-k leaderboard equals the batch heap operator across restart") {
+    import graft.streaming.TopKStream
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val base = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val src = Files.createTempDirectory("topk-src")
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val d = s"$src/_$name"
+      df.coalesce(1).write.parquet(d)
+      val part = Files.list(Paths.get(d))
+        .filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst().get()
+      Files.move(part, Paths.get(s"$src/$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    stage("d1", base.filter(col("event_id") % 2 === 0))
+    stage("d2", base.filter(col("event_id") % 2 === 1))
+    def srcStream() = spark.readStream
+      .schema("user_id LONG, event_id LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString).as[TopKStream.Ev]
+    val tableDir = tmp("topk-tbl") + "/board"
+    val ckpt = tmp("topk-ckpt")
+    val (q1, _) = TopKStream.run(srcStream(), 3, tableDir, ckpt)
+    q1.awaitTermination()
+    // restart from the same checkpoint with a third delivery: big values
+    // that MUST displace existing leaders (state recovery + re-rank)
+    stage("d3", (0 until 50)
+      .map(i => (i.toLong % 10, 90000000L + i, 1e6 + i))
+      .toDF("user_id", "event_id", "value"))
+    val (q2, sink) = TopKStream.run(srcStream(), 3, tableDir, ckpt)
+    q2.awaitTermination()
+    val got = sink.read(spark)
+      .select("user_id", "rk", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val w = Window.partitionBy("user_id").orderBy(desc("value"), col("event_id"))
+    val want = spark.read.parquet(src.toString)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select("user_id", "rk", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
 }
