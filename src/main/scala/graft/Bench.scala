@@ -34,6 +34,15 @@ object Bench {
       // knob is irrelevant.
       .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
+    // experiment/deployment knob: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" applies
+    // runtime-settable SQL confs on top of the baseline session — lets a
+    // conf hypothesis be A/B-measured without editing this file
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ =>
+      }
+    })
     spark.sparkContext.setLogLevel("WARN")
     QuietLogs.quietBenignWindowWarnings()
     // JVM+Spark warmup on the smallest SF so codegen/classloading cost
