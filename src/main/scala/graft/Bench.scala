@@ -39,7 +39,7 @@ object Bench {
     // conf hypothesis be A/B-measured without editing this file
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
       kv.split("=", 2) match {
-        case Array(k, v) if k.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case Array(k, v) if k.trim.nonEmpty => spark.conf.set(k.trim, v.trim)
         case _ =>
       }
     })
@@ -157,8 +157,15 @@ object Bench {
     // strips the ±25% host-noise band that round-7 regression-chasing
     // showed dominates sub-second entries. Default 1 rep: the driver's
     // per-round run stays one-shot.
-    val reps = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt)
+    val reps = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .map(_.trim).filter(_.nonEmpty).fold(1) { v =>
+        try v.toInt catch {
+          case _: NumberFormatException =>
+            System.err.println(
+              s"[bench] SPARK_GRAFT_BENCH_REPS must be an integer, got '$v'")
+            sys.exit(2)
+        }
+      })
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

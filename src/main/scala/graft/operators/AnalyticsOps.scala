@@ -202,30 +202,44 @@ object AnalyticsOps {
 
   /** The one-pass StatsAggregator (§2.10's custom-Aggregator surface; the
     * distributed StatCounter replacement) as a registered capability.
-    * Welford/Chan merge order perturbs the float mean/variance in the
-    * last ulps per partitioning, so those two are rounded to 4 decimals
-    * to make the values ORACLE-STABLE (count/min/max are exact
-    * regardless); StatsAggregatorSpec still pins full-precision equality
-    * to Spark's built-ins within 1e-9. The DuckDB oracle is the plain
-    * avg/var_pop arithmetic over the same rows. */
+    * Oracle determinism split: the aggregator's EXACT fields
+    * (count/min/max — order-independent for doubles) face the oracle
+    * directly; the oracle-facing mean/var_pop derive from exact centi
+    * integer moments (the w_daily_stats spelling) because the
+    * aggregator's Welford/Chan floats are merge-order-dependent in the
+    * last ulps and ROUNDING CANNOT FIX THAT — a value ulps from a
+    * floor(x·1e4+0.5) boundary flips per partitioning and fails the
+    * driver's hash gate spuriously. The aggregator's full-precision
+    * mean/variance stay pinned against Spark's built-ins (1e-9) in
+    * StatsAggregatorSpec. The 5-row join of the two aggregates is
+    * dimension-sized. */
   private val aggStatsOnepass = GraftQuery(
     "agg_stats_onepass",
-    "one-pass {n,min,max,mean,var_pop} typed Aggregator per event type",
+    "one-pass typed-Aggregator stats per event type; oracle-facing floats from exact moments",
     (s, d) => {
       import s.implicits._
       import graft.functions.StatsAggregator
-      Tables.events(s, d)
+      val stats = Tables.events(s, d)
         .select(col("event_type"), col("value")).as[(String, Double)]
         .groupByKey(_._1)
         .agg(StatsAggregator[(String, Double)](_._2).toColumn.name("stats"))
         .select(col("key").as("event_type"),
           col("stats.count").as("cnt"), col("stats.min").as("mn"),
-          col("stats.max").as("mx"),
-          fround(col("stats.mean"), 4).as("mean"),
-          fround(col("stats.variance"), 4).as("var_pop"))
+          col("stats.max").as("mx"))
+      val exact = Tables.events(s, d)
+        .withColumn("iv", centi(col("value")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("iv").as("s1"),
+          sum(col("iv") * col("iv")).as("s2"))
+      val varScaled = (col("s2").cast("double") -
+        col("s1").cast("double") * col("s1") / col("n")) / col("n")
+      stats.join(exact, "event_type")
+        .select(col("event_type"), col("cnt"), col("mn"), col("mx"),
+          fround(col("s1").cast("double") / col("n") / 100.0, 4).as("mean"),
+          fround(varScaled / 10000.0, 4).as("var_pop"))
         .orderBy("event_type")
     },
-    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS cnt, min(value) AS mn, max(value) AS mx, floor(avg(value) * 1e4 + 0.5) / 1e4 AS mean, floor(var_pop(value) * 1e4 + 0.5) / 1e4 AS var_pop FROM events GROUP BY 1 ORDER BY 1"""))
+    Some("""SELECT event_type, CAST(n AS BIGINT) AS cnt, mn, mx, floor(CAST(s1 AS DOUBLE) / n / 100.0 * 1e4 + 0.5) / 1e4 AS mean, floor((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n / 10000.0 * 1e4 + 0.5) / 1e4 AS var_pop FROM (SELECT event_type, count(*) AS n, CAST(sum(iv) AS BIGINT) AS s1, CAST(sum(iv * iv) AS BIGINT) AS s2, min(value) AS mn, max(value) AS mx FROM (SELECT *, CAST(floor(value * 100 + 0.5) AS BIGINT) AS iv FROM events) GROUP BY 1) ORDER BY 1"""))
 
   /** Pivot: long→wide reshape, one centi-exact value column per event
     * type. The explicit value list keeps it one pass (no extra distinct

@@ -1151,13 +1151,19 @@ object TextOps {
     "txt_pmi_collocations",
     "top-30 PMI-ranked adjacent-token collocations (support >= 5)",
     (s, d) => {
-      val withT = Tables.documents(s, d)
-        .select(tokens(col("text")).as("tk"))
-        .persist()
-      val uni = withT.select(explode(col("tk")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("c1"))
-        .persist()
-      val nTot = withT.agg(sum(size(col("tk"))).as("n"))
+      // PersistCache, not bare persist(): per-call persists in a query
+      // builder are never unpersisted (the result is lazy) and would pin
+      // blocks for the session's lifetime on every invocation
+      val withT = graft.PersistCache.getOrBuild(s, s"pmi-tok:$d") {
+        Tables.documents(s, d).select(tokens(col("text")).as("tk"))
+      }
+      val uni = graft.PersistCache.getOrBuild(s, s"pmi-uni:$d") {
+        withT.select(explode(col("tk")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c1"))
+      }
+      // total tokens from the (cached, vocabulary-sized) unigram table —
+      // not a third pass over the corpus projection
+      val nTot = uni.agg(sum("c1").as("n"))
       val bi = withT.filter(size(col("tk")) >= 2)
         .select(explode(expr(
           "transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS w1, tk[i + 1] AS w2))"))

@@ -112,9 +112,15 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
 object TopKPerKeyExec {
   /** Session conf: distinct-key cap of the PARTIAL pass's heap map —
     * above it the map is flushed downstream and reset (correct because
-    * the final pass re-merges per key). Test hook + ops knob. */
+    * the final pass re-merges per key). Test hook + ops knob.
+    *
+    * Default sizing: map-side memory ≈ cap × k × (row bytes + heap/map
+    * overhead). At 256k keys, k=3, ~150 B/entry that is ~120 MB per
+    * task — a real but survivable slice of a few-GB executor. Raise it
+    * for wide rows or large k only with the memory math in hand; the
+    * cost of a low cap is merely a less-reduced shuffle. */
   val PartialMaxKeysKey = "spark.graft.topk.partialMaxKeys"
-  val PartialMaxKeysDefault: Int = 1 << 22 // ~4M keys: tens of MB × k rows
+  val PartialMaxKeysDefault: Int = 1 << 18
 
   /** Static so the task closure captures only the (serializable) bound
     * expression lists — never the plan node itself. */

@@ -11,9 +11,4 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftPlanDoor {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
-
-  /** Column → catalyst Expression (the Spark-4 Column is a ColumnNode
-    * wrapper; this is the engine's sanctioned unwrap). */
-  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
-    classic.ExpressionUtils.expression(c)
 }

@@ -34,7 +34,10 @@ def main():
                 errs[name] = str(e).splitlines()[0][:200]
                 break
             times.append(time.perf_counter() - t0)
-        if times:
+        # a query that errored on ANY rep is excluded from the timing
+        # fields entirely — a partial min-of-fewer-reps would silently
+        # skew the ratio the README generator derives from these totals
+        if len(times) == reps:
             singles[name] = times[0]
             mins[name] = min(times)
     out = {
