@@ -212,10 +212,14 @@ object AnalyticsOps {
     * driver's hash gate spuriously. The aggregator's full-precision
     * mean/variance stay pinned against Spark's built-ins (1e-9) in
     * StatsAggregatorSpec. The 5-row join of the two aggregates is
-    * dimension-sized. */
+    * dimension-sized. The QUERY therefore scans events twice — the
+    * AGGREGATOR is the one-pass capability (its single buffer carries
+    * all five statistics); the second scan exists purely to hand the
+    * oracle deterministic floats and would not ship in a production
+    * pipeline (which would read the aggregator's floats directly). */
   private val aggStatsOnepass = GraftQuery(
     "agg_stats_onepass",
-    "one-pass typed-Aggregator stats per event type; oracle-facing floats from exact moments",
+    "one-pass typed Aggregator (the capability) + exact-moment twin for deterministic oracle floats",
     (s, d) => {
       import s.implicits._
       import graft.functions.StatsAggregator

@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """Compare two graft.Verify dumps (same queries, different parallelism):
 any value difference is a partitioning-dependent result — the merge-order
-float hazard class."""
+float hazard class. Exits non-zero on any divergence or one-sided query
+so the protocol can be scripted as a gate."""
 import sys, glob, os
 import pandas as pd
 import numpy as np
@@ -14,10 +15,15 @@ def norm(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
-names = sorted(os.path.basename(p) for p in glob.glob(f"{a_dir}/*") if os.path.isdir(p))
+def dirs(d):
+    return {os.path.basename(p) for p in glob.glob(f"{d}/*") if os.path.isdir(p)}
+
+# union of BOTH sides: a Verify run that died partway must surface as
+# MISSING entries, not silently shrink the compared set
+names = sorted(dirs(a_dir) | dirs(b_dir))
 bad, missing = [], []
 for n in names:
-    if not os.path.isdir(f"{b_dir}/{n}"):
+    if not (os.path.isdir(f"{a_dir}/{n}") and os.path.isdir(f"{b_dir}/{n}")):
         missing.append(n); continue
     try:
         a = norm(pd.read_parquet(f"{a_dir}/{n}"))
@@ -31,16 +37,19 @@ for n in names:
     for c in a.columns:
         x, y = a[c], b[c]
         if x.dtype.kind == "f" or y.dtype.kind == "f":
-            ok = np.allclose(x.astype(float).fillna(-1e308),
-                             y.astype(float).fillna(-1e308), rtol=0, atol=0)
+            xf = x.astype(float).fillna(-1e308)
+            yf = y.astype(float).fillna(-1e308)
+            neq = ~np.isclose(xf, yf, rtol=0, atol=0)
         else:
-            ok = (x.astype(str) == y.astype(str)).all()
-        if not ok:
-            i = (x.astype(str) != y.astype(str)).idxmax()
+            neq = (x.astype(str) != y.astype(str)).to_numpy()
+        if neq.any():
+            i = int(np.argmax(neq))  # located with the SAME comparison
             bad.append((n, f"col {c} row {i}: {x.iloc[i]!r} vs {y.iloc[i]!r}"))
             break
 for n, why in bad:
     print(f"DIVERGENT {n}: {why}")
 for n in missing:
     print(f"MISSING {n}")
-print(f"{len(names)-len(bad)-len(missing)} invariant, {len(bad)} divergent, {len(missing)} missing of {len(names)}")
+print(f"{len(names)-len(bad)-len(missing)} invariant, {len(bad)} divergent, "
+      f"{len(missing)} missing of {len(names)}")
+sys.exit(1 if bad or missing else 0)
