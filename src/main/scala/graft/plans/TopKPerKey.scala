@@ -202,14 +202,25 @@ object TopKPerKey {
     // fully-resolved SortOrders/expressions with lp's exprIds (Spark-4
     // Columns are opaque ColumnNodes until analysis)
     val (keyExprs, sortOrders) = try {
-      val sorted = df.sortWithinPartitions(order: _*).queryExecution.analyzed
-        .asInstanceOf[Sort]
-      val keyed = df.select(keys: _*).queryExecution.analyzed
-        .asInstanceOf[Project]
-      (keyed.projectList.map {
-        case a: Alias => a.child
-        case e => e
-      }, sorted.order)
+      // pattern-match the analyzed top nodes rather than casting: an
+      // aggregate function smuggled in as a key/order column analyzes to
+      // an Aggregate (not Project/Sort) and must land on the same
+      // IllegalArgumentException path as a resolution failure, not
+      // escape as a ClassCastException
+      val sortedPlan = df.sortWithinPartitions(order: _*).queryExecution.analyzed
+      val keyedPlan = df.select(keys: _*).queryExecution.analyzed
+      (sortedPlan, keyedPlan) match {
+        case (sorted: Sort, keyed: Project) =>
+          (keyed.projectList.map {
+            case a: Alias => a.child
+            case e => e
+          }, sorted.order)
+        case _ =>
+          throw new IllegalArgumentException(
+            "TopKPerKey key/order columns must be plain (non-aggregate, " +
+              s"non-generator) expressions; got plans ${keyedPlan.nodeName}/" +
+              s"${sortedPlan.nodeName} instead of Project/Sort")
+      }
     } catch {
       case e: org.apache.spark.sql.AnalysisException =>
         throw new IllegalArgumentException(

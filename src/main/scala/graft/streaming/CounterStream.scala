@@ -62,7 +62,19 @@ object CounterStream {
     * the late-row drop would corrupt an overwrite-by-key sink). The
     * trade — bounded state for a declared late-arrival tolerance — is
     * the same one the reference implicitly makes by keying Cassandra
-    * counters on ingest-time calendar fields. */
+    * counters on ingest-time calendar fields.
+    *
+    * TIMEZONE CONTRACT: the `stateTtl` path REQUIRES
+    * `spark.sql.session.timeZone = UTC` (asserted, fail-fast). Its day
+    * buckets come from `window(ts, "1 day").start`, and Spark's tumbling
+    * windows align to epoch — i.e. UTC midnights — while the
+    * `stateTtl = None` path's `to_date(ts)` uses the SESSION timezone.
+    * Only under UTC do the two paths produce identical `dy` keys for the
+    * same event; in e.g. `America/New_York` every row between local
+    * midnight and 05:00 would land on a different day per path. A
+    * session-local eviction-capable bucketing is not expressible without
+    * giving up fixed-width windows (DST days are 23/25 h), so the
+    * library pins the contract instead of silently diverging. */
   def dailyCounter(events: DataFrame, tableDir: String,
       checkpoint: String, stateTtl: Option[String] = None)
       : (StreamingQuery, KeyedParquetSink) = {
@@ -71,8 +83,13 @@ object CounterStream {
       case Some(ttl) =>
         // day buckets via window() so the watermark can evict closed
         // days (eviction needs the event-time column, or a window over
-        // it, in the grouping key); UTC sessions make window.start's
-        // date identical to to_date(ts)
+        // it, in the grouping key); see the TIMEZONE CONTRACT above for
+        // why this path is UTC-only
+        val tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC" || tz == "Etc/UTC" || tz == "GMT",
+          s"dailyCounter(stateTtl=...) requires spark.sql.session.timeZone=UTC " +
+            s"(got '$tz'): window(ts,'1 day') buckets align to UTC midnights " +
+            "and would disagree with the non-TTL path's session-local to_date(ts)")
         events.withWatermark("ts", ttl)
           .groupBy(col("user_id"), window(col("ts"), "1 day").as("w"))
           .agg(sum("value").as("total"), count(lit(1)).as("cnt"))
