@@ -203,26 +203,43 @@ object SelfDotRewrite extends Rule[LogicalPlan] {
   * Why: Spark's only physical strategies for a bare band condition are
   * BroadcastNestedLoopJoin or a cartesian product — O(|L|·|R|) row
   * comparisons at any scale. After the rewrite each left row is exploded
-  * to its three candidate ε-buckets and the join becomes a hash /
-  * sort-merge join on the bucket key, with the ORIGINAL condition kept
-  * as a post-probe filter, so results are bit-identical: a qualifying
-  * pair's bucket distance is at most 1, and the probe side's single home
-  * bucket makes each pair match exactly once. Null band operands fail
-  * both the bucket equality and the original predicate — unchanged.
+  * to its candidate ε-buckets and the join becomes a hash / sort-merge
+  * join on the bucket key, with the ORIGINAL condition kept as a
+  * post-probe filter, so results are bit-identical: the probe side's
+  * single home bucket makes each pair match exactly once, and the
+  * explode reach covers every bucket a qualifying pair can land in.
+  * Null band operands fail both the bucket equality and the original
+  * predicate — unchanged.
   *
-  * Guards: inner join; both band operands LongType attributes from
-  * opposite sides; ε a positive long literal; NO equi conjunct already
-  * present (with one, the band already rides a hash join as a residual
-  * filter and exploding would only add fan-out). Bucketing uses floor
-  * division spelled as (x − pmod(x, ε)) div ε so negative values bucket
-  * consistently with the oracle's `//`.
+  * Operand types (both sides must be the SAME type, from opposite
+  * join sides; ε a positive literal; NO equi conjunct already present —
+  * with one, the band already rides a hash join as a residual filter
+  * and exploding would only add fan-out):
+  *
+  *  - LongType: bucketing uses exact floor division spelled as
+  *    (x − pmod(x, ε)) div ε so negative values bucket consistently;
+  *    arithmetic is exact, so a qualifying pair's buckets differ by at
+  *    most 1 and the explode reach is ±1 (3 candidates).
+  *  - DoubleType (timestamps band the same way via unix_micros → the
+  *    Long path): bucketing is floor(x / ε). IEEE division is one
+  *    correctly-rounded op, but a quotient within half an ulp of an
+  *    integer can floor to the wrong side, so the REAL bound
+  *    |bucket(l) − bucket(r)| ≤ 1 only holds computed-ly up to a ±1
+  *    slip per side. The explode reach is therefore ±2 (5 candidates),
+  *    which is provably sufficient while |x/ε| < 2^51: each side's
+  *    absolute quotient error is < 0.25, so computed bucket separation
+  *    of a qualifying pair is < 1 + 0.5 + 1, i.e. ≤ 2. (Beyond 2^51
+  *    the band itself is sub-ulp degenerate — ε below the value's
+  *    representable resolution.) False positives from the wider reach
+  *    are removed by the kept original predicate; the fan-out cost is
+  *    5/3 of the Long path on the build side only.
   */
 object BandJoinRewrite extends Rule[LogicalPlan]
     with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
   import org.apache.spark.sql.catalyst.expressions._
   import org.apache.spark.sql.catalyst.plans.Inner
   import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, JoinHint, Project}
-  import org.apache.spark.sql.types.LongType
+  import org.apache.spark.sql.types.{DoubleType, LongType}
 
   private def fdiv(x: Expression, eps: Long): Expression =
     IntegralDivide(Subtract(x, Pmod(x, Literal(eps))), Literal(eps))
@@ -245,26 +262,43 @@ object BandJoinRewrite extends Rule[LogicalPlan]
               (canEvaluate(a, right) && canEvaluate(b, left)))
         case _ => false
       }
+      // (left attr, right attr, bucket function, explode reach)
+      def sided(a: AttributeReference, b: AttributeReference): Boolean =
+        (left.outputSet.contains(a) && right.outputSet.contains(b)) ||
+          (left.outputSet.contains(b) && right.outputSet.contains(a))
+      def orient(a: AttributeReference, b: AttributeReference) =
+        if (left.outputSet.contains(a)) (a, b) else (b, a)
       val band = conjuncts.collectFirst {
         case LessThanOrEqual(
               Abs(Subtract(a: AttributeReference, b: AttributeReference, _), _),
               Literal(eps: Long, LongType))
             if eps > 0 && a.dataType == LongType && b.dataType == LongType &&
-              ((left.outputSet.contains(a) && right.outputSet.contains(b)) ||
-                (left.outputSet.contains(b) && right.outputSet.contains(a))) =>
-          val (l, r) = if (left.outputSet.contains(a)) (a, b) else (b, a)
-          (l, r, eps)
+              sided(a, b) =>
+          val (l, r) = orient(a, b)
+          (l, r, (x: Expression) => fdiv(x, eps), 1)
+        case LessThanOrEqual(
+              Abs(Subtract(a: AttributeReference, b: AttributeReference, _), _),
+              Literal(eps: Double, DoubleType))
+            if eps > 0 && !eps.isInfinite &&
+              a.dataType == DoubleType && b.dataType == DoubleType &&
+              sided(a, b) =>
+          val (l, r) = orient(a, b)
+          // Floor(double) yields LongType — same bucket-key type as fdiv
+          (l, r, (x: Expression) => Floor(Divide(x, Literal(eps))), 2)
       }
       band match {
-        case Some((l, r, eps)) if !hasEqui =>
-          val bl = fdiv(l, eps)
+        case Some((l, r, bucket, reach)) if !hasEqui =>
+          val bl = bucket(l)
           val bkAttr = AttributeReference("__band_bk", LongType)()
           val gen = Generate(
-            Explode(CreateArray(Seq(
-              Subtract(bl, Literal(1L)), bl, Add(bl, Literal(1L))))),
+            Explode(CreateArray(
+              // injected rules run after ConstantFolding — emit the home
+              // bucket bare rather than relying on Add(bl, 0) folding
+              (-reach to reach).map(d =>
+                if (d == 0) bl else Add(bl, Literal(d.toLong))))),
             unrequiredChildIndex = Nil, outer = false, qualifier = None,
             generatorOutput = Seq(bkAttr), child = left)
-          val rAlias = Alias(fdiv(r, eps), "__band_bk_r")()
+          val rAlias = Alias(bucket(r), "__band_bk_r")()
           val projR = Project(right.output :+ rAlias, right)
           // carry the user's hint (e.g. broadcast) through the rewrite —
           // the rewritten join has the same left/right lineage, so the

@@ -279,6 +279,31 @@ object RelationalOps {
     },
     Some("""WITH s AS (SELECT s_suppkey AS k, CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal FROM supplier) SELECT x.k AS a, y.k AS b, floor(CAST(abs(x.bal - y.bal) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS bal_diff FROM s x JOIN s y ON abs(x.bal - y.bal) <= 10000 AND x.k < y.k ORDER BY a, b"""))
 
+  /** The naive band spelling on RAW DOUBLE operands — no centi()
+    * fixed-point detour anywhere — exercising [[graft.BandJoinRewrite]]'s
+    * DoubleType path: floor(x/ε) buckets with the ±2 explode reach that
+    * makes the float floor-slip provably harmless (rule scaladoc has the
+    * bound). Exactness does NOT depend on the bucketing: the original
+    * float predicate is re-evaluated as the post-probe filter, and the
+    * oracle runs the identical IEEE predicate, so the hash compare pins
+    * pair-for-pair equality. The output diff column is a single IEEE
+    * subtraction (not a sum), deterministic in both engines. */
+  private val jBandDouble = GraftQuery(
+    "j_band_double",
+    "naive abs-diff theta join on double operands, auto-rewritten to a bucketed equi join",
+    (s, d) => {
+      val a = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("a"), col("s_acctbal").as("bala"))
+      val b = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("b"), col("s_acctbal").as("balb"))
+      a.join(b, abs(col("bala") - col("balb")) <= lit(500.0) &&
+          col("a") < col("b"))
+        .select(col("a"), col("b"),
+          fround(abs(col("bala") - col("balb")), 2).as("bal_diff"))
+        .orderBy("a", "b")
+    },
+    Some("""WITH s AS (SELECT s_suppkey AS k, s_acctbal AS bal FROM supplier) SELECT x.k AS a, y.k AS b, floor(abs(x.bal - y.bal) * 100.0 + 0.5) / 100.0 AS bal_diff FROM s x JOIN s y ON abs(x.bal - y.bal) <= 500.0 AND x.k < y.k ORDER BY a, b"""))
+
   /** Per-key top-k through the CUSTOM WHOLE-OPERATOR plan
     * ([[graft.plans.TopKPerKey]]: LogicalPlan + SparkStrategy +
     * bounded-heap SparkPlan, injected via GraftExtensions) — one pass,
@@ -1259,7 +1284,8 @@ object RelationalOps {
   val all: Seq[GraftQuery] = Seq(
     q1, q3, q5, q10Returns, q14Promo, q18TopQuantity, q19Disjunctive, q7Volume,
     jSemi, jAnti, jOuter,
-    jRange, jAsof, jBucketed, jBandBucketed, jBandAuto, relTopkNative,
+    jRange, jAsof, jBucketed, jBandBucketed, jBandAuto, jBandDouble,
+    relTopkNative,
     winTopkAuto, winTopkMultikey, winTopkNulls,
     calFiscal445, winRank,
     winMoving, winNtile,

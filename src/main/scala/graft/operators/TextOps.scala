@@ -154,6 +154,21 @@ object TextOps {
     * shingle. The shingle table is the same cached set the dedup family
     * materializes, so decontamination rides an artifact the pipeline
     * already paid for. */
+  /** Eval-side broadcast gate for the decontamination family. The hint is
+    * scale-correct ONLY under the documented "eval sets are
+    * benchmark-sized" contract above — as spelled, the eval split is a
+    * FRACTION of the corpus and grows with it. This knob lets an operator
+    * with an oversized eval set drop the hint
+    * (`spark.graft.decontam.broadcastEval=false`): the join then shuffles
+    * both sides and AQE remains free to runtime-broadcast from OBSERVED
+    * sizes — a size-informed call, not a promise. Results are identical
+    * either way (Round10OpsSpec pins it); only the plan shape moves. */
+  private def maybeBroadcastEval(ev: DataFrame): DataFrame =
+    if (ev.sparkSession.conf
+        .get("spark.graft.decontam.broadcastEval", "true").toBoolean)
+      broadcast(ev)
+    else ev
+
   private val decontaminate = GraftQuery(
     "txt_decontaminate",
     "flag train docs sharing 4-grams with the held-out eval split",
@@ -163,7 +178,7 @@ object TextOps {
         .select(col("doc_id").as("eval_id"), col("sh"))
       val tr = sh.filter(col("doc_id") % 100 =!= 0)
         .select(col("doc_id").as("train_id"), col("sh"))
-      tr.join(broadcast(ev), Seq("sh"))
+      tr.join(maybeBroadcastEval(ev), Seq("sh"))
         .groupBy("train_id", "eval_id")
         .agg(count(lit(1)).as("n_shared"))
         .orderBy("train_id", "eval_id")
@@ -259,7 +274,7 @@ object TextOps {
       val ev = DedupOps.shingles4(s, d).filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("eval_id"), col("sh"))
       bloomCandidates(s, d)
-        .join(broadcast(ev), Seq("sh"))
+        .join(maybeBroadcastEval(ev), Seq("sh"))
         .groupBy("train_id", "eval_id")
         .agg(count(lit(1)).as("n_shared"))
         .orderBy("train_id", "eval_id")

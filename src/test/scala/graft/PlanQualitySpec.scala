@@ -677,4 +677,43 @@ class PlanQualitySpec extends AnyFunSuite {
       }
     }
   }
+
+  /** All shuffle exchanges in an EXECUTED plan, including inside AQE
+    * stage wrappers (QueryStageExec hides its subtree from collect). */
+  private def exchangeNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike] =
+    p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        exchangeNodes(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        exchangeNodes(s.plan)
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        Seq(e)
+    }.flatten
+
+  test("TopKPerKey's output partitioning elides the downstream same-key exchange") {
+    // TopKPerKeyExec claims outputPartitioning = child.outputPartitioning
+    // (rows are dropped, never moved): the FINAL pass sits directly on the
+    // keyed exchange EnsureRequirements inserted, so a downstream
+    // aggregate on the SAME keys must see its ClusteredDistribution
+    // already satisfied and skip its own shuffle — the whole
+    // topk→groupBy pipeline runs on exactly ONE exchange.
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 10000).selectExpr(
+      "id % 100 as k", "cast(id % 41 as double) as v", "id")
+    val agged = graft.plans.TopKPerKey
+      .of(df, Seq(col("k")), Seq(col("v").desc, col("id")), 3)
+      .groupBy("k").agg(sum("v").as("sv"), count(lit(1)).as("c"))
+    val rows = agged.collect()
+    assert(rows.length == 100 && rows.forall(_.getLong(2) == 3L),
+      "per-key aggregate over the heap's output must see exactly k rows/key")
+    val executed = agged.queryExecution.executedPlan
+    assert(executed.toString.contains("TopKPerKey"),
+      s"heap operator missing from the plan:\n${executed.toString.take(2000)}")
+    val exchanges = exchangeNodes(executed)
+    assert(exchanges.size == 1,
+      s"expected the single TopKPerKey exchange to also serve the " +
+        s"downstream aggregate, found ${exchanges.size}:\n" +
+        executed.toString.take(3000))
+  }
 }

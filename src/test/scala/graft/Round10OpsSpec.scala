@@ -39,6 +39,92 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("TopKPerKey"))
   }
 
+  test("BandJoinRewrite double path ≡ brute force on boundary-adversarial data") {
+    // the DoubleType band buckets via floor(x/ε) with a ±2 explode reach;
+    // the hazard class is a quotient within half an ulp of an integer
+    // flooring to the wrong bucket. Fuzz exactly that: values seeded ON
+    // ε-multiples and one ulp to either side, negatives included, random
+    // ε across four orders of magnitude, all compared against a local
+    // brute force of the same IEEE predicate.
+    import spark.implicits._
+    val rnd = new scala.util.Random(1010L)
+    for (trial <- 1 to 5) {
+      val eps = math.pow(10.0, rnd.nextInt(4) - 2) * (1.0 + rnd.nextDouble())
+      def gen(n: Int) = (0 until n).map { i =>
+        val base = (rnd.nextInt(400) - 200) * eps
+        val v = rnd.nextInt(4) match {
+          case 0 => base                           // exactly on a bucket boundary
+          case 1 => base + eps * rnd.nextDouble()  // interior
+          case 2 => base + math.ulp(base)          // one ulp above the boundary
+          case _ => base - math.ulp(base)          // one ulp below
+        }
+        (v, i.toLong)
+      }
+      val xs = gen(300)
+      val ys = gen(200)
+      val l = xs.toDF("x", "i").repartition(3)
+      val r = ys.toDF("y", "j").repartition(2)
+      val joined = l.join(r, abs(col("x") - col("y")) <= lit(eps)).select("i", "j")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+        s"trial $trial (eps=$eps): double-band rewrite did not fire:\n${p.take(1200)}")
+      val got = joined.collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+      val want = (for {
+        (x, i) <- xs; (y, j) <- ys if math.abs(x - y) <= eps
+      } yield (i, j)).toSet
+      assert(got == want,
+        s"trial $trial (eps=$eps): missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
+  test("j_band_double matches a brute-force cross join at sf0.001") {
+    // sanity at the smallest SF (the DuckDB oracle pins sf0.01; this
+    // catches data-dependent degeneracy — the band must be non-empty)
+    val out = run("j_band_double").collect()
+    assert(out.nonEmpty, "j_band_double degenerated to zero rows at sf0.001")
+    val bal = Tables.supplier(spark, sf)
+      .select("s_suppkey", "s_acctbal").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val want = (for {
+      (ka, va) <- bal; (kb, vb) <- bal
+      if ka < kb && math.abs(va - vb) <= 500.0
+    } yield (ka, kb)).toSet
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == want)
+  }
+
+  test("decontam eval broadcast: hint pinned to the eval side, knob drops it, results identical") {
+    // the eval-side broadcast is contractual (eval sets are
+    // benchmark-sized) — the guard asserts the hint sits ONLY on the
+    // eval-derived relation, and spark.graft.decontam.broadcastEval=false
+    // must drop it (for oversized eval sets) without moving a single row
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val key = "spark.graft.decontam.broadcastEval"
+    val qs = Seq("txt_decontaminate", "txt_decontaminate_bloom")
+    for (q <- qs) {
+      val hints = run(q).queryExecution.analyzed
+        .collect { case h: ResolvedHint => h }
+      assert(hints.size == 1,
+        s"$q: expected exactly the eval-side broadcast hint, got ${hints.size}")
+      assert(hints.head.child.schema.fieldNames.sameElements(
+          Array("eval_id", "sh")),
+        s"$q: the hinted side must be the eval split, got schema " +
+          hints.head.child.schema.fieldNames.mkString(","))
+    }
+    val before = qs.map(q => run(q).collect().map(_.toString).sorted.toSeq)
+    spark.conf.set(key, "false")
+    val after = try {
+      for (q <- qs) {
+        val hints = run(q).queryExecution.analyzed
+          .collect { case h: ResolvedHint => h }
+        assert(hints.isEmpty,
+          s"$q: $key=false must drop the eval broadcast hint (AQE still " +
+            "free to runtime-broadcast from observed sizes)")
+      }
+      qs.map(q => run(q).collect().map(_.toString).sorted.toSeq)
+    } finally spark.conf.unset(key)
+    assert(after == before, "the broadcast knob must never change results")
+  }
+
   test("dailyCounter(stateTtl) fails fast outside the UTC session contract") {
     val tzKey = "spark.sql.session.timeZone"
     val saved = spark.conf.get(tzKey)
