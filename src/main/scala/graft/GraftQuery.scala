@@ -12,9 +12,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * @param oracle equivalent DuckDB SQL over the same parquet tables; None for
   *               ops that are not SQL-expressible (streaming state, ANN recall)
   *               — those are covered by ScalaTest instead.
+  * @param boundedBy REQUIRED when `oracle` is None: the ScalaTest suite that
+  *               pins this query's estimate/order contract, so the
+  *               correctness dump self-describes the verification path of
+  *               every no-oracle row (a bare "no_oracle" is otherwise
+  *               indistinguishable from "unverified" to a cold reader).
   */
 final case class GraftQuery(
     name: String,
     doc: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    boundedBy: Option[String] = None)

@@ -30,4 +30,12 @@ object SparkEntry {
     * (approx sketches, LSH ANN) — those are ScalaTest-verified. */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
+
+  /** For every NO-ORACLE query: the ScalaTest suite pinning its
+    * estimate/order contract — the correctness dump carries this so a
+    * `no_oracle` row self-describes its verification path. The registry
+    * contract (spec-asserted) is oracle XOR boundedBy: every query is
+    * verified one way or the other, never neither. */
+  def boundedBy: Map[String, String] =
+    registry.flatMap(q => q.boundedBy.map(b => q.name -> b)).toMap
 }

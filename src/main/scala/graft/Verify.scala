@@ -57,6 +57,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // no-oracle queries self-describe their verification path: the
+    // ScalaTest suite that bounds them (else a "no_oracle" row is
+    // indistinguishable from "unverified" to a cold reader of the dump)
+    val bounded = SparkEntry.boundedBy
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/bounded_by.json"), bounded)
     spark.stop()
   }
 }

@@ -310,7 +310,7 @@ object AnalyticsOps {
         percentile(col("vc"), lit(0.5)).as("p50_exact"),
         count(lit(1)).as("cnt"))
       .orderBy("event_type"),
-    None)
+    None, boundedBy = Some("OperatorSpec"))
 
   /** Built-in argmax/argmin (max_by/min_by; the declarative A9 form next to
     * the typed OrderedAggregators). The ordering key packs (centi value,
@@ -406,7 +406,7 @@ object AnalyticsOps {
           countDistinct(col("user_id")).as("exact_users"))
       merged.join(direct, Seq("event_type")).orderBy("event_type")
     },
-    None)
+    None, boundedBy = Some("OperatorSpec"))
 
   /** Cohort retention: users bucketed by first-active day, retention =
     * share of the cohort active again N days later. The classic

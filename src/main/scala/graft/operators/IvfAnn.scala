@@ -229,7 +229,7 @@ object IvfAnn {
           fround(col("cos"), 4).as("cos"), col("rnk"))
         .orderBy("q_id", "rnk")
     },
-    None)
+    None, boundedBy = Some("IvfAnnSpec"))
 
   val all: Seq[GraftQuery] = Seq(query)
 }

@@ -332,7 +332,7 @@ object ParsingOps {
           " AS (column, n, nulls, n_distinct, min_v, max_v)")
         .orderBy("column")
     },
-    None)
+    None, boundedBy = Some("OperatorSpec"))
 
   /** Expectation checks — the dbt-test/assertion verb that gates a
     * pipeline stage: each rule computes its VIOLATION count (0 = pass) in

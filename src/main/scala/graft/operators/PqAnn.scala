@@ -200,7 +200,7 @@ object PqAnn {
           fround(col("ad2"), 4).as("ad2"), col("rnk"))
         .orderBy("q_id", "rnk")
     },
-    None)
+    None, boundedBy = Some("PqAnnSpec"))
 
   /** PQ RECONSTRUCTION DISTORTION per subspace — the quality audit that
     * decides whether the compressed index is servable (high distortion in
@@ -241,7 +241,7 @@ object PqAnn {
           fround(col("mx").cast("double") / 1e9, 6).as("max_d2"))
         .orderBy("subspace")
     },
-    None)
+    None, boundedBy = Some("Round7OpsSpec"))
 
   val all: Seq[GraftQuery] = Seq(query, distortion)
 }

@@ -552,7 +552,7 @@ object RelationalOps {
       .agg(approx_count_distinct("user_id").as("approx_users"),
         countDistinct("user_id").as("exact_users"))
       .orderBy("event_type"),
-    None)
+    None, boundedBy = Some("OperatorSpec"))
 
   /** Semi-structured extraction (ref S13/S14/F8: JSON parsing surface).
     * regexp_extract keeps the expression codegen'd and engine-portable. */

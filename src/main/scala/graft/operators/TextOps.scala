@@ -359,7 +359,7 @@ object TextOps {
           col("it.n_tokens").as("n_tokens"))
         .orderBy("rk")
     },
-    None)
+    None, boundedBy = Some("FreqSketchSpec"))
 
   /** THE shared unigram-LM scoring pipeline (txt_unigram_logprob +
     * txt_ppl_buckets — one implementation, so a determinism fix lands in
@@ -1143,7 +1143,7 @@ object TextOps {
           (col("cms_est") >= coalesce(col("exact"), lit(0L))).as("never_under"))
         .orderBy("tok")
     },
-    None)
+    None, boundedBy = Some("Round7OpsSpec"))
 
   /** PMI COLLOCATIONS — pointwise mutual information over adjacent token
     * pairs, the classic collocation extractor (phrases whose parts

@@ -125,6 +125,76 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(after == before, "the broadcast knob must never change results")
   }
 
+  test("registry contract: every query has an oracle XOR a declared bounding suite") {
+    // a no-oracle query with no bounded_by is UNVERIFIED; an oracled query
+    // with one is a stale annotation — both are registry bugs
+    val bad = SparkEntry.registry.filter(q => q.oracle.isDefined == q.boundedBy.isDefined)
+    assert(bad.isEmpty,
+      s"oracle XOR boundedBy violated by: ${bad.map(_.name).mkString(", ")}")
+    // the declared suites must exist as test sources (typo guard)
+    val testDir = new java.io.File("src/test/scala/graft")
+    if (testDir.isDirectory) {
+      val suites = testDir.list().toSet
+      SparkEntry.boundedBy.values.toSet.foreach { (s: String) =>
+        assert(suites.contains(s + ".scala"),
+          s"bounded_by suite $s has no source file under src/test/scala/graft")
+      }
+    }
+  }
+
+  test("full registry resolves on a config-only extensions session, one fresh session per query") {
+    // cluster parity: `--conf spark.sql.extensions=graft.GraftExtensions`
+    // with NO programmatic ensureRegistered in session setup must be
+    // enough for every registered query. A FRESH child session per query
+    // means one query's internal self-registration can never mask a
+    // registration gap in another (the round-8 LayoutOps bug class,
+    // caught structurally instead of per-module).
+    import org.apache.spark.sql.SparkSession
+    val base = spark // force the shared session first
+    val savedActive = SparkSession.getActiveSession
+    val savedDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val configOnly = try
+      SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.extensions", "graft.GraftExtensions")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    finally {
+      savedDefault.foreach(SparkSession.setDefaultSession)
+      savedActive.foreach(SparkSession.setActiveSession)
+    }
+    assert(configOnly ne base, "builder must not reuse the shared session")
+    try {
+      val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val s = configOnly.newSession() // fresh SessionState, extensions re-applied
+        try { fn(s, sf).schema; None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
+        }
+      }
+      assert(failures.isEmpty,
+        s"${failures.size} queries failed to resolve on a config-only session:\n" +
+          failures.mkString("\n"))
+    } finally {
+      // configOnly carries its OWN SharedState (fresh in-memory catalog over
+      // the same warehouse dir), so layout query fns may have dropped and
+      // rebuilt the managed bucketed tables ON DISK — the shared test
+      // session's cached file listings then point at deleted part files.
+      // Refresh every managed graft table in the shared session so later
+      // suites read the rebuilt files, not the stale listing.
+      base.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_"))
+        .foreach { t =>
+          try base.sql(s"REFRESH TABLE $t")
+          catch { case _: Throwable => () }
+        }
+    }
+  }
+
   test("dailyCounter(stateTtl) fails fast outside the UTC session contract") {
     val tzKey = "spark.sql.session.timeZone"
     val saved = spark.conf.get(tzKey)

@@ -191,6 +191,14 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("stateTtl: closed-day state is evicted; late-but-in-watermark rows still merge") {
+    ttlEvictionCase()
+  }
+
+  /** Body of the TTL-eviction case, shared with the RocksDB-provider run
+    * below (fresh temp dirs per invocation, so the two providers never
+    * read each other's state format). Returns the final query for
+    * provider-level assertions. */
+  private def ttlEvictionCase(): org.apache.spark.sql.streaming.StreamingQuery = {
     import java.sql.Timestamp
     // synthetic flow under driver control: one parquet file per "delivery",
     // staged into the source dir between runs (same ckpt => watermark and
@@ -253,6 +261,7 @@ class StreamingSpec extends AnyFunSuite {
       s"state must stay bounded by the ttl horizon, got ${finalOp.numRowsTotal} rows")
     assert(finalOp.numRowsDroppedByWatermark >= 1,
       "the below-watermark row must be dropped by the watermark filter")
+    q3
   }
 
   test("streaming Misra-Gries vocabulary: O(k) state, bounds hold across micro-batches") {
@@ -314,6 +323,13 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming top-k leaderboard equals the batch heap operator across restart") {
+    topkRestartCase()
+  }
+
+  /** Body of the flatMapGroupsWithState restart case, shared with the
+    * RocksDB-provider run (custom state encoders must round-trip the
+    * alternate store's serialization, not just the in-memory map's). */
+  private def topkRestartCase(): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.streaming.TopKStream
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
@@ -356,5 +372,35 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
     assert(got == want,
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    q2
+  }
+
+  test("RocksDB state store: TTL eviction + top-k restart hold on the production provider") {
+    // the O(k)/TTL state claims are proven above on the default in-memory
+    // (HDFS-backed) provider; a 1000-executor deployment runs RocksDB.
+    // Re-drive the two state-heavy cases — watermark eviction and the
+    // flatMapGroupsWithState custom-state restart — with
+    // RocksDBStateStoreProvider, catching any state-encoder serialization
+    // gap here rather than at deploy. Each case stages fresh checkpoint
+    // dirs, so provider state formats never mix.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val provider =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, provider)
+    try {
+      for (q <- Seq(ttlEvictionCase(), topkRestartCase())) {
+        // prove the provider actually took effect: RocksDB publishes its
+        // own custom state metrics on every progress
+        import scala.jdk.CollectionConverters._
+        val metricKeys = q.lastProgress.stateOperators.apply(0)
+          .customMetrics.keySet().asScala
+        assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+          s"query ran without the RocksDB provider; state metrics: $metricKeys")
+      }
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 }

@@ -1,0 +1,49 @@
+#!/usr/bin/env bash
+# A/B the TopKPerKey heap lowering against Spark's own Window plan on the
+# SAME declarative queries: run the bench twice — once default (the
+# WindowTopKRewrite lowers row_number()<=k to the heap operator) and once
+# with the rule excluded (the plain Window sort machinery runs) — and
+# record both min-of-REPS floors in BENCH_TOPK_AB.json. This prices the
+# operator's codegen boundary honestly: the heap exec is an interpreted
+# mapPartitions that breaks whole-stage fusion around it, so its win must
+# be measured NET of that break, not assumed from the O(n log k) argument.
+#
+# Usage: tools/bench_topk_ab.sh [sfDir] [reps]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF="${1:-/root/testdata/sf0.1}"
+REPS="${2:-3}"
+# only the DECLARATIVE spellings are a fair A/B (rel_topk_native constructs
+# the heap node explicitly and would ignore the exclusion)
+QS="win_topk_auto,win_topk_multikey,win_topk_nulls,w_latest_reading"
+
+# the bench overwrites BENCH_FULL.json; preserve the committed artifact
+BACKUP=$(mktemp)
+cp BENCH_FULL.json "$BACKUP" 2>/dev/null || true
+
+run_once() { # $1 = extra conf ("" for default)
+  SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+  SPARK_GRAFT_BENCH_REPS="$REPS" SPARK_GRAFT_BENCH_ONLY="$QS" \
+  SPARK_GRAFT_EXTRA_CONF="$1" \
+    sbt -batch "runMain graft.Bench" >/dev/null 2>&1
+  python3 -c "import json; d = json.load(open('BENCH_FULL.json')); print(json.dumps(d.get('min3', d['queries'])))"
+}
+
+HEAP=$(run_once "")
+WINDOW=$(run_once "spark.sql.optimizer.excludedRules=graft.WindowTopKRewrite")
+
+python3 - "$HEAP" "$WINDOW" "$REPS" "$SF" <<'PY'
+import json, sys
+heap = json.loads(sys.argv[1])
+window = json.loads(sys.argv[2])
+out = {"heap_min": heap, "window_min": window,
+       "reps": int(sys.argv[3]), "sf": sys.argv[4]}
+with open("BENCH_TOPK_AB.json", "w") as f:
+    json.dump(out, f, indent=1)
+for q in sorted(heap):
+    print(f"{q:<22} heap={heap[q]:.3f}s window={window.get(q, float('nan')):.3f}s")
+PY
+
+cp "$BACKUP" BENCH_FULL.json 2>/dev/null || true
+rm -f "$BACKUP"
+echo "wrote BENCH_TOPK_AB.json (BENCH_FULL.json restored)"

@@ -68,6 +68,10 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # no-oracle queries self-describe the ScalaTest suite that bounds them
+    # (bounded_by.json, written by graft.Verify); absent for old dumps
+    bb_path = os.path.join(out_dir, "bounded_by.json")
+    bounded = json.load(open(bb_path)) if os.path.exists(bb_path) else {}
     results = {}
     names = sorted([os.path.basename(p) for p in glob.glob(os.path.join(out_dir, "*")) if os.path.isdir(p)])
     for name in names:
@@ -77,7 +81,13 @@ def main():
             continue
         mine = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
         if name not in oracles:
-            results[name] = f"SKIP (no oracle; rows={len(mine)})"
+            suite = bounded.get(name)
+            if suite:
+                results[name] = f"SKIP (no oracle; bounded_by={suite}; rows={len(mine)})"
+            else:
+                # a no-oracle query with no declared bounding suite is
+                # UNVERIFIED — that is a failure of the registry contract
+                results[name] = "FAIL: no oracle AND no bounded_by suite declared"
             continue
         try:
             oracle = con.sql(oracles[name]).df()
