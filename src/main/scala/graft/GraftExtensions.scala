@@ -226,11 +226,14 @@ object SelfDotRewrite extends Rule[LogicalPlan] {
   *    integer can floor to the wrong side, so the REAL bound
   *    |bucket(l) − bucket(r)| ≤ 1 only holds computed-ly up to a ±1
   *    slip per side. The explode reach is therefore ±2 (5 candidates),
-  *    which is provably sufficient while |x/ε| < 2^51: each side's
-  *    absolute quotient error is < 0.25, so computed bucket separation
-  *    of a qualifying pair is < 1 + 0.5 + 1, i.e. ≤ 2. (Beyond 2^51
-  *    the band itself is sub-ulp degenerate — ε below the value's
-  *    representable resolution.) False positives from the wider reach
+  *    which is sufficient for ALL finite inputs: IEEE division is
+  *    correctly rounded, so each side's computed quotient is within
+  *    0.5 ulp of the true one — at most 0.5 absolute for quotient
+  *    magnitudes up to 2^53 — and a qualifying pair's TRUE quotients
+  *    differ by ≤ 1, so the computed quotients differ by ≤ 2 and their
+  *    floors by ≤ 2. For |x/ε| ≥ 2^53, ε is below one ulp of x, so
+  *    |l − r| ≤ ε forces l == r bitwise and the (identical) computed
+  *    buckets match trivially. False positives from the wider reach
   *    are removed by the kept original predicate; the fan-out cost is
   *    5/3 of the Long path on the build side only.
   */

@@ -21,6 +21,29 @@ import graft.functions.GraftFunctions.fround
   */
 object GraphOps {
 
+  /** NODE-SIZED broadcast gate for the iterative graph family — the same
+    * contract-scoped-hint pattern as the decontam eval broadcast
+    * (TextOps.maybeBroadcastEval). The per-iteration rank/distance/degree
+    * tables this family broadcasts are node-sized, and nodes here are
+    * corpus-proportional (TPC-H customers+suppliers scale with SF): the
+    * hint is the right call while the node set fits the documented ~10M
+    * nodes ≈ 80 MB, but a FORCED hint past that OOMs the driver instead
+    * of degrading. `spark.graft.graph.broadcastNodes=false` drops every
+    * node-sized hint: the joins then shuffle both sides (the edge cache
+    * is already hash-partitioned on the join key, so the iteration
+    * co-locates) and AQE stays free to runtime-broadcast from OBSERVED
+    * sizes — a size-informed call, not a promise. Results are identical
+    * either way (Round11OpsSpec pins pagerank/bfs byte-for-byte); only
+    * the plan shape moves. Scalar 1-row aggregates (N, totals) stay
+    * unconditionally hinted — they can never outgrow a broadcast — and
+    * PlanQualitySpec asserts that with the knob off, 1-row aggregates
+    * are the ONLY hints left anywhere in this family's plans. */
+  private def maybeBroadcastNodes(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf
+        .get("spark.graft.graph.broadcastNodes", "true").toBoolean)
+      broadcast(df)
+    else df
+
   /** Symmetric customer↔supplier trade edges, materialized once per
     * (session, corpus): every PageRank iteration joins this same table, and
     * an unpersisted lineage would re-run the fact-fact join per iteration.
@@ -45,9 +68,11 @@ object GraphOps {
       // conservative to auto-broadcast it, so both degree-filter joins
       // went sort-merge — 2 edge-set shuffles per round, 6 per census
       // (measured ~5 s). Broadcast is the right call whenever the node
-      // set fits (~10M nodes ≈ 80 MB); a graph beyond that would swap
-      // this for a keyed semi-join, same semantics.
-      val keep = broadcast(e.groupBy("src").agg(count(lit(1)).as("deg"))
+      // set fits (~10M nodes ≈ 80 MB); past that, drop the hints with
+      // spark.graft.graph.broadcastNodes=false ([[maybeBroadcastNodes]])
+      // and the degree filters run as keyed shuffles, same semantics.
+      val keep = maybeBroadcastNodes(e.groupBy("src")
+        .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= 3).select("src"))
       e.join(keep, Seq("src"))
         .join(keep.withColumnRenamed("src", "dst"), Seq("dst"))
@@ -123,7 +148,7 @@ object GraphOps {
       // join routes a precomputed value instead of re-deriving it per edge
       val contrib = ranks.join(nd, col("id") === col("src"))
         .select(col("id").as("cid"), expr("(fp * 85L) div (100L * deg)").as("c"))
-      ranks = sym.join(broadcast(contrib), col("src") === col("cid"))
+      ranks = sym.join(maybeBroadcastNodes(contrib), col("src") === col("cid"))
         .groupBy(col("dst").as("rid"))
         .agg(sum(col("c")).as("contrib"))
         .crossJoin(broadcast(n))
@@ -138,8 +163,10 @@ object GraphOps {
     * ONE keyed shuffle over the edge set (contributions grouped by dst);
     * the node-sized rank table is broadcast into the edge join — nodes are
     * orders of magnitude fewer than edges, the usual web/trade-graph shape
-    * (if the node table ever outgrew broadcast, the same plan co-partitions
-    * ranks and edges on src instead). The undirected symmetric edge set
+    * (if the node table outgrows broadcast, set
+    * spark.graft.graph.broadcastNodes=false and the same plan shuffles
+    * ranks to the edge partitioning instead — [[maybeBroadcastNodes]]).
+    * The undirected symmetric edge set
     * means every node has deg >= 1 and receives >= 1 contribution — no
     * dangling-mass term. Fixed iteration count (not convergence-tested)
     * keeps the oracle expressible as unrolled CTEs and is how production
@@ -213,7 +240,8 @@ object GraphOps {
       .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
     val cool = sp.groupBy("pk").agg(count(lit(1)).as("nd"))
       .filter(col("nd") <= 50).select("pk")
-    sp.join(broadcast(cool), Seq("pk"))
+    // part-sized (corpus-proportional) — same gate as the node tables
+    sp.join(maybeBroadcastNodes(cool), Seq("pk"))
   }
 
   /** Supplier co-occurrence pair weights (s1 < s2, shared_parts) — the
@@ -261,8 +289,10 @@ object GraphOps {
     (s, d) => {
       val deg = prunedIncidence(s, d).groupBy("sk").agg(count(lit(1)).as("deg"))
       coocPairs(s, d)
-        .join(broadcast(deg.select(col("sk").as("s1"), col("deg").as("d1"))), Seq("s1"))
-        .join(broadcast(deg.select(col("sk").as("s2"), col("deg").as("d2"))), Seq("s2"))
+        .join(maybeBroadcastNodes(
+          deg.select(col("sk").as("s1"), col("deg").as("d1"))), Seq("s1"))
+        .join(maybeBroadcastNodes(
+          deg.select(col("sk").as("s2"), col("deg").as("d2"))), Seq("s2"))
         .withColumn("union_parts", col("d1") + col("d2") - col("shared_parts"))
         .withColumn("jacc_micro",
           floor(col("shared_parts").cast("double") * 1000000.0 / col("union_parts") + 0.5)
@@ -354,8 +384,8 @@ object GraphOps {
           .select((col("s_suppkey") * 2 + 1).as("id"),
             col("s_nationkey").as("nat")))
       val e = symEdges(s, d)
-        .join(broadcast(nodes.toDF("src", "nat_s")), Seq("src"))
-        .join(broadcast(nodes.toDF("dst", "nat_d")), Seq("dst"))
+        .join(maybeBroadcastNodes(nodes.toDF("src", "nat_s")), Seq("src"))
+        .join(maybeBroadcastNodes(nodes.toDF("dst", "nat_d")), Seq("dst"))
       val per = e.groupBy(col("nat_s").as("nation"))
         .agg(count(lit(1)).as("d_c"),
           sum(when(col("nat_s") === col("nat_d"), 1L).otherwise(0L)).as("e_c"))
@@ -390,7 +420,7 @@ object GraphOps {
         var dist = nodesAll.filter(col("id") === 2L)
           .select(col("id"), lit(0L).as("dist"))
         for (_ <- 1 to 3) {
-          val hop = sym.join(broadcast(dist), col("dst") === col("id"))
+          val hop = sym.join(maybeBroadcastNodes(dist), col("dst") === col("id"))
             .select(col("src").as("id"), (col("dist") + 1L).as("dd"))
           dist = dist.select(col("id"), col("dist").as("dd")).unionByName(hop)
             .groupBy("id").agg(min("dd").as("dist"))
@@ -540,7 +570,7 @@ object GraphOps {
       for (_ <- 1 to 3) {
         val contrib = ranks.join(nd, col("id") === col("src"))
           .select(col("id").as("cid"), expr("(fp * 85L) div (100L * deg)").as("c"))
-        ranks = sym.join(broadcast(contrib), col("src") === col("cid"))
+        ranks = sym.join(maybeBroadcastNodes(contrib), col("src") === col("cid"))
           .groupBy(col("dst").as("rid"))
           .agg(sum(col("c")).as("contrib"))
           .select(col("rid").as("id"),

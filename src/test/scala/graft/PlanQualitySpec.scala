@@ -176,6 +176,38 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), p.take(3000))
   }
 
+  test("graph family: broadcastNodes=false leaves only 1-row-aggregate hints in every plan") {
+    // the node-sized hint gate (GraphOps.maybeBroadcastNodes): with the
+    // knob OFF, every ResolvedHint left anywhere in the family's analyzed
+    // plans must sit on a global (empty-grouping) aggregate — a scalar
+    // that can never outgrow a broadcast. Anything else still hinted is
+    // an ungated corpus-proportional broadcast, the driver-OOM class the
+    // knob exists to remove. (Hints consumed inside already-materialized
+    // PersistCache artifacts are invisible here by design — the gate runs
+    // at artifact-build time under the same conf.)
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, Filter, LogicalPlan, Project, ResolvedHint, SubqueryAlias}
+    def isOneRowAgg(p: LogicalPlan): Boolean = p match {
+      case a: Aggregate => a.groupingExpressions.isEmpty
+      case pr: Project => isOneRowAgg(pr.child)
+      case sa: SubqueryAlias => isOneRowAgg(sa.child)
+      case f: Filter => isOneRowAgg(f.child)
+      case _ => false
+    }
+    val key = "spark.graft.graph.broadcastNodes"
+    spark.conf.set(key, "false")
+    try {
+      for (q <- graft.operators.GraphOps.all) {
+        val hints = SparkEntry.queries(q.name)(spark, sf)
+          .queryExecution.analyzed.collect { case h: ResolvedHint => h }
+        val bad = hints.filterNot(h => isOneRowAgg(h.child))
+        assert(bad.isEmpty,
+          s"${q.name}: corpus-proportional hint(s) survive $key=false:\n" +
+            bad.map(_.child.toString.take(300)).mkString("\n"))
+      }
+    } finally spark.conf.unset(key)
+  }
+
   test("runtime bloom-filter injection prunes the fact side of a selective shuffle join") {
     // the 100 TB join-pruning story: when a selective dim filter feeds a
     // shuffle join, Catalyst builds a bloom filter from the dim keys and

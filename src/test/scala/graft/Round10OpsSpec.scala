@@ -131,14 +131,23 @@ class Round10OpsSpec extends AnyFunSuite {
     val bad = SparkEntry.registry.filter(q => q.oracle.isDefined == q.boundedBy.isDefined)
     assert(bad.isEmpty,
       s"oracle XOR boundedBy violated by: ${bad.map(_.name).mkString(", ")}")
-    // the declared suites must exist as test sources (typo guard)
-    val testDir = new java.io.File("src/test/scala/graft")
-    if (testDir.isDirectory) {
-      val suites = testDir.list().toSet
-      SparkEntry.boundedBy.values.toSet.foreach { (s: String) =>
-        assert(suites.contains(s + ".scala"),
-          s"bounded_by suite $s has no source file under src/test/scala/graft")
-      }
+    // the declared suites must exist as test sources (typo guard). The
+    // test-source dir is resolved from a stable anchor — user.dir walked
+    // up to build.sbt — and the guard FAILS when it can't be located: a
+    // silently-skipped typo check in a rooted/forked runner is how a
+    // misspelled boundedBy would reach the driver unverified.
+    var root = new java.io.File(sys.props("user.dir")).getAbsoluteFile
+    while (root != null && !new java.io.File(root, "build.sbt").isFile)
+      root = root.getParentFile
+    assert(root != null,
+      "cannot locate repo root (no build.sbt above user.dir) — the " +
+        "bounded_by typo guard must run, not silently skip")
+    val testDir = new java.io.File(root, "src/test/scala/graft")
+    assert(testDir.isDirectory, s"$testDir missing — typo guard cannot run")
+    val suites = testDir.list().toSet
+    SparkEntry.boundedBy.values.toSet.foreach { (s: String) =>
+      assert(suites.contains(s + ".scala"),
+        s"bounded_by suite $s has no source file under src/test/scala/graft")
     }
   }
 

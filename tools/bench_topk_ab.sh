@@ -17,9 +17,14 @@ REPS="${2:-3}"
 # the heap node explicitly and would ignore the exclusion)
 QS="win_topk_auto,win_topk_multikey,win_topk_nulls,w_latest_reading"
 
-# the bench overwrites BENCH_FULL.json; preserve the committed artifact
+# the bench overwrites BENCH_FULL.json; preserve the committed artifact.
+# Restore via EXIT trap so a failed sbt run (set -e aborts mid-script)
+# can't leave the committed artifact clobbered by the A/B run — and only
+# restore when the backup is non-empty, so a missing-before BENCH_FULL
+# never gets replaced by a 0-byte file (which breaks later json.loads).
 BACKUP=$(mktemp)
 cp BENCH_FULL.json "$BACKUP" 2>/dev/null || true
+trap 'if [ -s "$BACKUP" ]; then cp "$BACKUP" BENCH_FULL.json; fi; rm -f "$BACKUP"' EXIT
 
 run_once() { # $1 = extra conf ("" for default)
   SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
@@ -44,6 +49,4 @@ for q in sorted(heap):
     print(f"{q:<22} heap={heap[q]:.3f}s window={window.get(q, float('nan')):.3f}s")
 PY
 
-cp "$BACKUP" BENCH_FULL.json 2>/dev/null || true
-rm -f "$BACKUP"
-echo "wrote BENCH_TOPK_AB.json (BENCH_FULL.json restored)"
+echo "wrote BENCH_TOPK_AB.json (BENCH_FULL.json restored on exit)"
