@@ -220,6 +220,14 @@ object SelfDotRewrite extends Rule[LogicalPlan] {
   *    (x − pmod(x, ε)) div ε so negative values bucket consistently;
   *    arithmetic is exact, so a qualifying pair's buckets differ by at
   *    most 1 and the explode reach is ±1 (3 candidates).
+  *  - DecimalType (precision ≤ 18, both operands the same type — the
+  *    money-column case): bucketing runs on the UNSCALED long value
+  *    (exact), divided by ε lifted to the operand scale with CEILING
+  *    rounding — ε' ≥ ε keeps every qualifying pair within ±1 buckets
+  *    (|unscaled(l) − unscaled(r)| ≤ ε·10^s ≤ ε'), and the kept
+  *    original predicate removes the extra candidates a coarser ε'
+  *    admits. Same exact ±1 reach as the Long path. Precision > 18
+  *    doesn't fit an unscaled long and falls back to the nested loop.
   *  - DoubleType (timestamps band the same way via unix_micros → the
   *    Long path): bucketing is floor(x / ε). IEEE division is one
   *    correctly-rounded op, but a quotient within half an ulp of an
@@ -242,10 +250,39 @@ object BandJoinRewrite extends Rule[LogicalPlan]
   import org.apache.spark.sql.catalyst.expressions._
   import org.apache.spark.sql.catalyst.plans.Inner
   import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, JoinHint, Project}
-  import org.apache.spark.sql.types.{DoubleType, LongType}
+  import org.apache.spark.sql.types.{Decimal, DecimalType, DoubleType, LongType}
 
   private def fdiv(x: Expression, eps: Long): Expression =
     IntegralDivide(Subtract(x, Pmod(x, Literal(eps))), Literal(eps))
+
+  /** ε lifted to the operand scale with CEILING rounding, as an unscaled
+    * long — None when it can't serve as a bucket width (non-positive, or
+    * too large for exact long arithmetic). */
+  private def epsUnscaled(eps: Decimal, scale: Int): Option[Long] = {
+    val e = eps.toJavaBigDecimal.setScale(scale, java.math.RoundingMode.CEILING)
+    if (e.signum <= 0 || e.unscaledValue.bitLength >= 63) None
+    else Some(e.unscaledValue.longValueExact)
+  }
+
+  /** `abs(a − b) ⊕ ε` in any of its four comparison spellings: `<=` and
+    * the STRICT `<` (both bucketing-equivalent — a strict band is a
+    * subset of the inclusive one with the same ε, and the original
+    * predicate is always kept as the post-probe filter) plus their
+    * mirrored `ε >= abs(...)` / `ε > abs(...)` forms. The strict form
+    * is not just user spelling: Spark's own UnwrapCastInBinaryComparison
+    * canonicalizes a decimal ε of FINER scale than the operands into
+    * `abs(...) < ceil(ε)` — without this arm, exactly the money bands
+    * with sub-cent tolerances would fall back to the nested loop. */
+  private object AbsBand {
+    def unapply(e: Expression): Option[(Expression, Expression, Literal)] =
+      e match {
+        case LessThanOrEqual(Abs(Subtract(a, b, _), _), l: Literal) => Some((a, b, l))
+        case LessThan(Abs(Subtract(a, b, _), _), l: Literal) => Some((a, b, l))
+        case GreaterThanOrEqual(l: Literal, Abs(Subtract(a, b, _), _)) => Some((a, b, l))
+        case GreaterThan(l: Literal, Abs(Subtract(a, b, _), _)) => Some((a, b, l))
+        case _ => None
+      }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
@@ -272,15 +309,13 @@ object BandJoinRewrite extends Rule[LogicalPlan]
       def orient(a: AttributeReference, b: AttributeReference) =
         if (left.outputSet.contains(a)) (a, b) else (b, a)
       val band = conjuncts.collectFirst {
-        case LessThanOrEqual(
-              Abs(Subtract(a: AttributeReference, b: AttributeReference, _), _),
+        case AbsBand(a: AttributeReference, b: AttributeReference,
               Literal(eps: Long, LongType))
             if eps > 0 && a.dataType == LongType && b.dataType == LongType &&
               sided(a, b) =>
           val (l, r) = orient(a, b)
           (l, r, (x: Expression) => fdiv(x, eps), 1)
-        case LessThanOrEqual(
-              Abs(Subtract(a: AttributeReference, b: AttributeReference, _), _),
+        case AbsBand(a: AttributeReference, b: AttributeReference,
               Literal(eps: Double, DoubleType))
             if eps > 0 && !eps.isInfinite &&
               a.dataType == DoubleType && b.dataType == DoubleType &&
@@ -288,6 +323,20 @@ object BandJoinRewrite extends Rule[LogicalPlan]
           val (l, r) = orient(a, b)
           // Floor(double) yields LongType — same bucket-key type as fdiv
           (l, r, (x: Expression) => Floor(Divide(x, Literal(eps))), 2)
+        case AbsBand(a: AttributeReference, b: AttributeReference,
+              Literal(eps: Decimal, _: DecimalType))
+            if a.dataType == b.dataType && sided(a, b) &&
+              (a.dataType match {
+                case dt: DecimalType =>
+                  dt.precision <= 18 && epsUnscaled(eps, dt.scale).isDefined
+                case _ => false
+              }) =>
+          val (l, r) = orient(a, b)
+          val e = epsUnscaled(eps,
+            a.dataType.asInstanceOf[DecimalType].scale).get
+          // UnscaledValue is exact for precision ≤ 18 (guard above) and
+          // codegen-friendly — the bucket arithmetic is then the Long path
+          (l, r, (x: Expression) => fdiv(UnscaledValue(x), e), 1)
       }
       band match {
         case Some((l, r, bucket, reach)) if !hasEqui =>

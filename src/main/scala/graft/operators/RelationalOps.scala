@@ -304,6 +304,37 @@ object RelationalOps {
     },
     Some("""WITH s AS (SELECT s_suppkey AS k, s_acctbal AS bal FROM supplier) SELECT x.k AS a, y.k AS b, floor(abs(x.bal - y.bal) * 100.0 + 0.5) / 100.0 AS bal_diff FROM s x JOIN s y ON abs(x.bal - y.bal) <= 500.0 AND x.k < y.k ORDER BY a, b"""))
 
+  /** The naive band spelling on DECIMAL operands — how money columns
+    * actually arrive in a warehouse — exercising
+    * [[graft.BandJoinRewrite]]'s DecimalType path: exact unscaled-long
+    * bucketing with the same ±1 reach as the Long path (rule scaladoc
+    * has the ceiling-lift bound). The decimal balances are built from
+    * exact integer cents (centi → decimal division that terminates at
+    * scale 2) so both engines hold bit-identical values; every
+    * comparison and the output diff are exact integer/decimal
+    * arithmetic end to end. */
+  private val jBandDecimal = GraftQuery(
+    "j_band_decimal",
+    "naive abs-diff theta join on DECIMAL(12,2) money operands, auto-rewritten to a bucketed equi join",
+    (s, d) => {
+      def bal = (centi(col("s_acctbal")).cast("decimal(14,2)") / lit(100))
+        .cast("decimal(12,2)")
+      val a = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("a"), bal.as("bala"))
+      val b = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("b"), bal.as("balb"))
+      a.join(b, abs(col("bala") - col("balb")) <= lit(BigDecimal("500.00")) &&
+          col("a") < col("b"))
+        .select(col("a"), col("b"),
+          (abs(col("bala") - col("balb")) * lit(100)).cast("long").as("diff_c"))
+        .orderBy("a", "b")
+    },
+    // the oracle runs the SAME band in exact integer cents — equivalent
+    // by construction (the decimal values are exactly cents/100), so the
+    // hash compare pins the decimal path pair-for-pair without leaning
+    // on DuckDB's double→decimal cast rounding
+    Some("""WITH s AS (SELECT s_suppkey AS k, CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS c FROM supplier) SELECT x.k AS a, y.k AS b, abs(x.c - y.c) AS diff_c FROM s x JOIN s y ON abs(x.c - y.c) <= 50000 AND x.k < y.k ORDER BY a, b"""))
+
   /** Per-key top-k through the CUSTOM WHOLE-OPERATOR plan
     * ([[graft.plans.TopKPerKey]]: LogicalPlan + SparkStrategy +
     * bounded-heap SparkPlan, injected via GraftExtensions) — one pass,
@@ -1285,6 +1316,7 @@ object RelationalOps {
     q1, q3, q5, q10Returns, q14Promo, q18TopQuantity, q19Disjunctive, q7Volume,
     jSemi, jAnti, jOuter,
     jRange, jAsof, jBucketed, jBandBucketed, jBandAuto, jBandDouble,
+    jBandDecimal,
     relTopkNative,
     winTopkAuto, winTopkMultikey, winTopkNulls,
     calFiscal445, winRank,

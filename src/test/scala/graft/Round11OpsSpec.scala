@@ -42,4 +42,82 @@ class Round11OpsSpec extends AnyFunSuite {
     } finally spark.conf.unset(key)
     assert(after == before, "the broadcastNodes knob must never change results")
   }
+
+  test("BandJoinRewrite decimal path ≡ brute force on boundary-adversarial data") {
+    // decimal arithmetic is exact, so the adversaries are values sitting
+    // EXACTLY at distance ε (inclusive boundary), one scale-ulp inside and
+    // outside it, negatives, and an ε of FINER scale than the operands
+    // (exercising the CEILING lift: ε' > ε admits candidates the kept
+    // original predicate must then reject)
+    import spark.implicits._
+    val cases = Seq( // (operand scale as cast type, eps literal)
+      ("decimal(12,2)", BigDecimal("500.00")), // same scale
+      ("decimal(12,2)", BigDecimal("499.995")), // finer ε → ceiling lift
+      ("decimal(10,0)", BigDecimal("37")), // integer money
+      ("decimal(18,4)", BigDecimal("0.0003"))) // near-max precision
+    val rnd = new scala.util.Random(1111L)
+    for (((dt, eps), ci) <- cases.zipWithIndex) {
+      val scale = dt.split("[(,)]")(2).trim.toInt
+      val ulp = BigDecimal(1, scale)
+      def gen(n: Int) = (0 until n).map { i =>
+        val base = eps * BigDecimal(rnd.nextInt(41) - 20)
+        val v = rnd.nextInt(4) match {
+          case 0 => base
+          case 1 => base + ulp
+          case 2 => base - ulp
+          case _ => base + ulp * BigDecimal(rnd.nextInt(2000) - 1000)
+        }
+        (v.setScale(scale, BigDecimal.RoundingMode.HALF_UP), i.toLong)
+      }
+      val xs = gen(250); val ys = gen(150)
+      val l = xs.toDF("x", "i")
+        .select(col("x").cast(dt).as("x"), col("i")).repartition(3)
+      val r = ys.toDF("y", "j")
+        .select(col("y").cast(dt).as("y"), col("j")).repartition(2)
+      val joined = l.join(r, abs(col("x") - col("y")) <= lit(eps))
+        .select("i", "j")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+        s"case $ci ($dt, eps=$eps): decimal band rewrite did not fire:\n${p.take(1200)}")
+      val got = joined.collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+      val want = (for {
+        (x, i) <- xs; (y, j) <- ys if (x - y).abs <= eps
+      } yield (i, j)).toSet
+      assert(got == want,
+        s"case $ci ($dt, eps=$eps): missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
+  test("decimal band precision > 18 falls back (no unscaled-long overflow)") {
+    // DECIMAL(20,2) can't ride an unscaled long — the rewrite must NOT
+    // fire, and the nested-loop fallback must still be correct
+    import spark.implicits._
+    val l = Seq((BigDecimal("12345678901234567.89"), 1L),
+      (BigDecimal("-12345678901234567.89"), 2L))
+      .toDF("x", "i").select(col("x").cast("decimal(20,2)").as("x"), col("i"))
+    val r = Seq((BigDecimal("12345678901234568.00"), 3L))
+      .toDF("y", "j").select(col("y").cast("decimal(20,2)").as("y"), col("j"))
+    val joined = l.join(r, abs(col("x") - col("y")) <= lit(BigDecimal("1.00")))
+      .select("i", "j")
+    assert(joined.queryExecution.executedPlan.toString.contains("NestedLoop"),
+      "p>18 must fall back to the nested loop, not risk unscaled overflow")
+    assert(joined.collect().map(rw => (rw.getLong(0), rw.getLong(1))).toSet ==
+      Set((1L, 3L)))
+  }
+
+  test("j_band_decimal matches a brute-force cross join at sf0.001 and never nested-loops") {
+    val df = run("j_band_decimal")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p.take(1200))
+    val out = df.collect()
+    assert(out.nonEmpty, "j_band_decimal degenerated to zero rows at sf0.001")
+    val cents = Tables.supplier(spark, sf)
+      .select("s_suppkey", "s_acctbal").collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    val want = (for {
+      (ka, ca) <- cents; (kb, cb) <- cents
+      if ka < kb && math.abs(ca - cb) <= 50000L
+    } yield (ka, kb, math.abs(ca - cb))).toSet
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == want)
+  }
 }
