@@ -405,38 +405,104 @@ object GraphOps {
     * Three unrolled frontier relaxations (dist_{r+1} = min(dist_r,
     * 1 + min over in-neighbors)), each ONE keyed join of the node-sized
     * distance table against the dst-partitioned edge cache — the same
-    * per-round shape as PageRank, so a deeper BFS is just more rounds (or
-    * pointer-doubled like sql_recursive_hierarchy). Everything is integer
+    * per-round shape as PageRank, so a deeper BFS is just more rounds —
+    * or log₂ of them via the implemented doubled twin
+    * [[bfsDoubling]]/[[bfsDoubled]]. Everything is integer
     * min-arithmetic; the census is exact. */
-  private lazy val bfsDistance = {
+  /** The unrolled-relaxation CTE oracle both BFS variants hash against
+    * (the doubled variant computes the same fixed point by construction). */
+  private lazy val bfsCensusOracleSql: String = {
     def relaxSql(prev: String, k: Int): String =
       s"d$k AS (SELECT id, min(dd) AS dist FROM (SELECT id, dist AS dd FROM $prev UNION ALL SELECT e.src AS id, p.dist + 1 AS dd FROM e JOIN $prev p ON e.dst = p.id) GROUP BY 1)"
-    GraftQuery(
-      "graph_bfs_distance",
-      "3-hop BFS distance census from customer 1 over the trade graph",
-      (s, d) => {
-        val sym = symEdges(s, d)
-        val nodesAll = nodes(s, d).select(col("src").as("id"))
-        var dist = nodesAll.filter(col("id") === 2L)
-          .select(col("id"), lit(0L).as("dist"))
-        for (_ <- 1 to 3) {
-          val hop = sym.join(maybeBroadcastNodes(dist), col("dst") === col("id"))
-            .select(col("src").as("id"), (col("dist") + 1L).as("dd"))
-          dist = dist.select(col("id"), col("dist").as("dd")).unionByName(hop)
-            .groupBy("id").agg(min("dd").as("dist"))
-        }
-        nodesAll.join(dist, Seq("id"), "left")
-          .groupBy(coalesce(col("dist"), lit(-1L)).as("dist"))
-          .agg(count(lit(1)).as("n_nodes"))
-          .select(when(col("dist") === -1L, lit("unreached"))
-            .otherwise(concat(lit("hop_"), col("dist"))).as("ring"),
-            col("n_nodes"))
-          .orderBy("ring")
-      },
-      Some("""WITH e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), nd AS (SELECT DISTINCT src AS id FROM e), d0 AS (SELECT CAST(2 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist), """ +
-        relaxSql("d0", 1) + ", " + relaxSql("d1", 2) + ", " + relaxSql("d2", 3) +
-        """ SELECT CASE WHEN d3.dist IS NULL THEN 'unreached' ELSE 'hop_' || CAST(d3.dist AS VARCHAR) END AS ring, count(*) AS n_nodes FROM nd LEFT JOIN d3 ON nd.id = d3.id GROUP BY 1 ORDER BY 1"""))
+    """WITH e0 AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), nd AS (SELECT DISTINCT src AS id FROM e), d0 AS (SELECT CAST(2 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist), """ +
+      relaxSql("d0", 1) + ", " + relaxSql("d1", 2) + ", " + relaxSql("d2", 3) +
+      """ SELECT CASE WHEN d3.dist IS NULL THEN 'unreached' ELSE 'hop_' || CAST(d3.dist AS VARCHAR) END AS ring, count(*) AS n_nodes FROM nd LEFT JOIN d3 ON nd.id = d3.id GROUP BY 1 ORDER BY 1"""
   }
+
+  private lazy val bfsDistance = GraftQuery(
+    "graph_bfs_distance",
+    "3-hop BFS distance census from customer 1 over the trade graph",
+    (s, d) => {
+      val sym = symEdges(s, d)
+      val nodesAll = nodes(s, d).select(col("src").as("id"))
+      var dist = nodesAll.filter(col("id") === 2L)
+        .select(col("id"), lit(0L).as("dist"))
+      for (_ <- 1 to 3) {
+        val hop = sym.join(maybeBroadcastNodes(dist), col("dst") === col("id"))
+          .select(col("src").as("id"), (col("dist") + 1L).as("dd"))
+        dist = dist.select(col("id"), col("dist").as("dd")).unionByName(hop)
+          .groupBy("id").agg(min("dd").as("dist"))
+      }
+      bfsCensus(nodesAll, dist)
+    },
+    Some(bfsCensusOracleSql))
+
+  /** POINTER-DOUBLED BFS: each round relaxes the distance table with
+    * paths of length 1..2^(round−1) from the CURRENT reached set, so the
+    * covered radius doubles-plus-one per round (1, 3, 7, …) and a
+    * depth-D census needs ⌈log₂(D+1)⌉ keyed min-rollups instead of D —
+    * the same rounds-vs-depth trade as sql_recursive_hierarchy's level
+    * doubling. Inside a round the chained edge joins stay RAW (no
+    * intermediate aggregation, no broadcast of the frontier expansion —
+    * it is edge-incidence-sized, not node-sized): every chain link keys
+    * on the dst-partitioned edge cache, so the only shuffles are the one
+    * min-rollup per round. Only the round-opening distance table rides
+    * the [[maybeBroadcastNodes]] gate — log₂ of them instead of the
+    * unrolled form's D.
+    * Returns (distance table `(id, dist)`, rounds executed). */
+  private[graft] def bfsDoubled(sym: DataFrame, seed: DataFrame, depth: Int)
+      : (DataFrame, Int) = {
+    var dist = seed
+    var span = 1
+    var covered = 0
+    var rounds = 0
+    while (covered < depth) {
+      val addSpan = math.min(span, depth - covered)
+      var leg = maybeBroadcastNodes(dist)
+      val pieces = Seq.newBuilder[DataFrame]
+      pieces += dist.select(col("id"), col("dist").as("dd"))
+      for (_ <- 1 to addSpan) {
+        leg = sym.join(leg, col("dst") === col("id"))
+          .select(col("src").as("id"), (col("dist") + 1L).as("dist"))
+        pieces += leg.select(col("id"), col("dist").as("dd"))
+      }
+      dist = pieces.result().reduce(_.unionByName(_))
+        .groupBy("id").agg(min("dd").as("dist"))
+      covered += addSpan
+      span *= 2
+      rounds += 1
+    }
+    (dist, rounds)
+  }
+
+  /** The hop-ring census read both BFS variants share: nodes grouped by
+    * final distance, unreached as its own ring. */
+  private def bfsCensus(nodesAll: DataFrame, dist: DataFrame): DataFrame =
+    nodesAll.join(dist, Seq("id"), "left")
+      .groupBy(coalesce(col("dist"), lit(-1L)).as("dist"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(when(col("dist") === -1L, lit("unreached"))
+        .otherwise(concat(lit("hop_"), col("dist"))).as("ring"),
+        col("n_nodes"))
+      .orderBy("ring")
+
+  /** [[bfsDistance]]'s doubled twin: the identical 3-hop census from
+    * customer 1, computed in TWO doubled rounds instead of three unrolled
+    * relaxations (round 1 covers radius 1, round 2 chains two edge joins
+    * to extend by 2). Same oracle as graph_bfs_distance — the hash match
+    * proves round-doubling is pure plan shape. Round count is
+    * spec-asserted (Round11OpsSpec) at ⌈log₂(depth+1)⌉. */
+  private lazy val bfsDoubling = GraftQuery(
+    "graph_bfs_doubling",
+    "3-hop BFS distance census via pointer-doubled rounds (2 rounds, not 3)",
+    (s, d) => {
+      val sym = symEdges(s, d)
+      val nodesAll = nodes(s, d).select(col("src").as("id"))
+      val seed = nodesAll.filter(col("id") === 2L)
+        .select(col("id"), lit(0L).as("dist"))
+      bfsCensus(nodesAll, bfsDoubled(sym, seed, 3)._1)
+    },
+    Some(bfsCensusOracleSql))
 
   /** CONDUCTANCE of the nation partition over the trade graph — the cut
     * quality measure next to modularity (modularity rewards density,
@@ -589,5 +655,5 @@ object GraphOps {
 
   val all: Seq[GraftQuery] = Seq(pagerank, degreeStats, twoHop, bipartiteProj,
     neighborJaccard, kCore, assortativity, modularity, bfsDistance,
-    conductance, degreeCcdf, richClub, ppr)
+    bfsDoubling, conductance, degreeCcdf, richClub, ppr)
 }

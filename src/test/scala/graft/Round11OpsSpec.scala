@@ -88,6 +88,29 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pointer-doubled BFS: log2 rounds, census identical to the unrolled form") {
+    // depth 3 must complete in 2 rounds (covered radius 1 then 3); the
+    // census must hash-match the unrolled variant (both share the DuckDB
+    // oracle — this pins them against each other locally too)
+    val unrolled = run("graph_bfs_distance").collect().map(_.toString).toSeq
+    val doubled = run("graph_bfs_doubling").collect().map(_.toString).toSeq
+    assert(doubled == unrolled,
+      "doubling must be pure plan shape: census moved")
+    // round-count law: ceil(log2(depth+1)) — asserted through the helper
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L))
+    val symDf = (edges ++ edges.map(_.swap)).toDF("src", "dst")
+    val seed = Seq((1L, 0L)).toDF("id", "dist")
+    for ((depth, wantRounds) <- Seq(1 -> 1, 2 -> 2, 3 -> 2, 4 -> 3, 7 -> 3)) {
+      val (dist, rounds) = graft.operators.GraphOps.bfsDoubled(symDf, seed, depth)
+      assert(rounds == wantRounds, s"depth $depth: $rounds rounds")
+      val got = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = (1L to 8L).map(i => i -> (i - 1)).filter(_._2 <= depth).toMap
+      assert(got == want, s"depth $depth: $got")
+    }
+  }
+
   test("decimal band precision > 18 falls back (no unscaled-long overflow)") {
     // DECIMAL(20,2) can't ride an unscaled long — the rewrite must NOT
     // fire, and the nested-loop fallback must still be correct
