@@ -182,10 +182,10 @@ object LayoutOps {
     * split a run) emits every column's run-break flag, then ONE
     * aggregate carries the six sums + six exact countDistincts and a
     * stack() unpivots the summary. The multi-countDistinct Expand
-    * multiplies the agg input 6× — at 100 TB swap the exact NDVs for
-    * their HLL twins (the qa_column_profile_hll precedent); the run
-    * census is already scale-shaped (per-file windows, never a global
-    * sort). */
+    * multiplies the agg input 6× — at 100 TB run the shipped HLL twin
+    * [[qaEncodingAdvisorHll]] instead (the qa_column_profile_hll
+    * precedent); the run census is already scale-shaped (per-file
+    * windows, never a global sort). */
   private val qaEncodingAdvisor = GraftQuery(
     "qa_encoding_advisor",
     "NDV + run-length scan per column with an encoding recommendation",
@@ -226,6 +226,54 @@ object LayoutOps {
       all.map(cte).mkString("", " UNION ALL ", " ORDER BY \"column\"")
     })
 
+  /** The scale-safe twin of [[qaEncodingAdvisor]]: identical run-length
+    * census (the keyed per-file window is already the 100 TB shape), but
+    * the six exact countDistincts — whose one-agg spelling compiles to an
+    * Expand replicating the scan ×6 into the distinct shuffle — become
+    * six `approx_count_distinct` HLL++ sketches in ONE partial-aggregable
+    * pass: sketches merge map-side, no Expand, nothing but sketch bytes
+    * cross the wire. Advisory sweeps at scale run THIS one; the exact
+    * twin stays as the DuckDB-oracled anchor. No SQL oracle (HLL
+    * estimates are engine-specific); Round11OpsSpec bounds every NDV
+    * estimate within 5% of the exact anchor's and pins all non-NDV
+    * columns identical. */
+  private val qaEncodingAdvisorHll = GraftQuery(
+    "qa_encoding_advisor_hll",
+    "scale-safe encoding advisor: HLL NDV sketches + exact run census, no Expand",
+    (s, d) => {
+      val cols = Seq("l_returnflag", "l_linestatus", "l_shipdate",
+        "l_quantity", "l_suppkey", "l_extendedprice")
+      val li = Tables.lineitem(s, d).select(
+        expr("l_orderkey div 4096").as("f") +: col("l_orderkey").as("ok") +:
+          col("l_linenumber").as("ln") +: cols.map(col): _*)
+      val w = Window.partitionBy("f")
+        .orderBy(col("ok") +: col("ln") +: cols.map(col): _*)
+      val withBrk = cols.foldLeft(li)((df, c) =>
+        df.withColumn(s"brk_$c",
+          when(lag(col(c), 1).over(w).isNull ||
+            lag(col(c), 1).over(w) =!= col(c), 1L).otherwise(0L)))
+      val aggCols = cols.flatMap(c => Seq(
+        sum(s"brk_$c").as(s"runs_$c"),
+        // rsd 0.03 — the qa_column_profile_hll-calibrated register
+        // budget: ~1% observed error against the 5% spec bound
+        approx_count_distinct(col(c), 0.03).as(s"ndv_$c")))
+      val agg = withBrk.agg(count(lit(1)).as("n"), aggCols: _*)
+      agg.selectExpr("n",
+          s"stack(${cols.size}, " +
+            cols.map(c => s"'$c', ndv_$c, runs_$c").mkString(", ") +
+            ") AS (colname, ndv, n_runs)")
+        .select(col("colname").as("column"), col("n"), col("ndv"),
+          fround(col("n").cast("double") / col("n_runs"), 4).as("mean_run"),
+          when(col("ndv") <= 64 &&
+              col("n").cast("double") / col("n_runs") >= 2.0, "RLE_DICT")
+            .when(col("ndv") <= 64, "DICT")
+            .when(col("ndv") * 2 > col("n"), "PLAIN")
+            .otherwise("DICT").as("advice"))
+        .orderBy("column")
+    },
+    None, boundedBy = Some("Round11OpsSpec"))
+
   val all: Seq[GraftQuery] = Seq(
-    qaZonemapPruning, relZorderLayout, relCompactionPlan, qaEncodingAdvisor)
+    qaZonemapPruning, relZorderLayout, relCompactionPlan, qaEncodingAdvisor,
+    qaEncodingAdvisorHll)
 }
