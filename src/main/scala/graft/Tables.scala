@@ -59,6 +59,30 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // CIVIL-TIME CONTRACT (fail-fast, the CounterStream-TTL guard class):
+    // every calendar derivation over `ts` — to_date, weekday names, day
+    // windows — uses Spark's SESSION timezone, so a non-UTC session
+    // silently shifts daily rollups, sessions, and retention cohorts
+    // against the corpus's UTC-defined semantics (measured: 54 registry
+    // queries move under America/New_York). The scan layer owns the one
+    // timestamp column, so it pins the contract ONCE instead of 54
+    // queries each hedging: event queries require a UTC session; every
+    // non-event table and all epoch-microsecond arithmetic are
+    // timezone-free and unaffected. Round11OpsSpec sweeps the registry
+    // under America/New_York and asserts identical-results-or-this-error.
+    val tz = s.conf.get("spark.sql.session.timeZone")
+    val zoneIsUtc =
+      try {
+        val rules = java.time.ZoneId.of(tz).getRules
+        rules.isFixedOffset &&
+          rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+      } catch { case _: Exception => false }
+    require(zoneIsUtc,
+      s"the events table carries civil-time (calendar) semantics defined " +
+        s"in UTC; got spark.sql.session.timeZone='$tz'. Set it to UTC — " +
+        "session-zoned date derivations (to_date, date_format, day " +
+        "windows) would otherwise silently shift results against the " +
+        "corpus contract")
     val raw =
       try apply(s, d, "events")
       catch {
@@ -71,8 +95,24 @@ object Tables {
       case LongType => // legacy nanos-as-int64: truncate to µs
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw // already session-TZ TimestampType
+        // the NTZ wall clock is UTC by the corpus contract (the oracle
+        // reads the same raw micros as naive epoch). A bare cast would
+        // interpret it in the SESSION zone — every downstream epoch
+        // derivation would then move with a config knob. Cast is a
+        // TimeZoneAwareExpression, so pin ITS zone to UTC explicitly:
+        // instants are identical under any session timeZone (the
+        // registry-wide invariance spec in Round11OpsSpec rides on this).
+        {
+          import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, NamedExpression}
+          val lp = raw.queryExecution.analyzed
+          val projected: Seq[NamedExpression] = lp.output.map { a =>
+            if (a.name == "ts") Alias(Cast(a, TimestampType, Some("UTC")), "ts")()
+            else a
+          }
+          org.apache.spark.sql.GraftPlanDoor.ofRows(s,
+            org.apache.spark.sql.catalyst.plans.logical.Project(projected, lp))
+        }
+      case _ => raw // already instant-typed TimestampType
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")

@@ -229,7 +229,20 @@ object TopKPerKey {
     require(RowOrdering.isOrderable(sortOrders.map(_.child)),
       s"TopKPerKey order columns must be orderable types, got " +
         s"${sortOrders.map(_.child.dataType)}")
-    org.apache.spark.sql.GraftPlanDoor.ofRows(df.sparkSession,
+    // the explicit door must WORK on any session, not just one that
+    // installed GraftExtensions: a session whose planner lacks
+    // TopKStrategy (e.g. built over a reused SparkContext, where the
+    // static spark.sql.extensions conf is silently ignored) would
+    // otherwise die at plan time with Spark's opaque INTERNAL_ERROR
+    // "No plan for TopKPerKey". ExperimentalMethods is the public,
+    // per-session strategy registry made for exactly this; the check
+    // covers both registration paths, so this is a no-op on
+    // extensions-installed sessions.
+    val session = df.sparkSession
+    if (!session.sessionState.planner.strategies.exists(_ eq TopKStrategy))
+      session.experimental.extraStrategies =
+        session.experimental.extraStrategies :+ TopKStrategy
+    org.apache.spark.sql.GraftPlanDoor.ofRows(session,
       TopKPerKey(keyExprs, sortOrders, k, lp))
   }
 

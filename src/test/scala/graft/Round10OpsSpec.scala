@@ -152,9 +152,14 @@ class Round10OpsSpec extends AnyFunSuite {
   }
 
   test("full registry resolves on a config-only extensions session, one fresh session per query") {
-    // cluster parity: `--conf spark.sql.extensions=graft.GraftExtensions`
-    // with NO programmatic ensureRegistered in session setup must be
-    // enough for every registered query. A FRESH child session per query
+    // NOTE (round 11): spark.sql.extensions is a STATIC conf — on a
+    // builder that reuses this JVM's existing SparkContext it is
+    // silently ignored (proven empirically: a TopKPerKey node planned
+    // on such a session found no strategy until TopKPerKey.of learned
+    // to self-heal). So what this test actually proves is STRONGER than
+    // config parity: every registered query resolves on a session with
+    // NO graft extensions at all — the per-query self-registration path
+    // alone suffices for analysis. A FRESH child session per query
     // means one query's internal self-registration can never mask a
     // registration gap in another (the round-8 LayoutOps bug class,
     // caught structurally instead of per-module).

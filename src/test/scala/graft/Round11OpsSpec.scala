@@ -128,6 +128,99 @@ class Round11OpsSpec extends AnyFunSuite {
       Set((1L, 3L)))
   }
 
+  test("TopKPerKey.of self-heals on a session without GraftExtensions (idempotently)") {
+    // the explicit door on an extensions-less session used to die at
+    // plan time with Spark's opaque INTERNAL_ERROR "No plan for
+    // TopKPerKey" — it now registers TopKStrategy via the public
+    // ExperimentalMethods registry, exactly once
+    import org.apache.spark.sql.SparkSession
+    val base = spark
+    val savedActive = SparkSession.getActiveSession
+    val savedDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val bare = try SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate().newSession()
+    finally {
+      savedDefault.foreach(SparkSession.setDefaultSession)
+      savedActive.foreach(SparkSession.setActiveSession)
+    }
+    val want = run("rel_topk_native").collect().map(_.toString).sorted.toSeq
+    val got = SparkEntry.queries("rel_topk_native")(bare, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+    // second invocation must not stack a duplicate strategy
+    SparkEntry.queries("rel_topk_native")(bare, sf).collect()
+    assert(bare.experimental.extraStrategies
+      .count(_ eq graft.plans.TopKStrategy) == 1,
+      "self-heal must be idempotent")
+    assert(base.experimental.extraStrategies.isEmpty ||
+      !base.experimental.extraStrategies.exists(_ eq graft.plans.TopKStrategy),
+      "extensions-installed session must not need the experimental fallback")
+  }
+
+  test("registry TZ invariance: every query matches its UTC result under America/New_York") {
+    // the engine's semantics are pinned to UTC at the SCAN layer
+    // (Tables.events carries an explicit UTC-zoned cast), so results
+    // must not move with spark.sql.session.timeZone — a config knob
+    // changing answers is the silent-reproducibility hazard class. A
+    // query may alternatively refuse non-UTC sessions with the
+    // documented fail-fast (IllegalArgumentException naming UTC, the
+    // CounterStream contract).
+    import org.apache.spark.sql.SparkSession
+    val base = spark
+    val utc = SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, fn) =>
+      n -> fn(base, sf).collect().map(_.toString).sorted.toSeq
+    }
+    val savedActive = SparkSession.getActiveSession
+    val savedDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val ny = try SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "America/New_York")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate().newSession()
+    finally {
+      savedDefault.foreach(SparkSession.setDefaultSession)
+      savedActive.foreach(SparkSession.setActiveSession)
+    }
+    try {
+      val diverged = utc.flatMap { case (n, want) =>
+        try {
+          val got = SparkEntry.queries(n)(ny, sf)
+            .collect().map(_.toString).sorted.toSeq
+          if (got == want) None
+          else Some(s"$n: values differ under America/New_York " +
+            s"(first diff: ${got.zipAll(want, "<missing>", "<missing>")
+              .find(p => p._1 != p._2).getOrElse(("", ""))})")
+        } catch {
+          case e: IllegalArgumentException
+              if String.valueOf(e.getMessage).contains("UTC") =>
+            None // documented fail-fast
+          case e: Throwable =>
+            Some(s"$n: ${e.getClass.getSimpleName} " +
+              String.valueOf(e.getMessage).take(160))
+        }
+      }
+      assert(diverged.isEmpty,
+        s"${diverged.size} queries depend on the session timeZone:\n" +
+          diverged.mkString("\n"))
+    } finally {
+      // child sessions share the warehouse dir: layout queries may have
+      // rebuilt managed tables on disk — refresh the shared session's
+      // file listings (same hygiene as Round10's config-only test)
+      base.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_"))
+        .foreach { t =>
+          try base.sql(s"REFRESH TABLE $t") catch { case _: Throwable => () }
+        }
+    }
+  }
+
   test("qa_encoding_advisor_hll: NDV within 5% of exact, run census identical, no Expand") {
     val exact = run("qa_encoding_advisor").collect()
       .map(r => r.getString(0) -> r).toMap
