@@ -228,6 +228,9 @@ object SelfDotRewrite extends Rule[LogicalPlan] {
   *    original predicate removes the extra candidates a coarser ε'
   *    admits. Same exact ±1 reach as the Long path. Precision > 18
   *    doesn't fit an unscaled long and falls back to the nested loop.
+  *  - DateType via the `abs(datediff(a, b)) <= days` spelling: dates
+  *    are epoch days internally, so this is the exact Long path on
+  *    days-since-epoch (±1 reach).
   *  - DoubleType (timestamps band the same way via unix_micros → the
   *    Long path): bucketing is floor(x / ε). IEEE division is one
   *    correctly-rounded op, but a quotient within half an ulp of an
@@ -250,7 +253,8 @@ object BandJoinRewrite extends Rule[LogicalPlan]
   import org.apache.spark.sql.catalyst.expressions._
   import org.apache.spark.sql.catalyst.plans.Inner
   import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, JoinHint, Project}
-  import org.apache.spark.sql.types.{Decimal, DecimalType, DoubleType, LongType}
+  import org.apache.spark.sql.types.{
+    DateType, Decimal, DecimalType, DoubleType, IntegerType, LongType}
 
   private def fdiv(x: Expression, eps: Long): Expression =
     IntegralDivide(Subtract(x, Pmod(x, Literal(eps))), Literal(eps))
@@ -264,24 +268,25 @@ object BandJoinRewrite extends Rule[LogicalPlan]
     else Some(e.unscaledValue.longValueExact)
   }
 
-  /** `abs(a − b) ⊕ ε` in any of its four comparison spellings: `<=` and
+  /** `abs(…) ⊕ ε` in any of its four comparison spellings: `<=` and
     * the STRICT `<` (both bucketing-equivalent — a strict band is a
     * subset of the inclusive one with the same ε, and the original
     * predicate is always kept as the post-probe filter) plus their
-    * mirrored `ε >= abs(...)` / `ε > abs(...)` forms. The strict form
+    * mirrored `ε >= abs(…)` / `ε > abs(…)` forms. The strict form
     * is not just user spelling: Spark's own UnwrapCastInBinaryComparison
     * canonicalizes a decimal ε of FINER scale than the operands into
     * `abs(...) < ceil(ε)` — without this arm, exactly the money bands
-    * with sub-cent tolerances would fall back to the nested loop. */
-  private object AbsBand {
-    def unapply(e: Expression): Option[(Expression, Expression, Literal)] =
-      e match {
-        case LessThanOrEqual(Abs(Subtract(a, b, _), _), l: Literal) => Some((a, b, l))
-        case LessThan(Abs(Subtract(a, b, _), _), l: Literal) => Some((a, b, l))
-        case GreaterThanOrEqual(l: Literal, Abs(Subtract(a, b, _), _)) => Some((a, b, l))
-        case GreaterThan(l: Literal, Abs(Subtract(a, b, _), _)) => Some((a, b, l))
-        case _ => None
-      }
+    * with sub-cent tolerances would fall back to the nested loop.
+    * Yields the Abs argument (a difference expression — Subtract or
+    * DateDiff, matched by the caller) and the ε literal. */
+  private object AbsCmp {
+    def unapply(e: Expression): Option[(Expression, Literal)] = e match {
+      case LessThanOrEqual(Abs(x, _), l: Literal) => Some((x, l))
+      case LessThan(Abs(x, _), l: Literal) => Some((x, l))
+      case GreaterThanOrEqual(l: Literal, Abs(x, _)) => Some((x, l))
+      case GreaterThan(l: Literal, Abs(x, _)) => Some((x, l))
+      case _ => None
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
@@ -309,13 +314,13 @@ object BandJoinRewrite extends Rule[LogicalPlan]
       def orient(a: AttributeReference, b: AttributeReference) =
         if (left.outputSet.contains(a)) (a, b) else (b, a)
       val band = conjuncts.collectFirst {
-        case AbsBand(a: AttributeReference, b: AttributeReference,
+        case AbsCmp(Subtract(a: AttributeReference, b: AttributeReference, _),
               Literal(eps: Long, LongType))
             if eps > 0 && a.dataType == LongType && b.dataType == LongType &&
               sided(a, b) =>
           val (l, r) = orient(a, b)
           (l, r, (x: Expression) => fdiv(x, eps), 1)
-        case AbsBand(a: AttributeReference, b: AttributeReference,
+        case AbsCmp(Subtract(a: AttributeReference, b: AttributeReference, _),
               Literal(eps: Double, DoubleType))
             if eps > 0 && !eps.isInfinite &&
               a.dataType == DoubleType && b.dataType == DoubleType &&
@@ -323,7 +328,7 @@ object BandJoinRewrite extends Rule[LogicalPlan]
           val (l, r) = orient(a, b)
           // Floor(double) yields LongType — same bucket-key type as fdiv
           (l, r, (x: Expression) => Floor(Divide(x, Literal(eps))), 2)
-        case AbsBand(a: AttributeReference, b: AttributeReference,
+        case AbsCmp(Subtract(a: AttributeReference, b: AttributeReference, _),
               Literal(eps: Decimal, _: DecimalType))
             if a.dataType == b.dataType && sided(a, b) &&
               (a.dataType match {
@@ -337,6 +342,20 @@ object BandJoinRewrite extends Rule[LogicalPlan]
           // UnscaledValue is exact for precision ≤ 18 (guard above) and
           // codegen-friendly — the bucket arithmetic is then the Long path
           (l, r, (x: Expression) => fdiv(UnscaledValue(x), e), 1)
+        case AbsCmp(DateDiff(a: AttributeReference, b: AttributeReference),
+              Literal(eps: Int, IntegerType))
+            // the calendar band `abs(datediff(a, b)) <= days`: DateType is
+            // epoch days internally, so this is the exact Long path on
+            // days-since-epoch (datediff is end − start, symmetric under
+            // abs — bucketing each side's own epoch days is orientation-
+            // free). Cast(date → long via a datediff against day 0) keeps
+            // the construction type-correct without analyzer help.
+            if eps > 0 && a.dataType == DateType && b.dataType == DateType &&
+              sided(a, b) =>
+          val (l, r) = orient(a, b)
+          val days = (x: Expression) =>
+            Cast(DateDiff(x, Literal(0, DateType)), LongType)
+          (l, r, (x: Expression) => fdiv(days(x), eps.toLong), 1)
       }
       band match {
         case Some((l, r, bucket, reach)) if !hasEqui =>

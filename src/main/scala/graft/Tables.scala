@@ -77,12 +77,20 @@ object Tables {
         rules.isFixedOffset &&
           rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
       } catch { case _: Exception => false }
-    require(zoneIsUtc,
+    // escape hatch for DELIBERATE session-local calendar analysis
+    // ("my daily rollups should follow Tokyo days"): the override makes
+    // the choice explicit and auditable in the session conf instead of
+    // an easy-to-miss cluster default — opting in accepts that civil-
+    // time results then follow the session zone, not the oracle pin
+    val overridden = s.conf
+      .get("spark.graft.events.allowNonUtcSession", "false").toBoolean
+    require(zoneIsUtc || overridden,
       s"the events table carries civil-time (calendar) semantics defined " +
         s"in UTC; got spark.sql.session.timeZone='$tz'. Set it to UTC — " +
         "session-zoned date derivations (to_date, date_format, day " +
         "windows) would otherwise silently shift results against the " +
-        "corpus contract")
+        "corpus contract. To deliberately compute session-local " +
+        "calendars, set spark.graft.events.allowNonUtcSession=true")
     val raw =
       try apply(s, d, "events")
       catch {

@@ -335,6 +335,30 @@ object RelationalOps {
     // on DuckDB's double→decimal cast rounding
     Some("""WITH s AS (SELECT s_suppkey AS k, CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS c FROM supplier) SELECT x.k AS a, y.k AS b, abs(x.c - y.c) AS diff_c FROM s x JOIN s y ON abs(x.c - y.c) <= 50000 AND x.k < y.k ORDER BY a, b"""))
 
+  /** The CALENDAR band spelling — `abs(datediff(a, b)) <= days` as the
+    * bare join condition — [[graft.BandJoinRewrite]]'s DateType arm:
+    * dates are epoch days internally, so the bucketing is the exact
+    * Long path on days-since-epoch (±1 reach). The matching-events-
+    * within-a-day-window shape (entity resolution across feeds, order
+    * correlation) that otherwise nested-loops. Both sides are
+    * customer-disjoint order slices, so the pair count is band-bounded
+    * rather than quadratic. */
+  private val jBandDate = GraftQuery(
+    "j_band_date",
+    "naive datediff theta join on DATE operands, auto-rewritten to a bucketed equi join",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(col("o_custkey") < 50)
+        .select(col("o_orderkey").as("ka"), to_date(col("o_orderdate")).as("da"))
+      val b = o.filter(col("o_custkey") >= 50 && col("o_custkey") < 100)
+        .select(col("o_orderkey").as("kb"), to_date(col("o_orderdate")).as("db"))
+      a.join(b, abs(datediff(col("da"), col("db"))) <= lit(1))
+        .select(col("ka"), col("kb"),
+          abs(datediff(col("da"), col("db"))).cast("long").as("day_gap"))
+        .orderBy("ka", "kb")
+    },
+    Some("""WITH a AS (SELECT o_orderkey AS ka, CAST(o_orderdate AS DATE) AS da FROM orders WHERE o_custkey < 50), b AS (SELECT o_orderkey AS kb, CAST(o_orderdate AS DATE) AS db FROM orders WHERE o_custkey >= 50 AND o_custkey < 100) SELECT ka, kb, CAST(abs(date_diff('day', db, da)) AS BIGINT) AS day_gap FROM a JOIN b ON abs(date_diff('day', db, da)) <= 1 ORDER BY ka, kb"""))
+
   /** Per-key top-k through the CUSTOM WHOLE-OPERATOR plan
     * ([[graft.plans.TopKPerKey]]: LogicalPlan + SparkStrategy +
     * bounded-heap SparkPlan, injected via GraftExtensions) — one pass,
@@ -1316,7 +1340,7 @@ object RelationalOps {
     q1, q3, q5, q10Returns, q14Promo, q18TopQuantity, q19Disjunctive, q7Volume,
     jSemi, jAnti, jOuter,
     jRange, jAsof, jBucketed, jBandBucketed, jBandAuto, jBandDouble,
-    jBandDecimal,
+    jBandDecimal, jBandDate,
     relTopkNative,
     winTopkAuto, winTopkMultikey, winTopkNulls,
     calFiscal445, winRank,

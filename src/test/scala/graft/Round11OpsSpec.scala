@@ -111,6 +111,76 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("BandJoinRewrite date path ≡ brute force on boundary-adversarial dates") {
+    // DateType is epoch days — exact arithmetic, so the adversaries are
+    // dates exactly AT the band boundary, one day inside/outside, and
+    // pre-1970 (negative epoch days, exercising the pmod spelling)
+    import spark.implicits._
+    val rnd = new scala.util.Random(1112L)
+    for ((eps, ci) <- Seq(1, 7, 30).zipWithIndex) {
+      def gen(n: Int) = (0 until n).map { i =>
+        val base = (rnd.nextInt(200) - 100) * eps // straddles 1970
+        val d = rnd.nextInt(4) match {
+          case 0 => base
+          case 1 => base + 1
+          case 2 => base - 1
+          case _ => base + rnd.nextInt(4 * eps) - 2 * eps
+        }
+        (java.time.LocalDate.ofEpochDay(d.toLong), i.toLong)
+      }
+      val xs = gen(250); val ys = gen(150)
+      val l = xs.toDF("x", "i").repartition(3)
+      val r = ys.toDF("y", "j").repartition(2)
+      val joined = l.join(r, abs(datediff(col("x"), col("y"))) <= lit(eps))
+        .select("i", "j")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+        s"case $ci (eps=$eps days): date band rewrite did not fire:\n${p.take(1200)}")
+      val got = joined.collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+      val want = (for {
+        (x, i) <- xs; (y, j) <- ys
+        if math.abs(x.toEpochDay - y.toEpochDay) <= eps
+      } yield (i, j)).toSet
+      assert(got == want,
+        s"case $ci (eps=$eps): missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
+  test("j_band_date matches a brute-force cross join at sf0.001 and never nested-loops") {
+    val df = run("j_band_date")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p.take(1200))
+    val out = df.collect()
+    assert(out.nonEmpty, "j_band_date degenerated to zero rows at sf0.001")
+    val ords = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("dy")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toLocalDate.toEpochDay))
+    val as = ords.filter(_._2 < 50); val bs = ords.filter(t => t._2 >= 50 && t._2 < 100)
+    val want = (for {
+      (ka, _, da) <- as; (kb, _, db) <- bs if math.abs(da - db) <= 1
+    } yield (ka, kb, math.abs(da - db))).toSet
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == want)
+  }
+
+  test("events UTC guard: fail-fast message is actionable, override knob opts in explicitly") {
+    val tzKey = "spark.sql.session.timeZone"
+    val okKey = "spark.graft.events.allowNonUtcSession"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      val e = intercept[IllegalArgumentException] {
+        Tables.events(spark, sf)
+      }
+      assert(e.getMessage.contains("UTC") && e.getMessage.contains(okKey),
+        "the error must name both the contract and the escape hatch")
+      spark.conf.set(okKey, "true")
+      try assert(Tables.events(spark, sf).count() > 0,
+        "explicit opt-in must allow session-local calendar analysis")
+      finally spark.conf.unset(okKey)
+    } finally spark.conf.set(tzKey, saved)
+  }
+
   test("decimal band precision > 18 falls back (no unscaled-long overflow)") {
     // DECIMAL(20,2) can't ride an unscaled long — the rewrite must NOT
     // fire, and the nested-loop fallback must still be correct
