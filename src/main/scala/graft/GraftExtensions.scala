@@ -231,6 +231,9 @@ object SelfDotRewrite extends Rule[LogicalPlan] {
   *  - DateType via the `abs(datediff(a, b)) <= days` spelling: dates
   *    are epoch days internally, so this is the exact Long path on
   *    days-since-epoch (±1 reach).
+  *  - TimestampType via the `abs(a − b) <= INTERVAL …` spelling:
+  *    day-time intervals are exact Long microseconds, so this is the
+  *    exact Long path on unix micros (±1 reach).
   *  - DoubleType (timestamps band the same way via unix_micros → the
   *    Long path): bucketing is floor(x / ε). IEEE division is one
   *    correctly-rounded op, but a quotient within half an ulp of an
@@ -254,7 +257,8 @@ object BandJoinRewrite extends Rule[LogicalPlan]
   import org.apache.spark.sql.catalyst.plans.Inner
   import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, JoinHint, Project}
   import org.apache.spark.sql.types.{
-    DateType, Decimal, DecimalType, DoubleType, IntegerType, LongType}
+    DateType, DayTimeIntervalType, Decimal, DecimalType, DoubleType,
+    IntegerType, LongType, TimestampType}
 
   private def fdiv(x: Expression, eps: Long): Expression =
     IntegralDivide(Subtract(x, Pmod(x, Literal(eps))), Literal(eps))
@@ -342,6 +346,17 @@ object BandJoinRewrite extends Rule[LogicalPlan]
           // UnscaledValue is exact for precision ≤ 18 (guard above) and
           // codegen-friendly — the bucket arithmetic is then the Long path
           (l, r, (x: Expression) => fdiv(UnscaledValue(x), e), 1)
+        case AbsCmp(SubtractTimestamps(a: AttributeReference,
+                b: AttributeReference, false, _),
+              Literal(eps: Long, _: DayTimeIntervalType))
+            // the interval band `abs(ts_a − ts_b) <= INTERVAL …`:
+            // DayTimeIntervalType is exact Long microseconds, so this is
+            // the exact Long path on unix micros (±1 reach) — the native
+            // spelling of the unix_micros detour the docs recommend
+            if eps > 0 && a.dataType == TimestampType &&
+              b.dataType == TimestampType && sided(a, b) =>
+          val (l, r) = orient(a, b)
+          (l, r, (x: Expression) => fdiv(UnixMicros(x), eps), 1)
         case AbsCmp(DateDiff(a: AttributeReference, b: AttributeReference),
               Literal(eps: Int, IntegerType))
             // the calendar band `abs(datediff(a, b)) <= days`: DateType is

@@ -359,6 +359,32 @@ object RelationalOps {
     },
     Some("""WITH a AS (SELECT o_orderkey AS ka, CAST(o_orderdate AS DATE) AS da FROM orders WHERE o_custkey < 50), b AS (SELECT o_orderkey AS kb, CAST(o_orderdate AS DATE) AS db FROM orders WHERE o_custkey >= 50 AND o_custkey < 100) SELECT ka, kb, CAST(abs(date_diff('day', db, da)) AS BIGINT) AS day_gap FROM a JOIN b ON abs(date_diff('day', db, da)) <= 1 ORDER BY ka, kb"""))
 
+  /** The INTERVAL band spelling — `abs(ts_a − ts_b) <= INTERVAL '2'
+    * MINUTE` as the bare join condition — [[graft.BandJoinRewrite]]'s
+    * TimestampType arm: day-time intervals are exact Long microseconds,
+    * so the bucketing is the exact Long path on unix micros (±1 reach).
+    * The events-correlation shape (purchase↔error temporal proximity —
+    * incident attribution, fraud signals) users write natively with
+    * interval literals instead of the unix_micros detour. */
+  private val jBandTimestamp = GraftQuery(
+    "j_band_timestamp",
+    "naive interval theta join on TIMESTAMP operands, auto-rewritten to a bucketed equi join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val a = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("ka"), col("ts").as("tsa"))
+      val b = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("kb"), col("ts").as("tsb"))
+      a.join(b,
+          abs(col("tsa") - col("tsb")) <= lit(java.time.Duration.ofMinutes(2)))
+        .select(col("ka"), col("kb"),
+          abs(unix_micros(col("tsa")) - unix_micros(col("tsb"))).as("gap_us"))
+        .orderBy("ka", "kb")
+    },
+    // the oracle runs the identical band in exact integer microseconds
+    // (2 min = 120000000 µs, both inclusive) — equivalent by construction
+    Some("""WITH a AS (SELECT event_id AS ka, epoch_us(CAST(ts AS TIMESTAMP)) AS ua FROM events WHERE event_type = 'purchase'), b AS (SELECT event_id AS kb, epoch_us(CAST(ts AS TIMESTAMP)) AS ub FROM events WHERE event_type = 'error') SELECT ka, kb, abs(ua - ub) AS gap_us FROM a JOIN b ON abs(ua - ub) <= 120000000 ORDER BY ka, kb"""))
+
   /** Per-key top-k through the CUSTOM WHOLE-OPERATOR plan
     * ([[graft.plans.TopKPerKey]]: LogicalPlan + SparkStrategy +
     * bounded-heap SparkPlan, injected via GraftExtensions) — one pass,
@@ -1340,7 +1366,7 @@ object RelationalOps {
     q1, q3, q5, q10Returns, q14Promo, q18TopQuantity, q19Disjunctive, q7Volume,
     jSemi, jAnti, jOuter,
     jRange, jAsof, jBucketed, jBandBucketed, jBandAuto, jBandDouble,
-    jBandDecimal, jBandDate,
+    jBandDecimal, jBandDate, jBandTimestamp,
     relTopkNative,
     winTopkAuto, winTopkMultikey, winTopkNulls,
     calFiscal445, winRank,

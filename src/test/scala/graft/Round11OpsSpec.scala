@@ -163,6 +163,58 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == want)
   }
 
+  test("BandJoinRewrite timestamp path ≡ brute force on boundary-adversarial instants") {
+    // intervals and timestamps are exact Long microseconds — the
+    // adversaries are instants exactly AT the band boundary and one
+    // microsecond inside/outside it, pre-1970 included
+    import spark.implicits._
+    val rnd = new scala.util.Random(1113L)
+    val epsUs = 90L * 1000000L // 90 seconds
+    def gen(n: Int) = (0 until n).map { i =>
+      val base = (rnd.nextInt(400) - 200).toLong * epsUs
+      val us = rnd.nextInt(4) match {
+        case 0 => base
+        case 1 => base + 1L
+        case 2 => base - 1L
+        case _ => base + rnd.nextLong(4 * epsUs) - 2 * epsUs
+      }
+      (java.time.Instant.EPOCH.plus(java.time.Duration.ofNanos(us * 1000)), i.toLong)
+    }
+    val xs = gen(250); val ys = gen(150)
+    val l = xs.toDF("x", "i").repartition(3)
+    val r = ys.toDF("y", "j").repartition(2)
+    val joined = l.join(r,
+        abs(col("x") - col("y")) <= lit(java.time.Duration.ofSeconds(90)))
+      .select("i", "j")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"timestamp band rewrite did not fire:\n${p.take(1200)}")
+    val got = joined.collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    def us(t: java.time.Instant) = t.getEpochSecond * 1000000L + t.getNano / 1000L
+    val want = (for {
+      (x, i) <- xs; (y, j) <- ys if math.abs(us(x) - us(y)) <= epsUs
+    } yield (i, j)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("j_band_timestamp matches a brute-force cross join at sf0.001 and never nested-loops") {
+    val df = run("j_band_timestamp")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p.take(1200))
+    val out = df.collect()
+    assert(out.nonEmpty, "j_band_timestamp degenerated to zero rows at sf0.001")
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val as = evs.filter(_._2 == "purchase"); val bs = evs.filter(_._2 == "error")
+    val want = (for {
+      (ka, _, ua) <- as; (kb, _, ub) <- bs
+      if math.abs(ua - ub) <= 120000000L
+    } yield (ka, kb, math.abs(ua - ub))).toSet
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == want)
+  }
+
   test("events UTC guard: fail-fast message is actionable, override knob opts in explicitly") {
     val tzKey = "spark.sql.session.timeZone"
     val okKey = "spark.graft.events.allowNonUtcSession"
