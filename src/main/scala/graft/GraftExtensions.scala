@@ -352,11 +352,19 @@ object BandJoinRewrite extends Rule[LogicalPlan]
             // the interval band `abs(ts_a − ts_b) <= INTERVAL …`:
             // DayTimeIntervalType is exact Long microseconds, so this is
             // the exact Long path on unix micros (±1 reach) — the native
-            // spelling of the unix_micros detour the docs recommend
-            if eps > 0 && a.dataType == TimestampType &&
-              b.dataType == TimestampType && sided(a, b) =>
+            // spelling of the unix_micros detour the docs recommend.
+            // TimestampNTZ qualifies too: its internal value IS wall-clock
+            // micros, surfaced exactly by a UTC-pinned cast (explicitly
+            // zoned, so the bucket never depends on the session zone)
+            if eps > 0 && a.dataType == b.dataType &&
+              (a.dataType == TimestampType ||
+                a.dataType == org.apache.spark.sql.types.TimestampNTZType) &&
+              sided(a, b) =>
           val (l, r) = orient(a, b)
-          (l, r, (x: Expression) => fdiv(UnixMicros(x), eps), 1)
+          val micros = (x: Expression) =>
+            if (x.dataType == TimestampType) UnixMicros(x)
+            else UnixMicros(Cast(x, TimestampType, Some("UTC")))
+          (l, r, (x: Expression) => fdiv(micros(x), eps), 1)
         case AbsCmp(DateDiff(a: AttributeReference, b: AttributeReference),
               Literal(eps: Int, IntegerType))
             // the calendar band `abs(datediff(a, b)) <= days`: DateType is

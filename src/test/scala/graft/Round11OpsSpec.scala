@@ -198,6 +198,28 @@ class Round11OpsSpec extends AnyFunSuite {
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  test("timestamp band also fires on NTZ operands (UTC-pinned internal micros)") {
+    // TimestampNTZ is wall-clock micros internally; the bucket goes
+    // through an explicitly UTC-zoned cast, so it must fire and be exact
+    // regardless of the session zone
+    import spark.implicits._
+    val mk = (s: String) => java.time.LocalDateTime.parse(s)
+    val xs = Seq((mk("2024-01-01T00:00:00"), 1L), (mk("2024-01-01T00:02:00"), 2L),
+      (mk("1969-12-31T23:59:00"), 3L))
+    val ys = Seq((mk("2024-01-01T00:01:00"), 10L), (mk("1970-01-01T00:00:00"), 11L))
+    val l = xs.toDF("x", "i")
+    val r = ys.toDF("y", "j")
+    assert(l.schema("x").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val joined = l.join(r,
+        abs(col("x") - col("y")) <= lit(java.time.Duration.ofSeconds(60)))
+      .select("i", "j")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p.take(1000))
+    assert(joined.collect().map(rw => (rw.getLong(0), rw.getLong(1))).toSet ==
+      Set((1L, 10L), (2L, 10L), (3L, 11L)))
+  }
+
   test("j_band_timestamp matches a brute-force cross join at sf0.001 and never nested-loops") {
     val df = run("j_band_timestamp")
     val p = df.queryExecution.executedPlan.toString
