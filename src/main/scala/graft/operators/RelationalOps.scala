@@ -1146,6 +1146,14 @@ object RelationalOps {
     (s, d) => {
       val usDay = 86400000000L
       val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+      // every `union(df.select…, df.select…)` would EMBED the upstream
+      // subtree twice (Spark has no cross-branch CSE) — the original
+      // spelling replicated the whole sessionize pipeline 12× through
+      // the pts→days→syn→allPts chain (measured 2.7 s min3 where DuckDB,
+      // whose CTEs materialize once, needs 0.12 s). Every two-branch
+      // union here is therefore an explode(array(struct…)) — one pass —
+      // and the day span comes from the RAW column-pruned scan instead
+      // of round-tripping through the session table.
       val sess = Tables.events(s, d)
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
         .withColumn("prev", lag("us", 1).over(byUser))
@@ -1155,17 +1163,29 @@ object RelationalOps {
         .withColumn("sess", sum("new_s").over(byUser))
         .groupBy("user_id", "sess")
         .agg(min("us").as("st"), max("us").as("en"))
-      val pts = sess.select(col("st").as("ts"), lit(1L).as("dlt"))
-        .union(sess.select((col("en") + 1).as("ts"), lit(-1L).as("dlt")))
+      val pts = sess.select(explode(array(
+          struct(col("st").as("ts"), lit(1L).as("dlt")),
+          struct((col("en") + 1).as("ts"), lit(-1L).as("dlt")))).as("p"))
+        .select(col("p.ts").as("ts"), col("p.dlt").as("dlt"))
         .groupBy("ts").agg(sum("dlt").as("dlt"))
         .withColumn("day", expr(s"ts div $usDay"))
-      val days = pts.agg(min("day").as("d0"), max("day").as("d1"))
-        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
-      val syn = days.select(col("day"), (col("day") * usDay).as("ts"), lit(0L).as("dlt"))
-        .union(days.select(col("day"), ((col("day") + 1) * usDay).as("ts"), lit(0L).as("dlt")))
+      // day span from the raw scan: [min us, max us + 1] is exactly the
+      // pts ts range (session starts/ends are event instants)
+      val days = Tables.events(s, d)
+        .agg(min(unix_micros(col("ts"))).as("mn"),
+          max(unix_micros(col("ts"))).as("mx"))
+        .select(explode(sequence(expr(s"mn div $usDay"),
+          expr(s"(mx + 1) div $usDay"))).as("day"))
+      val syn = days.select(col("day"), explode(array(
+          (col("day") * usDay).as("ts"),
+          ((col("day") + 1) * usDay).as("ts"))).as("ts"), lit(0L).as("dlt"))
       val allPts = pts.select("day", "ts", "dlt").union(syn)
-      val dayPrefix = allPts.groupBy("day").agg(sum("dlt").as("dtot"))
-        .withColumn("dp", coalesce(sum("dtot").over(
+      // per-day prefix from the day-count-sized complete day list (the
+      // zero-delta syn rows never change day totals, so pts alone feeds
+      // the rollup; the left join carries empty days)
+      val dayPrefix = days
+        .join(pts.groupBy("day").agg(sum("dlt").as("dtot")), Seq("day"), "left")
+        .withColumn("dp", coalesce(sum(coalesce(col("dtot"), lit(0L))).over(
           Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .select("day", "dp")
       val wDay = Window.partitionBy("day").orderBy("ts", "dlt")
