@@ -136,6 +136,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.expressions.BitmapAndCount(exprs(0), exprs(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_lower_bound"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.LowerBound].getName,
+        "graft_lower_bound"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_lower_bound expects 2 arguments (sorted array<long>, value), got ${exprs.length}")
+        graft.functions.expressions.LowerBound(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_zvalue"),
       new ExpressionInfo(
         classOf[graft.functions.expressions.MortonZ].getName, "graft_zvalue"),

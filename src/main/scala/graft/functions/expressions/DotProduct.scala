@@ -149,5 +149,15 @@ object GraftExpressions {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_zvalue", exprs => MortonZ(exprs(0), exprs(1)), "scala_udf")
+    // codegen'd binary search over a sorted boundary array — see
+    // LowerBound.scala
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lower_bound",
+      exprs => {
+        require(exprs.length == 2,
+          s"graft_lower_bound expects 2 arguments (sorted array<long>, value), got ${exprs.length}")
+        LowerBound(exprs(0), exprs(1))
+      },
+      "scala_udf")
   }
 }

@@ -1302,12 +1302,16 @@ object RelationalOps {
         .filter(col("rk") === expr("(j * m + 15) div 16"))
         .select(col("j"), col("k").as("boundary"))
       val tot = keys.agg(count(lit(1)).as("n"))
+      // partition id via the codegen'd binary search: the aggregate() HOF
+      // spelling walked all 15 boundaries with interpreted lambdas per
+      // fact row (HigherOrderFunction is CodegenFallback) — the corpus-
+      // side hot loop of this query. sort_array fixes collect_list's
+      // nondeterministic order; strict < counts duplicates identically
+      // to the linear scan.
+      graft.functions.expressions.GraftExpressions.ensureRegistered(s)
       val parts = keys.crossJoin(broadcast(bounds
-          .agg(collect_list(struct(col("j"), col("boundary"))).as("bs"))))
-        .select(
-          aggregate(col("bs"), lit(0L),
-            (acc, b) => acc + when(col("k") > b.getField("boundary"), 1L)
-              .otherwise(0L)).as("pid"))
+          .agg(sort_array(collect_list(col("boundary"))).as("bs"))))
+        .select(expr("graft_lower_bound(bs, k)").as("pid"))
         .groupBy("pid").agg(count(lit(1)).as("n_rows"))
       parts.crossJoin(broadcast(tot))
         .select(col("pid"), col("n_rows"),

@@ -182,9 +182,13 @@ class PlanQualitySpec extends AnyFunSuite {
     // plans must sit on a global (empty-grouping) aggregate — a scalar
     // that can never outgrow a broadcast. Anything else still hinted is
     // an ungated corpus-proportional broadcast, the driver-OOM class the
-    // knob exists to remove. (Hints consumed inside already-materialized
-    // PersistCache artifacts are invisible here by design — the gate runs
-    // at artifact-build time under the same conf.)
+    // knob exists to remove. Collected from withCachedData, not the raw
+    // analyzed plan: a PersistCache artifact MEMOIZED under the default
+    // knob keeps its (already-consumed-at-build-time) hint in the
+    // analyzed lineage, but cache substitution replaces that subtree
+    // with the InMemoryRelation — exactly the boundary at which the hint
+    // stopped being live. The raw-analyzed spelling was test-order-
+    // dependent (failed only after another suite warmed coocPairs).
     import org.apache.spark.sql.catalyst.plans.logical.{
       Aggregate, Filter, LogicalPlan, Project, ResolvedHint, SubqueryAlias}
     def isOneRowAgg(p: LogicalPlan): Boolean = p match {
@@ -199,7 +203,7 @@ class PlanQualitySpec extends AnyFunSuite {
     try {
       for (q <- graft.operators.GraphOps.all) {
         val hints = SparkEntry.queries(q.name)(spark, sf)
-          .queryExecution.analyzed.collect { case h: ResolvedHint => h }
+          .queryExecution.withCachedData.collect { case h: ResolvedHint => h }
         val bad = hints.filterNot(h => isOneRowAgg(h.child))
         assert(bad.isEmpty,
           s"${q.name}: corpus-proportional hint(s) survive $key=false:\n" +

@@ -237,6 +237,33 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == want)
   }
 
+  test("graft_lower_bound ≡ the HOF linear scan; rel_range_boundaries rides it in codegen") {
+    import spark.implicits._
+    graft.functions.expressions.GraftExpressions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(1114L)
+    // arrays with duplicates, empty arrays, values at/below/above bounds
+    val rows = (0 until 400).map { i =>
+      val n = rnd.nextInt(20) // 0..19 elements
+      val arr = Seq.fill(n)(rnd.nextInt(100) - 50L).sorted
+      val v = rnd.nextInt(120) - 60L
+      (arr, v, i.toLong)
+    }
+    val df = rows.toDF("bs", "v", "i")
+    val got = df.selectExpr("i", "graft_lower_bound(bs, v) AS lb")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: the interpreted linear-scan spelling
+    val ref = df.selectExpr("i",
+        "aggregate(bs, 0L, (acc, b) -> acc + IF(v > b, 1L, 0L)) AS lb")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+    // the range-boundary query must carry the primitive (not the HOF) and
+    // keep it inside whole-stage codegen
+    val p = run("rel_range_boundaries").queryExecution.executedPlan.toString
+    assert(p.contains("graft_lower_bound"), p.take(2000))
+    assert(!p.toLowerCase.contains("lambdafunction"),
+      "interpreted HOF survived in the range-boundary hot path")
+  }
+
   test("events UTC guard: fail-fast message is actionable, override knob opts in explicitly") {
     val tzKey = "spark.sql.session.timeZone"
     val okKey = "spark.graft.events.allowNonUtcSession"
