@@ -21,8 +21,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Contract: the array must be sorted ascending (callers use
   * `sort_array(collect_list(...))`); duplicate elements are fine (the
   * strict `<` counts them all, matching the linear-scan spelling). Null
-  * array or null value → null; null ELEMENTS are not supported (the
-  * boundary arrays this serves are built from non-null aggregates).
+  * array or null value → null; null ELEMENTS are rejected at runtime —
+  * the function is registered session-wide for arbitrary user SQL, and
+  * `ArrayData.getLong` on a null slot silently reads garbage, so a
+  * probed null slot throws instead of returning a wrong partition id.
+  * (Only slots the search probes are checked — O(log n) stays O(log n);
+  * a sorted-ascending array with nulls anywhere is already malformed.)
   *
   * Registered as `graft_lower_bound` (GraftExtensions + ensureRegistered).
   */
@@ -40,6 +44,7 @@ case class LowerBound(left: Expression, right: Expression)
     var hi = a.numElements()
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
+      if (a.isNullAt(mid)) throw LowerBound.nullElement()
       if (a.getLong(mid) < x) lo = mid + 1 else hi = mid
     }
     lo.toLong
@@ -55,6 +60,7 @@ case class LowerBound(left: Expression, right: Expression)
          |int $hi = $a.numElements();
          |while ($lo < $hi) {
          |  int $mid = ($lo + $hi) >>> 1;
+         |  if ($a.isNullAt($mid)) throw graft.functions.expressions.LowerBound.nullElement();
          |  if ($a.getLong($mid) < $v) { $lo = $mid + 1; } else { $hi = $mid; }
          |}
          |${ev.value} = (long) $lo;
@@ -64,4 +70,13 @@ case class LowerBound(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): LowerBound =
     copy(left = newLeft, right = newRight)
+}
+
+object LowerBound {
+  /** Shared by eval and generated code (codegen can only call into
+    * stable public entry points). */
+  def nullElement(): IllegalArgumentException =
+    new IllegalArgumentException(
+      "graft_lower_bound: boundary array contains a null element; " +
+        "boundaries must be a sorted array of non-null longs")
 }

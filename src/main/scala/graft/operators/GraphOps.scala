@@ -458,16 +458,36 @@ object GraphOps {
     var rounds = 0
     while (covered < depth) {
       val addSpan = math.min(span, depth - covered)
-      var leg = maybeBroadcastNodes(dist)
+      // The round-opening distance table is embedded addSpan+1 times in
+      // the rollup union (once per chain link plus the identity leg), and
+      // Spark has no cross-branch CSE — unpersisted, its whole subtree
+      // (every earlier round) re-executes per embedding and the factor
+      // COMPOUNDS across rounds, eroding the log₂-rounds win at depth.
+      // So each round runs as its own job: persist the opening table,
+      // materialize the rollup off that cache (the count is the round's
+      // one action), then release the opening blocks. The returned table
+      // is persisted+materialized; callers memoize it (PersistCache) so
+      // repeated invocations neither recompute nor accumulate cache
+      // entries.
+      val opening = dist.persist()
+      var leg = maybeBroadcastNodes(opening)
       val pieces = Seq.newBuilder[DataFrame]
-      pieces += dist.select(col("id"), col("dist").as("dd"))
+      pieces += opening.select(col("id"), col("dist").as("dd"))
       for (_ <- 1 to addSpan) {
         leg = sym.join(leg, col("dst") === col("id"))
           .select(col("src").as("id"), (col("dist") + 1L).as("dist"))
         pieces += leg.select(col("id"), col("dist").as("dd"))
       }
-      dist = pieces.result().reduce(_.unionByName(_))
+      val rolled = pieces.result().reduce(_.unionByName(_))
         .groupBy("id").agg(min("dd").as("dist"))
+      // LogicalRDD rebase (the connectedComponents pattern): keeps the
+      // cross-round plan flat, so later rounds' analysis cost stays
+      // constant instead of doubling per round.
+      val next = rolled.sparkSession
+        .createDataFrame(rolled.rdd, rolled.schema).persist()
+      next.count()
+      opening.unpersist()
+      dist = next
       covered += addSpan
       span *= 2
       rounds += 1
@@ -496,11 +516,16 @@ object GraphOps {
     "graph_bfs_doubling",
     "3-hop BFS distance census via pointer-doubled rounds (2 rounds, not 3)",
     (s, d) => {
-      val sym = symEdges(s, d)
       val nodesAll = nodes(s, d).select(col("src").as("id"))
-      val seed = nodesAll.filter(col("id") === 2L)
-        .select(col("id"), lit(0L).as("dist"))
-      bfsCensus(nodesAll, bfsDoubled(sym, seed, 3)._1)
+      // bfsDoubled returns a persisted table (its rounds are eager jobs);
+      // memoizing bounds per-call cache accumulation to one entry per
+      // (session, corpus) — same discipline as componentLabels.
+      val dist = graft.PersistCache.getOrBuild(s, s"bfs-doubled:$d:3") {
+        val seed = nodes(s, d).select(col("src").as("id"))
+          .filter(col("id") === 2L).select(col("id"), lit(0L).as("dist"))
+        bfsDoubled(symEdges(s, d), seed, 3)._1
+      }
+      bfsCensus(nodesAll, dist)
     },
     Some(bfsCensusOracleSql))
 

@@ -238,10 +238,20 @@ object TopKPerKey {
     // per-session strategy registry made for exactly this; the check
     // covers both registration paths, so this is a no-op on
     // extensions-installed sessions.
+    // NOTE: this mutates per-session planner state as a side effect of
+    // building a DataFrame. extraStrategies is a plain var, so the
+    // check-and-append must be atomic: two threads planning concurrently
+    // on the same extensions-less session could otherwise double-append
+    // (benign) or, worse, drop a strategy a third party appended between
+    // our read and write (lost update). Lock on the registry object
+    // itself so any other writer following the same discipline composes.
     val session = df.sparkSession
     if (!session.sessionState.planner.strategies.exists(_ eq TopKStrategy))
-      session.experimental.extraStrategies =
-        session.experimental.extraStrategies :+ TopKStrategy
+      session.experimental.synchronized {
+        if (!session.experimental.extraStrategies.exists(_ eq TopKStrategy))
+          session.experimental.extraStrategies =
+            session.experimental.extraStrategies :+ TopKStrategy
+      }
     org.apache.spark.sql.GraftPlanDoor.ofRows(session,
       TopKPerKey(keyExprs, sortOrders, k, lp))
   }

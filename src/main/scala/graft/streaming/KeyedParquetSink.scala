@@ -38,7 +38,9 @@ import org.apache.spark.sql.functions._
   * reference gets from one Kafka consumer group per counter table.
   */
 final class KeyedParquetSink(val tableDir: String, keyCols: Seq[String],
-    numBuckets: Int = 32) extends Serializable {
+    numBuckets: Int = 32,
+    maxBatchKeys: Long = KeyedParquetSink.DefaultMaxBatchKeys)
+    extends Serializable {
 
   private val bucketCol = "kb"
 
@@ -64,6 +66,20 @@ final class KeyedParquetSink(val tableDir: String, keyCols: Seq[String],
       pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets.toLong)).cast("int"))
       .persist()
     try {
+      // Fail-fast guard on batch width: the contract is one row per key
+      // (update-mode aggregation output), so a batch past `maxBatchKeys`
+      // rows means the upstream aggregation has no watermark (or a far
+      // too lax one) and its state — and every bucket rewrite here — is
+      // growing without bound. Surfacing that as an error at the sink
+      // beats silently rewriting the whole table every trigger. The probe
+      // is limit-bounded: it costs O(maxBatchKeys) scan, not a full count.
+      if (maxBatchKeys > 0 &&
+          withBucket.limit((maxBatchKeys + 1).toInt).count() > maxBatchKeys)
+        throw new IllegalStateException(
+          s"KeyedParquetSink($tableDir): micro-batch carries more than " +
+            s"$maxBatchKeys keyed rows — is the upstream aggregation " +
+            "missing a watermark? Raise maxBatchKeys if this width is " +
+            "intended.")
       if (!exists(spark)) {
         // first batch: nothing to merge; skip entirely if empty so an empty
         // trigger can't leave behind a schemaless (unreadable) empty table
@@ -91,4 +107,12 @@ final class KeyedParquetSink(val tableDir: String, keyCols: Seq[String],
       f.delete(staging, true)
     } finally withBucket.unpersist()
   }
+}
+
+object KeyedParquetSink {
+  /** Default per-batch keyed-row cap. Generous: a healthy watermarked
+    * counter stream touches days-per-trigger keys (dozens); 4M rows means
+    * state is effectively unbounded. Int-ranged so the limit-bounded
+    * probe stays expressible. */
+  val DefaultMaxBatchKeys: Long = 1L << 22
 }

@@ -262,6 +262,25 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(p.contains("graft_lower_bound"), p.take(2000))
     assert(!p.toLowerCase.contains("lambdafunction"),
       "interpreted HOF survived in the range-boundary hot path")
+    // null ELEMENTS are malformed input (ArrayData.getLong on a null slot
+    // reads garbage): a probed null slot must surface as an error, not a
+    // wrong partition id — in both codegen and interpreted eval
+    val bad = Seq((Seq[java.lang.Long](1L, null, 9L), 5L)).toDF("bs", "v")
+    val eCg = intercept[Exception] {
+      bad.selectExpr("graft_lower_bound(bs, v)").collect()
+    }
+    assert(eCg.toString.contains("null element") ||
+      Option(eCg.getCause).exists(_.toString.contains("null element")),
+      eCg.toString)
+    val litLb = graft.functions.expressions.LowerBound(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array[Any](1L, null, 9L)),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = true)),
+      org.apache.spark.sql.catalyst.expressions.Literal(5L))
+    val eEval = intercept[IllegalArgumentException] { litLb.eval(null) }
+    assert(eEval.getMessage.contains("null element"), eEval.getMessage)
   }
 
   test("events UTC guard: fail-fast message is actionable, override knob opts in explicitly") {
@@ -415,6 +434,15 @@ class Round11OpsSpec extends AnyFunSuite {
       val (est, act) = (r.getLong(2), e.getLong(2))
       assert(math.abs(est - act) <= math.max(1L, (act * 0.05).toLong),
         s"${r.getString(0)}: ndv est $est vs exact $act exceeds 5%")
+      // the ADVICE column is derived from the ESTIMATED ndv, so near the
+      // decision thresholds (ndv <= 64, ndv*2 > n) an estimate drift
+      // could silently flip it; the dataset is fixed and HLL sketches
+      // are deterministic, so equality is assertable — if this ever
+      // trips, the estimate crossed a threshold and the twin's advice
+      // genuinely diverged from the exact anchor's.
+      assert(r.getString(4) == e.getString(4),
+        s"${r.getString(0)}: advice flipped under estimated ndv " +
+          s"(${r.getString(4)} vs exact ${e.getString(4)})")
     }
   }
 

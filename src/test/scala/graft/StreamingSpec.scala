@@ -74,6 +74,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(after == Map("a" -> ((10.5, 3L)), "b" -> ((9.0, 2L)), "c" -> ((1.0, 1L))))
   }
 
+  test("upsert fails fast past maxBatchKeys (missing-watermark guard), table intact") {
+    import spark.implicits._
+    val sink = new KeyedParquetSink(tmp("cap-tbl") + "/t", Seq("k"),
+      numBuckets = 4, maxBatchKeys = 8)
+    val ok = (1 to 8).map(i => (s"k$i", 1.0, 1L)).toDF("k", "total", "cnt")
+    sink.upsert(ok)
+    assert(sink.read(spark).count() == 8)
+    // a synthetic wide-key batch — what an unwatermarked aggregation's
+    // ever-growing update-mode output looks like — must be rejected
+    // before any table rewrite, leaving the durable state untouched
+    val wide = (1 to 9).map(i => (s"w$i", 1.0, 1L)).toDF("k", "total", "cnt")
+    val e = intercept[IllegalStateException] { sink.upsert(wide) }
+    assert(e.getMessage.contains("watermark"))
+    assert(sink.read(spark).count() == 8)
+  }
+
   test("crash recovery: restart from checkpoint replays the uncommitted batch, converges") {
     // two half-files delivered across a simulated crash
     val src = Files.createTempDirectory("crash-src")
