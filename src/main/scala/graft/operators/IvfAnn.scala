@@ -22,13 +22,19 @@ import graft.functions.GraftFunctions.{fround, vecDouble}
   *  3. SEARCH: each query probes its `nprobe` nearest centroids and scores
   *     only vectors in those buckets — work is nprobe/k of brute force.
   *
-  * No SQL oracle (the bucketing is engine-internal); IvfAnnSpec asserts
-  * recall against the exact brute-force baseline instead.
+  * ORACLE: the whole pipeline is deterministic by construction — hash-
+  * sampled training set, md5-rank seeds, 1e-6-rounded distance compares
+  * with smallest-cid tie-breaks, 1e-9-floor-rounded means — so DuckDB can
+  * REPLAY train+assign+probe+score end-to-end over the same parquet
+  * ([[ivfOracleSql]], the sim_knn_lsh replay precedent taken through the
+  * trainer). IvfAnnSpec additionally asserts recall against the exact
+  * brute-force baseline and the partition-pruned probe scan.
   */
 object IvfAnn {
   private val K = 16
   private val ITERS = 3
   private val NPROBE = 3
+  private val DIM = 64 // testdata embedding width (TESTDATA.md contract)
 
   /** Squared L2 distance via the codegen dot product: |v|²-2v·c+|c|². */
   private def dist2 = expr("graft_dot(v, v) - 2 * graft_dot(v, cv) + graft_dot(cv, cv)")
@@ -168,8 +174,14 @@ object IvfAnn {
       col("cents"),
       struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cid")),
       (acc, c) => {
-        val d2 = dvv - lit(2.0) * call_function("graft_dot", col("v"), c.getField("cv")) +
-          c.getField("cc")
+        // distances are ROUNDED to 1e-6 before the argmin compare: the
+        // oracle replays this assignment in another engine whose float
+        // summation may differ in the last ulps, and an explicit rounding
+        // + smallest-cid tie-break makes the trained model and stored
+        // assignment engine-portable by construction, not by luck
+        val d2 = fround(
+          dvv - lit(2.0) * call_function("graft_dot", col("v"), c.getField("cv")) +
+            c.getField("cc"), 6)
         when(d2 < acc.getField("d2"),
           struct(d2.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
       })
@@ -201,7 +213,8 @@ object IvfAnn {
         .select(col("vec_id").as("q_id"), col("v"),
           sqrt(expr("graft_dot(v, v)")).as("qn"))
         .crossJoin(broadcast(centroids))
-        .withColumn("d2", dist2)
+        // same engine-portable tie-break rule as [[assign]]
+        .withColumn("d2", fround(dist2, 6))
         .withColumn("pr", row_number().over(probeW))
         .filter(col("pr") <= NPROBE)
         .select(col("q_id"), col("v").as("qv"), col("qn"), col("cid"))
@@ -229,7 +242,37 @@ object IvfAnn {
           fround(col("cos"), 4).as("cos"), col("rnk"))
         .orderBy("q_id", "rnk")
     },
-    None, boundedBy = Some("IvfAnnSpec"))
+    Some(ivfOracleSql))
+
+  /** Full DuckDB replay of the IVF pipeline: k-means train (ITERS unrolled
+    * CTE rounds over the md5-hash sample, md5-rank seeds, empty clusters
+    * keep their previous centroid), corpus assignment, probe selection,
+    * in-bucket cosine top-3. Every float decision crosses engines through
+    * an explicit contract: distance compares are pre-rounded to 1e-6 with
+    * smallest-cid ties (matching [[assign]]/the probe window), means are
+    * floor-rounded to 1e-9 (matching the trainer's r9), and the final
+    * ranking reuses sim_knn_lsh's floor(cos*1e6) DESC, n_id rule. */
+  private lazy val ivfOracleSql: String = {
+    def dot(a: String, b: String) = s"list_sum([p[1]*p[2] for p in list_zip($a, $b)])"
+    def sq(a: String) = s"list_sum([x*x for x in $a])"
+    def d2r(v: String, cv: String) =
+      s"floor((${sq(v)} - 2*${dot(v, cv)} + ${sq(cv)}) * 1e6 + 0.5) / 1e6"
+    def assignCte(src: String, cents: String, name: String) =
+      s"$name AS (SELECT vec_id, v, cid FROM (SELECT t.vec_id, t.v, c.cid, " +
+        s"row_number() OVER (PARTITION BY t.vec_id ORDER BY ${d2r("t.v", "c.cv")}, c.cid) AS rn " +
+        s"FROM $src t CROSS JOIN $cents c) WHERE rn = 1)"
+    def meansCte(a: String, prev: String, cname: String, mname: String) =
+      s"$mname AS (SELECT cid, list(mu ORDER BY d) AS cv FROM (" +
+        s"SELECT a.cid, g.d, floor(sum(a.v[g.d]) / count(*) * 1e9 + 0.5) / 1e9 AS mu " +
+        s"FROM $a a CROSS JOIN generate_series(1, $DIM) g(d) GROUP BY a.cid, g.d) GROUP BY cid), " +
+        s"$cname AS (SELECT c.cid, COALESCE(m.cv, c.cv) AS cv FROM $prev c LEFT JOIN $mname m USING (cid))"
+    val iters = (1 to ITERS).flatMap { i =>
+      Seq(assignCte("tr", s"c${i - 1}", s"a$i"),
+        meansCte(s"a$i", s"c${i - 1}", s"c$i", s"m$i"))
+    }.mkString(", ")
+    val hash = graft.functions.GraftFunctions.md5u32Sql("md5(vec_id::VARCHAR)")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), tr AS (SELECT vec_id, v FROM e WHERE $hash % 4 = 0), c0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cid, v AS cv FROM (SELECT v, row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) AS rn FROM tr) WHERE rn <= $K), $iters, idx AS (SELECT vec_id, v, cid, sqrt(${sq("v")}) AS nrm FROM (SELECT t.vec_id, t.v, c.cid, row_number() OVER (PARTITION BY t.vec_id ORDER BY ${d2r("t.v", "c.cv")}, c.cid) AS rn FROM e t CROSS JOIN c$ITERS c) WHERE rn = 1), q AS (SELECT vec_id AS q_id, v AS qv, sqrt(${sq("v")}) AS qn FROM e WHERE vec_id % 50 = 0), pr AS (SELECT q_id, qv, qn, cid FROM (SELECT q.q_id, q.qv, q.qn, c.cid, row_number() OVER (PARTITION BY q.q_id ORDER BY ${d2r("q.qv", "c.cv")}, c.cid) AS rn FROM q CROSS JOIN c$ITERS c) WHERE rn <= $NPROBE), sc AS (SELECT pr.q_id, i.vec_id AS n_id, ${dot("pr.qv", "i.v")} / (pr.qn * i.nrm) AS cos FROM pr JOIN idx i ON i.cid = pr.cid AND i.vec_id <> pr.q_id) SELECT q_id, n_id, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos, CAST(rnk AS INTEGER) AS rnk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY floor(cos * 1000000.0 + 0.5) DESC, n_id) AS rnk FROM sc) WHERE rnk <= 3 ORDER BY q_id, rnk"""
+  }
 
   val all: Seq[GraftQuery] = Seq(query)
 }

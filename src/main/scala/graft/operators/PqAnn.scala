@@ -30,9 +30,12 @@ import graft.functions.GraftFunctions.{fround, vecDouble}
   *
   * Vectors are L2-NORMALIZED before training/encoding, so ADC L2 distance
   * is monotone in cosine (|q-x|² = 2-2cos for unit vectors) and recall is
-  * measured against the cosine brute-force baseline (PqAnnSpec). No SQL
-  * oracle — codebooks are engine-internal (IvfAnn precedent); the driver
-  * records a rows-only check.
+  * measured against the cosine brute-force baseline (PqAnnSpec).
+  *
+  * ORACLE: like [[IvfAnn]], the trainer is deterministic by construction
+  * (hash sample, md5-rank seeds per subspace, 1e-6-rounded distance
+  * compares with smallest-cid ties, 1e-9-rounded means), so DuckDB replays
+  * train → encode → LUT → ADC end-to-end ([[pqOracleSql]]).
   */
 object PqAnn {
   private[graft] val M = 8       // subspaces
@@ -126,8 +129,12 @@ object PqAnn {
       col("cents"),
       struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cid")),
       (acc, c) => {
-        val d2 = dss - lit(2.0) * call_function("graft_dot", sv, c.getField("cv")) +
-          c.getField("cc")
+        // rounded-before-compare + smallest-cid tie-break, so the oracle
+        // can replay the assignment in another engine (IvfAnn.assign's
+        // rule — last-ulp summation differences can't flip the argmin)
+        val d2 = fround(
+          dss - lit(2.0) * call_function("graft_dot", sv, c.getField("cv")) +
+            c.getField("cc"), 6)
         when(c.getField("m") === m && d2 < acc.getField("d2"),
           struct(d2.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
       }).getField("cid")
@@ -200,7 +207,37 @@ object PqAnn {
           fround(col("ad2"), 4).as("ad2"), col("rnk"))
         .orderBy("q_id", "rnk")
     },
-    None, boundedBy = Some("PqAnnSpec"))
+    Some(pqOracleSql))
+
+  /** Full DuckDB replay of the PQ pipeline: per-subspace k-means (ITERS
+    * unrolled CTE rounds over the md5-hash sample), corpus encoding, exact
+    * per-query LUTs (direct (q−c)² form, matching the driver-side loop),
+    * and the ADC rollup. Cross-engine float contract: distance compares
+    * pre-rounded to 1e-6 with smallest-cid ties (matching [[bestCid]]),
+    * means r9-rounded; the ADC sum replays the Spark fold's m-ascending
+    * order via list_sum(list(... ORDER BY m)) so even the 8-term summation
+    * order matches; ranking = floor(ad2*1e6) ASC, n_id (the query's rule). */
+  private lazy val pqOracleSql: String = {
+    def dot(a: String, b: String) = s"list_sum([p[1]*p[2] for p in list_zip($a, $b)])"
+    def sq(a: String) = s"list_sum([x*x for x in $a])"
+    def d2r(v: String, cv: String) =
+      s"floor((${sq(v)} - 2*${dot(v, cv)} + ${sq(cv)}) * 1e6 + 0.5) / 1e6"
+    def assignCte(src: String, cents: String, name: String) =
+      s"$name AS (SELECT vec_id, m, sv, cid FROM (SELECT t.vec_id, t.m, t.sv, c.cid, " +
+        s"row_number() OVER (PARTITION BY t.vec_id, t.m ORDER BY ${d2r("t.sv", "c.cv")}, c.cid) AS rn " +
+        s"FROM $src t JOIN $cents c ON c.m = t.m) WHERE rn = 1)"
+    def meansCte(a: String, prev: String, cname: String, mname: String) =
+      s"$mname AS (SELECT m, cid, list(mu ORDER BY d) AS cv FROM (" +
+        s"SELECT a.m, a.cid, g.d, floor(sum(a.sv[g.d]) / count(*) * 1e9 + 0.5) / 1e9 AS mu " +
+        s"FROM $a a CROSS JOIN generate_series(1, $SUBDIM) g(d) GROUP BY a.m, a.cid, g.d) GROUP BY m, cid), " +
+        s"$cname AS (SELECT c.m, c.cid, COALESCE(x.cv, c.cv) AS cv FROM $prev c LEFT JOIN $mname x ON x.m = c.m AND x.cid = c.cid)"
+    val iters = (1 to ITERS).flatMap { i =>
+      Seq(assignCte("sub", s"c${i - 1}", s"a$i"),
+        meansCte(s"a$i", s"c${i - 1}", s"c$i", s"m$i"))
+    }.mkString(", ")
+    val hash = graft.functions.GraftFunctions.md5u32Sql("md5(vec_id::VARCHAR)")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS raw FROM embeddings), u AS (SELECT vec_id, list_transform(raw, x -> x / sqrt(${sq("raw")})) AS v FROM e), msub AS (SELECT vec_id, g.m, list_slice(v, g.m * $SUBDIM + 1, g.m * $SUBDIM + $SUBDIM) AS sv FROM u CROSS JOIN generate_series(0, ${M - 1}) g(m)), sub AS (SELECT vec_id, m, sv FROM msub WHERE $hash % 4 = 0), c0 AS (SELECT m, CAST(rn - 1 AS INTEGER) AS cid, sv AS cv FROM (SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY md5(vec_id::VARCHAR)) AS rn FROM sub) WHERE rn <= $KC), $iters, codes AS (SELECT vec_id, m, cid FROM (SELECT t.vec_id, t.m, c.cid, row_number() OVER (PARTITION BY t.vec_id, t.m ORDER BY ${d2r("t.sv", "c.cv")}, c.cid) AS rn FROM msub t JOIN c$ITERS c ON c.m = t.m) WHERE rn = 1), qsub AS (SELECT vec_id AS q_id, m, sv AS qsv FROM msub WHERE vec_id % 50 = 0), lut AS (SELECT q.q_id, c.m, c.cid, list_sum([(p[1] - p[2]) * (p[1] - p[2]) for p in list_zip(q.qsv, c.cv)]) AS ld2 FROM qsub q JOIN c$ITERS c ON c.m = q.m), adc AS (SELECT l.q_id, k.vec_id, list_sum(list(l.ld2 ORDER BY l.m)) AS ad2 FROM codes k JOIN lut l ON l.m = k.m AND l.cid = k.cid AND l.q_id <> k.vec_id GROUP BY l.q_id, k.vec_id) SELECT q_id, vec_id AS n_id, floor(ad2 * 10000.0 + 0.5) / 10000.0 AS ad2, CAST(rnk AS INTEGER) AS rnk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY floor(ad2 * 1000000.0 + 0.5) ASC, vec_id) AS rnk FROM adc) WHERE rnk <= 3 ORDER BY q_id, rnk"""
+  }
 
   /** PQ RECONSTRUCTION DISTORTION per subspace — the quality audit that
     * decides whether the compressed index is servable (high distortion in
