@@ -49,93 +49,7 @@ object Bench {
     // doesn't land on the first measured query.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    // Physical layout DDL (bucketed tables) is a table-creation-time
-    // decision, not query work — build it before the timed loop and report
-    // it separately, so layout-dependent queries measure the query over the
-    // existing layout (what a deployment actually runs).
-    val tSetup0 = System.nanoTime()
-    try graft.sources.Layouts.bucketedOrdersLineitem(spark, sfDir)
-    catch { case e: Throwable => System.err.println(s"[bench] layout setup failed: ${e.getMessage}") }
-    // The dy-partitioned daily rollup is the same table-creation-time DDL:
-    // both pruning queries (static + DPP) serve reads against it.
-    try graft.operators.ParsingOps.dailyRollupLayout(spark, sfDir)
-    catch { case e: Throwable => System.err.println(s"[bench] rollup layout setup failed: ${e.getMessage}") }
-    // The IVF index (quantizer training + cid-partitioned index write) is
-    // the same kind of table-creation-time artifact: a deployment builds it
-    // once per corpus and serves probes against it. Build it here so
-    // sim_knn_ivf measures the probe (pruned read + in-bucket top-k), not
-    // index construction.
-    try {
-      import org.apache.spark.sql.functions.col
-      graft.functions.expressions.GraftExpressions.ensureRegistered(spark)
-      graft.operators.IvfAnn.storedIndex(spark, sfDir,
-        graft.Tables.embeddings(spark, sfDir)
-          .select(col("vec_id"),
-            graft.functions.GraftFunctions.vecDouble(col("embedding")).as("v")))
-    } catch { case e: Throwable => System.err.println(s"[bench] ivf setup failed: ${e.getMessage}") }
-    // Same story for the PQ index: codebook training + corpus encoding are
-    // one-time artifacts a deployment stores; the query serves ADC probes
-    // against the code table. Materialize both here.
-    try {
-      graft.operators.PqAnn.codeTable(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-    } catch { case e: Throwable => System.err.println(s"[bench] pq setup failed: ${e.getMessage}") }
-    // ...and the sign-LSH coded vector table (the stored-ANN-index analog
-    // shared by sim_knn_lsh and the embedding near-dup query).
-    try {
-      graft.operators.SimilarityOps.codedTable(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-    } catch { case e: Throwable => System.err.println(s"[bench] lsh setup failed: ${e.getMessage}") }
-    // ...and the trade-graph edge/degree tables (graph_pagerank's
-    // iteration-invariant input): a deployment derives its relationship
-    // graph once per corpus snapshot; the query measures the power
-    // iterations served from that materialization.
-    try graft.operators.GraphOps.storedGraph(spark, sfDir)
-    catch { case e: Throwable => System.err.println(s"[bench] graph setup failed: ${e.getMessage}") }
-    // ...and the k-core peel rounds (same per-corpus-snapshot artifact
-    // family; the census query serves counts off the stored rounds).
-    try graft.operators.GraphOps.storedKcore(spark, sfDir)
-    catch { case e: Throwable => System.err.println(s"[bench] kcore setup failed: ${e.getMessage}") }
-    // ...and the (order, brand) basket projection rel_basket_lift's four
-    // consumers share — a per-corpus-snapshot artifact like the rest.
-    try {
-      graft.operators.RelationalOps.basketOb(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-    } catch { case e: Throwable => System.err.println(s"[bench] basket setup failed: ${e.getMessage}") }
-    // ...and the supplier co-occurrence projection (the bipartite pair
-    // weights shared by graph_bipartite_proj and graph_neighbor_jaccard) —
-    // the co-purchase graph is a per-corpus-snapshot artifact too.
-    try {
-      graft.operators.GraphOps.coocPairs(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-    } catch { case e: Throwable => System.err.println(s"[bench] cooc setup failed: ${e.getMessage}") }
-    // ...and the near-dup artifacts (4-gram shingles → verified Jaccard
-    // pairs → component labels): every dedup_* family query serves from
-    // these; a curation deployment materializes them once per corpus and
-    // the first-toucher-pays-all timing the bench otherwise records is a
-    // cache artifact, not a query cost.
-    try {
-      graft.operators.DedupOps.componentLabels(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-    } catch { case e: Throwable => System.err.println(s"[bench] dedup setup failed: ${e.getMessage}") }
-    // ...and the positioned-8-gram table (dedup_dup_spans' inverted
-    // index) — the same per-corpus-snapshot artifact family.
-    try graft.operators.DedupOps.dupSpanGrams(spark, sfDir)
-    catch { case e: Throwable => System.err.println(s"[bench] dup-spans setup failed: ${e.getMessage}") }
-    // ...and the MinHash signature table (shared by dedup_minhash and the
-    // LSH power eval) — per-corpus artifact, one aggregation.
-    try {
-      graft.operators.DedupOps.minhashSig(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-    } catch { case e: Throwable => System.err.println(s"[bench] minhash-sig setup failed: ${e.getMessage}") }
-    // ...and the stored base MV (mv_incremental_agg's pre-watermark
-    // rollup): a deployment refreshes against yesterday's materialization,
-    // so the query measures delta-aggregate + merge, not the base rebuild.
-    try {
-      graft.operators.ParsingOps.baseOrderMv(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-    } catch { case e: Throwable => System.err.println(s"[bench] base-mv setup failed: ${e.getMessage}") }
-    val setupSec = (System.nanoTime() - tSetup0) / 1e9
+    val setupSec = setup(spark, sfDir)
     // Dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q1_pricing,txt_tfidf times
     // just those queries (full precision, full map to BENCH_FULL.json).
     // Unknown names fail loudly — a silently-empty "targeted bench" would
@@ -210,6 +124,68 @@ object Bench {
       .map(k => "\"" + k + "\":" + r3(timed(k))).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headQs,"n_queries":${results.size},"reps":$reps,"single_shot_total":${r3(totalFirst)},"setup_sec":${r3(setupSec)},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Build every stored per-corpus artifact (bucketed layouts, ANN
+    * indexes, graph/k-core/near-dup/MV materializations) for `sfDir` and
+    * return the seconds spent. Physical layout DDL and index builds are
+    * table-creation-time decisions, not query work — the bench runs this
+    * before the timed loop and reports it separately, so layout-dependent
+    * queries measure the query over the existing layout (what a deployment
+    * actually runs). Shared with [[ScaleStress]], which needs the same
+    * artifacts materialized for its replicated stress corpus. */
+  def setup(spark: SparkSession, sfDir: String): Double = {
+    val t0 = System.nanoTime()
+    def step(what: String)(body: => Unit): Unit =
+      try body
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $what setup failed: ${e.getMessage}")
+      }
+    // bucketed orders/lineitem layout (co-located join queries)
+    step("layout")(graft.sources.Layouts.bucketedOrdersLineitem(spark, sfDir))
+    // dy-partitioned daily rollup: both pruning queries (static + DPP)
+    // serve reads against it
+    step("rollup layout")(graft.operators.ParsingOps.dailyRollupLayout(spark, sfDir))
+    // IVF index (quantizer training + cid-partitioned index write), so
+    // sim_knn_ivf measures the probe, not index construction
+    step("ivf") {
+      import org.apache.spark.sql.functions.col
+      graft.functions.expressions.GraftExpressions.ensureRegistered(spark)
+      graft.operators.IvfAnn.storedIndex(spark, sfDir,
+        graft.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"),
+            graft.functions.GraftFunctions.vecDouble(col("embedding")).as("v")))
+    }
+    // PQ codebooks + code table (ADC probes serve against the codes)
+    step("pq")(graft.operators.PqAnn.codeTable(spark, sfDir)
+      .write.format("noop").mode("overwrite").save())
+    // sign-LSH coded vector table (sim_knn_lsh + embedding near-dup)
+    step("lsh")(graft.operators.SimilarityOps.codedTable(spark, sfDir)
+      .write.format("noop").mode("overwrite").save())
+    // trade-graph edge/degree tables (pagerank's iteration-invariant input)
+    step("graph")(graft.operators.GraphOps.storedGraph(spark, sfDir))
+    // k-core peel rounds (the census serves counts off the stored rounds)
+    step("kcore")(graft.operators.GraphOps.storedKcore(spark, sfDir))
+    // (order, brand) basket projection shared by rel_basket_lift's consumers
+    step("basket")(graft.operators.RelationalOps.basketOb(spark, sfDir)
+      .write.format("noop").mode("overwrite").save())
+    // supplier co-occurrence pair weights (bipartite proj + neighbor jaccard)
+    step("cooc")(graft.operators.GraphOps.coocPairs(spark, sfDir)
+      .write.format("noop").mode("overwrite").save())
+    // near-dup artifacts: 4-gram shingles → verified Jaccard pairs →
+    // component labels; every dedup_* query serves from these
+    step("dedup")(graft.operators.DedupOps.componentLabels(spark, sfDir)
+      .write.format("noop").mode("overwrite").save())
+    // positioned-8-gram inverted index (dedup_dup_spans)
+    step("dup-spans")(graft.operators.DedupOps.dupSpanGrams(spark, sfDir))
+    // MinHash signature table (dedup_minhash + LSH power eval)
+    step("minhash-sig")(graft.operators.DedupOps.minhashSig(spark, sfDir)
+      .write.format("noop").mode("overwrite").save())
+    // stored base MV (mv_incremental_agg refreshes against yesterday's
+    // materialization: the query measures delta-aggregate + merge)
+    step("base-mv")(graft.operators.ParsingOps.baseOrderMv(spark, sfDir)
+      .write.format("noop").mode("overwrite").save())
+    (System.nanoTime() - t0) / 1e9
   }
 
   /** Headline queries for the stdout JSON line — one per operator family,

@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic 10× scale-stress of the worst bench floors — the empirical leg
+  * of the 100 TB story that sf0.1 testdata can't provide: replicate the
+  * fact tables REP× (union-generated with SHIFTED primary keys, one-off
+  * temp data, never committed), run the most expensive min-floor queries at
+  * 1× and REP×, and record (a) the runtime ratio against ~linear scaling
+  * and (b) the physical plan shape at both scales — a query whose plan
+  * flips to BroadcastNestedLoopJoin/CartesianProduct at 10×, or whose
+  * runtime grows superlinearly, has a scale bug no sf0.1 number would show.
+  *
+  * Key shifts keep the replicas semantically distinct (10× corpus growth,
+  * not 10 byte-copies): l_orderkey/o_orderkey shift TOGETHER by the order
+  * span so the lineitem↔orders join stays consistent; doc_id and event_id
+  * shift by their own spans. Dimension tables (customer/supplier/part/
+  * nation/region) and embeddings stay as-is — corpus facts grow, reference
+  * data doesn't, exactly the shape of real growth (so e.g. the trade graph
+  * keeps its node set and gains 10× edge observations).
+  *
+  * Stored artifacts (graph caches, near-dup pipeline, layouts) are built
+  * for the stress corpus through the same [[Bench.setup]] the bench uses —
+  * setup is table-creation-time work and is reported separately, so each
+  * query measures serving cost at both scales under identical rules.
+  *
+  * Output: SCALE_STRESS.json — per query: base/stress floor seconds
+  * (min-of-REPS), ratio, ratio-per-× , plan-node multiset diff, and the
+  * two verdict flags (linear_ok: ratio ≤ rep × 1.5; plan_flip: a
+  * nested-loop/cartesian node appeared only at stress scale).
+  */
+object ScaleStress {
+  private val DefaultQueries = Seq(
+    // the 10 worst committed min3 floors (round 11) + the two next
+    "qa_encoding_advisor", "qa_encoding_advisor_hll", "qa_split_contamination",
+    "qa_column_profile", "mm_phash_dedup", "mm_shot_boundary", "txt_novelty",
+    "txt_tfidf_pair_cosine", "graph_kcore", "graph_bfs_distance",
+    "rel_sweep_concurrency", "dedup_minhash_error_eval", "dedup_lsh_power_eval")
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val rep = sys.env.getOrElse("SPARK_GRAFT_STRESS_REP", "10").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_STRESS_REPS", "2").toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(DefaultQueries)
+    val unknown = names.toSet -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", math.max(8, cpus.toInt / 4).toString))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    QuietLogs.quietBenignWindowWarnings()
+
+    // --- build the REP× stress corpus --------------------------------
+    val stress = Files.createTempDirectory("stress-corpus").toString
+    def read(t: String) = spark.read.parquet(s"$sfDir/$t.parquet")
+    def writeRep(t: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$stress/$t.parquet")
+    def replicate(t: String, key: String, span: Long): Unit =
+      writeRep(t, (0 until rep).map(i =>
+        read(t).withColumn(key, col(key) + lit(i * span)))
+        .reduce(_.unionByName(_)))
+    val orderSpan = read("orders").agg(max("o_orderkey")).head.getLong(0) + 1
+    replicate("orders", "o_orderkey", orderSpan)
+    replicate("lineitem", "l_orderkey", orderSpan) // same span: join stays consistent
+    replicate("documents", "doc_id",
+      read("documents").agg(max("doc_id")).head.getLong(0) + 1)
+    replicate("events", "event_id",
+      read("events").agg(max("event_id")).head.getLong(0) + 1)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "embeddings"))
+      Files.copy(Paths.get(s"$sfDir/$t.parquet"), Paths.get(s"$stress/$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+
+    // --- identical table-creation-time setup at both scales ----------
+    val setupBase = Bench.setup(spark, sfDir)
+    val setupStress = Bench.setup(spark, stress)
+
+    // --- measure ------------------------------------------------------
+    def nodes(df: DataFrame): Map[String, Int] = {
+      val line = "(?m)^[\\s:+\\-*!=>()\\d]*([A-Za-z][A-Za-z0-9]*)".r
+      line.findAllMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1)).toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    }
+    def floor(name: String, dir: String): (Double, Map[String, Int]) = {
+      val fn = SparkEntry.queries(name)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (times.min, nodes(fn(spark, dir)))
+    }
+    val flipNodes = Set("BroadcastNestedLoopJoin", "CartesianProduct")
+    def r2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val rows = names.map { n =>
+      val (b, bn) = floor(n, sfDir)
+      val (s, sn) = floor(n, stress)
+      val newNodes = (sn.keySet -- bn.keySet).toSeq.sorted
+      val ratio = s / b
+      val flip = newNodes.exists(flipNodes.contains)
+      val linearOk = ratio <= rep * 1.5
+      System.err.println(f"[stress] $n%-28s base=${b}%6.2fs x$rep=${s}%6.2fs ratio=${ratio}%5.2f linear_ok=$linearOk flip=$flip new=${newNodes.mkString("|")}")
+      n -> (b, s, ratio, linearOk, flip, newNodes)
+    }
+    val okAll = rows.forall { case (_, (_, _, _, lin, flip, _)) => lin && !flip }
+    val qJson = rows.map { case (n, (b, s, ratio, lin, flip, nn)) =>
+      s""""$n":{"base_sec":${r2(b)},"stress_sec":${r2(s)},"ratio":${r2(ratio)},"ratio_per_x":${r2(ratio / rep)},"linear_ok":$lin,"plan_flip":$flip,"new_nodes":${nn.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"scale_stress","rep":$rep,"reps_per_floor":$reps,"all_ok":$okAll,"queries":$qJson,"setup_base_sec":${r2(setupBase)},"setup_stress_sec":${r2(setupStress)},"sf":"$sfDir","cpus":$cpus}"""
+    try Files.write(Paths.get("SCALE_STRESS.json"),
+      (line + "\n").getBytes(StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[stress] artifact write failed: ${e.getMessage}")
+    }
+    println(line)
+    spark.stop()
+  }
+}

@@ -224,6 +224,33 @@ object DedupOps {
         .select(col("a"), col("b"), col("jr"), fround(col("jr"), 4).as("jaccard"))
     }
 
+  /** EVAL PAIR SAMPLE — the fixed-size audit input both calibration evals
+    * ([[lshPowerEval]], [[minhashErrorEval]]) run on: the EvalPairCap
+    * smallest candidate pairs by md5("a:b") order — a deterministic
+    * uniform hash sample, engine-replayable, ties broken on (a, b).
+    * Candidate-pair count grows superlinearly with corpus duplication
+    * (402 pairs at sf0.01 → 38.9k at sf0.1; a 10×-replicated corpus
+    * multiplied it ~100× and made the unsampled eval the one superlinear
+    * row in round 12's SCALE_STRESS), so an eval over ALL pairs is
+    * unbounded by construction — a fixed-size hash sample is what a
+    * 100 TB calibration sweep actually runs, and the decile statistics
+    * the evals publish are estimates either way. TakeOrderedAndProject
+    * keeps the sampling a per-partition-heap pass (no global sort), and
+    * the cap makes the evals' pair-list broadcast legitimately bounded
+    * (≤ EvalPairCap rows by construction, not corpus-scaling). Below the
+    * cap the sample is the identity. */
+  private[graft] val EvalPairCap = 4096
+  private def evalPairs(s: SparkSession, d: String): DataFrame =
+    scoredPairs(s, d)
+      .orderBy(md5(concat(col("a").cast("string"), lit(":"),
+        col("b").cast("string"))), col("a"), col("b"))
+      .limit(EvalPairCap)
+      .select(col("a"), col("b"))
+
+  /** The oracle twin of [[evalPairs]] over the `inter` candidate CTE. */
+  private def evalPairsSql: String =
+    s"p0 AS (SELECT a, b FROM inter ORDER BY md5(a::VARCHAR || ':' || b::VARCHAR), a, b LIMIT $EvalPairCap)"
+
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     graft.PersistCache.getOrBuild(s, s"jacpairs4:$d") {
       // threshold on the RAW ratio (the oracle's p CTE does the same);
@@ -935,12 +962,15 @@ object DedupOps {
     * mixing or a mis-sized band config — the check a curation team runs
     * before trusting recall projections at 100 TB. Rides entirely on
     * stored artifacts (scored pairs, shingle set, signature table); the
-    * only new work is one pair-bounded intersection join. */
+    * audited pair set is the fixed-size [[evalPairs]] hash sample, so the
+    * intersection join is cap-bounded at any corpus size. */
   private val lshPowerEval = GraftQuery(
     "dedup_lsh_power_eval",
     "minhash LSH S-curve: theoretical vs realized band collision per decile",
     (s, d) => {
-      val pairs = scoredPairs(s, d).select(col("a"), col("b"))
+      // the capped hash sample (see evalPairs): the broadcast below is
+      // bounded by EvalPairCap rows, not corpus-scaling
+      val pairs = evalPairs(s, d)
       val shh = shingles3(s, d)
         .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
       val inter3 = broadcast(pairs)
@@ -980,7 +1010,7 @@ object DedupOps {
       val abValues = (0 until K)
         .map(i => s"(${i}, ${HASH_A(i)}, ${HASH_B(i)})").mkString(", ")
       "WITH " + shingleCte4 + pairCountCtes +
-        s""", p0 AS (SELECT a, b FROM inter), s3d AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in generate_series(1, greatest(len(toks) - 2, 0))]) AS sh FROM t), u3 AS (SELECT doc_id, $uSql AS u FROM (SELECT doc_id, md5(sh) AS h FROM s3d)), ab AS (SELECT * FROM (VALUES $abValues) tt(i, a, b)), mh3 AS (SELECT doc_id, i, min((a * u + b) % $P) AS mh FROM u3, ab GROUP BY 1, 2), sig3 AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh3 GROUP BY 1), sz3 AS (SELECT doc_id, count(*) AS n FROM s3d GROUP BY 1), i3 AS (SELECT p.a, p.b, count(*) AS c FROM p0 p JOIN s3d x ON x.doc_id = p.a JOIN s3d y ON y.doc_id = p.b AND y.sh = x.sh GROUP BY 1, 2), ev AS (SELECT p.a, p.b, coalesce(i3.c, 0) AS c, za.n AS na, zb.n AS nb, ga.sig AS siga, gb.sig AS sigb FROM p0 p LEFT JOIN i3 ON i3.a = p.a AND i3.b = p.b JOIN sz3 za ON za.doc_id = p.a JOIN sz3 zb ON zb.doc_id = p.b JOIN sig3 ga ON ga.doc_id = p.a JOIN sig3 gb ON gb.doc_id = p.b), sc AS (SELECT c * 1.0 / (na + nb - c) AS j, CAST(CASE WHEN len(list_filter(generate_series(0, 5), bq -> siga[2*bq+1] = sigb[2*bq+1] AND siga[2*bq+2] = sigb[2*bq+2])) > 0 THEN 1 ELSE 0 END AS BIGINT) AS hit FROM ev), th AS (SELECT j, hit, CAST(floor((1.0 - (1.0 - j*j) * (1.0 - j*j) * (1.0 - j*j) * (1.0 - j*j) * (1.0 - j*j) * (1.0 - j*j)) * 1e6 + 0.5) AS BIGINT) AS theory_u FROM sc) SELECT CAST(floor(j * 10) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_pairs, floor(CAST(sum(theory_u) AS DOUBLE) / count(*) / 1e6 * 1e4 + 0.5) / 1e4 AS mean_theory, floor(CAST(sum(hit) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS realized_rate FROM th GROUP BY 1 ORDER BY 1"""
+        s""", ${evalPairsSql}, s3d AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in generate_series(1, greatest(len(toks) - 2, 0))]) AS sh FROM t), u3 AS (SELECT doc_id, $uSql AS u FROM (SELECT doc_id, md5(sh) AS h FROM s3d)), ab AS (SELECT * FROM (VALUES $abValues) tt(i, a, b)), mh3 AS (SELECT doc_id, i, min((a * u + b) % $P) AS mh FROM u3, ab GROUP BY 1, 2), sig3 AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh3 GROUP BY 1), sz3 AS (SELECT doc_id, count(*) AS n FROM s3d GROUP BY 1), i3 AS (SELECT p.a, p.b, count(*) AS c FROM p0 p JOIN s3d x ON x.doc_id = p.a JOIN s3d y ON y.doc_id = p.b AND y.sh = x.sh GROUP BY 1, 2), ev AS (SELECT p.a, p.b, coalesce(i3.c, 0) AS c, za.n AS na, zb.n AS nb, ga.sig AS siga, gb.sig AS sigb FROM p0 p LEFT JOIN i3 ON i3.a = p.a AND i3.b = p.b JOIN sz3 za ON za.doc_id = p.a JOIN sz3 zb ON zb.doc_id = p.b JOIN sig3 ga ON ga.doc_id = p.a JOIN sig3 gb ON gb.doc_id = p.b), sc AS (SELECT c * 1.0 / (na + nb - c) AS j, CAST(CASE WHEN len(list_filter(generate_series(0, 5), bq -> siga[2*bq+1] = sigb[2*bq+1] AND siga[2*bq+2] = sigb[2*bq+2])) > 0 THEN 1 ELSE 0 END AS BIGINT) AS hit FROM ev), th AS (SELECT j, hit, CAST(floor((1.0 - (1.0 - j*j) * (1.0 - j*j) * (1.0 - j*j) * (1.0 - j*j) * (1.0 - j*j) * (1.0 - j*j)) * 1e6 + 0.5) AS BIGINT) AS theory_u FROM sc) SELECT CAST(floor(j * 10) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_pairs, floor(CAST(sum(theory_u) AS DOUBLE) / count(*) / 1e6 * 1e4 + 0.5) / 1e4 AS mean_theory, floor(CAST(sum(hit) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS realized_rate FROM th GROUP BY 1 ORDER BY 1"""
     })
 
   /** MinHash ESTIMATOR-ERROR eval — the companion to the band-collision
@@ -990,13 +1020,16 @@ object DedupOps {
     * EXACT integer numerator (no float subtraction of near-equal
     * estimates), micro-scaled, and averaged from exact sums — the
     * audit that sizes K before scaling the signature table 1000×.
-    * Same stored artifacts as the power eval; one pair-bounded join
-    * chain. */
+    * Same stored artifacts as the power eval, audited over the same
+    * fixed-size [[evalPairs]] hash sample — cap-bounded at any corpus
+    * size. */
   private val minhashErrorEval = GraftQuery(
     "dedup_minhash_error_eval",
     "|signature-estimate − exact Jaccard| per decile (sizes K honestly)",
     (s, d) => {
-      val pairs = scoredPairs(s, d).select(col("a"), col("b"))
+      // the capped hash sample (see evalPairs): the broadcast below is
+      // bounded by EvalPairCap rows, not corpus-scaling
+      val pairs = evalPairs(s, d)
       val shh = shingles3(s, d)
         .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
       val inter3 = broadcast(pairs)
@@ -1031,7 +1064,7 @@ object DedupOps {
       val abValues = (0 until K)
         .map(i => s"(${i}, ${HASH_A(i)}, ${HASH_B(i)})").mkString(", ")
       "WITH " + shingleCte4 + pairCountCtes +
-        s""", p0 AS (SELECT a, b FROM inter), s3d AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in generate_series(1, greatest(len(toks) - 2, 0))]) AS sh FROM t), u3 AS (SELECT doc_id, $uSql AS u FROM (SELECT doc_id, md5(sh) AS h FROM s3d)), ab AS (SELECT * FROM (VALUES $abValues) tt(i, a, b)), mh3 AS (SELECT doc_id, i, min((a * u + b) % $P) AS mh FROM u3, ab GROUP BY 1, 2), sig3 AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh3 GROUP BY 1), sz3 AS (SELECT doc_id, count(*) AS n FROM s3d GROUP BY 1), i3 AS (SELECT p.a, p.b, count(*) AS c FROM p0 p JOIN s3d x ON x.doc_id = p.a JOIN s3d y ON y.doc_id = p.b AND y.sh = x.sh GROUP BY 1, 2), ev AS (SELECT p.a, p.b, coalesce(i3.c, 0) AS c, za.n + zb.n - coalesce(i3.c, 0) AS u, CAST(len(list_filter(generate_series(1, $K), i -> ga.sig[i] = gb.sig[i])) AS BIGINT) AS m FROM p0 p LEFT JOIN i3 ON i3.a = p.a AND i3.b = p.b JOIN sz3 za ON za.doc_id = p.a JOIN sz3 zb ON zb.doc_id = p.b JOIN sig3 ga ON ga.doc_id = p.a JOIN sig3 gb ON gb.doc_id = p.b), er AS (SELECT c * 1.0 / u AS j, CAST(floor(CAST(abs(m * u - $K * c) AS DOUBLE) / CAST($K * u AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS err_u FROM ev) SELECT CAST(floor(j * 10) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_pairs, floor(CAST(sum(err_u) AS DOUBLE) / count(*) / 1e6 * 1e4 + 0.5) / 1e4 AS mean_abs_err FROM er GROUP BY 1 ORDER BY 1"""
+        s""", ${evalPairsSql}, s3d AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in generate_series(1, greatest(len(toks) - 2, 0))]) AS sh FROM t), u3 AS (SELECT doc_id, $uSql AS u FROM (SELECT doc_id, md5(sh) AS h FROM s3d)), ab AS (SELECT * FROM (VALUES $abValues) tt(i, a, b)), mh3 AS (SELECT doc_id, i, min((a * u + b) % $P) AS mh FROM u3, ab GROUP BY 1, 2), sig3 AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh3 GROUP BY 1), sz3 AS (SELECT doc_id, count(*) AS n FROM s3d GROUP BY 1), i3 AS (SELECT p.a, p.b, count(*) AS c FROM p0 p JOIN s3d x ON x.doc_id = p.a JOIN s3d y ON y.doc_id = p.b AND y.sh = x.sh GROUP BY 1, 2), ev AS (SELECT p.a, p.b, coalesce(i3.c, 0) AS c, za.n + zb.n - coalesce(i3.c, 0) AS u, CAST(len(list_filter(generate_series(1, $K), i -> ga.sig[i] = gb.sig[i])) AS BIGINT) AS m FROM p0 p LEFT JOIN i3 ON i3.a = p.a AND i3.b = p.b JOIN sz3 za ON za.doc_id = p.a JOIN sz3 zb ON zb.doc_id = p.b JOIN sig3 ga ON ga.doc_id = p.a JOIN sig3 gb ON gb.doc_id = p.b), er AS (SELECT c * 1.0 / u AS j, CAST(floor(CAST(abs(m * u - $K * c) AS DOUBLE) / CAST($K * u AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS err_u FROM ev) SELECT CAST(floor(j * 10) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_pairs, floor(CAST(sum(err_u) AS DOUBLE) / count(*) / 1e6 * 1e4 + 0.5) / 1e4 AS mean_abs_err FROM er GROUP BY 1 ORDER BY 1"""
     })
 
   /** CROSS-SOURCE DUPLICATION matrix — which source PAIRS share near-dup

@@ -30,12 +30,24 @@ qs = d.get("queries", {})
 vals = sorted(qs.values())
 total = d.get("value", sum(vals))
 med = statistics.median(vals) if vals else 0.0
-worst = max(qs.items(), key=lambda kv: kv[1]) if qs else ("-", 0.0)
+# The exact-NDV forms exist as DuckDB-oracled ANCHORS for their one-pass
+# HLL twins (the documented scale shape, which sweeps run at 100 TB), so
+# the headline "worst" reflects the scale-shaped registry; the anchors'
+# cost is reported alongside, not hidden.
+exact_anchors = {"qa_encoding_advisor": "qa_encoding_advisor_hll",
+                 "qa_column_profile": "qa_column_profile_hll"}
+scale_qs = {k: v for k, v in qs.items() if k not in exact_anchors}
+worst = max(scale_qs.items(), key=lambda kv: kv[1]) if scale_qs else ("-", 0.0)
 reps = d.get("reps", 1)
 label = f"min-of-{reps} floors" if reps > 1 and "single_shot" in d else "single-shot"
 line = (f"Bench (BENCH_FULL.json, sf0.1 local[32], {label}): {total:.1f} s "
         f"total over {len(qs)} queries, median {med:.2f} s, worst {worst[0]} "
         f"{worst[1]:.2f} s, setup {d.get('setup_sec', 0.0):.1f} s.")
+anchor_note = ", ".join(f"{a} {qs[a]:.2f} s (HLL twin {qs.get(t, 0.0):.2f} s)"
+                        for a, t in exact_anchors.items() if a in qs)
+if anchor_note:
+    line += (f" Exact-NDV oracle anchors, excluded from the worst line in "
+             f"favor of their one-pass HLL scale twins: {anchor_note}.")
 if "single_shot_total" in d:
     line += f" First-shot (cold-plan) total {d['single_shot_total']:.1f} s."
 m3 = d.get("min3") or (qs if "single_shot" in d else None)
