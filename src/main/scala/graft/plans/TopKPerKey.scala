@@ -4,13 +4,17 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection,
-  UnsafeRow}
+  Alias, Attribute, AttributeSet, BoundReference, Expression, RowOrdering,
+  SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{
+  CodeGenerator, CodegenContext, ExprCode, GenerateUnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{
   LogicalPlan, Project, Sort, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{
+  CodegenSupport, GraftSpillableRowBuffer, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetric
 
 /** WHOLE-OPERATOR custom plan (SURVEY §2.10 rung (c): LogicalPlan +
   * SparkStrategy + SparkPlan, registered via SparkSessionExtensions):
@@ -56,7 +60,8 @@ case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder],
 }
 
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, partial: Boolean, child: SparkPlan) extends SparkPlan {
+    k: Int, partial: Boolean, child: SparkPlan)
+    extends SparkPlan with CodegenSupport {
   override def output: Seq[Attribute] = child.output
   override def children: Seq[SparkPlan] = Seq(child)
   override def nodeName: String =
@@ -107,6 +112,97 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         outRows, capFlushes, _),
       preservesPartitioning = true)
   }
+
+  // ---- whole-stage codegen (PARTIAL pass only) -------------------------
+  //
+  // The partial pass sits directly on the corpus-sized scan pipeline; the
+  // round-11 A/B (BENCH_TOPK_AB.json) showed the heap beating the window
+  // plan DESPITE ending the child's WholeStageCodegen span at an iterator
+  // boundary and re-materializing every input row through it. Fusing the
+  // build INTO the child pipeline (the HashAggregate "blocking build"
+  // shape: doProduce drives the child as a generated build loop, doConsume
+  // is the per-row heap insert) removes that boundary — rows flow from the
+  // scan's generated code straight into the heap map. The FINAL pass stays
+  // on the iterator path: it sits above the exchange (already a pipeline
+  // break) over partitions·keys·k rows, where a codegen span buys nothing.
+  //
+  // The one semantic wrinkle: a blocking build can't stream cap-flushed
+  // heaps downstream mid-build the way the iterator path does, so flushes
+  // drain into a [[GraftSpillableRowBuffer]] (in-memory array → disk-
+  // spilling sorter past 4096 rows) emitted ahead of the live heaps —
+  // memory stays bounded in the high-NDV flush regime, trading the
+  // iterator path's streaming for operator-managed spill.
+
+  override def supportCodegen: Boolean = partial &&
+    conf.getConfString(TopKPerKeyExec.CodegenKey, "true").toBoolean
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  // the blocking-build contract (what BlockingOperatorWithCodegen pins for
+  // HashAggregate/Sort): children never see downstream limits or stop
+  // checks — the build consumes its whole input regardless
+  override def needStopCheck: Boolean = false
+  override def limitNotReachedChecks: Seq[String] = Nil
+  override protected def canCheckLimitNotReached: Boolean = true
+  // output rows come from reused heap/spill-buffer holders
+  override def needCopyResult: Boolean = true
+  // doConsume materializes the full row itself; don't pre-evaluate the
+  // key/order references as separate vars
+  override def usedInputs: AttributeSet = AttributeSet(Seq.empty)
+
+  private var stateTerm: String = _
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val maxKeys = conf.getConfString(TopKPerKeyExec.PartialMaxKeysKey,
+      TopKPerKeyExec.PartialMaxKeysDefault.toString).toInt
+    val factory = ctx.addReferenceObj("topkFactory",
+      TopKPerKeyExec.PartialTopKFactory(child.output, keys, order, k, maxKeys,
+        longMetric("numCapFlushes")))
+    val needInit = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN,
+      "topkNeedInit", v => s"$v = true;")
+    stateTerm = ctx.addMutableState(
+      classOf[TopKPerKeyExec.PartialTopKState].getName, "topkState")
+    val outIter = ctx.addMutableState("scala.collection.Iterator", "topkOutput")
+    val build = ctx.addNewFunction("topkBuild",
+      s"""
+         |private void topkBuild() throws java.io.IOException {
+         |  ${child.asInstanceOf[CodegenSupport].produce(ctx, this)}
+         |}
+       """.stripMargin)
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val row = ctx.freshName("topkRow")
+    val rowCls = classOf[UnsafeRow].getName
+    s"""
+       |if ($needInit) {
+       |  $needInit = false;
+       |  $stateTerm = $factory.open();
+       |  $build();
+       |  $outIter = $stateTerm.result();
+       |}
+       |while ($limitNotReachedCond $outIter.hasNext()) {
+       |  $rowCls $row = ($rowCls) $outIter.next();
+       |  $numOutput.add(1);
+       |  ${consume(ctx, null, row)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
+      row: ExprCode): String = {
+    // materialize the incoming pipeline row as an UnsafeRow for the heap
+    // insert (the SortExec doConsume pattern)
+    val colExprs = output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable) }
+    ctx.INPUT_ROW = null
+    ctx.currentVars = input
+    val unsafeRow = GenerateUnsafeProjection.createCode(ctx, colExprs)
+    s"""
+       |${unsafeRow.code}
+       |$stateTerm.add(${unsafeRow.value});
+     """.stripMargin
+  }
 }
 
 object TopKPerKeyExec {
@@ -121,6 +217,63 @@ object TopKPerKeyExec {
     * cost of a low cap is merely a less-reduced shuffle. */
   val PartialMaxKeysKey = "spark.graft.topk.partialMaxKeys"
   val PartialMaxKeysDefault: Int = 1 << 18
+
+  /** Session conf: whole-stage-codegen participation of the PARTIAL pass
+    * (A/B knob; the iterator path stays available and semantics are
+    * identical). */
+  val CodegenKey = "spark.graft.topk.codegen"
+
+  /** Serializable spec of a partial pass, opened into per-partition state
+    * from the generated init (the projection/ordering it builds are not
+    * serializable and must be constructed executor-side). */
+  final case class PartialTopKFactory(schema: Seq[Attribute],
+      keys: Seq[Expression], order: Seq[SortOrder], k: Int, maxKeys: Int,
+      capFlushes: SQLMetric) {
+    def open(): PartialTopKState = new PartialTopKState(this)
+  }
+
+  /** Per-partition heap map driven by generated code: `add` is the same
+    * insert the iterator path's [[processPartition]] performs; cap
+    * flushes drain into a disk-spilling buffer (a blocking build cannot
+    * stream them downstream), emitted by `result()` ahead of the live
+    * heaps. Rows handed to `add` are the projection's REUSED buffer —
+    * copied on insert, exactly like the iterator path. */
+  final class PartialTopKState(f: PartialTopKFactory) {
+    private val keyProj = UnsafeProjection.create(f.keys, f.schema)
+    private val rowOrd = RowOrdering.create(f.order, f.schema)
+    private implicit val heapOrd: Ordering[UnsafeRow] =
+      (a: UnsafeRow, b: UnsafeRow) => rowOrd.compare(a, b)
+    private var heaps = new java.util.HashMap[UnsafeRow,
+      scala.collection.mutable.PriorityQueue[UnsafeRow]]()
+    private lazy val flushed = new GraftSpillableRowBuffer(4096)
+    private var anyFlushed = false
+
+    def add(row: UnsafeRow): Unit = {
+      val kv = keyProj(row)
+      var h = heaps.get(kv)
+      if (h == null) {
+        h = scala.collection.mutable.PriorityQueue.empty[UnsafeRow]
+        heaps.put(kv.copy(), h)
+      }
+      if (h.size < f.k) h.enqueue(row.copy())
+      else if (rowOrd.compare(row, h.head) < 0) {
+        h.dequeue(); h.enqueue(row.copy())
+      }
+      if (heaps.size() >= f.maxKeys) {
+        f.capFlushes.add(1)
+        anyFlushed = true
+        val it = heaps.values().iterator()
+        while (it.hasNext) it.next().foreach(flushed.add)
+        heaps = new java.util.HashMap()
+      }
+    }
+
+    def result(): Iterator[UnsafeRow] = {
+      import scala.jdk.CollectionConverters._
+      val live = heaps.values().iterator().asScala.flatMap(_.iterator)
+      if (anyFlushed) flushed.iterator ++ live else live
+    }
+  }
 
   /** Static so the task closure captures only the (serializable) bound
     * expression lists — never the plan node itself. */

@@ -3,10 +3,11 @@
 # SAME declarative queries: run the bench twice — once default (the
 # WindowTopKRewrite lowers row_number()<=k to the heap operator) and once
 # with the rule excluded (the plain Window sort machinery runs) — and
-# record both min-of-REPS floors in BENCH_TOPK_AB.json. This prices the
-# operator's codegen boundary honestly: the heap exec is an interpreted
-# mapPartitions that breaks whole-stage fusion around it, so its win must
-# be measured NET of that break, not assumed from the O(n log k) argument.
+# record the min-of-REPS floors in BENCH_TOPK_AB.json. Three arms since
+# round 12: the codegen'd heap (default — the partial pass fuses into the
+# scan pipeline as a blocking build), the iterator heap
+# (spark.graft.topk.codegen=false, the round-11 shape whose win was priced
+# NET of its whole-stage-codegen break), and the excluded-rule Window plan.
 #
 # Usage: tools/bench_topk_ab.sh [sfDir] [reps]
 set -euo pipefail
@@ -35,18 +36,21 @@ run_once() { # $1 = extra conf ("" for default)
 }
 
 HEAP=$(run_once "")
+HEAP_ITER=$(run_once "spark.graft.topk.codegen=false")
 WINDOW=$(run_once "spark.sql.optimizer.excludedRules=graft.WindowTopKRewrite")
 
-python3 - "$HEAP" "$WINDOW" "$REPS" "$SF" <<'PY'
+python3 - "$HEAP" "$HEAP_ITER" "$WINDOW" "$REPS" "$SF" <<'PY'
 import json, sys
 heap = json.loads(sys.argv[1])
-window = json.loads(sys.argv[2])
-out = {"heap_min": heap, "window_min": window,
-       "reps": int(sys.argv[3]), "sf": sys.argv[4]}
+heap_iter = json.loads(sys.argv[2])
+window = json.loads(sys.argv[3])
+out = {"heap_min": heap, "heap_iter_min": heap_iter, "window_min": window,
+       "reps": int(sys.argv[4]), "sf": sys.argv[5]}
 with open("BENCH_TOPK_AB.json", "w") as f:
     json.dump(out, f, indent=1)
 for q in sorted(heap):
-    print(f"{q:<22} heap={heap[q]:.3f}s window={window.get(q, float('nan')):.3f}s")
+    print(f"{q:<22} heap_cg={heap[q]:.3f}s heap_iter={heap_iter.get(q, float('nan')):.3f}s "
+          f"window={window.get(q, float('nan')):.3f}s")
 PY
 
 echo "wrote BENCH_TOPK_AB.json (BENCH_FULL.json restored on exit)"

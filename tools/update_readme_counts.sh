@@ -90,11 +90,18 @@ try:
     h, w = ab["heap_min"], ab["window_min"]
     hs, ws = sum(h.values()), sum(w[q] for q in h)
     hw = sum(1 for q in h if h[q] < w[q])
-    line += (f" TopKPerKey codegen-boundary A/B (BENCH_TOPK_AB.json, same "
-             f"declarative queries, min-of-{ab.get('reps', 3)}): heap "
-             f"{hs:.2f} s vs excluded-rewrite window plan {ws:.2f} s "
-             f"({ws/hs:.2f}x) — the heap wins {hw}/{len(h)} net of its "
-             f"whole-stage-codegen break.")
+    line += (f" TopKPerKey A/B (BENCH_TOPK_AB.json, same declarative "
+             f"queries, min-of-{ab.get('reps', 3)}): heap {hs:.2f} s vs "
+             f"excluded-rewrite window plan {ws:.2f} s ({ws/hs:.2f}x), "
+             f"winning {hw}/{len(h)}")
+    hi = ab.get("heap_iter_min")
+    if hi:
+        his = sum(hi[q] for q in h)
+        line += (f"; the whole-stage-codegen build (round 12) accounts for "
+                 f"{his/hs:.2f}x of that over the iterator heap's "
+                 f"{his:.2f} s.")
+    else:
+        line += " net of its whole-stage-codegen break."
 except Exception:
     pass
 try:
