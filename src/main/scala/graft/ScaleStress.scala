@@ -122,7 +122,11 @@ object ScaleStress {
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"scale_stress","rep":$rep,"reps_per_floor":$reps,"all_ok":$okAll,"queries":$qJson,"setup_base_sec":${r2(setupBase)},"setup_stress_sec":${r2(setupStress)},"sf":"$sfDir","cpus":$cpus}"""
-    try Files.write(Paths.get("SCALE_STRESS.json"),
+    // a targeted re-check (SPARK_GRAFT_STRESS_ONLY) must not clobber the
+    // committed full-audit artifact — the BENCH_FULL lesson from round 11
+    val artifact = if (sys.env.contains("SPARK_GRAFT_STRESS_ONLY"))
+      "SCALE_STRESS_PARTIAL.json" else "SCALE_STRESS.json"
+    try Files.write(Paths.get(artifact),
       (line + "\n").getBytes(StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[stress] artifact write failed: ${e.getMessage}")
