@@ -47,14 +47,23 @@ final class HttpQueryServer(spark: SparkSession, dir: String) {
   import WeatherQueries._
 
   private val wq = new WeatherQueries(spark, dir)
-  private val pool = java.util.concurrent.Executors.newFixedThreadPool(
-    8,
-    (r: Runnable) => {
-      val t = new Thread(r, "graft-query-door")
-      t.setDaemon(true)
-      t
-    })
-  private implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+  private def daemonPool(name: String, n: Int) =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      n,
+      (r: Runnable) => {
+        val t = new Thread(r, name)
+        t.setDaemon(true)
+        t
+      })
+  // TWO pools, deliberately: handler threads BLOCK awaiting query futures,
+  // so if handlers and futures shared one executor, pool-many concurrent
+  // requests would all block on futures that can never get a thread — a
+  // deadlock that holds every request until the await timeout. Handlers
+  // park on httpPool; the Spark jobs always have queryPool to run on.
+  private val httpPool = daemonPool("graft-query-door-http", 8)
+  private val queryPool = daemonPool("graft-query-door-spark", 8)
+  private implicit val ec: ExecutionContext =
+    ExecutionContext.fromExecutor(queryPool)
   private val async = wq.async
 
   @volatile private var server: HttpServer = _
@@ -66,7 +75,7 @@ final class HttpQueryServer(spark: SparkSession, dir: String) {
       new InetSocketAddress(InetAddress.getLoopbackAddress, port), 0)
     // requests dispatch on the handler pool, not the accept thread, so a
     // slow Spark job can't head-of-line-block the listener
-    server.setExecutor(pool)
+    server.setExecutor(httpPool)
     server.createContext("/weather", new HttpHandler {
       override def handle(x: HttpExchange): Unit =
         try route(x)
@@ -86,7 +95,8 @@ final class HttpQueryServer(spark: SparkSession, dir: String) {
 
   def stop(): Unit = synchronized {
     if (server != null) { server.stop(0); server = null }
-    pool.shutdown()
+    httpPool.shutdown()
+    queryPool.shutdown()
   }
 
   private def route(x: HttpExchange): Unit = {
