@@ -35,11 +35,18 @@ import org.apache.spark.sql.functions._
   */
 object ScaleStress {
   private val DefaultQueries = Seq(
-    // the 10 worst committed min3 floors (round 11) + the two next
+    // tier 1: the worst committed min3 floors (round 11)
     "qa_encoding_advisor", "qa_encoding_advisor_hll", "qa_split_contamination",
     "qa_column_profile", "mm_phash_dedup", "mm_shot_boundary", "txt_novelty",
     "txt_tfidf_pair_cosine", "graph_kcore", "graph_bfs_distance",
-    "rel_sweep_concurrency", "dedup_minhash_error_eval", "dedup_lsh_power_eval")
+    "rel_sweep_concurrency", "dedup_minhash_error_eval", "dedup_lsh_power_eval",
+    // tier 2: structurally quadratic-risk families (pair machinery, skew
+    // join, iterative graph, sessionize, stratified ranking) — cheap at
+    // sf0.1, exactly where a hidden all-pairs/broadcast-OOM shape would
+    // surface at 10×
+    "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_components", "graph_pagerank", "j_skew_salted", "win_session",
+    "txt_tfidf", "samp_stratified", "evt_retention")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

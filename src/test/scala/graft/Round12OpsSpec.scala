@@ -76,6 +76,36 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("flush buffer past its 4096-row in-memory threshold (sorter leg), results exact") {
+    val fallbackKey = "spark.sql.codegen.fallback"
+    spark.conf.set(fallbackKey, "false")
+    spark.conf.set(graft.plans.TopKPerKeyExec.PartialMaxKeysKey, "8")
+    try {
+      // one partition, 5000 distinct keys, cap 8: the generated build
+      // flushes ~625 times and accumulates ~10k rows in the spill buffer —
+      // past GraftSpillableRowBuffer's 4096-row in-memory threshold, so
+      // the ExternalAppendOnlyUnsafeRowArray hands itself to its
+      // disk-spilling sorter mid-build; every row must survive the
+      // in-memory → sorter transition bit-exactly
+      val rnd = new scala.util.Random(1213L)
+      import spark.implicits._
+      val df = (1 to 10000).map { i =>
+        (rnd.nextInt(5000).toLong, i.toLong, rnd.nextInt(100000) - 50000.0)
+      }.toDF("k", "id", "v").coalesce(1)
+      val out = graft.plans.TopKPerKey.of(df,
+        Seq(col("k")), Seq(col("v").desc, col("id").asc), 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("k").orderBy(col("v").desc, col("id").asc)
+      val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out == want)
+    } finally {
+      spark.conf.unset(graft.plans.TopKPerKeyExec.PartialMaxKeysKey)
+      spark.conf.unset(fallbackKey)
+    }
+  }
+
   test("registered top-k queries ride the codegen'd partial over the parquet scan") {
     for (q <- Seq("win_topk_multikey", "w_topk_precip_perkey")) {
       if (SparkEntry.queries.contains(q)) {
