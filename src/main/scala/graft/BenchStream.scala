@@ -2,8 +2,12 @@ package graft
 
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, TimeUnit}
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
 
 /** Streaming-throughput benchmark main — the published number behind the
   * reference's integration-test floors (BASELINE.md; the reference asserts
@@ -22,13 +26,24 @@ import org.apache.spark.sql.SparkSession
   * table AND folded into both counters — the honest per-line cost, not a
   * cheapest-leg number).
   *
-  * Prints ONE JSON line and writes it to BENCH_STREAM.json:
-  * rows/s, micro-batch count, per-table row counts, and the margin over
-  * the reference floors (rows_per_sec × 60 vs 8,000; counter rows vs 500).
-  * Consistency is asserted, not assumed: raw+quarantine must account for
-  * every spooled line and the counter tables must carry the exact
-  * station-day/station-year key counts, so the artifact can't publish a
-  * rate for a run that silently dropped rows.
+  * The fan-out runs TWICE, once per state-store provider (default
+  * HDFS-backed, then RocksDB — the backend a 100 TB deployment would pick
+  * for its state size), so the artifact carries both sides of that choice.
+  * Batch accounting comes from a StreamingQueryListener, not
+  * `recentProgress` (a ring buffer capped at 100 entries that would
+  * under-report long runs — ADVICE r12), and the listener's per-batch
+  * durations yield the second latency axis next to throughput: p50/p95
+  * trigger-to-durable-commit wall time across the fan-out's non-empty
+  * micro-batches (the latency the reference's 1 s batch interval implies).
+  *
+  * Prints ONE JSON line and writes it to BENCH_STREAM.json: headline
+  * fields from the default-provider run (rows/s, micro-batch count,
+  * batch_p50_ms/batch_p95_ms, per-table row counts, margins over the
+  * reference floors) plus a `providers` map with the same measurements per
+  * provider. Consistency is asserted per run, not assumed: raw+quarantine
+  * must account for every spooled line and the counter tables must carry
+  * the exact station-day/station-year key counts, so the artifact can't
+  * publish a rate for a run that silently dropped rows.
   */
 object BenchStream {
   def main(args: Array[String]): Unit = {
@@ -67,13 +82,18 @@ object BenchStream {
       val day = d % 28 + 1
       val month = d / 28 + 1
       // deterministic pseudo-measurements; every 200th line is corrupt
-      // (short key) to keep the quarantine leg honest
+      // (short key) to keep the quarantine leg honest. Floats format
+      // under Locale.ROOT — the default-locale f-interpolator would emit
+      // comma decimals on e.g. a de_DE JVM, corrupting the 13-column wire
+      // format and tripping this run's own quarantine accounting
+      // (ADVICE r12).
       if (written % 200 == 199) {
         buf.append("garbled,line\n"); corrupt += 1
       } else {
         val t = (st * 31 + d * 7 + h) % 400 / 10.0 - 10.0
         val p = if ((st + d + h) % 3 == 0) (h % 10) / 10.0 else 0.0
-        buf.append(f"7249$st%03d:23234,2008,$month%02d,$day%02d,$h%02d,$t%.1f,-0.6,1023.8,50,7.2,2,$p%.2f,0.0%n")
+        buf.append("7249%03d:23234,2008,%02d,%02d,%02d,%.1f,-0.6,1023.8,50,7.2,2,%.2f,0.0\n"
+          .formatLocal(java.util.Locale.ROOT, st, month, day, h, t, p))
       }
       written += 1
       inFile += 1
@@ -81,37 +101,89 @@ object BenchStream {
     }
     flush()
 
+    def pct(sorted: IndexedSeq[Long], p: Double): Long =
+      if (sorted.isEmpty) 0L
+      else sorted(math.max(0, math.min(sorted.size - 1,
+        math.ceil(p * sorted.size).toInt - 1)))
+
+    final case class RunStats(wall: Double, rps: Double, batches: Int,
+        p50Ms: Long, p95Ms: Long, rawRows: Long, qRows: Long,
+        dailyRows: Long, yearRows: Long)
+
     // --- the full §3.1 fan-out over the spool, several micro-batches ----
-    val out = Files.createTempDirectory("stream-bench-out").toString
-    val lines = spark.readStream
-      .option("maxFilesPerTrigger", filesPerTrigger)
-      .text(spool.toString)
-    val t0 = System.nanoTime()
-    val run = graft.streaming.WeatherIngest.start(lines,
-      s"$out/raw", s"$out/quarantine", s"$out/ckpt", s"$out/tables")
-    run.awaitAll()
-    val wall = (System.nanoTime() - t0) / 1e9
+    def runOnce(provider: String): RunStats = {
+      val out = Files.createTempDirectory(s"stream-bench-out-$provider").toString
+      if (provider == "rocksdb")
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      else
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      // (queryId, inputRows, batchDuration ms) per progress event; batch
+      // counts and latency percentiles derive from this, uncapped. The
+      // latch keys off the FOUR termination events — the listener bus is
+      // FIFO per emitter, so once all four have terminated every progress
+      // event is guaranteed delivered (no sleep-and-hope drain).
+      val progresses = new ConcurrentLinkedQueue[(java.util.UUID, Long, Long)]()
+      val done = new CountDownLatch(4)
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit =
+          progresses.add((e.progress.id, e.progress.numInputRows,
+            e.progress.batchDuration))
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+          done.countDown()
+      }
+      spark.streams.addListener(listener)
+      try {
+        val lines = spark.readStream
+          .option("maxFilesPerTrigger", filesPerTrigger)
+          .text(spool.toString)
+        val t0 = System.nanoTime()
+        val run = graft.streaming.WeatherIngest.start(lines,
+          s"$out/raw", s"$out/quarantine", s"$out/ckpt", s"$out/tables")
+        run.awaitAll()
+        val wall = (System.nanoTime() - t0) / 1e9
+        require(done.await(60, TimeUnit.SECONDS),
+          "listener never saw all four query terminations")
 
-    // --- account for every line; then publish the rate ------------------
-    val rawRows = spark.read.parquet(s"$out/raw").count()
-    val qRows = spark.read.parquet(s"$out/quarantine").count()
-    val dailyRows = run.dailySink.read(spark).count()
-    val yearRows = run.yearSink.read(spark).count()
-    val microBatches = run.raw.recentProgress.count(_.numInputRows > 0)
-    val expectDaily = // distinct (wsid, y, m, d) among VALID lines
-      spark.read.parquet(s"$out/raw").select("wsid", "year", "month", "day")
-        .distinct().count()
-    require(rawRows + qRows == written,
-      s"lost lines: raw=$rawRows + quarantine=$qRows != spooled=$written")
-    require(qRows == corrupt, s"quarantine=$qRows != corrupt=$corrupt")
-    require(dailyRows == expectDaily,
-      s"daily counter rows=$dailyRows != distinct station-days=$expectDaily")
-    require(yearRows == nStations, s"year counter rows=$yearRows != $nStations")
+        // --- account for every line; then publish the rate --------------
+        val rawRows = spark.read.parquet(s"$out/raw").count()
+        val qRows = spark.read.parquet(s"$out/quarantine").count()
+        val dailyRows = run.dailySink.read(spark).count()
+        val yearRows = run.yearSink.read(spark).count()
+        val ps = progresses.asScala.toVector
+        val rawId = run.raw.id
+        val microBatches = ps.count { case (id, rows, _) => id == rawId && rows > 0 }
+        val durs = ps.collect { case (_, rows, d) if rows > 0 => d }.sorted
+        val expectDaily = // distinct (wsid, y, m, d) among VALID lines
+          spark.read.parquet(s"$out/raw").select("wsid", "year", "month", "day")
+            .distinct().count()
+        require(rawRows + qRows == written,
+          s"lost lines: raw=$rawRows + quarantine=$qRows != spooled=$written")
+        require(qRows == corrupt, s"quarantine=$qRows != corrupt=$corrupt")
+        require(dailyRows == expectDaily,
+          s"daily counter rows=$dailyRows != distinct station-days=$expectDaily")
+        require(yearRows == nStations, s"year counter rows=$yearRows != $nStations")
+        RunStats(wall, written / wall, microBatches,
+          pct(durs, 0.5), pct(durs, 0.95), rawRows, qRows, dailyRows, yearRows)
+      } finally spark.streams.removeListener(listener)
+    }
 
-    val rps = written / wall
+    val byProvider = Seq("hdfs", "rocksdb").map { pr =>
+      val st = runOnce(pr)
+      System.err.println(f"[bench-stream] $pr%-8s ${st.rps}%8.1f rows/s over ${st.batches} micro-batches, p50=${st.p50Ms} ms p95=${st.p95Ms} ms")
+      pr -> st
+    }
+    val head = byProvider.head._2 // hdfs: the headline (back-compat) fields
+
     def r1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    def provJson(st: RunStats): String =
+      s"""{"value":${r1(st.rps)},"wall_sec":${r1(st.wall)},"micro_batches":${st.batches},"batch_p50_ms":${st.p50Ms},"batch_p95_ms":${st.p95Ms}}"""
     val line =
-      s"""{"metric":"stream_rows_per_sec","value":${r1(rps)},"unit":"rows/sec","lines":$written,"wall_sec":${r1(wall)},"micro_batches":$microBatches,"raw_rows":$rawRows,"quarantine_rows":$qRows,"daily_counter_rows":$dailyRows,"year_counter_rows":$yearRows,"ref_floor_ingest_rows_60s":8000,"ref_floor_counter_rows_60s":500,"ingest_floor_margin_x":${r1(rps * 60 / 8000)},"counter_floor_margin_x":${r1(dailyRows * math.min(1.0, 60.0 / wall) / 500)},"cpus":$cpus}"""
+      s"""{"metric":"stream_rows_per_sec","value":${r1(head.rps)},"unit":"rows/sec","lines":$written,"wall_sec":${r1(head.wall)},"micro_batches":${head.batches},"batch_p50_ms":${head.p50Ms},"batch_p95_ms":${head.p95Ms},"raw_rows":${head.rawRows},"quarantine_rows":${head.qRows},"daily_counter_rows":${head.dailyRows},"year_counter_rows":${head.yearRows},"ref_floor_ingest_rows_60s":8000,"ref_floor_counter_rows_60s":500,"ingest_floor_margin_x":${r1(head.rps * 60 / 8000)},"counter_floor_margin_x":${r1(head.dailyRows * math.min(1.0, 60.0 / head.wall) / 500)},"providers":${byProvider.map { case (p, st) => s""""$p":${provJson(st)}""" }.mkString("{", ",", "}")},"cpus":$cpus}"""
     try Files.write(Paths.get("BENCH_STREAM.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8))
     catch { case e: Throwable =>

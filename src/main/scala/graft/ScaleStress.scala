@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   *
   * Key shifts keep the replicas semantically distinct (10× corpus growth,
   * not 10 byte-copies): l_orderkey/o_orderkey shift TOGETHER by the order
-  * span so the lineitem↔orders join stays consistent; doc_id and event_id
-  * shift by their own spans. Dimension tables (customer/supplier/part/
+  * span so the lineitem↔orders join stays consistent; doc_id shifts by its
+  * own span; events shift event_id, user_id AND the clock (see the inline
+  * note — 10× keyed-state NDV, constant temporal density).
+  * Dimension tables (customer/supplier/part/
   * nation/region) and embeddings stay as-is — corpus facts grow, reference
   * data doesn't, exactly the shape of real growth (so e.g. the trade graph
   * keeps its node set and gains 10× edge observations).
@@ -46,7 +48,13 @@ object ScaleStress {
     // surface at 10×
     "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_components", "graph_pagerank", "j_skew_salted", "win_session",
-    "txt_tfidf", "samp_stratified", "evt_retention")
+    "txt_tfidf", "samp_stratified", "evt_retention",
+    // tier 3 (round 13): the custom-plan / optimizer-rule surfaces under
+    // growth — the heap top-k lowering with its codegen build (run in the
+    // cap-flush regime, see the partialMaxKeys config below), the native
+    // TopKPerKey spelling, and the band-join rewrite's bucket fan-out
+    // under 10x event density
+    "win_topk_auto", "rel_topk_native", "j_band_timestamp")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -68,6 +76,14 @@ object ScaleStress {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "30s")
+      // run the top-k partial pass in its FLUSH-DEGRADED regime: the
+      // default 256k key cap never fills at these corpus sizes, so without
+      // this the stress run would certify a code path (heap-map flush →
+      // spillable buffer → final re-merge) that 100 TB NDV actually
+      // exercises. 4096 guarantees real flushes at both scales; the
+      // numCapFlushes metric is read back into the artifact as proof.
+      .config(graft.plans.TopKPerKeyExec.PartialMaxKeysKey,
+        sys.env.getOrElse("SPARK_GRAFT_STRESS_TOPK_CAP", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     QuietLogs.quietBenignWindowWarnings()
@@ -86,8 +102,26 @@ object ScaleStress {
     replicate("lineitem", "l_orderkey", orderSpan) // same span: join stays consistent
     replicate("documents", "doc_id",
       read("documents").agg(max("doc_id")).head.getLong(0) + 1)
-    replicate("events", "event_id",
-      read("events").agg(max("event_id")).head.getLong(0) + 1)
+    // events replicas shift EVERY growth-relevant axis (round 13): the
+    // event key, the user key (so keyed-state NDV — sessionize windows,
+    // top-k heap maps — genuinely grows 10x, not just 10x rows over the
+    // same keys), and the CLOCK (each replica lands in its own disjoint
+    // time window, so temporal density stays constant — real growth is
+    // new users in new time, and without the shift a time-band self-join
+    // would quadratically inter-match byte-identical replica timestamps,
+    // a corpus-construction artifact rather than a plan property).
+    val ev = read("events")
+      .agg(max("event_id"), max("user_id"), datediff(max("ts"), min("ts")))
+      .head
+    val evSpan = ev.getLong(0) + 1
+    val userSpan = ev.getLong(1) + 1
+    val daySpan = ev.getInt(2).toLong + 2
+    writeRep("events", (0 until rep).map { i =>
+      read("events")
+        .withColumn("event_id", col("event_id") + lit(i * evSpan))
+        .withColumn("user_id", col("user_id") + lit(i * userSpan))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * daySpan} DAYS"))
+    }.reduce(_.unionByName(_)))
     for (t <- Seq("region", "nation", "customer", "supplier", "part", "embeddings"))
       Files.copy(Paths.get(s"$sfDir/$t.parquet"), Paths.get(s"$stress/$t.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
@@ -102,30 +136,61 @@ object ScaleStress {
       line.findAllMatchIn(df.queryExecution.executedPlan.toString)
         .map(_.group(1)).toSeq.groupBy(identity).view.mapValues(_.size).toMap
     }
-    def floor(name: String, dir: String): (Double, Map[String, Int]) = {
+    // sum of the TopKPerKeyPartial numCapFlushes metric across the plan
+    // (descending through AQE wrappers) — the proof the stress run
+    // exercised the heap map's flush→spill-buffer regime, not just the
+    // never-fills happy path
+    def capFlushes(plan: org.apache.spark.sql.execution.SparkPlan): Long = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      var sum = 0L
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case t: graft.plans.TopKPerKeyExec if t.partial =>
+            sum += t.metrics("numCapFlushes").value
+          case _ =>
+        }
+        p.children.foreach(walk)
+      }
+      walk(plan)
+      sum
+    }
+    def floor(name: String, dir: String): (Double, Map[String, Int], Long) = {
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      (times.min, nodes(fn(spark, dir)))
+      // Plan-shape evidence must come from an EXECUTED QueryExecution
+      // (ADVICE r12): under AQE a never-executed plan prints the INITIAL
+      // plan, hiding exactly the nested-loop flips this flag exists to
+      // catch (and the noop writes above run their own separate command
+      // QueryExecutions). toRdd.foreach executes THIS QueryExecution —
+      // finalizing its adaptive stages — without collecting rows to the
+      // driver, so the capture stays safe at any output size.
+      val df = fn(spark, dir)
+      df.queryExecution.toRdd.foreach(_ => ())
+      (times.min, nodes(df), capFlushes(df.queryExecution.executedPlan))
     }
     val flipNodes = Set("BroadcastNestedLoopJoin", "CartesianProduct")
     def r2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val rows = names.map { n =>
-      val (b, bn) = floor(n, sfDir)
-      val (s, sn) = floor(n, stress)
+      val (b, bn, bcf) = floor(n, sfDir)
+      val (s, sn, scf) = floor(n, stress)
       val newNodes = (sn.keySet -- bn.keySet).toSeq.sorted
       val ratio = s / b
       val flip = newNodes.exists(flipNodes.contains)
       val linearOk = ratio <= rep * 1.5
-      System.err.println(f"[stress] $n%-28s base=${b}%6.2fs x$rep=${s}%6.2fs ratio=${ratio}%5.2f linear_ok=$linearOk flip=$flip new=${newNodes.mkString("|")}")
-      n -> (b, s, ratio, linearOk, flip, newNodes)
+      System.err.println(f"[stress] $n%-28s base=${b}%6.2fs x$rep=${s}%6.2fs ratio=${ratio}%5.2f linear_ok=$linearOk flip=$flip capflush=$bcf/$scf new=${newNodes.mkString("|")}")
+      n -> (b, s, ratio, linearOk, flip, newNodes, bcf, scf)
     }
-    val okAll = rows.forall { case (_, (_, _, _, lin, flip, _)) => lin && !flip }
-    val qJson = rows.map { case (n, (b, s, ratio, lin, flip, nn)) =>
-      s""""$n":{"base_sec":${r2(b)},"stress_sec":${r2(s)},"ratio":${r2(ratio)},"ratio_per_x":${r2(ratio / rep)},"linear_ok":$lin,"plan_flip":$flip,"new_nodes":${nn.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    val okAll = rows.forall { case (_, (_, _, _, lin, flip, _, _, _)) => lin && !flip }
+    val qJson = rows.map { case (n, (b, s, ratio, lin, flip, nn, bcf, scf)) =>
+      val cf = if (bcf > 0 || scf > 0)
+        s""","cap_flushes_base":$bcf,"cap_flushes_stress":$scf""" else ""
+      s""""$n":{"base_sec":${r2(b)},"stress_sec":${r2(s)},"ratio":${r2(ratio)},"ratio_per_x":${r2(ratio / rep)},"linear_ok":$lin,"plan_flip":$flip,"new_nodes":${nn.map("\"" + _ + "\"").mkString("[", ",", "]")}$cf}"""
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"scale_stress","rep":$rep,"reps_per_floor":$reps,"all_ok":$okAll,"queries":$qJson,"setup_base_sec":${r2(setupBase)},"setup_stress_sec":${r2(setupStress)},"sf":"$sfDir","cpus":$cpus}"""

@@ -97,6 +97,11 @@ final class HttpQueryServer(spark: SparkSession, dir: String) {
     if (server != null) { server.stop(0); server = null }
     httpPool.shutdown()
     queryPool.shutdown()
+    // drain in-flight queries before returning: a stop racing a running
+    // query would otherwise log a rejected-execution from the dying pool
+    // (daemon pools, so a stuck query can't wedge JVM exit either way)
+    httpPool.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
+    queryPool.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
   }
 
   private def route(x: HttpExchange): Unit = {

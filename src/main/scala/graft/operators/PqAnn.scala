@@ -217,11 +217,17 @@ object PqAnn {
     * means r9-rounded; the ADC sum replays the Spark fold's m-ascending
     * order via list_sum(list(... ORDER BY m)) so even the 8-term summation
     * order matches; ranking = floor(ad2*1e6) ASC, n_id (the query's rule). */
-  private lazy val pqOracleSql: String = {
-    def dot(a: String, b: String) = s"list_sum([p[1]*p[2] for p in list_zip($a, $b)])"
-    def sq(a: String) = s"list_sum([x*x for x in $a])"
-    def d2r(v: String, cv: String) =
-      s"floor((${sq(v)} - 2*${dot(v, cv)} + ${sq(cv)}) * 1e6 + 0.5) / 1e6"
+  private def dot(a: String, b: String) = s"list_sum([p[1]*p[2] for p in list_zip($a, $b)])"
+  private def sq(a: String) = s"list_sum([x*x for x in $a])"
+  private def d2r(v: String, cv: String) =
+    s"floor((${sq(v)} - 2*${dot(v, cv)} + ${sq(cv)}) * 1e6 + 0.5) / 1e6"
+
+  /** The shared DuckDB train-replay CTE chain (unit vectors → subvectors →
+    * hash sample → seeds → ITERS unrolled k-means rounds, final codebooks
+    * in `c$ITERS`) — the prefix both [[pqOracleSql]] and
+    * [[distortionOracleSql]] build on, so the two oracles can never train
+    * divergent codebooks. */
+  private lazy val trainReplayCtes: String = {
     def assignCte(src: String, cents: String, name: String) =
       s"$name AS (SELECT vec_id, m, sv, cid FROM (SELECT t.vec_id, t.m, t.sv, c.cid, " +
         s"row_number() OVER (PARTITION BY t.vec_id, t.m ORDER BY ${d2r("t.sv", "c.cv")}, c.cid) AS rn " +
@@ -236,19 +242,26 @@ object PqAnn {
         meansCte(s"a$i", s"c${i - 1}", s"c$i", s"m$i"))
     }.mkString(", ")
     val hash = graft.functions.GraftFunctions.md5u32Sql("md5(vec_id::VARCHAR)")
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS raw FROM embeddings), u AS (SELECT vec_id, list_transform(raw, x -> x / sqrt(${sq("raw")})) AS v FROM e), msub AS (SELECT vec_id, g.m, list_slice(v, g.m * $SUBDIM + 1, g.m * $SUBDIM + $SUBDIM) AS sv FROM u CROSS JOIN generate_series(0, ${M - 1}) g(m)), sub AS (SELECT vec_id, m, sv FROM msub WHERE $hash % 4 = 0), c0 AS (SELECT m, CAST(rn - 1 AS INTEGER) AS cid, sv AS cv FROM (SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY md5(vec_id::VARCHAR)) AS rn FROM sub) WHERE rn <= $KC), $iters, codes AS (SELECT vec_id, m, cid FROM (SELECT t.vec_id, t.m, c.cid, row_number() OVER (PARTITION BY t.vec_id, t.m ORDER BY ${d2r("t.sv", "c.cv")}, c.cid) AS rn FROM msub t JOIN c$ITERS c ON c.m = t.m) WHERE rn = 1), qsub AS (SELECT vec_id AS q_id, m, sv AS qsv FROM msub WHERE vec_id % 50 = 0), lut AS (SELECT q.q_id, c.m, c.cid, list_sum([(p[1] - p[2]) * (p[1] - p[2]) for p in list_zip(q.qsv, c.cv)]) AS ld2 FROM qsub q JOIN c$ITERS c ON c.m = q.m), adc AS (SELECT l.q_id, k.vec_id, list_sum(list(l.ld2 ORDER BY l.m)) AS ad2 FROM codes k JOIN lut l ON l.m = k.m AND l.cid = k.cid AND l.q_id <> k.vec_id GROUP BY l.q_id, k.vec_id) SELECT q_id, vec_id AS n_id, floor(ad2 * 10000.0 + 0.5) / 10000.0 AS ad2, CAST(rnk AS INTEGER) AS rnk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY floor(ad2 * 1000000.0 + 0.5) ASC, vec_id) AS rnk FROM adc) WHERE rnk <= 3 ORDER BY q_id, rnk"""
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS raw FROM embeddings), u AS (SELECT vec_id, list_transform(raw, x -> x / sqrt(${sq("raw")})) AS v FROM e), msub AS (SELECT vec_id, g.m, list_slice(v, g.m * $SUBDIM + 1, g.m * $SUBDIM + $SUBDIM) AS sv FROM u CROSS JOIN generate_series(0, ${M - 1}) g(m)), sub AS (SELECT vec_id, m, sv FROM msub WHERE $hash % 4 = 0), c0 AS (SELECT m, CAST(rn - 1 AS INTEGER) AS cid, sv AS cv FROM (SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY md5(vec_id::VARCHAR)) AS rn FROM sub) WHERE rn <= $KC), $iters"""
   }
+
+  private lazy val pqOracleSql: String =
+    s"""WITH $trainReplayCtes, codes AS (SELECT vec_id, m, cid FROM (SELECT t.vec_id, t.m, c.cid, row_number() OVER (PARTITION BY t.vec_id, t.m ORDER BY ${d2r("t.sv", "c.cv")}, c.cid) AS rn FROM msub t JOIN c$ITERS c ON c.m = t.m) WHERE rn = 1), qsub AS (SELECT vec_id AS q_id, m, sv AS qsv FROM msub WHERE vec_id % 50 = 0), lut AS (SELECT q.q_id, c.m, c.cid, list_sum([(p[1] - p[2]) * (p[1] - p[2]) for p in list_zip(q.qsv, c.cv)]) AS ld2 FROM qsub q JOIN c$ITERS c ON c.m = q.m), adc AS (SELECT l.q_id, k.vec_id, list_sum(list(l.ld2 ORDER BY l.m)) AS ad2 FROM codes k JOIN lut l ON l.m = k.m AND l.cid = k.cid AND l.q_id <> k.vec_id GROUP BY l.q_id, k.vec_id) SELECT q_id, vec_id AS n_id, floor(ad2 * 10000.0 + 0.5) / 10000.0 AS ad2, CAST(rnk AS INTEGER) AS rnk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY floor(ad2 * 1000000.0 + 0.5) ASC, vec_id) AS rnk FROM adc) WHERE rnk <= 3 ORDER BY q_id, rnk"""
 
   /** PQ RECONSTRUCTION DISTORTION per subspace — the quality audit that
     * decides whether the compressed index is servable (high distortion in
     * a subspace means its codebook under-fits): for every vector and
     * subspace, the squared distance to its ASSIGNED centroid (the exact
     * quantization error ADC search incurs), rolled up to per-subspace
-    * MSE/max. No oracle: the codebooks are engine-trained (same
-    * declared-spec status as sim_knn_pq); determinism still holds — each
-    * error is a fixed fold over the sorted centroid list, floored to
-    * nano-units before the EXACT integer rollup. Scale: one
-    * subvector-explode pass against the broadcast model. */
+    * MSE/max. ORACLED since round 13 (previously Round7OpsSpec-bounded):
+    * the per-row error is defined as the MINIMUM 1e-6-rounded squared
+    * distance over the subspace's codebook — exactly the assignment rule
+    * [[bestCid]]/the encode replay already use, with the argmin dropped
+    * (ties at the 1e-6 grid yield the same error either way) — floored to
+    * micro-units before the EXACT integer rollup, so
+    * [[distortionOracleSql]] replays train → error → rollup end-to-end on
+    * the shared [[trainReplayCtes]]. Scale: one subvector-explode pass
+    * against the broadcast model. */
   private val distortion: GraftQuery = GraftQuery(
     "emb_pq_distortion",
     s"PQ quantization error per subspace ($M×$KC codebooks): MSE + worst case",
@@ -259,26 +272,35 @@ object PqAnn {
           transform(sequence(lit(0), lit(M - 1)),
             m => slice(col("v"), m * SUBDIM + 1, lit(SUBDIM)))).as(Seq("m", "sv")))
       val dss = call_function("graft_dot", col("sv"), col("sv"))
-      val d2 = aggregate(
+      // min over the subspace's centroids of the 1e-6-rounded d2 — the
+      // same rounded-compare contract as bestCid, minus the argmin
+      val d2min = aggregate(
         col("cents"),
-        struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cid")),
+        lit(Double.MaxValue),
         (acc, c) => {
-          val dd = dss - lit(2.0) * call_function("graft_dot", col("sv"), c.getField("cv")) +
-            c.getField("cc")
-          when(c.getField("m") === col("m") && dd < acc.getField("d2"),
-            struct(dd.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
-        }).getField("d2")
+          val dd = fround(
+            dss - lit(2.0) * call_function("graft_dot", col("sv"), c.getField("cv")) +
+              c.getField("cc"), 6)
+          when(c.getField("m") === col("m") && dd < acc, dd).otherwise(acc)
+        })
       sub.crossJoin(broadcast(modelDf(s, model)))
         .select(col("m"),
-          floor(greatest(d2, lit(0.0)) * 1e9 + 0.5).cast("long").as("d2n"))
+          greatest(floor(d2min * 1e6 + 0.5).cast("long"), lit(0L)).as("d2n"))
         .groupBy("m")
         .agg(count(lit(1)).as("n_vecs"), sum("d2n").as("sn"), max("d2n").as("mx"))
         .select(col("m").as("subspace"), col("n_vecs"),
-          fround(col("sn").cast("double") / (col("n_vecs") * 1e9), 6).as("mse"),
-          fround(col("mx").cast("double") / 1e9, 6).as("max_d2"))
+          fround(col("sn").cast("double") / (col("n_vecs") * 1e6), 6).as("mse"),
+          fround(col("mx").cast("double") / 1e6, 6).as("max_d2"))
         .orderBy("subspace")
     },
-    None, boundedBy = Some("Round7OpsSpec"))
+    Some(distortionOracleSql))
+
+  /** DuckDB replay of the distortion audit over the SAME trained
+    * codebooks as [[pqOracleSql]]: per (vec_id, m) the min 1e-6-rounded
+    * d2 in micro-units (clamped at 0 like the query), then the exact
+    * integer per-subspace rollup. */
+  private lazy val distortionOracleSql: String =
+    s"""WITH $trainReplayCtes, err AS (SELECT t.vec_id, t.m, greatest(min(CAST(floor((${sq("t.sv")} - 2*${dot("t.sv", "c.cv")} + ${sq("c.cv")}) * 1e6 + 0.5) AS BIGINT)), 0) AS dn FROM msub t JOIN c$ITERS c ON c.m = t.m GROUP BY 1, 2) SELECT CAST(m AS INTEGER) AS subspace, count(*) AS n_vecs, floor(CAST(sum(dn) AS DOUBLE) / (count(*) * 1e6) * 1e6 + 0.5) / 1e6 AS mse, floor(CAST(max(dn) AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS max_d2 FROM err GROUP BY 1 ORDER BY 1"""
 
   val all: Seq[GraftQuery] = Seq(query, distortion)
 }

@@ -105,6 +105,34 @@ object WeatherOps {
       .orderBy(desc("precip"), col("user_id"), col("dy")),
     Some("""SELECT user_id, dy, floor(CAST(p AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS precip FROM (SELECT user_id, CAST(ts AS DATE) AS dy, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS p FROM events WHERE event_type = 'purchase' GROUP BY 1, 2 ORDER BY p DESC, user_id, dy LIMIT 10) ORDER BY precip DESC, user_id, dy"""))
 
+  /** PER-STATION top-k daily totals — the reference's A4 top-k
+    * (PrecipitationActor.scala:47-55) in its per-station window form:
+    * instead of one global top-10, every station keeps its own 3 wettest
+    * days. Spelled DECLARATIVELY (row_number over the daily rollup,
+    * filtered and dropped) so [[graft.WindowTopKRewrite]] lowers it to the
+    * bounded-heap TopKPerKey operator, whose partial pass fuses into the
+    * aggregate's whole-stage-codegen span (plan-asserted in
+    * Round12OpsSpec). Scale: the heap rides the map-side output of the
+    * (station, day) aggregate — O(n log k) per partition, no per-group
+    * sort, and the shuffle carries at most k rows per (station, partition). */
+  private val topKPerStation = GraftQuery(
+    "w_topk_precip_perkey",
+    "A4/O2 per-station top-3 precip days via the auto-lowered heap operator",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("dy"))
+        .agg(sum(graft.functions.GraftFunctions.centi(col("value"))).as("p"))
+      val w = Window.partitionBy("user_id").orderBy(desc("p"), col("dy"))
+      daily.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .drop("rn")
+        .select(col("user_id"), col("dy"),
+          fround(col("p").cast("double") / 100.0, 2).as("precip"))
+        .orderBy("user_id", "dy")
+    },
+    Some("""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS dy, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS p FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), rk AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY p DESC, dy) AS rn FROM daily) SELECT user_id, dy, floor(CAST(p AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0 AS precip FROM rk WHERE rn <= 3 ORDER BY user_id, dy"""))
+
   /** Latest reading per station (ref WeatherStationActor.scala:43-48 relies
     * on Cassandra DESC clustering; here the ordering is explicit — SURVEY §1.4).
     * event_id is monotone in ts, so ordering by it avoids the ns-vs-µs
@@ -224,7 +252,7 @@ object WeatherOps {
     Some("""WITH sky(code, condition) AS (VALUES (0, 'None, SKC or CLR'), (1, 'One okta - 1/10 or less but not zero'), (2, 'Two oktas - 2/10 - 3/10, or FEW'), (3, 'Three oktas - 4/10'), (4, 'Four oktas - 5/10, or SCT'), (5, 'Five oktas - 6/10'), (6, 'Six oktas - 7/10 - 8/10'), (7, 'Seven oktas - 9/10 or more but not 10/10, or BKN'), (8, 'Eight oktas - 10/10, or OVC'), (9, 'Sky obscured, or cloud amount cannot be estimated'), (10, 'Partial obscuration 11: Thin scattered'), (12, 'Scattered'), (13, 'Dark scattered'), (14, 'Thin broken 15: Broken'), (16, 'Dark broken 17: Thin overcast 18: Overcast'), (19, 'Dark overcast')) SELECT CAST(sky.code AS BIGINT) AS code, sky.condition, count(*) AS cnt FROM (SELECT event_id % 20 AS code FROM events) e JOIN sky ON e.code = sky.code GROUP BY 1, 2 ORDER BY 1"""))
 
   val all: Seq[GraftQuery] = Seq(
-    dailyStats, monthlyHiLow, annualSum, topK, latest,
+    dailyStats, monthlyHiLow, annualSum, topK, topKPerStation, latest,
     stationInfo, enrichedAgg, countRaw, distinctUsers, dailyCounter,
     skyLookup)
 }

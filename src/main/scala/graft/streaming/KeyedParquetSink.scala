@@ -42,6 +42,13 @@ final class KeyedParquetSink(val tableDir: String, keyCols: Seq[String],
     maxBatchKeys: Long = KeyedParquetSink.DefaultMaxBatchKeys)
     extends Serializable {
 
+  // the width probe materializes maxBatchKeys + 1 as an Int limit(); the
+  // Long-ranged parameter exists for ergonomic call sites, not for caps
+  // past Int.MaxValue (a limit() can't express those anyway)
+  require(maxBatchKeys < Int.MaxValue,
+    s"maxBatchKeys must be < Int.MaxValue (got $maxBatchKeys); " +
+      "use <= 0 to disable the batch-width guard instead")
+
   private val bucketCol = "kb"
 
   private def fs(spark: SparkSession) =

@@ -128,4 +128,34 @@ class HttpQuerySpec extends AnyFunSuite {
         s"16 identical GETs ran ${after - before} Spark jobs — coalescing broken")
     } finally door.stop()
   }
+
+  test("saturation: 12 concurrent DISTINCT queries can't starve the query pool (156b47c anti-regression)") {
+    // The round-12 deadlock shape: handler threads BLOCK awaiting query
+    // futures, so with a single shared 8-thread pool, >8 concurrent
+    // DISTINCT requests (distinct keys → zero coalescing; each runs a real
+    // Spark job) would park every pool thread on a future that can never
+    // be scheduled, and all of them would ride the 120 s await timeout.
+    // With the two-pool split they must ALL complete far under it — the
+    // wall-clock bound is the regression detector, generous enough for a
+    // loaded CI host yet an order of magnitude under the deadlock's floor.
+    val door = new HttpQueryServer(spark, sf)
+    val port = door.start()
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(12)
+      val t0 = System.nanoTime()
+      val tasks = (1 to 12).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = get(port, s"/weather/current?station=$i").statusCode()
+        })
+      }
+      val codes = tasks.map(_.get())
+      pool.shutdown()
+      val wall = (System.nanoTime() - t0) / 1e9
+      assert(codes.forall(c => c == 200 || c == 404),
+        s"unexpected status in $codes")
+      assert(codes.contains(200), "at least one station must resolve")
+      assert(wall < 90.0,
+        f"12 distinct concurrent GETs took $wall%.1f s — handler/query pool starvation?")
+    } finally door.stop()
+  }
 }

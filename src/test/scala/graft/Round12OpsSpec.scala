@@ -107,15 +107,20 @@ class Round12OpsSpec extends AnyFunSuite {
   }
 
   test("registered top-k queries ride the codegen'd partial over the parquet scan") {
+    // fail-loud on BOTH axes: an unknown name and a missing lowering each
+    // make the sweep vacuous (the round-12 version silently skipped a
+    // misspelled query, exactly the assertion rot Bench's BENCH_ONLY guard
+    // exists to prevent)
     for (q <- Seq("win_topk_multikey", "w_topk_precip_perkey")) {
-      if (SparkEntry.queries.contains(q)) {
-        val d = run(q)
-        d.collect() // executes THIS QueryExecution, finalizing AQE's stages
-        val p = d.queryExecution.executedPlan.toString
-        if (p.contains("TopKPerKeyPartial"))
-          assert("""\*\(\d+\) TopKPerKeyPartial""".r.findFirstIn(p).isDefined,
-            s"$q partial pass fell out of codegen:\n${p.take(2000)}")
-      }
+      assert(SparkEntry.queries.contains(q),
+        s"codegen sweep names unregistered query '$q' — fix the list")
+      val d = run(q)
+      d.collect() // executes THIS QueryExecution, finalizing AQE's stages
+      val p = d.queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerKeyPartial"),
+        s"$q no longer lowers to the heap operator:\n${p.take(2000)}")
+      assert("""\*\(\d+\) TopKPerKeyPartial""".r.findFirstIn(p).isDefined,
+        s"$q partial pass fell out of codegen:\n${p.take(2000)}")
     }
   }
 }

@@ -50,6 +50,18 @@ if anchor_note:
              f"favor of their one-pass HLL scale twins: {anchor_note}.")
 if "single_shot_total" in d:
     line += f" First-shot (cold-plan) total {d['single_shot_total']:.1f} s."
+# Registry growth guard: with ~0.3 s of fixed planning/launch cost per
+# query, N queries x overhead is a large, growing share of the floor
+# total — surfacing it lets future rounds tell planning overhead from
+# compute regressions at a glance before adding more rows.
+ss = d.get("single_shot", {})
+if ss and qs:
+    overhead = sum(max(0.0, ss[q] - qs[q]) for q in qs if q in ss)
+    line += (f" Estimated fixed per-query overhead (first-shot minus "
+             f"floor, summed): {overhead:.1f} s = "
+             f"{100 * overhead / max(total, 1e-9):.0f}% of the floor "
+             f"total (cold planning/launch cost, amortized on a "
+             f"long-lived session or cluster).")
 m3 = d.get("min3") or (qs if "single_shot" in d else None)
 if d.get("min3"):
     m3total = sum(m3.values())
@@ -83,6 +95,13 @@ try:
              f"the reference's 8,000-rows-in-60s IT floor and "
              f"{st['counter_floor_margin_x']:.0f}x its 500-counter-rows floor "
              f"(BASELINE.md; KafkaStreamingActorSpec.scala:59-69).")
+    if "batch_p50_ms" in st:
+        line += (f" Micro-batch commit latency p50/p95 "
+                 f"{st['batch_p50_ms']}/{st['batch_p95_ms']} ms.")
+    rk = st.get("providers", {}).get("rocksdb")
+    if rk:
+        line += (f" RocksDB state-store leg: {rk['value']:.0f} rows/s, "
+                 f"p50/p95 {rk['batch_p50_ms']}/{rk['batch_p95_ms']} ms.")
 except Exception:
     pass
 try:
