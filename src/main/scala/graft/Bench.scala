@@ -115,14 +115,18 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"single_shot":$firstQs,"single_shot_total":$totalFirst,"reps":$reps,"setup_sec":$setupSec,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    // a targeted re-check (SPARK_GRAFT_BENCH_ONLY) must not clobber the
+    // committed full-registry artifact — the same guard ScaleStress grew
+    // in round 12 (a 1-query BENCH_FULL.json overwrote 364 floors once)
+    val artifact = if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+    catch { case e: Throwable => System.err.println(s"[bench] $artifact write failed: ${e.getMessage}") }
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val timed = results.map { case (k, _, mn) => k -> mn }.toMap
     val headQs = headline.filter(timed.contains)
       .map(k => "\"" + k + "\":" + r3(timed(k))).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headQs,"n_queries":${results.size},"reps":$reps,"single_shot_total":${r3(totalFirst)},"setup_sec":${r3(setupSec)},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headQs,"n_queries":${results.size},"reps":$reps,"single_shot_total":${r3(totalFirst)},"setup_sec":${r3(setupSec)},"full":"$artifact","sf":"$sfDir"}""")
     spark.stop()
   }
 

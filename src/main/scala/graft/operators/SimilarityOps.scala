@@ -886,19 +886,29 @@ object SimilarityOps {
     * moments (the agg_corr_exact discipline) — plus the mean Hamming
     * distance. High correlation certifies the sign codes as a retrieval
     * prefilter; a drop flags an embedding space that lost axis alignment.
-    * Scale: probes broadcast; one candidate-side pass; per-pair work is
-    * one 64-wide zip fold. */
+    * Scale: probes broadcast; one candidate-side pass; sign codes are
+    * bit-packed once per vector, so per-pair work is one XOR+popcount
+    * plus the native-codegen dot product. */
   private val embSignFidelity = GraftQuery(
     "emb_sign_fidelity",
     "cosine-vs-sign-code agreement correlation over probe pairs",
     (s, d) => {
       val base = normalized(s, d)
-      val q = base.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val pairs = base.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      // Sign codes are PRE-PACKED once per vector into one 64-bit word —
+      // exactly the artifact a binary-retrieval deployment stores — so the
+      // pair loop (1M pairs here, corpus × probes at scale) does a single
+      // XOR + popcount per pair instead of a 64-wide interpreted
+      // zip/filter (HOF array expressions allocate per pair and sit
+      // outside whole-stage codegen; the round-13 floor dropped ~2x).
+      // Hamming values are bit-identical to the per-dimension compare.
+      val coded = base.withColumn("code", expr(
+        "aggregate(zip_with(v, sequence(0, 63), (x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)"))
+      val q = coded.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("code").as("qc"))
+      val pairs = coded.join(broadcast(q), col("q_id") =!= col("vec_id"))
         .select(
-          size(filter(zip_with(col("qv"), col("v"),
-            (x, y) => (x > 0) =!= (y > 0)), b => b)).cast("long").as("ham"),
+          bit_count(col("qc").bitwiseXOR(col("code"))).cast("long").as("ham"),
           floor(expr("graft_dot(qv, v)") / (col("qn") * col("nrm")) * 1e6 + 0.5)
             .cast("long").as("cm"))
         .select(col("ham"), (lit(64L) - lit(2L) * col("ham")).as("sa"), col("cm"))
