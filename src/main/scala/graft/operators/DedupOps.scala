@@ -964,10 +964,17 @@ object DedupOps {
     * stored artifacts (scored pairs, shingle set, signature table); the
     * audited pair set is the fixed-size [[evalPairs]] hash sample, so the
     * intersection join is cap-bounded at any corpus size. */
-  private val lshPowerEval = GraftQuery(
-    "dedup_lsh_power_eval",
-    "minhash LSH S-curve: theoretical vs realized band collision per decile",
-    (s, d) => {
+  /** The shared AUDITED-PAIR EVALUATION FRAME both calibration evals
+    * read: the capped hash-sample pairs ([[evalPairs]]) joined with their
+    * exact 3-gram intersection counts, set sizes, and both signatures —
+    * one EvalPairCap-row stored artifact per (session, corpus). Without
+    * it the two evals each rebuilt the identical frame per invocation
+    * (two corpus-sized shingle-table passes each — the two worst bench
+    * floors after round 12); with it the corpus is scanned once and both
+    * decile rollups read a 4096-row cache, the same stored-artifact
+    * discipline as the signature and scored-pair tables. */
+  private def evalFrame(s: SparkSession, d: String): DataFrame =
+    graft.PersistCache.getOrBuild(s, s"lsh-eval-frame:$d") {
       // the capped hash sample (see evalPairs): the broadcast below is
       // bounded by EvalPairCap rows, not corpus-scaling
       val pairs = evalPairs(s, d)
@@ -982,6 +989,15 @@ object DedupOps {
         (0 until K).map(i => col(s"mh$i").as(s"amh$i")): _*)
       val sb = sig.select(col("doc_id").as("b") +: col("n").as("nb") +:
         (0 until K).map(i => col(s"mh$i").as(s"bmh$i")): _*)
+      pairs
+        .join(inter3, Seq("a", "b"), "left_outer").na.fill(0L, Seq("c"))
+        .join(sa, Seq("a")).join(sb, Seq("b"))
+    }
+
+  private val lshPowerEval = GraftQuery(
+    "dedup_lsh_power_eval",
+    "minhash LSH S-curve: theoretical vs realized band collision per decile",
+    (s, d) => {
       val collide = (0 until BANDS).map(bq =>
           col(s"amh${2 * bq}") === col(s"bmh${2 * bq}") &&
             col(s"amh${2 * bq + 1}") === col(s"bmh${2 * bq + 1}"))
@@ -989,9 +1005,7 @@ object DedupOps {
       val j = col("c") * lit(1.0) / (col("na") + col("nb") - col("c"))
       val q = lit(1.0) - j * j
       val miss = q * q * q * q * q * q
-      pairs
-        .join(inter3, Seq("a", "b"), "left_outer").na.fill(0L, Seq("c"))
-        .join(sa, Seq("a")).join(sb, Seq("b"))
+      evalFrame(s, d)
         .withColumn("j", j)
         .withColumn("theory_u",
           floor((lit(1.0) - miss) * 1e6 + 0.5).cast("long"))
@@ -1027,26 +1041,10 @@ object DedupOps {
     "dedup_minhash_error_eval",
     "|signature-estimate − exact Jaccard| per decile (sizes K honestly)",
     (s, d) => {
-      // the capped hash sample (see evalPairs): the broadcast below is
-      // bounded by EvalPairCap rows, not corpus-scaling
-      val pairs = evalPairs(s, d)
-      val shh = shingles3(s, d)
-        .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
-      val inter3 = broadcast(pairs)
-        .join(shh.select(col("doc_id").as("a"), col("shh")), Seq("a"))
-        .join(shh.select(col("doc_id").as("b"), col("shh")), Seq("b", "shh"))
-        .groupBy("a", "b").agg(count(lit(1)).as("c"))
-      val sig = minhashSig(s, d)
-      val sa = sig.select(col("doc_id").as("a") +: col("n").as("na") +:
-        (0 until K).map(i => col(s"mh$i").as(s"amh$i")): _*)
-      val sb = sig.select(col("doc_id").as("b") +: col("n").as("nb") +:
-        (0 until K).map(i => col(s"mh$i").as(s"bmh$i")): _*)
       val m = (0 until K).map(i =>
         when(col(s"amh$i") === col(s"bmh$i"), 1L).otherwise(0L))
         .reduce(_ + _)
-      pairs
-        .join(inter3, Seq("a", "b"), "left_outer").na.fill(0L, Seq("c"))
-        .join(sa, Seq("a")).join(sb, Seq("b"))
+      evalFrame(s, d)
         .withColumn("u", col("na") + col("nb") - col("c"))
         .withColumn("m", m)
         .withColumn("err_u", floor(
