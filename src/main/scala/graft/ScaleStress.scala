@@ -141,7 +141,13 @@ object ScaleStress {
     // --- measure ------------------------------------------------------
     def nodes(df: DataFrame): Map[String, Int] = {
       val line = "(?m)^[\\s:+\\-*!=>()\\d]*([A-Za-z][A-Za-z0-9]*)".r
-      line.findAllMatchIn(df.queryExecution.executedPlan.toString)
+      // an EXECUTED AdaptiveSparkPlan prints "== Final Plan ==" AND
+      // "== Initial Plan ==" sections; only the final section is what
+      // ran — counting the initial one could flag a node AQE replaced
+      // as a stress-scale flip (a false all_ok=false)
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      line.findAllMatchIn(plan)
         .map(_.group(1)).toSeq.groupBy(identity).view.mapValues(_.size).toMap
     }
     // sum of the TopKPerKeyPartial numCapFlushes metric across the plan
