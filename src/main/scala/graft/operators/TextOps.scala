@@ -824,24 +824,32 @@ object TextOps {
           max(when(col("split") === "test", 1).otherwise(0)).as("in_test"))
         .filter(col("in_tr") === 1 &&
           (col("in_val") === 1 || col("in_test") === 1))
-      val evHits = shs.filter(col("split") =!= "train")
-        .join(shared, Seq("sh"))
-        .filter((col("split") === "val" && col("in_val") === 1) ||
-          (col("split") === "test" && col("in_test") === 1))
-        .groupBy("split")
-        .agg(countDistinct("sh").as("n_shared_shingles"),
-          countDistinct("doc_id").as("n_eval_docs_hit"))
-      // a train shingle shared with BOTH eval splits credits the train doc
-      // to both rows, like the pair join did
-      val trHits = shs.filter(col("split") === "train")
-        .join(shared, Seq("sh"))
-        .select(col("doc_id"), explode(array(
-          when(col("in_val") === 1, lit("val")),
-          when(col("in_test") === 1, lit("test")))).as("split"))
-        .filter(col("split").isNotNull)
-        .groupBy("split")
-        .agg(countDistinct("doc_id").as("n_train_docs_hit"))
-      evHits.join(trHits, Seq("split")).orderBy("split")
+      // ONE pass over the (doc, shingle) stream for both rollups (the
+      // eval-side and train-side hit counts previously each re-joined the
+      // stream against the flag table — three stream passes total): every
+      // leaked row explodes to the eval side(s) it implicates — its own
+      // split for an eval row, every leaking eval split for a train row
+      // (a shingle shared with BOTH eval splits credits the train doc to
+      // both rows, like the pair join did) — and one grouped triple
+      // count-distinct reads the tagged stream once.
+      val tagged = shs.join(shared, Seq("sh"))
+        .select(col("sh"), col("doc_id"), col("split"), explode(array(
+          when(col("in_val") === 1 &&
+            (col("split") === "val" || col("split") === "train"), lit("val")),
+          when(col("in_test") === 1 &&
+            (col("split") === "test" || col("split") === "train"), lit("test"))))
+          .as("side"))
+        .filter(col("side").isNotNull)
+      tagged.groupBy("side")
+        .agg(
+          countDistinct(when(col("split") =!= "train", col("sh")))
+            .as("n_shared_shingles"),
+          countDistinct(when(col("split") =!= "train", col("doc_id")))
+            .as("n_eval_docs_hit"),
+          countDistinct(when(col("split") === "train", col("doc_id")))
+            .as("n_train_docs_hit"))
+        .withColumnRenamed("side", "split")
+        .orderBy("split")
     },
     Some {
       val uD = md5u32Sql("md5(CAST(doc_id AS VARCHAR))")
