@@ -314,7 +314,10 @@ class PlanQualitySpec extends AnyFunSuite {
         case j: ShuffledHashJoinExec if onSh(j.leftKeys) => j
         case j: BroadcastHashJoinExec if onSh(j.leftKeys) => j
       }
-      assert(shJoins.size == 2, s"expected the two flag joins, got ${shJoins.size}")
+      // r13 folded the eval- and train-side rollups into one tagged pass,
+      // so exactly ONE flag join remains (two would mean the fold
+      // regressed; zero would mean the flag aggregate disappeared)
+      assert(shJoins.size == 1, s"expected the one flag join, got ${shJoins.size}")
       def hasAgg(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
         p.exists {
           case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
