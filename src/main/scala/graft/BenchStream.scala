@@ -56,7 +56,10 @@ object BenchStream {
     // provider, best rate published — a single-shot rate swung 2,890 →
     // 12,864 rows/s across one day of host drift, which is noise, not
     // engine change (the batch bench learned the same lesson in r12)
-    val streamReps = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "2").toInt
+    // clamp like Bench's reps: 0/negative would run the full spool write
+    // + warmups and then crash on an empty maxBy, minutes in
+    val streamReps =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "2").toInt)
     val nStations = sys.env.getOrElse("SPARK_GRAFT_STREAM_STATIONS", "200").toInt
     val nDays = sys.env.getOrElse("SPARK_GRAFT_STREAM_DAYS", "50").toInt
     val filesN = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES", "40").toInt
@@ -187,15 +190,18 @@ object BenchStream {
       } finally spark.streams.removeListener(listener)
     }
 
-    // Unmeasured WARMUP fan-out over a mini spool: the first streaming run
-    // of a fresh JVM pays JIT + codegen + state-store init that neither
-    // provider's published number should carry (it halved the first leg's
-    // rate when measured cold).
+    // Unmeasured WARMUP fan-out over a mini spool, run PER PROVIDER: the
+    // first streaming run of a fresh JVM pays JIT + codegen + state-store
+    // init that no published number should carry (it halved the first
+    // leg's rate when measured cold) — and the RocksDB leg additionally
+    // pays JNI library load + store creation on ITS first run, so a
+    // single hdfs-only warmup would systematically bias the provider
+    // comparison toward hdfs.
     val mini = Files.createTempDirectory("stream-bench-warmup")
     val (wLines, wCorrupt) = writeSpool(mini, 20, 2, 4)
-    runOnce("hdfs", mini, wLines, wCorrupt, 20)
 
     val byProvider = Seq("hdfs", "rocksdb").map { pr =>
+      runOnce(pr, mini, wLines, wCorrupt, 20) // provider-local warmup
       val st = (1 to streamReps)
         .map(_ => runOnce(pr, spool, written, corrupt, nStations))
         .maxBy(_.rps)

@@ -27,11 +27,15 @@ object PersistCache {
     * holder is discarded unevaluated, registering nothing in the
     * CacheManager. */
   private final class Lazy(build: () => DataFrame, eager: Boolean = false) {
+    @volatile private var built: DataFrame = _
     lazy val df: DataFrame = {
       val d = build().persist()
       if (eager) d.write.format("noop").mode("overwrite").save()
+      built = d
       d
     }
+    /** The persisted frame iff this holder ever evaluated (for evict). */
+    def evaluated: Option[DataFrame] = Option(built)
   }
 
   def getOrBuild(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
@@ -62,5 +66,15 @@ object PersistCache {
     }
     val holder = new Lazy(() => build, eager = true)
     perSession.putIfAbsent(key, holder).getOrElse(holder).df
+  }
+
+  /** Drop one memoized artifact, unpersisting its blocks if the holder
+    * ever evaluated. Test/maintenance hook — specs that pin "query X
+    * installs key K" must evict K first, or a sibling suite that ran X
+    * earlier in the shared session makes the assertion vacuous. */
+  def evict(s: SparkSession, key: String): Unit = {
+    val m = cache.synchronized(cache.get(s))
+    if (m != null)
+      m.remove(key).foreach(_.evaluated.foreach(_.unpersist()))
   }
 }

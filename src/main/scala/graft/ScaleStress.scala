@@ -122,15 +122,30 @@ object ScaleStress {
       .agg(max("event_id"), max("user_id"), datediff(max("ts"), min("ts")))
       .head
     val evSpan = ev.getLong(0) + 1
-    val userSpan = ev.getLong(1) + 1
     val daySpan = ev.getInt(2).toLong + 2
+    // The user key shifts by a span shared with the customer dimension:
+    // customer keys outnumber event users, so shifting each side by its
+    // OWN max would collide replica i's custkeys with replica i+1's
+    // (duplicate keys => inflated join multiplicity, a superlinear
+    // corpus-construction artifact).
+    val custSpan = read("customer").agg(max("c_custkey")).head.getLong(0) + 1
+    val userSpan = math.max(ev.getLong(1) + 1, custSpan)
     writeRep("events", (0 until rep).map { i =>
       read("events")
         .withColumn("event_id", col("event_id") + lit(i * evSpan))
         .withColumn("user_id", col("user_id") + lit(i * userSpan))
         .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * daySpan} DAYS"))
     }.reduce(_.unionByName(_)))
-    for (t <- Seq("region", "nation", "customer", "supplier", "part", "embeddings"))
+    // The user dimension grows WITH its users: each shifted user_id
+    // replica gets a matching customer row (same span, nation mix
+    // unchanged), so fact⋈dim joins on user_id (j_skew_salted) keep a
+    // 10x MATCHED workload — without this the shifted replicas dangle
+    // against an as-is dimension and the inner join's real work stays at
+    // base scale while the artifact claims 10x coverage. Catalog dims
+    // (nation/region/part/supplier) stay fixed: reference data doesn't
+    // grow with the corpus.
+    replicate("customer", "c_custkey", userSpan)
+    for (t <- Seq("region", "nation", "supplier", "part", "embeddings"))
       Files.copy(Paths.get(s"$sfDir/$t.parquet"), Paths.get(s"$stress/$t.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
 

@@ -95,12 +95,16 @@ final class HttpQueryServer(spark: SparkSession, dir: String) {
 
   def stop(): Unit = synchronized {
     if (server != null) { server.stop(0); server = null }
-    httpPool.shutdown()
-    queryPool.shutdown()
-    // drain in-flight queries before returning: a stop racing a running
-    // query would otherwise log a rejected-execution from the dying pool
+    // Drain the HANDLER pool fully before touching the query pool: a
+    // handler inside route() that hasn't yet submitted its Future would
+    // hit a shut-down queryPool with a RejectedExecutionException (or a
+    // rejected continuation that leaves its Await riding the full 120 s).
+    // Only once no handler can submit new work is it safe to shut the
+    // query pool and drain its in-flight queries.
     // (daemon pools, so a stuck query can't wedge JVM exit either way)
+    httpPool.shutdown()
     httpPool.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
+    queryPool.shutdown()
     queryPool.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
   }
 

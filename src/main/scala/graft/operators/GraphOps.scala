@@ -435,15 +435,27 @@ object GraphOps {
       // distance table is built once per (session, corpus) no matter which
       // BFS query asks first — the "stored distance index" read a serving
       // engine would do at 100 TB.
-      val nodesAll = nodes(s, d).select(col("src").as("id"))
-      val dist = graft.PersistCache.getOrBuild(s, s"bfs-doubled:$d:3") {
-        val seed = nodes(s, d).select(col("src").as("id"))
-          .filter(col("id") === 2L).select(col("id"), lit(0L).as("dist"))
-        bfsDoubled(symEdges(s, d), seed, 3)._1
-      }
-      bfsCensus(nodesAll, dist)
+      bfsServed(s, d)
     },
     Some(bfsCensusOracleSql))
+
+  /** The ONE serving path behind both 3-hop census spellings: memoized
+    * pointer-doubled distance table per (session, corpus), censused
+    * against the full node set. A single definition so the two query
+    * bodies cannot drift on seed, depth, or cache key — drift would
+    * silently stop them sharing the memoized table. */
+  private def bfsServed(s: SparkSession, d: String): DataFrame = {
+    val nodesAll = nodes(s, d).select(col("src").as("id"))
+    // bfsDoubled returns a persisted table (its rounds are eager jobs);
+    // memoizing bounds per-call cache accumulation to one entry per
+    // (session, corpus) — same discipline as componentLabels.
+    val dist = graft.PersistCache.getOrBuild(s, s"bfs-doubled:$d:3") {
+      val seed = nodes(s, d).select(col("src").as("id"))
+        .filter(col("id") === 2L).select(col("id"), lit(0L).as("dist"))
+      bfsDoubled(symEdges(s, d), seed, 3)._1
+    }
+    bfsCensus(nodesAll, dist)
+  }
 
   /** POINTER-DOUBLED BFS: each round relaxes the distance table with
     * paths of length 1..2^(round−1) from the CURRENT reached set, so the
@@ -523,18 +535,7 @@ object GraphOps {
   private lazy val bfsDoubling = GraftQuery(
     "graph_bfs_doubling",
     "3-hop BFS distance census via pointer-doubled rounds (2 rounds, not 3)",
-    (s, d) => {
-      val nodesAll = nodes(s, d).select(col("src").as("id"))
-      // bfsDoubled returns a persisted table (its rounds are eager jobs);
-      // memoizing bounds per-call cache accumulation to one entry per
-      // (session, corpus) — same discipline as componentLabels.
-      val dist = graft.PersistCache.getOrBuild(s, s"bfs-doubled:$d:3") {
-        val seed = nodes(s, d).select(col("src").as("id"))
-          .filter(col("id") === 2L).select(col("id"), lit(0L).as("dist"))
-        bfsDoubled(symEdges(s, d), seed, 3)._1
-      }
-      bfsCensus(nodesAll, dist)
-    },
+    (s, d) => bfsServed(s, d),
     Some(bfsCensusOracleSql))
 
   /** CONDUCTANCE of the nation partition over the trade graph — the cut

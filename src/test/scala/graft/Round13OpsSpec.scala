@@ -14,6 +14,10 @@ class Round13OpsSpec extends AnyFunSuite {
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
   test("graph_bfs_distance and graph_bfs_doubling share one memoized distance table") {
+    // evict first: a sibling suite running either BFS query earlier in the
+    // shared session would pre-install the key and make the failing-thunk
+    // probe below vacuous
+    graft.PersistCache.evict(spark, s"bfs-doubled:$sf:3")
     val a = run("graph_bfs_distance").collect().map(_.toString).toSeq
     // the first run above must have installed the shared PersistCache key;
     // a getOrBuild with a failing thunk proves the build can't re-run

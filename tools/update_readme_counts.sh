@@ -111,7 +111,9 @@ try:
     line += (f" Scale stress (SCALE_STRESS.json, {len(qs_)} worst-floor "
              f"queries at 1x vs a {st['rep']}x-replicated key-shifted "
              f"corpus): all_ok={str(st['all_ok']).lower()} — every query "
-             f"sublinear (worst ratio {wr[1]['ratio']:.1f}x on {wr[0]}), "
+             f"linear-or-better in corpus growth (worst ratio "
+             f"{wr[1]['ratio']:.1f}x, i.e. {wr[1]['ratio']/st['rep']:.2f}x "
+             f"per corpus-x, on {wr[0]}), "
              f"no plan flips to nested-loop/cartesian.")
 except Exception:
     pass
