@@ -13,7 +13,7 @@ object SparkEntry {
   /** Every implemented capability, one GraftQuery each. */
   val registry: Seq[GraftQuery] =
     WeatherOps.all ++ RelationalOps.all ++ TpchOps.all ++ TextOps.all ++
-      DedupOps.all ++ SimilarityOps.all ++ IvfAnn.all ++ PqAnn.all ++
+      DedupOps.all ++ SimilarityOps.all ++ IvfAnn.all ++ PqAnn.all ++ IvfPqAnn.all ++
       ParsingOps.all ++ AnalyticsOps.all ++ PipelineOps.all ++ SubqueryOps.all ++
       CurationOps.all ++ GraphOps.all ++ TemporalOps.all ++ LayoutOps.all
 

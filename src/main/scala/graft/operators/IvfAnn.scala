@@ -31,15 +31,15 @@ import graft.functions.GraftFunctions.{fround, vecDouble}
   * brute-force baseline and the partition-pruned probe scan.
   */
 object IvfAnn {
-  private val K = 16
-  private val ITERS = 3
-  private val NPROBE = 3
+  private[operators] val K = 16
+  private[operators] val ITERS = 3
+  private[operators] val NPROBE = 3
   private val DIM = 64 // testdata embedding width (TESTDATA.md contract)
 
   /** Squared L2 distance via the codegen dot product: |v|²-2v·c+|c|². */
   private def dist2 = expr("graft_dot(v, v) - 2 * graft_dot(v, cv) + graft_dot(cv, cv)")
 
-  private def centroidsToDf(s: SparkSession, rows: Seq[(Int, Seq[Double])]): DataFrame = {
+  private[operators] def centroidsToDf(s: SparkSession, rows: Seq[(Int, Seq[Double])]): DataFrame = {
     val schema = StructType(Seq(
       StructField("cid", IntegerType),
       StructField("cv", ArrayType(DoubleType))))
@@ -88,7 +88,7 @@ object IvfAnn {
   def trainedCentroids(s: SparkSession, dir: String, vecs: DataFrame): DataFrame =
     centroidsToDf(s, modelCache.getOrElseUpdate(dir, trainModel(s, vecs)))
 
-  private def trainModel(s: SparkSession, vecs: DataFrame): Seq[(Int, Seq[Double])] = {
+  private[operators] def trainModel(s: SparkSession, vecs: DataFrame): Seq[(Int, Seq[Double])] = {
     graft.functions.expressions.GraftExpressions.ensureRegistered(s)
     val vsum = udaf(graft.functions.VectorSumAgg)
     val tr = vecs

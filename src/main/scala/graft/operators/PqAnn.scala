@@ -41,7 +41,7 @@ object PqAnn {
   private[graft] val M = 8       // subspaces
   private[graft] val SUBDIM = 8  // dims per subspace (8×8 = 64)
   private[graft] val KC = 16     // centroids per codebook (4-bit codes)
-  private val ITERS = 3
+  private[graft] val ITERS = 3
   private val TOPK = 3
 
   /** Normalized (unit-L2) double vectors: vec_id, v. */
@@ -64,7 +64,7 @@ object PqAnn {
 
   /** One-row broadcastable literal of all M codebooks:
     * cents: array<struct<m, cid, cv, cc>> where cc = |cv|². */
-  private def modelDf(s: SparkSession, model: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+  private[operators] def modelDf(s: SparkSession, model: Seq[(Int, Int, Seq[Double])]): DataFrame = {
     val schema = StructType(Seq(StructField("cents", ArrayType(StructType(Seq(
       StructField("m", IntegerType, nullable = false),
       StructField("cid", IntegerType, nullable = false),
@@ -122,7 +122,7 @@ object PqAnn {
   /** Nearest-centroid cid for a subvector column within subspace `m`:
     * a fold over the broadcast model, skipping other subspaces' entries.
     * Ties break to the smallest cid (strictly-smaller d2 to replace). */
-  private def bestCid(sv: org.apache.spark.sql.Column,
+  private[operators] def bestCid(sv: org.apache.spark.sql.Column,
       m: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val dss = call_function("graft_dot", sv, sv)
     aggregate(
@@ -153,11 +153,17 @@ object PqAnn {
     graft.PersistCache.getOrBuild(s, s"pq-codes:$d") {
       val model = trainedCodebooks(s, d)
       unitVecs(s, d).crossJoin(broadcast(modelDf(s, model)))
-        .select(col("vec_id"), col("v"),
-          transform(sequence(lit(0), lit(M - 1)),
-            m => bestCid(slice(col("v"), m * SUBDIM + 1, lit(SUBDIM)), m)).as("codes"))
+        .select(col("vec_id"), col("v"), codesCol(col("v")).as("codes"))
         .select(col("vec_id"), col("codes"))
     }
+
+  /** The M-element PQ code array for a unit vector column — the encode
+    * fold shared by [[codeTable]] and the fused IVF-PQ index build
+    * ([[IvfPqAnn]]); requires the [[modelDf]] one-row broadcast
+    * (`cents`) in scope. */
+  private[operators] def codesCol(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(M - 1)),
+      m => bestCid(slice(v, m * SUBDIM + 1, lit(SUBDIM)), m))
 
   /** The registered query: ADC top-3 for the standard query set
     * (vec_id % 50 == 0). Query LUTs are computed driver-side from the
@@ -227,7 +233,7 @@ object PqAnn {
     * in `c$ITERS`) — the prefix both [[pqOracleSql]] and
     * [[distortionOracleSql]] build on, so the two oracles can never train
     * divergent codebooks. */
-  private lazy val trainReplayCtes: String = {
+  private[operators] lazy val trainReplayCtes: String = {
     def assignCte(src: String, cents: String, name: String) =
       s"$name AS (SELECT vec_id, m, sv, cid FROM (SELECT t.vec_id, t.m, t.sv, c.cid, " +
         s"row_number() OVER (PARTITION BY t.vec_id, t.m ORDER BY ${d2r("t.sv", "c.cv")}, c.cid) AS rn " +
