@@ -108,8 +108,24 @@ object ScaleStress {
     val orderSpan = read("orders").agg(max("o_orderkey")).head.getLong(0) + 1
     replicate("orders", "o_orderkey", orderSpan)
     replicate("lineitem", "l_orderkey", orderSpan) // same span: join stays consistent
-    replicate("documents", "doc_id",
-      read("documents").agg(max("doc_id")).head.getLong(0) + 1)
+    // documents replicas shift CONTENT as well as the key: the near-dup
+    // family (minhash/simhash/ngram/novelty) matches on SHINGLE identity,
+    // and byte-identical replica texts would quadratically inter-match
+    // inside every LSH bucket (10x corpus => up to 100x candidate pairs)
+    // — a corpus-construction artifact of the same class as the events
+    // clock shift below, not a plan property (measured: dedup_minhash
+    // 12.0x at 10x from cross-replica pairs alone). A per-replica letter
+    // rotation keeps length, token boundaries, and every per-doc
+    // statistic identical while making each replica's shingle space
+    // disjoint — 10 distinct rotations for rep<=10, replica 0 untouched.
+    val rotAlpha = "aeiousnrtl"
+    val docSpan = read("documents").agg(max("doc_id")).head.getLong(0) + 1
+    writeRep("documents", (0 until rep).map { i =>
+      val to = rotAlpha.drop(i % rotAlpha.length) + rotAlpha.take(i % rotAlpha.length)
+      read("documents")
+        .withColumn("doc_id", col("doc_id") + lit(i * docSpan))
+        .withColumn("text", translate(col("text"), rotAlpha, to))
+    }.reduce(_.unionByName(_)))
     // events replicas shift EVERY growth-relevant axis (round 13): the
     // event key, the user key (so keyed-state NDV — sessionize windows,
     // top-k heap maps — genuinely grows 10x, not just 10x rows over the
