@@ -163,6 +163,10 @@ object Bench {
     // PQ codebooks + code table (ADC probes serve against the codes)
     step("pq")(graft.operators.PqAnn.codeTable(spark, sfDir)
       .write.format("noop").mode("overwrite").save())
+    // IVF-PQ composite: coarse quantizer + cid-partitioned code index
+    // (same accounting as the ivf/pq legs — sim_knn_ivfpq measures the
+    // pruned ADC probe, not quantizer training or the index write)
+    step("ivfpq")(graft.operators.IvfPqAnn.storedIndex(spark, sfDir))
     // sign-LSH coded vector table (sim_knn_lsh + embedding near-dup)
     step("lsh")(graft.operators.SimilarityOps.codedTable(spark, sfDir)
       .write.format("noop").mode("overwrite").save())

@@ -71,10 +71,18 @@ object PersistCache {
   /** Drop one memoized artifact, unpersisting its blocks if the holder
     * ever evaluated. Test/maintenance hook — specs that pin "query X
     * installs key K" must evict K first, or a sibling suite that ran X
-    * earlier in the shared session makes the assertion vacuous. */
+    * earlier in the shared session makes the assertion vacuous.
+    *
+    * Synchronizing on the holder rides the lazy-val initializer's own
+    * monitor: an evict racing a COMPLETING build blocks until the build
+    * finishes, then unpersists it. A racer that acquires the monitor
+    * first and builds after the remove still leaks its blocks — evict is
+    * only fully sound when no concurrent builder is running (true for
+    * its spec usage; not a production path). */
   def evict(s: SparkSession, key: String): Unit = {
     val m = cache.synchronized(cache.get(s))
     if (m != null)
-      m.remove(key).foreach(_.evaluated.foreach(_.unpersist()))
+      m.remove(key).foreach(h =>
+        h.synchronized(h.evaluated.foreach(_.unpersist())))
   }
 }

@@ -17,13 +17,17 @@ import org.apache.spark.sql.functions._
   *
   * Key shifts keep the replicas semantically distinct (10× corpus growth,
   * not 10 byte-copies): l_orderkey/o_orderkey shift TOGETHER by the order
-  * span so the lineitem↔orders join stays consistent; doc_id shifts by its
-  * own span; events shift event_id, user_id AND the clock (see the inline
-  * note — 10× keyed-state NDV, constant temporal density).
-  * Dimension tables (customer/supplier/part/
-  * nation/region) and embeddings stay as-is — corpus facts grow, reference
-  * data doesn't, exactly the shape of real growth (so e.g. the trade graph
-  * keeps its node set and gains 10× edge observations).
+  * span so the lineitem↔orders join stays consistent; documents shift
+  * doc_id AND rotate letters (replica-disjoint shingle spaces —
+  * byte-identical texts would quadratically inter-match inside LSH
+  * buckets); events shift event_id, user_id AND the clock (10× keyed-state
+  * NDV, constant temporal density), with the customer (user) dimension
+  * grown in lockstep on a shared span so fact⋈dim joins on user_id keep a
+  * matched 10× workload. Catalog dimensions (supplier/part/nation/region)
+  * and embeddings stay as-is — corpus facts and the user base grow,
+  * reference data doesn't (so e.g. the trade graph, built from
+  * o_custkey/l_suppkey edges, keeps its node set and gains 10× edge
+  * observations).
   *
   * Stored artifacts (graph caches, near-dup pipeline, layouts) are built
   * for the stress corpus through the same [[Bench.setup]] the bench uses —
@@ -118,13 +122,25 @@ object ScaleStress {
     // rotation keeps length, token boundaries, and every per-doc
     // statistic identical while making each replica's shingle space
     // disjoint — 10 distinct rotations for rep<=10, replica 0 untouched.
-    val rotAlpha = "aeiousnrtl"
+    // three independently-rotated 10-char classes (lowercase, uppercase,
+    // digits) so numeric/uppercase-heavy shingles are transformed too;
+    // rotations repeat at rep > 10, which would silently reintroduce the
+    // byte-identical-replica artifact — fail loudly instead
+    val rotLower = "aeiousnrtl"
+    val rotUpper = rotLower.toUpperCase
+    val rotDigit = "0123456789"
+    require(rep <= rotLower.length,
+      s"rep=$rep > ${rotLower.length}: letter rotations would repeat and " +
+        "replicas i and i+10 would be byte-identical (cross-replica LSH " +
+        "inter-matching) — extend the rotation classes first")
+    def rot(a: String, i: Int) = a.drop(i % a.length) + a.take(i % a.length)
     val docSpan = read("documents").agg(max("doc_id")).head.getLong(0) + 1
     writeRep("documents", (0 until rep).map { i =>
-      val to = rotAlpha.drop(i % rotAlpha.length) + rotAlpha.take(i % rotAlpha.length)
       read("documents")
         .withColumn("doc_id", col("doc_id") + lit(i * docSpan))
-        .withColumn("text", translate(col("text"), rotAlpha, to))
+        .withColumn("text", translate(col("text"),
+          rotLower + rotUpper + rotDigit,
+          rot(rotLower, i) + rot(rotUpper, i) + rot(rotDigit, i)))
     }.reduce(_.unionByName(_)))
     // events replicas shift EVERY growth-relevant axis (round 13): the
     // event key, the user key (so keyed-state NDV — sessionize windows,

@@ -95,15 +95,21 @@ final class HttpQueryServer(spark: SparkSession, dir: String) {
 
   def stop(): Unit = synchronized {
     if (server != null) { server.stop(0); server = null }
-    // Drain the HANDLER pool fully before touching the query pool: a
-    // handler inside route() that hasn't yet submitted its Future would
-    // hit a shut-down queryPool with a RejectedExecutionException (or a
+    // Drain the HANDLER pool before touching the query pool: a handler
+    // inside route() that hasn't yet submitted its Future would hit a
+    // shut-down queryPool with a RejectedExecutionException (or a
     // rejected continuation that leaves its Await riding the full 120 s).
-    // Only once no handler can submit new work is it safe to shut the
-    // query pool and drain its in-flight queries.
-    // (daemon pools, so a stuck query can't wedge JVM exit either way)
+    // The drain is bounded at 10 s — a handler stuck past that (a query
+    // slower than the bound, in a stop() race) can still observe the
+    // rejection; that residual is logged here instead of silently
+    // claimed away. (daemon pools, so a stuck query can't wedge JVM
+    // exit either way)
     httpPool.shutdown()
-    httpPool.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
+    val drained =
+      httpPool.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
+    if (!drained)
+      System.err.println("[http-query] stop(): handlers still running " +
+        "after 10s drain — late submissions may see a rejected execution")
     queryPool.shutdown()
     queryPool.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
   }

@@ -121,18 +121,9 @@ object IvfPqAnn {
           while (j < cv.length) { dt += q(j) * cv(j); cc += cv(j) * cv(j); j += 1 }
           (r6(qq - 2 * dt + cc), cid)
         }.sorted.take(NPROBE).map(_._2)
-        // exact 8×16 subspace-distance LUT (direct (q−c)² form, the
-        // PqAnn driver loop verbatim)
-        val lut = (0 until M).flatMap { m =>
-          val qm = q.slice(m * SUBDIM, (m + 1) * SUBDIM)
-          (0 until KC).map { c =>
-            val cv = byKey((m, c))
-            var d2 = 0.0
-            var j = 0
-            while (j < SUBDIM) { val t = qm(j) - cv(j); d2 += t * t; j += 1 }
-            d2
-          }
-        }
+        // exact 8×16 subspace-distance LUT — PqAnn.adcLut, the single
+        // shared definition of the ADC float contract
+        val lut = PqAnn.adcLut(q, byKey)
         probed.map(cid => Row(qid, cid, lut))
       }
       val probeSchema = StructType(Seq(

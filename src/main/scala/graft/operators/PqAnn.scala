@@ -165,6 +165,24 @@ object PqAnn {
     transform(sequence(lit(0), lit(M - 1)),
       m => bestCid(slice(v, m * SUBDIM + 1, lit(SUBDIM)), m))
 
+  /** The exact per-query ADC lookup table — lut(m*KC + cid) =
+    * |q_m − c_{m,cid}|², each subspace distance accumulated in dimension
+    * order. ONE definition shared by sim_knn_pq and the IVF-PQ composite
+    * ([[IvfPqAnn]]) so the float contract (slice bounds, (q−c)²
+    * accumulation order) cannot drift between the two queries' oracles. */
+  private[operators] def adcLut(q: Seq[Double],
+      byKey: Map[(Int, Int), Seq[Double]]): IndexedSeq[Double] =
+    (0 until M).flatMap { m =>
+      val qm = q.slice(m * SUBDIM, (m + 1) * SUBDIM)
+      (0 until KC).map { c =>
+        val cv = byKey((m, c))
+        var d2 = 0.0
+        var i = 0
+        while (i < SUBDIM) { val t = qm(i) - cv(i); d2 += t * t; i += 1 }
+        d2
+      }
+    }
+
   /** The registered query: ADC top-3 for the standard query set
     * (vec_id % 50 == 0). Query LUTs are computed driver-side from the
     * cached model (request-sized work, IvfAnn-probe precedent) and ride a
@@ -180,20 +198,7 @@ object PqAnn {
         .select(col("vec_id"), col("v")).collect()
       // LUT[m*KC + cid] = |q_m - c_{m,cid}|², exact per subspace
       val byKey = model.map { case (m, c, v) => (m, c) -> v }.toMap
-      val luts = qRows.map { r =>
-        val q = r.getSeq[Double](1)
-        val lut = (0 until M).flatMap { m =>
-          val qm = q.slice(m * SUBDIM, (m + 1) * SUBDIM)
-          (0 until KC).map { c =>
-            val cv = byKey((m, c))
-            var d2 = 0.0
-            var i = 0
-            while (i < SUBDIM) { val t = qm(i) - cv(i); d2 += t * t; i += 1 }
-            d2
-          }
-        }
-        Row(r.getLong(0), lut)
-      }
+      val luts = qRows.map(r => Row(r.getLong(0), adcLut(r.getSeq[Double](1), byKey)))
       val lutSchema = StructType(Seq(
         StructField("q_id", LongType, nullable = false),
         StructField("lut", ArrayType(DoubleType, containsNull = false))))

@@ -108,13 +108,24 @@ try:
     st = json.load(open("SCALE_STRESS.json"))
     qs_ = st["queries"]
     wr = max(qs_.items(), key=lambda kv: kv[1]["ratio"])
+    # derive the claim from the data, never assert it unconditionally: a
+    # linear_ok pass allows ratio up to rep*1.5, so "linear-or-better"
+    # must be checked against the actual worst per-corpus-x factor
+    per_x = wr[1]["ratio"] / st["rep"]
+    if not st["all_ok"]:
+        shape = "AT LEAST ONE QUERY FAILED the linear/plan-shape gate"
+    elif per_x <= 1.0:
+        shape = "every query linear-or-better in corpus growth"
+    else:
+        shape = "all queries within the rep*1.5 linear gate"
+    flips = sum(1 for v in qs_.values() if v.get("plan_flip"))
+    flip_txt = ("no plan flips to nested-loop/cartesian" if flips == 0
+                else f"{flips} PLAN FLIP(S) to nested-loop/cartesian")
     line += (f" Scale stress (SCALE_STRESS.json, {len(qs_)} worst-floor "
              f"queries at 1x vs a {st['rep']}x-replicated key-shifted "
-             f"corpus): all_ok={str(st['all_ok']).lower()} — every query "
-             f"linear-or-better in corpus growth (worst ratio "
-             f"{wr[1]['ratio']:.1f}x, i.e. {wr[1]['ratio']/st['rep']:.2f}x "
-             f"per corpus-x, on {wr[0]}), "
-             f"no plan flips to nested-loop/cartesian.")
+             f"corpus): all_ok={str(st['all_ok']).lower()} — {shape} "
+             f"(worst ratio {wr[1]['ratio']:.1f}x, i.e. {per_x:.2f}x "
+             f"per corpus-x, on {wr[0]}), {flip_txt}.")
 except Exception:
     pass
 try:
