@@ -60,47 +60,13 @@ object ScaleStress {
     // under 10x event density
     "win_topk_auto", "rel_topk_native", "j_band_timestamp")
 
-  def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val rep = sys.env.getOrElse("SPARK_GRAFT_STRESS_REP", "10").toInt
-    // min-of-3 floors: at min-of-2 a single load spike on either scale
-    // flips ratios by 2x (a 19.6x dedup_minhash reading re-measured
-    // isolated at its stable 8.7x), and a false all_ok=false poisons the
-    // committed artifact
-    val reps = sys.env.getOrElse("SPARK_GRAFT_STRESS_REPS", "3").toInt
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val names = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(DefaultQueries)
-    val unknown = names.toSet -- SparkEntry.queries.keySet
-    require(unknown.isEmpty, s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
-
-    val spark = SparkSession.builder()
-      .withExtensions(new GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", math.max(8, cpus.toInt / 4).toString))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.cleaner.periodicGC.interval", "30s")
-      // run the top-k partial pass in its FLUSH-DEGRADED regime: the
-      // default 256k key cap never fills at these corpus sizes, so without
-      // this the stress run would certify a code path (heap-map flush →
-      // spillable buffer → final re-merge) that 100 TB NDV actually
-      // exercises. The cap must sit UNDER the per-task key NDV: the corpus
-      // has 1500 users per replica and stress replicas align with input
-      // files, so each task still sees ~1500 keys — 512 guarantees real
-      // flushes at both scales (measured 159 base / 1590 stress, linear in
-      // total NDV); the numCapFlushes metric is read back into the
-      // artifact as proof.
-      .config(graft.plans.TopKPerKeyExec.PartialMaxKeysKey,
-        sys.env.getOrElse("SPARK_GRAFT_STRESS_TOPK_CAP", "512"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    QuietLogs.quietBenignWindowWarnings()
-
-    // --- build the REP× stress corpus --------------------------------
+  /** Build the rep× stress corpus into a fresh temp dir and return its
+    * path. Extracted from [[main]] so the corpus-construction invariants
+    * — matched user dimension, replica-disjoint shingle spaces,
+    * consistent order keys, constant temporal density — are spec-testable
+    * (StressCorpusSpec): the receipts in SCALE_STRESS.json are only as
+    * honest as this corpus. */
+  def buildStressCorpus(spark: SparkSession, sfDir: String, rep: Int): String = {
     val stress = Files.createTempDirectory("stress-corpus").toString
     def read(t: String) = spark.read.parquet(s"$sfDir/$t.parquet")
     def writeRep(t: String, df: DataFrame): Unit =
@@ -180,6 +146,52 @@ object ScaleStress {
     for (t <- Seq("region", "nation", "supplier", "part", "embeddings"))
       Files.copy(Paths.get(s"$sfDir/$t.parquet"), Paths.get(s"$stress/$t.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
+
+    stress
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val rep = sys.env.getOrElse("SPARK_GRAFT_STRESS_REP", "10").toInt
+    // min-of-3 floors: at min-of-2 a single load spike on either scale
+    // flips ratios by 2x (a 19.6x dedup_minhash reading re-measured
+    // isolated at its stable 8.7x), and a false all_ok=false poisons the
+    // committed artifact
+    val reps = sys.env.getOrElse("SPARK_GRAFT_STRESS_REPS", "3").toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(DefaultQueries)
+    val unknown = names.toSet -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", math.max(8, cpus.toInt / 4).toString))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      // run the top-k partial pass in its FLUSH-DEGRADED regime: the
+      // default 256k key cap never fills at these corpus sizes, so without
+      // this the stress run would certify a code path (heap-map flush →
+      // spillable buffer → final re-merge) that 100 TB NDV actually
+      // exercises. The cap must sit UNDER the per-task key NDV: the corpus
+      // has 1500 users per replica and stress replicas align with input
+      // files, so each task still sees ~1500 keys — 512 guarantees real
+      // flushes at both scales (measured 159 base / 1590 stress, linear in
+      // total NDV); the numCapFlushes metric is read back into the
+      // artifact as proof.
+      .config(graft.plans.TopKPerKeyExec.PartialMaxKeysKey,
+        sys.env.getOrElse("SPARK_GRAFT_STRESS_TOPK_CAP", "512"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    QuietLogs.quietBenignWindowWarnings()
+
+    // --- build the REP× stress corpus --------------------------------
+    val stress = buildStressCorpus(spark, sfDir, rep)
 
     // --- identical table-creation-time setup at both scales ----------
     val setupBase = Bench.setup(spark, sfDir)
