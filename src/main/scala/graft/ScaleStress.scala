@@ -186,6 +186,10 @@ object ScaleStress {
       // artifact as proof.
       .config(graft.plans.TopKPerKeyExec.PartialMaxKeysKey,
         sys.env.getOrElse("SPARK_GRAFT_STRESS_TOPK_CAP", "512"))
+      // interleaved rep passes (below) cycle ~52 query legs between a
+      // leg's samples; keep their generated classes cached so later
+      // passes don't re-pay Janino compilation (same sizing as Bench)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     QuietLogs.quietBenignWindowWarnings()
@@ -229,13 +233,25 @@ object ScaleStress {
       walk(plan)
       sum
     }
+    // Timing runs as INTERLEAVED full passes over every (query, corpus)
+    // leg — not back-to-back reps per leg (Bench round 13 rationale): a
+    // multi-second host stall spans all back-to-back samples of whichever
+    // leg it lands on and survives the min, faking the ratio in EITHER
+    // direction — an inflated base floor masks a genuinely superlinear
+    // stress row, an inflated stress floor poisons all_ok with a false
+    // alarm. Spread samples can lose at most one pass to a burst.
+    val legs = for (n <- names; dir <- Seq(sfDir, stress)) yield (n, dir)
+    val legTimes = scala.collection.mutable.Map
+      .empty[(String, String), Double].withDefaultValue(Double.MaxValue)
+    for (_ <- 1 to reps; (n, dir) <- legs) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      legTimes((n, dir)) = math.min(legTimes((n, dir)), sec)
+    }
     def floor(name: String, dir: String): (Double, Map[String, Int], Long) = {
       val fn = SparkEntry.queries(name)
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, dir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
       // Plan-shape evidence must come from an EXECUTED QueryExecution
       // (ADVICE r12): under AQE a never-executed plan prints the INITIAL
       // plan, hiding exactly the nested-loop flips this flag exists to
@@ -245,7 +261,7 @@ object ScaleStress {
       // driver, so the capture stays safe at any output size.
       val df = fn(spark, dir)
       df.queryExecution.toRdd.foreach(_ => ())
-      (times.min, nodes(df), capFlushes(df.queryExecution.executedPlan))
+      (legTimes((name, dir)), nodes(df), capFlushes(df.queryExecution.executedPlan))
     }
     val flipNodes = Set("BroadcastNestedLoopJoin", "CartesianProduct")
     def r2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
