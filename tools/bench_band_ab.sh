@@ -18,19 +18,26 @@ REPS="${2:-3}"
 # hand and would ignore the exclusion)
 QS="j_band_auto,j_band_double,j_band_decimal,j_band_date,j_band_timestamp"
 
-# the bench overwrites BENCH_FULL.json; preserve the committed artifact.
-# EXIT-trap restore (only from a non-empty backup) so a failed sbt run
-# can't leave it clobbered — same contract as bench_topk_ab.sh.
-BACKUP=$(mktemp)
-cp BENCH_FULL.json "$BACKUP" 2>/dev/null || true
-trap 'if [ -s "$BACKUP" ]; then cp "$BACKUP" BENCH_FULL.json; fi; rm -f "$BACKUP"' EXIT
-
+# A BENCH_ONLY run writes BENCH_PARTIAL.json (since round 13 it never
+# clobbers the committed BENCH_FULL.json), so read THAT — reading
+# BENCH_FULL.json here would silently return the stale committed floors
+# for every arm and the A/B would compare the same numbers to themselves.
+# The stale-artifact guard below makes that failure mode loud instead —
+# same contract as bench_topk_ab.sh.
 run_once() { # $1 = extra conf ("" for default)
+  rm -f BENCH_PARTIAL.json
   SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   SPARK_GRAFT_BENCH_REPS="$REPS" SPARK_GRAFT_BENCH_ONLY="$QS" \
   SPARK_GRAFT_EXTRA_CONF="$1" \
     sbt -batch "runMain graft.Bench" >/dev/null 2>&1
-  python3 -c "import json; d = json.load(open('BENCH_FULL.json')); print(json.dumps(d.get('min3', d['queries'])))"
+  python3 - "$QS" <<'PYEOF'
+import json, sys
+d = json.load(open("BENCH_PARTIAL.json"))
+want = set(sys.argv[1].split(","))
+got = set(d["queries"])
+assert got == want, f"BENCH_PARTIAL.json queries {sorted(got)} != requested {sorted(want)}"
+print(json.dumps(d["queries"]))
+PYEOF
 }
 
 REWRITE=$(run_once "")
@@ -50,4 +57,4 @@ for q in sorted(rewrite):
           f"({n / rewrite[q]:.1f}x)")
 PY
 
-echo "wrote BENCH_BAND_AB.json (BENCH_FULL.json restored on exit)"
+echo "wrote BENCH_BAND_AB.json"

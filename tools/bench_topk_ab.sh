@@ -18,21 +18,25 @@ REPS="${2:-3}"
 # the heap node explicitly and would ignore the exclusion)
 QS="win_topk_auto,win_topk_multikey,win_topk_nulls,w_latest_reading"
 
-# the bench overwrites BENCH_FULL.json; preserve the committed artifact.
-# Restore via EXIT trap so a failed sbt run (set -e aborts mid-script)
-# can't leave the committed artifact clobbered by the A/B run — and only
-# restore when the backup is non-empty, so a missing-before BENCH_FULL
-# never gets replaced by a 0-byte file (which breaks later json.loads).
-BACKUP=$(mktemp)
-cp BENCH_FULL.json "$BACKUP" 2>/dev/null || true
-trap 'if [ -s "$BACKUP" ]; then cp "$BACKUP" BENCH_FULL.json; fi; rm -f "$BACKUP"' EXIT
-
+# A BENCH_ONLY run writes BENCH_PARTIAL.json (since round 13 it never
+# clobbers the committed BENCH_FULL.json), so read THAT — reading
+# BENCH_FULL.json here would silently return the stale committed floors
+# for every arm and the A/B would compare the same numbers to themselves.
+# The stale-artifact guard below makes that failure mode loud instead.
 run_once() { # $1 = extra conf ("" for default)
+  rm -f BENCH_PARTIAL.json
   SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   SPARK_GRAFT_BENCH_REPS="$REPS" SPARK_GRAFT_BENCH_ONLY="$QS" \
   SPARK_GRAFT_EXTRA_CONF="$1" \
     sbt -batch "runMain graft.Bench" >/dev/null 2>&1
-  python3 -c "import json; d = json.load(open('BENCH_FULL.json')); print(json.dumps(d.get('min3', d['queries'])))"
+  python3 - "$QS" <<'PYEOF'
+import json, sys
+d = json.load(open("BENCH_PARTIAL.json"))
+want = set(sys.argv[1].split(","))
+got = set(d["queries"])
+assert got == want, f"BENCH_PARTIAL.json queries {sorted(got)} != requested {sorted(want)}"
+print(json.dumps(d["queries"]))
+PYEOF
 }
 
 HEAP=$(run_once "")
@@ -53,4 +57,4 @@ for q in sorted(heap):
           f"window={window.get(q, float('nan')):.3f}s")
 PY
 
-echo "wrote BENCH_TOPK_AB.json (BENCH_FULL.json restored on exit)"
+echo "wrote BENCH_TOPK_AB.json"
