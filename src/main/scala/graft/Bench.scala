@@ -130,8 +130,15 @@ object Bench {
       .mkString("{", ",", "}")
     val firstQs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Per-pass totals are the run's noise receipt: on a calm host the
+    // pass totals converge (pass 1 higher by the cold-plan cost only);
+    // a pass total far above its siblings localizes a host-load burst
+    // to that pass without per-query archaeology.
+    val passTotals = passes.map(_.values.sum)
+      .map(v => "%.3f".formatLocal(java.util.Locale.ROOT, v))
+      .mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"single_shot":$firstQs,"single_shot_total":$totalFirst,"reps":$reps,"setup_sec":$setupSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"single_shot":$firstQs,"single_shot_total":$totalFirst,"pass_totals":$passTotals,"reps":$reps,"setup_sec":$setupSec,"sf":"$sfDir"}"""
     // a targeted re-check (SPARK_GRAFT_BENCH_ONLY) must not clobber the
     // committed full-registry artifact — the same guard ScaleStress grew
     // in round 12 (a 1-query BENCH_FULL.json overwrote 364 floors once)

@@ -218,6 +218,78 @@ object CurationOps {
       Some(oracle))
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    * score each document by the log-likelihood ratio of a TARGET-domain
+    * hashed-n-gram distribution over the RAW pool's, the selection signal
+    * a pretraining mixer uses to up-weight domain-relevant documents
+    * without training a classifier. Features are hashed bigrams (md5 of
+    * "w1 w2" mod 64 buckets — the paper's hashed n-gram reduction, sized
+    * tiny so both engines replay the full model); the target here is the
+    * corpus's `lang = 'en'` slice; both bucket distributions carry add-1
+    * smoothing. Output: per-doc bigram count, total LLR, and the
+    * length-normalized per-bigram average (micro-integer log terms,
+    * floor-rounded in both engines — the txt_bigram_logprob contract).
+    *
+    * Scale shape: ONE tokenize+bigram pass collapses straight to the
+    * (doc_id, bucket) count table (≤ 64 rows per doc — this is the only
+    * corpus-sized shuffle); the 64-row bucket model and its 1-row totals
+    * derive from that table and come BACK as broadcasts (fixed-size by
+    * construction, not open-vocabulary — the closed 64-bucket space is
+    * what makes the model broadcastable at any corpus size, the same
+    * reason the paper hashes). No second corpus scan, no driver fold.
+    * ln() determinism carries the accepted 1-ulp risk documented at
+    * txt_unigram_logprob. */
+  private val sampDsir = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions._
+    val b64 = md5u32Sql("md5(w1 || ' ' || w2)")
+    GraftQuery(
+      "samp_dsir",
+      "DSIR importance weights: hashed-bigram target/raw LLR per document",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), (col("lang") === "en").as("tgt"),
+            tokens(col("text")).as("ts"))
+        val bg = t
+          .select(col("doc_id"), col("tgt"), col("ts"),
+            posexplode(col("ts")).as(Seq("i", "w1")))
+          .withColumn("w2", expr("try_element_at(ts, i + 2)"))
+          .filter(col("w2").isNotNull)
+          .select(col("doc_id"), col("tgt"),
+            (md5u32(concat_ws(" ", col("w1"), col("w2"))) % 64).as("b"))
+        // The hashed-feature table (doc, bucket) → count feeds THREE
+        // consumers (raw distribution, target distribution via the same
+        // aggregate, and the scoring join); exchange reuse does not
+        // dedupe the nested-aggregate branches, so without memoization
+        // the corpus is tokenized+hashed once per consumer. Persisting it
+        // is also the paper's own shape: DSIR materializes hashed n-gram
+        // features once, then fits and scores from the feature store —
+        // at 100 TB this table is the ≤128-rows-per-doc artifact written
+        // next to the corpus (the shingle-set/LSH-table precedent).
+        val db = graft.PersistCache.getOrBuild(s, s"dsir-db:$d") {
+          bg.groupBy("doc_id", "tgt", "b").agg(count(lit(1)).as("cnt"))
+        }
+        val dist = db.groupBy("b").agg(sum("cnt").as("cr"),
+          sum(when(col("tgt"), col("cnt")).otherwise(0L)).as("ct"))
+        val tot = dist.agg(sum("cr").as("tr"), sum("ct").as("tt"))
+        val lr = dist.crossJoin(broadcast(tot))
+          .select(col("b"),
+            floor(log(((col("ct") + 1).cast("double") / (col("tt") + 64)) /
+                ((col("cr") + 1).cast("double") / (col("tr") + 64))) * 1e6 + 0.5)
+              .cast("long").as("lrm"))
+        db.join(broadcast(lr), Seq("b"))
+          .groupBy("doc_id")
+          .agg(sum("cnt").as("n_bigrams"),
+            sum(col("cnt") * col("lrm")).as("s"))
+          .select(col("doc_id"), col("n_bigrams"),
+            fround(col("s").cast("double") / 1e6, 4).as("dsir_llr"),
+            fround(col("s").cast("double") / (col("n_bigrams") * 1e6), 4)
+              .as("dsir_avg"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt, string_split(lower(text), ' ') AS ts FROM documents), bg AS (SELECT doc_id, tgt, $b64 % 64 AS b FROM (SELECT doc_id, tgt, ts[i] AS w1, ts[i+1] AS w2 FROM (SELECT doc_id, tgt, ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM t))), db AS (SELECT doc_id, tgt, b, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2, 3), dist AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS cr, CAST(sum(CASE WHEN tgt THEN cnt ELSE 0 END) AS BIGINT) AS ct FROM db GROUP BY 1), tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt FROM dist), lr AS (SELECT b, CAST(floor(ln(((ct + 1.0) / (tt + 64)) / ((cr + 1.0) / (tr + 64))) * 1000000.0 + 0.5) AS BIGINT) AS lrm FROM dist, tot) SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams, floor(CAST(sum(cnt * lrm) AS DOUBLE) / 1000000.0 * 1e4 + 0.5) / 1e4 AS dsir_llr, floor(CAST(sum(cnt * lrm) AS DOUBLE) / (sum(cnt) * 1000000.0) * 1e4 + 0.5) / 1e4 AS dsir_avg FROM db JOIN lr USING (b) GROUP BY 1 ORDER BY 1"""))
+  }
+
   /** Weighted reservoir sampling WITHOUT replacement (Efraimidis–Spirakis
     * A-ES): each row gets key ln(u)/w for a hash-derived uniform u and
     * weight w; the k largest keys are a weighted sample without
@@ -728,7 +800,8 @@ object CurationOps {
 
   val all: Seq[GraftQuery] = Seq(
     sampStratified, sampQuota, shufflePrefix, txtNormalize, lengthHist,
-    embQuantize, sampImportance, sampWeightedReservoir, sampBalancedClasses,
+    embQuantize, sampImportance, sampDsir, sampWeightedReservoir,
+    sampBalancedClasses,
     sampTemperature, sampLargestRemainder, sampSystematic,
     sampPoissonBootstrap, sampDpCounts, sampHtEstimate, sampNeyman, sampAqp,
     sampKfold, sampTemperatureSweep, sampPps, sampTemporalSplit)

@@ -29,6 +29,61 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(a == b, "the two BFS spellings must serve the identical census")
   }
 
+  test("samp_dsir: full coverage, exact bigram counts, and target-discriminative scores") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        size(split(lower(col("text")), " ")).as("n_tok"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val out = run("samp_dsir").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    // every document with at least one bigram scores; none invented
+    val expected = docs.filter(_._2._2 >= 2).keySet
+    assert(out.keySet == expected)
+    // n_bigrams is exactly token-count - 1 (the bigram window)
+    out.foreach { case (id, (nb, _)) => assert(nb == docs(id)._2 - 1L, s"doc $id") }
+    // the DISCRIMINATIVE property DSIR exists for: the en target slice
+    // must score higher on average than the rest (both groups are
+    // non-empty in the fixture: 193 en / 307 non-en at sf0.001)
+    val (en, rest) = out.toSeq.partition { case (id, _) => docs(id)._1 == "en" }
+    assert(en.nonEmpty && rest.nonEmpty, "fixture must carry both slices")
+    def mean(xs: Seq[(Long, (Long, Double))]) =
+      xs.map(_._2._2).sum / xs.size
+    assert(mean(en) > mean(rest),
+      s"en mean ${mean(en)} must exceed non-en mean ${mean(rest)}")
+  }
+
+  test("samp_dsir serves every consumer from the memoized feature table, not corpus rescans") {
+    run("samp_dsir").collect() // ensure the dsir-db cache entry is built
+    val d = run("samp_dsir")
+    d.collect() // finalize AQE stages on THIS QueryExecution
+    // the consumers (distribution/totals under the broadcast stage, and
+    // the scoring join) must read the persisted (doc,bucket) table; a
+    // LIVE corpus scan in the executed tree means a consumer
+    // re-tokenizes + re-hashes the whole corpus. Walk the tree (not the
+    // string: the InMemoryRelation PRINTS its original build plan,
+    // parquet scan included, but an InMemoryTableScan leaf never
+    // executes it).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    var fileScans, memScans = 0
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case _: InMemoryTableScanExec => memScans += 1
+        case s if s.nodeName.contains("Scan") && s.toString.contains("parquet") =>
+          fileScans += 1
+        case _ =>
+      }
+      p.children.foreach(walk)
+    }
+    walk(d.queryExecution.executedPlan)
+    assert(memScans >= 1, "expected the memoized feature table in the executed tree")
+    assert(fileScans == 0,
+      s"no consumer may rescan the corpus once features are stored ($fileScans live scans)")
+  }
+
   test("bit-packed sign codes reproduce the per-dimension Hamming compare (0.0 boundary included)") {
     import spark.implicits._
     val rnd = new scala.util.Random(1313L)
