@@ -541,7 +541,11 @@ object TextOps {
     (s, d) => {
       val cnts = Tables.documents(s, d)
         .select(col("doc_id"),
-          explode(regexp_extract_all(col("text"), lit("[\\s\\S]"), lit(0))).as("ch"))
+          // split on the empty pattern = one array element per char —
+          // semantics-equal to the oracle's regexp_extract_all('[\s\S]')
+          // for the non-empty texts this corpus guarantees, without
+          // running a regex match per character
+          explode(split(col("text"), "")).as("ch"))
         .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy("doc_id")
       cnts
