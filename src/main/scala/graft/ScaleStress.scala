@@ -58,7 +58,12 @@ object ScaleStress {
     // cap-flush regime, see the partialMaxKeys config below), the native
     // TopKPerKey spelling, and the band-join rewrite's bucket fan-out
     // under 10x event density
-    "win_topk_auto", "rel_topk_native", "j_band_timestamp")
+    "win_topk_auto", "rel_topk_native", "j_band_timestamp",
+    // round 13 cont.: the DSIR scorer — its memoized (doc,bucket) feature
+    // build keys on the corpus dir, so the stress leg builds its OWN 10×
+    // feature table (pass 1) and the floor measures scoring over it; the
+    // closed 64-bucket model must stay a broadcast at any corpus size
+    "samp_dsir")
 
   /** Build the rep× stress corpus into a fresh temp dir and return its
     * path. Extracted from [[main]] so the corpus-construction invariants
