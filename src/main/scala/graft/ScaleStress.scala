@@ -162,7 +162,11 @@ object ScaleStress {
     // flips ratios by 2x (a 19.6x dedup_minhash reading re-measured
     // isolated at its stable 8.7x), and a false all_ok=false poisons the
     // committed artifact
-    val reps = sys.env.getOrElse("SPARK_GRAFT_STRESS_REPS", "3").toInt
+    // clamped to >= 1 (Bench's contract): reps=0 would leave the
+    // interleaved timing map empty and the audit must fail loudly on a
+    // missing sample, not fabricate one
+    val reps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_STRESS_REPS", "3").toInt)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
@@ -246,14 +250,16 @@ object ScaleStress {
     // stress row, an inflated stress floor poisons all_ok with a false
     // alarm. Spread samples can lose at most one pass to a burst.
     val legs = for (n <- names; dir <- Seq(sfDir, stress)) yield (n, dir)
-    val legTimes = scala.collection.mutable.Map
-      .empty[(String, String), Double].withDefaultValue(Double.MaxValue)
+    // plain map, no default: floor() indexing a leg the timing loop never
+    // ran must crash, not serve a fabricated sample
+    val legTimes = scala.collection.mutable.Map.empty[(String, String), Double]
     for (_ <- 1 to reps; (n, dir) <- legs) {
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
-      legTimes((n, dir)) = math.min(legTimes((n, dir)), sec)
+      legTimes((n, dir)) =
+        math.min(legTimes.getOrElse((n, dir), Double.MaxValue), sec)
     }
     def floor(name: String, dir: String): (Double, Map[String, Int], Long) = {
       val fn = SparkEntry.queries(name)

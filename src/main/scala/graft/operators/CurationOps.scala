@@ -264,7 +264,7 @@ object CurationOps {
         // the corpus is tokenized+hashed once per consumer. Persisting it
         // is also the paper's own shape: DSIR materializes hashed n-gram
         // features once, then fits and scores from the feature store —
-        // at 100 TB this table is the ≤128-rows-per-doc artifact written
+        // at 100 TB this table is the ≤64-rows-per-doc artifact written
         // next to the corpus (the shingle-set/LSH-table precedent).
         val db = graft.PersistCache.getOrBuild(s, s"dsir-db:$d") {
           bg.groupBy("doc_id", "tgt", "b").agg(count(lit(1)).as("cnt"))
