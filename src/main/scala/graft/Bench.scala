@@ -100,19 +100,39 @@ object Bench {
     // at most one of them; same total work, same artifact schema. Each
     // rep rebuilds the DataFrame from the registry fn, so every sample
     // carries identical planning cost.
-    val passes = (1 to reps).map { _ =>
+    // A failed execution records NaN, not its time-to-failure: a query
+    // that throws in 50 ms must not feed a fabricated 50 ms "floor" into
+    // value/pass_totals (it would read as the registry's fastest query
+    // instead of its one broken one). NaN samples are dropped from every
+    // aggregate below and surfaced in a `failed` field instead.
+    val passes = (1 to reps).map { pass =>
       named.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed (pass $pass/$reps): ${e.getMessage}")
+            false
+          }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN)
       }.toMap
     }
-    val results = named.map { case (name, _) =>
-      (name, passes.head(name), passes.map(_(name)).min)
+    val allResults = named.map { case (name, _) =>
+      val samples = passes.map(_(name))
+      val good = samples.filterNot(_.isNaN)
+      // first-shot = first SUCCESSFUL execution (the cold-plan story is
+      // meaningless for a throw); floor = min over successful samples
+      (name,
+        good.headOption.getOrElse(Double.NaN),
+        if (good.nonEmpty) good.min else Double.NaN,
+        samples.count(_.isNaN))
     }
+    // a query that failed EVERY pass contributes no numbers at all — it is
+    // listed in `failed` and makes the run loudly incomplete rather than
+    // silently faster
+    val failedAll = allResults.filter(_._3.isNaN).map(_._1)
+    val results = allResults.filterNot(_._3.isNaN).map { case (n, f, m, _) => (n, f, m) }
+    val failCounts = allResults.collect { case (n, _, _, k) if k > 0 => (n, k) }
     // PRIMARY numbers (stdout value, per-query maps, README narrative) are
     // the per-query FLOORS; the first-shot column rides alongside for the
     // cold-cost story. Host contention inflates single shots uniformly but
@@ -134,11 +154,21 @@ object Bench {
     // pass totals converge (pass 1 higher by the cold-plan cost only);
     // a pass total far above its siblings localizes a host-load burst
     // to that pass without per-query archaeology.
-    val passTotals = passes.map(_.values.sum)
+    val passTotals = passes.map(_.values.filterNot(_.isNaN).sum)
       .map(v => "%.3f".formatLocal(java.util.Locale.ROOT, v))
       .mkString("[", ",", "]")
+    // failure receipt: per-query failed-pass counts plus the all-pass
+    // casualties (absent from every timing map above)
+    val failedJson =
+      if (failCounts.isEmpty) ""
+      else {
+        val counts = failCounts.map { case (n, k) => "\"" + n + "\":" + k }
+          .mkString("{", ",", "}")
+        val dead = failedAll.map("\"" + _ + "\"").mkString("[", ",", "]")
+        s""","failed_pass_counts":$counts,"failed_all_passes":$dead"""
+      }
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"single_shot":$firstQs,"single_shot_total":$totalFirst,"pass_totals":$passTotals,"reps":$reps,"setup_sec":$setupSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"single_shot":$firstQs,"single_shot_total":$totalFirst,"pass_totals":$passTotals,"reps":$reps,"setup_sec":$setupSec$failedJson,"sf":"$sfDir"}"""
     // a targeted re-check (SPARK_GRAFT_BENCH_ONLY) must not clobber the
     // committed full-registry artifact — the same guard ScaleStress grew
     // in round 12 (a 1-query BENCH_FULL.json overwrote 364 floors once)
@@ -146,11 +176,30 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] $artifact write failed: ${e.getMessage}") }
+    // Matched-window pair protocol (tools/make_bench_pair.sh): when
+    // SPARK_GRAFT_PAIR_ID is set, ALSO write the floors to
+    // BENCH_PAIRED.json stamped with that id. The DuckDB baseline run in
+    // the same calm window carries the same id, and the README generator
+    // refuses to compute a ratio across mismatched ids — so the
+    // end-of-round snapshot clobbering BENCH_FULL.json (a different,
+    // usually noisier window) can no longer silently change the published
+    // Spark-vs-DuckDB ratio. Refused for targeted runs: a partial
+    // registry must never masquerade as the paired full floor.
+    sys.env.get("SPARK_GRAFT_PAIR_ID").map(_.trim).filter(_.nonEmpty).foreach { pid =>
+      if (only.isDefined)
+        System.err.println("[bench] SPARK_GRAFT_PAIR_ID ignored: BENCH_ONLY runs never write BENCH_PAIRED.json")
+      else {
+        val paired = fullLine.stripSuffix("}") + s""","pair_id":"$pid"}"""
+        try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_PAIRED.json"),
+          (paired + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        catch { case e: Throwable => System.err.println(s"[bench] BENCH_PAIRED.json write failed: ${e.getMessage}") }
+      }
+    }
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val timed = results.map { case (k, _, mn) => k -> mn }.toMap
     val headQs = headline.filter(timed.contains)
       .map(k => "\"" + k + "\":" + r3(timed(k))).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headQs,"n_queries":${results.size},"reps":$reps,"single_shot_total":${r3(totalFirst)},"setup_sec":${r3(setupSec)},"full":"$artifact","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headQs,"n_queries":${results.size},"n_failed":${failedAll.size},"reps":$reps,"single_shot_total":${r3(totalFirst)},"setup_sec":${r3(setupSec)},"full":"$artifact","sf":"$sfDir"}""")
     spark.stop()
   }
 

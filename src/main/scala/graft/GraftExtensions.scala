@@ -154,6 +154,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_zvalue expects 2 arguments (x, y), got ${exprs.length}")
         graft.functions.expressions.MortonZ(exprs(0), exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_char_entropy"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.CharEntropyMicro].getName,
+        "graft_char_entropy"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"graft_char_entropy expects 1 argument (text), got ${exprs.length}")
+        graft.functions.expressions.CharEntropyMicro(exprs(0))
+      }))
     ext.injectOptimizerRule(_ => SelfDotRewrite)
     ext.injectOptimizerRule(_ => BandJoinRewrite)
     ext.injectOptimizerRule(_ => WindowTopKRewrite)

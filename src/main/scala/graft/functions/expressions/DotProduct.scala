@@ -149,6 +149,15 @@ object GraftExpressions {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_zvalue", exprs => MortonZ(exprs(0), exprs(1)), "scala_udf")
+    // row-local char-histogram entropy accumulator — see CharEntropy.scala
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_char_entropy",
+      exprs => {
+        require(exprs.length == 1,
+          s"graft_char_entropy expects 1 argument (text), got ${exprs.length}")
+        CharEntropyMicro(exprs(0))
+      },
+      "scala_udf")
     // codegen'd binary search over a sorted boundary array — see
     // LowerBound.scala
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -525,43 +525,38 @@ object TextOps {
     * log rides as an integer micro-unit (the [[lpPerDoc]] ln discipline),
     * so the per-doc sum is a BIGINT and the only float ops are one final
     * division per doc, identical in both engines.
-    * Scale shape: per-row char histogram explode (bounded by alphabet
-    * size per doc, not text length, after the (doc, char) combine), ONE
-    * doc-keyed shuffle reused by the window and the final aggregate.
-    * The char pattern is [\s\S] — NOT '.' — because Java regex '.'
-    * excludes CR, NEL and the U+2028/U+2029 separators while RE2's
-    * excludes only LF, a
-    * cross-engine divergence on any CRLF corpus; the union class matches
-    * every code point identically in both engines. A document whose text
-    * is empty produces no row in BOTH engines (explode and unnest agree
-    * on empty histograms) — entropy of nothing is undefined, not 0. */
+    * Scale shape: the histogram is folded ROW-LOCALLY by the native
+    * [[graft.functions.expressions.CharEntropyMicro]] expression (code
+    * points in, `[n_chars, n_distinct, s_micro]` longs out) — nothing
+    * shuffles but three longs per document, vs the composable
+    * `explode(split(text, ''))` form's one-row-per-CHARACTER pre-combine
+    * blow-up (~1000x more rows into the first aggregate; 2.9x DuckDB on
+    * the calm floor before this rewrite). The oracle keeps its exploded
+    * `regexp_extract_all(text, '[\s\S]')` shape — the union class (not
+    * '.') matches every code point, the unit CharEntropyMicro iterates —
+    * and the identical micro-unit integer-log arithmetic makes the two
+    * pipelines bit-equal. Empty documents are EXCLUDED by an explicit
+    * `length(text) > 0` guard in both engines (entropy of nothing is
+    * undefined, not 0): Spark's empty-pattern split would emit a single
+    * empty element for an empty string where DuckDB's unnest-of-empty
+    * yields no row, so the contract lives in the plan, not in a corpus
+    * precondition. */
   private val charEntropy = GraftQuery(
     "txt_char_entropy",
     "per-doc char-distribution Shannon entropy (gibberish detector)",
     (s, d) => {
-      val cnts = Tables.documents(s, d)
+      graft.functions.expressions.GraftExpressions.ensureRegistered(s)
+      Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), expr("graft_char_entropy(text)").as("e"))
         .select(col("doc_id"),
-          // split on the empty pattern = one array element per char —
-          // semantics-equal to the oracle's regexp_extract_all('[\s\S]')
-          // for the non-empty texts this corpus guarantees, without
-          // running a regex match per character
-          explode(split(col("text"), "")).as("ch"))
-        .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy("doc_id")
-      cnts
-        .withColumn("n", sum("cnt").over(w))
-        .withColumn("nd", count(lit(1)).over(w))
-        .groupBy("doc_id")
-        .agg(max("n").as("n_chars"), max("nd").as("n_distinct"),
-          sum(col("cnt") *
-            floor(log(col("cnt").cast("double") / col("n")) * 1e6 + 0.5)
-              .cast("long")).as("s_micro"))
-        .select(col("doc_id"), col("n_chars"), col("n_distinct"),
-          fround(-col("s_micro").cast("double") / (col("n_chars") * 1e6), 4)
-            .as("entropy"))
+          col("e").getItem(0).as("n_chars"),
+          col("e").getItem(1).as("n_distinct"),
+          fround(-col("e").getItem(2).cast("double") /
+            (col("e").getItem(0) * lit(1e6)), 4).as("entropy"))
         .orderBy("doc_id")
     },
-    Some("""WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch FROM documents), c AS (SELECT doc_id, ch, count(*) AS cnt FROM ch GROUP BY 1, 2), t AS (SELECT doc_id, cnt, CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n, count(*) OVER (PARTITION BY doc_id) AS nd FROM c) SELECT doc_id, max(n) AS n_chars, max(nd) AS n_distinct, floor(-CAST(sum(cnt * CAST(floor(ln(CAST(cnt AS DOUBLE) / n) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / (max(n) * 1000000.0) * 10000.0 + 0.5) / 10000.0 AS entropy FROM t GROUP BY 1 ORDER BY 1"""))
+    Some("""WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch FROM documents WHERE length(text) > 0), c AS (SELECT doc_id, ch, count(*) AS cnt FROM ch GROUP BY 1, 2), t AS (SELECT doc_id, cnt, CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n, count(*) OVER (PARTITION BY doc_id) AS nd FROM c) SELECT doc_id, max(n) AS n_chars, max(nd) AS n_distinct, floor(-CAST(sum(cnt * CAST(floor(ln(CAST(cnt AS DOUBLE) / n) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / (max(n) * 1000000.0) * 10000.0 + 0.5) / 10000.0 AS entropy FROM t GROUP BY 1 ORDER BY 1"""))
 
   /** Language-ID CONFUSION MATRIX — the classifier-evaluation rollup over
     * [[langId]]'s heuristic: declared label vs predicted language, counts

@@ -85,10 +85,64 @@ class StressCorpusSpec extends AnyFunSuite {
       "rotation must be 1:1 on characters — lengths/token counts changed")
   }
 
-  test("rep above the rotation-class size fails loudly instead of repeating") {
+  test("rep above the rotation-collision bound fails loudly instead of repeating") {
+    // lcm(26 letters, 10 digits) = 130 distinct rotation pairs
     val e = intercept[IllegalArgumentException] {
-      ScaleStress.buildStressCorpus(spark, sf, 11)
+      ScaleStress.buildStressCorpus(spark, sf, 131)
     }
     assert(e.getMessage.contains("rotations would repeat"))
+  }
+
+  // --- the Zipf-skew corpus variant (round 14) -----------------------
+  // hotSkew re-keys ⌈rep·HotFrac⌉ replicas to ONE user / ONE 8-gram; the
+  // skew receipts in SCALE_STRESS.json are only as honest as these
+  // invariants: the hot share must actually be ~HotFrac, the hot user
+  // must still match the customer dimension (else the salted join does
+  // less work under "skew"), and the non-hot replicas must keep every
+  // uniform-corpus property.
+  private val srep = 5 // ceil(5 * 0.2) = 1 hot replica = 20% share
+  private lazy val skew = ScaleStress.buildStressCorpus(spark, sf, srep, hotSkew = true)
+  private def sk(t: String) = spark.read.parquet(s"$skew/$t.parquet")
+
+  test("skew corpus: one user owns exactly the hot replicas' share of events") {
+    val total = sk("events").count()
+    assert(total == srep * base("events").count(), "volume must still be rep x")
+    val top = sk("events").groupBy("user_id").count()
+      .orderBy(col("count").desc).limit(1).head
+    val hotReps = math.ceil(srep * ScaleStress.HotFrac).toInt
+    assert(top.getLong(1) >= hotReps.toLong * base("events").count(),
+      s"hot user owns ${top.getLong(1)} of $total events — expected at " +
+        s"least $hotReps base-corpus replicas' worth")
+  }
+
+  test("skew corpus: the hot user still matches the customer dimension") {
+    val dangling = sk("events").select(col("user_id"))
+      .join(sk("customer"), col("user_id") === col("c_custkey"), "left_anti")
+      .count()
+    assert(dangling == 0,
+      "hot-key events dangle against the customer dimension — the salted " +
+        "join would do less inner-join work under 'skew' than uniform")
+  }
+
+  test("skew corpus: one 8-gram dominates the hot replicas' documents") {
+    val docSpan = base("documents").agg(max("doc_id")).head.getLong(0) + 1
+    val hotDocs = sk("documents")
+      .filter(col("doc_id") >= docSpan && col("doc_id") < 2 * docSpan)
+    // every hot doc is the one-token repetition => all its 8-grams equal
+    assert(hotDocs.select(countDistinct("text")).head.getLong(0) == 1,
+      "hot replica texts must collapse to one repeated-token document")
+    assert(hotDocs.count() == base("documents").count())
+    // replica 0 stays the untouched base corpus (rotation identity)
+    val r0 = sk("documents").filter(col("doc_id") < docSpan)
+      .select("doc_id", "text")
+    val diff = r0.exceptAll(base("documents").select("doc_id", "text")).count()
+    assert(diff == 0, "skew corpus replica 0 must remain the base corpus")
+  }
+
+  test("skew corpus: clock shifts survive re-keying (disjoint time windows)") {
+    val baseDays = base("events").select(to_date(col("ts"))).distinct().count()
+    assert(sk("events").select(to_date(col("ts"))).distinct().count() ==
+      srep * baseDays,
+      "hot replicas must keep their clock shift — only the KEY concentrates")
   }
 }

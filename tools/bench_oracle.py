@@ -3,7 +3,12 @@
 benches against — the only constructible single-node baseline (the
 reference publishes no numbers; see BASELINE.md).
 
-Usage: python3 tools/bench_oracle.py <sfDir> <verifyOutDir> [reps]
+Usage: python3 tools/bench_oracle.py <sfDir> <verifyOutDir> [reps] [pair_id]
+
+When pair_id is given it is stamped into BASELINE_DUCKDB.json; the README
+generator only computes the Spark-vs-DuckDB ratio from a BENCH_PAIRED.json
+carrying the SAME id (the matched-window protocol — see
+tools/make_bench_pair.sh).
 
 Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), registers
 the testdata tables as DuckDB views over <sfDir>, runs each oracle `reps`
@@ -19,6 +24,7 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    pair_id = sys.argv[4] if len(sys.argv) > 4 else None
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
     for t in TABLES:
@@ -45,6 +51,8 @@ def main():
         "total_single": sum(singles.values()), "total_min": sum(mins.values()),
         "queries": singles, "min": mins, "errors": errs,
     }
+    if pair_id:
+        out["pair_id"] = pair_id
     with open("BASELINE_DUCKDB.json", "w") as f:
         json.dump(out, f)
     print(f"{len(singles)} queries: total single {out['total_single']:.1f} s, "

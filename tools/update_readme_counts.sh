@@ -5,7 +5,23 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-ROUND="${1:-current}"
+# --check: regenerate the status block and FAIL (exit 1) if the README's
+# committed block disagrees with what the committed artifacts produce —
+# the guard that makes a stale-README state impossible to commit silently
+# (round 13 shipped a README derived from one bench window next to a
+# BENCH_FULL.json from another). Run it in CI / pre-commit. In check mode
+# the round label is read from the existing block so an unchanged README
+# can't fail on the label alone.
+CHECK=0
+ARGS=()
+for a in "$@"; do
+  if [ "$a" = "--check" ]; then CHECK=1; else ARGS+=("$a"); fi
+done
+ROUND="${ARGS[0]:-current}"
+if [ "$CHECK" = 1 ]; then
+  ROUND=$(sed -n 's/^Status (\(.*\)): .*$/\1/p' README.md | head -1)
+  ROUND="${ROUND:-current}"
+fi
 OUT=$(sbt -batch "runMain graft.Counts" 2>/dev/null | sed -n 's/^\[info\] \(queries=\|oracled=\|no_oracle\)/\1/p')
 QUERIES=$(echo "$OUT" | sed -n 's/^queries=//p')
 ORACLED=$(echo "$OUT" | sed -n 's/^oracled=//p')
@@ -68,25 +84,46 @@ if d.get("min3"):
     m3worst = max(m3.items(), key=lambda kv: kv[1])
     line += (f" Isolated re-run floor (min of {d.get('reps', 3)}): "
              f"{m3total:.1f} s total, worst {m3worst[0]} {m3worst[1]:.2f} s.")
+# The Spark-vs-DuckDB ratio comes ONLY from the matched-window pair:
+# BENCH_PAIRED.json and BASELINE_DUCKDB.json floored back-to-back by
+# tools/make_bench_pair.sh in ONE calm window, stamped with one pair_id.
+# BENCH_FULL.json is deliberately NOT used here — the end-of-round
+# snapshot clobbers it with whatever window the driver ran in, and a
+# cross-window numerator/denominator violates BASELINE.md's protocol
+# (the round-13 defect). A mismatched pair is a HARD ERROR, not a skip.
 try:
+    bp = json.load(open("BENCH_PAIRED.json"))
     dd = json.load(open("BASELINE_DUCKDB.json"))
+except FileNotFoundError:
+    bp = dd = None
+    line += (" No matched-window Spark-vs-DuckDB pair present "
+             "(run tools/make_bench_pair.sh in a calm window).")
+if bp is not None:
+    bpid, ddid = bp.get("pair_id"), dd.get("pair_id")
+    if not bpid or bpid != ddid:
+        print(f"PAIR MISMATCH: BENCH_PAIRED.json pair_id={bpid!r} != "
+              f"BASELINE_DUCKDB.json pair_id={ddid!r} — re-run "
+              f"tools/make_bench_pair.sh; refusing to publish a "
+              f"cross-window ratio", file=sys.stderr)
+        sys.exit(3)
+    pq = bp.get("queries", {})
     dmin = dd.get("min", {})
-    common = sorted(set(m3 or {}) & set(dmin))
+    common = sorted(set(pq) & set(dmin))
     if common:
-        ss = sum(m3[q] for q in common)
+        ss = sum(pq[q] for q in common)
         ds = sum(dmin[q] for q in common)
-        wins = sum(1 for q in common if m3[q] < dmin[q])
+        wins = sum(1 for q in common if pq[q] < dmin[q])
         # wins among the compute-heavy slice: derived, not asserted
         heavy = [q for q in common if dmin[q] >= 1.0]
-        hwins = sum(1 for q in heavy if m3[q] < dmin[q])
+        hwins = sum(1 for q in heavy if pq[q] < dmin[q])
         line += (f" Single-node DuckDB baseline on the same {len(common)} "
-                 f"oracle queries (BASELINE_DUCKDB.json, min-of-"
-                 f"{dd.get('reps', 3)}): {ds:.1f} s -> ratio {ss/ds:.2f}x; "
+                 f"oracle queries (matched-window pair {bpid}: "
+                 f"BENCH_PAIRED.json min-of-{bp.get('reps', 3)} "
+                 f"{ss:.1f} s vs BASELINE_DUCKDB.json min-of-"
+                 f"{dd.get('reps', 3)} {ds:.1f} s) -> ratio {ss/ds:.2f}x; "
                  f"Spark ahead on {wins}/{len(common)} overall and "
                  f"{hwins}/{len(heavy)} of the queries DuckDB itself needs "
                  f">=1 s for (see BASELINE.md for the reading protocol).")
-except Exception:
-    pass
 try:
     st = json.load(open("BENCH_STREAM.json"))
     line += (f" Streaming ingest (BENCH_STREAM.json, full 4-sink fan-out, "
@@ -178,11 +215,25 @@ index/graph/MV builds reported separately as setup_sec.
 EOF
 )
 
-python3 - "$BLOCK" <<'PYEOF'
+python3 - "$BLOCK" "$CHECK" <<'PYEOF'
 import re, sys
-block = sys.argv[1]
+block, check = sys.argv[1], sys.argv[2] == "1"
 readme = open("README.md").read()
 marked = re.compile(r"<!-- STATUS-BEGIN.*?STATUS-END -->", re.S)
+if check:
+    m = marked.search(readme)
+    current = m.group(0) if m else "<no status block>"
+    if current.strip() != block.strip():
+        import difflib
+        print("README STATUS BLOCK IS STALE — its numbers disagree with "
+              "the committed artifacts it claims to derive from. Re-run "
+              "tools/update_readme_counts.sh <round>.", file=sys.stderr)
+        sys.stderr.writelines(difflib.unified_diff(
+            current.splitlines(True), block.splitlines(True),
+            "README.md (committed)", "regenerated-from-artifacts"))
+        sys.exit(1)
+    print("README status block matches the committed artifacts")
+    raise SystemExit
 if marked.search(readme):
     readme = marked.sub(block, readme)
 else:
