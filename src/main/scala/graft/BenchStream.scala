@@ -44,7 +44,10 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * fields from the default-provider run (rows/s, micro-batch count,
   * batch_p50_ms/batch_p95_ms, per-table row counts, margins over the
   * reference floors) plus a `providers` map with the same measurements per
-  * provider. Consistency is asserted per run, not assumed: raw+quarantine
+  * provider, plus a `steady` block (round 14): a fixed-arrival-rate leg —
+  * a feeder thread drips files at a constant cadence under a
+  * ProcessingTime trigger for ~60 triggers — whose p50/p95/p99 reflect
+  * EQUILIBRIUM commit latency, not the burst legs' warm-up/catch-up mix. Consistency is asserted per run, not assumed: raw+quarantine
   * must account for every spooled line and the counter tables must carry
   * the exact station-day/station-year key counts, so the artifact can't
   * publish a rate for a run that silently dropped rows.
@@ -210,11 +213,112 @@ object BenchStream {
     }
     val head = byProvider.head._2 // hdfs: the headline (back-compat) fields
 
+    // --- STEADY-STATE latency leg (round 14): the burst legs above feed
+    // a pre-written spool through AvailableNow — their p50/p95 mixes
+    // warm-up and catch-up batches and says nothing about equilibrium.
+    // Here a feeder thread writes one file at a FIXED cadence (default
+    // 2,000 lines every 500 ms = 4,000 rows/s, well under the measured
+    // ~16k rows/s fan-out capacity — latency under saturation is queueing,
+    // not engine) for SPARK_GRAFT_STREAM_STEADY_FILES triggers while the
+    // full fan-out polls on a ProcessingTime trigger; files land via
+    // write-to-temp + atomic move so the source never lists a partial
+    // file. Published: observed non-empty raw triggers, the offered rate,
+    // and p50/p95/p99 trigger-to-durable-commit across all four queries'
+    // non-empty batches at equilibrium.
+    val steadyFiles = sys.env.getOrElse("SPARK_GRAFT_STREAM_STEADY_FILES", "60").toInt
+    val steadyLinesPerFile = sys.env.getOrElse("SPARK_GRAFT_STREAM_STEADY_LPF", "2000").toInt
+    val steadyIntervalMs = sys.env.getOrElse("SPARK_GRAFT_STREAM_STEADY_MS", "500").toLong
+    val steady = {
+      val src = Files.createTempDirectory("stream-bench-steady")
+      val out = Files.createTempDirectory("stream-bench-steady-out").toString
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      val progresses = new ConcurrentLinkedQueue[(java.util.UUID, Long, Long)]()
+      val done = new CountDownLatch(4)
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit =
+          progresses.add((e.progress.id, e.progress.numInputRows,
+            e.progress.batchDuration))
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+          done.countDown()
+      }
+      spark.streams.addListener(listener)
+      try {
+        @volatile var fed = 0L
+        @volatile var fedCorrupt = 0L
+        val feeder = new Thread(() => {
+          var written = 0L
+          for (f <- 0 until steadyFiles) {
+            val buf = new java.lang.StringBuilder(1 << 20)
+            var corrupt = 0L
+            for (i <- 0 until steadyLinesPerFile) {
+              if (written % 200 == 199) { buf.append("garbled,line\n"); corrupt += 1 }
+              else {
+                val st = (written % nStations).toInt
+                val h = (written / nStations % 24).toInt
+                val d = (written / nStations / 24 % 28).toInt
+                buf.append("7249%03d:23234,2008,%02d,%02d,%02d,%.1f,-0.6,1023.8,50,7.2,2,%.2f,0.0\n"
+                  .formatLocal(java.util.Locale.ROOT, st, d / 28 + 1, d % 28 + 1, h,
+                    (st * 31 + d * 7 + h) % 400 / 10.0 - 10.0,
+                    if ((st + d + h) % 3 == 0) (h % 10) / 10.0 else 0.0))
+              }
+              written += 1
+            }
+            val tmp = src.resolve(f".tmp-$f")
+            Files.write(tmp, buf.toString.getBytes(StandardCharsets.UTF_8))
+            Files.move(tmp, src.resolve(f"steady-$f%05d.csv"),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            fed = written
+            fedCorrupt += corrupt
+            Thread.sleep(steadyIntervalMs)
+          }
+        }, "steady-feeder")
+        // seed one file BEFORE start: the file source requires the path to
+        // exist and an immediately-empty listing would log-spam; the first
+        // file also absorbs the fan-out's stream-start cost
+        feeder.start()
+        while (fed == 0L) Thread.sleep(10)
+        val lines = spark.readStream
+          .option("maxFilesPerTrigger", 4)
+          .text(src.toString)
+        val run = graft.streaming.WeatherIngest.start(lines,
+          s"$out/raw", s"$out/quarantine", s"$out/ckpt", s"$out/tables",
+          trigger = org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime(steadyIntervalMs))
+        feeder.join()
+        val expected = fed
+        // drain: wait until every fed line is durably accounted for, then
+        // stop the four queries (ProcessingTime never self-terminates)
+        val deadline = System.nanoTime() + 180L * 1000000000L
+        def accounted(): Long =
+          try spark.read.parquet(s"$out/raw").count() +
+            spark.read.parquet(s"$out/quarantine").count()
+          catch { case _: Throwable => 0L }
+        while (accounted() < expected && System.nanoTime() < deadline)
+          Thread.sleep(200)
+        require(accounted() == expected,
+          s"steady leg lost lines: accounted=${accounted()} fed=$expected")
+        Seq(run.raw, run.quarantine, run.counter, run.yearCounter).foreach(_.stop())
+        require(done.await(60, TimeUnit.SECONDS),
+          "steady leg: listener never saw all four query terminations")
+        val ps = progresses.asScala.toVector
+        val rawTriggers = ps.count { case (id, rows, _) => id == run.raw.id && rows > 0 }
+        val durs = ps.collect { case (_, rows, d) if rows > 0 => d }.sorted
+        (rawTriggers, durs)
+      } finally spark.streams.removeListener(listener)
+    }
+    val (steadyTriggers, steadyDurs) = steady
+    val steadyRate = steadyLinesPerFile * 1000.0 / steadyIntervalMs
+    System.err.println(f"[bench-stream] steady   $steadyTriggers triggers at ${steadyRate}%8.1f rows/s offered, p50=${pct(steadyDurs, 0.5)} ms p95=${pct(steadyDurs, 0.95)} ms p99=${pct(steadyDurs, 0.99)} ms")
+
     def r1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
     def provJson(st: RunStats): String =
       s"""{"value":${r1(st.rps)},"wall_sec":${r1(st.wall)},"micro_batches":${st.batches},"batch_p50_ms":${st.p50Ms},"batch_p95_ms":${st.p95Ms}}"""
     val line =
-      s"""{"metric":"stream_rows_per_sec","value":${r1(head.rps)},"unit":"rows/sec","reps":$streamReps,"lines":$written,"wall_sec":${r1(head.wall)},"micro_batches":${head.batches},"batch_p50_ms":${head.p50Ms},"batch_p95_ms":${head.p95Ms},"raw_rows":${head.rawRows},"quarantine_rows":${head.qRows},"daily_counter_rows":${head.dailyRows},"year_counter_rows":${head.yearRows},"ref_floor_ingest_rows_60s":8000,"ref_floor_counter_rows_60s":500,"ingest_floor_margin_x":${r1(head.rps * 60 / 8000)},"counter_floor_margin_x":${r1(head.dailyRows * math.min(1.0, 60.0 / head.wall) / 500)},"providers":${byProvider.map { case (p, st) => s""""$p":${provJson(st)}""" }.mkString("{", ",", "}")},"cpus":$cpus}"""
+      s"""{"metric":"stream_rows_per_sec","value":${r1(head.rps)},"unit":"rows/sec","reps":$streamReps,"lines":$written,"wall_sec":${r1(head.wall)},"micro_batches":${head.batches},"batch_p50_ms":${head.p50Ms},"batch_p95_ms":${head.p95Ms},"raw_rows":${head.rawRows},"quarantine_rows":${head.qRows},"daily_counter_rows":${head.dailyRows},"year_counter_rows":${head.yearRows},"ref_floor_ingest_rows_60s":8000,"ref_floor_counter_rows_60s":500,"ingest_floor_margin_x":${r1(head.rps * 60 / 8000)},"counter_floor_margin_x":${r1(head.dailyRows * math.min(1.0, 60.0 / head.wall) / 500)},"providers":${byProvider.map { case (p, st) => s""""$p":${provJson(st)}""" }.mkString("{", ",", "}")},"steady":{"provider":"hdfs","planned_files":$steadyFiles,"observed_raw_triggers":$steadyTriggers,"input_rows_per_sec":${r1(steadyRate)},"interval_ms":$steadyIntervalMs,"batch_p50_ms":${pct(steadyDurs, 0.5)},"batch_p95_ms":${pct(steadyDurs, 0.95)},"batch_p99_ms":${pct(steadyDurs, 0.99)},"batches":${steadyDurs.size}},"cpus":$cpus}"""
     try Files.write(Paths.get("BENCH_STREAM.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8))
     catch { case e: Throwable =>

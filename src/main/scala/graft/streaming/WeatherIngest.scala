@@ -80,13 +80,18 @@ object WeatherIngest {
 
   /** Declare all four sinks over one line source and start them.
     * `tableRoot` holds the two durable counter tables
-    * (`$tableRoot/daily_precip`, `$tableRoot/year_precip`). */
+    * (`$tableRoot/daily_precip`, `$tableRoot/year_precip`).
+    * `trigger` defaults to AvailableNow (drain-and-stop, the batch-bench
+    * and test shape); BenchStream's steady-state leg passes a
+    * ProcessingTime trigger so the fan-out keeps polling a live spool at
+    * a fixed cadence instead of terminating at the current file set. */
   def start(
       lines: DataFrame, // streaming DataFrame with a `value: String` column
       rawOut: String,
       quarantineOut: String,
       checkpointRoot: String,
-      tableRoot: String): Running = {
+      tableRoot: String,
+      trigger: Trigger = Trigger.AvailableNow()): Running = {
     import lines.sparkSession.implicits._
     val parsed = WeatherCsv.parseLines(lines.as[String])
 
@@ -95,7 +100,7 @@ object WeatherIngest {
       .option("path", rawOut)
       .option("checkpointLocation", s"$checkpointRoot/raw")
       .outputMode("append")
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
     val qQ = parsed.filter(col("_corrupt_record").isNotNull)
@@ -105,7 +110,7 @@ object WeatherIngest {
       .option("path", quarantineOut)
       .option("checkpointLocation", s"$checkpointRoot/quarantine")
       .outputMode("append")
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
     val measured = WeatherCsv.withPrecipDefaults(WeatherCsv.valid(parsed))
@@ -120,7 +125,7 @@ object WeatherIngest {
       .outputMode("update")
       .option("checkpointLocation", s"$checkpointRoot/counter")
       .foreachBatch { (batch: DataFrame, _: Long) => dailySink.upsert(batch) }
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
     // year-cumulative leg (A6): same machinery at year grain
@@ -133,7 +138,7 @@ object WeatherIngest {
       .outputMode("update")
       .option("checkpointLocation", s"$checkpointRoot/year_counter")
       .foreachBatch { (batch: DataFrame, _: Long) => yearSink.upsert(batch) }
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
     Running(rawQ, qQ, cQ, yQ, dailySink, yearSink)

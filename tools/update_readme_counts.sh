@@ -29,6 +29,10 @@ NO_ORACLE_N=$(echo "$OUT" | sed -n 's/^no_oracle_n=//p')
 NO_ORACLE=$(echo "$OUT" | sed -n 's/^no_oracle=//p')
 SPECS=$(grep -rho 'test("' src/test/scala/graft/*.scala | wc -l | tr -d ' ')
 
+# Registry-growth policy nudge (README "Registry growth policy"): WARN on
+# newly added overhead-dominated bench rows. Never fatal.
+python3 tools/registry_cost_guard.py >&2 || true
+
 # Bench narrative numbers come FROM the committed artifact, never typed by
 # hand (the hand-typed total drifted from BENCH_FULL.json two rounds
 # running).
