@@ -79,7 +79,13 @@ object ScaleStress {
     // first_ratio/build_linear_ok fields (round 14), the floor by the
     // usual linear gate; the closed 64-bucket model must stay a broadcast
     // at any corpus size
-    "samp_dsir")
+    "samp_dsir",
+    // round 14: the Zipf-skew targets that weren't already here — the
+    // df-capped positioned-gram self-join (a hot gram must be SHED as
+    // boilerplate, never paired) and the skew PROFILE itself (map-side
+    // partial combine bounds a hot key's reduce row to one per task);
+    // both also get uniform 10× rows like everything else
+    "dedup_dup_spans", "qa_key_skew")
 
   /** Build the rep× stress corpus into a fresh temp dir and return its
     * path. Extracted from [[main]] so the corpus-construction invariants
@@ -394,9 +400,17 @@ object ScaleStress {
       // reading (waitUntilEmpty is private[spark])
       Thread.sleep(2000)
       spark.sparkContext.removeSparkListener(listener)
+      // 512 KiB floor over shuffle-read+input bytes: every keyed
+      // corpus-scale stage (window/agg/join shuffles) qualifies at
+      // sf0.1×10, while tiny fixed-size stages (driver collects, dim
+      // builds) appear in BOTH corpora and cancel in the relative gate.
+      // A share of 0.0 is itself a receipt: the query has NO qualifying
+      // keyed stage at all (j_skew_salted's broadcast-join shape — the
+      // hot key has nowhere to concentrate because nothing corpus-sized
+      // is ever hashed by it).
       val share = stageBytes.values.toSeq
         .map(buf => buf.synchronized { (buf.size, buf.sum, buf.max) })
-        .collect { case (sz, sum, mx) if sz > 1 && sum > (4L << 20) =>
+        .collect { case (sz, sum, mx) if sz > 1 && sum > (512L << 10) =>
           mx.toDouble / sum }
         .maxOption.getOrElse(0.0)
       val skewSplit = df.queryExecution.executedPlan.toString
