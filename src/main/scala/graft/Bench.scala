@@ -118,14 +118,8 @@ object Bench {
       }.toMap
     }
     val allResults = named.map { case (name, _) =>
-      val samples = passes.map(_(name))
-      val good = samples.filterNot(_.isNaN)
-      // first-shot = first SUCCESSFUL execution (the cold-plan story is
-      // meaningless for a throw); floor = min over successful samples
-      (name,
-        good.headOption.getOrElse(Double.NaN),
-        if (good.nonEmpty) good.min else Double.NaN,
-        samples.count(_.isNaN))
+      val (first, floor, nFailed) = Bench.summarize(passes.map(_(name)))
+      (name, first, floor, nFailed)
     }
     // a query that failed EVERY pass contributes no numbers at all — it is
     // listed in `failed` and makes the run loudly incomplete rather than
@@ -201,6 +195,20 @@ object Bench {
       .map(k => "\"" + k + "\":" + r3(timed(k))).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headQs,"n_queries":${results.size},"n_failed":${failedAll.size},"reps":$reps,"single_shot_total":${r3(totalFirst)},"setup_sec":${r3(setupSec)},"full":"$artifact","sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Fold one query's per-pass samples (NaN = that pass's execution
+    * FAILED) into (first successful shot, floor over successful samples,
+    * failed-pass count). A query that failed every pass yields NaN for
+    * both numbers — the caller must EXCLUDE it from totals and surface it
+    * in the artifact's `failed_all_passes` list, never let a
+    * time-to-failure masquerade as the registry's fastest floor
+    * (spec-pinned in BenchSummarizeSpec). */
+  private[graft] def summarize(samples: Seq[Double]): (Double, Double, Int) = {
+    val good = samples.filterNot(_.isNaN)
+    (good.headOption.getOrElse(Double.NaN),
+      if (good.nonEmpty) good.min else Double.NaN,
+      samples.count(_.isNaN))
   }
 
   /** Build every stored per-corpus artifact (bucketed layouts, ANN
