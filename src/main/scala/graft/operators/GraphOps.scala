@@ -210,22 +210,36 @@ object GraphOps {
     * pushes into the cached edge scan, so the quadratic 2-hop expansion
     * only ever runs on seed ego-networks, never corpus-wide (at 100 TB
     * the seed set is the unit of work — shard seeds, not edges). The two
-    * countDistincts expand the seed-bounded pair stream ×2 (not the
-    * corpus — cf. the qa_column_profile discussion); dst2 ≠ src is the
-    * only exclusion needed because the graph is bipartite (2 hops from a
-    * customer always lands on customers, never on a direct neighbor). */
+    * distinct counts deliberately AVOID the fused two-countDistinct
+    * aggregate: Catalyst plans that via Expand — one replica of the 2-hop
+    * pair stream (the query's only corpus-proportional intermediate) per
+    * distinct group. Instead (a) n_one_hop never touches the expansion at
+    * all: a 1-hop neighbor `mid` contributes a pair iff it has any
+    * neighbor besides the seed, i.e. deg(mid) ≥ 2 over the distinct edge
+    * set — a node-sized degree lookup on the cached node table; and (b)
+    * n_two_hop is a SINGLE-distinct aggregate (two-phase partial dedup on
+    * (src, dst2), no Expand), so the pair stream is aggregated exactly
+    * once at width 1. Both frames are seed-grain (≤|seeds| rows) and join
+    * for free. dst2 ≠ src is the only exclusion needed because the graph
+    * is bipartite (2 hops from a customer always lands on customers,
+    * never on a direct neighbor). */
   private val twoHop = GraftQuery(
     "graph_two_hop",
     "distinct 1-hop/2-hop neighborhood sizes for seed customers",
     (s, d) => {
       val e = symEdges(s, d)
-      e.filter(col("src") % 2 === 0 && col("src") < 200)
+      val sd = e.filter(col("src") % 2 === 0 && col("src") < 200)
         .select(col("src"), col("dst").as("mid"))
+      val oneHop = sd
+        .join(maybeBroadcastNodes(nodes(s, d).filter(col("deg") >= 2)
+          .select(col("src").as("mid"))), Seq("mid"), "left_semi")
+        .groupBy("src").agg(count(lit(1)).as("n_one_hop"))
+      val twoHopN = sd
         .join(e.select(col("src").as("mid"), col("dst").as("dst2")), Seq("mid"))
         .filter(col("dst2") =!= col("src"))
         .groupBy("src")
-        .agg(countDistinct("mid").as("n_one_hop"),
-          countDistinct("dst2").as("n_two_hop"))
+        .agg(countDistinct("dst2").as("n_two_hop"))
+      oneHop.join(twoHopN, Seq("src"))
         .select(expr("src div 2").as("custkey"), col("n_one_hop"), col("n_two_hop"))
         .orderBy("custkey")
     },

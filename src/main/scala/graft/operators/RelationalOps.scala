@@ -1331,6 +1331,14 @@ object RelationalOps {
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
         .distinct()
+        // hash-partitioned on ok AT MATERIALIZATION (the symEdges
+        // discipline): distinct() leaves the cache partitioned on
+        // (ok, brand), so the pair self-join on ok alone would re-exchange
+        // BOTH sides of the corpus-sized projection per query; partitioned
+        // on ok, the join is co-located and only the ~|brands|² pair
+        // rollup ever shuffles. One extra exchange at build time,
+        // setup-accounted.
+        .repartition(col("ok"))
     }
 
   /** BITEMPORAL read — valid time × transaction time, the two-axis
