@@ -7,8 +7,11 @@
 # end-of-round snapshot clobbering BENCH_FULL.json (a different, usually
 # noisier window) can no longer silently change the published ratio.
 #
-# Usage: tools/make_bench_pair.sh [sfDir] [reps]
+# Usage: tools/make_bench_pair.sh [sfDir] [reps] [round-label]
 # Commit BENCH_PAIRED.json + BASELINE_DUCKDB.json + README.md TOGETHER.
+# If the window turns out noisy (pass_totals not converged), discard with
+# `git checkout BENCH_PAIRED.json BASELINE_DUCKDB.json BENCH_FULL.json
+# README.md` and retry — keep the calmest matched window, never mix two.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
