@@ -148,7 +148,14 @@ object Bench {
     // pass totals converge (pass 1 higher by the cold-plan cost only);
     // a pass total far above its siblings localizes a host-load burst
     // to that pass without per-query archaeology.
-    val passTotals = passes.map(_.values.filterNot(_.isNaN).sum)
+    // Pass totals are the convergence/noise receipt, so they must be
+    // comparable ACROSS passes: summed over only the queries that
+    // succeeded in EVERY pass — a query that failed one pass would
+    // otherwise subtract its whole runtime from that pass's total and a
+    // genuinely noisy window could read as converged (or vice versa).
+    val cleanSet = allResults.collect { case (n, _, _, 0) => n }.toSet
+    val passTotals = passes
+      .map(p => p.collect { case (n, v) if cleanSet.contains(n) => v }.sum)
       .map(v => "%.3f".formatLocal(java.util.Locale.ROOT, v))
       .mkString("[", ",", "]")
     // failure receipt: per-query failed-pass counts plus the all-pass
@@ -193,7 +200,12 @@ object Bench {
     val timed = results.map { case (k, _, mn) => k -> mn }.toMap
     val headQs = headline.filter(timed.contains)
       .map(k => "\"" + k + "\":" + r3(timed(k))).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headQs,"n_queries":${results.size},"n_failed":${failedAll.size},"reps":$reps,"single_shot_total":${r3(totalFirst)},"setup_sec":${r3(setupSec)},"full":"$artifact","sf":"$sfDir"}""")
+    // stdout n_failed counts queries with ANY failed pass (not just the
+    // all-pass casualties): the protocol gate is "n_failed must be 0",
+    // and a partial-pass failure means some published floor rests on
+    // fewer samples than the artifact claims — that must be visible on
+    // the one line the protocol reads, not only in failed_pass_counts.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headQs,"n_queries":${results.size},"n_failed":${failCounts.size},"reps":$reps,"single_shot_total":${r3(totalFirst)},"setup_sec":${r3(setupSec)},"full":"$artifact","sf":"$sfDir"}""")
     spark.stop()
   }
 

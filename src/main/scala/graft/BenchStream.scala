@@ -247,15 +247,18 @@ object BenchStream {
       }
       spark.streams.addListener(listener)
       try {
+        // a zero/negative trigger count would make the seed wait below
+        // spin forever (the feeder loop runs no iterations) — fail fast
+        require(steadyFiles >= 1 && steadyLinesPerFile >= 1,
+          s"steady leg needs >=1 file of >=1 line (got files=$steadyFiles, " +
+            s"lines/file=$steadyLinesPerFile)")
         @volatile var fed = 0L
-        @volatile var fedCorrupt = 0L
         val feeder = new Thread(() => {
           var written = 0L
           for (f <- 0 until steadyFiles) {
             val buf = new java.lang.StringBuilder(1 << 20)
-            var corrupt = 0L
             for (i <- 0 until steadyLinesPerFile) {
-              if (written % 200 == 199) { buf.append("garbled,line\n"); corrupt += 1 }
+              if (written % 200 == 199) buf.append("garbled,line\n")
               else {
                 val st = (written % nStations).toInt
                 val h = (written / nStations % 24).toInt
@@ -272,15 +275,21 @@ object BenchStream {
             Files.move(tmp, src.resolve(f"steady-$f%05d.csv"),
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)
             fed = written
-            fedCorrupt += corrupt
             Thread.sleep(steadyIntervalMs)
           }
         }, "steady-feeder")
         // seed one file BEFORE start: the file source requires the path to
         // exist and an immediately-empty listing would log-spam; the first
-        // file also absorbs the fan-out's stream-start cost
+        // file also absorbs the fan-out's stream-start cost. The wait is
+        // BOUNDED and watches feeder liveness — a feeder that dies on an
+        // I/O error must fail this run loudly, not hang it forever.
         feeder.start()
-        while (fed == 0L) Thread.sleep(10)
+        val seedDeadline = System.nanoTime() + 60L * 1000000000L
+        while (fed == 0L && feeder.isAlive && System.nanoTime() < seedDeadline)
+          Thread.sleep(10)
+        require(fed > 0L,
+          if (feeder.isAlive) "steady feeder produced no file within 60 s"
+          else "steady feeder died before its first file (see its stack trace)")
         val lines = spark.readStream
           .option("maxFilesPerTrigger", 4)
           .text(src.toString)

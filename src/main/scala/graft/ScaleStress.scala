@@ -98,6 +98,29 @@ object ScaleStress {
     * ONE user (events) / ONE 8-gram (documents). */
   val HotFrac = 0.2
 
+  /** Multipliers coprime to 26 — the `a` of the affine letter cipher. */
+  private val AffineA = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+  /** Replicas the letter-permutation family keeps pairwise distinct:
+    * 12 coprime multipliers × 26 shifts. Past this, replica texts repeat
+    * byte-identically and near-dup receipts go dishonest. */
+  val MaxRep: Int = AffineA.length * 26 // 312
+
+  /** The replica-`i` letter permutation as a `translate` (from, to) pair,
+    * upper and lower case together: σ_i(c) = a_i·c + b_i (mod 26) with
+    * a_i = AffineA(i/26 mod 12), b_i = i mod 26. Distinct (a, b) give
+    * distinct permutations, so replicas 0 until [[MaxRep]] are pairwise
+    * distinct on any letter-bearing text (NO reliance on digits — this
+    * corpus has none); i = 0 is the identity, so replica 0 stays the
+    * untouched base corpus. Spec-pinned by StressCorpusSpec. */
+  private[graft] def letterPerm(i: Int): (String, String) = {
+    val a = AffineA((i / 26) % AffineA.length)
+    val b = i % 26
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val to = lower.map(c => ('a' + ((c - 'a') * a + b) % 26).toChar).mkString
+    (lower + lower.toUpperCase, to + to.toUpperCase)
+  }
+
   def buildStressCorpus(spark: SparkSession, sfDir: String, rep: Int,
       hotSkew: Boolean = false): String = {
     val stress = Files.createTempDirectory(
@@ -134,22 +157,24 @@ object ScaleStress {
     // rotation keeps length, token boundaries, and every per-doc
     // statistic identical while making each replica's shingle space
     // disjoint — 10 distinct rotations for rep<=10, replica 0 untouched.
-    // three independently-rotated classes (full 26-letter lowercase,
-    // uppercase, 10 digits) so numeric/uppercase-heavy shingles are
-    // transformed too. Replicas i and j share BOTH rotations — i.e. are
-    // byte-identical — iff i ≡ j (mod 26) AND i ≡ j (mod 10), so the
-    // construction is collision-free up to rep = lcm(26, 10) = 130
-    // (round 14 widened the letter class from 10 chars to the alphabet
-    // for the 30× exponent legs); beyond that the byte-identical-replica
-    // artifact would silently return — fail loudly instead
-    val rotLower = "abcdefghijklmnopqrstuvwxyz"
-    val rotUpper = rotLower.toUpperCase
+    // Per-replica LETTER PERMUTATION: the collision bound must hold on
+    // the LETTERS ALONE — this corpus's texts carry no digits (sampled:
+    // 0 of 2000 sf0.1 docs contain one), so a digit-rotation term in the
+    // bound is vacuous and plain 26-letter rotations would repeat at
+    // rep 26 (the round-14 rep2=30 run briefly built replicas 26-29
+    // byte-identical to 0-3 — exactly the cross-replica LSH
+    // inter-matching artifact this transform exists to prevent). The
+    // affine family σ(c) = a·c + b (mod 26) with a coprime to 26 gives
+    // 12 × 26 = 312 pairwise-distinct letter permutations (distinct
+    // (a, b) ⇒ distinct map; [[ScaleStress.letterPerm]] is spec-pinned
+    // for injectivity and replica-0 identity). Digits still rotate for
+    // corpora that have them; both transforms preserve length and token
+    // boundaries.
     val rotDigit = "0123456789"
-    val maxRep = 130 // lcm(26, 10)
-    require(rep <= maxRep,
-      s"rep=$rep > $maxRep: letter+digit rotations would repeat and " +
-        "replicas i and i+130 would be byte-identical (cross-replica LSH " +
-        "inter-matching) — extend the rotation classes first")
+    require(rep <= MaxRep,
+      s"rep=$rep > $MaxRep: the affine letter-permutation family would " +
+        "repeat and replicas i and i+312 would be byte-identical " +
+        "(cross-replica LSH inter-matching) — extend the family first")
     def rot(a: String, i: Int) = a.drop(i % a.length) + a.take(i % a.length)
     val docSpan = read("documents").agg(max("doc_id")).head.getLong(0) + 1
     // hot replicas: every text becomes the same one-token repetition, so
@@ -161,10 +186,10 @@ object ScaleStress {
     writeRep("documents", (0 until rep).map { i =>
       val r = read("documents")
         .withColumn("doc_id", col("doc_id") + lit(i * docSpan))
+      val (permFrom, permTo) = letterPerm(i)
       if (isHot(i)) r.withColumn("text", lit(hotText))
       else r.withColumn("text", translate(col("text"),
-        rotLower + rotUpper + rotDigit,
-        rot(rotLower, i) + rot(rotUpper, i) + rot(rotDigit, i)))
+        permFrom + rotDigit, permTo + rot(rotDigit, i)))
     }.reduce(_.unionByName(_)))
     // events replicas shift EVERY growth-relevant axis (round 13): the
     // event key, the user key (so keyed-state NDV — sessionize windows,
@@ -189,8 +214,9 @@ object ScaleStress {
     // hot replicas: all events re-keyed to ONE existing base user (so the
     // fact⋈dim join still matches — the hot user has a customer row in
     // replica 0); event_id and clock shifts stay, so only the KEY
-    // concentrates, not time density
-    val hotUser = read("events").agg(min("user_id")).head.getLong(0)
+    // concentrates, not time density. lazy: uniform builds never pay the
+    // min() job.
+    lazy val hotUser = read("events").agg(min("user_id")).head.getLong(0)
     writeRep("events", (0 until rep).map { i =>
       read("events")
         .withColumn("event_id", col("event_id") + lit(i * evSpan))
@@ -372,8 +398,8 @@ object ScaleStress {
     }
     // Worst-task byte-share instrumentation for the skew legs: one extra
     // execution with a task-metrics listener; share = max over
-    // corpus-scale stages (>4 MiB read, >1 task) of the largest task's
-    // byte fraction. The skew receipt compares the SKEW corpus's share to
+    // qualifying stages (>512 KiB read, >1 task — see the threshold note
+    // below) of the largest task's byte fraction. The skew receipt compares the SKEW corpus's share to
     // the UNIFORM stress corpus's — AQE coalescing makes the absolute
     // uniform share a function of partition targets, so the bound is
     // relative: skew may ADD at most the hot key's own share (it is

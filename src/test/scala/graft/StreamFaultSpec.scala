@@ -117,11 +117,16 @@ class StreamFaultSpec extends AnyFunSuite {
         val (q2, sink2) = CounterStream.dailyCounter(flakyStream(src), table, ckpt)
         q2.awaitTermination()
         val twin = batchTwin()
+        // strictly PARTIAL: batch 0 (event_id <= 500) covers 198 of the
+        // corpus's 397 user-day keys — if this ever equals the twin, the
+        // fault fired too late (or not mid-batch) and the test degraded
+        // to the happy path
+        assert(partial < twin.size,
+          s"batch 0 must leave a PARTIAL table ($partial vs ${twin.size})")
         val got = sink2.read(spark).collect()
           .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("dy").toString) ->
             (r.getAs[Double]("total"), r.getAs[Long]("cnt")))
           .toMap
-        assert(partial < twin.size || got.size == twin.size)
         assert(got.size == twin.size,
           s"replayed run must converge: got ${got.size} keys, twin ${twin.size}")
         twin.foreach { case (k, (total, cnt)) =>

@@ -85,12 +85,29 @@ class StressCorpusSpec extends AnyFunSuite {
       "rotation must be 1:1 on characters — lengths/token counts changed")
   }
 
-  test("rep above the rotation-collision bound fails loudly instead of repeating") {
-    // lcm(26 letters, 10 digits) = 130 distinct rotation pairs
+  test("rep above the permutation-collision bound fails loudly instead of repeating") {
+    // 12 coprime multipliers x 26 shifts = 312 distinct affine letter maps
     val e = intercept[IllegalArgumentException] {
-      ScaleStress.buildStressCorpus(spark, sf, 131)
+      ScaleStress.buildStressCorpus(spark, sf, ScaleStress.MaxRep + 1)
     }
-    assert(e.getMessage.contains("rotations would repeat"))
+    assert(e.getMessage.contains("would repeat"))
+  }
+
+  test("letter permutations: identity at replica 0, pairwise distinct, LETTERS ALONE") {
+    // The collision bound must hold with NO digit contribution — this
+    // corpus's texts carry no digits, and the round-14 rep2=30 run
+    // briefly proved that a letters-repeat-at-26 family silently builds
+    // byte-identical replicas 26..29 (cross-replica LSH inter-matching).
+    val perms = (0 until ScaleStress.MaxRep).map(ScaleStress.letterPerm)
+    val (f0, t0) = perms(0)
+    assert(f0 == t0, "replica 0 must be the identity permutation")
+    assert(perms.map(_._2).distinct.size == ScaleStress.MaxRep,
+      "every replica's letter permutation must be distinct — byte-identical " +
+        "replica texts would quadratically inter-match inside LSH buckets")
+    // each is a true permutation (bijection on the 26+26 letter alphabet)
+    perms.foreach { case (from, to) =>
+      assert(to.toSet.size == from.length && to.toSet == from.toSet)
+    }
   }
 
   // --- the Zipf-skew corpus variant (round 14) -----------------------

@@ -57,4 +57,4 @@ ds = sum(dd["min"][q] for q in common)
 print(f"pair {bp['pair_id']}: Spark {ss:.1f} s vs DuckDB {ds:.1f} s on "
       f"{len(common)} queries -> {ss/ds:.2f}x; pass_totals={bp.get('pass_totals')}")
 PYEOF
-echo "now: git add BENCH_PAIRED.json BASELINE_DUCKDB.json README.md && git commit (one commit = one window)"
+echo "now: git add BENCH_PAIRED.json BASELINE_DUCKDB.json BENCH_FULL.json README.md && git commit (one commit = one window; BENCH_FULL.json is included because the README bench narrative derives from it)"
