@@ -132,7 +132,12 @@ object Bench {
     // cold-cost story. Host contention inflates single shots uniformly but
     // rarely survives a rerun, so the floor is the comparable signal.
     val total = if (results.nonEmpty) results.map(_._3).sum else 0.0
-    val totalFirst = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // cold-cost totals/maps carry only queries whose PASS 1 succeeded: a
+    // NaN first (pass-1 failure) is excluded rather than letting a warm
+    // sample stand in for the cold column (failed_pass_counts is the
+    // receipt for which rows are missing)
+    val coldResults = results.filterNot(_._2.isNaN)
+    val totalFirst = coldResults.map(_._2).sum
     // Full per-query map (all queries, full precision) goes to a FILE: the
     // driver keeps only the last ~2000 chars of process output, and a
     // 100+-query JSON line is ~5 KB — it has never fit (BENCH_r1-r3 all
@@ -142,7 +147,7 @@ object Bench {
     // BENCH_FULL.json carries everything for round-over-round diffing.
     val fullQs = results.map { case (k, _, mn) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val firstQs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val firstQs = coldResults.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Per-pass totals are the run's noise receipt: on a calm host the
     // pass totals converge (pass 1 higher by the cold-plan cost only);
@@ -210,15 +215,20 @@ object Bench {
   }
 
   /** Fold one query's per-pass samples (NaN = that pass's execution
-    * FAILED) into (first successful shot, floor over successful samples,
-    * failed-pass count). A query that failed every pass yields NaN for
-    * both numbers — the caller must EXCLUDE it from totals and surface it
-    * in the artifact's `failed_all_passes` list, never let a
+    * FAILED) into (pass-1 shot, floor over successful samples,
+    * failed-pass count). The first slot is PASS 1 or NaN (ADVICE r14):
+    * the single_shot column tells the cold-plan story, and substituting
+    * the first *successful* pass when pass 1 failed would silently put a
+    * warm-cache sample in the cold column — the caller excludes NaN
+    * firsts from the single_shot map/total, with failed_pass_counts as
+    * the receipt. A query that failed every pass yields NaN for both
+    * numbers — the caller must EXCLUDE it from totals and surface it in
+    * the artifact's `failed_all_passes` list, never let a
     * time-to-failure masquerade as the registry's fastest floor
     * (spec-pinned in BenchSummarizeSpec). */
   private[graft] def summarize(samples: Seq[Double]): (Double, Double, Int) = {
     val good = samples.filterNot(_.isNaN)
-    (good.headOption.getOrElse(Double.NaN),
+    (samples.headOption.getOrElse(Double.NaN),
       if (good.nonEmpty) good.min else Double.NaN,
       samples.count(_.isNaN))
   }

@@ -423,8 +423,18 @@ object ScaleStress {
       val df = SparkEntry.queries(name)(spark, dir)
       df.queryExecution.toRdd.foreach(_ => ())
       // the listener bus is async; let queued TaskEnd events drain before
-      // reading (waitUntilEmpty is private[spark])
-      Thread.sleep(2000)
+      // reading (waitUntilEmpty is private[spark]). A fixed sleep drops
+      // late events on a loaded host (ADVICE r14) — poll until the
+      // observed per-stage task counts stop growing (quiet for 500 ms)
+      // with a bounded 15 s deadline instead.
+      def observed(): Long = stageBytes.values.map(b => b.synchronized(b.size.toLong)).sum
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var last = -1L; var quiet = 0
+      while (quiet < 5 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val now = observed()
+        if (now == last) quiet += 1 else { quiet = 0; last = now }
+      }
       spark.sparkContext.removeSparkListener(listener)
       // 512 KiB floor over shuffle-read+input bytes: every keyed
       // corpus-scale stage (window/agg/join shuffles) qualifies at

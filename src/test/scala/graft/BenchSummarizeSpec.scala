@@ -20,9 +20,13 @@ class BenchSummarizeSpec extends AnyFunSuite {
     assert(first == 1.5 && floor == 1.1 && failed == 1)
   }
 
-  test("failed FIRST pass: first-shot is the first SUCCESSFUL execution") {
+  test("failed FIRST pass: first-shot is NaN, never a warm substitute") {
+    // ADVICE r14: the single_shot column is the COLD-plan story; when
+    // pass 1 fails, substituting the first successful (warm) pass would
+    // silently skew it — the caller drops NaN firsts from the cold
+    // map/total with failed_pass_counts as the receipt
     val (first, floor, failed) = Bench.summarize(Seq(nan, 1.2, 1.4))
-    assert(first == 1.2 && floor == 1.2 && failed == 1)
+    assert(first.isNaN && floor == 1.2 && failed == 1)
   }
 
   test("all passes failed: NaN/NaN, never a time-to-failure floor") {

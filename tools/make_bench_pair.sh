@@ -39,6 +39,23 @@ sbt -batch "runMain graft.Verify $SF $ORACLE_DIR w_count_raw" >/dev/null
 SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_REPS="$REPS" \
   SPARK_GRAFT_PAIR_ID="$PAIR_ID" sbt -batch "runMain graft.Bench"
 
+# 2b. n_failed gate (ADVICE r14): Bench records NaN for failed executions
+#     and keeps going, so a query that failed some or all passes still
+#     yields a stamped BENCH_PAIRED.json — with the common query set (or
+#     the samples behind a floor) silently thinned. The protocol gate is
+#     "n_failed must be 0"; enforce it here by refusing to proceed when
+#     the artifact carries any failure field.
+python3 - <<'PYEOF'
+import json, sys
+bp = json.load(open("BENCH_PAIRED.json"))
+bad = bp.get("failed_pass_counts") or bp.get("failed_all_passes")
+if bad:
+    print(f"[pair] ABORT: bench run has failures ({bad}); a pair must be "
+          f"n_failed=0 — fix the queries (or the window) and rerun",
+          file=sys.stderr)
+    sys.exit(3)
+PYEOF
+
 # 3. DuckDB baseline in the SAME window, same stamp
 python3 tools/bench_oracle.py "$SF" "$ORACLE_DIR" "$REPS" "$PAIR_ID"
 

@@ -35,7 +35,10 @@ def main():
         print(f"[cost-guard] only {len(qs)} floors in {path} (targeted run?); skipping")
         return
     floors = sorted(qs.values())
-    f_launch = floors[max(0, int(0.05 * len(floors)) - 1)]
+    # proper percentile index (ADVICE r14): the old int(0.05*n)-1 picked
+    # the MINIMUM floor for any registry under 40 queries, making the
+    # heuristic degenerate on small artifacts
+    f_launch = floors[int(0.05 * (len(floors) - 1))]
     ceil = f_launch / 0.9
     dominated = sorted(q for q, v in qs.items() if v <= ceil)
     try:
