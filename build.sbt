@@ -31,4 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // pressure (measured 277 s vs 176-217 s at 48g on the same queries).
   // The host has 128 GiB; tests use the same forked options harmlessly.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // The ContextCleaner periodic-GC nudge (30s, see Bench.scala) calls
+  // System.gc(); by default that is a stop-the-world FULL collection on a
+  // 32g heap, landing multi-hundred-ms pauses on whichever bench query is
+  // running. Concurrent explicit GC keeps the weak-reference cleanup
+  // cadence without the pause.
+  "-XX:+ExplicitGCInvokesConcurrent",
 )

@@ -404,7 +404,10 @@ object AnalyticsOps {
         .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
           .as("direct_users"),
           countDistinct(col("user_id")).as("exact_users"))
-      merged.join(direct, Seq("event_type")).orderBy("event_type")
+      // event_type-grain aggregates are bounded by the type ENUM at any
+      // corpus size — static broadcast (the latency-profile bench runs
+      // AQE-off, so the runtime tiny-side broadcast must be declared)
+      broadcast(merged).join(direct, Seq("event_type")).orderBy("event_type")
     },
     None, boundedBy = Some("OperatorSpec"))
 
@@ -1141,7 +1144,8 @@ object AnalyticsOps {
       val tot = hist.groupBy("flag").agg(sum("c").as("n"))
         .withColumn("k1", expr("(n + 1) div 2"))
         .withColumn("k2", expr("(n + 2) div 2"))
-      val cand = cum.join(tot.select("flag", "k1", "k2"), Seq("flag"))
+      // flag is an enum: tot is ≤|flags| rows at any scale — static hint
+      val cand = cum.join(broadcast(tot.select("flag", "k1", "k2")), Seq("flag"))
         .filter((col("k1") > col("lo") && col("k1") <= col("hi")) ||
           (col("k2") > col("lo") && col("k2") <= col("hi")))
         .select(col("flag"), col("b"), col("lo"))

@@ -234,7 +234,12 @@ object GraphOps {
         .join(maybeBroadcastNodes(nodes(s, d).filter(col("deg") >= 2)
           .select(col("src").as("mid"))), Seq("mid"), "left_semi")
         .groupBy("src").agg(count(lit(1)).as("n_one_hop"))
-      val twoHopN = sd
+      // sd is the seed ego-slice — bounded by the SEED contract (seeds are
+      // the unit of work; shard seeds, not edges), so it is the broadcast
+      // side and the corpus-sized edge table streams unshuffled. Rides the
+      // same broadcastNodes gate as every graph-family hint: an ego slice
+      // is ≤ node-sized, and the knob must disarm ALL of them at once.
+      val twoHopN = maybeBroadcastNodes(sd)
         .join(e.select(col("src").as("mid"), col("dst").as("dst2")), Seq("mid"))
         .filter(col("dst2") =!= col("src"))
         .groupBy("src")

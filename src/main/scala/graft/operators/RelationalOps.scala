@@ -1381,7 +1381,10 @@ object RelationalOps {
           .groupBy("vm")
           .agg(count(lit(1)).as(s"n_$name"),
             sum(col("last.vpc")).as(s"pc_$name"))
-        snapshot(lit(cut).cast("date"), "asof")
+        // both snapshots are MONTH-grain aggregates — bounded by the
+        // corpus timespan (decades → hundreds of rows), never by fact
+        // volume; broadcast-left is legal under right_outer (BuildLeft)
+        broadcast(snapshot(lit(cut).cast("date"), "asof"))
           .join(snapshot(lit("9999-12-31").cast("date"), "now"), Seq("vm"), "right_outer")
           .select(col("vm").as("month"),
             coalesce(col("n_asof"), lit(0L)).as("n_asof"),
