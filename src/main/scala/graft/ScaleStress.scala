@@ -121,8 +121,16 @@ object ScaleStress {
     (lower + lower.toUpperCase, to + to.toUpperCase)
   }
 
+  /** @param onlyTables when set, only these fact tables are replicated —
+    *   the rest are copied from the base corpus as-is. For NARROW probes
+    *   (the 100× rep3 point) that touch one table, replicating every fact
+    *   ×100 would pay GBs of corpus-construction for tables the probe
+    *   never reads. The copied tables keep the directory a complete
+    *   corpus, so Tables works; they are base-scale, which is exactly why
+    *   a probe must only read its declared tables. */
   def buildStressCorpus(spark: SparkSession, sfDir: String, rep: Int,
-      hotSkew: Boolean = false): String = {
+      hotSkew: Boolean = false, onlyTables: Option[Set[String]] = None): String = {
+    def want(t: String) = onlyTables.forall(_.contains(t))
     val stress = Files.createTempDirectory(
       if (hotSkew) "skew-corpus" else "stress-corpus").toString
     // Zipf-skew axis (round 14): uniform replication grows volume but
@@ -144,9 +152,14 @@ object ScaleStress {
       writeRep(t, (0 until rep).map(i =>
         read(t).withColumn(key, col(key) + lit(i * span)))
         .reduce(_.unionByName(_)))
-    val orderSpan = read("orders").agg(max("o_orderkey")).head.getLong(0) + 1
-    replicate("orders", "o_orderkey", orderSpan)
-    replicate("lineitem", "l_orderkey", orderSpan) // same span: join stays consistent
+    def copyBase(t: String): Unit =
+      Files.copy(Paths.get(s"$sfDir/$t.parquet"), Paths.get(s"$stress/$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    if (want("orders") || want("lineitem")) {
+      val orderSpan = read("orders").agg(max("o_orderkey")).head.getLong(0) + 1
+      replicate("orders", "o_orderkey", orderSpan)
+      replicate("lineitem", "l_orderkey", orderSpan) // same span: join stays consistent
+    } else { copyBase("orders"); copyBase("lineitem") }
     // documents replicas shift CONTENT as well as the key: the near-dup
     // family (minhash/simhash/ngram/novelty) matches on SHINGLE identity,
     // and byte-identical replica texts would quadratically inter-match
@@ -183,7 +196,7 @@ object ScaleStress {
     // chosen ~ the corpus's mean token count so the gram-table share
     // matches the replica share)
     val hotText = Seq.fill(200)("grafthot").mkString(" ")
-    writeRep("documents", (0 until rep).map { i =>
+    if (want("documents")) writeRep("documents", (0 until rep).map { i =>
       val r = read("documents")
         .withColumn("doc_id", col("doc_id") + lit(i * docSpan))
       val (permFrom, permTo) = letterPerm(i)
@@ -191,6 +204,7 @@ object ScaleStress {
       else r.withColumn("text", translate(col("text"),
         permFrom + rotDigit, permTo + rot(rotDigit, i)))
     }.reduce(_.unionByName(_)))
+    else copyBase("documents")
     // events replicas shift EVERY growth-relevant axis (round 13): the
     // event key, the user key (so keyed-state NDV — sessionize windows,
     // top-k heap maps — genuinely grows 10x, not just 10x rows over the
@@ -199,6 +213,7 @@ object ScaleStress {
     // new users in new time, and without the shift a time-band self-join
     // would quadratically inter-match byte-identical replica timestamps,
     // a corpus-construction artifact rather than a plan property).
+    if (want("events") || want("customer")) {
     val ev = read("events")
       .agg(max("event_id"), max("user_id"), datediff(max("ts"), min("ts")))
       .head
@@ -233,6 +248,7 @@ object ScaleStress {
     // (nation/region/part/supplier) stay fixed: reference data doesn't
     // grow with the corpus.
     replicate("customer", "c_custkey", userSpan)
+    } else { copyBase("events"); copyBase("customer") }
     for (t <- Seq("region", "nation", "supplier", "part", "embeddings"))
       Files.copy(Paths.get(s"$sfDir/$t.parquet"), Paths.get(s"$stress/$t.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
@@ -299,6 +315,22 @@ object ScaleStress {
         "mm_phash_dedup", "txt_novelty"))
       .filter(names.contains)
     val doRep2 = rep2 > rep && risky.nonEmpty
+    // --- THIRD stress point (round 15): the 100 TB extrapolation rested
+    // on exponents fitted at 10×/30×; push the family whose exponent sat
+    // closest to 1 (txt_novelty, 0.965 in r14) to 100× and REFIT between
+    // 30× and 100×. The probe is narrow by construction: its corpus
+    // replicates ONLY the tables the probe reads (documents — txt_novelty
+    // is one shingle pass + a gram-df self-join), and no stored-artifact
+    // setup runs against it — the probe builds its shingle table lazily
+    // via PersistCache in pass 1, which the first_* audit covers.
+    val rep3 = sys.env.getOrElse("SPARK_GRAFT_STRESS_REP3", "100").toInt
+    val rep3Q = sys.env.get("SPARK_GRAFT_STRESS_REP3_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("txt_novelty"))
+      .filter(n => names.contains(n) && risky.contains(n))
+    val rep3Tables = sys.env.getOrElse("SPARK_GRAFT_STRESS_REP3_TABLES",
+      "documents").split(',').map(_.trim).filter(_.nonEmpty).toSet
+    val doRep3 = doRep2 && rep3 > rep2 && rep3Q.nonEmpty
     // --- Zipf-skew axis (round 14): one hot key owns ~HotFrac of the
     // corpus; the receipt is the worst-task byte share staying bounded
     // by (uniform share + hot share) — skew carried, never amplified
@@ -312,6 +344,8 @@ object ScaleStress {
     // --- build the stress corpora -------------------------------------
     val stress = buildStressCorpus(spark, sfDir, rep)
     val stress2 = if (doRep2) buildStressCorpus(spark, sfDir, rep2) else ""
+    val stress3 = if (doRep3)
+      buildStressCorpus(spark, sfDir, rep3, onlyTables = Some(rep3Tables)) else ""
     val skewDir = if (doSkew) buildStressCorpus(spark, sfDir, rep, hotSkew = true) else ""
 
     // --- identical table-creation-time setup at every scale -----------
@@ -361,6 +395,7 @@ object ScaleStress {
     // alarm. Spread samples can lose at most one pass to a burst.
     val legs = (for (n <- names; dir <- Seq(sfDir, stress)) yield (n, dir)) ++
       (if (doRep2) risky.map(n => (n, stress2)) else Nil) ++
+      (if (doRep3) rep3Q.map(n => (n, stress3)) else Nil) ++
       (if (doSkew) skewQ.map(n => (n, skewDir)) else Nil)
     // plain map, no default: floor() indexing a leg the timing loop never
     // ran must crash, not serve a fabricated sample
@@ -404,7 +439,23 @@ object ScaleStress {
     // uniform share a function of partition targets, so the bound is
     // relative: skew may ADD at most the hot key's own share (it is
     // carried by one partition), never concentrate beyond it.
-    def instrumented(name: String, dir: String): (Double, Boolean) = {
+    def instrumented(name: String, dir: String,
+        forceShuffle: Boolean = false): (Double, Boolean) =
+      if (!forceShuffle) instrumented0(name, dir)
+      else {
+        // forced-shuffle replay (VERDICT r14): a salted/broadcast shape can
+        // report share 0.0 simply because nothing corpus-sized is ever
+        // hashed by the hot key — which leaves the one query named for
+        // skew never exercising hot-key concentration in a shuffle.
+        // Disabling the broadcast threshold forces the join shape a
+        // 100 TB build side would force anyway, so the share bound (and
+        // AQE's skew-split) is measured on a real shuffled join.
+        val key = "spark.sql.autoBroadcastJoinThreshold"
+        val prev = spark.conf.get(key)
+        spark.conf.set(key, "-1")
+        try instrumented0(name, dir) finally spark.conf.set(key, prev)
+      }
+    def instrumented0(name: String, dir: String): (Double, Boolean) = {
       val stageBytes = new scala.collection.concurrent.TrieMap[
         Int, scala.collection.mutable.ArrayBuffer[Long]]()
       val listener = new org.apache.spark.scheduler.SparkListener {
@@ -494,8 +545,21 @@ object ScaleStress {
       System.err.println(f"[stress] $n%-28s x$rep2=${t2}%6.2fs exponent(${rep}→$rep2)=${e}%5.2f exp_ok=$ok")
       n -> (t2, e, ok)
     }.toMap
+    // third point → refit between rep2 and rep3 (same 1.15 gate; the
+    // larger ln(rep3/rep2) base makes the fit LESS noise-sensitive than
+    // the 10→30 one)
+    val rep3Rows = if (!doRep3) Map.empty[String, (Double, Double, Boolean)]
+    else rep3Q.map { n =>
+      val t2 = rep2Rows(n)._1
+      val (t3, n3, _) = floor(n, stress3)
+      val flip3 = (n3.keySet -- stressNodes(n)).exists(flipNodes.contains)
+      val e = math.log(t3 / t2) / math.log(rep3.toDouble / rep2)
+      val ok = e <= 1.15 && !flip3
+      System.err.println(f"[stress] $n%-28s x$rep3=${t3}%6.2fs exponent($rep2→$rep3)=${e}%5.2f exp3_ok=$ok")
+      n -> (t3, e, ok)
+    }.toMap
     // skew legs: floor at the hot-key corpus + the worst-task share bound
-    val skewRows = if (!doSkew) Map.empty[String, (Double, Double, Double, Double, Boolean, Boolean)]
+    val skewRows = if (!doSkew) Map.empty[String, (Double, Double, Double, Double, Boolean, Boolean, Option[(Double, Double, Boolean, Boolean)])]
     else skewQ.map { n =>
       val sk = legTimes((n, skewDir))
       val st = legTimes((n, stress))
@@ -506,29 +570,53 @@ object ScaleStress {
       // at most its own share on top of whatever the uniform corpus
       // concentrates, plus slack for AQE re-coalescing around it
       val ok = shareSkew <= shareUni + HotFrac + 0.15
-      System.err.println(f"[stress] $n%-28s skew=${sk}%6.2fs vs uniform=${st}%6.2fs share=${shareSkew}%.3f (uniform ${shareUni}%.3f) aqe_skew=$skewSplit skew_ok=$ok")
-      n -> (sk, sk / st, shareSkew, shareUni, skewSplit, ok)
+      // de-vacuified receipt (VERDICT r14): a 0.0 share means no keyed
+      // stage qualified — replay BOTH corpora with broadcasts disabled so
+      // the hot key must land in a shuffled join, and bound THAT share the
+      // same way. Only if the forced replay also reads 0.0 is "no keyed
+      // stage" a property of the query rather than of the bench-scale
+      // broadcast threshold.
+      val forced = if (shareSkew > 0.0) None else {
+        val (fSkew, fSplit) = instrumented(n, skewDir, forceShuffle = true)
+        val (fUni, _) = instrumented(n, stress, forceShuffle = true)
+        val fok = fSkew <= fUni + HotFrac + 0.15
+        System.err.println(f"[stress] $n%-28s FORCED-shuffle share=${fSkew}%.3f (uniform ${fUni}%.3f) aqe_skew=$fSplit forced_ok=$fok")
+        Some((fSkew, fUni, fSplit, fok))
+      }
+      val okAllLegs = ok && forced.forall(_._4)
+      System.err.println(f"[stress] $n%-28s skew=${sk}%6.2fs vs uniform=${st}%6.2fs share=${shareSkew}%.3f (uniform ${shareUni}%.3f) aqe_skew=$skewSplit skew_ok=$okAllLegs")
+      n -> (sk, sk / st, shareSkew, shareUni, skewSplit, okAllLegs, forced)
     }.toMap
     val okAll = rows.forall { case (_, _, _, _, lin, flip, _, _, _, _, _, _, bok) =>
         lin && !flip && bok } &&
-      rep2Rows.values.forall(_._3) && skewRows.values.forall(_._6)
+      rep2Rows.values.forall(_._3) && rep3Rows.values.forall(_._3) &&
+      skewRows.values.forall(_._6)
+    // (skew_ok above already folds in the forced-shuffle replay verdict)
     val qJson = rows.map { case (n, b, s, ratio, lin, flip, nn, bcf, scf, fb, fs, fr, bok) =>
       val cf = if (bcf > 0 || scf > 0)
         s""","cap_flushes_base":$bcf,"cap_flushes_stress":$scf""" else ""
       val r2x = rep2Rows.get(n).map { case (t2, e, ok) =>
         s""","stress2_sec":${r2(t2)},"rep2":$rep2,"growth_exponent":${r3(e)},"exp_ok":$ok"""
       }.getOrElse("")
-      val sx = skewRows.get(n).map { case (sk, rel, shS, shU, split, ok) =>
-        s""","skew_sec":${r2(sk)},"skew_vs_stress":${r2(rel)},"worst_task_share_skew":${r3(shS)},"worst_task_share_uniform":${r3(shU)},"aqe_skew_split":$split,"skew_ok":$ok"""
+      val r3x = rep3Rows.get(n).map { case (t3, e, ok) =>
+        s""","stress3_sec":${r2(t3)},"rep3":$rep3,"growth_exponent_23":${r3(e)},"exp3_ok":$ok"""
       }.getOrElse("")
-      s""""$n":{"base_sec":${r2(b)},"stress_sec":${r2(s)},"ratio":${r2(ratio)},"ratio_per_x":${r2(ratio / rep)},"linear_ok":$lin,"plan_flip":$flip,"first_base_sec":${r2(fb)},"first_stress_sec":${r2(fs)},"first_ratio":${r2(fr)},"build_linear_ok":$bok,"new_nodes":${nn.map("\"" + _ + "\"").mkString("[", ",", "]")}$cf$r2x$sx}"""
+      val sx = skewRows.get(n).map { case (sk, rel, shS, shU, split, ok, forced) =>
+        val fx = forced.map { case (fS, fU, fSplit, fok) =>
+          s""","forced_shuffle_share_skew":${r3(fS)},"forced_shuffle_share_uniform":${r3(fU)},"forced_aqe_skew_split":$fSplit,"forced_ok":$fok"""
+        }.getOrElse("")
+        s""","skew_sec":${r2(sk)},"skew_vs_stress":${r2(rel)},"worst_task_share_skew":${r3(shS)},"worst_task_share_uniform":${r3(shU)},"aqe_skew_split":$split,"skew_ok":$ok$fx"""
+      }.getOrElse("")
+      s""""$n":{"base_sec":${r2(b)},"stress_sec":${r2(s)},"ratio":${r2(ratio)},"ratio_per_x":${r2(ratio / rep)},"linear_ok":$lin,"plan_flip":$flip,"first_base_sec":${r2(fb)},"first_stress_sec":${r2(fs)},"first_ratio":${r2(fr)},"build_linear_ok":$bok,"new_nodes":${nn.map("\"" + _ + "\"").mkString("[", ",", "]")}$cf$r2x$r3x$sx}"""
     }.mkString("{", ",", "}")
     val skewMeta = if (doSkew)
       s""","skew":{"hot_frac":$HotFrac,"queries":${skewQ.map("\"" + _ + "\"").mkString("[", ",", "]")},"setup_sec":${r2(setupSkew)}}""" else ""
     val rep2Meta = if (doRep2)
       s""","rep2":$rep2,"rep2_queries":${risky.map("\"" + _ + "\"").mkString("[", ",", "]")},"setup_stress2_sec":${r2(setupStress2)}""" else ""
+    val rep3Meta = if (doRep3)
+      s""","rep3":$rep3,"rep3_queries":${rep3Q.map("\"" + _ + "\"").mkString("[", ",", "]")},"rep3_tables":${rep3Tables.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}""" else ""
     val line =
-      s"""{"metric":"scale_stress","rep":$rep,"reps_per_floor":$reps,"all_ok":$okAll,"queries":$qJson,"setup_base_sec":${r2(setupBase)},"setup_stress_sec":${r2(setupStress)}$rep2Meta$skewMeta,"sf":"$sfDir","cpus":$cpus}"""
+      s"""{"metric":"scale_stress","rep":$rep,"reps_per_floor":$reps,"all_ok":$okAll,"queries":$qJson,"setup_base_sec":${r2(setupBase)},"setup_stress_sec":${r2(setupStress)}$rep2Meta$rep3Meta$skewMeta,"sf":"$sfDir","cpus":$cpus}"""
     // a targeted re-check (SPARK_GRAFT_STRESS_ONLY) must not clobber the
     // committed full-audit artifact — the BENCH_FULL lesson from round 11
     val artifact = if (sys.env.contains("SPARK_GRAFT_STRESS_ONLY"))
