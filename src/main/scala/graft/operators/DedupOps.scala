@@ -93,10 +93,7 @@ object DedupOps {
       val sig = minhashSig(s, d)
       // the band explode off the cached sig is narrow and cheap; only sig
       // itself needs materialization for the self-join's two legs
-      val bands = sig.select(col("doc_id"),
-        posexplode(array((0 until BANDS).map(b =>
-          concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)))
-        .toDF("doc_id", "band", "bh")
+      val bands = bandsOf(sig)
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -194,6 +191,38 @@ object DedupOps {
       shU.groupBy("doc_id")
         .agg(mins.head, (mins.tail :+ count(lit(1)).as("n")): _*)
     }
+
+  /** MinHash(12) signature of an ARBITRARY (doc_id, text) frame — the
+    * per-batch spelling of [[minhashSig]], shared with the streaming
+    * index-maintenance leg (streaming/DocIngest.admitMinhash): same
+    * shingle scheme, same hash family, so a stream-admitted signature is
+    * value-identical to the batch index's row for the same text. */
+  private[graft] def minhashSigOf(docs: DataFrame): DataFrame = {
+    graft.functions.expressions.GraftExpressions.ensureRegistered(docs.sparkSession)
+    val shU = docs.selectExpr("doc_id", "graft_shingle_set(lower(text), 3) AS sh")
+      .withColumn("u", graft.functions.GraftFunctions.md5u32(col("sh")))
+    val mins = (0 until K).map(i =>
+      min((lit(HASH_A(i)) * col("u") + lit(HASH_B(i))) % lit(P)).as(s"mh$i"))
+    shU.groupBy("doc_id").agg(mins.head, (mins.tail :+ count(lit(1)).as("n")): _*)
+  }
+
+  /** LSH band rows (doc_id, band, bh) off a signature frame — the 6×2
+    * banding shared by dedup_minhash, the incremental probe, and the
+    * streaming maintenance leg. */
+  private[graft] def bandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
+      posexplode(array((0 until BANDS).map(b =>
+        concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)))
+      .toDF("doc_id", "band", "bh")
+
+  /** Signature-estimated Jaccard between two 12-component signatures laid
+    * out as `mh{i}` vs `{rhs}mh{i}` columns: the share of agreeing
+    * components — E[est] = J, the estimate a sketch-only index can verify
+    * candidates with (no shingle storage). */
+  private[graft] def sigEstJaccard(rhs: String): org.apache.spark.sql.Column =
+    (0 until K).map(i =>
+      when(col(s"mh$i") === col(s"${rhs}mh$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / lit(K.toDouble)
 
   /** Verified 4-gram Jaccard pairs (a < b, jaccard >= 0.4) — the shared
     * edge-set leg behind the pair-listing query and the components query,
@@ -641,6 +670,65 @@ object DedupOps {
         .orderBy("doc_id")
     },
     Some(s"""WITH f AS (SELECT doc_id, md5(lower(text)) AS fp FROM documents), ex AS (SELECT fp, min(doc_id) AS dup_of FROM f WHERE doc_id % 10 <> 9 GROUP BY 1), t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sh AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] for i in generate_series(1, greatest(len(toks) - 3, 0))]) AS sh FROM t), dfc AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $MaxShingleDf), shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfc USING (sh)), sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1), inter AS (SELECT nw.doc_id AS new_id, co.doc_id AS corp_id, count(*) AS c FROM shf nw JOIN shf co ON nw.sh = co.sh AND nw.doc_id % 10 = 9 AND co.doc_id % 10 <> 9 GROUP BY 1, 2), nr AS (SELECT new_id, min(corp_id) AS near_of FROM inter JOIN sz x ON inter.new_id = x.doc_id JOIN sz y ON inter.corp_id = y.doc_id WHERE c * 1.0 / (x.n + y.n - c) >= 0.4 GROUP BY 1) SELECT f.doc_id, CASE WHEN ex.dup_of IS NOT NULL THEN 'exact_dup' WHEN nr.near_of IS NOT NULL THEN 'near_dup' ELSE 'new' END AS verdict, coalesce(ex.dup_of, nr.near_of) AS matched_corpus_doc FROM f LEFT JOIN ex USING (fp) LEFT JOIN nr ON nr.new_id = f.doc_id WHERE f.doc_id % 10 = 9 ORDER BY f.doc_id"""))
+
+  /** Incremental MINHASH-LSH index maintenance — the near-dup counterpart
+    * of [[dedupIncremental]] (whose incremental path is exact-fingerprint +
+    * raw-shingle probe): a NEW BATCH (doc_id % 10 = 9) probes the STORED
+    * MinHash signature index (the same minhash-sig artifact Bench.setup
+    * materializes) through its LSH band buckets — the daily crawl-refresh
+    * pattern where the index is maintained, never rebuilt. Plan shape (new
+    * to the registry): an ASYMMETRIC band-bucket join — the increment-sized
+    * batch band table broadcasts, the corpus-sized index streams in place —
+    * then the usual exact-Jaccard verify over band candidates (which are
+    * batch-bounded, so every verify join keeps a broadcast batch side).
+    * Emits the maintenance verdict per new doc: near_dup (collapse into
+    * dup_of) or admitted (its signature rows would be APPENDED to the
+    * index — the delta write a production refresh commits). The streaming
+    * twin lives in streaming/DocIngest (minhash admission leg) with the
+    * replay-idempotence spec; this row is the oracle-checked batch
+    * spelling. */
+  private val dedupIncrementalMinhash = GraftQuery(
+    "dedup_incremental_minhash",
+    "incremental MinHash-LSH maintenance: broadcast batch bands probe the stored index",
+    (s, d) => {
+      val isNew = col("doc_id") % 10 === 9
+      val sig = minhashSig(s, d) // the stored signature index artifact
+      val bands = bandsOf(sig)
+      val cand = bands.filter(!isNew) // the index streams; the batch broadcasts
+        .join(broadcast(bands.filter(isNew)
+          .select(col("doc_id").as("new_id"), col("band"), col("bh"))),
+          Seq("band", "bh"))
+        .select(col("doc_id").as("corp_id"), col("new_id")).distinct()
+      val shh = shingles3(s, d)
+        .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+      val inter = broadcast(cand) // batch-bounded by construction
+        .join(shh.select(col("doc_id").as("corp_id"), col("shh")), Seq("corp_id"))
+        .join(shh.select(col("doc_id").as("new_id"), col("shh")),
+          Seq("new_id", "shh"))
+        .groupBy("new_id", "corp_id").agg(count(lit(1)).as("c"))
+      val sz = sig.select(col("doc_id"), col("n"))
+      val ver = inter
+        .join(broadcast(sz.filter(isNew)
+          .select(col("doc_id").as("new_id"), col("n").as("nn"))), Seq("new_id"))
+        .join(sz.select(col("doc_id").as("corp_id"), col("n").as("nc")), Seq("corp_id"))
+        .withColumn("j", col("c") * lit(1.0) / (col("nn") + col("nc") - col("c")))
+        .filter(col("j") >= 0.5)
+      val best = ver.groupBy("new_id").agg(min("corp_id").as("dup_of"))
+        .join(ver.select(col("new_id"), col("corp_id").as("dup_of"), col("j")),
+          Seq("new_id", "dup_of"))
+      Tables.documents(s, d).filter(isNew).select(col("doc_id"))
+        .join(broadcast(best), col("doc_id") === col("new_id"), "left")
+        .select(col("doc_id"),
+          when(col("dup_of").isNotNull, lit("near_dup"))
+            .otherwise(lit("admitted")).as("verdict"),
+          col("dup_of"), fround(col("j"), 4).as("jaccard"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val abValues = (0 until K)
+        .map(i => s"(${i}, ${HASH_A(i)}, ${HASH_B(i)})").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), sh AS (SELECT DISTINCT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in generate_series(1, greatest(len(toks) - 2, 0))]) AS sh FROM t), u AS (SELECT doc_id, $uSql AS u FROM (SELECT doc_id, md5(sh) AS h FROM sh)), ab AS (SELECT * FROM (VALUES $abValues) t(i, a, b)), mh AS (SELECT doc_id, i, min((a * u + b) % $P) AS mh FROM u, ab GROUP BY 1, 2), sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY 1), bands AS (SELECT doc_id, b, sig[2*b+1]::VARCHAR || '_' || sig[2*b+2]::VARCHAR AS bh FROM sig, (SELECT unnest(generate_series(0, 5)) AS b)), cand AS (SELECT DISTINCT x.doc_id AS corp_id, y.doc_id AS new_id FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x.doc_id % 10 <> 9 AND y.doc_id % 10 = 9), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), inter AS (SELECT c.new_id, c.corp_id, count(*) AS c FROM cand c JOIN sh sa ON sa.doc_id = c.new_id JOIN sh sb ON sb.doc_id = c.corp_id AND sb.sh = sa.sh GROUP BY 1, 2), ver AS (SELECT new_id, corp_id, c * 1.0 / (x.n + y.n - c) AS j FROM inter JOIN sz x ON inter.new_id = x.doc_id JOIN sz y ON inter.corp_id = y.doc_id WHERE c * 1.0 / (x.n + y.n - c) >= 0.5), best AS (SELECT v.new_id, v.dup_of, ver.j FROM (SELECT new_id, min(corp_id) AS dup_of FROM ver GROUP BY 1) v JOIN ver ON ver.new_id = v.new_id AND ver.corp_id = v.dup_of) SELECT d.doc_id, CASE WHEN b.dup_of IS NOT NULL THEN 'near_dup' ELSE 'admitted' END AS verdict, b.dup_of, floor(b.j * 10000.0 + 0.5) / 10000.0 AS jaccard FROM documents d LEFT JOIN best b ON d.doc_id = b.new_id WHERE d.doc_id % 10 = 9 ORDER BY d.doc_id"""
+    })
 
   /** Asymmetric shingle CONTAINMENT — the sub-document duplicate detector
     * that Jaccard structurally misses: a document embedded verbatim inside
@@ -1093,7 +1181,8 @@ object DedupOps {
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupMinhash, dedupNgram, dedupComponents, dedupKeepList,
     dedupKeepLongest, dedupSimhash, dedupSimhashGroups, dedupEmbedding,
-    dedupEmbeddingLsh, dedupIncremental, dedupContainment, graphTriangles,
+    dedupEmbeddingLsh, dedupIncremental, dedupIncrementalMinhash,
+    dedupContainment, graphTriangles,
     dedupClusterSizes, dedupThresholdCurve, rougePairs, editDistancePairs,
     shardMissAudit, tfidfPairCosine, dupSpans, lshPowerEval,
     minhashErrorEval, crossSourceMatrix)

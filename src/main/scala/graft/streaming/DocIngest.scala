@@ -60,6 +60,112 @@ object DocIngest {
     Running(q, registry)
   }
 
+  // ── MinHash-LSH admission (round 15) ────────────────────────────────
+  // The exact-fingerprint stream above admits anything that isn't a
+  // byte-identical duplicate; a crawl refresh also has to shed NEAR-dups
+  // against everything admitted so far. This leg maintains a SKETCH-ONLY
+  // index — two durable tables: (doc_id, mh0..mh11, n) signatures and
+  // (doc_id, band, bh) LSH band rows — and admits a document iff no
+  // already-indexed candidate (sharing a band bucket) has
+  // signature-estimated Jaccard >= the threshold. Nothing corpus-sized is
+  // stored or shuffled per batch: the index carries 12 longs per doc, the
+  // batch's band rows probe only their own buckets, and the estimate
+  // needs no shingle storage at all — the property that lets the index
+  // ride along at 100 TB where the raw shingle table cannot.
+  //
+  //  - in-batch: smaller doc_id wins among batch near-dup candidates
+  //    (same first-wins convention as the exact leg);
+  //  - cross-batch: candidates = batch bands ⋈ stored band rows; verify =
+  //    estimated Jaccard over the candidate pair's two signatures;
+  //  - replay: an anti join on doc_id makes a re-delivered batch a no-op
+  //    (its docs are already indexed — verdicts cannot flip), the same
+  //    idempotence contract as the exact leg.
+
+  final case class RunningMinhash(query: StreamingQuery,
+      sigIndex: KeyedParquetSink, bandIndex: KeyedParquetSink) {
+    def awaitAll(): Unit = query.awaitTermination()
+  }
+
+  /** Signature-estimated-Jaccard admission threshold: 0.5, matching the
+    * batch verdict (dedup_incremental_minhash / dedup_minhash). With K=12
+    * components the estimate is coarse (granularity 1/12); the LSH bands
+    * (6×2) in front make a sub-threshold false candidate cheap, not wrong. */
+  private[graft] val MinhashAdmitThreshold = 0.5
+
+  /** Start the MinHash-LSH admission stream over parsed `(doc_id, text)`
+    * rows: near-dups of the indexed corpus (or of a smaller-id batch
+    * sibling) are dropped; admitted docs' signature + band rows are
+    * appended to the durable index. */
+  def startMinhash(docs: DataFrame, sigDir: String, bandDir: String,
+      checkpoint: String): RunningMinhash = {
+    val sigIndex = new KeyedParquetSink(sigDir, Seq("doc_id"))
+    val bandIndex = new KeyedParquetSink(bandDir, Seq("doc_id", "band"))
+    val q = docs
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        admitMinhash(sigIndex, bandIndex, batch) }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    RunningMinhash(q, sigIndex, bandIndex)
+  }
+
+  /** One micro-batch of MinHash-LSH index maintenance. Exposed for direct
+    * replay testing (DocIngestSpec). */
+  private[graft] def admitMinhash(sigIndex: KeyedParquetSink,
+      bandIndex: KeyedParquetSink, batch: DataFrame): Unit = {
+    import graft.operators.DedupOps
+    val spark = batch.sparkSession
+    val sig0 = DedupOps.minhashSigOf(batch)
+    // replay idempotence: already-indexed doc_ids are out in one anti join
+    val sig =
+      (if (sigIndex.exists(spark))
+        sig0.join(sigIndex.read(spark).select("doc_id"), Seq("doc_id"), "left_anti")
+      else sig0).persist()
+    try {
+      val bands = DedupOps.bandsOf(sig)
+      def prefixed(df: DataFrame): DataFrame = // every column -> idx_*
+        df.columns.foldLeft(df)((acc, c) => acc.withColumnRenamed(c, s"idx_$c"))
+      // in-batch first-wins: drop a doc iff a SMALLER-id batch sibling
+      // shares a band bucket and estimates >= threshold
+      val inBatchDrop = bands.as("x")
+        .join(bands.as("y"), col("x.band") === col("y.band") &&
+          col("x.bh") === col("y.bh") && col("x.doc_id") > col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("idx_doc_id"))
+        .distinct()
+        .join(sig, Seq("doc_id"))
+        .join(prefixed(sig), Seq("idx_doc_id"))
+        .filter(DedupOps.sigEstJaccard("idx_") >= MinhashAdmitThreshold)
+        .select("doc_id").distinct()
+      // cross-index: batch band rows probe ONLY their own buckets of the
+      // stored band table; the estimate joins the two signature rows
+      val crossDrop =
+        if (!bandIndex.exists(spark)) inBatchDrop.limit(0)
+        else bands
+          .join(bandIndex.read(spark)
+            .select(col("doc_id").as("idx_doc_id"), col("band"), col("bh")),
+            Seq("band", "bh"))
+          .select("doc_id", "idx_doc_id").distinct()
+          .join(sig, Seq("doc_id"))
+          .join(prefixed(sigIndex.read(spark)), Seq("idx_doc_id"))
+          .filter(DedupOps.sigEstJaccard("idx_") >= MinhashAdmitThreshold)
+          .select("doc_id").distinct()
+      // PIN the admission verdict to one evaluation: the sig-table
+      // overwrite inside sigIndex.upsert re-caches every plan scanning it
+      // (CacheManager.recacheByPath), so a lazily re-evaluated `admitted`
+      // would see the index it just updated when the band upsert runs —
+      // flipping verdicts between the two writes and diverging the band
+      // index from the sig index (observed: a doc admitted to one index
+      // only). localCheckpoint materializes once, lineage-free.
+      val admitted = sig
+        .join(inBatchDrop.union(crossDrop).distinct(), Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      sigIndex.upsert(admitted)
+      bandIndex.upsert(DedupOps.bandsOf(admitted))
+    } finally sig.unpersist()
+  }
+
   /** One micro-batch admission: in-batch first-wins, then insert-if-absent
     * against the registry. Exposed for direct replay testing. */
   private[graft] def admit(registry: KeyedParquetSink, batch: DataFrame): Unit = {

@@ -85,4 +85,55 @@ class DocIngestSpec extends AnyFunSuite {
     val got = spark.table("gate_stream").collect().map(_.toString).sorted
     assert(got.toSeq == batch.toSeq)
   }
+
+  test("minhash-LSH admission maintains the sketch index: in-batch, cross-restart, replay no-op") {
+    val src = Files.createTempDirectory("mh-src")
+    val base = Files.createTempDirectory("mh-table")
+    val sigDir = base.resolve("sig").toString
+    val bandDir = base.resolve("band").toString
+    val ckpt = Files.createTempDirectory("mh-ckpt").toString
+    val textA = "the curious fox crossed the quiet river before dawn and rested near the old mill"
+    val textB = "market prices rallied sharply after the committee announced unexpected policy changes yesterday evening"
+    val textC = "children gathered around the ancient oak tree listening to stories about distant mountains"
+
+    def sigIds(r: graft.streaming.DocIngest.RunningMinhash): Set[Long] =
+      r.sigIndex.read(spark).select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // batch 1: two genuinely distinct docs -> both admitted, 6 band rows each
+    Files.write(src.resolve("b1.csv"),
+      lines(10L -> textA, 20L -> textB).getBytes("UTF-8"))
+    val in1 = spark.readStream.format("text").option("path", src.toString).load()
+    val r1 = DocIngest.startMinhash(DocIngest.parseLines(in1), sigDir, bandDir, ckpt)
+    r1.awaitAll()
+    assert(sigIds(r1) == Set(10L, 20L))
+    assert(r1.bandIndex.read(spark).count() == 12L, "6 band rows per admitted doc")
+
+    // restart: doc 30 repeats textA byte-identically (est Jaccard 1.0 ->
+    // shed against the index); docs 40/41 share textC in-batch (smaller id
+    // wins); nothing corpus-sized was stored to decide any of this
+    Files.write(src.resolve("b2.csv"),
+      lines(30L -> textA, 41L -> textC, 40L -> textC).getBytes("UTF-8"))
+    val in2 = spark.readStream.format("text").option("path", src.toString).load()
+    val r2 = DocIngest.startMinhash(DocIngest.parseLines(in2), sigDir, bandDir, ckpt)
+    r2.awaitAll()
+    assert(sigIds(r2) == Set(10L, 20L, 40L),
+      s"30 is a near-dup of indexed 10; 41 loses in-batch to 40: got ${sigIds(r2)}")
+    assert(r2.bandIndex.read(spark).count() == 18L)
+
+    // forced replay of batch 2 (at-least-once redelivery): indexes unchanged
+    val replay = spark.createDataFrame(Seq(
+        (30L, textA), (41L, textC), (40L, textC))).toDF("doc_id", "text")
+    DocIngest.admitMinhash(r2.sigIndex, r2.bandIndex, replay)
+    assert(sigIds(r2) == Set(10L, 20L, 40L), "replayed batch must be a no-op")
+    assert(r2.bandIndex.read(spark).count() == 18L)
+
+    // the stream-admitted signatures are value-identical to the batch
+    // spelling over the same texts (one hash family, one shingle scheme)
+    val batchSig = graft.operators.DedupOps.minhashSigOf(
+      spark.createDataFrame(Seq((10L, textA), (20L, textB), (40L, textC)))
+        .toDF("doc_id", "text"))
+    val stored = r2.sigIndex.read(spark)
+    assert(batchSig.exceptAll(stored).isEmpty && stored.exceptAll(batchSig).isEmpty,
+      "stored index rows == batch minhashSigOf rows")
+  }
 }
