@@ -155,6 +155,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.expressions.MortonZ(exprs(0), exprs(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_repetition_stats"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.RepetitionStats].getName,
+        "graft_repetition_stats"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_repetition_stats expects 2 arguments (text, n), got ${exprs.length}")
+        require(exprs(1).foldable,
+          "graft_repetition_stats: the n-gram size n must be a constant, not a column")
+        graft.functions.expressions.RepetitionStats(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_char_entropy"),
       new ExpressionInfo(
         classOf[graft.functions.expressions.CharEntropyMicro].getName,

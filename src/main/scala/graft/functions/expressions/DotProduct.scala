@@ -75,6 +75,13 @@ object GraftExpressions {
       exprs => ShingleGenerator(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(), unique = true),
       "scala_udf")
+    // row-local n-gram repetition census (total/distinct/top counts) — the
+    // shuffle-free spelling of the C4 repetition filter; see RepetitionStats
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_repetition_stats",
+      exprs => RepetitionStats(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "scala_udf")
     // Spark ships BloomFilterAggregate/BloomFilterMightContain for its own
     // runtime row-level filtering but does not put them in the public
     // function registry; exposing them keeps Bloom builds IN-PLAN (a

@@ -1635,9 +1635,13 @@ object AnalyticsOps {
         .agg(count(lit(1)).as("cb"))
       val exact = a.join(b, Seq("k"))
         .agg(sum(col("ca") * col("cb")).as("exact_card"))
-      val statsA = a.agg(sum("ca").as("na"), countDistinct("k").as("da"),
+      // a/b are one row per key by construction, so the distinct key count
+      // is a plain count(*) — countDistinct here would re-run the whole
+      // two-phase distinct machinery for a number the grouped shape
+      // already guarantees
+      val statsA = a.agg(sum("ca").as("na"), count(lit(1)).as("da"),
         max("k").as("mx"))
-      val statsB = b.agg(sum("cb").as("nb"), countDistinct("k").as("db"))
+      val statsB = b.agg(sum("cb").as("nb"), count(lit(1)).as("db"))
       val span = broadcast(statsA.select(expr("mx div 150 + 1").as("span")))
       val ha = a.crossJoin(span)
         .groupBy(expr("k div span").as("bk")).agg(sum("ca").as("ba"))

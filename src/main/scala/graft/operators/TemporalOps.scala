@@ -20,28 +20,35 @@ import graft.functions.GraftFunctions.{centi, fround}
 object TemporalOps {
 
   /** 7-day rolling distinct users (weekly active users per day), computed
-    * WITHOUT a distinct-over-range window: each (day, user) pair is
-    * exploded to the ≤7 report days it can contribute to, then one
-    * distinct + one count per day. Scale: two keyed shuffles, both linear
-    * in |day×user| (bounded by 7× the daily-active table, NOT by raw
-    * events); the alternative — countDistinct over a range self-join —
-    * rescans the fact per window day. The tiny observed-days dim
-    * broadcast-prunes phantom leading days. */
+    * WITHOUT a distinct-over-range window: each distinct (day, user) pair
+    * is exploded to the ≤7 report days it can contribute to, then ONE
+    * mixed aggregate per report day gets both metrics — dau7 as the
+    * single-column countDistinct(user) (two-phase hash aggregate, NO
+    * Expand for one distinct group) and dau as the plain
+    * sum(off = 0), exact because du is already distinct: each user
+    * contributes the off=0 row to a report day iff they were active ON
+    * that day. `dau > 0` keeps exactly the observed days (every observed
+    * day has ≥ 1 off=0 user; phantom trailing days have none), replacing
+    * the former days-dim broadcast AND the dau1⋈dau7 join. Scale: ONE
+    * scan + three keyed shuffles (the du distinct, the mixed aggregate's
+    * (day,user) dedup, the per-day rollup), each linear in |day×user|
+    * (bounded by 7× the daily-active table, NOT by raw events) — down
+    * from the former five-shuffle two-branch join shape; the
+    * alternative — countDistinct over a range self-join — rescans the
+    * fact per window day. */
   private val rollingDau = GraftQuery(
     "evt_rolling_dau",
     "per-day DAU + trailing-7-day rolling distinct users",
     (s, d) => {
       val du = Tables.events(s, d)
         .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
-      val days = du.select("day").distinct()
-      val contrib = du
-        .select(col("user_id"), col("day"), explode(sequence(lit(0), lit(6))).as("off"))
-        .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
-        .distinct()
-      val dau7 = contrib.join(broadcast(days), "day")
-        .groupBy("day").agg(count(lit(1)).as("dau7"))
-      val dau1 = du.groupBy("day").agg(count(lit(1)).as("dau"))
-      dau1.join(dau7, "day").orderBy("day")
+      du.select(col("user_id"), col("day"),
+          explode(sequence(lit(0), lit(6))).as("off"))
+        .groupBy(date_add(col("day"), col("off")).as("day"))
+        .agg(sum(when(col("off") === 0, 1L).otherwise(0L)).as("dau"),
+          countDistinct(col("user_id")).as("dau7"))
+        .filter(col("dau") > 0)
+        .orderBy("day")
     },
     Some("""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), days AS (SELECT DISTINCT day FROM du), contrib AS (SELECT DISTINCT du.day + CAST(o AS INTEGER) AS day, du.user_id FROM du, (SELECT unnest(generate_series(0, 6)) AS o)), d7 AS (SELECT c.day, count(*) AS dau7 FROM contrib c JOIN days USING (day) GROUP BY 1), d1 AS (SELECT day, count(*) AS dau FROM du GROUP BY 1) SELECT day, dau, dau7 FROM d1 JOIN d7 USING (day) ORDER BY day"""))
 

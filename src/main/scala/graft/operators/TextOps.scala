@@ -116,25 +116,26 @@ object TextOps {
 
   /** Repetition quality signal (the C4/Gopher-style "repetitive document"
     * filter): fraction of duplicate token 2-grams and the share of the
-    * single most frequent 2-gram. Two keyed aggregations — (doc, gram)
-    * counts then per-doc rollup — both partitioned by doc_id-prefixed keys,
-    * so the op shards cleanly; no corpus-wide state. Docs with fewer than
-    * two tokens have no 2-grams and drop out in BOTH engines (no 0/0). */
+    * single most frequent 2-gram. A document is ONE row, so the whole
+    * census is row-local arithmetic: the native
+    * [[graft.functions.expressions.RepetitionStats]] generator folds
+    * (total, distinct, top-count) in one pass over each row — ZERO
+    * exchanges at any corpus size, vs. the composable spelling's two
+    * corpus-wide shuffles keyed on gram strings (explode → groupBy(doc,
+    * gram) → groupBy(doc)). Docs with fewer than two tokens have no
+    * 2-grams (the generator emits no row) and drop out in BOTH engines
+    * (no 0/0). */
   private val repetition = GraftQuery(
     "txt_repetition",
     "repeated 2-gram ratio + top-gram share per document (repetition filter)",
     (s, d) => {
       graft.functions.expressions.GraftExpressions.ensureRegistered(s)
       Tables.documents(s, d)
-        .selectExpr("doc_id", "graft_shingles(lower(text), 2) AS sh")
-        .groupBy("doc_id", "sh").agg(count(lit(1)).as("n"))
-        .groupBy("doc_id")
-        .agg(sum("n").as("n_2gram"), count(lit(1)).as("n_uniq"),
-          max("n").as("top_n"))
-        .select(col("doc_id"), col("n_2gram"), col("n_uniq"),
-          fround(lit(1.0) - col("n_uniq").cast("double") / col("n_2gram"), 4)
+        .selectExpr("doc_id", "graft_repetition_stats(lower(text), 2)")
+        .select(col("doc_id"), col("n_grams").as("n_2gram"), col("n_uniq"),
+          fround(lit(1.0) - col("n_uniq").cast("double") / col("n_grams"), 4)
             .as("rep_ratio"),
-          fround(col("top_n").cast("double") / col("n_2gram"), 4).as("top_share"))
+          fround(col("top_n").cast("double") / col("n_grams"), 4).as("top_share"))
         .orderBy("doc_id")
     },
     Some("""WITH g AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, greatest(len(t) - 1, 0))]) AS sh FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)), c AS (SELECT doc_id, sh, count(*) AS n FROM g GROUP BY 1, 2), a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_2gram, CAST(count(*) AS BIGINT) AS n_uniq, max(n) AS top_n FROM c GROUP BY 1) SELECT doc_id, n_2gram, n_uniq, floor((1.0 - CAST(n_uniq AS DOUBLE) / n_2gram) * 10000.0 + 0.5) / 10000.0 AS rep_ratio, floor(CAST(top_n AS DOUBLE) / n_2gram * 10000.0 + 0.5) / 10000.0 AS top_share FROM a ORDER BY doc_id"""))
