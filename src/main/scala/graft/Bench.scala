@@ -318,6 +318,9 @@ object Bench {
     // supplier co-occurrence pair weights (bipartite proj + neighbor jaccard)
     step("cooc")(graft.operators.GraphOps.coocPairs(spark, sfDir)
       .write.format("noop").mode("overwrite").save())
+    // node degrees over the same pruned incidence (neighbor jaccard dim)
+    step("cooc-deg")(graft.operators.GraphOps.coocDegrees(spark, sfDir)
+      .write.format("noop").mode("overwrite").save())
     // near-dup artifacts: 4-gram shingles → verified Jaccard pairs →
     // component labels; every dedup_* query serves from these
     step("dedup")(graft.operators.DedupOps.componentLabels(spark, sfDir)

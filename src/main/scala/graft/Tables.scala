@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Parquet-backed table layer. Stands in for the reference's Cassandra
   * keyspace (ref: data/create-timeseries.cql) — each logical table is one
@@ -38,6 +38,38 @@ object Tables {
     }
     perSession.getOrElseUpdate(s"$dir/$name.parquet",
       spark.read.parquet(s"$dir/$name.parquet"))
+  }
+
+  /** Guide §2.5's "unsplittable input" fix, scale-gated. The local
+    * testdata tables are single-file, single-row-group parquet, so every
+    * scan stage is ONE task and a per-row-heavy pipeline (md5 checksums,
+    * rolling hashes, regex tokenizers) serializes on one of the
+    * session's cores. Where a query's floor is dominated by such
+    * compute, `spread` hash-repartitions the narrow input to the
+    * session's core count — one tiny local exchange that buys
+    * full-width compute downstream.
+    *
+    * Scale gate: when the plan's estimated input size already yields at
+    * least `defaultParallelism` scan splits under the session's
+    * `maxPartitionBytes` (any real multi-file deployment, 100 TB
+    * trivially), this is the IDENTITY — the extra shuffle can never
+    * appear where data volume would make it expensive; the scan's own
+    * parallelism is then the spread. Hash (not round-robin)
+    * partitioning on a caller-named high-cardinality key: deterministic
+    * under task retry (the SPARK-38388 class the guide warns about —
+    * round-robin re-draws assignments on replay) and skew-free for the
+    * unique/near-unique keys callers pass. Results are partitioning-
+    * invariant by the registry's exact-arithmetic discipline
+    * (INVARIANCE.json), so this is a latency knob, never a semantics
+    * change. */
+  def spread(s: SparkSession, df: DataFrame, keys: Column*): DataFrame = {
+    val cores = s.sparkContext.defaultParallelism
+    val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      s.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (cores > 1 && bytes < BigInt(maxPart) * cores)
+      df.repartition(cores, keys: _*)
+    else df
   }
 
   def region(s: SparkSession, d: String): DataFrame   = apply(s, d, "region")

@@ -1229,11 +1229,23 @@ object AnalyticsOps {
     "percentile_disc vs percentile_cont per type, exact rank arithmetic",
     (s, d) => {
       import s.implicits._
+      // De-bulked r15 (guide §2.3 aggregate-before-shuffle): ranking
+      // every ROW to pick 9 order statistics shuffled and sorted the
+      // whole fact; value-at-rank r is equally the unique v whose
+      // cumulative count first reaches r, so rank over the DISTINCT
+      // (type, value) table with per-value counts — the window input
+      // shrinks from corpus rows to bounded distinct values (~2x here,
+      // unbounded-vs-bounded at scale) and the map-side combine does the
+      // heavy lifting in the scan stage. Same outputs bit-for-bit: the
+      // cum-interval predicate (cum-cnt < r <= cum) selects exactly the
+      // rank-r value the row_number filter selected.
       val ev = Tables.events(s, d)
         .select(col("event_type"), centi(col("value")).as("v"))
-      val w = Window.partitionBy("event_type").orderBy("v")
-      val ranked = ev.withColumn("rn", row_number().over(w).cast("long"))
-      val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val byV = ev.groupBy("event_type", "v").agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy("event_type").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = byV.withColumn("cum", sum("cnt").over(wCum))
+      val counts = byV.groupBy("event_type").agg(sum("cnt").as("n"))
       val targets = counts
         .crossJoin(broadcast(Seq(25, 50, 75).toDF("q")))
         .withColumn("disc_rank", expr("(q * n + 99) div 100"))
@@ -1241,14 +1253,14 @@ object AnalyticsOps {
         .withColumn("rem", expr("((n - 1) * q) % 100"))
         .withColumn("hi_rank",
           col("lo_rank") + when(col("rem") > 0, 1L).otherwise(0L))
-      ranked.join(broadcast(targets), Seq("event_type"))
-        .filter(col("rn") === col("disc_rank") ||
-          col("rn") === col("lo_rank") || col("rn") === col("hi_rank"))
+      def atRank(r: Column): Column =
+        min(when(col("cum") - col("cnt") < r && col("cum") >= r, col("v")))
+      cum.join(broadcast(targets), Seq("event_type"))
         .groupBy("event_type", "q", "rem")
         .agg(
-          min(when(col("rn") === col("disc_rank"), col("v"))).as("vd"),
-          min(when(col("rn") === col("lo_rank"), col("v"))).as("vlo"),
-          min(when(col("rn") === col("hi_rank"), col("v"))).as("vhi"))
+          atRank(col("disc_rank")).as("vd"),
+          atRank(col("lo_rank")).as("vlo"),
+          atRank(col("hi_rank")).as("vhi"))
         .select(col("event_type"), col("q"),
           fround(col("vd").cast("double") / 100.0, 4).as("disc_value"),
           fround((col("vlo") * (lit(100L) - col("rem")) +
@@ -1884,6 +1896,11 @@ object AnalyticsOps {
       "qa_pk_uniqueness",
       "catalog-wide primary-key uniqueness audit (incl. composite lineitem key)",
       (s, d) => {
+        // r15 plan audit: count(*) + countDistinct(k) per leg already
+        // plans as the minimal 2-exchange shape (partial group-count →
+        // keyed exchange → rollup; planAggregateWithOneDistinct) — an
+        // explicit group-then-rollup respelling produced a bit-identical
+        // physical plan, so the straightforward form stays.
         val legs = singles.map { case (t, k) =>
           Tables(s, d, t).agg(count(lit(1)).as("n_rows"),
             countDistinct(col(k)).as("n_keys"))

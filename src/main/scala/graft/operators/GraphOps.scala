@@ -279,6 +279,17 @@ object GraphOps {
         .groupBy("s1", "s2").agg(count(lit(1)).as("shared_parts"))
     }
 
+  /** Supplier degrees over the SAME pruned incidence the projection is
+    * built from — a node-sized graph artifact stored next to [[coocPairs]]
+    * (Bench setup warms both). De-shuffled r15: neighborJaccard used to
+    * re-derive this from scratch per invocation, re-paying the full
+    * lineitem distinct + hot-part prune (the plan's two widest exchanges)
+    * for a 1 000-row dimension. */
+  private[graft] def coocDegrees(s: SparkSession, d: String): DataFrame =
+    graft.PersistCache.getOrBuild(s, s"cooc-deg:$d") {
+      prunedIncidence(s, d).groupBy("sk").agg(count(lit(1)).as("deg"))
+    }
+
   /** Bipartite PROJECTION: supplier–supplier co-occurrence weights (how
     * many distinct parts two suppliers both ship) — the item-item /
     * co-purchase graph construction used for recommendations and
@@ -306,7 +317,7 @@ object GraphOps {
     "graph_neighbor_jaccard",
     "supplier neighbor-set Jaccard over the pruned bipartite graph, top-20",
     (s, d) => {
-      val deg = prunedIncidence(s, d).groupBy("sk").agg(count(lit(1)).as("deg"))
+      val deg = coocDegrees(s, d)
       coocPairs(s, d)
         .join(maybeBroadcastNodes(
           deg.select(col("sk").as("s1"), col("deg").as("d1"))), Seq("s1"))

@@ -197,7 +197,13 @@ object LayoutOps {
           col("l_linenumber").as("ln") +: cols.map(col): _*)
       val w = Window.partitionBy("f")
         .orderBy(col("ok") +: col("ln") +: cols.map(col): _*)
-      val withBrk = cols.foldLeft(li)((df, c) =>
+      // spread keyed on f: HashPartitioning(f, cores) SATISFIES the
+      // window's ClusteredDistribution(f), so the per-file window, the
+      // run flags, and the NDV aggregate's partial stage all run at the
+      // session's width instead of the latency-profile shuffle width the
+      // single-task scan fed them at (scale-gated identity at real sizes)
+      val liW = Tables.spread(s, li, col("f"))
+      val withBrk = cols.foldLeft(liW)((df, c) =>
         df.withColumn(s"brk_$c",
           when(lag(col(c), 1).over(w).isNull ||
             lag(col(c), 1).over(w) =!= col(c), 1L).otherwise(0L)))
@@ -248,6 +254,9 @@ object LayoutOps {
           col("l_linenumber").as("ln") +: cols.map(col): _*)
       val w = Window.partitionBy("f")
         .orderBy(col("ok") +: col("ln") +: cols.map(col): _*)
+      // NO spread here (unlike the exact twin): without the Expand the
+      // extra exchange outweighs the wider window stage (measured
+      // neutral-to-worse), and the scale-safe twin keeps the minimal plan
       val withBrk = cols.foldLeft(li)((df, c) =>
         df.withColumn(s"brk_$c",
           when(lag(col(c), 1).over(w).isNull ||

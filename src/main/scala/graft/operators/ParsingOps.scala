@@ -288,7 +288,10 @@ object ParsingOps {
           max(c).cast("string").as(s"max_$i")) }
       val stackRows = profiled.zipWithIndex.map { case ((label, _), i) =>
         s"'$label', n, nulls_$i, distinct_$i, min_$i, max_$i" }.mkString(", ")
-      Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+      // the 3-countDistinct Expand (x4 rows into the partial agg) ran on
+      // the single scan task - spread (scale-gated) fans it out first
+      Tables.spread(s, Tables.orders(s, d), col("o_orderkey"))
+        .agg(aggs.head, aggs.tail: _*)
         .selectExpr(s"stack(${profiled.size}, $stackRows)" +
           " AS (column, n, nulls, n_distinct, min_v, max_v)")
         .orderBy("column")
@@ -327,6 +330,10 @@ object ParsingOps {
           max(c).cast("string").as(s"max_$i")) }
       val stackRows = profiled.zipWithIndex.map { case ((label, _), i) =>
         s"'$label', n, nulls_$i, distinct_$i, min_$i, max_$i" }.mkString(", ")
+      // NO spread here (unlike the exact twin): without the Expand there
+      // is too little per-row work to amortize the extra exchange —
+      // measured 0.40 s -> 0.71-0.98 s with it, so the sketch pass stays
+      // on the plain scan
       Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
         .selectExpr(s"stack(${profiled.size}, $stackRows)" +
           " AS (column, n, nulls, n_distinct, min_v, max_v)")
@@ -484,18 +491,25 @@ object ParsingOps {
     "anti-entropy XOR row-hash checksums per table (order-independent)",
     (s, d) => {
       import graft.functions.GraftFunctions.{centi, xorChecksum}
-      def legDf(name: String, t: org.apache.spark.sql.DataFrame, canon: Column) =
-        xorChecksum(t, canon)
+      // md5-per-row dominates this floor; each leg's scan is one task on
+      // the single-file local tables, so the hash fold ran on one core.
+      // Tables.spread (scale-gated, identity at real input sizes) spreads
+      // each leg across the session's cores on its key column before the
+      // fold — XOR is commutative, so the fold is partition-invariant by
+      // construction.
+      def legDf(name: String, t: org.apache.spark.sql.DataFrame,
+          key: Column, canon: Column) =
+        xorChecksum(Tables.spread(s, t, key), canon)
           .select(lit(name).as("table_name"), col("n_rows"),
             col("xor_hi"), col("xor_lo"))
-      legDf("customer", Tables.customer(s, d),
+      legDf("customer", Tables.customer(s, d), col("c_custkey"),
           concat_ws("|", col("c_custkey"), col("c_mktsegment")))
-        .unionByName(legDf("documents", Tables.documents(s, d),
+        .unionByName(legDf("documents", Tables.documents(s, d), col("doc_id"),
           concat_ws("|", col("doc_id"), col("lang"))))
-        .unionByName(legDf("lineitem", Tables.lineitem(s, d),
+        .unionByName(legDf("lineitem", Tables.lineitem(s, d), col("l_orderkey"),
           concat_ws("|", col("l_orderkey"), col("l_suppkey"),
             centi(col("l_quantity")))))
-        .unionByName(legDf("orders", Tables.orders(s, d),
+        .unionByName(legDf("orders", Tables.orders(s, d), col("o_orderkey"),
           concat_ws("|", col("o_orderkey"), col("o_orderstatus"))))
         .orderBy("table_name")
     },
@@ -935,8 +949,13 @@ object ParsingOps {
     "multimodal: 32-sample frame energy + silence census per clip (stub PCM)",
     (s, d) => {
       val smp = filter(split(col("text"), ""), c => c =!= "")
-      val chars = Tables.documents(s, d)
-        .select(col("doc_id").as("media_id"),
+      // interpreted array-HOF decode per row = this floor's hot loop; the
+      // single-file scan gave it one task — spread (scale-gated identity
+      // at real sizes) fans the clip pipeline across the session's cores
+      val chars = Tables.spread(s,
+          Tables.documents(s, d).select(col("doc_id").as("media_id"), col("text")),
+          col("media_id"))
+        .select(col("media_id"),
           transform(smp, c => ascii(c).cast("long")).as("smp"))
         .filter(size(col("smp")) >= 32)
       val framed = chars
@@ -1007,10 +1026,14 @@ object ParsingOps {
       val sum16 = (1 to 16)
         .map(j => s"element_at(codes, CAST(16 * k + $j AS INT))")
         .mkString(" + ")
-      Tables.documents(s, d)
-        .select(col("doc_id").as("media_id"), col("text"),
-          length(col("text")).cast("long").as("len"))
-        .filter(col("len") >= 16)
+      // same single-task-scan story as mm_audio_energy: the per-frame
+      // signature HOFs dominate — spread before the heavy projection
+      Tables.spread(s,
+          Tables.documents(s, d)
+            .select(col("doc_id").as("media_id"), col("text"),
+              length(col("text")).cast("long").as("len"))
+            .filter(col("len") >= 16),
+          col("media_id"))
         .withColumn("nf", expr("len div 16"))
         .withColumn("codes",
           expr("transform(split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))"))

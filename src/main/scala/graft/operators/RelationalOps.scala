@@ -1292,7 +1292,12 @@ object RelationalOps {
     (s, d) => {
       import graft.functions.GraftFunctions.md5u32
       val keys = Tables.lineitem(s, d).select(col("l_orderkey").as("k"))
-      val samp = keys.filter(md5u32(col("k").cast("string")) % 100 === 0)
+      // the md5 sample filter and the binary-search histogram probe are
+      // the two fact-side per-row hot loops; each scan is one task on the
+      // single-file local table, so both ran on one core. Spread (scale-
+      // gated identity at real sizes) fans them across the session.
+      val keysW = Tables.spread(s, keys, col("k"))
+      val samp = keysW.filter(md5u32(col("k").cast("string")) % 100 === 0)
       val m = samp.agg(count(lit(1)).as("m"))
       val w = Window.orderBy(col("k"))
       val bounds = samp
@@ -1309,7 +1314,7 @@ object RelationalOps {
       // nondeterministic order; strict < counts duplicates identically
       // to the linear scan.
       graft.functions.expressions.GraftExpressions.ensureRegistered(s)
-      val parts = keys.crossJoin(broadcast(bounds
+      val parts = keysW.crossJoin(broadcast(bounds
           .agg(sort_array(collect_list(col("boundary"))).as("bs"))))
         .select(expr("graft_lower_bound(bs, k)").as("pid"))
         .groupBy("pid").agg(count(lit(1)).as("n_rows"))

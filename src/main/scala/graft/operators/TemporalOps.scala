@@ -153,17 +153,28 @@ object TemporalOps {
     "evt_cohort_revenue",
     "first-order-month cohort × month-age revenue triangle over orders",
     (s, d) => {
+      // De-shuffled r15: the grid's countDistinct(o_custkey) planned as
+      // the 2-exchange distinct rewrite over every order row. Pre-
+      // aggregating to (custkey, cohort, om) first costs NO exchange —
+      // the window already hash-partitioned by o_custkey and the groupBy
+      // keys contain it — and within a customer om↔age_months is a
+      // bijection (both month-truncated), so each customer lands at most
+      // once per (cohort, age) cell: distinct customers = plain count of
+      // pre-aggregate rows. Same numbers, one small plain aggregate
+      // instead of a corpus-row distinct.
       val w = Window.partitionBy("o_custkey")
       Tables.orders(s, d)
         .select(col("o_custkey"),
           date_trunc("month", col("o_orderdate")).cast("date").as("om"),
           centi(col("o_totalprice")).as("pc"))
         .withColumn("cohort_month", min("om").over(w))
+        .groupBy("o_custkey", "cohort_month", "om")
+        .agg(count(lit(1)).as("n"), sum("pc").as("pcs1"))
         .withColumn("age_months",
           months_between(col("om"), col("cohort_month")).cast("int"))
         .groupBy("cohort_month", "age_months")
-        .agg(countDistinct("o_custkey").as("n_customers"),
-          count(lit(1)).as("n_orders"), sum("pc").as("pcs"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum("n").as("n_orders"), sum("pcs1").as("pcs"))
         .select(col("cohort_month"), col("age_months"), col("n_customers"),
           col("n_orders"),
           fround(col("pcs").cast("double") / 100.0, 2).as("revenue"))

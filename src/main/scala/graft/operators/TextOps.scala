@@ -471,15 +471,27 @@ object TextOps {
     "txt_novelty",
     "per-doc novelty: share of 4-gram shingles unique to the doc corpus-wide",
     (s, d) => {
+      // De-shuffled r15: the old shape joined the corpus-sized shingle
+      // table back to its own frequency aggregate on shh (two shh-keyed
+      // shuffles of every shingle + a wide join) only to count dfreq=1
+      // rows per doc. But a dfreq=1 group has exactly ONE row, so its
+      // owning doc is min(doc_id) of the group — n_uniq falls out of the
+      // frequency aggregate alone, and n_sh needs only a doc-keyed
+      // count. Two narrow aggregates and a doc-sized join replace the
+      // shingle-sized join-back; results are identical by the one-row-
+      // per-unique-shingle argument (Round15OpsSpec pins equivalence).
       val sh = DedupOps.shingles4(s, d)
         .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
-      val df = sh.groupBy("shh").agg(count(lit(1)).as("dfreq"))
-      sh.join(df, Seq("shh"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_sh"),
-          sum(when(col("dfreq") === 1, lit(1L)).otherwise(lit(0L))).as("n_uniq"))
-        .select(col("doc_id"), col("n_sh"), col("n_uniq"),
-          fround(col("n_uniq").cast("double") / col("n_sh"), 4).as("novelty"))
+      val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val uniq = sh.groupBy("shh")
+        .agg(count(lit(1)).as("dfreq"), min("doc_id").as("doc_id"))
+        .filter(col("dfreq") === 1)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_uniq"))
+      perDoc.join(uniq, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_sh"),
+          coalesce(col("n_uniq"), lit(0L)).as("n_uniq"),
+          fround(coalesce(col("n_uniq"), lit(0L)).cast("double") / col("n_sh"), 4)
+            .as("novelty"))
         .orderBy("doc_id")
     },
     Some("WITH " + DedupOps.shingleCte4 +
@@ -736,7 +748,10 @@ object TextOps {
       // from index 0 every probe — O(len²) per doc, measured 4-15 s
       // at sf0.1 across three spellings); element_at on the codes
       // array is O(1) per probe
-      val cuts = docs.filter(col("len") >= 8)
+      // the per-position polynomial probe is this query's hot loop and the
+      // single-file local scan gives it one task — spread (scale-gated
+      // identity at real sizes) fans the doc pipeline across the session
+      val cuts = Tables.spread(s, docs.filter(col("len") >= 8), col("doc_id"))
         .withColumn("codes",
           expr("transform(split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))"))
         .select(col("doc_id"), col("codes"),

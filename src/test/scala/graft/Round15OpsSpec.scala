@@ -87,4 +87,76 @@ class Round15OpsSpec extends AnyFunSuite {
     // every observed day reports (the dau > 0 gate keeps exactly these)
     assert(df.count() == direct.count())
   }
+
+  test("txt_novelty without the shingle join-back equals the joined spelling bit-for-bit") {
+    val sh = operators.DedupOps.shingles4(spark, sf)
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+    val dfreq = sh.groupBy("shh").agg(count(lit(1)).as("dfreq"))
+    val old = sh.join(dfreq, Seq("shh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("o_sh"),
+        sum(when(col("dfreq") === 1, lit(1L)).otherwise(lit(0L))).as("o_uniq"))
+    val neu = SparkEntry.queries("txt_novelty")(spark, sf)
+    assert(neu.count() == old.count())
+    val bad = neu.join(old, "doc_id")
+      .filter(col("n_sh") =!= col("o_sh") || col("n_uniq") =!= col("o_uniq"))
+    assert(bad.isEmpty)
+  }
+
+  test("evt_cohort_revenue pre-aggregate equals the countDistinct grid bit-for-bit") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GraftFunctions.centi
+    val w = Window.partitionBy("o_custkey")
+    val old = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("om"),
+        centi(col("o_totalprice")).as("pc"))
+      .withColumn("cohort_month", min("om").over(w))
+      .withColumn("age_months",
+        months_between(col("om"), col("cohort_month")).cast("int"))
+      .groupBy("cohort_month", "age_months")
+      .agg(countDistinct("o_custkey").as("o_cust"), count(lit(1)).as("o_ord"))
+    val neu = SparkEntry.queries("evt_cohort_revenue")(spark, sf)
+    assert(neu.count() == old.count())
+    val bad = neu.join(old, Seq("cohort_month", "age_months"))
+      .filter(col("n_customers") =!= col("o_cust") ||
+        col("n_orders") =!= col("o_ord"))
+    assert(bad.isEmpty)
+  }
+
+  test("agg_quantile_semantics cum-count rank selection equals row_number rank selection") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GraftFunctions.centi
+    import spark.implicits._
+    // the pre-round-15 spelling: rank every row, pick rows at the ranks
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), centi(col("value")).as("v"))
+    val w = Window.partitionBy("event_type").orderBy("v")
+    val ranked = ev.withColumn("rn", row_number().over(w).cast("long"))
+    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val targets = counts
+      .crossJoin(broadcast(Seq(25, 50, 75).toDF("q")))
+      .withColumn("disc_rank", expr("(q * n + 99) div 100"))
+      .withColumn("lo_rank", expr("((n - 1) * q) div 100 + 1"))
+      .withColumn("rem", expr("((n - 1) * q) % 100"))
+      .withColumn("hi_rank",
+        col("lo_rank") + when(col("rem") > 0, 1L).otherwise(0L))
+    val old = ranked.join(broadcast(targets), Seq("event_type"))
+      .filter(col("rn") === col("disc_rank") ||
+        col("rn") === col("lo_rank") || col("rn") === col("hi_rank"))
+      .groupBy("event_type", "q", "rem")
+      .agg(min(when(col("rn") === col("disc_rank"), col("v"))).as("vd"),
+        min(when(col("rn") === col("lo_rank"), col("v"))).as("vlo"),
+        min(when(col("rn") === col("hi_rank"), col("v"))).as("vhi"))
+      .select(col("event_type"), col("q"),
+        graft.functions.GraftFunctions.fround(col("vd").cast("double") / 100.0, 4).as("o_disc"),
+        graft.functions.GraftFunctions.fround((col("vlo") * (lit(100L) - col("rem")) +
+          col("vhi") * col("rem")).cast("double") / 100.0 / 100.0, 4).as("o_cont"))
+    val neu = SparkEntry.queries("agg_quantile_semantics")(spark, sf)
+    assert(neu.count() == old.count())
+    val bad = neu.join(old, Seq("event_type", "q"))
+      .filter(col("disc_value") =!= col("o_disc") ||
+        col("cont_value") =!= col("o_cont"))
+    assert(bad.isEmpty)
+  }
 }
