@@ -944,7 +944,13 @@ object DedupOps {
     "txt_tfidf_pair_cosine",
     "tf-idf-weighted cosine for each verified near-dup pair",
     (s, d) => {
-      val tc = Tables.documents(s, d)
+      // spread (scale-gated identity at real sizes): tc re-derives per
+      // consumer branch (df / weights / norms / both join sides — no
+      // cross-branch CSE), and each re-run paid a ~155 ms single-task
+      // tokenize stage on the single-file scan
+      val tc = Tables.spread(s,
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          col("doc_id"))
         .select(col("doc_id"), explode(graft.functions.GraftFunctions.tokens(col("text"))).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       val df = tc.groupBy("tok").agg(count(lit(1)).as("df"))

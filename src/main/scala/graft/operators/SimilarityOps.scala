@@ -1090,7 +1090,12 @@ object SimilarityOps {
     "emb_jl_distortion",
     "±1-projection JL distance-distortion histogram (64→16 dims)",
     (s, d) => {
-      val proj = Tables.embeddings(s, d).select(col("vec_id"),
+      // spread (scale-gated identity at real sizes): the 16×64-term JL
+      // projection runs through interpreted HOF lambdas per row and the
+      // single-task scan re-runs it per pair side — two ~180 ms one-core
+      // stages without the fan-out
+      val proj = Tables.spread(s, Tables.embeddings(s, d), col("vec_id"))
+        .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
             .as("m"))
         .withColumn("sgn", typedlit(jlSigns))

@@ -48,9 +48,25 @@ object SubqueryOps {
         |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin
+    // Spark side only (oracle text unchanged): EXISTS(any late line) ⟺
+    // max(l_shipdate) per orderkey late — max ignores NULLs exactly like
+    // the per-row > comparison rejects them. The semi-join (still the
+    // RewritePredicateSubquery shape this entry exercises) now builds its
+    // broadcast from the key-grain aggregate instead of the raw fact:
+    // guide §2.3 aggregate-before-you-ship, 4× fewer build-side rows.
+    val sparkSql =
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM (SELECT l_orderkey, max(l_shipdate) AS mx
+        |                 FROM lineitem GROUP BY l_orderkey) lm
+        |  WHERE l_orderkey = o_orderkey
+        |    AND mx > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
     q("sq_exists",
       "Q4 shape: EXISTS correlated subquery -> left-semi join, priority counts",
-      Seq("orders", "lineitem"), sql, sql.replace("\n", " "))
+      Seq("orders", "lineitem"), sparkSql, sql.replace("\n", " "))
   }
 
   /** TPC-H Q22 shape (scalar agg subquery + NOT EXISTS → left-anti join).

@@ -794,7 +794,12 @@ object TextOps {
   private val cooccurrence = GraftQuery(
     "txt_cooccurrence",
     "unordered word co-occurrence (distance <= 2) counts, top-40 pairs",
-    (s, d) => Tables.documents(s, d)
+    (s, d) => Tables.spread(s,
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        col("doc_id"))
+      // spread (scale-gated identity at real sizes): tokenize + the two
+      // zip_with pair streams are per-row heavy and the single-task scan
+      // otherwise runs them on 1 core
       .select(split(lower(col("text")), " ").as("t"))
       .select(explode(concat(
         expr("zip_with(slice(t, 1, greatest(size(t) - 1, 0)), slice(t, 2, greatest(size(t) - 1, 0)), (a, b) -> CASE WHEN a <= b THEN concat(a, ' ', b) ELSE concat(b, ' ', a) END)"),
@@ -848,22 +853,37 @@ object TextOps {
       // both rows, like the pair join did) — and one grouped triple
       // count-distinct reads the tagged stream once.
       val tagged = shs.join(shared, Seq("sh"))
-        .select(col("sh"), col("doc_id"), col("split"), explode(array(
+        .select(col("doc_id"), col("split"), explode(array(
           when(col("in_val") === 1 &&
             (col("split") === "val" || col("split") === "train"), lit("val")),
           when(col("in_test") === 1 &&
             (col("split") === "test" || col("split") === "train"), lit("test"))))
           .as("side"))
         .filter(col("side").isNotNull)
-      tagged.groupBy("side")
-        .agg(
-          countDistinct(when(col("split") =!= "train", col("sh")))
-            .as("n_shared_shingles"),
-          countDistinct(when(col("split") =!= "train", col("doc_id")))
+      // r15: the former triple countDistinct planned an Expand that
+      // replicated the tagged stream ×3 into one distinct shuffle. The
+      // shingle count never needed the stream at all — `shared` is UNIQUE
+      // by sh, so count(in_val=1) IS countDistinct(sh leaking to val);
+      // and the two doc counts fold through a partial-aggregable
+      // (side, doc_id) dedup (a doc's split is fixed, so the train flag
+      // is functionally dependent on doc_id) — no Expand anywhere.
+      val sideShingles = shared
+        .select(explode(array(
+          when(col("in_val") === 1, lit("val")),
+          when(col("in_test") === 1, lit("test")))).as("side"))
+        .filter(col("side").isNotNull)
+        .groupBy("side").agg(count(lit(1)).as("n_shared_shingles"))
+      val sideDocs = tagged
+        .groupBy(col("side"), col("doc_id"))
+        .agg(max(when(col("split") === "train", 1).otherwise(0)).as("is_tr"))
+        .groupBy("side")
+        .agg(sum(when(col("is_tr") === 0, 1L).otherwise(0L))
             .as("n_eval_docs_hit"),
-          countDistinct(when(col("split") === "train", col("doc_id")))
+          sum(when(col("is_tr") === 1, 1L).otherwise(0L))
             .as("n_train_docs_hit"))
-        .withColumnRenamed("side", "split")
+      sideShingles.join(sideDocs, Seq("side"))
+        .select(col("side").as("split"), col("n_shared_shingles"),
+          col("n_eval_docs_hit"), col("n_train_docs_hit"))
         .orderBy("split")
     },
     Some {
@@ -1391,15 +1411,23 @@ object TextOps {
     "txt_bigram_logprob",
     "add-1 bigram-LM avg conditional log-prob per doc",
     (s, d) => {
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("ts"))
+      // spread (scale-gated identity at real sizes): the tokenize +
+      // posexplode bigram pipeline re-runs per consumer branch (no
+      // cross-branch CSE) and each re-run was a ~200 ms single-task
+      // stage on the single-file scan
+      val t = Tables.spread(s,
+        Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("ts")),
+        col("doc_id"))
       val bg = t.select(col("doc_id"), col("ts"),
           posexplode(col("ts")).as(Seq("i", "w1")))
         .withColumn("w2", expr("try_element_at(ts, i + 2)"))
         .filter(col("w2").isNotNull)
         .select("doc_id", "w1", "w2")
       val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      // c1 folds from the bigram counts (Σ_w2 c2 ≡ count of bg rows per
+      // w1) instead of re-running the whole bigram pipeline a third time
+      val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
       val vv = t.select(explode(col("ts")).as("tok"))
         .agg(countDistinct("tok").as("v"))
       // c1 (first-word counts) is open-vocabulary — shuffled join on w1,
