@@ -554,7 +554,11 @@ object DedupOps {
     "embedding near-dup: top-20 all-pairs cosine (norms precomputed)",
     (s, d) => {
       graft.functions.expressions.GraftExpressions.ensureRegistered(s)
-      val e = Tables.embeddings(s, d)
+      // spread (scale-gated identity at real sizes): the all-pairs
+      // nested-loop join streams ONE scan task otherwise, so the 2M-pair
+      // graft_dot loop — this query's entire cost (one 440 ms single-task
+      // stage, ProfileStages r15) — ran on 1 core
+      val e = Tables.spread(s, Tables.embeddings(s, d), col("vec_id"))
         .select(col("vec_id"), vecDouble(col("embedding")).as("v"))
         .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       val a = e.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
@@ -851,7 +855,12 @@ object DedupOps {
     "txt_rouge1_pairs",
     "ROUGE-1 P/R/F1 over token multisets for each verified near-dup pair",
     (s, d) => {
-      val tc = Tables.documents(s, d)
+      // spread (scale-gated identity at real sizes): tc re-derives per
+      // consumer branch (totals + both pair sides), each a single-task
+      // tokenize stage on the single-file scan
+      val tc = Tables.spread(s,
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          col("doc_id"))
         .select(col("doc_id"), explode(graft.functions.GraftFunctions.tokens(col("text"))).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       val totals = tc.groupBy("doc_id").agg(sum("c").as("nt"))

@@ -278,10 +278,15 @@ object PqAnn {
     s"PQ quantization error per subspace ($M×$KC codebooks): MSE + worst case",
     (s, d) => {
       val model = trainedCodebooks(s, d)
-      val sub = unitVecs(s, d)
-        .select(col("vec_id"), posexplode(
-          transform(sequence(lit(0), lit(M - 1)),
-            m => slice(col("v"), m * SUBDIM + 1, lit(SUBDIM)))).as(Seq("m", "sv")))
+      // spread (scale-gated identity at real sizes): the per-(vec, m)
+      // min-over-codebook HOF below runs interpreted lambdas over 256
+      // centroids per row — a ~320 ms single-task stage without fan-out
+      val sub = graft.Tables.spread(s,
+        unitVecs(s, d)
+          .select(col("vec_id"), posexplode(
+            transform(sequence(lit(0), lit(M - 1)),
+              m => slice(col("v"), m * SUBDIM + 1, lit(SUBDIM)))).as(Seq("m", "sv"))),
+        col("vec_id"))
       val dss = call_function("graft_dot", col("sv"), col("sv"))
       // min over the subspace's centroids of the 1e-6-rounded d2 — the
       // same rounded-compare contract as bestCid, minus the argmin

@@ -1306,7 +1306,10 @@ object RelationalOps {
         .withColumn("j", explode(sequence(lit(1L), lit(15L))))
         .filter(col("rk") === expr("(j * m + 15) div 16"))
         .select(col("j"), col("k").as("boundary"))
-      val tot = keys.agg(count(lit(1)).as("n"))
+      // r15: n folds from the pid rollup itself (every key lands in
+      // exactly one partition, so Σ n_rows = |keys|) via a 16-row
+      // unpartitioned window — the former keys.agg leg was a third full
+      // fact scan plus its broadcast job
       // partition id via the codegen'd binary search: the aggregate() HOF
       // spelling walked all 15 boundaries with interpreted lambdas per
       // fact row (HigherOrderFunction is CodegenFallback) — the corpus-
@@ -1318,7 +1321,9 @@ object RelationalOps {
           .agg(sort_array(collect_list(col("boundary"))).as("bs"))))
         .select(expr("graft_lower_bound(bs, k)").as("pid"))
         .groupBy("pid").agg(count(lit(1)).as("n_rows"))
-      parts.crossJoin(broadcast(tot))
+      parts
+        .withColumn("n", sum("n_rows").over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
         .select(col("pid"), col("n_rows"),
           fround(col("n_rows").cast("double") / col("n"), 4).as("share"))
         .orderBy("pid")
